@@ -1,0 +1,108 @@
+"""Fixture-scale parity with the reference suite
+(``/root/reference/test/test_traceframe.py:134-155``): 100 traces, 420
+spans, 60 distinct tag keys, ≥1 critical segment per trace.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from traceframe_spark import (
+    critical_path_segments,
+    read_raw_traces,
+    spans_from_jaeger_file,
+    traces_from_jaeger_file,
+    trace_with_spans,
+    with_tag_columns,
+)
+
+
+def test_traces_table_counts(spark, jaeger_json_path):
+    dfT = traces_from_jaeger_file(spark, jaeger_json_path)
+    assert dfT.columns == [
+        "traceID",
+        "traceName",
+        "nspans",
+        "errspans",
+        "duration",
+        "startTime",
+        "processes",
+        "iserror",
+    ]
+    rows = dfT.collect()
+    assert len(rows) == 100  # 100 traces × 8 cols = "size 800" in the reference
+    # Sorted by startTime descending (reference traceframe.py:230).
+    times = [r["startTime"] for r in rows]
+    assert times == sorted(times, reverse=True)
+    # traceName is "service: operation".
+    assert all(": " in r["traceName"] for r in rows)
+    # iserror ↔ errspans > 0.
+    assert all(r["iserror"] == (r["errspans"] > 0) for r in rows)
+
+
+def test_spans_table_counts(spark, jaeger_json_path):
+    dfS = spans_from_jaeger_file(spark, jaeger_json_path)
+    assert dfS.count() == 420
+    # 60 distinct tag keys (dynamic-pivot width 71 = 11 fixed + 60).
+    nkeys = (
+        dfS.select(F.explode(F.map_keys("tags")).alias("k")).distinct().count()
+    )
+    assert nkeys == 60
+    pivoted = with_tag_columns(dfS)
+    assert len(pivoted.columns) == 71
+    # Every span resolved a service through the process map.
+    assert dfS.filter(F.col("service").isNull()).count() == 0
+    # Exactly one root span per trace.
+    roots_per_trace = (
+        dfS.filter(F.col("parent") == "").groupBy("traceID").count().collect()
+    )
+    assert len(roots_per_trace) == 100
+    assert all(r["count"] == 1 for r in roots_per_trace)
+
+
+def test_critical_path_sweep_all_traces(spark, jaeger_json_path):
+    """Reference invariant sweep (test_traceframe.py:146-155) plus a
+    stronger one: segments partition each root span's duration."""
+    dfS = spans_from_jaeger_file(spark, jaeger_json_path)
+    segs = critical_path_segments(dfS)
+    per_trace = (
+        segs.groupBy("traceID")
+        .agg(
+            F.count("*").alias("nsegs"),
+            F.sum("seg_duration").alias("crit_total"),
+            F.min("seg_start").alias("first_start"),
+        )
+        .collect()
+    )
+    assert len(per_trace) == 100
+    assert all(r["nsegs"] >= 1 for r in per_trace)
+
+    roots = (
+        dfS.filter(F.col("parent") == "")
+        .select("traceID", "startTime", "duration")
+        .collect()
+    )
+    root_by_trace = {r["traceID"]: r for r in roots}
+    for r in per_trace:
+        root = root_by_trace[r["traceID"]]
+        assert r["crit_total"] <= root["duration"]
+        assert r["first_start"] >= root["startTime"]
+
+
+def test_trace_with_spans_assembly(spark, jaeger_json_path):
+    dfT = traces_from_jaeger_file(spark, jaeger_json_path)
+    dfS = spans_from_jaeger_file(spark, jaeger_json_path)
+    some_trace = dfT.select("traceID").first()["traceID"]
+    assembled = trace_with_spans(dfT, dfS, some_trace)
+    assert assembled["traceID"] == some_trace
+    assert assembled["nspans"] == len(assembled["spans"])
+    # Dedup keeps the set of spanIDs unique.
+    span_ids = [s["spanID"] for s in assembled["spans"]]
+    assert len(span_ids) == len(set(span_ids))
+
+
+def test_raw_traces_schema(spark, jaeger_json_path):
+    raw = read_raw_traces(spark, jaeger_json_path)
+    assert raw.count() == 100
+    # No dropped/corrupt rows: every trace parsed its spans array.
+    assert raw.filter(F.col("spans").isNull()).count() == 0

@@ -1,0 +1,77 @@
+"""Reusable Column expressions for the trace data model.
+
+Everything here is a *native* Catalyst expression — no Python UDFs — so
+filters/projections built from these stay inside whole-stage codegen and
+push down into the parquet/JSON scan (SURVEY.md §2.B mapping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def parent_span_id(span: Column) -> Column:
+    """First CHILD_OF reference's spanID, else "" for a root span.
+
+    Parity with reference ``parent_span``
+    (``/root/reference/traceframe/traceframe.py:429-433``): scan the
+    references array in order, take the first CHILD_OF.
+    """
+    child_of = F.filter(span["references"], lambda r: r["refType"] == F.lit("CHILD_OF"))
+    return F.coalesce(F.get(child_of, 0)["spanID"], F.lit(""))
+
+
+def tags_to_map(tags: Column) -> Column:
+    """Normalize a tag list ``[{key,type,value}]`` into ``map<string,string>``.
+
+    Replaces reference ``taglist_to_tags`` (``traceframe.py:261-265``).
+    Requires ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` for dict last-wins
+    semantics on duplicate keys (set by :func:`traceframe_spark.session.get_spark`).
+    """
+    return F.map_from_entries(
+        F.transform(tags, lambda t: F.struct(t["key"].alias("key"), t["value"].alias("value")))
+    )
+
+
+def root_span(spans: Column) -> Column:
+    """Pick the root span of a trace from its span array.
+
+    A root span has no references (``traceframe.py:140-155``). Fallback when
+    no span qualifies (broken trace): the span with the earliest
+    ``startTime`` — the deterministic rule the reference leaves as a TODO
+    (``traceframe.py:152-154``; its actual fallback is positional
+    ``spans[0]``, which is input-order-dependent and not reproducible
+    after a shuffle).
+    """
+    roots = F.filter(spans, lambda s: F.size(s["references"]) == 0)
+    earliest = F.array_sort(
+        spans,
+        lambda a, b: F.when(a["startTime"] < b["startTime"], F.lit(-1))
+        .when(a["startTime"] > b["startTime"], F.lit(1))
+        .otherwise(
+            F.when(a["spanID"] < b["spanID"], F.lit(-1))
+            .when(a["spanID"] > b["spanID"], F.lit(1))
+            .otherwise(F.lit(0))
+        ),
+    )
+    return F.coalesce(F.get(roots, 0), F.get(earliest, 0))
+
+
+def error_span_count(spans: Column) -> Column:
+    """Count of ``error`` tags across a trace's spans.
+
+    Parity with reference ``traceobj_errcount`` (``traceframe.py:177-183``),
+    which increments once per matching *tag* (not per span).
+    """
+    return F.aggregate(
+        spans,
+        F.lit(0),
+        lambda acc, s: acc + F.size(F.filter(s["tags"], lambda t: t["key"] == F.lit("error"))),
+    )
+
+
+def service_of(processes: Column, process_id: Column) -> Column:
+    """Map-lookup enrichment ``processes[processID].serviceName``
+    (``traceframe.py:462,489``)."""
+    return F.element_at(processes, process_id)["serviceName"]
