@@ -1,0 +1,117 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, then
+compares row count, sorted column names, and an order-insensitive
+value multiset. Reports per-query PASS/FAIL plus the first differing
+rows on mismatch.
+
+Usage: python tools/check_oracle.py [--sf /root/testdata/sf0.01] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        # collapse -0.0 and represent with full precision
+        return float(v) + 0.0
+    if isinstance(v, int):
+        return int(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return str(v)
+
+
+def _canon(df) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [tuple(_norm_cell(r[c]) for c in cols) for _, r in df[cols].iterrows()]
+    return sorted(rows, key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("queries", nargs="*", help="subset of query names")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from traceframe_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{args.sf}/{t}.parquet"
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = args.queries or list(qs)
+
+    failures = []
+    for name in names:
+        t0 = time.time()
+        sdf = qs[name](spark, args.sf).toPandas()
+        if name not in oracles:
+            print(f"{name:24s} rows-only: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            continue
+        ddf = con.sql(oracles[name]).df()
+        problems = []
+        if len(sdf) != len(ddf):
+            problems.append(f"rowcount spark={len(sdf)} duck={len(ddf)}")
+        if sorted(sdf.columns) != sorted(ddf.columns):
+            problems.append(f"columns spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}")
+        if not problems:
+            a, b = _canon(sdf), _canon(ddf)
+            if a != b:
+                diffs = [(x, y) for x, y in zip(a, b) if x != y]
+                problems.append(f"values differ in {len(diffs)} rows; first: {diffs[0] if diffs else (a[-1], b[-1])}")
+        status = "PASS" if not problems else "FAIL " + "; ".join(problems)
+        print(f"{name:24s} {len(sdf):7d} rows ({time.time()-t0:.1f}s)  {status}")
+        if problems:
+            failures.append(name)
+
+    spark.stop()
+    if failures:
+        print(f"\nFAILED: {failures}")
+        return 1
+    print("\nall queries match the oracle")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,700 @@
+"""Named query catalog over the driver's synthetic tables.
+
+Each entry is the SQL-expressible projection of an operator class from
+SURVEY.md §2.B/§2.D/§2.E, written twice:
+
+- a Spark DataFrame plan (``QUERIES[name]``) — the engine under test,
+- an equivalent ANSI-SQL string (``ORACLE_SQL[name]``) runnable by DuckDB
+  on the same parquet tables — the correctness oracle.
+
+Alignment rules (the driver hash-compares values after sorting columns by
+name):
+
+- every computed column is aliased identically on both sides;
+- floating-point aggregates are ``round()``-ed on BOTH sides (sums to 2
+  decimals, ratios/averages to 4) so accumulation-order differences
+  between engines can't flip the hash;
+- Spark ``rank()``/``size()`` produce ints where DuckDB produces BIGINT,
+  so int-typed computed columns are cast to long on the Spark side;
+- top-k and per-group argmin queries carry explicit total tie-breaks so
+  the selected row set is deterministic in both engines.
+
+Scale notes are attached per query: these plans are written for the
+1000-executor / 100 TB case (broadcast the dimension side, aggregate
+before join where possible, keep expressions inside codegen), and merely
+*also* run at sf0.01.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def qint(col, scale: int):
+    """Quantize a double to an integer at 10^-scale precision:
+    ``floor(x * 10^scale + 0.5)`` — round-half-up computed purely on the
+    binary double, so Spark and DuckDB agree bit-for-bit on the same input
+    (``round()`` does NOT: Spark rounds the shortest decimal repr, DuckDB
+    the binary value, and they split on repr-half values like 2087.055).
+    Integer outputs also keep the driver's value hash float-free."""
+    return F.floor(col * (10 ** scale) + F.lit(0.5)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# §2.E class 1-2: filter + project + derived columns
+# ---------------------------------------------------------------------------
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range + equality predicates pushed into the parquet scan (B1/B3/B4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    )
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_derived_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived boolean/arithmetic columns (B5/B20)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_totalprice") > 150000).alias("is_big"),
+        F.floor(F.col("o_totalprice") / 10000).cast("long").alias("bucket"),
+        (F.col("o_totalprice") * 0.5).alias("half_price"),
+    )
+
+
+SQL_DERIVED_COLUMNS = """
+SELECT o_orderkey,
+       o_totalprice > 150000 AS is_big,
+       CAST(floor(o_totalprice / 10000) AS BIGINT) AS bucket,
+       o_totalprice * 0.5 AS half_price
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.E class 3: sort desc + limit (top-k)
+# ---------------------------------------------------------------------------
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with a total tie-break (B6/B8). Spark plans this as
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", qint(F.col("o_totalprice"), 2).alias("price_r"))
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_custkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_r
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.E class 4: grouped aggregation (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+
+def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary aggregate: partial (map-side) agg then one shuffle
+    on a 6-value grouping key (B15/B16 generalization)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            qint(F.sum("l_quantity"), 2).alias("sum_qty"),
+            qint(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            qint(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            qint(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            qint(F.avg("l_quantity"), 4).alias("avg_qty"),
+            qint(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            qint(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_GROUP_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS sum_qty,
+       CAST(floor(sum(l_extendedprice) * 100 + 0.5) AS BIGINT) AS sum_base_price,
+       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) AS sum_disc_price,
+       CAST(floor(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100 + 0.5) AS BIGINT) AS sum_charge,
+       CAST(floor(avg(l_quantity) * 10000 + 0.5) AS BIGINT) AS avg_qty,
+       CAST(floor(avg(l_extendedprice) * 10000 + 0.5) AS BIGINT) AS avg_price,
+       CAST(floor(avg(l_discount) * 10000 + 0.5) AS BIGINT) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.E class 5: per-group argmin (root-span-pick shape, B17/B24)
+# ---------------------------------------------------------------------------
+
+
+def q_argmin_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest order per customer via window row_number — the same idiom
+    that picks a trace's root span deterministically."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.year("o_orderdate").cast("long").alias("first_year"),
+        )
+    )
+
+
+SQL_ARGMIN_GROUP = """
+SELECT o_custkey, o_orderkey AS first_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS first_year
+FROM (
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+    FROM orders
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.E class 6: multi-way dimension join (broadcast at any scale)
+# ---------------------------------------------------------------------------
+
+
+def q_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer ⋈ nation ⋈ region with every dimension broadcast:
+    the fact side streams through without a shuffle (B10/B25 mapping)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = F.broadcast(load_table(spark, sf_dir, "customer"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("order_count"),
+            qint(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+SQL_JOIN_DIMS = """
+SELECT r_name, n_name, count(*) AS order_count,
+       CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.E class 7: left / semi / anti joins
+# ---------------------------------------------------------------------------
+
+
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order profile; customers without orders keep count 0."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+SQL_JOIN_LEFT = """
+SELECT c_custkey, count(o_orderkey) AS order_count,
+       max(o_totalprice) AS max_price
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one finished order (left-semi: no row
+    multiplication, fact side never materializes the match)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select("c_custkey", "c_name")
+
+
+SQL_JOIN_SEMI = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts that never appear in lineitem (left-anti)."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return p.join(li, p["p_partkey"] == li["l_partkey"], "left_anti").select("p_partkey", "p_name")
+
+
+SQL_JOIN_ANTI = """
+SELECT p_partkey, p_name
+FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.E class 8: union all (B26)
+# ---------------------------------------------------------------------------
+
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    high = o.filter(F.col("o_totalprice") > 200000).select(
+        "o_orderkey", F.lit("high").alias("src")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.lit("urgent").alias("src")
+    )
+    return high.unionByName(urgent)
+
+
+SQL_UNION_ALL = """
+SELECT o_orderkey, 'high' AS src FROM orders WHERE o_totalprice > 200000
+UNION ALL
+SELECT o_orderkey, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.E class 9: dedup-by-key (B21) + distinct (B22)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep each user's latest event — deterministic dedup via window
+    row_number (the reference's drop_duplicates is input-order-dependent;
+    B21 made reproducible)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("last_event_id"), F.col("event_type").alias("last_type"))
+    )
+
+
+SQL_DEDUP_LATEST_EVENT = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_type
+FROM (
+    SELECT user_id, event_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+def q_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select("event_type").distinct()
+
+
+SQL_DISTINCT_VALUES = "SELECT DISTINCT event_type FROM events"
+
+
+# ---------------------------------------------------------------------------
+# §2.E class 10: explode array + re-aggregate (B9 on embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_explode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension statistics of the embedding column: posexplode then
+    re-aggregate by position."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            qint(F.avg(F.col("val").cast("double")), 4).alias("avg_val"),
+            F.min(F.col("val").cast("double")).alias("min_val"),
+            F.max(F.col("val").cast("double")).alias("max_val"),
+        )
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+
+
+SQL_EXPLODE_AGG = """
+SELECT CAST(pos AS BIGINT) AS pos, count(*) AS n,
+       CAST(floor(avg(val) * 10000 + 0.5) AS BIGINT) AS avg_val,
+       min(val) AS min_val,
+       max(val) AS max_val
+FROM (
+    SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings
+)
+GROUP BY pos
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.E class 11: string/date scalar functions (B18/B19)
+# ---------------------------------------------------------------------------
+
+
+def q_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+            F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+            "o_totalprice",
+        )
+        .groupBy("yr", "mo", "status_prio")
+        .agg(F.count("*").alias("n"), qint(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+SQL_STRING_DATE = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mo,
+       concat_ws('|', o_orderstatus, o_orderpriority) AS status_prio,
+       count(*) AS n, CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS total
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.E class 12: window ranking / analytic (rank, lag)
+# ---------------------------------------------------------------------------
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+SQL_WINDOW_RANK = """
+SELECT o_orderkey, o_orderpriority, rn, prev_price
+FROM (
+    SELECT o_orderkey, o_orderpriority,
+           row_number() OVER w AS rn,
+           lag(o_totalprice) OVER w AS prev_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+) WHERE rn <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.E class 12b: grouped rollup (grouping sets surface)
+# ---------------------------------------------------------------------------
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .rollup("n_name", "c_mktsegment")
+        .agg(F.count("*").alias("n_cust"), qint(F.sum("c_acctbal"), 2).alias("total_bal"))
+    )
+
+
+SQL_ROLLUP = """
+SELECT n_name, c_mktsegment, count(*) AS n_cust,
+       CAST(floor(sum(c_acctbal) * 100 + 0.5) AS BIGINT) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: documents / embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate grouping on document text (hash-groupBy dedup)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_count"))
+        .select("keep_id", "dup_count")
+    )
+
+
+SQL_DOC_DEDUP_EXACT = """
+SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents
+GROUP BY text
+"""
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + per-language corpus stats."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    return (
+        d.select("lang", toks.alias("n_tokens"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            qint(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            qint(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+SQL_DOC_TOKEN_STATS = r"""
+SELECT lang, count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       CAST(floor(avg(n_tokens) * 10000 + 0.5) AS BIGINT) AS avg_tokens,
+       CAST(floor(avg(n_chars) * 10000 + 0.5) AS BIGINT) AS avg_chars
+FROM (
+    SELECT lang, n_chars,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+)
+GROUP BY lang
+"""
+
+
+_STOPWORDS = ["the", "and", "of", "to", "in", "a", "is", "that", "it", "for"]
+
+
+def q_doc_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signal: stopword ratio per document (JVM-side array
+    lambda, no Python in the loop)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    stop = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS))).cast("double")
+    return d.select(
+        "doc_id",
+        F.floor(F.lit(10000.0) * stop / F.size(toks).cast("double")).cast("long").alias("stop_ratio"),
+    )
+
+
+SQL_DOC_STOPWORD_RATIO = r"""
+SELECT doc_id,
+       CAST(floor(10000.0 * len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                             x -> x IN ('the','and','of','to','in','a','is','that','it','for')))
+             / len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT) AS stop_ratio
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint (md5 of normalized text)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+
+
+SQL_DOC_FINGERPRINT = "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents"
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 10 query vectors.
+
+    The query side is tiny and broadcast; the candidate side streams.
+    Dot products run as JVM array lambdas (zip_with + aggregate) in
+    float64; cosine is rounded to 4 decimals BEFORE ranking so the
+    selected neighbor set is stable across accumulation orders.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    base = e.select("vec_id", "embedding", norm.alias("nrm"))
+    q = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    c = base.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"), F.col("nrm").alias("c_nrm")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_emb"), F.col("c_emb"), lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", qint(dot / (F.col("q_nrm") * F.col("c_nrm")), 4).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "cid", "cos", "rn")
+    )
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH norms AS (
+    SELECT vec_id, sqrt(sum(v * v)) AS nrm
+    FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
+    GROUP BY vec_id
+),
+dots AS (
+    SELECT qid, cid, sum(qv * cv) AS dot
+    FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               CAST(unnest(q.embedding) AS DOUBLE) AS qv,
+               CAST(unnest(c.embedding) AS DOUBLE) AS cv
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    )
+    GROUP BY qid, cid
+),
+scored AS (
+    SELECT d.qid, d.cid,
+           CAST(floor(d.dot / (nq.nrm * nc.nrm) * 10000 + 0.5) AS BIGINT) AS cos
+    FROM dots d
+    JOIN norms nq ON nq.vec_id = d.qid
+    JOIN norms nc ON nc.vec_id = d.cid
+)
+SELECT qid, cid, cos, rn
+FROM (
+    SELECT qid, cid, cos,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
+    FROM scored
+) WHERE rn <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "filter_project": q_filter_project,
+    "derived_columns": q_derived_columns,
+    "topk_orders": q_topk_orders,
+    "group_agg": q_group_agg,
+    "argmin_group": q_argmin_group,
+    "join_dims": q_join_dims,
+    "join_left": q_join_left,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
+    "union_all": q_union_all,
+    "dedup_latest_event": q_dedup_latest_event,
+    "distinct_values": q_distinct_values,
+    "explode_agg": q_explode_agg,
+    "string_date": q_string_date,
+    "window_rank": q_window_rank,
+    "rollup": q_rollup,
+    "doc_dedup_exact": q_doc_dedup_exact,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_stopword_ratio": q_doc_stopword_ratio,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ann_cosine_topk": q_ann_cosine_topk,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "filter_project": SQL_FILTER_PROJECT,
+    "derived_columns": SQL_DERIVED_COLUMNS,
+    "topk_orders": SQL_TOPK_ORDERS,
+    "group_agg": SQL_GROUP_AGG,
+    "argmin_group": SQL_ARGMIN_GROUP,
+    "join_dims": SQL_JOIN_DIMS,
+    "join_left": SQL_JOIN_LEFT,
+    "join_semi": SQL_JOIN_SEMI,
+    "join_anti": SQL_JOIN_ANTI,
+    "union_all": SQL_UNION_ALL,
+    "dedup_latest_event": SQL_DEDUP_LATEST_EVENT,
+    "distinct_values": SQL_DISTINCT_VALUES,
+    "explode_agg": SQL_EXPLODE_AGG,
+    "string_date": SQL_STRING_DATE,
+    "window_rank": SQL_WINDOW_RANK,
+    "rollup": SQL_ROLLUP,
+    "doc_dedup_exact": SQL_DOC_DEDUP_EXACT,
+    "doc_token_stats": SQL_DOC_TOKEN_STATS,
+    "doc_stopword_ratio": SQL_DOC_STOPWORD_RATIO,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+}
