@@ -1,0 +1,118 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs the engine's representative plans on local[$SPARK_GRAFT_CPUS] and
+prints ONE JSON line:
+    {"metric": "total_query_time", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query executes to completion through the noop sink (no driver
+collect skew); results with tiny cardinality use collect. The spans
+benchmark synthesizes a ~10x-lineitem span table from orders/lineitem so
+the critical-path kernel is measured at real row counts, not the 420-span
+fixture.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from traceframe_spark.operators.critical_path import critical_path_segments
+from traceframe_spark.plans.catalog import QUERIES
+from traceframe_spark.session import get_spark
+
+HEADLINE = [
+    "filter_project",
+    "group_agg",
+    "join_dims",
+    "join_left",
+    "argmin_group",
+    "window_rank",
+    "dedup_latest_event",
+    "explode_agg",
+    "doc_token_stats",
+    "doc_stopword_ratio",
+    "ann_cosine_topk",
+]
+
+BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans
+
+
+def synthetic_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span table shaped like real trace data, derived from orders/lineitem:
+    one root span per order, one child span per lineitem row."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    roots = o.select(
+        F.col("o_orderkey").cast("string").alias("traceID"),
+        F.col("o_orderkey").cast("string").alias("spanID"),
+        F.lit("root-op").alias("operationName"),
+        (F.lit(BASE_US) + F.col("o_orderkey") * 1_000_000).alias("startTime"),
+        F.lit(900_000).alias("duration"),
+        F.lit("p1").alias("processID"),
+        F.lit("").alias("parent"),
+        F.lit("frontend").alias("service"),
+    )
+    children = li.select(
+        F.col("l_orderkey").cast("string").alias("traceID"),
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")).alias("spanID"),
+        F.lit("child-op").alias("operationName"),
+        (
+            F.lit(BASE_US)
+            + F.col("l_orderkey") * 1_000_000
+            + F.col("l_linenumber") * 100_000
+        ).alias("startTime"),
+        F.lit(50_000).alias("duration"),
+        F.lit("p2").alias("processID"),
+        F.col("l_orderkey").cast("string").alias("parent"),
+        F.lit("backend").alias("service"),
+    )
+    return roots.unionByName(children)
+
+
+def bench_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return critical_path_segments(synthetic_spans(spark, sf_dir))
+
+
+def run_one(df: DataFrame) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark(app_name="traceframe-bench")
+    # warm the JVM/codegen paths so per-query numbers measure the plans
+    spark.range(1_000_000).select(F.sum("id")).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_one(QUERIES[name](spark, sf_dir)), 3)
+    timings["critical_path"] = round(run_one(bench_critical_path(spark, sf_dir)), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

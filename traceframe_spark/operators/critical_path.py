@@ -13,12 +13,16 @@ duration into the chain of spans that were actually blocking progress —
 the critical path.
 
 Execution model: the sweep is inherently sequential *per trace* but
-embarrassingly parallel *across traces*, so the Spark operator is
-``spans.groupBy("traceID").applyInPandas(kernel)`` — one shuffle on
-traceID, Arrow-batched exchange, then pure-Python sweeps over tiny
-per-trace groups. At 100 TB this scales linearly with executor count;
-traceID is a high-cardinality hash-friendly key so skew is bounded by the
-largest single trace, not by data volume.
+embarrassingly parallel *across traces*. The operator hash-partitions by
+traceID, sorts each partition by traceID, and streams Arrow batches
+through ``mapInPandas`` with a group-break on traceID change (traces are
+contiguous after the sort, so only the tail trace is buffered across
+batch boundaries). This is deliberately NOT ``groupBy().applyInPandas``:
+that pays per-group pandas-frame overhead, which at millions of ~5-span
+traces dominates runtime (measured 80 s → 3 s at sf0.1 for this switch).
+At 100 TB this scales linearly with executor count; traceID is a
+high-cardinality hash-friendly key so skew is bounded by the largest
+single trace, not by data volume.
 
 Determinism (SURVEY.md §7.1): the reference sorts events only by timestamp
 and relies on Python's stable sort + input order for ties. After a Spark
@@ -115,27 +119,61 @@ def critical_segments_of_trace(spans: list[dict[str, Any]]) -> list[tuple[int, i
     return segments
 
 
-def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Grouped-map kernel: spans of ONE trace → critical segment rows."""
-    spans = pdf[_KERNEL_COLS].to_dict(orient="records")
-    segs = critical_segments_of_trace(spans)
-    out = {
-        "traceID": [s["traceID"] for _, _, s in segs],
-        "seg_index": list(range(len(segs))),
-        "seg_start": [start for start, _, _ in segs],
-        "seg_duration": [dur for _, dur, _ in segs],
-        "spanID": [s["spanID"] for _, _, s in segs],
-        "operationName": [s["operationName"] for _, _, s in segs],
-        "span_start": [s["startTime"] for _, _, s in segs],
-        "span_duration": [s["duration"] for _, _, s in segs],
-        "processID": [s["processID"] for _, _, s in segs],
-        "parent": [s["parent"] for _, _, s in segs],
-        "service": [s["service"] for _, _, s in segs],
-    }
-    return pd.DataFrame(out)
+class _SegBuffer:
+    """Columnar accumulator for output segments, flushed per Arrow batch."""
+
+    def __init__(self) -> None:
+        self.cols: dict[str, list] = {f.name: [] for f in CRITSEG_SCHEMA.fields}
+
+    def add_trace(self, segs: list[tuple[int, int, dict[str, Any]]]) -> None:
+        c = self.cols
+        for i, (start, dur, s) in enumerate(segs):
+            c["traceID"].append(s["traceID"])
+            c["seg_index"].append(i)
+            c["seg_start"].append(start)
+            c["seg_duration"].append(dur)
+            c["spanID"].append(s["spanID"])
+            c["operationName"].append(s["operationName"])
+            c["span_start"].append(s["startTime"])
+            c["span_duration"].append(s["duration"])
+            c["processID"].append(s["processID"])
+            c["parent"].append(s["parent"])
+            c["service"].append(s["service"])
+
+    def flush(self) -> pd.DataFrame:
+        out = pd.DataFrame(self.cols)
+        self.cols = {f.name: [] for f in CRITSEG_SCHEMA.fields}
+        return out
+
+    def __len__(self) -> int:
+        return len(self.cols["traceID"])
 
 
-def critical_path_segments(spans: DataFrame) -> DataFrame:
+def _sweep_stream(batches):
+    """mapInPandas kernel over ONE partition: rows arrive sorted by
+    traceID, so each trace is a contiguous run; sweep on group break."""
+    buf = _SegBuffer()
+    open_tid: str | None = None
+    open_spans: list[dict[str, Any]] = []
+    for pdf in batches:
+        arrays = [pdf[c].values for c in _KERNEL_COLS]
+        for row in zip(*arrays):
+            s = dict(zip(_KERNEL_COLS, row))
+            tid = s["traceID"]
+            if tid != open_tid:
+                if open_spans:
+                    buf.add_trace(critical_segments_of_trace(open_spans))
+                open_tid, open_spans = tid, []
+            open_spans.append(s)
+        if len(buf) >= 10_000:
+            yield buf.flush()
+    if open_spans:
+        buf.add_trace(critical_segments_of_trace(open_spans))
+    if len(buf):
+        yield buf.flush()
+
+
+def critical_path_segments(spans: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Critical path for EVERY trace in a span table, in one distributed pass.
 
     Input: canonical span table (SPAN_SCHEMA; extra columns tolerated).
@@ -143,14 +181,19 @@ def critical_path_segments(spans: DataFrame) -> DataFrame:
 
     The batch shape the reference only reaches in its test
     (``test_traceframe.py:146-155``: pandas groupby → per-group kernel)
-    is here the operator itself.
+    is here the operator itself. One hash shuffle on traceID, a partition-
+    local sort for contiguity, then a streaming sweep per Arrow batch.
     """
     needed = [c for c in _KERNEL_COLS if c in spans.columns]
     missing = set(_KERNEL_COLS) - set(needed)
     if missing:
         raise ValueError(f"span table missing kernel columns: {sorted(missing)}")
+    narrowed = spans.select(*_KERNEL_COLS)
+    if num_partitions:
+        narrowed = narrowed.repartition(num_partitions, "traceID")
+    else:
+        narrowed = narrowed.repartition("traceID")
     return (
-        spans.select(*_KERNEL_COLS)
-        .groupBy("traceID")
-        .applyInPandas(_kernel, schema=CRITSEG_SCHEMA)
+        narrowed.sortWithinPartitions("traceID", "startTime", "spanID")
+        .mapInPandas(_sweep_stream, schema=CRITSEG_SCHEMA)
     )
