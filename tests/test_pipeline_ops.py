@@ -1,0 +1,191 @@
+"""Tests for the training-data pipeline operators (dedup, similarity,
+text analysis, multimodal plumbing) on the driver testdata at sf0.001
+plus hand-built near-duplicate fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from traceframe_spark.operators import dedup, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest while the hunter watches quietly"
+    )
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("quietly", "patiently")),  # near dup of 1
+        (4, "completely different text about spark dataframes and shuffles here"),
+        (5, "yet another unrelated document mentioning parquet and arrow batches"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# ---------------------------------------------------------------- dedup
+
+
+def test_exact_dedup(near_dup_docs):
+    out = dedup.exact_dedup(near_dup_docs, ["text"], "doc_id")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 3, 4, 5}  # doc 2 removed, lowest id kept
+
+
+def test_minhash_lsh_finds_near_dups(near_dup_docs):
+    pairs = dedup.minhash_dedup_pairs(
+        near_dup_docs, "doc_id", "text", threshold=0.6, n_hashes=64, bands=16
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found  # exact dup: jaccard 1.0
+    assert (1, 3) in found and (2, 3) in found  # near dup
+    assert all(p not in found for p in [(1, 4), (1, 5), (4, 5)])
+    j12 = next(r["jaccard"] for r in pairs if (r["id_a"], r["id_b"]) == (1, 2))
+    assert j12 == 1.0
+
+
+def test_minhash_recall_vs_exact_jaccard(docs):
+    """LSH candidates + exact verify must recover nearly all true pairs at
+    jaccard ≥ 0.9 (the corpus has real high-jaccard pairs: small shared
+    vocabulary), and — since verification is exact — no false positives."""
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.9).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.9).collect()
+    }
+    assert truth, "expected some true high-jaccard pairs in the corpus"
+    assert got <= truth  # exact verify kills all false positives
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.8, f"minhash-LSH recall {recall} ({len(got)}/{len(truth)})"
+
+
+def test_simhash_near_dups(near_dup_docs):
+    pairs = dedup.simhash_near_dup_pairs(near_dup_docs, "doc_id", "text", max_hamming=8)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in found  # identical text → identical fingerprint
+    hm = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert hm[(1, 2)] == 0
+
+
+def test_ngram_jaccard_exact_pairs(near_dup_docs):
+    pairs = dedup.ngram_jaccard_pairs(near_dup_docs, "doc_id", "text", threshold=0.5)
+    found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert found[(1, 2)] == 1.0
+    assert 0.7 < found[(1, 3)] < 1.0
+
+
+# ------------------------------------------------------------ similarity
+
+
+def test_cosine_topk_self_similarity(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id") < 3)
+    out = similarity.cosine_topk(embeddings, q, "vec_id", "embedding", k=5)
+    rows = out.collect()
+    assert len(rows) == 15  # 3 queries × 5
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["qid"], []).append(r)
+    for qid, nbrs in per_q.items():
+        assert [r["rn"] for r in sorted(nbrs, key=lambda r: r["rn"])] == [1, 2, 3, 4, 5]
+        cosines = [r["cos"] for r in sorted(nbrs, key=lambda r: r["rn"])]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["cid"] != qid for r in nbrs)
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, embeddings):
+    """LSH top-5 must recover most of the exact top-5 on clustered data."""
+    q = embeddings.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(embeddings, q, "vec_id", "embedding", k=5)
+    approx = similarity.hyperplane_lsh_topk(
+        embeddings, q, "vec_id", "embedding", k=5, dim=64, n_planes=16, bands=4
+    )
+    e = {(r["qid"], r["cid"]) for r in exact.collect()}
+    a = {(r["qid"], r["cid"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+# ------------------------------------------------------------------ text
+
+
+def test_lang_id_on_multilingual_fixtures(spark):
+    samples = [
+        ("en", "the cat sat on the mat and it was happy with the sun for a while"),
+        ("de", "der hund lief mit dem ball und die katze ist nicht im haus von heute"),
+        ("fr", "le chien est dans la maison et les enfants jouent pour une heure que demain"),
+        ("es", "el perro y la casa los niños juegan en un parque que es por la tarde"),
+        ("it", "il cane e la casa che i bambini giocano in un parco per una sera con del pane"),
+    ]
+    df = spark.createDataFrame(samples, ["lang", "text"])
+    got = {r["lang"]: r["guess"] for r in df.select("lang", text.lang_id(F.col("text")).alias("guess")).collect()}
+    assert got == {lang: lang for lang, _ in samples}, got
+
+
+def test_lang_id_domain_on_corpus(docs):
+    """On the synthetic corpus (same vocabulary for every lang label) the
+    guess must still be a valid code or 'und' — never null/error."""
+    guesses = {r["g"] for r in docs.select(text.lang_id(F.col("text")).alias("g")).distinct().collect()}
+    assert guesses <= set(text.STOPWORDS) | {"und"}
+
+
+def test_quality_and_counts(docs):
+    prof = text.document_profile(docs).collect()
+    assert len(prof) == 500
+    for r in prof[:50]:
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["n_tokens"] >= 1
+        assert r["n_subwords"] >= r["n_tokens"] - 1  # subword splits ≥ words
+        assert len(r["fp_md5"]) == 32
+    # fingerprints deterministic: same text → same fp
+    fp = {r["doc_id"]: r["fp_md5"] for r in prof}
+    prof2 = text.document_profile(docs).collect()
+    assert {r["doc_id"]: r["fp_md5"] for r in prof2} == fp
+
+
+def test_rolling_fingerprint_stability(spark):
+    """Small edits far from the minimizing window keep the fingerprint."""
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    df = spark.createDataFrame([(1, a), (2, a + " tail-change-here")], ["id", "t"])
+    fps = {r["id"]: r["fp"] for r in df.select("id", text.rolling_fingerprint(F.col("t")).alias("fp")).collect()}
+    assert fps[1] == fps[2]
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def test_media_plumbing(docs):
+    media = multimodal.attach_fake_media(docs.limit(50), "doc_id", "text")
+    assert [f.name for f in media.schema.fields] == ["media_id", "media_type", "payload", "meta"]
+    feats = multimodal.extract_media_features(media).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert len(r["features"]) == multimodal.FEATURE_DIM
+        assert r["n_bytes"] > 0
+        assert abs(sum(r["features"]) - 1.0) < 1e-3  # histogram normalized
+
+
+def test_frame_sample_plan(spark):
+    media = spark.createDataFrame(
+        [(1, "video/fake", bytearray(b"x"), {"n_frames": "25"})],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    frames = multimodal.frame_sample_plan(media, every_n=10).collect()
+    assert [(r["media_id"], r["frame_idx"]) for r in frames] == [(1, 0), (1, 10), (1, 20)]

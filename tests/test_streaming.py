@@ -1,0 +1,108 @@
+"""Structured-streaming span feed: windowed stats and stateful trace
+assembly, driven through a temp-dir file source."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from traceframe_spark.streaming import (
+    open_trace_assembly,
+    read_span_stream,
+    windowed_service_stats,
+)
+
+BASE = 1_700_000_000_000_000
+
+
+def _span(tid, sid, op, start, dur, parent, service, error=False):
+    return {
+        "traceID": tid,
+        "spanID": sid,
+        "flags": 1,
+        "operationName": op,
+        "startTime": start,
+        "duration": dur,
+        "logs": [],
+        "processID": "p1",
+        "warnings": None,
+        "service": service,
+        "parent": parent,
+        "tags": json.dumps({"error": "true"} if error else {}),
+    }
+
+
+@pytest.fixture()
+def feed_dir(tmp_path):
+    batches = [
+        [
+            _span("t1", "r1", "/a", BASE, 500_000, "", "frontend"),
+            _span("t1", "c1", "/b", BASE + 100_000, 200_000, "r1", "backend", error=True),
+            _span("t2", "r2", "/a", BASE + 60_000_000, 300_000, "", "frontend"),
+            _span("t2", "c2", "/b", BASE + 60_100_000, 100_000, "r2", "backend"),
+        ],
+        # second batch advances the watermark past the first window
+        [_span("t3", "orphan", "/c", BASE + 120_000_000, 50_000, "ghost", "backend")],
+    ]
+    p = tmp_path / "feed"
+    p.mkdir()
+    for i, spans in enumerate(batches):
+        with open(p / f"batch{i}.jsonl", "w") as f:
+            for s in spans:
+                f.write(json.dumps(s) + "\n")
+    return str(p)
+
+
+def test_windowed_service_stats(spark, feed_dir, tmp_path):
+    stream = read_span_stream(spark, feed_dir, max_files_per_trigger=1)
+    assert stream.isStreaming
+    stats = windowed_service_stats(stream, window="1 minute", watermark="30 seconds")
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("svc_stats")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits closed windows; with availableNow the final
+    # watermark closes all but the newest — check what materialized.
+    rows = spark.sql("SELECT * FROM svc_stats ORDER BY window_start, service").collect()
+    got = {(r["service"], r["n_spans"], r["n_errors"]) for r in rows}
+    # first window (t1): frontend 1 span 0 errors, backend 1 span 1 error
+    assert ("frontend", 1, 0) in got
+    assert ("backend", 1, 1) in got
+
+
+def test_open_trace_assembly(spark, feed_dir, tmp_path):
+    stream = read_span_stream(spark, feed_dir)
+    assembled = open_trace_assembly(stream)
+    q = (
+        assembled.writeStream.format("memory")
+        .queryName("open_traces")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM open_traces").collect()
+            if len(rows) >= 3:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    by_tid = {r["traceID"]: r for r in rows}
+    assert set(by_tid) == {"t1", "t2", "t3"}
+    assert by_tid["t1"]["nspans"] == 2
+    assert by_tid["t1"]["is_complete"] == 1
+    assert by_tid["t1"]["root_operation"] == "/a"
+    assert by_tid["t1"]["duration_us"] == 500_000
+    assert by_tid["t3"]["is_complete"] == 0  # orphan-only trace

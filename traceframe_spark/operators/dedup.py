@@ -1,0 +1,268 @@
+"""Deduplication operators for large-scale text/embedding corpora.
+
+Five strategies, each designed for the 100 TB regime (no reference
+analogue — the reference's only dedup is spanID ``drop_duplicates``,
+``/root/reference/traceframe/traceframe.py:629-630``; these generalize
+B21 to training-data pipelines):
+
+- exact:     hash-groupBy on normalized content — one shuffle.
+- MinHash+LSH: shingle → k minhashes → band buckets → candidate join →
+  exact-Jaccard verify. Candidate generation never compares all pairs;
+  cost is O(rows × k) plus a join whose width is the bucket collision
+  rate, so it scales to corpora where O(n²) is impossible.
+- SimHash:   64-bit fingerprint, near-dups share all but a few bits;
+  banded key join on bit-blocks.
+- n-gram Jaccard: exact pairwise similarity via an inverted shingle
+  index (explode + self-join + count), for bounded candidate sets.
+- embedding cosine: random-hyperplane LSH buckets then exact cosine —
+  see traceframe_spark.operators.similarity.
+
+All hashing is JVM-side (``xxhash64``), all set math is native array
+functions; nothing leaves codegen except the documented kernels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def char_shingles(col: Column, n: int = 5) -> Column:
+    """Distinct character n-grams of a string column (JVM-side)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: col.substr(i, F.lit(n))))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (lowercased, whitespace-tokenized)."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), k - 1)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def exact_dedup(df: DataFrame, cols: list[str], order_col: str) -> DataFrame:
+    """Keep one deterministic row per distinct combination of ``cols``
+    (lowest ``order_col``). One shuffle; survives any scale."""
+    w = Window.partitionBy(*cols).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Per-row MinHash signature: ``sig[i] = min(xxhash64(shingle, i))``.
+
+    Output: (id, shingles array<string>, sig array<bigint>). The k hash
+    families are xxhash64 salted by the family index — all inside
+    whole-stage codegen, O(rows × shingles × k) with no shuffle.
+    """
+    sh = char_shingles(F.lower(F.trim(F.col(text_col))), shingle_size)
+    out = df.select(F.col(id_col).alias("id"), sh.alias("shingles"))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(n_hashes)
+        ]
+    )
+    return out.select("id", "shingles", sig.alias("sig"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` blocks, bucket rows
+    whose block hashes collide, emit distinct candidate pairs (a < b).
+
+    The self-join keys on (band_index, band_hash): only same-band
+    collisions join, so the shuffle key is high-cardinality and the join
+    never degenerates to a cross product. At scale, skewed buckets (e.g.
+    boilerplate-heavy corpora) are handled by AQE skew-join splitting.
+    """
+    n = signatures.select(F.size("sig")).first()[0]
+    rows_per_band = max(n // bands, 1)
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = signatures.select("id", F.explode(band_entries).alias("e")).select(
+        "id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame, signatures: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs' shingle sets; keeps pairs ≥
+    threshold. Joins are id-equi (broadcast-able when the candidate set
+    is small relative to the corpus)."""
+    sh = signatures.select("id", "shingles")
+    joined = (
+        candidates.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-duplicate pairs: signatures → banded
+    candidates → exact-Jaccard verification at ``threshold``."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_size)
+    cands = lsh_candidate_pairs(sigs, bands)
+    return jaccard_verify(cands, sigs, threshold)
+
+
+def simhash64(col: Column, shingle_size: int = 4) -> Column:
+    """64-bit SimHash fingerprint, fully JVM-side.
+
+    Each shingle hash votes ±1 per bit position; the fingerprint takes
+    the sign of each bit's vote sum. Expressed as a fold over an
+    array<int> accumulator of the 64 counters — stays in codegen, no
+    Python exchange.
+    """
+    sh = char_shingles(F.lower(F.trim(col)), shingle_size)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    # bit positions are unrolled as Python literals: shiftright/shiftleft
+    # take only literal shift amounts.
+    votes = F.aggregate(
+        hashes,
+        F.array(*[F.lit(0) for _ in range(64)]),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int") for i in range(64)]),
+            lambda a, bit: a + (bit * 2 - 1),
+        ),
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp.bitwiseOR(
+            F.when(F.get(votes, i) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return fp
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    shingle_size: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share at least one of 4
+    16-bit blocks (pigeonhole guarantees recall for hamming ≤ 3), then
+    exact hamming distance filters."""
+    fp = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col), shingle_size).alias("fp"))
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("block"),
+                F.shiftright(F.col("fp"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            )
+            for b in range(4)
+        ]
+    )
+    keyed = fp.select("id", "fp", F.explode(blocks).alias("e")).select(
+        "id", "fp", F.col("e.block").alias("block"), F.col("e.key").alias("key")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    hamming = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via an inverted shingle index:
+    explode distinct shingles, self-join on shingle, count shared
+    shingles per pair, compute |A∩B| / (|A|+|B|-|A∩B|).
+
+    Exact but O(pairs sharing a shingle) — use on bounded candidate
+    subsets; MinHash-LSH is the scale path.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        char_shingles(F.lower(F.trim(F.col(text_col))), shingle_size).alias("shingles"),
+    )
+    sizes = sh.select("id", F.size("shingles").alias("n_sh"))
+    inv = sh.select("id", F.explode("shingles").alias("sh"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,142 @@
+"""Text-analysis operators for corpus curation.
+
+Language ID (stopword-overlap heuristic), quality scoring, token
+counting, and document fingerprinting — the per-document signals a
+training-data pipeline filters on. Everything is a native Catalyst
+expression over the canonical ``documents`` shape (doc_id, text, ...);
+at 100 TB these are embarrassingly parallel scans with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small high-frequency stopword lists per language (public knowledge).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "a", "is", "that", "it", "for", "with", "on"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht", "ein", "im"],
+    "fr": ["le", "la", "les", "et", "de", "des", "un", "une", "est", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "las", "y", "de", "que", "en", "un", "una", "es", "por"],
+    "it": ["il", "la", "le", "e", "di", "che", "in", "un", "una", "per", "con", "del"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased whitespace tokens."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (long). A BPE-ish proxy is
+    :func:`subword_count`."""
+    return F.size(tokens(col)).cast("long")
+
+
+def subword_count(col: Column) -> Column:
+    """BPE-ish token-count proxy: segments of letters, digits, or single
+    punctuation — the regex split a byte-pair tokenizer's pre-tokenizer
+    applies. Counts pieces, JVM-side."""
+    pieces = F.split(
+        F.trim(col),
+        r"(?<=[^\p{L}\p{N}])|(?=[^\p{L}\p{N}])",
+    )
+    return F.size(F.filter(pieces, lambda p: (p != "") & (p != " "))).cast("long")
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+
+def lang_id(col: Column, langs: list[str] | None = None) -> Column:
+    """Heuristic language ID: the language whose stopword list overlaps
+    the document's tokens most (ties broken by language code order);
+    'und' (undetermined) when nothing matches.
+
+    Argmax is expressed as array_max over (score, inverted-lang) structs
+    — struct ordering gives the JVM-side argmax without a UDF.
+    """
+    langs = langs or list(STOPWORDS)
+    toks = tokens(col)
+    scored = F.array(
+        *[
+            F.struct(
+                stopword_hits(toks, lang).alias("score"),
+                # invert code point order so ties pick the FIRST lang code
+                F.lit(-i).alias("pref"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_signals(col: Column) -> Column:
+    """Struct of quality-scoring signals: token/char counts, mean word
+    length, punctuation ratio, uppercase ratio, digit ratio."""
+    raw = F.trim(col)
+    toks = tokens(col)
+    n_char = F.length(raw).cast("double")
+    n_tok = F.size(toks).cast("double")
+    n_punct = (n_char - F.length(F.regexp_replace(raw, r"[\p{Punct}]", ""))).cast("double")
+    n_upper = (n_char - F.length(F.regexp_replace(raw, r"[A-Z]", ""))).cast("double")
+    n_digit = (n_char - F.length(F.regexp_replace(raw, r"[0-9]", ""))).cast("double")
+    safe = F.greatest(n_char, F.lit(1.0))
+    return F.struct(
+        n_char.cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        (n_char / F.greatest(n_tok, F.lit(1.0))).alias("mean_word_len"),
+        (n_punct / safe).alias("punct_ratio"),
+        (n_upper / safe).alias("upper_ratio"),
+        (n_digit / safe).alias("digit_ratio"),
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Scalar quality heuristic in [0,1]: long enough, words of sane
+    length, not punctuation/digit soup. Deterministic and monotone in
+    each signal — meant for threshold filtering, not absolute meaning."""
+    s = quality_signals(col)
+    len_ok = F.least(s["n_tokens"].cast("double") / 20.0, F.lit(1.0))
+    wordlen = s["mean_word_len"]
+    wordlen_ok = F.when((wordlen >= 3.0) & (wordlen <= 12.0), 1.0).otherwise(0.5)
+    punct_ok = F.lit(1.0) - F.least(s["punct_ratio"] * 4.0, F.lit(1.0))
+    digit_ok = F.lit(1.0) - F.least(s["digit_ratio"] * 4.0, F.lit(1.0))
+    return (len_ok * 0.4 + wordlen_ok * 0.2 + punct_ok * 0.2 + digit_ok * 0.2)
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Exact-content fingerprint: md5 of lowercased, trimmed text."""
+    return F.md5(F.lower(F.trim(col)))
+
+
+def rolling_fingerprint(col: Column, window: int = 8) -> Column:
+    """Content-defined fingerprint: minimum xxhash64 over word
+    ``window``-grams (a 1-hash MinHash). Stable under small edits away
+    from the minimizing window — the cheap near-dup prefilter."""
+    toks = tokens(col)
+    k = F.greatest(F.size(toks) - (window - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+    )
+    return F.array_min(grams)
+
+
+def document_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One-pass per-document profile: language guess, quality signals +
+    score, token counts, fingerprints."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        lang_id(t).alias("lang_guess"),
+        quality_signals(t).alias("signals"),
+        quality_score(t).alias("quality"),
+        token_count(t).alias("n_tokens"),
+        subword_count(t).alias("n_subwords"),
+        fingerprint_md5(t).alias("fp_md5"),
+        rolling_fingerprint(t).alias("fp_rolling"),
+    )

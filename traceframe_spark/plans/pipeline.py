@@ -1,0 +1,179 @@
+"""Pipeline-operator queries: dedup / similarity / text-analysis entries
+for the driver's correctness gate.
+
+Oracle-backed where DuckDB can express the same computation (n-gram
+Jaccard, quality signals, language ID); rows-only for operators whose
+definition is engine-hash-dependent (MinHash/SimHash use xxhash64, the
+hyperplane LSH uses a seeded numpy draw) — those are pinned by pytest
+fixtures instead (tests/test_pipeline_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from traceframe_spark.operators import dedup, multimodal, similarity, text
+from traceframe_spark.plans.catalog import load_table, qint
+
+
+# --------------------------------------------------------- oracle-backed
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard pairs ≥ 0.85 on a bounded doc subset (the
+    inverted-index join form of near-dup detection)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.85)
+    return pairs.select("id_a", "id_b", qint(F.col("jaccard"), 4).alias("jaccard_q"))
+
+
+SQL_NGRAM_JACCARD = """
+WITH docs AS (
+    SELECT doc_id, lower(trim(text)) AS t FROM documents WHERE doc_id < 150
+),
+shingled AS (
+    SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, substr(t, CAST(g AS INT), 5) AS sh
+        FROM (SELECT doc_id, t,
+                     unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS g
+              FROM docs)
+    )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+    FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(floor(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) * 10000 + 0.5) AS BIGINT) AS jaccard_q
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.85
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals per document, quantized for the hash."""
+    d = load_table(spark, sf_dir, "documents")
+    s = text.quality_signals(F.col("text"))
+    return d.select(
+        "doc_id",
+        s["n_tokens"].alias("n_tokens"),
+        qint(s["mean_word_len"], 4).alias("mean_word_len_q"),
+        qint(s["punct_ratio"], 4).alias("punct_ratio_q"),
+        qint(text.quality_score(F.col("text")), 4).alias("quality_q"),
+    )
+
+
+SQL_DOC_QUALITY = r"""
+WITH sig AS (
+    SELECT doc_id,
+           len(trim(text))::DOUBLE AS n_char,
+           len(regexp_split_to_array(lower(trim(text)), '\s+'))::DOUBLE AS n_tok,
+           (len(trim(text)) - len(regexp_replace(trim(text), '[[:punct:]]', '', 'g')))::DOUBLE AS n_punct,
+           (len(trim(text)) - len(regexp_replace(trim(text), '[0-9]', '', 'g')))::DOUBLE AS n_digit
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(floor(n_char / greatest(n_tok, 1.0) * 10000 + 0.5) AS BIGINT) AS mean_word_len_q,
+       CAST(floor(n_punct / greatest(n_char, 1.0) * 10000 + 0.5) AS BIGINT) AS punct_ratio_q,
+       CAST(floor((
+            least(n_tok / 20.0, 1.0) * 0.4
+            + (CASE WHEN n_char / greatest(n_tok, 1.0) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2
+            + (1.0 - least(n_punct / greatest(n_char, 1.0) * 4.0, 1.0)) * 0.2
+            + (1.0 - least(n_digit / greatest(n_char, 1.0) * 4.0, 1.0)) * 0.2
+       ) * 10000 + 0.5) AS BIGINT) AS quality_q
+FROM sig
+"""
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language guess per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", text.lang_id(F.col("text")).alias("lang_guess"))
+
+
+def _sql_stop_count(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in text.STOPWORDS[lang])
+    return (
+        f"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),"
+        f" x -> x IN ({words})))"
+    )
+
+
+SQL_DOC_LANG_ID = f"""
+WITH scores AS (
+    SELECT doc_id,
+           {_sql_stop_count('en')} AS s_en,
+           {_sql_stop_count('de')} AS s_de,
+           {_sql_stop_count('fr')} AS s_fr,
+           {_sql_stop_count('es')} AS s_es,
+           {_sql_stop_count('it')} AS s_it
+    FROM documents
+)
+SELECT doc_id,
+       CASE
+         WHEN greatest(s_en, s_de, s_fr, s_es, s_it) = 0 THEN 'und'
+         WHEN s_en >= greatest(s_de, s_fr, s_es, s_it) THEN 'en'
+         WHEN s_de >= greatest(s_fr, s_es, s_it) THEN 'de'
+         WHEN s_fr >= greatest(s_es, s_it) THEN 'fr'
+         WHEN s_es >= s_it THEN 'es'
+         ELSE 'it'
+       END AS lang_guess
+FROM scores
+"""
+
+
+# ------------------------------------------------------------- rows-only
+# (engine-hash-dependent; pinned by pytest fixtures, driver records rows)
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.9)
+    return pairs.select("id_a", "id_b", qint(F.col("jaccard"), 4).alias("jaccard_q"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=14)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.hyperplane_lsh_topk(e, q, "vec_id", "embedding", k=5, dim=64)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = multimodal.attach_fake_media(d, "doc_id", "text")
+    feats = multimodal.extract_media_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        qint(F.aggregate(F.col("features"), F.lit(0.0), lambda a, x: a + x.cast("double")), 4).alias(
+            "feat_sum_q"
+        ),
+    )
+
+
+PIPELINE_QUERIES = {
+    "ngram_jaccard": q_ngram_jaccard,
+    "doc_quality": q_doc_quality,
+    "doc_lang_id": q_doc_lang_id,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "media_features": q_media_features,
+}
+
+PIPELINE_ORACLE_SQL = {
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "doc_quality": SQL_DOC_QUALITY,
+    "doc_lang_id": SQL_DOC_LANG_ID,
+}

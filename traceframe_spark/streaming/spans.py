@@ -1,0 +1,149 @@
+"""Streaming span-feed operators (see package docstring)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from traceframe_spark.schemas import SPAN_SCHEMA
+
+# Flat JSONL span feed: one span per line (the shape a collector emits).
+SPAN_FEED_SCHEMA = StructType(
+    [f for f in SPAN_SCHEMA.fields if f.name != "tags"]
+    + [StructField("tags", StringType())]  # tags as JSON text on the wire
+)
+
+
+def read_span_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 64) -> DataFrame:
+    """Unbounded span table from a JSONL directory feed."""
+    return (
+        spark.readStream.schema(SPAN_FEED_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def windowed_service_stats(
+    spans: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"
+) -> DataFrame:
+    """Per-service span counts / error counts / p50-ish mean duration in
+    event-time windows, tolerant of ``watermark`` lateness.
+
+    Event time comes from the span's µs-epoch startTime. State is bounded:
+    the watermark lets Spark drop windows older than max(event_time) -
+    watermark.
+    """
+    with_time = spans.withColumn("event_time", F.timestamp_micros(F.col("startTime")))
+    return (
+        with_time.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("w"), F.col("service"))
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(
+                F.when(F.col("tags").contains('"error"'), 1).otherwise(0)
+            ).alias("n_errors"),
+            F.avg("duration").alias("mean_duration_us"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "service",
+            "n_spans",
+            "n_errors",
+            "mean_duration_us",
+        )
+    )
+
+
+ASSEMBLED_TRACE_SCHEMA = StructType(
+    [
+        StructField("traceID", StringType()),
+        StructField("nspans", IntegerType()),
+        StructField("root_operation", StringType()),
+        StructField("start_us", LongType()),
+        StructField("duration_us", LongType()),
+        StructField("is_complete", IntegerType()),  # 1 if a root span was seen
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n", IntegerType()),
+        StructField("root_op", StringType()),
+        StructField("root_start", LongType()),
+        StructField("root_dur", LongType()),
+        StructField("min_start", LongType()),
+        StructField("max_end", LongType()),
+    ]
+)
+
+
+def _assemble(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Stateful per-trace assembly: accumulate span counts + root info;
+    emit one summary row when the trace goes quiet (timeout)."""
+    if state.hasTimedOut:
+        n, root_op, root_start, root_dur, min_start, max_end = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "traceID": [key[0]],
+                "nspans": [n],
+                "root_operation": [root_op],
+                "start_us": [root_start if root_start else min_start],
+                "duration_us": [root_dur if root_dur else max_end - min_start],
+                "is_complete": [1 if root_op else 0],
+            }
+        )
+        return
+
+    n, root_op, root_start, root_dur, min_start, max_end = (
+        state.get if state.exists else (0, None, 0, 0, None, 0)
+    )
+    for pdf in pdfs:
+        n += len(pdf)
+        starts = pdf["startTime"]
+        ends = pdf["startTime"] + pdf["duration"]
+        min_start = int(starts.min()) if min_start is None else min(min_start, int(starts.min()))
+        max_end = max(max_end, int(ends.max()))
+        roots = pdf[pdf["parent"] == ""]
+        if len(roots):
+            r = roots.iloc[0]
+            root_op = str(r["operationName"])
+            root_start = int(r["startTime"])
+            root_dur = int(r["duration"])
+    state.update((n, root_op, root_start, root_dur, min_start, max_end))
+    state.setTimeoutDuration(2000)  # quiet period before emitting, ms
+    yield from ()
+
+
+def open_trace_assembly(spans: DataFrame) -> DataFrame:
+    """Incrementally assemble per-trace summaries from an unbounded span
+    feed: traces are 'sessions' keyed by traceID; a processing-time
+    timeout closes a trace after its spans stop arriving."""
+    return (
+        spans.groupBy("traceID")
+        .applyInPandasWithState(
+            _assemble,
+            outputStructType=ASSEMBLED_TRACE_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
