@@ -1,0 +1,147 @@
+"""Jaeger HTTP connector: bisection/clipping logic against a fake server
+(injected fetch — no network), plus the DataFrame ingest path."""
+
+from __future__ import annotations
+
+import pytest
+
+from traceframe_spark.operators import spans_table, traces_table
+from traceframe_spark.sources.jaeger_http import (
+    _clip_latest,
+    get_traces,
+    raw_traces_from_jaeger,
+)
+
+US = 1_000_000
+T0 = 1_700_000_000 * US  # base time in µs
+
+
+def make_trace(i: int, start_us: int) -> dict:
+    tid = f"{i:016x}"
+    return {
+        "traceID": tid,
+        "spans": [
+            {
+                "traceID": tid,
+                "spanID": tid,
+                "flags": 1,
+                "operationName": "/op",
+                "references": [],
+                "startTime": start_us,
+                "duration": 1000,
+                "tags": [{"key": "http.method", "type": "string", "value": "GET"}],
+                "logs": [],
+                "processID": "p1",
+                "warnings": None,
+            }
+        ],
+        "processes": {"p1": {"serviceName": "svc", "tags": []}},
+        "warnings": None,
+    }
+
+
+class FakeJaeger:
+    """In-memory /api/traces with a result cap, like a Badger backend."""
+
+    def __init__(self, traces: list[dict], cap: int):
+        self.traces = sorted(traces, key=lambda t: t["spans"][0]["startTime"])
+        self.cap = cap
+        self.calls = 0
+
+    def fetch(self, params: dict) -> list[dict]:
+        self.calls += 1
+        start = int(params.get("start", 0))
+        end = int(params.get("end", 2**63 - 1))
+        hits = [t for t in self.traces if start <= t["spans"][0]["startTime"] <= end]
+        # server keeps an arbitrary subset when capped — model worst case:
+        # drop the NEWEST to punish clients that trust a capped result
+        return hits[: self.cap]
+
+    def now_us(self) -> int:
+        return T0 + 10_000 * US
+
+
+def test_uncapped_fetch_no_recursion():
+    srv = FakeJaeger([make_trace(i, T0 + i * US) for i in range(100)], cap=1500)
+    out = get_traces("svc", fetch=srv.fetch, result_cap=1500, now_us=srv.now_us)
+    assert len(out) == 100
+    assert srv.calls == 1
+
+
+def test_capped_fetch_bisects_and_recovers_all():
+    n = 400
+    srv = FakeJaeger([make_trace(i, T0 + i * US) for i in range(n)], cap=100)
+    out = get_traces(
+        "svc",
+        fetch=srv.fetch,
+        start=T0,
+        end=T0 + n * US,
+        result_cap=100,
+        now_us=srv.now_us,
+    )
+    # bisection must recover far more than one capped page
+    got = {t["traceID"] for t in out}
+    assert len(got) == n  # every trace recovered despite the cap
+    assert srv.calls > 4
+
+
+def test_capped_fetch_with_limit_keeps_latest():
+    n = 400
+    srv = FakeJaeger([make_trace(i, T0 + i * US) for i in range(n)], cap=100)
+    out = get_traces(
+        "svc",
+        fetch=srv.fetch,
+        start=T0,
+        end=T0 + n * US,
+        limit=50,
+        result_cap=100,
+        now_us=srv.now_us,
+    )
+    assert len(out) == 50
+    starts = sorted(t["spans"][0]["startTime"] for t in out)
+    # deterministic latest-N: the 50 newest traces exactly
+    assert starts == [T0 + i * US for i in range(n - 50, n)]
+
+
+def test_clip_latest_is_deterministic():
+    traces = [make_trace(i, T0 + (i % 7) * US) for i in range(20)]
+    a = _clip_latest(list(traces), 5)
+    b = _clip_latest(list(reversed(traces)), 5)
+    assert [t["traceID"] for t in a] == [t["traceID"] for t in b]
+
+
+def test_predicate_forwarding():
+    seen = {}
+
+    def spy(params):
+        seen.update(params)
+        return []
+
+    get_traces(
+        "svc",
+        fetch=spy,
+        operation="/checkout",
+        tags={"error": "true"},
+        min_duration_us=1000,
+        max_duration_us=2_000_000,
+        limit=7,
+    )
+    assert seen["service"] == "svc"
+    assert seen["operation"] == "/checkout"
+    assert seen["limit"] == 7
+    assert "error" in seen["tags"]
+    assert seen["minDuration"] == "1000us"
+    assert seen["maxDuration"] == "2000000us"
+
+
+def test_dataframe_ingest_roundtrip(spark):
+    srv = FakeJaeger([make_trace(i, T0 + i * US) for i in range(25)], cap=1500)
+    raw = raw_traces_from_jaeger(spark, "http://unused", "svc", fetch=srv.fetch)
+    assert raw.count() == 25
+    t = traces_table(raw)
+    s = spans_table(raw)
+    assert t.count() == 25
+    assert s.count() == 25
+    row = s.first()
+    assert row["service"] == "svc"
+    assert row["tags"]["http.method"] == "GET"
