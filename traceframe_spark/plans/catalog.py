@@ -48,6 +48,15 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Defensive session confs: the driver harness calls these query
+    # functions with ITS OWN SparkSession, which may lack the settings
+    # traceframe_spark.session.get_spark applies. Both are runtime-settable.
+    # - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), unreadable
+    #   otherwise (ordering-equivalent as long nanos).
+    # - UTC timezone: year()/month() on parquet timestamps must match the
+    #   timezone-naive DuckDB oracle.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
