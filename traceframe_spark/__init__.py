@@ -27,6 +27,7 @@ from traceframe_spark.operators import (
     with_tag_columns,
 )
 from traceframe_spark.operators.assemble import trace_with_spans
+from traceframe_spark import sinks, viz
 from traceframe_spark.operators.critical_path import critical_segments_of_trace
 
 __all__ = [
@@ -44,6 +45,8 @@ __all__ = [
     "traces_table",
     "with_tag_columns",
     "trace_with_spans",
+    "sinks",
+    "viz",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,67 @@
+"""Sinks: partitioned writers for the canonical tables.
+
+The reference has NO writers (outputs are in-memory frames and notebook
+figures, SURVEY.md §2.A); at 100 TB the storage layout IS the query
+plan, so the engine ships opinionated writers:
+
+- spans partition by event date + a traceID hash bucket: date pruning
+  for time-range queries, bounded file counts per partition, and
+  co-located traces for the critical-path shuffle (a reader that
+  bucket-joins on trace_bucket avoids a full shuffle).
+- traces partition by date only (small rows, high-value scans).
+
+Writers take mode/compression but pin the layout so every writer in a
+pipeline produces the same physical shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 256
+
+
+def write_spans(
+    spans: DataFrame,
+    path: str,
+    mode: str = "error",
+    n_buckets: int = DEFAULT_BUCKETS,
+    compression: str = "zstd",
+) -> None:
+    """Span table → parquet partitioned by (span_date, trace_bucket)."""
+    out = spans.withColumn(
+        "span_date", F.to_date(F.timestamp_micros(F.col("startTime")))
+    ).withColumn("trace_bucket", F.pmod(F.xxhash64("traceID"), F.lit(n_buckets)))
+    (
+        out.repartition("span_date", "trace_bucket")
+        .write.mode(mode)
+        .option("compression", compression)
+        .partitionBy("span_date", "trace_bucket")
+        .parquet(path)
+    )
+
+
+def read_spans(spark, path: str) -> DataFrame:
+    """Read a span table written by :func:`write_spans`, dropping the
+    layout columns."""
+    return spark.read.parquet(path).drop("span_date", "trace_bucket")
+
+
+def write_traces(
+    traces: DataFrame, path: str, mode: str = "error", compression: str = "zstd"
+) -> None:
+    """Traces table → parquet partitioned by trace date."""
+    out = traces.withColumn("trace_date", F.to_date(F.col("startTime")))
+    (
+        out.repartition("trace_date")
+        .write.mode(mode)
+        .option("compression", compression)
+        .partitionBy("trace_date")
+        .parquet(path)
+    )
+
+
+def write_json(df: DataFrame, path: str, mode: str = "error") -> None:
+    """JSON-lines export (interchange with the reference's file format)."""
+    df.write.mode(mode).json(path)
