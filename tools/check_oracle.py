@@ -37,8 +37,14 @@ TABLES = [
 
 
 def _norm_cell(v):
+    import numpy as np
+
     if v is None:
         return None
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.floating):
+        v = float(v)
     if isinstance(v, bool):
         return bool(v)
     if isinstance(v, float):

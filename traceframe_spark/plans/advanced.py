@@ -1,0 +1,261 @@
+"""Advanced relational coverage: set ops, cube, exact percentiles,
+sessionization, and SQL-subquery forms (via the engine's SQL facade).
+
+Every query here is oracle-backed. Percentile queries use exact
+interpolating percentiles (Spark ``percentile`` ≡ DuckDB
+``quantile_cont``), quantized like every float in the catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from traceframe_spark import api
+from traceframe_spark.plans.catalog import load_table, qint
+
+
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having both a finished and an open order (INTERSECT)."""
+    o = load_table(spark, sf_dir, "orders")
+    f_cust = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o_cust = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f_cust.intersect(o_cust)
+
+
+SQL_INTERSECT = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with finished orders but no open ones (EXCEPT — set
+    semantics: distinct, any match on the right removes the row)."""
+    o = load_table(spark, sf_dir, "orders")
+    f_cust = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o_cust = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f_cust.subtract(o_cust)
+
+
+SQL_EXCEPT = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status × priority: all 4 grouping combinations."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        qint(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+SQL_CUBE_AGG = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median and p90 of quantity per return flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        qint(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        qint(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+        qint(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50_price"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT l_returnflag,
+       CAST(floor(quantile_cont(l_quantity, 0.5) * 10000 + 0.5) AS BIGINT) AS p50_qty,
+       CAST(floor(quantile_cont(l_quantity, 0.9) * 10000 + 0.5) AS BIGINT) AS p90_qty,
+       CAST(floor(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5) AS BIGINT) AS p50_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-WHEN value bucketing + grouped counts."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50_000, "small")
+        .when(F.col("o_totalprice") < 150_000, "medium")
+        .when(F.col("o_totalprice") < 300_000, "large")
+        .otherwise("jumbo")
+    )
+    return (
+        o.select(bucket.alias("price_bucket"))
+        .groupBy("price_bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_CASE_BUCKETING = """
+SELECT CASE
+         WHEN o_totalprice < 50000 THEN 'small'
+         WHEN o_totalprice < 150000 THEN 'medium'
+         WHEN o_totalprice < 300000 THEN 'large'
+         ELSE 'jumbo'
+       END AS price_bucket,
+       count(*) AS n
+FROM orders
+GROUP BY 1
+"""
+
+
+def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate + HAVING: suppliers appearing on > 600 lineitems."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_items"), qint(F.sum("l_extendedprice"), 2).alias("volume"))
+        .filter(F.col("n_items") > 600)
+    )
+
+
+SQL_HAVING_FILTER = """
+SELECT l_suppkey, count(*) AS n_items,
+       CAST(floor(sum(l_extendedprice) * 100 + 0.5) AS BIGINT) AS volume
+FROM lineitem
+GROUP BY l_suppkey
+HAVING count(*) > 600
+"""
+
+
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery through the SQL facade: orders of customers from the
+    nations of one region."""
+    return api.sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey, o_custkey
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer
+            WHERE c_nationkey IN (
+                SELECT n_nationkey FROM nation WHERE n_regionkey = 0
+            )
+        )
+        """,
+    )
+
+
+SQL_IN_SUBQUERY = """
+SELECT o_orderkey, o_custkey
+FROM orders
+WHERE o_custkey IN (
+    SELECT c_custkey FROM customer
+    WHERE c_nationkey IN (
+        SELECT n_nationkey FROM nation WHERE n_regionkey = 0
+    )
+)
+"""
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global average price."""
+    return api.sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey,
+               CAST(floor((o_totalprice - (SELECT avg(o_totalprice) FROM orders))
+                          * 100 + 0.5) AS BIGINT) AS above_avg_c
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        """,
+    )
+
+
+SQL_SCALAR_SUBQUERY = """
+SELECT o_orderkey,
+       CAST(floor((o_totalprice - (SELECT avg(o_totalprice) FROM orders))
+                  * 100 + 0.5) AS BIGINT) AS above_avg_c
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (30-minute gap):
+    lag + cumulative-sum window idiom, then per-user session stats."""
+    e = load_table(spark, sf_dir, "events")  # ts is long nanoseconds
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ns = 30 * 60 * 1_000_000_000
+    new_session = F.when(
+        (F.col("ts") - F.lag("ts").over(w)) > gap_ns, 1
+    ).otherwise(0)
+    sess = (
+        e.withColumn("new_s", new_session)
+        .withColumn(
+            "session_id",
+            F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("n_events").alias("total_events"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, event_id,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+),
+per_session AS (
+    SELECT user_id, session_id, count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions,
+       max(n_events) AS max_session_events,
+       CAST(sum(n_events) AS BIGINT) AS total_events
+FROM per_session
+GROUP BY user_id
+"""
+
+
+ADVANCED_QUERIES = {
+    "set_intersect": q_intersect,
+    "set_except": q_except,
+    "cube_agg": q_cube_agg,
+    "percentiles": q_percentiles,
+    "case_bucketing": q_case_bucketing,
+    "having_filter": q_having_filter,
+    "in_subquery": q_in_subquery,
+    "scalar_subquery": q_scalar_subquery,
+    "sessionize": q_sessionize,
+}
+
+ADVANCED_ORACLE_SQL = {
+    "set_intersect": SQL_INTERSECT,
+    "set_except": SQL_EXCEPT,
+    "cube_agg": SQL_CUBE_AGG,
+    "percentiles": SQL_PERCENTILES,
+    "case_bucketing": SQL_CASE_BUCKETING,
+    "having_filter": SQL_HAVING_FILTER,
+    "in_subquery": SQL_IN_SUBQUERY,
+    "scalar_subquery": SQL_SCALAR_SUBQUERY,
+    "sessionize": SQL_SESSIONIZE,
+}
