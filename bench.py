@@ -25,7 +25,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from traceframe_spark.operators.critical_path import critical_path_segments
-from traceframe_spark.plans.catalog import QUERIES
+from traceframe_spark.plans import catalog_queries
+
+QUERIES = catalog_queries()
 from traceframe_spark.session import get_spark
 
 HEADLINE = [
@@ -40,6 +42,9 @@ HEADLINE = [
     "doc_token_stats",
     "doc_stopword_ratio",
     "ann_cosine_topk",
+    "minhash_pairs",
+    "sessionize",
+    "percentiles",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans

@@ -145,3 +145,24 @@ def test_dataframe_ingest_roundtrip(spark):
     row = s.first()
     assert row["service"] == "svc"
     assert row["tags"]["http.method"] == "GET"
+
+
+def test_fetch_traces_partitioned(spark):
+    from traceframe_spark.sources.jaeger_http import (
+        fetch_traces_partitioned,
+        synthetic_fetch_factory,
+    )
+
+    raw = fetch_traces_partitioned(
+        spark,
+        "http://unused",
+        "svc",
+        start=T0,
+        end=T0 + 1000 * US,
+        n_buckets=8,
+        fetch_factory=synthetic_fetch_factory(T0, 200, 5 * US),
+    )
+    # buckets partition the range; every trace fetched exactly once
+    rows = raw.collect()
+    ids = [r["traceID"] for r in rows]
+    assert len(ids) == len(set(ids)) == 200

@@ -106,3 +106,20 @@ def test_raw_traces_schema(spark, jaeger_json_path):
     assert raw.count() == 100
     # No dropped/corrupt rows: every trace parsed its spans array.
     assert raw.filter(F.col("spans").isNull()).count() == 0
+
+
+def test_empty_input_tables(spark):
+    """Reference builds a schema-only frame for empty input
+    (traceframe.py:211-219); the engine must do the same."""
+    from traceframe_spark import RAW_TRACE_SCHEMA, spans_table, traces_table
+
+    empty = spark.createDataFrame([], schema=RAW_TRACE_SCHEMA)
+    t = traces_table(empty)
+    assert t.count() == 0
+    assert t.columns == [
+        "traceID", "traceName", "nspans", "errspans",
+        "duration", "startTime", "processes", "iserror",
+    ]
+    s = spans_table(empty)
+    assert s.count() == 0
+    assert len(s.columns) == 12

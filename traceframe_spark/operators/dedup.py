@@ -28,6 +28,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition a narrow input before CPU-heavy per-row work.
+
+    A small parquet table often scans as 1-2 partitions; hashing/shingling
+    then runs on 1-2 cores regardless of cluster size. If the input has
+    fewer partitions than half the default parallelism, hash-repartition
+    on ``key`` so the compute spreads. No-op on well-partitioned inputs.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target, key)
+    return df
+
+
 def char_shingles(col: Column, n: int = 5) -> Column:
     """Distinct character n-grams of a string column (JVM-side)."""
     idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1)))
@@ -65,21 +79,34 @@ def minhash_signatures(
     """Per-row MinHash signature: ``sig[i] = min(xxhash64(shingle, i))``.
 
     Output: (id, shingles array<string>, sig array<bigint>). The k hash
-    families are xxhash64 salted by the family index — all inside
-    whole-stage codegen, O(rows × shingles × k) with no shuffle.
+    families are xxhash64 salted by the family index.
+
+    Shape: ONE higher-order fold over the shingle array updates all k
+    running minima per row — no shuffle, shingling evaluated once (the
+    k-projection form ``array_min(transform(...))`` looks equivalent but
+    Catalyst collapses projections and re-inlines the shingling
+    expression into every family: k× recompute). Input is spread across
+    partitions first; a single-file scan would otherwise hash the whole
+    corpus on one core.
     """
+    max_long = (1 << 63) - 1
     sh = char_shingles(F.lower(F.trim(F.col(text_col))), shingle_size)
-    out = df.select(F.col(id_col).alias("id"), sh.alias("shingles"))
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(n_hashes)
-        ]
+    base = spread(df, id_col).select(F.col(id_col).alias("id"), sh.alias("shingles"))
+    sig = F.aggregate(
+        F.col("shingles"),
+        F.array(*[F.lit(max_long).cast("long") for _ in range(n_hashes)]),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(n_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
     )
-    return out.select("id", "shingles", sig.alias("sig"))
+    return base.select("id", "shingles", sig.alias("sig"))
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, n_hashes: int | None = None
+) -> DataFrame:
     """LSH banding: split each signature into ``bands`` blocks, bucket rows
     whose block hashes collide, emit distinct candidate pairs (a < b).
 
@@ -88,7 +115,7 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
     never degenerates to a cross product. At scale, skewed buckets (e.g.
     boilerplate-heavy corpora) are handled by AQE skew-join splitting.
     """
-    n = signatures.select(F.size("sig")).first()[0]
+    n = n_hashes if n_hashes is not None else signatures.select(F.size("sig")).first()[0]
     rows_per_band = max(n // bands, 1)
     band_entries = F.array(
         *[
@@ -138,19 +165,45 @@ def jaccard_verify(
     )
 
 
+def bands_for_threshold(threshold: float, n_hashes: int = 64) -> int:
+    """Pick the band count whose LSH S-curve midpoint (1/b)^(r/n... i.e.
+    (1/b)^(1/r) with r = n/b) sits closest below ``threshold``: high
+    thresholds want FEW bands of many rows (strict buckets, few
+    candidates), low thresholds many bands (high recall)."""
+    best, best_gap = 16, float("inf")
+    for b in (2, 4, 8, 16, 32):
+        if n_hashes % b:
+            continue
+        r = n_hashes // b
+        midpoint = (1.0 / b) ** (1.0 / r)
+        gap = threshold - midpoint
+        if 0 <= gap < best_gap:
+            best, best_gap = b, gap
+    return best
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     threshold: float = 0.7,
     n_hashes: int = 64,
-    bands: int = 16,
+    bands: int | None = None,
     shingle_size: int = 5,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-duplicate pairs: signatures → banded
-    candidates → exact-Jaccard verification at ``threshold``."""
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_size)
-    cands = lsh_candidate_pairs(sigs, bands)
+    candidates → exact-Jaccard verification at ``threshold``.
+
+    ``bands=None`` tunes banding to the threshold (16 bands of 4 rows
+    catch ~0.5-jaccard pairs but flood the verifier with candidates when
+    only ≥0.9 pairs are wanted). Signatures persist for the plan's
+    lifetime: the bucket explode and both verify joins would otherwise
+    each recompute the signature subplan.
+    """
+    if bands is None:
+        bands = bands_for_threshold(threshold, n_hashes)
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_size).persist()
+    cands = lsh_candidate_pairs(sigs, bands, n_hashes=n_hashes)
     return jaccard_verify(cands, sigs, threshold)
 
 
@@ -195,7 +248,9 @@ def simhash_near_dup_pairs(
     """Near-dup pairs by SimHash: candidates share at least one of 4
     16-bit blocks (pigeonhole guarantees recall for hamming ≤ 3), then
     exact hamming distance filters."""
-    fp = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col), shingle_size).alias("fp"))
+    fp = spread(df, id_col).select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col), shingle_size).alias("fp")
+    )
     blocks = F.array(
         *[
             F.struct(
@@ -241,7 +296,7 @@ def ngram_jaccard_pairs(
     Exact but O(pairs sharing a shingle) — use on bounded candidate
     subsets; MinHash-LSH is the scale path.
     """
-    sh = df.select(
+    sh = spread(df, id_col).select(
         F.col(id_col).alias("id"),
         char_shingles(F.lower(F.trim(F.col(text_col))), shingle_size).alias("shingles"),
     )

@@ -244,6 +244,52 @@ def _conform_trace(t: dict) -> dict:
     }
 
 
+class synthetic_fetch_factory:
+    """Picklable offline transport: serves ``n`` synthetic single-span
+    traces spaced ``step_us`` apart from ``base_us``. For tests and
+    demos of the distributed fetch path without a Jaeger server."""
+
+    def __init__(self, base_us: int, n: int, step_us: int = 5_000_000):
+        self.base_us, self.n, self.step_us = base_us, n, step_us
+
+    def __call__(self) -> Fetch:
+        base, n, step = self.base_us, self.n, self.step_us
+
+        def fetch(params: dict[str, Any]) -> list[dict]:
+            start = int(params.get("start", 0))
+            end = int(params.get("end", 2**63 - 1))
+            out = []
+            for i in range(n):
+                t_us = base + i * step
+                if start <= t_us <= end:
+                    tid = f"{i:016x}"
+                    out.append(
+                        {
+                            "traceID": tid,
+                            "spans": [
+                                {
+                                    "traceID": tid,
+                                    "spanID": tid,
+                                    "flags": 1,
+                                    "operationName": "/op",
+                                    "references": [],
+                                    "startTime": t_us,
+                                    "duration": 1000,
+                                    "tags": [],
+                                    "logs": [],
+                                    "processID": "p1",
+                                    "warnings": None,
+                                }
+                            ],
+                            "processes": {"p1": {"serviceName": "svc", "tags": []}},
+                            "warnings": None,
+                        }
+                    )
+            return out
+
+        return fetch
+
+
 def fetch_traces_partitioned(
     spark: SparkSession,
     endpoint: str,
@@ -253,28 +299,40 @@ def fetch_traces_partitioned(
     n_buckets: int = 64,
     headers: dict[str, str] | None = None,
     limit_per_bucket: int | None = None,
+    result_cap: int = JAEGER_MAX_TRACES_RETURNABLE,
+    fetch_factory: Callable[[], Fetch] | None = None,
 ) -> DataFrame:
     """Distributed ingest: split [start, end) µs into ``n_buckets`` time
     buckets and run the (bisecting) fetch INSIDE Spark tasks, one bucket
     per row of a seed DataFrame. Each task re-enters :func:`get_traces`,
     so a hot bucket bisects locally without serializing work through the
     driver. Output: DataFrame[RAW_TRACE_SCHEMA].
+
+    ``fetch_factory`` (a picklable zero-arg callable returning a Fetch)
+    overrides the default requests transport — used by tests and by
+    callers that need custom auth/session pooling on executors.
     """
     width = max((end - start) // n_buckets, 1)
+    # [start, end) sliced into disjoint inclusive-µs windows: the Jaeger
+    # API treats start/end as inclusive, so each bucket ends one µs
+    # before the next begins (overlap would double-fetch boundary traces).
     buckets = [
-        (start + i * width, min(start + (i + 1) * width, end)) for i in range(n_buckets)
+        (start + i * width, min(start + (i + 1) * width, end) - 1)
+        for i in range(n_buckets)
+        if start + i * width < end
     ]
 
     def fetch_bucket(rows):
         # runs on executors; one HTTP session per task
+        fetch = fetch_factory() if fetch_factory else _requests_fetch(endpoint, headers)
         for row in rows:
-            fetch = _requests_fetch(endpoint, headers)
             traces = get_traces(
                 service,
                 fetch=fetch,
                 start=row["b_start"],
                 end=row["b_end"],
                 limit=limit_per_bucket,
+                result_cap=result_cap,
             )
             for t in traces:
                 yield _conform_trace(t)
