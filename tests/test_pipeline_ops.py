@@ -189,3 +189,22 @@ def test_frame_sample_plan(spark):
     )
     frames = multimodal.frame_sample_plan(media, every_n=10).collect()
     assert [(r["media_id"], r["frame_idx"]) for r in frames] == [(1, 0), (1, 10), (1, 20)]
+
+
+def test_embedding_near_dup_pairs(spark, embeddings):
+    """Self near-dup detection: inject two exact-duplicate vectors and
+    require the LSH+exact-cosine path to find them."""
+    from pyspark.sql import functions as F
+
+    dup = embeddings.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = embeddings.unionByName(dup)
+    pairs = similarity.embedding_near_dup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.999, dim=64
+    ).collect()
+    found = {(r["id_a"], r["id_b"]): r["cosine"] for r in pairs}
+    assert (0, 100000) in found
+    assert abs(found[(0, 100000)] - 1.0) < 1e-9
+    # all reported pairs satisfy the threshold
+    assert all(c >= 0.999 for c in found.values())

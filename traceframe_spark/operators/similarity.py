@@ -109,6 +109,61 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket join
+    for candidates, exact float64 cosine filter at ``threshold``.
+
+    The dedup counterpart of :func:`hyperplane_lsh_topk`: symmetric
+    self-join (id_a < id_b) instead of query/corpus ranking. Candidate
+    cost follows bucket occupancy, never O(n²).
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    per_band = n_planes // bands
+    mask = (1 << per_band) - 1
+    sig = hyperplane_signature(F.col(vec_col), planes)
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(sig, b * per_band).bitwiseAND(F.lit(mask)).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    keyed = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+        F.explode(blocks).alias("e"),
+    ).select("id", "vec", "nrm", "e.band", "e.key")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cos = dot_f64(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
