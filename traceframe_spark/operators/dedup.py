@@ -214,6 +214,10 @@ def simhash64(col: Column, shingle_size: int = 4) -> Column:
     the sign of each bit's vote sum. Expressed as a fold over an
     array<int> accumulator of the 64 counters — stays in codegen, no
     Python exchange.
+
+    NOTE: this single-expression form carries a large codegen cost on
+    first compile (~10 s); :func:`simhash_fingerprints` is the
+    aggregate-shaped equivalent used by the pair finder.
     """
     sh = char_shingles(F.lower(F.trim(col)), shingle_size)
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
@@ -238,6 +242,34 @@ def simhash64(col: Column, shingle_size: int = 4) -> Column:
     return fp
 
 
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, shingle_size: int = 4
+) -> DataFrame:
+    """(id, fp) SimHash fingerprints via explode + 64 conditional-sum
+    aggregates — map-side combinable, small generated methods (the
+    one-expression :func:`simhash64` is semantically identical but pays
+    ~10 s of whole-stage codegen compilation on first use)."""
+    sh = char_shingles(F.lower(F.trim(F.col(text_col))), shingle_size)
+    exploded = spread(df, id_col).select(
+        F.col(id_col).alias("id"), F.explode(sh).alias("sh")
+    )
+    h = F.xxhash64(F.col("sh"))
+    votes = exploded.groupBy("id").agg(
+        *[
+            F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int") * 2 - 1).alias(f"_v{i}")
+            for i in range(64)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"_v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return votes.select("id", fp.alias("fp"))
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -248,9 +280,7 @@ def simhash_near_dup_pairs(
     """Near-dup pairs by SimHash: candidates share at least one of 4
     16-bit blocks (pigeonhole guarantees recall for hamming ≤ 3), then
     exact hamming distance filters."""
-    fp = spread(df, id_col).select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col), shingle_size).alias("fp")
-    )
+    fp = simhash_fingerprints(df, id_col, text_col, shingle_size)
     blocks = F.array(
         *[
             F.struct(
