@@ -166,3 +166,18 @@ def test_fetch_traces_partitioned(spark):
     rows = raw.collect()
     ids = [r["traceID"] for r in rows]
     assert len(ids) == len(set(ids)) == 200
+
+
+def test_multi_service_fetch(spark):
+    from traceframe_spark.sources.jaeger_http import raw_traces_from_jaeger_services
+
+    srv = FakeJaeger([make_trace(i, T0 + i * US) for i in range(10)], cap=1500)
+    raw = raw_traces_from_jaeger_services(
+        spark, "http://unused", ["svc-a", "svc-b"], fetch=srv.fetch
+    )
+    assert raw.count() == 20  # one copy per service, as in the reference
+    assert srv.calls == 2
+    import pytest
+
+    with pytest.raises(ValueError):
+        raw_traces_from_jaeger_services(spark, "http://unused", [], fetch=srv.fetch)

@@ -106,3 +106,23 @@ def test_open_trace_assembly(spark, feed_dir, tmp_path):
     assert by_tid["t1"]["root_operation"] == "/a"
     assert by_tid["t1"]["duration_us"] == 500_000
     assert by_tid["t3"]["is_complete"] == 0  # orphan-only trace
+
+
+def test_stream_to_span_store(spark, feed_dir, tmp_path):
+    from traceframe_spark import sinks
+    from traceframe_spark.streaming import stream_to_span_store
+
+    stream = read_span_stream(spark, feed_dir)
+    q = stream_to_span_store(
+        stream,
+        str(tmp_path / "store"),
+        str(tmp_path / "ck3"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    back = sinks.read_spans(spark, str(tmp_path / "store"))
+    assert back.count() == 5
+    # partition layout on disk
+    import os
+    dirs = os.listdir(tmp_path / "store")
+    assert any(d.startswith("span_date=") for d in dirs)

@@ -290,6 +290,31 @@ class synthetic_fetch_factory:
         return fetch
 
 
+def raw_traces_from_jaeger_services(
+    spark: SparkSession,
+    endpoint: str,
+    services: list[str],
+    headers: dict[str, str] | None = None,
+    fetch: Fetch | None = None,
+    **kwargs: Any,
+) -> DataFrame:
+    """Multi-service fetch (reference ``spans_from_jaeger`` takes a
+    service list, ``traceframe.py:436-453``): one bisecting fetch per
+    service, unioned. A trace sampled by several services appears once
+    per service, as in the reference; dedup downstream by traceID
+    (``dropDuplicates`` or the span-table dedup) when that matters."""
+    if not services:
+        raise ValueError("at least one service name required")
+    parts = [
+        raw_traces_from_jaeger(spark, endpoint, svc, headers=headers, fetch=fetch, **kwargs)
+        for svc in services
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def fetch_traces_partitioned(
     spark: SparkSession,
     endpoint: str,

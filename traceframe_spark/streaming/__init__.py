@@ -18,7 +18,13 @@ unbounded table with
 from traceframe_spark.streaming.spans import (
     open_trace_assembly,
     read_span_stream,
+    stream_to_span_store,
     windowed_service_stats,
 )
 
-__all__ = ["read_span_stream", "windowed_service_stats", "open_trace_assembly"]
+__all__ = [
+    "read_span_stream",
+    "windowed_service_stats",
+    "open_trace_assembly",
+    "stream_to_span_store",
+]

@@ -68,6 +68,27 @@ def windowed_service_stats(
     )
 
 
+def stream_to_span_store(
+    spans: DataFrame, path: str, checkpoint: str, trigger_available_now: bool = False
+):
+    """Continuously land a span feed into the partitioned parquet store
+    (same layout as :func:`traceframe_spark.sinks.write_spans`) via
+    foreachBatch — the streaming ingest half of a lambda-free
+    architecture: batch queries read the store the stream writes."""
+    from traceframe_spark import sinks
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sinks.write_spans(batch_df, path, mode="append")
+
+    writer = (
+        spans.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 ASSEMBLED_TRACE_SCHEMA = StructType(
     [
         StructField("traceID", StringType()),
