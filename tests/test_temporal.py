@@ -1,0 +1,75 @@
+"""Semantics tests for the temporal query family (plans/temporal.py) on
+hand-built fixtures: as-of tie rules, range-join window membership.
+
+The sf0.01 value parity with DuckDB is covered by tools/check_oracle.py;
+these pin the edge cases a random dataset may never hit.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from traceframe_spark.plans.temporal import q_asof_join, q_range_join, JAN1_NS
+
+US = 1_000  # ns per µs
+
+
+@pytest.fixture()
+def tiny_events_dir(spark, tmp_path):
+    """events.parquet with adversarial as-of cases (ts in ns)."""
+    rows = [
+        # (event_id, ts_ns, user_id, event_type, value)
+        # user 1: purchase BEFORE any click -> null click_id
+        (1, 500 * US, 1, "purchase", 1.0),
+        (2, 1000 * US, 1, "click", 1.0),
+        # purchase strictly after -> picks click 2
+        (3, 2000 * US, 1, "purchase", 1.0),
+        # user 2: click and purchase in the SAME microsecond (sub-µs apart)
+        # -> click is visible to the purchase (<= semantics at µs precision)
+        (10, 3000 * US + 100, 2, "click", 1.0),
+        (11, 3000 * US + 900, 2, "purchase", 1.0),
+        # user 3: two clicks in the same microsecond -> larger event_id wins
+        (20, 4000 * US, 3, "click", 1.0),
+        (21, 4000 * US + 500, 3, "click", 1.0),
+        (22, 5000 * US, 3, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double"
+    )
+    d = tmp_path / "tiny"
+    d.mkdir()
+    df.coalesce(1).write.parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+def test_asof_join_semantics(spark, tiny_events_dir):
+    got = {
+        r["purchase_id"]: (r["click_id"], r["gap_us"])
+        for r in q_asof_join(spark, tiny_events_dir).collect()
+    }
+    assert got[1] == (None, None)  # no prior click
+    assert got[3] == (2, 1000)  # strictly-prior click
+    assert got[11] == (10, 0)  # same-µs click visible, gap 0
+    assert got[22] == (21, 1000)  # same-µs click tie -> larger event_id
+
+
+def test_range_join_window_membership(spark, tmp_path):
+    # one event exactly at a window boundary: start inclusive, end exclusive
+    rows = [
+        (1, JAN1_NS, 1, "view", 1.0),  # day 0 -> windows 0 only (days -2..0 clipped)
+        (2, JAN1_NS + 3 * 86_400 * 1_000_000_000 - 1, 1, "view", 1.0),  # end-1 of w0
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double"
+    )
+    d = tmp_path / "tiny2"
+    d.mkdir()
+    df.write.parquet(str(d / "events.parquet"))
+    got = {r["win_id"]: r["n_events"] for r in q_range_join(spark, str(d)).collect()}
+    # event 1 at day-0 start: member of window 0 only (windows 28/29 of the
+    # previous year don't exist; window ids start at Jan 1).
+    # event 2 at day-3 minus 1ns: member of windows 0,1,2.
+    assert got[0] == 2
+    assert got[1] == 1
+    assert got[2] == 1

@@ -3,18 +3,24 @@
 from traceframe_spark.plans.advanced import ADVANCED_ORACLE_SQL, ADVANCED_QUERIES
 from traceframe_spark.plans.catalog import ORACLE_SQL, QUERIES, load_table
 from traceframe_spark.plans.pipeline import PIPELINE_ORACLE_SQL, PIPELINE_QUERIES
+from traceframe_spark.plans.temporal import TEMPORAL_ORACLE_SQL, TEMPORAL_QUERIES
 
 
 def catalog_queries():
     """Snapshot of the full query registry (name → (spark, sf_dir) -> DF)."""
-    return {**QUERIES, **PIPELINE_QUERIES, **ADVANCED_QUERIES}
+    return {**QUERIES, **PIPELINE_QUERIES, **ADVANCED_QUERIES, **TEMPORAL_QUERIES}
 
 
 def catalog_oracle_sql():
     """Snapshot of the oracle-SQL registry (name → DuckDB SQL). Queries
     absent here (minhash/simhash/LSH/media) are rows-only by design:
     their values depend on engine-specific hash functions."""
-    return {**ORACLE_SQL, **PIPELINE_ORACLE_SQL, **ADVANCED_ORACLE_SQL}
+    return {
+        **ORACLE_SQL,
+        **PIPELINE_ORACLE_SQL,
+        **ADVANCED_ORACLE_SQL,
+        **TEMPORAL_ORACLE_SQL,
+    }
 
 
 __all__ = ["QUERIES", "ORACLE_SQL", "load_table", "catalog_queries", "catalog_oracle_sql"]

@@ -1,0 +1,273 @@
+"""Temporal join + distinct-agg coverage: as-of join, banded range join,
+lag/lead gap analysis, exact distinct aggregation, grouping sets.
+
+These close the remaining SURVEY §2.D/§2.E gaps the reference's category
+audit names but the first catalog pass did not exercise: the as-of /
+range join family ("custom operators Spark lacks" — implemented as
+compositions of built-in ops, per the §7.3 custom-vs-built-in rule),
+lag/lead analytics (§2.E class 12), COUNT(DISTINCT) and GROUPING SETS
+(§2.D aggregations).
+
+Scale stance (100 TB):
+
+- The as-of join is the union-and-window formulation: ONE shuffle on the
+  partition key (user_id), no inequality join, no per-row probe. This is
+  the formulation that survives a 1000-executor scale-up — an
+  inequality-condition join would degenerate to a broadcast nested loop
+  over the full fact table.
+- The range join is *banded*: the interval side is small (a generated
+  window dimension), so Spark plans a broadcast nested-loop join whose
+  inner side is O(windows); each event row tests against a constant-size
+  broadcast list. For interval×interval at scale, band both sides by
+  floor(ts / band) and equi-join on the band key first (the idiom is in
+  ``operators/skew.py``'s bucketing notes).
+- Events ``ts`` is TIMESTAMP(NANOS) parquet, read as long nanoseconds on
+  the Spark side (``spark.sql.legacy.parquet.nanosAsLong``) and as
+  TIMESTAMP by DuckDB; every derived time quantity is therefore aligned
+  to integer *microseconds* on both sides before comparison.
+
+Reference scope note: the reference has no temporal joins at all
+(SURVEY §2.D "joins: only degenerate forms", traceframe.py:462,702-703);
+this module is part of the beyond-parity §2.D surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from traceframe_spark import api
+from traceframe_spark.plans.catalog import load_table, qint
+
+NS_PER_US = 1_000
+NS_PER_DAY = 86_400 * 1_000_000_000
+# 2024-01-01T00:00:00Z in nanoseconds since epoch — the events table's
+# 30-day January 2024 window (TESTDATA.md).
+JAN1_NS = 1_704_067_200 * 1_000_000_000
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every ``purchase`` event, the most recent ``click``
+    by the same user at-or-before the purchase timestamp.
+
+    Union-and-window formulation: tag both sides, union, and within each
+    user sweep in time order carrying the last click forward with
+    ``last(..., ignorenulls=True)``. Ordering key ``(ts, side, event_id)``
+    with clicks first at equal ts makes the result total-order
+    deterministic (same-ts click is visible to the purchase; the
+    largest-event_id click wins a same-ts tie among clicks).
+    """
+    e = load_table(spark, sf_dir, "events")  # ts: long nanoseconds
+    # Truncate to µs FIRST (integer div — double division of ~1.7e18 ns
+    # loses low bits past 2^53): the oracle's TIMESTAMP is µs precision,
+    # so both ordering and arithmetic must happen on the truncated value.
+    ts_us = F.expr("ts div 1000").alias("ts_us")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", ts_us, "event_id", F.lit(0).alias("side")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", ts_us, "event_id", F.lit(1).alias("side")
+    )
+    tagged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    click_id = F.when(F.col("side") == 0, F.col("event_id"))
+    click_ts = F.when(F.col("side") == 0, F.col("ts_us"))
+    swept = tagged.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        "side",
+        F.last(click_id, ignorenulls=True).over(w).alias("click_id"),
+        F.last(click_ts, ignorenulls=True).over(w).alias("click_ts_us"),
+    )
+    return swept.filter(F.col("side") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "click_id",
+        (F.col("ts_us") - F.col("click_ts_us")).alias("gap_us"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH tagged AS (
+    SELECT user_id, ts, event_id, 0 AS side FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT user_id, ts, event_id, 1 AS side FROM events WHERE event_type = 'purchase'
+),
+swept AS (
+    SELECT user_id, ts, event_id, side,
+           last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+               OVER w AS click_id,
+           last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+               OVER w AS click_ts
+    FROM tagged
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS purchase_id, user_id, click_id,
+       date_diff('microsecond', click_ts, ts) AS gap_us
+FROM swept WHERE side = 1
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: 3-day windows sliding by 1 day over January
+    2024, joined to events on interval containment; per-window event
+    count and value sum.
+
+    The window dimension is generated (30 rows) and broadcast, so the
+    inequality join is a broadcast nested loop whose inner side is O(30)
+    — the correct physical plan when one side is tiny. Events outside
+    every window are dropped (inner join), windows with no events are
+    absent, matching the oracle.
+    """
+    e = load_table(spark, sf_dir, "events")
+    windows = spark.range(30).select(
+        F.col("id").alias("win_id"),
+        (F.lit(JAN1_NS) + F.col("id") * NS_PER_DAY).alias("start_ns"),
+        (F.lit(JAN1_NS) + (F.col("id") + 3) * NS_PER_DAY).alias("end_ns"),
+    )
+    joined = e.join(
+        F.broadcast(windows),
+        (e.ts >= windows.start_ns) & (e.ts < windows.end_ns),
+    )
+    return joined.groupBy("win_id").agg(
+        F.count("*").alias("n_events"),
+        qint(F.sum("value"), 2).alias("value_sum"),
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH windows AS (
+    SELECT w.win_id,
+           TIMESTAMP '2024-01-01' + w.win_id * INTERVAL 1 DAY AS start_ts,
+           TIMESTAMP '2024-01-01' + (w.win_id + 3) * INTERVAL 1 DAY AS end_ts
+    FROM (SELECT unnest(generate_series(0, 29)) AS win_id) w
+)
+SELECT w.win_id, count(*) AS n_events,
+       CAST(floor(sum(e.value) * 100 + 0.5) AS BIGINT) AS value_sum
+FROM events e JOIN windows w ON e.ts >= w.start_ts AND e.ts < w.end_ts
+GROUP BY w.win_id
+"""
+
+
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics (§2.E class 12): per-user inter-event gaps —
+    the trace-analytics "time since previous span" idiom — aggregated to
+    per-user mean/max gap and next-event lookahead count."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        # µs truncation before differencing, matching the oracle's
+        # TIMESTAMP precision (see q_asof_join note on integer div).
+        "ts_us",
+        F.expr("ts div 1000"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = F.col("ts_us") - F.lag("ts_us").over(w)
+    with_gaps = e.select(
+        "user_id",
+        "event_type",
+        gap_us.alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return with_gaps.groupBy("user_id").agg(
+        qint(F.avg("gap_us"), 0).alias("avg_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum(
+            F.when((F.col("event_type") == "error") & (F.col("next_type") == "error"), 1)
+            .otherwise(0)
+        ).alias("error_bursts"),
+    )
+
+
+SQL_EVENT_GAPS = """
+WITH g AS (
+    SELECT user_id, event_type,
+           date_diff('microsecond', lag(ts) OVER w, ts) AS gap_us,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(floor(avg(gap_us) + 0.5) AS BIGINT) AS avg_gap_us,
+       max(gap_us) AS max_gap_us,
+       CAST(sum(CASE WHEN event_type = 'error' AND next_type = 'error'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS error_bursts
+FROM g
+GROUP BY user_id
+"""
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (§2.D aggregations): per event type,
+    distinct users and distinct active days. Spark plans multi-distinct
+    via EXPAND (one pass, partial aggregation preserved) — at 100 TB this
+    is the exact path; `approx_count_distinct` (HLL) is the cheap
+    alternative when ±2% suffices (exercised in tests, not oracle-
+    comparable across engines)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(F.col("ts") / F.lit(NS_PER_DAY)).alias("day")
+    return (
+        e.select("event_type", "user_id", day)
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count_distinct("day").alias("n_days"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+SQL_COUNT_DISTINCT = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS n_days,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (§2.D aggregations beyond rollup/cube): explicit
+    grouping combinations in one pass over lineitem (Spark EXPAND — each
+    input row fans out once per set, partial aggs still map-side)."""
+    return api.sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS qty_c
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """,
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS qty_c
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+TEMPORAL_QUERIES = {
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "event_gaps": q_event_gaps,
+    "count_distinct": q_count_distinct,
+    "grouping_sets": q_grouping_sets,
+}
+
+TEMPORAL_ORACLE_SQL = {
+    "asof_join": SQL_ASOF_JOIN,
+    "range_join": SQL_RANGE_JOIN,
+    "event_gaps": SQL_EVENT_GAPS,
+    "count_distinct": SQL_COUNT_DISTINCT,
+    "grouping_sets": SQL_GROUPING_SETS,
+}
