@@ -123,6 +123,33 @@ def test_lsh_topk_recall_vs_bruteforce(spark, embeddings):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark, embeddings):
+    """IVF top-5 with 8 lists / 4 probes must recover most of the exact
+    top-5. The synthetic embeddings are only weakly clustered (recall
+    tracks the probed fraction: ~0.82 at 50%), so the test pins the
+    50%-probe operating point; on genuinely clustered corpora recall at
+    a fixed probe fraction rises with cluster separation."""
+    q = embeddings.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(embeddings, q, "vec_id", "embedding", k=5)
+    approx = similarity.ivf_topk(
+        embeddings, q, "vec_id", "embedding", k=5, n_centroids=8, nprobe=4
+    )
+    e = {(r["qid"], r["cid"]) for r in exact.collect()}
+    a = {(r["qid"], r["cid"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, f"IVF recall too low: {recall}"
+
+
+def test_ivf_centroid_training_deterministic(spark, embeddings):
+    """Training is hash-sampled and driver-side: identical across calls
+    and across input partitionings."""
+    c1 = similarity.train_ivf_centroids(embeddings, "vec_id", "embedding", n_centroids=8)
+    c2 = similarity.train_ivf_centroids(
+        embeddings.repartition(7), "vec_id", "embedding", n_centroids=8
+    )
+    assert c1 == c2
+
+
 # ------------------------------------------------------------------ text
 
 

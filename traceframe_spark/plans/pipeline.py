@@ -149,6 +149,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hyperplane_lsh_topk(e, q, "vec_id", "embedding", k=5, dim=64)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(e, q, "vec_id", "embedding", k=5, n_centroids=8, nprobe=4)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     media = multimodal.attach_fake_media(d, "doc_id", "text")
@@ -169,6 +175,7 @@ PIPELINE_QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "media_features": q_media_features,
 }
 
