@@ -45,6 +45,9 @@ HEADLINE = [
     "minhash_pairs",
     "sessionize",
     "percentiles",
+    "asof_join",
+    "range_join",
+    "count_distinct",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans

@@ -70,3 +70,41 @@ def test_traces_sink_roundtrip(spark, jaeger_json_path, tmp_path):
     sinks.write_traces(dfT, path)
     back = spark.read.parquet(path)
     assert back.count() == 100
+
+
+def test_bucketed_store_eliminates_join_and_kernel_shuffle(spark, jaeger_json_path, tmp_path):
+    """The co-located layout: a traceID-bucketed catalog table must plan
+    (a) a self-join on traceID and (b) the critical-path kernel with NO
+    Exchange — the shuffle was paid once at write time."""
+    from traceframe_spark.operators.critical_path import critical_path_segments
+
+    dfS = spans_from_jaeger_file(spark, jaeger_json_path)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/bkt.db'")
+    # the 420-span fixture would broadcast (which also skips bucketing);
+    # disable broadcast so the plan shows the at-scale sort-merge path
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sinks.write_spans_bucketed(dfS, "bkt.spans", n_buckets=4)
+        t = spark.table("bkt.spans")
+        assert t.count() == 420
+
+        joined = t.alias("a").join(t.alias("b"), "traceID")
+        jplan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in jplan, jplan
+        assert "SortMergeJoin" in jplan or "sortmergejoin" in jplan.lower(), jplan
+
+        segs = critical_path_segments(t, pre_partitioned=True)
+        kplan = segs._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in kplan, kplan
+        # shuffle-free result equals the shuffled result
+        a = {(r["traceID"], r["seg_index"], r["seg_duration"]) for r in segs.collect()}
+        b = {
+            (r["traceID"], r["seg_index"], r["seg_duration"])
+            for r in critical_path_segments(dfS).collect()
+        }
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt.spans")
+        spark.sql("DROP DATABASE IF EXISTS bkt")

@@ -173,7 +173,11 @@ def _sweep_stream(batches):
         yield buf.flush()
 
 
-def critical_path_segments(spans: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def critical_path_segments(
+    spans: DataFrame,
+    num_partitions: int | None = None,
+    pre_partitioned: bool = False,
+) -> DataFrame:
     """Critical path for EVERY trace in a span table, in one distributed pass.
 
     Input: canonical span table (SPAN_SCHEMA; extra columns tolerated).
@@ -183,13 +187,22 @@ def critical_path_segments(spans: DataFrame, num_partitions: int | None = None) 
     (``test_traceframe.py:146-155``: pandas groupby → per-group kernel)
     is here the operator itself. One hash shuffle on traceID, a partition-
     local sort for contiguity, then a streaming sweep per Arrow batch.
+
+    ``pre_partitioned=True`` skips the shuffle entirely: pass it when the
+    input's partitioning already co-locates each traceID (a bucketed
+    store written by ``sinks.write_spans_bucketed``, or a reused upstream
+    repartition) — the kernel then runs shuffle-free, only the
+    partition-local sort remains. The caller owns the invariant; spans of
+    a trace split across partitions would each sweep as a partial trace.
     """
     needed = [c for c in _KERNEL_COLS if c in spans.columns]
     missing = set(_KERNEL_COLS) - set(needed)
     if missing:
         raise ValueError(f"span table missing kernel columns: {sorted(missing)}")
     narrowed = spans.select(*_KERNEL_COLS)
-    if num_partitions:
+    if pre_partitioned:
+        pass
+    elif num_partitions:
         narrowed = narrowed.repartition(num_partitions, "traceID")
     else:
         narrowed = narrowed.repartition("traceID")

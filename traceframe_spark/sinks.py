@@ -65,3 +65,31 @@ def write_traces(
 def write_json(df: DataFrame, path: str, mode: str = "error") -> None:
     """JSON-lines export (interchange with the reference's file format)."""
     df.write.mode(mode).json(path)
+
+
+def write_spans_bucketed(
+    spans: DataFrame,
+    table: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    mode: str = "overwrite",
+) -> None:
+    """Span table → a catalog table hash-bucketed AND sorted by traceID.
+
+    The co-located-join layout: a scan of this table exposes its
+    bucketing to the planner, so joins and aggregations keyed on traceID
+    (self-joins, span⋈trace enrichment, the critical-path kernel via
+    ``critical_path_segments(..., pre_partitioned=True)``) run with NO
+    shuffle — at 100 TB the big-fact shuffle is the cost that dominates
+    everything else, and paying it once at write time amortizes it over
+    every subsequent query. The pre-write ``repartition`` makes one file
+    per bucket per write (without it, every write task emits a file for
+    every bucket it sees: tasks × buckets small files).
+    """
+    (
+        spans.repartition(n_buckets, "traceID")
+        .write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, "traceID")
+        .sortBy("traceID", "startTime")
+        .saveAsTable(table)
+    )
