@@ -235,3 +235,22 @@ def test_embedding_near_dup_pairs(spark, embeddings):
     assert abs(found[(0, 100000)] - 1.0) < 1e-9
     # all reported pairs satisfy the threshold
     assert all(c >= 0.999 for c in found.values())
+
+
+def test_resize_media_plumbing(docs):
+    from traceframe_spark.operators import multimodal
+
+    media = multimodal.attach_fake_media(docs.limit(20), "doc_id", "text")
+    resized = multimodal.resize_media(media, width=64, height=64)
+    assert [f.name for f in resized.schema.fields] == [
+        f.name for f in multimodal.MEDIA_SCHEMA.fields
+    ]
+    rows = resized.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["meta"]["width"] == "64"
+        assert r["meta"]["height"] == "64"
+        assert len(r["payload"]) == 64 * 64 // 64  # deterministic stub size
+    # composes with downstream feature extraction unchanged
+    feats = multimodal.extract_media_features(resized).collect()
+    assert len(feats) == 20

@@ -130,3 +130,56 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.select(
         "media_id", F.explode(idx).alias("frame_idx")
     ).filter(F.col("frame_idx") < n_frames)
+
+
+def _resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake 'resize': linear byte re-sample to a size
+    proportional to the target area. A real implementation decodes,
+    resamples pixels, and re-encodes here (PIL ``Image.resize`` /
+    ffmpeg scale filter); batching and schema around it are final."""
+    if HAVE_IMAGE_CODECS:
+        raise NotImplementedError(
+            "real image resize not wired in this runtime; see module docstring"
+        )
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    target = max(width * height // 64, 1)
+    if arr.size == 0:
+        return bytes(target)
+    idx = np.linspace(0, arr.size - 1, target).astype(np.int64)
+    return arr[idx].tobytes()
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, batch_rows: int = 256
+) -> DataFrame:
+    """Resize media payloads via Arrow-batched ``mapInPandas``; output
+    rows keep MEDIA_SCHEMA with the payload replaced and ``meta``
+    width/height updated — so resize composes with every other media
+    op (feature extraction, frame sampling, parquet sinks) unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo : lo + batch_rows]
+                payloads = [
+                    _resize_stub(p if p is not None else b"", width, height)
+                    for p in chunk["payload"]
+                ]
+                metas = []
+                for m in chunk["meta"]:
+                    m = dict(m) if m is not None else {}
+                    m["width"] = str(width)
+                    m["height"] = str(height)
+                    metas.append(m)
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"].values,
+                        "media_type": chunk["media_type"].values,
+                        "payload": payloads,
+                        "meta": metas,
+                    }
+                )
+
+    return media.select("media_id", "media_type", "payload", "meta").mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
