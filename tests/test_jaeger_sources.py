@@ -123,3 +123,37 @@ def test_empty_input_tables(spark):
     s = spans_table(empty)
     assert s.count() == 0
     assert len(s.columns) == 12
+
+
+def test_jaeger_python_datasource(spark):
+    """spark.read.format('jaeger'): partition-parallel DataSource read
+    (synthetic transport), schema == RAW_TRACE_SCHEMA, rows flow into the
+    span/trace tables like any other source."""
+    from traceframe_spark.operators.spans import spans_table
+    from traceframe_spark.operators.traces import traces_table
+    from traceframe_spark.schemas import RAW_TRACE_SCHEMA
+    from traceframe_spark.sources.jaeger_datasource import JaegerDataSource
+
+    spark.dataSource.register(JaegerDataSource)
+    base = 1_700_000_000_000_000
+    n, step = 40, 5_000_000
+    df = (
+        spark.read.format("jaeger")
+        .option("start", str(base))
+        .option("end", str(base + n * step))
+        .option("n_buckets", "8")
+        .option("synthetic_n", str(n))
+        .option("synthetic_base_us", str(base))
+        .option("synthetic_step_us", str(step))
+        .load()
+    )
+    assert df.schema == RAW_TRACE_SCHEMA
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == n
+    # no duplicates across bucket boundaries (inclusive-µs windows)
+    assert df.select("traceID").distinct().count() == n
+    # composes with the canonical tables
+    assert traces_table(df).count() == n
+    spans = spans_table(df)
+    assert spans.count() == n
+    assert spans.filter(spans.service == "svc").count() == n

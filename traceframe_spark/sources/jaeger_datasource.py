@@ -1,0 +1,149 @@
+"""``spark.read.format("jaeger")`` — a Python DataSource for Jaeger.
+
+The fully idiomatic form of the connector: the same bisecting fetch as
+:mod:`traceframe_spark.sources.jaeger_http`, exposed through PySpark's
+DataSource API so ingest composes like any other source — the planner
+sees one scan with ``n_buckets`` input partitions (one time bucket each,
+fetched in parallel on executors), and downstream explode/enrich/agg
+plans on top of it without special-casing how the rows arrived.
+
+The reference's acquisition strategy (result-cap bisection,
+``/root/reference/traceframe/traceframe.py:93-136``) runs *inside each
+partition*: a hot bucket bisects locally on its executor, never through
+the driver.
+
+Options (all strings, per the DataSource API):
+
+- ``endpoint``  Jaeger base URL (required unless synthetic)
+- ``service``   service name to query (required unless synthetic)
+- ``start`` / ``end``  µs-epoch time range (required)
+- ``n_buckets``  partition count (default 64)
+- ``limit_per_bucket``  optional per-bucket trace cap
+- ``result_cap``  server clip threshold (default 1500)
+- ``synthetic_n`` / ``synthetic_base_us`` / ``synthetic_step_us``
+  use the offline synthetic transport instead of HTTP (tests/demos)
+
+Usage::
+
+    spark.dataSource.register(JaegerDataSource)
+    df = (spark.read.format("jaeger")
+          .option("endpoint", "http://jaeger:16686")
+          .option("service", "frontend")
+          .option("start", str(t0)).option("end", str(t1))
+          .load())
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import ArrayType, DataType, MapType, StructType
+
+from traceframe_spark.schemas import RAW_TRACE_SCHEMA
+from traceframe_spark.sources.jaeger_http import (
+    JAEGER_MAX_TRACES_RETURNABLE,
+    _conform_trace,
+    _requests_fetch,
+    get_traces,
+    synthetic_fetch_factory,
+)
+
+
+def time_buckets(start: int, end: int, n_buckets: int) -> list[tuple[int, int]]:
+    """[start, end) µs sliced into ≤ ``n_buckets`` disjoint inclusive-µs
+    windows (the Jaeger API treats start/end as inclusive; overlap would
+    double-fetch boundary traces)."""
+    width = max((end - start) // n_buckets, 1)
+    return [
+        (start + i * width, min(start + (i + 1) * width, end) - 1)
+        for i in range(n_buckets)
+        if start + i * width < end
+    ]
+
+
+def _to_tuple(value, dtype: DataType):
+    """Recursively conform a plain-dict row to the tuple shape the
+    DataSource row protocol expects for nested StructTypes."""
+    if value is None:
+        return None
+    if isinstance(dtype, StructType):
+        return tuple(_to_tuple(value.get(f.name), f.dataType) for f in dtype.fields)
+    if isinstance(dtype, ArrayType):
+        return [_to_tuple(v, dtype.elementType) for v in value]
+    if isinstance(dtype, MapType):
+        return {k: _to_tuple(v, dtype.valueType) for k, v in value.items()}
+    return value
+
+
+class TimeBucket(InputPartition):
+    def __init__(self, start_us: int, end_us: int):
+        self.start_us = start_us
+        self.end_us = end_us
+
+
+class JaegerReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        self.start = int(self._req("start"))
+        self.end = int(self._req("end"))
+        self.n_buckets = int(self.options.get("n_buckets", "64"))
+        self.limit_per_bucket = (
+            int(self.options["limit_per_bucket"])
+            if "limit_per_bucket" in self.options
+            else None
+        )
+        self.result_cap = int(
+            self.options.get("result_cap", str(JAEGER_MAX_TRACES_RETURNABLE))
+        )
+        self.synthetic = "synthetic_n" in self.options
+        if not self.synthetic:
+            self._req("endpoint")
+            self._req("service")
+
+    def _req(self, key: str) -> str:
+        if key not in self.options:
+            raise ValueError(f"jaeger datasource requires option '{key}'")
+        return self.options[key]
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [TimeBucket(s, e) for s, e in time_buckets(self.start, self.end, self.n_buckets)]
+
+    def read(self, partition: TimeBucket) -> Iterator[tuple]:
+        if self.synthetic:
+            fetch = synthetic_fetch_factory(
+                int(self.options.get("synthetic_base_us", "0")),
+                int(self.options["synthetic_n"]),
+                int(self.options.get("synthetic_step_us", "5000000")),
+            )()
+            service = self.options.get("service", "svc")
+        else:
+            fetch = _requests_fetch(
+                self.options["endpoint"],
+                None,
+            )
+            service = self.options["service"]
+        traces = get_traces(
+            service,
+            fetch=fetch,
+            start=partition.start_us,
+            end=partition.end_us,
+            limit=self.limit_per_bucket,
+            result_cap=self.result_cap,
+        )
+        for t in traces:
+            yield _to_tuple(_conform_trace(t), RAW_TRACE_SCHEMA)
+
+
+class JaegerDataSource(DataSource):
+    """Register with ``spark.dataSource.register(JaegerDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jaeger"
+
+    def schema(self) -> StructType:
+        return RAW_TRACE_SCHEMA
+
+    def reader(self, schema: StructType) -> JaegerReader:
+        return JaegerReader(self.options)
