@@ -126,3 +126,37 @@ def test_stream_to_span_store(spark, feed_dir, tmp_path):
     import os
     dirs = os.listdir(tmp_path / "store")
     assert any(d.startswith("span_date=") for d in dirs)
+
+
+def test_jaeger_stream_reader(spark, tmp_path):
+    """spark.readStream.format('jaeger'): poll-based streaming source.
+    With a pinned synthetic clock the single microbatch covers exactly
+    [stream_start, now - horizon_lag); traces outside stay unread."""
+    from traceframe_spark.sources.jaeger_datasource import JaegerDataSource
+
+    spark.dataSource.register(JaegerDataSource)
+    base = 1_700_000_000_000_000
+    n, step = 40, 5_000_000  # traces at base, base+5s, ... base+195s
+    # horizon: now=base+150s, lag=10s -> readable window ends base+140s
+    stream = (
+        spark.readStream.format("jaeger")
+        .option("stream_start_us", str(base))
+        .option("synthetic_now_us", str(base + 150 * 1_000_000))
+        .option("horizon_lag_us", str(10 * 1_000_000))
+        .option("synthetic_n", str(n))
+        .option("synthetic_base_us", str(base))
+        .option("synthetic_step_us", str(step))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("jaeger_stream_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT traceID FROM jaeger_stream_test").collect()
+    # window [base, base+140s) covers offsets 0..139s -> 28 traces (step 5s)
+    assert len(got) == 28, len(got)
+    assert len({r["traceID"] for r in got}) == 28

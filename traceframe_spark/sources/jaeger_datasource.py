@@ -37,7 +37,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import ArrayType, DataType, MapType, StructType
 
 from traceframe_spark.schemas import RAW_TRACE_SCHEMA
@@ -135,6 +140,78 @@ class JaegerReader(DataSourceReader):
             yield _to_tuple(_conform_trace(t), RAW_TRACE_SCHEMA)
 
 
+class JaegerStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tail of the trace feed: each microbatch fetches the
+    traces whose start time landed in [last_offset, fetch_horizon) and
+    advances the offset — a poll-based source with exactly-once batches
+    (offsets checkpoint through the engine; ``read`` is re-runnable for
+    a given range via ``readBetweenOffsets`` on recovery).
+
+    Extra options over the batch reader:
+
+    - ``stream_start_us``  where the first batch begins (default: now)
+    - ``horizon_lag_us``   stay this far behind the wall clock so
+      late-arriving spans are indexed before their window is read
+      (default 5 s — the streaming analogue of a watermark on the
+      *source* side)
+    """
+
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        self.reader = None  # lazily built batch reader for transport reuse
+        self.horizon_lag_us = int(self.options.get("horizon_lag_us", "5000000"))
+        self.synthetic = "synthetic_n" in self.options
+
+    def _fetch_and_service(self):
+        if self.synthetic:
+            fetch = synthetic_fetch_factory(
+                int(self.options.get("synthetic_base_us", "0")),
+                int(self.options["synthetic_n"]),
+                int(self.options.get("synthetic_step_us", "5000000")),
+            )()
+            return fetch, self.options.get("service", "svc")
+        return (
+            _requests_fetch(self.options["endpoint"], None),
+            self.options["service"],
+        )
+
+    def _now_us(self) -> int:
+        if "synthetic_now_us" in self.options:
+            return int(self.options["synthetic_now_us"])
+        import time
+
+        return int(time.time() * 1_000_000)
+
+    def initialOffset(self) -> dict:
+        start = int(self.options.get("stream_start_us", self._now_us()))
+        return {"start_us": start}
+
+    def read(self, start: dict) -> tuple[list[tuple], dict]:
+        lo = int(start["start_us"])
+        hi = max(self._now_us() - self.horizon_lag_us, lo)
+        if hi <= lo:
+            return [], {"start_us": lo}
+        return self._read_range(lo, hi), {"start_us": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+        return self._read_range(int(start["start_us"]), int(end["start_us"]))
+
+    def _read_range(self, lo: int, hi: int) -> list[tuple]:
+        # returns a LIST: the engine's prefetch cache pickles the row
+        # iterator between planning and execution; a generator can't pickle
+        fetch, service = self._fetch_and_service()
+        traces = get_traces(
+            service,
+            fetch=fetch,
+            start=lo,
+            end=hi - 1,  # API bounds are inclusive-µs; offset ranges half-open
+            result_cap=int(
+                self.options.get("result_cap", str(JAEGER_MAX_TRACES_RETURNABLE))
+            ),
+        )
+        return [_to_tuple(_conform_trace(t), RAW_TRACE_SCHEMA) for t in traces]
+
+
 class JaegerDataSource(DataSource):
     """Register with ``spark.dataSource.register(JaegerDataSource)``."""
 
@@ -147,3 +224,6 @@ class JaegerDataSource(DataSource):
 
     def reader(self, schema: StructType) -> JaegerReader:
         return JaegerReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> JaegerStreamReader:
+        return JaegerStreamReader(self.options)
