@@ -73,3 +73,15 @@ def test_range_join_window_membership(spark, tmp_path):
     assert got[0] == 2
     assert got[1] == 1
     assert got[2] == 1
+
+
+def test_approx_count_distinct_tracks_exact(spark):
+    """HLL surface (the 100 TB cheap path for n_users-style metrics):
+    approx_count_distinct must land within its documented ~2-5% rsd of
+    the exact distinct count on the events table."""
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    row = e.agg(
+        F.count_distinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) <= max(0.05 * row["exact"], 2), row
