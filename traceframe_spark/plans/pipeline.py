@@ -149,6 +149,21 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hyperplane_lsh_topk(e, q, "vec_id", "embedding", k=5, dim=64)
 
 
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (LSH buckets + exact cosine
+    ≥ 0.95). Rows-only like the other hash-bucketed ops; the exact-cosine
+    verification step means every reported pair is a true near-dup, and
+    recall is pinned against an injected duplicate in tests. On the
+    synthetic corpus the correct answer is EMPTY (max off-diagonal
+    cosine ≈ 0.51 at sf0.01) — the query proves the no-false-positives
+    side here; the injected-dup test proves recall."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs(
+        e, "vec_id", "embedding", threshold=0.95, dim=64
+    )
+    return pairs.select("id_a", "id_b", qint(F.col("cosine"), 4).alias("cosine_q"))
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
@@ -176,6 +191,7 @@ PIPELINE_QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "embed_near_dup": q_embed_near_dup,
     "media_features": q_media_features,
 }
 

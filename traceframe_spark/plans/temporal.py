@@ -256,12 +256,49 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
 
 
+def q_salted_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew path under the correctness gate: two-phase salted
+    aggregation (operators/skew.salted_agg) must produce EXACTLY the
+    plain GROUP BY result — the oracle is the unsalted SQL. At scale the
+    salt splits a hot key across n_salts reducers; decomposable
+    aggregates (count/sum/min/max) merge losslessly."""
+    from traceframe_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "n": ("l_orderkey", "count"),
+            "max_qty": ("l_quantity", "max"),
+            "min_ship": ("l_shipdate", "min"),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        qint(F.col("max_qty"), 2).alias("max_qty_q"),
+        F.col("min_ship").cast("date").cast("string").alias("min_ship_d"),
+    )
+
+
+SQL_SALTED_GROUP_AGG = """
+SELECT l_returnflag, count(l_orderkey) AS n,
+       CAST(floor(max(l_quantity) * 100 + 0.5) AS BIGINT) AS max_qty_q,
+       CAST(CAST(min(l_shipdate) AS DATE) AS VARCHAR) AS min_ship_d
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 TEMPORAL_QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "event_gaps": q_event_gaps,
     "count_distinct": q_count_distinct,
     "grouping_sets": q_grouping_sets,
+    "salted_group_agg": q_salted_group_agg,
 }
 
 TEMPORAL_ORACLE_SQL = {
@@ -270,4 +307,5 @@ TEMPORAL_ORACLE_SQL = {
     "event_gaps": SQL_EVENT_GAPS,
     "count_distinct": SQL_COUNT_DISTINCT,
     "grouping_sets": SQL_GROUPING_SETS,
+    "salted_group_agg": SQL_SALTED_GROUP_AGG,
 }
