@@ -292,6 +292,60 @@ GROUP BY l_returnflag
 """
 
 
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: events pre-aggregate into
+    1-minute buckets (count + sum + min/max), and the hourly answer is
+    computed FROM THE ROLLUP, never from raw rows. The oracle aggregates
+    raw events directly at the hour — the query proves the two-level
+    rollup is lossless for decomposable aggregates.
+
+    At 100 TB this is the pattern that keeps dashboards off the raw
+    table: the 1-minute layer is ~raw/1000 rows, written once (ideally
+    by the streaming path), and every coarser resolution derives from it
+    map-side. Bucketing is integer division on the long-ns timestamp —
+    no timezone, no UDF, stays in codegen.
+    """
+    e = load_table(spark, sf_dir, "events")
+    minute_ns = 60 * 1_000_000_000
+    minute = (F.col("ts") - F.pmod(F.col("ts"), F.lit(minute_ns))).alias("minute_ns")
+    rollup_1m = (
+        e.select(minute, "event_type", "value")
+        .groupBy("minute_ns", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("value_sum"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+        )
+    )
+    hour_ns = 3600 * 1_000_000_000
+    hour = (F.col("minute_ns") - F.pmod(F.col("minute_ns"), F.lit(hour_ns))).alias("hour_ns")
+    return (
+        rollup_1m.select(hour, "event_type", "n", "value_sum", "value_min", "value_max")
+        .groupBy("hour_ns", "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            qint(F.sum("value_sum"), 2).alias("value_sum_q"),
+            qint(F.min("value_min"), 4).alias("value_min_q"),
+            qint(F.max("value_max"), 4).alias("value_max_q"),
+        )
+        .withColumn("hour_us", F.expr("hour_ns div 1000"))
+        .drop("hour_ns")
+    )
+
+
+SQL_TIME_ROLLUP = """
+SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
+       event_type,
+       count(*) AS n_events,
+       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS value_sum_q,
+       CAST(floor(min(value) * 10000 + 0.5) AS BIGINT) AS value_min_q,
+       CAST(floor(max(value) * 10000 + 0.5) AS BIGINT) AS value_max_q
+FROM events
+GROUP BY 1, 2
+"""
+
+
 TEMPORAL_QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -299,6 +353,7 @@ TEMPORAL_QUERIES = {
     "count_distinct": q_count_distinct,
     "grouping_sets": q_grouping_sets,
     "salted_group_agg": q_salted_group_agg,
+    "time_rollup": q_time_rollup,
 }
 
 TEMPORAL_ORACLE_SQL = {
@@ -308,4 +363,5 @@ TEMPORAL_ORACLE_SQL = {
     "count_distinct": SQL_COUNT_DISTINCT,
     "grouping_sets": SQL_GROUPING_SETS,
     "salted_group_agg": SQL_SALTED_GROUP_AGG,
+    "time_rollup": SQL_TIME_ROLLUP,
 }
