@@ -108,3 +108,19 @@ def test_bucketed_store_eliminates_join_and_kernel_shuffle(spark, jaeger_json_pa
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS bkt.spans")
         spark.sql("DROP DATABASE IF EXISTS bkt")
+
+
+def test_span_store_date_pruning(spark, jaeger_json_path, tmp_path):
+    """Time-range queries on the partitioned span store must prune at the
+    directory level: the scan's PartitionFilters carries the span_date
+    predicate (at 100 TB this is the difference between reading one day
+    and reading the archive)."""
+    dfS = spans_from_jaeger_file(spark, jaeger_json_path)
+    path = str(tmp_path / "spans_pruned")
+    sinks.write_spans(dfS, path, n_buckets=4)
+    day = spark.read.parquet(path).select("span_date").first()["span_date"]
+    filtered = spark.read.parquet(path).filter(F.col("span_date") == F.lit(day))
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m and "span_date" in m[0], plan
+    assert filtered.count() == 420  # single-day fixture: everything is that day
