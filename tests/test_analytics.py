@@ -56,3 +56,19 @@ def test_operation_stats_fixture(spark, jaeger_json_path):
         assert a["n_spans"] == r["n_spans"]
         if r["p95_us"]:
             assert abs(a["p95_us"] - r["p95_us"]) <= 0.2 * r["p95_us"] + 1
+
+
+def test_critical_path_breakdown(spark, jaeger_json_path):
+    from traceframe_spark.operators.analytics import critical_path_breakdown
+
+    dfS = spans_from_jaeger_file(spark, jaeger_json_path)
+    rows = critical_path_breakdown(dfS).collect()
+    shares = [r["share"] for r in rows]
+    assert abs(sum(shares) - 1.0) < 1e-9
+    assert shares == sorted(shares, reverse=True)  # ordered by contribution
+    # every trace contributes >=1 segment, so total segments >= 100
+    assert sum(r["n_segments"] for r in rows) >= 100
+    # the fixture's dominant critical-path service (pinned): NOT the
+    # frontend — recommendationservice blocks the most wall-clock, which
+    # is exactly the non-obvious fact this operator surfaces
+    assert rows[0]["service"] == "recommendationservice"

@@ -60,6 +60,32 @@ def service_dependencies(spans: DataFrame) -> DataFrame:
     )
 
 
+def critical_path_breakdown(spans: DataFrame, by: str = "service") -> DataFrame:
+    """Corpus-level "where does the wall-clock go": run the critical-path
+    kernel over every trace and aggregate segment time by ``by``
+    (service or operationName). ``share`` is each group's fraction of
+    total critical time — the prioritized optimization list that
+    per-trace Gantt views (reference ``showSingleTrace``) can't give.
+
+    One kernel pass + one small aggregation; the total-sum join is a
+    broadcast of a single row.
+    """
+    from traceframe_spark.operators.critical_path import critical_path_segments
+
+    segs = critical_path_segments(spans)
+    per_group = segs.groupBy(by).agg(
+        F.sum("seg_duration").alias("crit_us"),
+        F.count("*").alias("n_segments"),
+    )
+    total = per_group.agg(F.sum("crit_us").alias("total_us"))
+    return (
+        per_group.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("crit_us") / F.col("total_us"))
+        .drop("total_us")
+        .orderBy(F.col("crit_us").desc())
+    )
+
+
 def operation_stats(spans: DataFrame, approx: bool = False) -> DataFrame:
     """Latency/error profile per (service, operationName): span count,
     error count, error rate, p50/p95/p99 duration (µs).
