@@ -27,8 +27,14 @@ from traceframe_spark.operators import (
     with_tag_columns,
 )
 from traceframe_spark.operators.assemble import trace_with_spans
+from traceframe_spark.operators.analytics import (
+    critical_path_breakdown,
+    operation_stats,
+    service_dependencies,
+)
 from traceframe_spark import sinks, viz
 from traceframe_spark.operators.critical_path import critical_segments_of_trace
+from traceframe_spark.sources.jaeger_datasource import JaegerDataSource
 
 __all__ = [
     "get_spark",
@@ -45,6 +51,10 @@ __all__ = [
     "traces_table",
     "with_tag_columns",
     "trace_with_spans",
+    "service_dependencies",
+    "operation_stats",
+    "critical_path_breakdown",
+    "JaegerDataSource",
     "sinks",
     "viz",
 ]
