@@ -346,6 +346,69 @@ GROUP BY 1, 2
 """
 
 
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (SURVEY §2.B12, the oracle-checkable form of the tag-column
+    pivot): per-user event counts, one column per event type. The pivot
+    values are ENUMERATED — Spark's ``pivot(col)`` without values runs an
+    extra distinct job and makes the schema data-dependent, which is the
+    same unbounded-width trap as the reference's tag pivot; at 100 TB the
+    column set must be declared."""
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count("event_id"))
+    )
+    # null → 0 and stable names on both sides
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
+SQL_PIVOT_EVENTS = """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly 20 documents per
+    language, chosen by hash order — the reproducible, engine-portable
+    form of ``sampleBy`` (whose RNG can't match across engines). The
+    hash is md5 because the oracle engine lacks xxhash64; in production
+    prefer ``F.xxhash64`` (cheaper, same idiom). One window pass; at
+    scale this is the standard per-stratum top-N shuffle, no driver
+    involvement."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, rn FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM documents
+)
+WHERE rn <= 20
+"""
+
+
 TEMPORAL_QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -354,6 +417,8 @@ TEMPORAL_QUERIES = {
     "grouping_sets": q_grouping_sets,
     "salted_group_agg": q_salted_group_agg,
     "time_rollup": q_time_rollup,
+    "pivot_events": q_pivot_events,
+    "stratified_sample": q_stratified_sample,
 }
 
 TEMPORAL_ORACLE_SQL = {
@@ -364,4 +429,6 @@ TEMPORAL_ORACLE_SQL = {
     "grouping_sets": SQL_GROUPING_SETS,
     "salted_group_agg": SQL_SALTED_GROUP_AGG,
     "time_rollup": SQL_TIME_ROLLUP,
+    "pivot_events": SQL_PIVOT_EVENTS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
 }
