@@ -254,3 +254,25 @@ def test_resize_media_plumbing(docs):
     # composes with downstream feature extraction unchanged
     feats = multimodal.extract_media_features(resized).collect()
     assert len(feats) == 20
+
+
+def test_column_profile_one_pass(spark, docs):
+    from traceframe_spark.operators.profile import column_profile
+
+    prof = {(r["column"], r["metric"]): r["value"] for r in column_profile(docs).collect()}
+    assert prof[("*", "n_rows")] == 500.0
+    assert prof[("doc_id", "n_null")] == 0.0
+    # HLL distinct within 10% of exact 500 unique ids
+    assert abs(prof[("doc_id", "approx_distinct")] - 500) <= 50
+    assert prof[("doc_id", "min")] == 0.0 and prof[("doc_id", "max")] == 499.0
+    assert prof[("text", "min_len")] >= 1.0
+    assert prof[("text", "mean_len")] > prof[("text", "min_len")]
+    # nulls are counted: inject one
+    with_null = docs.unionByName(
+        spark.createDataFrame(
+            [(99999, None, "en", "web", 0)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    )
+    prof2 = {(r["column"], r["metric"]): r["value"] for r in column_profile(with_null).collect()}
+    assert prof2[("text", "n_null")] == 1.0
