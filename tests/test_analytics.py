@@ -72,3 +72,31 @@ def test_critical_path_breakdown(spark, jaeger_json_path):
     # frontend — recommendationservice blocks the most wall-clock, which
     # is exactly the non-obvious fact this operator surfaces
     assert rows[0]["service"] == "recommendationservice"
+
+
+def test_search_traces(spark, jaeger_json_path):
+    """The search params the reference rejects as UNIMPLEMENTED
+    (operation, tags, durations) all work engine-side."""
+    from traceframe_spark.operators.search import search_traces
+
+    dfS = spans_from_jaeger_file(spark, jaeger_json_path)
+
+    # tag search: the error tag finds the checkout trace
+    hits = search_traces(dfS, tags={"error": "true"}).collect()
+    assert any(r["traceID"] == "55f80c17b6ab82ec" for r in hits)
+
+    # service+operation search
+    hits = search_traces(dfS, service="frontend", operation="/checkout").collect()
+    assert {r["root_operation"] for r in hits} == {"/checkout"}
+    assert all(r["root_service"] == "frontend" for r in hits)
+
+    # duration band on the root span
+    hits = search_traces(dfS, service="frontend", min_duration_us=500_000).collect()
+    assert hits and all(r["duration_us"] >= 500_000 for r in hits)
+
+    # newest-first and limited
+    hits = search_traces(dfS, limit=5)
+    rows = hits.collect()
+    assert len(rows) == 5
+    starts = [r["start_us"] for r in rows]
+    assert starts == sorted(starts, reverse=True)

@@ -34,6 +34,7 @@ from traceframe_spark.operators.analytics import (
 )
 from traceframe_spark import sinks, viz
 from traceframe_spark.operators.critical_path import critical_segments_of_trace
+from traceframe_spark.operators.search import search_traces
 from traceframe_spark.sources.jaeger_datasource import JaegerDataSource
 
 __all__ = [
@@ -54,6 +55,7 @@ __all__ = [
     "service_dependencies",
     "operation_stats",
     "critical_path_breakdown",
+    "search_traces",
     "JaegerDataSource",
     "sinks",
     "viz",
