@@ -28,14 +28,17 @@ def column_profile(df: DataFrame, rsd: float = 0.05) -> DataFrame:
     ``min_len``/``max_len``/``mean_len``. One row count row
     (column='*', metric='n_rows') anchors ratios.
     """
+    def q(name: str):  # backtick-quote: dots in column names are legal
+        return F.col(f"`{name.replace('`', '``')}`")
+
     aggs = [F.count(F.lit(1)).cast("double").alias("__n_rows")]
     per_col: dict[str, list[str]] = {}
     for f in df.schema.fields:
         c, metrics = f.name, []
-        col = F.col(c)
+        col = q(c)
         aggs.append(F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("double").alias(f"__{c}__n_null"))
         metrics.append("n_null")
-        aggs.append(F.approx_count_distinct(c, rsd=rsd).cast("double").alias(f"__{c}__approx_distinct"))
+        aggs.append(F.approx_count_distinct(col, rsd=rsd).cast("double").alias(f"__{c}__approx_distinct"))
         metrics.append("approx_distinct")
         if isinstance(f.dataType, NumericType):
             aggs += [
@@ -59,6 +62,6 @@ def column_profile(df: DataFrame, rsd: float = 0.05) -> DataFrame:
     for c, metrics in per_col.items():
         for m in metrics:
             pairs.append(
-                F.struct(F.lit(c).alias("column"), F.lit(m).alias("metric"), F.col(f"__{c}__{m}").alias("value"))
+                F.struct(F.lit(c).alias("column"), F.lit(m).alias("metric"), q(f"__{c}__{m}").alias("value"))
             )
     return wide.select(F.explode(F.array(*pairs)).alias("p")).select("p.column", "p.metric", "p.value")

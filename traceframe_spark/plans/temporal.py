@@ -210,7 +210,9 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternative when ±2% suffices (exercised in tests, not oracle-
     comparable across engines)."""
     e = load_table(spark, sf_dir, "events")
-    day = F.floor(F.col("ts") / F.lit(NS_PER_DAY)).alias("day")
+    # integer div, not floor(ts/day): double division of ~1.7e18 ns loses
+    # bits past 2^53 and can misbucket near day boundaries
+    day = F.expr(f"ts div {NS_PER_DAY}").alias("day")
     return (
         e.select("event_type", "user_id", day)
         .groupBy("event_type")

@@ -52,19 +52,8 @@ from traceframe_spark.sources.jaeger_http import (
     _requests_fetch,
     get_traces,
     synthetic_fetch_factory,
+    time_buckets,
 )
-
-
-def time_buckets(start: int, end: int, n_buckets: int) -> list[tuple[int, int]]:
-    """[start, end) µs sliced into ≤ ``n_buckets`` disjoint inclusive-µs
-    windows (the Jaeger API treats start/end as inclusive; overlap would
-    double-fetch boundary traces)."""
-    width = max((end - start) // n_buckets, 1)
-    return [
-        (start + i * width, min(start + (i + 1) * width, end) - 1)
-        for i in range(n_buckets)
-        if start + i * width < end
-    ]
 
 
 def _to_tuple(value, dtype: DataType):
@@ -161,6 +150,11 @@ class JaegerStreamReader(SimpleDataSourceStreamReader):
         self.reader = None  # lazily built batch reader for transport reuse
         self.horizon_lag_us = int(self.options.get("horizon_lag_us", "5000000"))
         self.synthetic = "synthetic_n" in self.options
+        if not self.synthetic:
+            # fail at stream definition, not inside the first microbatch
+            for key in ("endpoint", "service"):
+                if key not in self.options:
+                    raise ValueError(f"jaeger datasource requires option '{key}'")
 
     def _fetch_and_service(self):
         if self.synthetic:

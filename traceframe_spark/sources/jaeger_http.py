@@ -80,6 +80,22 @@ def known_services(endpoint: str, headers: dict[str, str] | None = None) -> list
     return resp.json()["data"]
 
 
+def time_buckets(start: int, end: int, n_buckets: int) -> list[tuple[int, int]]:
+    """[start, end) µs sliced into ≤ ``n_buckets`` disjoint inclusive-µs
+    windows covering the WHOLE range (the Jaeger API treats start/end as
+    inclusive; overlap would double-fetch boundary traces). Width rounds
+    UP so the tail of a non-divisible range lands in the last bucket
+    instead of being silently dropped."""
+    if end <= start:
+        return []
+    width = max(-(-(end - start) // n_buckets), 1)  # ceil division
+    return [
+        (start + i * width, min(start + (i + 1) * width, end) - 1)
+        for i in range(n_buckets)
+        if start + i * width < end
+    ]
+
+
 def _trace_start_us(trace: dict) -> int:
     spans = trace.get("spans") or []
     return min((s["startTime"] for s in spans), default=0)
@@ -337,15 +353,7 @@ def fetch_traces_partitioned(
     overrides the default requests transport — used by tests and by
     callers that need custom auth/session pooling on executors.
     """
-    width = max((end - start) // n_buckets, 1)
-    # [start, end) sliced into disjoint inclusive-µs windows: the Jaeger
-    # API treats start/end as inclusive, so each bucket ends one µs
-    # before the next begins (overlap would double-fetch boundary traces).
-    buckets = [
-        (start + i * width, min(start + (i + 1) * width, end) - 1)
-        for i in range(n_buckets)
-        if start + i * width < end
-    ]
+    buckets = time_buckets(start, end, n_buckets)
 
     def fetch_bucket(rows):
         # runs on executors; one HTTP session per task
