@@ -101,6 +101,19 @@ def main() -> int:
             problems.append(f"rowcount spark={len(sdf)} duck={len(ddf)}")
         if sorted(sdf.columns) != sorted(ddf.columns):
             problems.append(f"columns spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}")
+        else:
+            # Driver-faithful type strictness: the driver's value hash is
+            # type-sensitive (int 123 != float 123.0), so a dtype mismatch
+            # between engines — e.g. DuckDB widening sum(BIGINT) to HUGEINT,
+            # which pandas renders as float64 — must FAIL here even when the
+            # normalized values would compare equal.
+            bad = [
+                f"{c}: spark={sdf[c].dtype} duck={ddf[c].dtype}"
+                for c in sorted(sdf.columns)
+                if str(sdf[c].dtype) != str(ddf[c].dtype)
+            ]
+            if bad:
+                problems.append("dtype mismatch " + "; ".join(bad))
         if not problems:
             a, b = _canon(sdf), _canon(ddf)
             if a != b:

@@ -537,7 +537,7 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DOC_TOKEN_STATS = r"""
 SELECT lang, count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        CAST(floor(avg(n_tokens) * 10000 + 0.5) AS BIGINT) AS avg_tokens,
        CAST(floor(avg(n_chars) * 10000 + 0.5) AS BIGINT) AS avg_chars
 FROM (
