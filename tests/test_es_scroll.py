@@ -1,0 +1,148 @@
+"""Driver-side ES scroll fetch (reference traceframe.py:331-402 parity).
+
+The fake transport stands in for an ES cluster: it serves spans in pages
+of a fixed size (as a real cluster caps pages at max_result_window),
+independent of the requested ``size``, so the scroll-continuation loop is
+actually exercised.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from traceframe_spark.sources.es import (
+    DEFAULT_LIMIT,
+    SCROLL_KEEPALIVE,
+    _search_body,
+    internal_spans_from_es,
+    traces_from_es,
+)
+
+US = 1_000_000
+T0 = 1_700_000_000 * US
+
+
+def _es_span(tid, sid, parent, start, host, service="svc"):
+    refs = [] if parent is None else [
+        {"refType": "CHILD_OF", "traceID": tid, "spanID": parent}
+    ]
+    return {
+        "traceID": tid,
+        "spanID": sid,
+        "flags": 1,
+        "operationName": "/op",
+        "references": refs,
+        "startTime": start,
+        "duration": 1000,
+        "tags": [{"key": "k", "type": "string", "value": "v"}],
+        "logs": [],
+        "process": {
+            "serviceName": service,
+            "tags": [{"key": "hostname", "type": "string", "value": host}],
+        },
+    }
+
+
+class FakeES:
+    """Pages spans out through the (search, scroll) transport shape."""
+
+    def __init__(self, spans, serve_cap=10_000):
+        self.spans = spans
+        self.serve_cap = serve_cap  # cluster-side page cap
+        self.search_calls = []
+        self.scroll_calls = []
+        self._cursor = 0
+        self._page_size = None
+
+    def _page(self, n):
+        hits = [{"_source": s} for s in self.spans[self._cursor : self._cursor + n]]
+        self._cursor += len(hits)
+        return {"_scroll_id": f"sid-{self._cursor}", "hits": {"hits": hits}}
+
+    def search(self, index, body, scroll):
+        self.search_calls.append((index, body, scroll))
+        self._cursor = 0
+        self._page_size = min(body["size"], self.serve_cap)
+        return self._page(self._page_size)
+
+    def scroll(self, scroll_id, scroll):
+        self.scroll_calls.append((scroll_id, scroll))
+        return self._page(self._page_size)
+
+    @property
+    def transport(self):
+        return self.search, self.scroll
+
+
+def test_scroll_accumulates_pages_until_limit():
+    spans = [_es_span("t", f"s{i}", None, T0 + i, "h") for i in range(35)]
+    fake = FakeES(spans, serve_cap=10)  # cluster pages 10 at a time
+    got = internal_spans_from_es(transport=fake.transport, limit=25)
+    # pages of 10: 10, 20, 30 >= 25 -> stop; final page kept whole (ref
+    # traceframe.py:390-393 appends the page before the limit check).
+    assert len(got) == 30
+    assert [s["spanID"] for s in got] == [f"s{i}" for i in range(30)]
+    # one search + two scroll continuations, 15s keepalive throughout
+    assert len(fake.search_calls) == 1
+    assert len(fake.scroll_calls) == 2
+    index, body, scroll = fake.search_calls[0]
+    assert index == "jaeger-span-*"
+    assert body["size"] == 25  # min(10000, limit)
+    assert scroll == SCROLL_KEEPALIVE
+    assert all(s == SCROLL_KEEPALIVE for _, s in fake.scroll_calls)
+
+
+def test_scroll_stops_on_empty_page():
+    spans = [_es_span("t", f"s{i}", None, T0 + i, "h") for i in range(7)]
+    fake = FakeES(spans, serve_cap=5)
+    got = internal_spans_from_es(transport=fake.transport, limit=2000)
+    assert len(got) == 7  # 5 + 2, then an empty page ends the loop
+    assert len(fake.scroll_calls) == 2  # page 2 (2 spans) + empty page
+
+
+def test_scroll_empty_result():
+    fake = FakeES([])
+    assert internal_spans_from_es(transport=fake.transport) == []
+    assert fake.scroll_calls == []
+
+
+def test_default_limit_and_prefix():
+    fake = FakeES([])
+    internal_spans_from_es(transport=fake.transport, prefix="my-")
+    index, body, _ = fake.search_calls[0]
+    assert index == "my-jaeger-span-*"
+    assert body["size"] == min(10_000, DEFAULT_LIMIT)
+    assert body["query"] == {"match_all": {}}
+
+
+def test_tagexpr_unsupported():
+    fake = FakeES([])
+    with pytest.raises(NotImplementedError):
+        internal_spans_from_es(transport=fake.transport, tagexpr="http.status=500")
+
+
+def test_search_body_filters():
+    body = _search_body("front", "/cart", T0, T0 + US, 500, None, 100)
+    clauses = body["query"]["bool"]["filter"]
+    assert {"match": {"process.serviceName": "front"}} in clauses
+    assert {"match": {"operationName": "/cart"}} in clauses
+    assert {"range": {"startTime": {"gte": T0, "lte": T0 + US}}} in clauses
+    assert {"range": {"duration": {"gte": 500}}} in clauses
+
+
+def test_traces_from_es_end_to_end(spark):
+    spans = [
+        _es_span("t1", "a", None, T0, "host1", service="front"),
+        _es_span("t2", "c", None, T0 + 20, "host1", service="front"),
+        _es_span("t1", "b", "a", T0 + 10, "host2", service="back"),
+    ]
+    fake = FakeES(spans, serve_cap=2)  # force a scroll continuation
+    t = traces_from_es(spark, transport=fake.transport)
+    rows = {r["traceID"]: r for r in t.collect()}
+    assert set(rows) == {"t1", "t2"}
+    assert rows["t1"]["nspans"] == 2
+    assert rows["t1"]["traceName"] == "front: /op"
+    # processes keyed by the hostname process tag (ref traceframe.py:298-301)
+    assert rows["t1"]["processes"]["host2"]["serviceName"] == "back"
+    assert rows["t2"]["nspans"] == 1
+    assert len(fake.scroll_calls) >= 1
