@@ -208,6 +208,18 @@ def raw_traces_from_jaeger(
     )
 
 
+def _tag_value(v: Any) -> str | None:
+    """Render a tag value as its JSON literal ("true", "42", "1.5"), the
+    same text the Spark JSON scan yields for the file path
+    (:func:`traceframe_spark.sources.jaeger_file.read_raw_traces` with
+    TAG_TYPE value:string) — so the identical trace ingested via HTTP or
+    file produces identical ``tags`` maps. Python ``str()`` would differ
+    on booleans ("True" vs "true")."""
+    if v is None or isinstance(v, str):
+        return v
+    return json.dumps(v)
+
+
 def _conform_trace(t: dict) -> dict:
     """Pin the raw dict to RAW_TRACE_SCHEMA field names/shape."""
     return {
@@ -232,7 +244,7 @@ def _conform_trace(t: dict) -> dict:
                     {
                         "key": tg.get("key"),
                         "type": tg.get("type"),
-                        "value": str(tg.get("value")),
+                        "value": _tag_value(tg.get("value")),
                     }
                     for tg in (s.get("tags") or [])
                 ],
@@ -249,7 +261,7 @@ def _conform_trace(t: dict) -> dict:
                     {
                         "key": tg.get("key"),
                         "type": tg.get("type"),
-                        "value": str(tg.get("value")),
+                        "value": _tag_value(tg.get("value")),
                     }
                     for tg in (p.get("tags") or [])
                 ],
