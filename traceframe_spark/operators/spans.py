@@ -76,16 +76,60 @@ def distinct_tag_keys(spans: DataFrame) -> list[str]:
     return sorted(r["key"] for r in rows)
 
 
-def with_tag_columns(spans: DataFrame, keys: Iterable[str] | None = None) -> DataFrame:
+# Jaeger tag ``type`` field → Spark cast target. Tag values travel as
+# JSON literal text in the canonical map; these casts restore the native
+# type the reference's pandas inference produces (traceframe.py:465-467).
+JAEGER_TYPE_CASTS = {
+    "bool": "boolean",
+    "int64": "bigint",
+    "float64": "double",
+}
+
+
+def distinct_tag_types(raw_traces: DataFrame) -> dict[str, str]:
+    """Tag key → Jaeger ``type`` for every tag in the dataset. One small
+    job over the raw trace documents (where the ``type`` field still
+    exists — :func:`spans_table` normalizes tags to ``map<string,string>``).
+    Keys observed with conflicting types degrade to ``string``."""
+    rows = (
+        raw_traces.select(F.explode("spans").alias("span"))
+        .select(F.explode("span.tags").alias("tag"))
+        .groupBy(F.col("tag.key").alias("key"))
+        .agg(F.collect_set("tag.type").alias("types"))
+        .collect()
+    )
+    return {
+        r["key"]: (r["types"][0] if len(r["types"]) == 1 else "string")
+        for r in rows
+    }
+
+
+def with_tag_columns(
+    spans: DataFrame,
+    keys: Iterable[str] | None = None,
+    types: dict[str, str] | None = None,
+) -> DataFrame:
     """Presentation pivot: one top-level column per tag key.
 
     Reproduces the reference's dynamic-width span frame
     (``traceframe.py:465-467``; 71 columns on the test fixture) from the
     canonical MapType form. ``keys=None`` discovers keys with one extra
     job; at scale pass an explicit key list so the plan stays static.
+
+    ``types`` (tag key → Jaeger type, e.g. from :func:`distinct_tag_types`)
+    casts each pivoted column to its native type — bool/bigint/double —
+    matching the reference frame's dtypes instead of all-string. Values
+    that don't parse become null (``try_cast``), mirroring pandas'
+    mixed-type fallback rather than failing the job under ANSI.
     """
     if keys is None:
-        keys = distinct_tag_keys(spans)
+        keys = sorted(types) if types is not None else distinct_tag_keys(spans)
+    types = types or {}
     cols = [F.col(c) for c in SPAN_FIXED_COLUMNS]
-    cols += [F.col("tags")[k].alias(k) for k in keys]
+    for k in keys:
+        col = F.col("tags")[k]
+        cast_to = JAEGER_TYPE_CASTS.get(types.get(k, "string"))
+        if cast_to is not None:
+            col = col.try_cast(cast_to)
+        cols.append(col.alias(k))
     return spans.select(*cols)
