@@ -185,3 +185,67 @@ def test_jaeger_python_datasource(spark):
     spans = spans_table(df)
     assert spans.count() == n
     assert spans.filter(spans.service == "svc").count() == n
+
+
+def test_datasource_degenerate_time_range(spark):
+    """A single-µs [t, t] range is valid for the inclusive Jaeger API:
+    the reader emits one degenerate bucket instead of zero partitions
+    (zero partitions made the engine call read(None) and crash).
+    end < start is rejected at planning time."""
+    import pytest
+
+    from traceframe_spark.sources.jaeger_datasource import JaegerDataSource, JaegerReader
+
+    spark.dataSource.register(JaegerDataSource)
+    base = 1_700_000_000_000_000
+    df = (
+        spark.read.format("jaeger")
+        .option("start", str(base))
+        .option("end", str(base))
+        .option("synthetic_n", "3")
+        .option("synthetic_base_us", str(base))
+        .load()
+    )
+    # the synthetic transport has one trace exactly at `base`
+    assert df.count() == 1
+    with pytest.raises(ValueError, match="end .* must be >= start"):
+        JaegerReader({"start": str(base), "end": str(base - 1), "synthetic_n": "1"})
+
+
+def test_datasource_headers_forwarded(monkeypatch):
+    """Auth headers reach the HTTP fetch from both DataSource readers:
+    JSON 'headers' option plus repeated 'header.X' options, with
+    'header.X' winning on conflict."""
+    from traceframe_spark.sources import jaeger_datasource as mod
+    from traceframe_spark.sources.jaeger_datasource import (
+        JaegerReader,
+        JaegerStreamReader,
+        _headers_from_options,
+    )
+
+    opts = {
+        "headers": '{"Authorization": "Bearer tok", "X-Env": "json"}',
+        "header.X-Env": "flat",
+    }
+    assert _headers_from_options(opts) == {
+        "Authorization": "Bearer tok",
+        "X-Env": "flat",
+    }
+    assert _headers_from_options({}) is None
+
+    seen = []
+
+    def fake_requests_fetch(endpoint, headers):
+        seen.append((endpoint, headers))
+        return lambda params: []
+
+    monkeypatch.setattr(mod, "_requests_fetch", fake_requests_fetch)
+    batch = JaegerReader(
+        {"endpoint": "http://j:16686", "service": "s", "start": "0", "end": "10", **opts}
+    )
+    list(batch.read(mod.TimeBucket(0, 9)))
+    stream = JaegerStreamReader({"endpoint": "http://j:16686", "service": "s", **opts})
+    stream._fetch_and_service()
+    assert len(seen) == 2
+    for _, headers in seen:
+        assert headers == {"Authorization": "Bearer tok", "X-Env": "flat"}

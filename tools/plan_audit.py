@@ -61,12 +61,11 @@ def audit_one(name: str, df) -> list[str]:
             flags.append(f"SOFT:wide-scan({len(cols)} cols)")
 
     # SortMergeJoin against a tiny named dim table that should broadcast.
+    # Only region/nation are unconditionally tiny (5/25 rows at any SF);
+    # supplier/part/customer scale with SF, so an SMJ there can be right.
     if "SortMergeJoin" in plan:
-        for dim in ("region", "nation", "supplier", "part.parquet", "customer"):
-            if re.search(rf"SortMergeJoin[\s\S]{{0,4000}}{dim}", plan) and dim in (
-                "region",
-                "nation",
-            ):
+        for dim in ("region", "nation"):
+            if re.search(rf"SortMergeJoin[\s\S]{{0,4000}}{dim}", plan):
                 flags.append(f"SOFT:smj-on-tiny-dim({dim})")
     return flags
 

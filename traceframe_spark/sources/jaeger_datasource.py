@@ -22,6 +22,9 @@ Options (all strings, per the DataSource API):
 - ``result_cap``  server clip threshold (default 1500)
 - ``synthetic_n`` / ``synthetic_base_us`` / ``synthetic_step_us``
   use the offline synthetic transport instead of HTTP (tests/demos)
+- ``headers``  JSON object of HTTP headers (auth tokens etc.), and/or
+  repeated ``header.X-Foo`` options — forwarded to every fetch, batch
+  and stream
 
 Usage::
 
@@ -54,6 +57,26 @@ from traceframe_spark.sources.jaeger_http import (
     synthetic_fetch_factory,
     time_buckets,
 )
+
+
+def _headers_from_options(options: dict) -> dict[str, str] | None:
+    """HTTP headers from DataSource options: a JSON-encoded ``headers``
+    object and/or repeated ``header.<Name>`` entries (DataSource options
+    are flat strings, so structured values need one of these spellings).
+    ``header.<Name>`` wins on conflict; returns None when neither given
+    so the fetch layer's default applies."""
+    headers: dict[str, str] = {}
+    if "headers" in options:
+        import json
+
+        parsed = json.loads(options["headers"])
+        if not isinstance(parsed, dict):
+            raise ValueError("'headers' option must be a JSON object")
+        headers.update({str(k): str(v) for k, v in parsed.items()})
+    for key, value in options.items():
+        if key.startswith("header."):
+            headers[key[len("header."):]] = value
+    return headers or None
 
 
 def _to_tuple(value, dtype: DataType):
@@ -91,9 +114,14 @@ class JaegerReader(DataSourceReader):
             self.options.get("result_cap", str(JAEGER_MAX_TRACES_RETURNABLE))
         )
         self.synthetic = "synthetic_n" in self.options
+        self.headers = _headers_from_options(self.options)
         if not self.synthetic:
             self._req("endpoint")
             self._req("service")
+        if self.end < self.start:
+            raise ValueError(
+                f"jaeger datasource: end ({self.end}) must be >= start ({self.start})"
+            )
 
     def _req(self, key: str) -> str:
         if key not in self.options:
@@ -101,6 +129,11 @@ class JaegerReader(DataSourceReader):
         return self.options[key]
 
     def partitions(self) -> Sequence[InputPartition]:
+        if self.end == self.start:
+            # single-µs [t, t] query — valid for the inclusive Jaeger API,
+            # but time_buckets() (half-open input range) would yield no
+            # partitions and the engine would call read(None)
+            return [TimeBucket(self.start, self.end)]
         return [TimeBucket(s, e) for s, e in time_buckets(self.start, self.end, self.n_buckets)]
 
     def read(self, partition: TimeBucket) -> Iterator[tuple]:
@@ -114,7 +147,7 @@ class JaegerReader(DataSourceReader):
         else:
             fetch = _requests_fetch(
                 self.options["endpoint"],
-                None,
+                self.headers,
             )
             service = self.options["service"]
         traces = get_traces(
@@ -147,7 +180,7 @@ class JaegerStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, options: dict):
         self.options = dict(options)
-        self.reader = None  # lazily built batch reader for transport reuse
+        self.headers = _headers_from_options(self.options)
         self.horizon_lag_us = int(self.options.get("horizon_lag_us", "5000000"))
         self.synthetic = "synthetic_n" in self.options
         if not self.synthetic:
@@ -165,7 +198,7 @@ class JaegerStreamReader(SimpleDataSourceStreamReader):
             )()
             return fetch, self.options.get("service", "svc")
         return (
-            _requests_fetch(self.options["endpoint"], None),
+            _requests_fetch(self.options["endpoint"], self.headers),
             self.options["service"],
         )
 
