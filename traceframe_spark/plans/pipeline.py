@@ -28,9 +28,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", qint(F.col("jaccard"), 4).alias("jaccard_q"))
 
 
-SQL_NGRAM_JACCARD = """
+def _sql_exact_jaccard(threshold: float, max_id: int) -> str:
+    """DuckDB form of the exact 5-gram Jaccard pair set ≥ ``threshold``
+    over documents with doc_id < ``max_id`` — the shared oracle for the
+    exact inverted-index query AND the verified layer of MinHash-LSH."""
+    return f"""
 WITH docs AS (
-    SELECT doc_id, lower(trim(text)) AS t FROM documents WHERE doc_id < 150
+    SELECT doc_id, lower(trim(text)) AS t FROM documents WHERE doc_id < {max_id}
 ),
 shingled AS (
     SELECT DISTINCT doc_id, sh FROM (
@@ -51,8 +55,28 @@ SELECT id_a, id_b,
 FROM common
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.85
+WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
 """
+
+
+SQL_NGRAM_JACCARD = _sql_exact_jaccard(0.85, 150)
+
+
+def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified layer of MinHash-LSH dedup, oracle-checked: banded
+    candidate generation is xxhash64-dependent, but the OUTPUT (exact
+    Jaccard ≥ 0.9 on surviving candidates) equals the full exact pair
+    set wherever LSH recall is 1 — and at 16 bands of 4 rows the band
+    collision probability at j ≥ 0.85 is 1 - (1 - j^4)^16 > 0.9998, so
+    on this bounded subset the equality is exact (false candidates are
+    removed by the verify step, so precision is always 1). The DuckDB
+    oracle is the same exact pair set the ngram_jaccard query uses."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    pairs = dedup.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.9, bands=16)
+    return pairs.select("id_a", "id_b", qint(F.col("jaccard"), 4).alias("jaccard_q"))
+
+
+SQL_MINHASH_VERIFIED = _sql_exact_jaccard(0.9, 250)
 
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,6 +209,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIPELINE_QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
+    "minhash_verified": q_minhash_verified,
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
     "minhash_pairs": q_minhash_pairs,
@@ -197,6 +222,7 @@ PIPELINE_QUERIES = {
 
 PIPELINE_ORACLE_SQL = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "minhash_verified": SQL_MINHASH_VERIFIED,
     "doc_quality": SQL_DOC_QUALITY,
     "doc_lang_id": SQL_DOC_LANG_ID,
 }
