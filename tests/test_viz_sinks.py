@@ -50,6 +50,69 @@ def test_single_trace_figure_data(spark, jaeger_json_path):
         assert tmin <= c["start"] <= c["end"] <= tmax
 
 
+def test_single_trace_figure_data_golden(spark, jaeger_json_path):
+    """Golden pin of the figure-data dict for the reference's canonical
+    fixture trace b6b80525a332cb6b: every timeline bar, critical-path
+    overlay segment, and call/return edge, value-exact. The critical
+    overlay reproduces the reference's pinned 5-segment path
+    (test_traceframe.py:7-81, crit_path_b6b80525a332cb6b) as
+    (start, end) µs intervals — the render path can't run headless
+    (HoloViews absent) so this is the parity pin for showSingleTrace
+    (traceframe.py:637-721)."""
+    dfT = traces_from_jaeger_file(spark, jaeger_json_path)
+    dfS = spans_from_jaeger_file(spark, jaeger_json_path)
+    trace = trace_with_spans(dfT, dfS, "b6b80525a332cb6b")
+    fig = viz.show_single_trace(trace)
+
+    assert fig["traceID"] == "b6b80525a332cb6b"
+    spans = {(s["service"], s["label"], s["start"], s["end"]) for s in fig["spans"]}
+    assert spans == {
+        ("frontend", "frontend: /cart", 1639415450569000, 1639415450860000),
+        ("cartservice", "cartservice: /GetCart", 1639415450627000, 1639415450789000),
+        (
+            "recommendationservice",
+            "recommendationservice: /GetRecommendations",
+            1639415450631000,
+            1639415450800000,
+        ),
+        (
+            "productcatalogservice",
+            "productcatalogservice: /GetProducts",
+            1639415450752000,
+            1639415450758000,
+        ),
+    }
+    # critical overlay = the reference's 5 pinned segments, in timeline order
+    crit = [(c["service"], c["start"], c["end"]) for c in fig["critical"]]
+    assert crit == [
+        ("frontend", 1639415450569000, 1639415450627000),
+        ("cartservice", 1639415450627000, 1639415450758000),
+        ("cartservice", 1639415450758000, 1639415450789000),
+        ("recommendationservice", 1639415450789000, 1639415450800000),
+        ("frontend", 1639415450800000, 1639415450860000),
+    ]
+    calls = {(c["from_label"], c["to_label"], c["time"]) for c in fig["calls"]}
+    assert calls == {
+        ("frontend: /cart", "cartservice: /GetCart", 1639415450627000),
+        ("frontend: /cart", "recommendationservice: /GetRecommendations", 1639415450631000),
+        (
+            "recommendationservice: /GetRecommendations",
+            "productcatalogservice: /GetProducts",
+            1639415450752000,
+        ),
+    }
+    returns = {(c["from_label"], c["to_label"], c["time"]) for c in fig["returns"]}
+    assert returns == {
+        ("cartservice: /GetCart", "frontend: /cart", 1639415450789000),
+        ("recommendationservice: /GetRecommendations", "frontend: /cart", 1639415450800000),
+        (
+            "productcatalogservice: /GetProducts",
+            "recommendationservice: /GetRecommendations",
+            1639415450758000,
+        ),
+    }
+
+
 def test_span_sink_roundtrip(spark, jaeger_json_path, tmp_path):
     dfS = spans_from_jaeger_file(spark, jaeger_json_path)
     path = str(tmp_path / "spans_pq")
