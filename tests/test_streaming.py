@@ -9,6 +9,8 @@ import time
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from traceframe_spark.streaming import (
     open_trace_assembly,
     read_span_stream,
@@ -126,6 +128,70 @@ def test_stream_to_span_store(spark, feed_dir, tmp_path):
     import os
     dirs = os.listdir(tmp_path / "store")
     assert any(d.startswith("span_date=") for d in dirs)
+
+
+def test_jaeger_stream_to_assembly_and_store_end_to_end(spark, tmp_path):
+    """The lambda-free loop the module docstrings promise, in one wire:
+    spark.readStream.format('jaeger') (synthetic transport) → spans_table
+    → (a) stateful open_trace_assembly and (b) stream_to_span_store, with
+    the landed store readable by the batch API mid-flight."""
+    from traceframe_spark import sinks
+    from traceframe_spark.operators.spans import spans_table
+    from traceframe_spark.sources.jaeger_datasource import JaegerDataSource
+    from traceframe_spark.streaming import stream_to_span_store
+
+    spark.dataSource.register(JaegerDataSource)
+    base = 1_700_000_000_000_000
+    n, step = 12, 5_000_000  # readable window below covers 7 of the 12
+    raw = (
+        spark.readStream.format("jaeger")
+        .option("stream_start_us", str(base))
+        .option("synthetic_now_us", str(base + 45 * 1_000_000))
+        .option("horizon_lag_us", str(10 * 1_000_000))
+        .option("synthetic_n", str(n))
+        .option("synthetic_base_us", str(base))
+        .option("synthetic_step_us", str(step))
+        .load()
+    )
+    spans = spans_table(raw)  # the same operator batch ingest uses
+
+    store = str(tmp_path / "e2e_store")
+    q_store = stream_to_span_store(
+        spans, store, str(tmp_path / "ck_store"), trigger_available_now=True
+    )
+    assembled = open_trace_assembly(spans)
+    q_asm = (
+        assembled.writeStream.format("memory")
+        .queryName("e2e_traces")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_asm"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q_store.awaitTermination(120)
+        # batch API reads the store the stream landed: window [base,
+        # base+35s) covers trace offsets 0..30s -> 7 single-span traces
+        back = sinks.read_spans(spark, store)
+        assert back.count() == 7
+        assert back.filter(F.col("service") == "svc").count() == 7
+
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM e2e_traces").collect()
+            if len(rows) >= 7:
+                break
+            time.sleep(2)
+    finally:
+        q_asm.stop()
+    by_tid = {r["traceID"]: r for r in rows}
+    assert len(by_tid) == 7
+    for r in by_tid.values():
+        assert r["nspans"] == 1
+        assert r["is_complete"] == 1
+        assert r["root_operation"] == "/op"
+        assert r["duration_us"] == 1000
 
 
 def test_jaeger_stream_reader(spark, tmp_path):

@@ -213,11 +213,15 @@ class JaegerStreamReader(SimpleDataSourceStreamReader):
         start = int(self.options.get("stream_start_us", self._now_us()))
         return {"start_us": start}
 
-    def read(self, start: dict) -> tuple[list[tuple], dict]:
+    def read(self, start: dict) -> tuple:
         lo = int(start["start_us"])
         hi = max(self._now_us() - self.horizon_lag_us, lo)
         if hi <= lo:
-            return [], {"start_us": lo}
+            # idle poll: offset does not advance. The engine's prefetch
+            # wrapper probes this case with next(), so it must be an
+            # ITERATOR; the data branch below stays a list (it is only
+            # copied/chained) because a generator can't pickle.
+            return iter(()), {"start_us": lo}
         return self._read_range(lo, hi), {"start_us": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
