@@ -43,10 +43,13 @@ HEADLINE = [
     "doc_stopword_ratio",
     "ann_cosine_topk",
     "minhash_pairs",
+    "simhash_pairs",
+    "ann_ivf_topk",
     "sessionize",
     "percentiles",
     "asof_join",
     "range_join",
+    "time_rollup",
     "count_distinct",
 ]
 
@@ -89,6 +92,22 @@ def bench_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return critical_path_segments(synthetic_spans(spark, sf_dir))
 
 
+def bench_search_traces(spark: SparkSession, store_path: str) -> DataFrame:
+    """Jaeger-UI search over the partitioned span STORE (not an in-memory
+    frame): predicates must push into the parquet scan, and everything
+    after the scan follows the match set, not the store size."""
+    from traceframe_spark import sinks
+    from traceframe_spark.operators.search import search_traces
+
+    return search_traces(
+        sinks.read_spans(spark, store_path),
+        service="frontend",
+        operation="root-op",
+        min_duration_us=800_000,
+        limit=100,
+    )
+
+
 def run_one(df: DataFrame, repeats: int = 2) -> float:
     """Best-of-N execution time through the noop sink: the min measures
     the plan; single-shot numbers at these sizes are dominated by
@@ -118,6 +137,19 @@ def main() -> None:
     for name in HEADLINE:
         timings[name] = round(run_one(QUERIES[name](spark, sf_dir)), 3)
     timings["critical_path"] = round(run_one(bench_critical_path(spark, sf_dir)), 3)
+
+    # search runs against a landed span store; the write is setup, not timed
+    import shutil
+    import tempfile
+
+    from traceframe_spark import sinks
+
+    store = tempfile.mkdtemp(prefix="bench_span_store_")
+    try:
+        sinks.write_spans(synthetic_spans(spark, sf_dir), store, mode="overwrite")
+        timings["search_traces"] = round(run_one(bench_search_traces(spark, store)), 3)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(
