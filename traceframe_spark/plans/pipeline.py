@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from traceframe_spark.operators import dedup, multimodal, similarity, text
-from traceframe_spark.plans.catalog import load_table, qint
+from traceframe_spark.plans.catalog import SQL_ANN_COSINE_TOPK, load_table, qint
 
 
 # --------------------------------------------------------- oracle-backed
@@ -156,6 +156,28 @@ FROM scores
 # (engine-hash-dependent; pinned by pytest fixtures, driver records rows)
 
 
+def q_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with nprobe = n_centroids (probe every inverted list):
+    candidate generation degenerates to the full corpus, so the result
+    must EQUAL brute force — which pins the hash-free parts of the IVF
+    machinery (centroid assignment, list routing, re-rank, tie-breaks)
+    against the same DuckDB brute-force oracle ann_cosine_topk uses.
+    The pruned variant (ann_ivf_topk) stays rows-only + recall-tested."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(
+        e, q, "vec_id", "embedding", k=5, n_centroids=8, nprobe=8
+    )
+
+
+SQL_EMBED_NEAR_DUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(floor(list_cosine_similarity(a.embedding, b.embedding) * 10000 + 0.5) AS BIGINT) AS cosine_q
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+"""
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.9)
@@ -175,12 +197,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (LSH buckets + exact cosine
-    ≥ 0.95). Rows-only like the other hash-bucketed ops; the exact-cosine
-    verification step means every reported pair is a true near-dup, and
-    recall is pinned against an injected duplicate in tests. On the
-    synthetic corpus the correct answer is EMPTY (max off-diagonal
-    cosine ≈ 0.51 at sf0.01) — the query proves the no-false-positives
-    side here; the injected-dup test proves recall."""
+    ≥ 0.95), oracle-backed against DuckDB's exact all-pairs cosine: on
+    the synthetic corpus the correct answer is EMPTY (max off-diagonal
+    cosine ≈ 0.51 at sf0.01), and the oracle independently proves that
+    empty is CORRECT — if the corpus held a ≥0.95 pair the LSH buckets
+    missed, the oracle would fail the query. Recall on data that does
+    contain near-dups is pinned by the injected-duplicate test."""
     e = load_table(spark, sf_dir, "embeddings")
     pairs = similarity.embedding_near_dup_pairs(
         e, "vec_id", "embedding", threshold=0.95, dim=64
@@ -216,6 +238,7 @@ PIPELINE_QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
     "embed_near_dup": q_embed_near_dup,
     "media_features": q_media_features,
 }
@@ -223,6 +246,8 @@ PIPELINE_QUERIES = {
 PIPELINE_ORACLE_SQL = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_verified": SQL_MINHASH_VERIFIED,
+    "ann_ivf_exhaustive": SQL_ANN_COSINE_TOPK,
+    "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "doc_quality": SQL_DOC_QUALITY,
     "doc_lang_id": SQL_DOC_LANG_ID,
 }
