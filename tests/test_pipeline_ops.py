@@ -276,3 +276,63 @@ def test_column_profile_one_pass(spark, docs):
     )
     prof2 = {(r["column"], r["metric"]): r["value"] for r in column_profile(with_null).collect()}
     assert prof2[("text", "n_null")] == 1.0
+
+
+# ------------------------------------------------- curation (repetition/PII/packing)
+
+
+def test_repetition_ratio(spark):
+    rows = [
+        (1, "spam spam spam spam spam"),          # 4 bigrams, 1 distinct
+        (2, "all words here are unique tokens"),  # no repeated bigram
+        (3, "one"),                               # single token -> 0.0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["rep"]
+        for r in df.select(
+            "doc_id", text.repetition_ratio(F.col("text"), 2).alias("rep")
+        ).collect()
+    }
+    assert got[1] == pytest.approx(0.75)
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+
+
+def test_pii_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user+tag@sub.example.org or 192.168.0.1 call +4915512345678 now"),
+            (2, "no pii in this text at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = df.select(
+        "doc_id",
+        text.pii_counts(F.col("text")).alias("c"),
+        text.redact_pii(F.col("text")).alias("red"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["c"]["email"] == 1
+    assert by_id[1]["c"]["ipv4"] == 1
+    assert by_id[1]["c"]["phone"] == 1
+    assert by_id[1]["red"] == "mail [EMAIL] or [IPV4] call [PHONE] now"
+    assert by_id[2]["c"]["email"] == by_id[2]["c"]["ipv4"] == by_id[2]["c"]["phone"] == 0
+    assert by_id[2]["red"] == "no pii in this text at all"
+
+
+def test_pack_sequences_boundaries(spark):
+    # 3+4+5+6 tokens at budget 8: prefix sums 0,3,7,12 -> seqs 0,0,0,1
+    rows = [
+        (1, "a b c"),
+        (2, "a b c d"),
+        (3, "a b c d e"),
+        (4, "a b c d e f"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.pack_sequences(df, budget=8).collect()}
+    assert [out[i]["prefix_tokens"] for i in (1, 2, 3, 4)] == [0, 3, 7, 12]
+    assert [out[i]["seq_id"] for i in (1, 2, 3, 4)] == [0, 0, 0, 1]
+    assert [out[i]["offset_in_seq"] for i in (1, 2, 3, 4)] == [0, 3, 7, 4]
+    # every sequence starts where the previous doc's tokens left off
+    assert all(out[i]["n_tokens"] == len(rows[i - 1][1].split()) for i in (1, 2, 3, 4))

@@ -126,6 +126,87 @@ def rolling_fingerprint(col: Column, window: int = 8) -> Column:
     return F.array_min(grams)
 
 
+# PII patterns kept to syntax shared by Java regex (Spark) and RE2
+# (DuckDB) so the engine result is oracle-checkable: no backrefs, no
+# lookaround, no \b differences in char classes.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{7,15}\b",
+}
+
+
+def repetition_ratio(col: Column, n: int = 2) -> Column:
+    """Share of repeated word ``n``-grams: 1 - distinct/total. The
+    standard boilerplate/looping-generation signal — high values mean
+    the document repeats itself. Zero-shuffle JVM expression."""
+    toks = tokens(col)
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1), lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(grams).cast(
+        "double"
+    )
+
+
+def pii_counts(col: Column) -> Column:
+    """Struct of per-kind PII match counts (email / ipv4 / phone)."""
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).cast("long").alias(kind)
+            for kind, pat in PII_PATTERNS.items()
+        ]
+    )
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with ``[<KIND>]`` — the curation-pipeline
+    scrub step. Chained regexp_replace, zero-shuffle."""
+    out = col
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences.
+
+    Deterministic sequential packing: documents ordered by ``id_col``
+    fill sequence ``seq_id = floor(prefix_tokens / budget)`` where
+    ``prefix_tokens`` counts all tokens of PRECEDING documents — the
+    contiguous-fill layout a dataloader consumes (documents may straddle
+    a boundary; the trainer's sampler splits there). Output adds
+    (n_tokens, prefix_tokens, seq_id, offset_in_seq).
+
+    One global window over ``id_col`` ordering. At 100 TB, run per
+    partition-key (e.g. per shard/date) so the window never needs a
+    single global sort: pack_sequences(df.repartitionByRange(...)) or a
+    two-level pack (pack within shard, offset by per-shard totals).
+    """
+    from pyspark.sql.window import Window
+
+    n_tok = token_count(F.col(text_col))
+    w = Window.orderBy(F.col(id_col)).rowsBetween(Window.unboundedPreceding, -1)
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return (
+        df.select(F.col(id_col), n_tok.alias("n_tokens"))
+        .withColumn("prefix_tokens", prefix)
+        .select(
+            id_col,
+            "n_tokens",
+            "prefix_tokens",
+            F.floor(F.col("prefix_tokens") / budget).cast("long").alias("seq_id"),
+            (F.col("prefix_tokens") % budget).cast("long").alias("offset_in_seq"),
+        )
+    )
+
+
 def document_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One-pass per-document profile: language guess, quality signals +
     score, token counts, fingerprints."""

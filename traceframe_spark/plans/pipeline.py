@@ -156,6 +156,105 @@ FROM scores
 # (engine-hash-dependent; pinned by pytest fixtures, driver records rows)
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated word-bigram ratio per document — the boilerplate /
+    degenerate-generation signal curation pipelines threshold on."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", qint(text.repetition_ratio(F.col("text"), 2), 4).alias("rep_q")
+    )
+
+
+SQL_DOC_REPETITION = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           array_to_string(list_slice(t, CAST(g AS INT), CAST(g AS INT) + 1), ' ') AS gram
+    FROM (SELECT doc_id, t,
+                 unnest(range(1, greatest(len(t) - 1, 1) + 1)) AS g
+          FROM toks)
+)
+SELECT doc_id,
+       CAST(floor((1.0 - count(DISTINCT gram)::DOUBLE / count(*)::DOUBLE) * 10000 + 0.5) AS BIGINT) AS rep_q
+FROM grams GROUP BY doc_id
+"""
+
+
+def q_doc_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction, oracle-checked end to end. The corpus
+    is synthetic and PII-free, so the query plants deterministic PII
+    derived from doc_id (same expression in the DuckDB oracle) — the
+    counts and the redacted string must then agree exactly, pinning
+    both the patterns and the replace semantics across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" tel +15550123456")).otherwise(F.lit("")),
+    )
+    c = text.pii_counts(planted)
+    return d.select(
+        "doc_id",
+        c["email"].alias("n_email"),
+        c["ipv4"].alias("n_ipv4"),
+        c["phone"].alias("n_phone"),
+        text.redact_pii(planted).alias("redacted"),
+    )
+
+
+SQL_DOC_PII = r"""
+WITH planted AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.0.'
+                || CAST(doc_id % 256 AS VARCHAR)
+                || (CASE WHEN doc_id % 3 = 0 THEN ' tel +15550123456' ELSE '' END) AS t
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t, '\+\d{7,15}\b')) AS BIGINT) AS n_phone,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g'),
+           '\+\d{7,15}\b', '[PHONE]', 'g') AS redacted
+FROM planted
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing for training dataloaders: docs in
+    doc_id order fill 512-token sequences by prefix-sum assignment."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.pack_sequences(d, "doc_id", "text", budget=512)
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+p AS (
+    SELECT doc_id, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS prefix_tokens
+    FROM t
+)
+SELECT doc_id, n_tokens, prefix_tokens,
+       CAST(prefix_tokens // 512 AS BIGINT) AS seq_id,
+       CAST(prefix_tokens % 512 AS BIGINT) AS offset_in_seq
+FROM p
+"""
+
+
 def q_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with nprobe = n_centroids (probe every inverted list):
     candidate generation degenerates to the full corpus, so the result
@@ -234,6 +333,9 @@ PIPELINE_QUERIES = {
     "minhash_verified": q_minhash_verified,
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
+    "doc_repetition": q_doc_repetition,
+    "doc_pii": q_doc_pii,
+    "pack_sequences": q_pack_sequences,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -248,6 +350,9 @@ PIPELINE_ORACLE_SQL = {
     "minhash_verified": SQL_MINHASH_VERIFIED,
     "ann_ivf_exhaustive": SQL_ANN_COSINE_TOPK,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
+    "doc_repetition": SQL_DOC_REPETITION,
+    "doc_pii": SQL_DOC_PII,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "doc_quality": SQL_DOC_QUALITY,
     "doc_lang_id": SQL_DOC_LANG_ID,
 }
