@@ -336,3 +336,31 @@ def test_pack_sequences_boundaries(spark):
     assert [out[i]["offset_in_seq"] for i in (1, 2, 3, 4)] == [0, 3, 7, 4]
     # every sequence starts where the previous doc's tokens left off
     assert all(out[i]["n_tokens"] == len(rows[i - 1][1].split()) for i in (1, 2, 3, 4))
+
+
+def test_write_training_shards(spark, docs, tmp_path):
+    from traceframe_spark import sinks
+
+    p1, p2, p3 = (str(tmp_path / d) for d in ("s1", "s2", "s3"))
+    sinks.write_training_shards(docs, p1, n_shards=8, shuffle_key="doc_id", seed=0)
+    import glob
+    files = sorted(glob.glob(f"{p1}/part-*.parquet"))
+    assert len(files) == 8  # exactly n_shards similar-sized files
+    back = spark.read.parquet(p1)
+    assert back.count() == 500
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == set(range(500))
+    # shards are balanced-ish (hash assignment): no shard > 3x the mean
+    sizes = [spark.read.parquet(f).count() for f in files]
+    assert max(sizes) <= 3 * (500 / 8)
+
+    # determinism: same seed -> identical per-shard contents
+    sinks.write_training_shards(docs, p2, n_shards=8, shuffle_key="doc_id", seed=0)
+    for f1, f2 in zip(files, sorted(glob.glob(f"{p2}/part-*.parquet"))):
+        a = [r["doc_id"] for r in spark.read.parquet(f1).collect()]
+        b = [r["doc_id"] for r in spark.read.parquet(f2).collect()]
+        assert a == b
+    # a different seed reshuffles
+    sinks.write_training_shards(docs, p3, n_shards=8, shuffle_key="doc_id", seed=1)
+    a = [r["doc_id"] for r in spark.read.parquet(files[0]).collect()]
+    b = [r["doc_id"] for r in spark.read.parquet(sorted(glob.glob(f"{p3}/part-*.parquet"))[0]).collect()]
+    assert a != b

@@ -67,6 +67,41 @@ def write_json(df: DataFrame, path: str, mode: str = "error") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    shuffle_key: str,
+    seed: int = 0,
+    mode: str = "error",
+    compression: str = "zstd",
+) -> None:
+    """Export a curated corpus as globally shuffled training shards.
+
+    The dataloader contract: (1) rows land in a pseudorandom but
+    DETERMINISTIC order (xxhash64 of the key, salted by ``seed`` — same
+    corpus + seed → byte-identical shard assignment, no RNG state), and
+    (2) exactly ``n_shards`` similar-sized files, so a trainer maps
+    shards to workers without a manifest. Re-shuffling between epochs =
+    re-export with a different seed, or shuffle shard order + in-shard
+    buffer on the loader side.
+
+    One full shuffle (repartition on the hash), sorted within each shard
+    so readers stream in hash order. At 100 TB pick n_shards so each
+    shard is 100 MB - 1 GB.
+    """
+    h = F.xxhash64(F.col(shuffle_key), F.lit(seed))
+    (
+        df.withColumn("_h", h)
+        .repartition(n_shards, F.col("_h"))
+        .sortWithinPartitions("_h")
+        .drop("_h")
+        .write.mode(mode)
+        .option("compression", compression)
+        .parquet(path)
+    )
+
+
 def write_spans_bucketed(
     spans: DataFrame,
     table: str,
