@@ -23,7 +23,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def search_traces(
@@ -56,24 +55,29 @@ def search_traces(
     hit_spans = spans.join(matching_ids, "traceID")  # only matching traces
 
     # one row per trace: deterministic root (parent-less first, then
-    # earliest start, then spanID) + span count, in a single window pass
-    w = Window.partitionBy("traceID").orderBy(
-        F.when(F.col("parent") == "", 0).otherwise(1),
-        F.col("startTime"),
-        F.col("spanID"),
+    # earliest start, then spanID) + span count, as a min_by aggregation
+    # — map-side partial aggregation, no per-trace sort (a window
+    # row_number form computes the same thing but shuffles and sorts
+    # every matching span row)
+    root_order = F.struct(
+        F.when(F.col("parent") == "", 0).otherwise(1).alias("k_child"),
+        F.col("startTime").alias("k_start"),
+        F.col("spanID").alias("k_span"),
+    )
+    root = F.min_by(
+        F.struct("service", "operationName", "startTime", "duration"), root_order
     )
     summary = (
-        hit_spans.select(
+        hit_spans.groupBy("traceID")
+        .agg(root.alias("_root"), F.count("*").alias("n_spans"))
+        .select(
             "traceID",
-            F.col("service").alias("root_service"),
-            F.col("operationName").alias("root_operation"),
-            F.col("startTime").alias("start_us"),
-            F.col("duration").alias("duration_us"),
-            F.row_number().over(w).alias("_rn"),
-            F.count("*").over(Window.partitionBy("traceID")).alias("n_spans"),
+            F.col("_root.service").alias("root_service"),
+            F.col("_root.operationName").alias("root_operation"),
+            F.col("_root.startTime").alias("start_us"),
+            F.col("_root.duration").alias("duration_us"),
+            "n_spans",
         )
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
     )
     if min_duration_us is not None:
         summary = summary.filter(F.col("duration_us") >= min_duration_us)
