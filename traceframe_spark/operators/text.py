@@ -174,6 +174,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     budget: int = 512,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget training sequences.
 
@@ -184,26 +185,50 @@ def pack_sequences(
     a boundary; the trainer's sampler splits there). Output adds
     (n_tokens, prefix_tokens, seq_id, offset_in_seq).
 
-    One global window over ``id_col`` ordering. At 100 TB, run per
-    partition-key (e.g. per shard/date) so the window never needs a
-    single global sort: pack_sequences(df.repartitionByRange(...)) or a
-    two-level pack (pack within shard, offset by per-shard totals).
+    The global prefix sum runs as a distributed scan, never a
+    single-partition window: range-partition by ``id_col``, cumsum
+    within each partition (parallel windows), then add each partition's
+    cascaded base offset (one tiny per-partition-totals aggregate,
+    collected and broadcast — O(partitions) driver data at any corpus
+    size). Output is identical to the naive global-window form.
     """
     from pyspark.sql.window import Window
 
-    n_tok = token_count(F.col(text_col))
-    w = Window.orderBy(F.col(id_col)).rowsBetween(Window.unboundedPreceding, -1)
-    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
-    return (
-        df.select(F.col(id_col), n_tok.alias("n_tokens"))
-        .withColumn("prefix_tokens", prefix)
-        .select(
-            id_col,
-            "n_tokens",
-            "prefix_tokens",
-            F.floor(F.col("prefix_tokens") / budget).cast("long").alias("seq_id"),
-            (F.col("prefix_tokens") % budget).cast("long").alias("offset_in_seq"),
-        )
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.repartitionByRange(partitions, F.col(id_col))
+        .select(F.col(id_col), token_count(F.col(text_col)).alias("n_tokens"))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # parallel within-partition cumsum (window is partitioned by _pid)
+    w = Window.partitionBy("_pid").orderBy(F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = toks.withColumn(
+        "_local_prefix", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    # cascaded base offset per partition: tiny driver-side scan
+    totals = (
+        local.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).orderBy("_pid").collect()
+    )
+    bases, acc = {}, 0
+    for r in totals:
+        bases[r["_pid"]] = acc
+        acc += r["t"]
+    base = F.coalesce(
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in bases.items() for x in kv]), F.col("_pid")
+        ),
+        F.lit(0),
+    ).cast("long")
+    prefix = (F.col("_local_prefix") + base).alias("prefix_tokens")
+    return local.select(
+        id_col,
+        "n_tokens",
+        prefix,
+        F.floor((F.col("_local_prefix") + base) / budget).cast("long").alias("seq_id"),
+        ((F.col("_local_prefix") + base) % budget).cast("long").alias("offset_in_seq"),
     )
 
 

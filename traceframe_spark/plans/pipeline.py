@@ -265,7 +265,8 @@ def q_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk(
-        e, q, "vec_id", "embedding", k=5, n_centroids=8, nprobe=8
+        e, q, "vec_id", "embedding", k=5, n_centroids=8, nprobe=8,
+        centroids=_ivf_centroids(spark, sf_dir, 8),
     )
 
 
@@ -294,6 +295,23 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hyperplane_lsh_topk(e, q, "vec_id", "embedding", k=5, dim=64)
 
 
+# Training is deterministic per (table, params), so the IVF queries share
+# one driver-side k-means run per process instead of re-training on
+# every query build (the pruned and exhaustive variants use the same
+# index; a real deployment persists the centroids next to the table).
+_IVF_CENTROIDS: dict[tuple, list] = {}
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str, n_centroids: int) -> list:
+    key = (sf_dir, n_centroids)
+    if key not in _IVF_CENTROIDS:
+        e = load_table(spark, sf_dir, "embeddings")
+        _IVF_CENTROIDS[key] = similarity.train_ivf_centroids(
+            e, "vec_id", "embedding", n_centroids=n_centroids
+        )
+    return _IVF_CENTROIDS[key]
+
+
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (LSH buckets + exact cosine
     ≥ 0.95), oracle-backed against DuckDB's exact all-pairs cosine: on
@@ -312,7 +330,10 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    return similarity.ivf_topk(e, q, "vec_id", "embedding", k=5, n_centroids=8, nprobe=4)
+    return similarity.ivf_topk(
+        e, q, "vec_id", "embedding", k=5, n_centroids=8, nprobe=4,
+        centroids=_ivf_centroids(spark, sf_dir, 8),
+    )
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
