@@ -244,3 +244,38 @@ def test_http_and_file_ingest_agree_on_tag_values(spark, tmp_path):
     ptags_http = via_http.select("processes").first()["processes"]["p1"]["tags"]
     ptags_file = via_file.select("processes").first()["processes"]["p1"]["tags"]
     assert ptags_http == ptags_file
+
+
+class _FakeResp:
+    def __init__(self, status_code, payload):
+        self.status_code = status_code
+        self._payload = payload
+        self.text = str(payload)
+
+    def json(self):
+        return self._payload
+
+
+def test_known_services_injectable_get():
+    from traceframe_spark.sources.jaeger_http import known_services
+
+    calls = []
+
+    def get(url, headers=None, timeout=None):
+        calls.append((url, headers))
+        return _FakeResp(200, {"data": ["frontend", "backend"]})
+
+    got = known_services("http://j:16686", headers={"X-Auth": "t"}, get=get)
+    assert got == ["frontend", "backend"]
+    assert calls == [("http://j:16686/api/services", {"X-Auth": "t"})]
+
+
+def test_known_services_null_data_and_error():
+    import pytest
+
+    from traceframe_spark.sources.jaeger_http import known_services
+
+    # Jaeger's no-services answer is data: null -> normalized to []
+    assert known_services("http://j", get=lambda *a, **k: _FakeResp(200, {"data": None})) == []
+    with pytest.raises(RuntimeError, match="status 503"):
+        known_services("http://j", get=lambda *a, **k: _FakeResp(503, {}))

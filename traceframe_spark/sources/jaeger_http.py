@@ -68,16 +68,28 @@ def _requests_fetch(endpoint: str, headers: dict[str, str] | None) -> Fetch:
     return fetch
 
 
-def known_services(endpoint: str, headers: dict[str, str] | None = None) -> list[str]:
-    """Service names from ``/api/services`` (reference traceframe.py:26-50)."""
-    import requests
+def known_services(
+    endpoint: str,
+    headers: dict[str, str] | None = None,
+    get=None,
+) -> list[str]:
+    """Service names from ``/api/services`` (reference traceframe.py:26-50).
 
-    resp = requests.get(
+    ``get`` is an injectable ``requests.get``-shaped callable (tests /
+    pooled sessions). Jaeger answers ``{"data": null}`` when no services
+    exist — normalized to ``[]`` here (the reference crashes on it,
+    ``len(None)`` at traceframe.py:48).
+    """
+    if get is None:
+        import requests
+
+        get = requests.get
+    resp = get(
         f"{endpoint}/api/services", headers=headers or {}, timeout=HTTP_TIMEOUT_SERVICES
     )
     if resp.status_code != 200:
         raise RuntimeError(f"/api/services status {resp.status_code}")
-    return resp.json()["data"]
+    return resp.json()["data"] or []
 
 
 def time_buckets(start: int, end: int, n_buckets: int) -> list[tuple[int, int]]:
