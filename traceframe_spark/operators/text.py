@@ -186,39 +186,48 @@ def pack_sequences(
     (n_tokens, prefix_tokens, seq_id, offset_in_seq).
 
     The global prefix sum runs as a distributed scan, never a
-    single-partition window: range-partition by ``id_col``, cumsum
-    within each partition (parallel windows), then add each partition's
-    cascaded base offset (one tiny per-partition-totals aggregate,
-    collected and broadcast — O(partitions) driver data at any corpus
-    size). Output is identical to the naive global-window form.
+    single-partition window: rows bucket by DETERMINISTIC quantile
+    boundaries of ``id_col`` (computed once, Greenwald-Khanna — no
+    sampling), cumsum within each bucket in parallel windows, then add
+    the bucket's cascaded base offset from one tiny per-bucket-totals
+    aggregate (O(partitions) driver data at any corpus size). The bucket
+    must be a pure function of the row — a ``spark_partition_id()``
+    after ``repartitionByRange`` is NOT stable across the totals job and
+    the main query (range boundaries are sampled per evaluation) and
+    silently mis-offsets rows. Output is identical to a naive
+    global-window form. ``id_col`` must be numeric and unique.
     """
     from pyspark.sql.window import Window
 
     if partitions is None:
         partitions = df.sparkSession.sparkContext.defaultParallelism
-    toks = (
-        df.repartitionByRange(partitions, F.col(id_col))
-        .select(F.col(id_col), token_count(F.col(text_col)).alias("n_tokens"))
-        .withColumn("_pid", F.spark_partition_id())
+    toks = df.select(F.col(id_col), token_count(F.col(text_col)).alias("n_tokens"))
+    qs = [i / partitions for i in range(1, partitions)]
+    bounds = sorted(set(df.stat.approxQuantile(id_col, qs, 0.001))) if qs else []
+    # bucket = number of boundaries <= id: pure expression of the row
+    bucket = F.aggregate(
+        F.array(*[F.lit(b) for b in bounds]),
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col(id_col).cast("double") > b, 1).otherwise(0),
     )
-    # parallel within-partition cumsum (window is partitioned by _pid)
-    w = Window.partitionBy("_pid").orderBy(F.col(id_col)).rowsBetween(
+    keyed = toks.withColumn("_bkt", bucket)
+    w = Window.partitionBy("_bkt").orderBy(F.col(id_col)).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    local = toks.withColumn(
+    local = keyed.withColumn(
         "_local_prefix", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
     )
-    # cascaded base offset per partition: tiny driver-side scan
+    # cascaded base offset per bucket: tiny driver-side scan
     totals = (
-        local.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).orderBy("_pid").collect()
+        keyed.groupBy("_bkt").agg(F.sum("n_tokens").alias("t")).orderBy("_bkt").collect()
     )
     bases, acc = {}, 0
     for r in totals:
-        bases[r["_pid"]] = acc
+        bases[r["_bkt"]] = acc
         acc += r["t"]
     base = F.coalesce(
         F.element_at(
-            F.create_map(*[F.lit(x) for kv in bases.items() for x in kv]), F.col("_pid")
+            F.create_map(*[F.lit(x) for kv in bases.items() for x in kv]), F.col("_bkt")
         ),
         F.lit(0),
     ).cast("long")
