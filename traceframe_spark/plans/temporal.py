@@ -411,6 +411,78 @@ WHERE rn <= 20
 """
 
 
+def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event_type: events whose value sits
+    ≥ 3 sample standard deviations from their type's mean. The
+    trace-analytics use is identical (latency anomalies per operation);
+    here it runs on the oracle-checkable events table. One windowed
+    aggregation — no self-join of the stats back onto the rows."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return (
+        e.select("event_id", "event_type", "value", qint(z, 4).alias("z_q"))
+        .filter((F.col("z_q") >= 30000) | (F.col("z_q") <= -30000))
+    )
+
+
+SQL_VALUE_ANOMALIES = """
+SELECT event_id, event_type, value,
+       CAST(floor((value - avg(value) OVER w) / stddev_samp(value) OVER w * 10000 + 0.5) AS BIGINT) AS z_q
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+QUALIFY z_q >= 30000 OR z_q <= -30000
+"""
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width latency-style histogram: per event_type, bucket the
+    value column at width 5 and count + sum per bucket. The aggregation
+    is fully map-side-combinable (bucket count is bounded)."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 5.0).cast("long")
+    return (
+        e.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"), qint(F.sum("value"), 2).alias("sum_q"))
+    )
+
+
+SQL_VALUE_HISTOGRAM = """
+SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+       count(*) AS n,
+       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_q
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON access: extract props.k (a JSON text column)
+    per event and aggregate per event_type — the engine-side pattern for
+    property bags that aren't worth a typed column."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 TEMPORAL_QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -421,6 +493,9 @@ TEMPORAL_QUERIES = {
     "time_rollup": q_time_rollup,
     "pivot_events": q_pivot_events,
     "stratified_sample": q_stratified_sample,
+    "value_anomalies": q_value_anomalies,
+    "value_histogram": q_value_histogram,
+    "json_props": q_json_props,
 }
 
 TEMPORAL_ORACLE_SQL = {
@@ -433,4 +508,7 @@ TEMPORAL_ORACLE_SQL = {
     "time_rollup": SQL_TIME_ROLLUP,
     "pivot_events": SQL_PIVOT_EVENTS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "value_anomalies": SQL_VALUE_ANOMALIES,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
+    "json_props": SQL_JSON_PROPS,
 }
