@@ -146,3 +146,36 @@ def test_traces_from_es_end_to_end(spark):
     assert rows["t1"]["processes"]["host2"]["serviceName"] == "back"
     assert rows["t2"]["nspans"] == 1
     assert len(fake.scroll_calls) >= 1
+
+
+def test_spans_from_es_scroll_flat_table(spark):
+    """The working form of the reference's UNIMPLEMENTED spans_from_es
+    (traceframe.py:320-327): scroll -> canonical 12-col span table in one
+    projection, agreeing with the regroup->spans_table route."""
+    from traceframe_spark.operators.spans import SPAN_FIXED_COLUMNS, spans_table
+    from traceframe_spark.sources.es import regroup_spans_to_traces, spans_from_es_scroll
+
+    spans = [
+        _es_span("t1", "r1", None, T0, "hostA", service="frontend"),
+        _es_span("t1", "c1", "r1", T0 + 10, "hostB", service="backend"),
+        _es_span("t2", "r2", None, T0 + 50, "hostA", service="frontend"),
+    ]
+    fake = FakeES(spans)
+    flat = spans_from_es_scroll(spark, transport=fake.transport)
+    assert flat.columns == SPAN_FIXED_COLUMNS + ["tags"]
+    rows = {r["spanID"]: r for r in flat.collect()}
+    assert set(rows) == {"r1", "c1", "r2"}
+    assert rows["c1"]["parent"] == "r1" and rows["r1"]["parent"] == ""
+    assert rows["c1"]["service"] == "backend"
+    assert rows["c1"]["processID"] == "hostB"  # hostname-synthesized id
+    assert rows["r1"]["tags"] == {"k": "v"}
+
+    # agrees with the regroup route (modulo row order)
+    import pyspark.sql.functions as F
+    from traceframe_spark.sources.es import ES_SPAN_SCHEMA
+
+    raw = spark.createDataFrame(spans, schema=ES_SPAN_SCHEMA)
+    via_regroup = spans_table(regroup_spans_to_traces(raw))
+    a = {tuple(str(r[c]) for c in SPAN_FIXED_COLUMNS) for r in flat.collect()}
+    b = {tuple(str(r[c]) for c in SPAN_FIXED_COLUMNS) for r in via_regroup.collect()}
+    assert a == b

@@ -235,6 +235,70 @@ def traces_from_es(
     return traces_table(regroup_spans_to_traces(raw, process_name_key))
 
 
+def es_spans_table(
+    raw_spans: DataFrame, process_name_key: str = "hostname"
+) -> DataFrame:
+    """Canonical 12-column span table straight from flat ES span docs.
+
+    The ES document embeds its full ``process`` per span, so the
+    Jaeger-file path's map-lookup enrichment is unnecessary — service
+    and processID project directly and the whole conversion is ONE
+    narrow projection, no regroup shuffle (the regroup is only needed
+    when the *traces* table's nested shape is the goal).
+    """
+    from traceframe_spark.functions import parent_span_id, tags_to_map
+
+    s = F.struct("references")
+    pid = F.element_at(
+        F.map_from_entries(
+            F.transform(
+                F.col("process.tags"),
+                lambda t: F.struct(t["key"].alias("key"), t["value"].alias("value")),
+            )
+        ),
+        process_name_key,
+    )
+    return raw_spans.select(
+        "traceID",
+        "spanID",
+        "flags",
+        "operationName",
+        "startTime",
+        "duration",
+        "logs",
+        pid.alias("processID"),
+        F.lit(None).cast("array<string>").alias("warnings"),
+        F.col("process.serviceName").alias("service"),
+        parent_span_id(s).alias("parent"),
+        tags_to_map(F.col("tags")).alias("tags"),
+    ).select(  # canonical column order (SPAN_FIXED_COLUMNS + tags)
+        "traceID", "spanID", "flags", "operationName", "startTime", "duration",
+        "logs", "processID", "warnings", "service", "parent", "tags",
+    )
+
+
+def spans_from_es_scroll(
+    spark: SparkSession,
+    es_endpoint: str | None = None,
+    es_password: str | None = None,
+    prefix: str = "",
+    process_name_key: str = "hostname",
+    transport: tuple[SearchFn, ScrollFn] | None = None,
+    **kwargs: Any,
+) -> DataFrame:
+    """Driver-side scroll → canonical span table — the working form of
+    the reference's declared-but-UNIMPLEMENTED ``spans_from_es``
+    (``traceframe.py:320-327`` raises). Shares the fetch loop with
+    :func:`traces_from_es`; conversion is :func:`es_spans_table`'s single
+    projection."""
+    spans = internal_spans_from_es(
+        es_endpoint, es_password, prefix, transport=transport, **kwargs
+    )
+    return es_spans_table(
+        spark.createDataFrame(spans, schema=ES_SPAN_SCHEMA), process_name_key
+    )
+
+
 def spans_from_es(
     spark: SparkSession,
     es_endpoint: str,
