@@ -364,3 +364,43 @@ def test_write_training_shards(spark, docs, tmp_path):
     a = [r["doc_id"] for r in spark.read.parquet(files[0]).collect()]
     b = [r["doc_id"] for r in spark.read.parquet(sorted(glob.glob(f"{p3}/part-*.parquet"))[0]).collect()]
     assert a != b
+
+
+def test_pack_sequences_matches_naive_global_window(spark):
+    """Property: the distributed prefix-sum scan equals the naive
+    single-partition global window on randomized corpora (this pinned
+    the nondeterministic-bucketing bug the sf0.1 oracle sweep caught)."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = rng.randint(1, 60)
+        rows = [
+            (i, " ".join("w" for _ in range(rng.randint(1, 30))))
+            for i in rng.sample(range(10_000), n)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["prefix_tokens"], r["seq_id"], r["offset_in_seq"])
+            for r in text.pack_sequences(df, budget=17, partitions=5).collect()
+        }
+        w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+        naive = (
+            df.select("doc_id", text.token_count(F.col("text")).alias("n_tokens"))
+            .withColumn(
+                "prefix_tokens",
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+            )
+        )
+        want = {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["prefix_tokens"],
+                r["prefix_tokens"] // 17,
+                r["prefix_tokens"] % 17,
+            )
+            for r in naive.collect()
+        }
+        assert got == want, f"trial {trial}"

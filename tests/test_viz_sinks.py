@@ -187,3 +187,25 @@ def test_span_store_date_pruning(spark, jaeger_json_path, tmp_path):
     m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert m and "span_date" in m[0], plan
     assert filtered.count() == 420  # single-day fixture: everything is that day
+
+
+def test_raw_trace_json_export_roundtrip(spark, jaeger_json_path, tmp_path):
+    """Interchange with the reference's file format: raw trace documents
+    exported as JSON lines re-read through the standard file loader with
+    identical trace/span populations."""
+    from traceframe_spark import sinks
+    from traceframe_spark.sources.jaeger_file import read_raw_traces
+
+    raw = read_raw_traces(spark, jaeger_json_path)
+    out = str(tmp_path / "export_json")
+    sinks.write_json(raw, out)
+    # the export is JSON-lines (one trace document per line — the
+    # partition-parallel shape); re-read with multiline=False
+    dfT = traces_from_jaeger_file(spark, out, multiline=False)
+    dfS = spans_from_jaeger_file(spark, out, multiline=False)
+    assert dfT.count() == 100
+    assert dfS.count() == 420
+    orig = spans_from_jaeger_file(spark, jaeger_json_path)
+    a = {(r["traceID"], r["spanID"], r["startTime"], r["service"]) for r in orig.collect()}
+    b = {(r["traceID"], r["spanID"], r["startTime"], r["service"]) for r in dfS.collect()}
+    assert a == b
