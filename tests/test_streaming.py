@@ -226,3 +226,42 @@ def test_jaeger_stream_reader(spark, tmp_path):
     # window [base, base+140s) covers offsets 0..139s -> 28 traces (step 5s)
     assert len(got) == 28, len(got)
     assert len({r["traceID"] for r in got}) == 28
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """Re-delivered spans collapse to one row per spanID; a duplicate
+    arriving within the watermark is dropped, state stays bounded."""
+    from traceframe_spark.streaming import streaming_dedup
+
+    feed = tmp_path / "dup_feed"
+    feed.mkdir()
+    batch1 = [
+        _span("t1", "s1", "/a", BASE, 100, "", "svc"),
+        _span("t1", "s1", "/a", BASE, 100, "", "svc"),  # same-batch dup
+        _span("t1", "s2", "/b", BASE + 1000, 50, "s1", "svc"),
+    ]
+    batch2 = [
+        _span("t1", "s2", "/b", BASE + 1000, 50, "s1", "svc"),  # redelivery
+        _span("t2", "s3", "/a", BASE + 5_000_000, 70, "", "svc"),
+    ]
+    for i, spans in enumerate([batch1, batch2]):
+        with open(feed / f"b{i}.jsonl", "w") as f:
+            for s in spans:
+                f.write(json.dumps(s) + "\n")
+
+    stream = read_span_stream(spark, str(feed), max_files_per_trigger=1)
+    deduped = streaming_dedup(
+        stream, ["spanID"], event_time_col="startTime", watermark="1 minute"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT spanID, count(*) AS n FROM dedup_stream GROUP BY spanID").collect()
+    got = {r["spanID"]: r["n"] for r in rows}
+    assert got == {"s1": 1, "s2": 1, "s3": 1}

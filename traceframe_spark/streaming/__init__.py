@@ -19,6 +19,7 @@ from traceframe_spark.streaming.spans import (
     open_trace_assembly,
     read_span_stream,
     stream_to_span_store,
+    streaming_dedup,
     windowed_service_stats,
 )
 
@@ -27,4 +28,5 @@ __all__ = [
     "windowed_service_stats",
     "open_trace_assembly",
     "stream_to_span_store",
+    "streaming_dedup",
 ]

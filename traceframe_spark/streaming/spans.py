@@ -89,6 +89,34 @@ def stream_to_span_store(
     return writer.start()
 
 
+def streaming_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    event_time_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once keyed dedup over an unbounded feed — the streaming
+    counterpart of :func:`traceframe_spark.operators.dedup.exact_dedup`
+    for continuous ingestion (re-delivered spans, at-least-once
+    collectors, re-exported documents).
+
+    With ``event_time_col`` (a µs-epoch long), state is BOUNDED: the
+    watermark lets the engine drop keys older than
+    ``max(event_time) - watermark``, so a duplicate arriving later than
+    the watermark is passed through rather than dropped — the standard
+    correctness/state trade, tuned via ``watermark``. Without it, state
+    grows with distinct keys forever (only for short-lived streams).
+    """
+    if event_time_col is None:
+        return df.dropDuplicates(key_cols)
+    with_time = df.withColumn("_event_time", F.timestamp_micros(F.col(event_time_col)))
+    return (
+        with_time.withWatermark("_event_time", watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
+        .drop("_event_time")
+    )
+
+
 ASSEMBLED_TRACE_SCHEMA = StructType(
     [
         StructField("traceID", StringType()),
