@@ -404,3 +404,30 @@ def test_pack_sequences_matches_naive_global_window(spark):
             for r in naive.collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_ivf_persisted_index_prunes_and_matches(spark, embeddings, tmp_path):
+    """The persisted IVF index: (a) result equals the in-memory ivf_topk
+    with the same centroids, (b) the probe filter lands in the scan's
+    PartitionFilters so unprobed list directories are never read."""
+    path = str(tmp_path / "ivf_idx")
+    cents = similarity.write_ivf_index(
+        embeddings, path, "vec_id", "embedding", n_centroids=8
+    )
+    q = embeddings.filter(F.col("vec_id") < 2)  # 2 queries probe < 8 lists
+    indexed = similarity.ivf_topk_over_index(spark, path, q, "vec_id", "embedding", k=5, nprobe=2)
+    direct = similarity.ivf_topk(
+        embeddings, q, "vec_id", "embedding", k=5, n_centroids=8, nprobe=2, centroids=cents
+    )
+    a = {(r["qid"], r["cid"], r["cos"], r["rn"]) for r in indexed.collect()}
+    b = {(r["qid"], r["cid"], r["cos"], r["rn"]) for r in direct.collect()}
+    assert a == b and len(a) == 10
+
+    # the probe IN-list reaches the INDEX scan as a PartitionFilter —
+    # unprobed list directories are skipped, not merely filtered
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    idx_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln and "list_id" in ln
+    ]
+    assert idx_lines, plan
+    assert any("IN (" in ln for ln in idx_lines), idx_lines

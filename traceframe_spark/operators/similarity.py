@@ -315,6 +315,93 @@ def ivf_probe_lists(vec: Column, centroids: list[list[float]], nprobe: int) -> C
     return F.slice(F.array_sort(pairs), 1, nprobe)["i"]
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    centroids: list[list[float]] | None = None,
+    mode: str = "error",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Build and persist an IVF index: the corpus lands in parquet
+    PARTITIONED BY its inverted-list id, centroids ride along as a tiny
+    JSON sidecar. Build once, query many — and because lists are
+    directory partitions, a query's ``nprobe`` probes become *partition
+    pruning* at scan time: the unprobed ``(n_centroids - nprobe) /
+    n_centroids`` of a 100 TB corpus is never read, not merely filtered.
+    Returns the centroids."""
+    import json
+    import os
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, id_col, vec_col, n_centroids=n_centroids, seed=seed
+        )
+    assigned = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_nrm"),
+        ivf_assign(F.col(vec_col), centroids).alias("list_id"),
+    )
+    (
+        assigned.repartition("list_id")
+        .write.mode(mode)
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+    return centroids
+
+
+def ivf_topk_over_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k cosine against a persisted IVF index (:func:`write_ivf_index`).
+
+    The probe filter is an IN over the (tiny) union of every query's
+    ``nprobe`` list ids, evaluated on the driver — so it lands in the
+    scan's PartitionFilters and unprobed list directories are skipped
+    entirely. Candidate re-rank matches :func:`ivf_topk`.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = json.load(f)
+    corpus = spark.read.parquet(path)
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_nrm"),
+        F.explode(ivf_probe_lists(F.col(vec_col), centroids, nprobe)).alias("list_id"),
+    )
+    probed = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})
+    pruned = corpus.filter(F.col("list_id").isin(probed))
+    cos = F.floor(
+        dot_f64(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")) * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    cands = (
+        q.join(pruned, "list_id")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", cos.alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        cands.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
