@@ -138,18 +138,33 @@ def main() -> None:
         timings[name] = round(run_one(QUERIES[name](spark, sf_dir)), 3)
     timings["critical_path"] = round(run_one(bench_critical_path(spark, sf_dir)), 3)
 
-    # search runs against a landed span store; the write is setup, not timed
+    # store-backed paths: the store/index writes are setup, not timed
     import shutil
     import tempfile
 
     from traceframe_spark import sinks
+    from traceframe_spark.operators import similarity
 
     store = tempfile.mkdtemp(prefix="bench_span_store_")
+    idx = tempfile.mkdtemp(prefix="bench_ivf_idx_") + "/idx"
     try:
         sinks.write_spans(synthetic_spans(spark, sf_dir), store, mode="overwrite")
         timings["search_traces"] = round(run_one(bench_search_traces(spark, store)), 3)
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        similarity.write_ivf_index(emb, idx, "vec_id", "embedding", n_centroids=8)
+        q = emb.filter(F.col("vec_id") < 10)
+        timings["ann_ivf_indexed"] = round(
+            run_one(
+                similarity.ivf_topk_over_index(
+                    spark, idx, q, "vec_id", "embedding", k=5, nprobe=4
+                )
+            ),
+            3,
+        )
     finally:
         shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(idx), ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(
