@@ -265,3 +265,31 @@ def test_streaming_dedup(spark, tmp_path):
     rows = spark.sql("SELECT spanID, count(*) AS n FROM dedup_stream GROUP BY spanID").collect()
     got = {r["spanID"]: r["n"] for r in rows}
     assert got == {"s1": 1, "s2": 1, "s3": 1}
+
+
+def test_compact_span_store(spark, feed_dir, tmp_path):
+    """Microbatch landing leaves one file per partition per batch;
+    compaction collapses to one file per directory with identical data."""
+    import glob
+
+    from traceframe_spark import sinks
+    from traceframe_spark.streaming import stream_to_span_store
+
+    store = str(tmp_path / "store_c")
+    q = stream_to_span_store(
+        read_span_stream(spark, feed_dir, max_files_per_trigger=1),
+        store,
+        str(tmp_path / "ck_c"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    before = {r["spanID"]: r["service"] for r in sinks.read_spans(spark, store).collect()}
+    n_files_before = len(glob.glob(f"{store}/span_date=*/trace_bucket=*/*.parquet"))
+
+    sinks.compact_span_store(spark, store)
+    after = {r["spanID"]: r["service"] for r in sinks.read_spans(spark, store).collect()}
+    assert after == before and len(after) == 5
+    dirs = glob.glob(f"{store}/span_date=*/trace_bucket=*")
+    for d in dirs:
+        assert len(glob.glob(f"{d}/*.parquet")) == 1, d
+    assert len(glob.glob(f"{store}/span_date=*/trace_bucket=*/*.parquet")) <= n_files_before

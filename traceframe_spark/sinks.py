@@ -16,6 +16,8 @@ pipeline produces the same physical shape.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -65,6 +67,36 @@ def write_traces(
 def write_json(df: DataFrame, path: str, mode: str = "error") -> None:
     """JSON-lines export (interchange with the reference's file format)."""
     df.write.mode(mode).json(path)
+
+
+def compact_span_store(spark, path: str, files_per_partition: int = 1) -> None:
+    """Rewrite the span store with ``files_per_partition`` files per
+    ``(span_date, trace_bucket)`` directory.
+
+    Streaming ingest (:func:`~traceframe_spark.streaming.spans.
+    stream_to_span_store`) appends one file per partition per
+    microbatch; over days that is thousands of small files per
+    directory and scan planning degrades. Compaction reads the store,
+    shuffles rows back to one task per partition directory, and
+    atomically replaces the data (write to a sibling temp dir, then
+    swap) — run it per-partition off the hot path in production.
+    """
+    import shutil
+    import tempfile
+
+    df = spark.read.parquet(path)
+    tmp = tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(path.rstrip("/")) or ".")
+    (
+        df.repartition("span_date", "trace_bucket")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("span_date", "trace_bucket")
+        .parquet(f"{tmp}/data")
+    )
+    old = f"{tmp}/old"
+    shutil.move(path, old)
+    shutil.move(f"{tmp}/data", path)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def write_training_shards(
