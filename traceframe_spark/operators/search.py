@@ -7,8 +7,12 @@ expressions, min/max duration); its connector only forwards
 service/time/limit to the server. Here the full search surface runs
 engine-side over the canonical span table, so it works identically on
 live-fetched, file-loaded, or stored spans — and on a 100 TB store the
-predicates push into the parquet scan (service/operation/duration are
-top-level columns; tag equality is a MapType access).
+service/operation/duration predicates push into the parquet scan
+(top-level columns). Tag equality is a MapType access, which parquet
+cannot push down — it evaluates right after the scan; for a hot tag
+key, materialize it as a typed column first
+(:func:`~traceframe_spark.operators.spans.with_tag_columns`) and the
+filter pushes down like any other column.
 
 Semantics (matching the Jaeger UI): a trace matches if ANY of its spans
 satisfies service+operation+tags together; duration bounds apply to the
