@@ -11,9 +11,10 @@ Alignment rules (the driver hash-compares values after sorting columns by
 name):
 
 - every computed column is aliased identically on both sides;
-- floating-point aggregates are ``round()``-ed on BOTH sides (sums to 2
-  decimals, ratios/averages to 4) so accumulation-order differences
-  between engines can't flip the hash;
+- floating-point aggregates are quantized to integers on BOTH sides with
+  ``floor(x * 10^k + 0.5)`` (``qint``; sums k=2, ratios/averages k=4) so
+  accumulation-order differences between engines can't flip the hash
+  (``round()`` itself differs between Spark and DuckDB on doubles);
 - Spark ``rank()``/``size()`` produce ints where DuckDB produces BIGINT,
   so int-typed computed columns are cast to long on the Spark side;
 - top-k and per-group argmin queries carry explicit total tie-breaks so
