@@ -85,3 +85,45 @@ def test_approx_count_distinct_tracks_exact(spark):
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
     ).first()
     assert abs(row["approx"] - row["exact"]) <= max(0.05 * row["exact"], 2), row
+
+
+def test_asof_join_matches_naive_inequality_join(spark, tmp_path):
+    """Randomized pin: the one-shuffle union-and-window as-of join equals
+    the naive O(n^2) inequality-join + argmax formulation on arbitrary
+    data (ties included)."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    eid = 0
+    for _ in range(400):
+        ts_us = rng.randint(0, 50)  # small range -> many exact-tie cases
+        user = rng.randint(1, 5)
+        kind = rng.choice(["click", "purchase", "view"])
+        rows.append((eid, ts_us * US, user, kind, 1.0))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double"
+    )
+    d = tmp_path / "rand"
+    d.mkdir()
+    df.coalesce(1).write.parquet(str(d / "events.parquet"))
+
+    got = {
+        r["purchase_id"]: (r["click_id"], r["gap_us"])
+        for r in q_asof_join(spark, str(d)).collect()
+    }
+
+    # naive: for each purchase, the click with max (ts, event_id) at-or-before
+    clicks = [(e, t // 1000, u) for (e, t, u, k, _v) in rows if k == "click"]
+    want = {}
+    for (e, t, u, k, _v) in rows:
+        if k != "purchase":
+            continue
+        cands = [(ct, ce) for (ce, ct, cu) in clicks if cu == u and ct <= t // 1000]
+        if cands:
+            ct, ce = max(cands)
+            want[e] = (ce, t // 1000 - ct)
+        else:
+            want[e] = (None, None)
+    assert got == want
