@@ -431,3 +431,22 @@ def test_ivf_persisted_index_prunes_and_matches(spark, embeddings, tmp_path):
     ]
     assert idx_lines, plan
     assert any("IN (" in ln for ln in idx_lines), idx_lines
+
+
+def test_media_dedup_exact_and_near(spark, docs):
+    """Media dedup composes: byte-identical payloads collapse before any
+    decode; perceptually-identical payloads surface as near-dup pairs
+    through the feature-vector LSH path."""
+    base = multimodal.attach_fake_media(docs.filter(F.col("doc_id") < 50), "doc_id", "text")
+    # inject an exact duplicate of media 0's payload under a new id
+    dup = base.filter(F.col("media_id") == 0).withColumn("media_id", F.lit(99999).cast("long"))
+    media = base.unionByName(dup)
+
+    kept = multimodal.media_exact_dedup(media)
+    ids = {r["media_id"] for r in kept.select("media_id").collect()}
+    assert 0 in ids and 99999 not in ids  # lowest id survives
+    assert len(ids) == 50
+
+    pairs = multimodal.media_near_dup_pairs(media, threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 99999) in got  # identical payload -> cosine 1.0 pair

@@ -183,3 +183,36 @@ def resize_media(
     return media.select("media_id", "media_type", "payload", "meta").mapInPandas(
         run, schema=MEDIA_SCHEMA
     )
+
+
+def media_exact_dedup(media: DataFrame) -> DataFrame:
+    """Exact media dedup by payload content hash (lowest media_id
+    survives). One shuffle on the 64-bit hash — the first pass of any
+    image/audio dedup pipeline; byte-identical re-uploads collapse
+    before a single payload is decoded."""
+    from pyspark.sql.window import Window
+
+    hashed = media.withColumn("_ph", F.xxhash64(F.col("payload")))
+    w = Window.partitionBy("_ph").orderBy(F.col("media_id").asc())
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_ph")
+    )
+
+
+def media_near_dup_pairs(
+    media: DataFrame, threshold: float = 0.98, bands: int = 4
+) -> DataFrame:
+    """Near-duplicate media pairs: decoded feature vectors (the stub's
+    byte histogram; a real deployment's image/audio embedding) feed the
+    same hyperplane-LSH bucket + exact-cosine machinery embedding dedup
+    uses — perceptual dedup composes from the existing pieces instead of
+    a new engine path. Output: (id_a, id_b, cosine)."""
+    from traceframe_spark.operators.similarity import embedding_near_dup_pairs
+
+    feats = extract_media_features(media).select("media_id", "features")
+    return embedding_near_dup_pairs(
+        feats, "media_id", "features",
+        threshold=threshold, dim=FEATURE_DIM, bands=bands,
+    )
