@@ -249,3 +249,28 @@ def test_datasource_headers_forwarded(monkeypatch):
     assert len(seen) == 2
     for _, headers in seen:
         assert headers == {"Authorization": "Bearer tok", "X-Env": "flat"}
+
+
+def test_reference_compat_frames(spark, jaeger_json_path):
+    """Drop-in pandas frames match the reference's shapes on the shared
+    capture: 100x8 traces frame, 420x71 typed span frame (the reference
+    test pins dfS.size == 29820 = 420*71)."""
+    import numpy as np
+
+    from traceframe_spark.compat import reference_span_frame, reference_trace_frame
+
+    raw = read_raw_traces(spark, jaeger_json_path)
+    dfT = reference_trace_frame(raw)
+    assert dfT.shape == (100, 8)
+    assert list(dfT.columns[:6]) == [
+        "traceID", "traceName", "nspans", "errspans", "duration", "startTime"
+    ]
+    assert dfT["nspans"].sum() == 420
+
+    dfS = reference_span_frame(raw)
+    assert dfS.shape == (420, 71)
+    assert dfS.size == 29820  # the reference's own pin
+    # typed tag columns, like the reference's pandas inference
+    assert np.issubdtype(dfS["http.status_code"].dtype, np.floating)  # int64+NaN widens
+    assert set(dfS["error"].dropna().unique()) == {True}
+    assert (dfS[dfS["http.status_code"].notna()]["http.status_code"] == 503).sum() == 2
