@@ -108,10 +108,11 @@ def bench_search_traces(spark: SparkSession, store_path: str) -> DataFrame:
     )
 
 
-def run_one(df: DataFrame, repeats: int = 2) -> float:
+def run_one(df: DataFrame, repeats: int = 3) -> float:
     """Best-of-N execution time through the noop sink: the min measures
     the plan; single-shot numbers at these sizes are dominated by
-    GC/JIT/page-cache noise (observed 1.3 s vs 12 s for the same query)."""
+    GC/JIT/page-cache noise (observed 1.3 s vs 12 s for the same query;
+    best-of-2 still showed occasional 3-4x outliers round over round)."""
     best = float("inf")
     for _ in range(repeats):
         t0 = time.time()
