@@ -4,11 +4,18 @@ from traceframe_spark.plans.advanced import ADVANCED_ORACLE_SQL, ADVANCED_QUERIE
 from traceframe_spark.plans.catalog import ORACLE_SQL, QUERIES, load_table
 from traceframe_spark.plans.pipeline import PIPELINE_ORACLE_SQL, PIPELINE_QUERIES
 from traceframe_spark.plans.temporal import TEMPORAL_ORACLE_SQL, TEMPORAL_QUERIES
+from traceframe_spark.plans.traceops import TRACEOPS_ORACLE_SQL, TRACEOPS_QUERIES
 
 
 def catalog_queries():
     """Snapshot of the full query registry (name → (spark, sf_dir) -> DF)."""
-    return {**QUERIES, **PIPELINE_QUERIES, **ADVANCED_QUERIES, **TEMPORAL_QUERIES}
+    return {
+        **QUERIES,
+        **PIPELINE_QUERIES,
+        **ADVANCED_QUERIES,
+        **TEMPORAL_QUERIES,
+        **TRACEOPS_QUERIES,
+    }
 
 
 def catalog_oracle_sql():
@@ -20,6 +27,7 @@ def catalog_oracle_sql():
         **PIPELINE_ORACLE_SQL,
         **ADVANCED_ORACLE_SQL,
         **TEMPORAL_ORACLE_SQL,
+        **TRACEOPS_ORACLE_SQL,
     }
 
 
