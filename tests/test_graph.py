@@ -1,0 +1,84 @@
+"""Connected components (large-star/small-star) pinned against a
+driver-side union-find oracle on random graphs, plus the keep-one
+dedup consumer."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from traceframe_spark.operators.graph import connected_components, keep_canonical
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # label every node with its component's min id
+    nodes = {n for e in edges for n in e}
+    roots = {}
+    for n in nodes:
+        r = find(n)
+        roots.setdefault(r, []).append(n)
+    return {n: min(members) for r, members in roots.items() for n in members}
+
+
+def test_connected_components_random_graphs(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 120
+        # sparse random graph: long chains + a few dense pockets
+        edges = [(i, i + 1) for i in range(0, 40)]  # one 41-node chain
+        edges += [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(60)
+        ]
+        edges = [(u, v) for u, v in edges if u != v]
+        expected = _union_find_components(edges)
+
+        df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert got == expected, f"trial {trial} mismatch"
+
+
+def test_connected_components_string_ids(spark):
+    edges = [("b", "c"), ("a", "b"), ("x", "y")]
+    df = spark.createDataFrame(edges, "id_a: string, id_b: string")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_chain_beats_diameter(spark):
+    # a 200-node path has diameter 199; star contraction must converge
+    # within the max_iter=25 O(log^2 n) budget, where label propagation
+    # would need ~200 rounds.
+    edges = [(i, i + 1) for i in range(199)]
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    out = connected_components(df).collect()
+    assert len(out) == 200
+    assert {r["component"] for r in out} == {0}
+
+
+def test_keep_canonical_drops_non_representatives(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id: long, text: string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a: long, id_b: long"
+    )
+    comp = connected_components(pairs)
+    kept = keep_canonical(docs, "doc_id", comp)
+    kept_ids = sorted(r["doc_id"] for r in kept.collect())
+    # clusters {1,2,3} -> keep 1; {7,8} -> keep 7; singletons untouched
+    assert kept_ids == [0, 1, 4, 5, 6, 7, 9]

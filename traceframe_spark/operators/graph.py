@@ -1,0 +1,119 @@
+"""Distributed graph operators: connected components over pair tables.
+
+The near-dup detectors (``operators.dedup``, ``operators.similarity``)
+emit PAIRS; a dedup pipeline needs CLUSTERS — every document labeled
+with a canonical representative so one keep-decision covers the whole
+duplicate group. At 100 TB the pair graph does not fit on the driver,
+so this is the alternating large-star / small-star contraction of
+Kiveris et al., "Connected Components in MapReduce and Beyond"
+(SoCC 2014): each round is two shuffles (a groupBy-min and a join),
+and the edge set converges to a forest of stars rooted at each
+component's minimum id in O(log² n) rounds — independent of component
+diameter, so boilerplate chains (A≈B≈C≈…) don't degrade it the way
+naive label propagation's O(diameter) rounds would.
+
+Per-round ``localCheckpoint`` truncates lineage (iterative plans
+otherwise grow exponentially and overwhelm Catalyst); on a real
+cluster with a configured checkpoint dir, ``spark.sparkContext.
+setCheckpointDir`` + ``.checkpoint()`` is the fault-tolerant variant
+of the same move.
+
+No reference analogue (the reference has no graph ops); this extends
+its spanID ``drop_duplicates`` (reference ``traceframe/traceframe.py:
+629-630``) to transitive near-duplicate groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge set as distinct (u, v) with u < v; drops self-loops."""
+    return (
+        pairs.select(F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})."""
+    nbrs = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        nbrs.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least("_mn", "u").alias("m"))
+    )
+    # v > u ≥ m, so (m, v) is already canonical
+    return (
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("m").alias("u"), F.col("v").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every smaller neighbor of v (and v itself) to min(Γ_<(v) ∪ {v})."""
+    mins = edges.groupBy("v").agg(F.min("u").alias("m"))  # all u < v
+    to_nbrs = (
+        edges.join(mins, "v")
+        .filter(F.col("u") != F.col("m"))
+        .select(F.col("m").alias("u"), F.col("u").alias("v"))
+    )
+    to_center = mins.select(F.col("m").alias("u"), F.col("v").alias("v"))
+    return to_nbrs.unionByName(to_center).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every id that appears in ``pairs``; component
+    is the minimum id of the connected component.
+
+    Eager: runs the contraction loop to convergence when called (one
+    tiny fingerprint action per round), then returns the final mapping
+    as a normal lazy DataFrame. Ids may be any orderable type (long,
+    string); the label is the component's min under that ordering.
+    """
+    edges = _canonical_edges(pairs, src, dst).localCheckpoint()
+    prev: tuple | None = None
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        # convergence fingerprint: edge count + order-independent hash
+        # (bit_xor, not sum: ANSI mode overflows long on summed hashes)
+        cur = tuple(
+            edges.agg(
+                F.count("*").alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            ).first()
+        )
+        if cur == prev:
+            break
+        prev = cur
+    members = edges.select(F.col("v").alias("id"), F.col("u").alias("component"))
+    roots = edges.select(F.col("u").alias("id"), F.col("u").alias("component")).distinct()
+    # groupBy-min defends against a non-converged edge set at max_iter
+    return (
+        members.unionByName(roots)
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def keep_canonical(
+    df: DataFrame, id_col: str, components: DataFrame
+) -> DataFrame:
+    """Keep-one-per-cluster: drop every row whose id appears in
+    ``components`` with ``component != id``. Rows absent from the pair
+    graph (singletons) are kept as-is. One broadcast-able anti-join when
+    the duplicate set is small relative to the corpus."""
+    drop = components.filter(F.col("id") != F.col("component")).select("id")
+    return df.join(drop, df[id_col] == drop["id"], "left_anti")

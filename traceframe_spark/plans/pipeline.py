@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from traceframe_spark.operators import dedup, multimodal, similarity, text
+from traceframe_spark.operators import dedup, graph, multimodal, similarity, text
 from traceframe_spark.plans.catalog import SQL_ANN_COSINE_TOPK, load_table, qint
 
 
@@ -77,6 +77,73 @@ def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MINHASH_VERIFIED = _sql_exact_jaccard(0.9, 250)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → canonical clusters: distributed connected
+    components (large-star/small-star, operators/graph.py) over the
+    exact 5-gram-Jaccard ≥ 0.85 pair set on a bounded doc subset. Every
+    clustered doc labeled with its component's min doc_id — the form a
+    keep-one dedup decision consumes."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.85)
+    comp = graph.connected_components(pairs, "id_a", "id_b")
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    )
+
+
+def _sql_jaccard_pair_ctes(threshold: float, max_id: int) -> str:
+    """CTE chain ending in ``pairs(id_a, id_b)`` — the exact-Jaccard pair
+    set ≥ ``threshold``, shared by the closure-based cluster oracle."""
+    return f"""
+docs AS (
+    SELECT doc_id, lower(trim(text)) AS t FROM documents WHERE doc_id < {max_id}
+),
+shingled AS (
+    SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, substr(t, CAST(g AS INT), 5) AS sh
+        FROM (SELECT doc_id, t,
+                     unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS g
+              FROM docs)
+    )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+    FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT id_a, id_b
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
+)"""
+
+
+# Connected components as a recursive transitive closure: tractable for
+# the oracle's bounded pair set; the engine's star contraction is the
+# form that scales.
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE
+{_sql_jaccard_pair_ctes(0.85, 150)},
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+),
+reach AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v WHERE e.v <> r.u
+)
+SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) AS cluster_id
+FROM reach
+GROUP BY u
+"""
 
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,6 +419,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 PIPELINE_QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_verified": q_minhash_verified,
+    "dedup_clusters": q_dedup_clusters,
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
     "doc_repetition": q_doc_repetition,
@@ -369,6 +437,7 @@ PIPELINE_QUERIES = {
 PIPELINE_ORACLE_SQL = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_verified": SQL_MINHASH_VERIFIED,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "ann_ivf_exhaustive": SQL_ANN_COSINE_TOPK,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "doc_repetition": SQL_DOC_REPETITION,
