@@ -51,6 +51,7 @@ HEADLINE = [
     "range_join",
     "time_rollup",
     "count_distinct",
+    "contamination",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans

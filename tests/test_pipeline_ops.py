@@ -450,3 +450,41 @@ def test_media_dedup_exact_and_near(spark, docs):
     pairs = multimodal.media_near_dup_pairs(media, threshold=0.999)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (0, 99999) in got  # identical payload -> cosine 1.0 pair
+
+
+def test_contamination_flags_injected_leak(spark):
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id: long, text: string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # verbatim benchmark sentence embedded -> heavy overlap
+            (1, "intro words then the quick brown fox jumps over the lazy dog end"),
+            # no shared 3-grams
+            (2, "completely unrelated sentence about spark partitions and shuffles"),
+            # shorter than 3 words -> zero grams, overlap 0
+            (3, "two words"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.contamination(corpus, bench, n=3).collect()
+    }
+    assert out[1]["n_hit"] == 7  # the 7 grams of the 9-word benchmark sentence
+    assert out[1]["overlap"] > 0.5
+    assert out[2]["n_hit"] == 0 and out[2]["overlap"] == 0.0
+    assert out[3]["n_grams"] == 0 and out[3]["overlap"] == 0.0
+
+
+def test_contamination_counts_distinct_grams_once(spark):
+    # a doc repeating a leaked trigram 3 times counts it once (distinct)
+    bench = spark.createDataFrame([(0, "a b c")], "doc_id: long, text: string")
+    corpus = spark.createDataFrame(
+        [(1, "a b c a b c a b c")], "doc_id: long, text: string"
+    )
+    row = text.contamination(corpus, bench, n=3).collect()[0]
+    # distinct grams of the repeated doc: a b c / b c a / c a b / c a b ...
+    assert row["n_grams"] == 3
+    assert row["n_hit"] == 1

@@ -150,6 +150,76 @@ def repetition_ratio(col: Column, n: int = 2) -> Column:
     )
 
 
+def word_ngrams(col: Column, n: int) -> Column:
+    """Strict word ``n``-grams (space-joined): empty array for documents
+    shorter than ``n`` words. JVM expression; the `when` guard matters
+    because ``F.sequence(1, 0)`` yields a DEscending [1, 0], not empty."""
+    toks = tokens(col)
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+    return F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 13,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per-document overlap of distinct word
+    ``n``-grams with the benchmark set's n-gram union — the GPT-3-style
+    test-set leakage check (Brown et al. 2020, appendix C, 13-grams).
+
+    Returns (id_col, n_grams, n_hit, overlap): ``n_hit`` distinct grams
+    of the doc that appear anywhere in the benchmark, ``overlap`` their
+    share (0.0 for docs shorter than ``n`` words).
+
+    100 TB shape: benchmark suites are tiny relative to the corpus, so
+    the distinct benchmark gram set is broadcast and the corpus side is
+    one scan + one shuffle (the per-doc groupBy). If the benchmark side
+    is itself huge, pass ``broadcast_benchmark=False`` for a plain hash
+    join on the gram key.
+    """
+    grams = F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    doc_grams = (
+        corpus.select(F.col(id_col), grams).distinct()
+    )
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngrams(F.col(bench_text_col or text_col), n)).alias("g")
+        ).distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    doc_grams = doc_grams.join(
+        bench_grams.withColumn("hit", F.lit(1)), "g", "left"
+    )
+    per_doc = doc_grams.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.count_if(F.col("hit").isNotNull()).alias("n_hit"),
+    )
+    return (
+        corpus.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.when(
+                F.col("n_grams").isNotNull(),
+                F.col("n_hit").cast("double") / F.col("n_grams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("overlap"),
+        )
+    )
+
+
 def pii_counts(col: Column) -> Column:
     """Struct of per-kind PII match counts (email / ipv4 / phone)."""
     return F.struct(

@@ -146,6 +146,50 @@ GROUP BY u
 """
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 20th doc plays the held-out
+    benchmark; the rest of the corpus is scored for distinct word
+    3-gram overlap against it (13-grams in production; 3 here so the
+    synthetic word-salad corpus produces nonzero hits to pin)."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    out = text.contamination(corpus, bench, n=3)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        qint(F.col("overlap"), 6).alias("overlap_q"),
+    )
+
+
+SQL_CONTAMINATION = r"""
+WITH words AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, array_to_string(w[g:g+2], ' ') AS g
+    FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS g FROM words)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+corpus AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 20 <> 0),
+per_doc AS (
+    SELECT c.doc_id,
+           count(*) AS n_grams,
+           count(b.g) AS n_hit
+    FROM corpus c LEFT JOIN bench b ON c.g = b.g
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(floor(coalesce(n_hit::DOUBLE / n_grams, 0.0) * 1000000 + 0.5) AS BIGINT) AS overlap_q
+FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+WHERE d.doc_id % 20 <> 0
+"""
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring signals per document, quantized for the hash."""
     d = load_table(spark, sf_dir, "documents")
@@ -420,6 +464,7 @@ PIPELINE_QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_verified": q_minhash_verified,
     "dedup_clusters": q_dedup_clusters,
+    "contamination": q_contamination,
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
     "doc_repetition": q_doc_repetition,
@@ -438,6 +483,7 @@ PIPELINE_ORACLE_SQL = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_verified": SQL_MINHASH_VERIFIED,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "contamination": SQL_CONTAMINATION,
     "ann_ivf_exhaustive": SQL_ANN_COSINE_TOPK,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "doc_repetition": SQL_DOC_REPETITION,
