@@ -488,3 +488,27 @@ def test_contamination_counts_distinct_grams_once(spark):
     # distinct grams of the repeated doc: a b c / b c a / c a b / c a b ...
     assert row["n_grams"] == 3
     assert row["n_hit"] == 1
+
+
+def test_weighted_domain_sample_deterministic_rates(spark):
+    from traceframe_spark.operators.sampling import weighted_domain_sample
+
+    rows = [(i, f"d{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    rates = {"d0": 1.0, "d1": 0.5, "d2": 0.0}
+    out = weighted_domain_sample(df, rates)
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src == {"d0": 30, "d1": 15}  # ceil(0.5*30); d2 dropped entirely
+    # deterministic: same call -> identical id set
+    ids_a = sorted(r["doc_id"] for r in out.collect())
+    ids_b = sorted(
+        r["doc_id"] for r in weighted_domain_sample(df, rates).collect()
+    )
+    assert ids_a == ids_b
+    # unknown domain falls back to default_rate
+    extra = spark.createDataFrame([(900, "dX")], "doc_id: long, source: string")
+    out2 = weighted_domain_sample(df.union(extra), rates, default_rate=1.0)
+    assert out2.filter(F.col("source") == "dX").count() == 1

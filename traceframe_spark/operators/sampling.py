@@ -1,0 +1,51 @@
+"""Deterministic sampling operators for corpus curation.
+
+Domain-mixture reweighting: training pipelines resample each source
+("domain") at its own rate — boosting high-quality domains, shrinking
+boilerplate-heavy ones (the fixed-weight form of DoReMi-style mixture
+tuning). The engine-portable idiom is hash-ORDERED selection, not RNG:
+rank each domain's rows by ``md5(id)`` and keep the top
+``ceil(rate * n_domain)``. The same query re-run on the same data
+returns the same sample, any SQL engine reproduces it bit-for-bit, and
+at scale it is one window shuffle partitioned by domain — no driver
+involvement, no RNG seeds to coordinate across executors.
+
+Related: per-stratum fixed-N sampling lives in
+``plans/temporal.q_stratified_sample``; this is the rate-based
+(proportional) variant a mixture spec needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def weighted_domain_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Keep a deterministic ``rates[domain]`` fraction of each domain's
+    rows (hash-ordered, so reproducible across runs and engines).
+
+    Rates are capped to [0, 1] downsampling; to UPsample a domain
+    (rate > 1), explode ``ceil(rate)`` copies and apply the fractional
+    remainder with this same operator.
+    """
+    mapping = F.create_map(
+        *[F.lit(x) for k, v in rates.items() for x in (k, float(v))]
+    )
+    rate = F.coalesce(mapping[F.col(domain_col)], F.lit(float(default_rate)))
+    w_rank = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    w_all = Window.partitionBy(domain_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("_keep_n", F.ceil(rate * F.count("*").over(w_all)))
+        .filter((F.col("_rn") <= F.col("_keep_n")) & (rate > 0))
+        .drop("_rn", "_keep_n")
+    )

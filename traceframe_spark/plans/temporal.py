@@ -483,6 +483,67 @@ GROUP BY event_type
 """
 
 
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-event moving average of value per event_type — the
+    rolling-window frame (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    the ranking/session queries don't cover. Values go through integer
+    cents before the avg so the frame sum is exact and both engines
+    divide the same integer — double summation order inside a window
+    frame is NOT portable (Spark sums in frame order, DuckDB uses a
+    segment tree). One window shuffle on event_type; at scale this is
+    the per-key sorted scan Spark's WindowExec already streams."""
+    e = load_table(spark, sf_dir, "events")
+    cents = qint(F.col("value"), 2)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        qint(F.avg(cents).over(w) / 100.0, 4).alias("ma_q"),
+    )
+
+
+SQL_MOVING_AVG = """
+SELECT event_id, event_type,
+       CAST(floor(avg(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  OVER (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                  / 100.0 * 10000 + 0.5) AS BIGINT) AS ma_q
+FROM events
+"""
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: each source kept at its own rate
+    (cycling 1.0 / 0.5 / 0.25 / 0.1 by source index), hash-ordered so
+    the sample is deterministic and engine-portable. The rate-based
+    sibling of q_stratified_sample's fixed-N."""
+    from traceframe_spark.operators.sampling import weighted_domain_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    cycle = [1.0, 0.5, 0.25, 0.1]
+    rates = {f"src{i}": cycle[i % 4] for i in range(20)}
+    return weighted_domain_sample(d, rates).select("doc_id", "source")
+
+
+SQL_DOMAIN_MIX = """
+WITH ranked AS (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+           count(*) OVER (PARTITION BY source) AS n,
+           CASE CAST(substr(source, 4) AS INT) % 4
+                WHEN 0 THEN CAST(1.0 AS DOUBLE) WHEN 1 THEN CAST(0.5 AS DOUBLE)
+                WHEN 2 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.1 AS DOUBLE) END AS rate
+    FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rn <= ceil(rate * n)
+"""
+
+
 TEMPORAL_QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -496,6 +557,8 @@ TEMPORAL_QUERIES = {
     "value_anomalies": q_value_anomalies,
     "value_histogram": q_value_histogram,
     "json_props": q_json_props,
+    "moving_avg": q_moving_avg,
+    "domain_mix": q_domain_mix,
 }
 
 TEMPORAL_ORACLE_SQL = {
@@ -511,4 +574,6 @@ TEMPORAL_ORACLE_SQL = {
     "value_anomalies": SQL_VALUE_ANOMALIES,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "json_props": SQL_JSON_PROPS,
+    "moving_avg": SQL_MOVING_AVG,
+    "domain_mix": SQL_DOMAIN_MIX,
 }
