@@ -43,18 +43,31 @@ def spread(df: DataFrame, key: str) -> DataFrame:
 
 
 def char_shingles(col: Column, n: int = 5) -> Column:
-    """Distinct character n-grams of a string column (JVM-side)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: col.substr(i, F.lit(n))))
+    """Distinct character n-grams of a string column (JVM-side).
+
+    Built as arrays_zip of n shifted slices over the char array — a
+    substr-per-position lambda re-evaluates ``col`` (usually
+    lower(trim(text))) once per position after Catalyst inlines it,
+    which is quadratic in document length. concat_ws drops the nulls
+    that zip-padding adds, preserving the truncated final shingles of
+    strings shorter than n."""
+    chars = F.split(col, "")
+    k = F.greatest(F.length(col) - (n - 1), F.lit(1))
+    z = F.arrays_zip(*[F.slice(chars, i + 1, k) for i in range(n)])
+    return F.array_distinct(
+        F.transform(z, lambda s: F.concat_ws("", *[s[str(i)] for i in range(n)]))
+    )
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-grams (lowercased, whitespace-tokenized)."""
+    """Distinct word n-grams (lowercased, whitespace-tokenized).
+    Zip-of-shifted-slices for the same inlining reason as
+    :func:`char_shingles`."""
     toks = F.split(F.lower(F.trim(col)), r"\s+")
     k = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    idx = F.sequence(F.lit(0), k - 1)
+    z = F.arrays_zip(*[F.slice(toks, i + 1, k) for i in range(n)])
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        F.transform(z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]))
     )
 
 

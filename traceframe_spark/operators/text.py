@@ -119,9 +119,14 @@ def rolling_fingerprint(col: Column, window: int = 8) -> Column:
     from the minimizing window — the cheap near-dup prefilter."""
     toks = tokens(col)
     k = F.greatest(F.size(toks) - (window - 1), F.lit(1))
+    # zip-of-shifted-slices (see word_ngrams) — slice-per-position in the
+    # lambda re-splits the text per gram once Catalyst inlines the alias
+    z = F.arrays_zip(*[F.slice(toks, i + 1, k) for i in range(window)])
     grams = F.transform(
-        F.sequence(F.lit(0), k - 1),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+        z,
+        lambda s: F.xxhash64(
+            F.concat_ws(" ", *[s[str(i)] for i in range(window)])
+        ),
     )
     return F.array_min(grams)
 
