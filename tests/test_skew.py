@@ -49,3 +49,40 @@ def test_top_hot_keys(spark):
     assert len(hot) == 3
     assert abs(sum(r["share"] for r in hot) - 1.0) < 0.5  # top-3 of 3-ish keys
     assert hot[0]["count"] >= hot[-1]["count"]
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        F.col("l_orderkey").alias("okey"), "l_quantity"
+    )
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    plain = sorted(
+        (r["okey"], r["l_quantity"], r["o_orderpriority"])
+        for r in li.join(o, "okey").collect()
+    )
+    salted = sorted(
+        (r["okey"], r["l_quantity"], r["o_orderpriority"])
+        for r in skew.salted_join(li, o, on=["okey"], n_salts=8).collect()
+    )
+    assert salted == plain
+
+
+def test_salted_join_left_keeps_unmatched_big_rows(spark):
+    big = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (99, "orphan")], "k: long, v: string"
+    )
+    small = spark.createDataFrame([(1, "x"), (2, "y")], "k: long, w: string")
+    out = skew.salted_join(big, small, on=["k"], how="left", n_salts=4)
+    rows = {r["k"]: r["w"] for r in out.collect()}
+    assert rows == {1: "x", 2: "y", 99: None}
+    assert out.count() == 3  # replication must not duplicate rows
+
+
+def test_salted_join_rejects_right_joins(spark):
+    df = spark.createDataFrame([(1,)], "k: long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        skew.salted_join(df, df, on=["k"], how="right")

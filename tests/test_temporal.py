@@ -127,3 +127,34 @@ def test_asof_join_matches_naive_inequality_join(spark, tmp_path):
         else:
             want[e] = (None, None)
     assert got == want
+
+
+def test_incremental_rollup_refresh_equals_full(spark):
+    from traceframe_spark.operators import rollup as R
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # split history/delta on event_id; refresh(standing, delta) == rollup(full)
+    hist = e.filter(F.col("event_id") % 5 != 0)
+    delta = e.filter(F.col("event_id") % 5 == 0)
+    standing = R.rollup_events(hist, R.MINUTE_NS, ["event_type"], "value")
+    refreshed = R.incremental_refresh(
+        standing, delta, R.MINUTE_NS, ["event_type"], "value"
+    )
+    full = R.rollup_events(e, R.MINUTE_NS, ["event_type"], "value")
+
+    def key(df):
+        return {
+            (r["bucket_ns"], r["event_type"]): (
+                r["n"],
+                round(r["value_sum"], 6),
+                r["value_min"],
+                r["value_max"],
+            )
+            for r in df.collect()
+        }
+
+    assert key(refreshed) == key(full)
+    # coarsening from partials == direct coarse rollup from raw
+    hourly_from_partials = R.coarsen(full, R.HOUR_NS, ["event_type"])
+    hourly_direct = R.rollup_events(e, R.HOUR_NS, ["event_type"], "value")
+    assert key(hourly_from_partials) == key(hourly_direct)

@@ -55,6 +55,39 @@ def salted_agg(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side, REPLICATE the small
+    side across every salt, join on (keys + salt).
+
+    AQE's skew-join split handles most cases at runtime; this is the
+    explicit form for when the skew is known up front (one hot service,
+    one boilerplate cluster) or AQE is unavailable — e.g. inside
+    streaming micro-batches, where AQE does not re-plan. The small side
+    grows ``n_salts``×, so this only makes sense when it is
+    broadcast-size to begin with; each hot key's rows then spread over
+    ``n_salts`` reducers instead of one straggler.
+
+    Only inner and left joins: replication would double-count the
+    unmatched small-side rows of right/full joins.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left' only")
+    on = list(on)
+    salted = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    replicated = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    return salted.join(replicated, on + ["_salt"], how).drop("_salt")
+
+
 def top_hot_keys(df: DataFrame, keys: Sequence[str], top: int = 10) -> DataFrame:
     """Diagnostic: the heaviest grouping keys and their share of rows —
     run before choosing a partitioning/salting strategy."""

@@ -294,6 +294,35 @@ GROUP BY l_returnflag
 """
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join under the correctness gate: salting the big
+    side and replicating the small side (operators/skew.salted_join)
+    must produce EXACTLY the plain join — the oracle is the unsalted
+    SQL. Quantities go through integer cents before the sum so the
+    group totals are order-independent and hash-portable."""
+    from traceframe_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), qint(F.col("l_quantity"), 2).alias("qty_c")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, o, on=["okey"], n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.sum("qty_c").alias("qty_c_sum"))
+    )
+
+
+SQL_SALTED_JOIN = """
+SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_c_sum
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: events pre-aggregate into
     1-minute buckets (count + sum + min/max), and the hourly answer is
@@ -307,32 +336,18 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side. Bucketing is integer division on the long-ns timestamp —
     no timezone, no UDF, stays in codegen.
     """
+    from traceframe_spark.operators import rollup as R
+
     e = load_table(spark, sf_dir, "events")
-    minute_ns = 60 * 1_000_000_000
-    minute = (F.col("ts") - F.pmod(F.col("ts"), F.lit(minute_ns))).alias("minute_ns")
-    rollup_1m = (
-        e.select(minute, "event_type", "value")
-        .groupBy("minute_ns", "event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("value").alias("value_sum"),
-            F.min("value").alias("value_min"),
-            F.max("value").alias("value_max"),
-        )
-    )
-    hour_ns = 3600 * 1_000_000_000
-    hour = (F.col("minute_ns") - F.pmod(F.col("minute_ns"), F.lit(hour_ns))).alias("hour_ns")
-    return (
-        rollup_1m.select(hour, "event_type", "n", "value_sum", "value_min", "value_max")
-        .groupBy("hour_ns", "event_type")
-        .agg(
-            F.sum("n").alias("n_events"),
-            qint(F.sum("value_sum"), 2).alias("value_sum_q"),
-            qint(F.min("value_min"), 4).alias("value_min_q"),
-            qint(F.max("value_max"), 4).alias("value_max_q"),
-        )
-        .withColumn("hour_us", F.expr("hour_ns div 1000"))
-        .drop("hour_ns")
+    rollup_1m = R.rollup_events(e, R.MINUTE_NS, ["event_type"], "value")
+    hourly = R.coarsen(rollup_1m, R.HOUR_NS, ["event_type"])
+    return hourly.select(
+        F.expr("bucket_ns div 1000").alias("hour_us"),
+        "event_type",
+        F.col("n").alias("n_events"),
+        qint(F.col("value_sum"), 2).alias("value_sum_q"),
+        qint(F.col("value_min"), 4).alias("value_min_q"),
+        qint(F.col("value_max"), 4).alias("value_max_q"),
     )
 
 
@@ -551,6 +566,7 @@ TEMPORAL_QUERIES = {
     "count_distinct": q_count_distinct,
     "grouping_sets": q_grouping_sets,
     "salted_group_agg": q_salted_group_agg,
+    "salted_join": q_salted_join,
     "time_rollup": q_time_rollup,
     "pivot_events": q_pivot_events,
     "stratified_sample": q_stratified_sample,
@@ -568,6 +584,7 @@ TEMPORAL_ORACLE_SQL = {
     "count_distinct": SQL_COUNT_DISTINCT,
     "grouping_sets": SQL_GROUPING_SETS,
     "salted_group_agg": SQL_SALTED_GROUP_AGG,
+    "salted_join": SQL_SALTED_JOIN,
     "time_rollup": SQL_TIME_ROLLUP,
     "pivot_events": SQL_PIVOT_EVENTS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
