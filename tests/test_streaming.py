@@ -293,3 +293,53 @@ def test_compact_span_store(spark, feed_dir, tmp_path):
     for d in dirs:
         assert len(glob.glob(f"{d}/*.parquet")) == 1, d
     assert len(glob.glob(f"{store}/span_date=*/trace_bucket=*/*.parquet")) <= n_files_before
+
+
+def test_stream_parent_enrich_stream_stream_join(spark, tmp_path):
+    from traceframe_spark.streaming.spans import stream_parent_enrich
+
+    # child spans and parent spans arrive on SEPARATE feeds
+    parents = [
+        _span("t1", "r1", "/root", BASE, 500_000, "", "frontend"),
+        _span("t2", "r2", "/root", BASE + 60_000_000, 300_000, "", "frontend"),
+    ]
+    children = [
+        _span("t1", "c1", "/child", BASE + 100_000, 200_000, "r1", "backend"),
+        _span("t2", "c2", "/child", BASE + 60_100_000, 100_000, "r2", "backend"),
+        # orphan: parent never arrives on the parent feed
+        _span("t3", "c3", "/child", BASE + 200_000, 50_000, "ghost", "backend"),
+    ]
+    # late "advancer" spans push BOTH sources' watermarks (the global
+    # watermark is the min across inputs) far past the first batch, so
+    # the orphan's outer-join row can flush before the stream ends.
+    late = BASE + 3_600_000_000
+    parents_late = [_span("t9", "r9", "/root", late, 1_000, "", "frontend")]
+    children_late = [_span("t9", "c9", "/child", late, 1_000, "r9", "backend")]
+
+    pdir, cdir = tmp_path / "parents", tmp_path / "children"
+    pdir.mkdir(), cdir.mkdir()
+    (pdir / "b0.jsonl").write_text("\n".join(json.dumps(s) for s in parents))
+    (cdir / "b0.jsonl").write_text("\n".join(json.dumps(s) for s in children))
+    (pdir / "b1.jsonl").write_text("\n".join(json.dumps(s) for s in parents_late))
+    (cdir / "b1.jsonl").write_text("\n".join(json.dumps(s) for s in children_late))
+
+    enriched = stream_parent_enrich(
+        read_span_stream(spark, str(cdir), max_files_per_trigger=1),
+        read_span_stream(spark, str(pdir), max_files_per_trigger=1),
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["spanID"]: (r["parent_service"], r["parent_operation"])
+        for r in spark.sql("select * from enriched").collect()
+    }
+    assert rows["c1"] == ("frontend", "/root")
+    assert rows["c2"] == ("frontend", "/root")
+    # left-outer: the orphan child still emits, with null parent columns
+    assert "c3" in rows and rows["c3"] == (None, None)

@@ -68,6 +68,51 @@ def windowed_service_stats(
     )
 
 
+def stream_parent_enrich(
+    children: DataFrame,
+    parents: DataFrame,
+    max_skew: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream JOIN: attribute each child span to its parent while
+    both are still in flight — child rows arrive on one feed, parent
+    rows on another (collectors shard by service, so a trace's spans
+    rarely share a feed).
+
+    Spark requires bounded state for stream-stream joins: both sides
+    carry a watermark and the join has a time-range predicate (parent
+    started within ``max_skew`` before the child — clock skew bound), so
+    each side's buffer is dropped once the watermark passes. Left outer
+    keeps orphans (parent never arrives): they emit with null parent
+    columns after the watermark expires.
+
+    At scale this is the state-store-backed symmetric hash join; the
+    shuffle key is (traceID, spanID), which is high-cardinality and
+    skew-free by construction.
+    """
+    c = (
+        children.withColumn("c_time", F.timestamp_micros(F.col("startTime")))
+        .withWatermark("c_time", watermark)
+    )
+    p = (
+        parents.select(
+            F.col("traceID").alias("p_traceID"),
+            F.col("spanID").alias("p_spanID"),
+            F.col("service").alias("parent_service"),
+            F.col("operationName").alias("parent_operation"),
+            F.timestamp_micros(F.col("startTime")).alias("p_time"),
+        )
+        .withWatermark("p_time", watermark)
+    )
+    cond = (
+        (F.col("traceID") == F.col("p_traceID"))
+        & (F.col("parent") == F.col("p_spanID"))
+        & (F.col("p_time") >= F.col("c_time") - F.expr(f"INTERVAL {max_skew}"))
+        & (F.col("p_time") <= F.col("c_time") + F.expr(f"INTERVAL {max_skew}"))
+    )
+    return c.join(p, cond, "leftOuter").drop("p_traceID", "p_spanID", "p_time", "c_time")
+
+
 def stream_to_span_store(
     spans: DataFrame, path: str, checkpoint: str, trigger_available_now: bool = False
 ):
