@@ -274,3 +274,34 @@ def test_reference_compat_frames(spark, jaeger_json_path):
     assert np.issubdtype(dfS["http.status_code"].dtype, np.floating)  # int64+NaN widens
     assert set(dfS["error"].dropna().unique()) == {True}
     assert (dfS[dfS["http.status_code"].notna()]["http.status_code"] == 503).sum() == 2
+
+
+def test_jsonl_quarantine_splits_corrupt_lines(spark, tmp_path):
+    import json as _json
+
+    from traceframe_spark.sources.jsonl import spans_from_jsonl
+
+    good = {
+        "traceID": "t1", "spanID": "s1", "flags": 1, "operationName": "/a",
+        "startTime": 1_700_000_000_000_000, "duration": 1000, "logs": [],
+        "processID": "p1", "warnings": None, "service": "svc",
+        "parent": "", "tags": "{}",
+    }
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    lines = [
+        _json.dumps(good),
+        '{"truncated": ',                      # cut-off JSON
+        "2026-08-13 INFO collector restarted", # stray log line
+        _json.dumps({**good, "spanID": "s2"}),
+    ]
+    (feed / "b0.jsonl").write_text("\n".join(lines))
+
+    qdir = str(tmp_path / "quarantine")
+    valid, quarantine = spans_from_jsonl(spark, str(feed), quarantine_path=qdir)
+    assert sorted(r["spanID"] for r in valid.collect()) == ["s1", "s2"]
+    bad = sorted(r["raw"] for r in quarantine.collect())
+    assert bad == sorted([lines[1], lines[2]])
+    # quarantine_path got the same raw lines, appended as text
+    requeued = sorted(r["value"] for r in spark.read.text(qdir).collect())
+    assert requeued == bad
