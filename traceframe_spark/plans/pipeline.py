@@ -146,6 +146,39 @@ GROUP BY u
 """
 
 
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full keep-one dedup decision, end to end: near-dup pairs →
+    connected components → drop every doc that is not its cluster's
+    canonical (min-id) representative. Singletons pass through — the
+    output is the deduplicated corpus subset itself."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.85)
+    comp = graph.connected_components(pairs, "id_a", "id_b")
+    return graph.keep_canonical(d, "doc_id", comp).select("doc_id", "source")
+
+
+SQL_DEDUP_KEEP_CANONICAL = f"""
+WITH RECURSIVE
+{_sql_jaccard_pair_ctes(0.85, 150)},
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+),
+reach AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v WHERE e.v <> r.u
+),
+dropped AS (
+    SELECT u AS doc_id FROM reach GROUP BY u HAVING least(u, min(v)) <> u
+)
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE d.doc_id < 150 AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 20th doc plays the held-out
     benchmark; the rest of the corpus is scored for distinct word
@@ -188,6 +221,47 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
 WHERE d.doc_id % 20 <> 0
 """
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile of ``documents``, restricted to its
+    deterministic metrics (the HLL approx_distinct is engine-specific
+    and stays test-pinned): null counts, numeric min/max/mean, string
+    length stats, and the anchoring row count."""
+    from traceframe_spark.operators.profile import column_profile
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        column_profile(d)
+        .filter(F.col("metric") != "approx_distinct")
+        .select("column", "metric", qint(F.col("value"), 4).alias("value_q"))
+    )
+
+
+def _sql_column_profile() -> str:
+    """Oracle for q_column_profile: the same metrics as stacked
+    aggregate selects over the documents columns."""
+    numeric = ["doc_id", "n_chars"]
+    strings = ["text", "lang", "source"]
+    rows = ["SELECT '*' AS \"column\", 'n_rows' AS metric, count(*)::DOUBLE AS v FROM documents"]
+    for c in numeric + strings:
+        rows.append(
+            f"SELECT '{c}', 'n_null', sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::DOUBLE FROM documents"
+        )
+    for c in numeric:
+        for m, fn in [("min", "min"), ("max", "max"), ("mean", "avg")]:
+            rows.append(f"SELECT '{c}', '{m}', {fn}({c})::DOUBLE FROM documents")
+    for c in strings:
+        for m, fn in [("min_len", "min"), ("max_len", "max"), ("mean_len", "avg")]:
+            rows.append(f"SELECT '{c}', '{m}', {fn}(len({c}))::DOUBLE FROM documents")
+    union = "\nUNION ALL\n".join(rows)
+    return (
+        "SELECT \"column\", metric, CAST(floor(v * 10000 + 0.5) AS BIGINT) AS value_q\n"
+        f"FROM ({union})"
+    )
+
+
+SQL_COLUMN_PROFILE = _sql_column_profile()
 
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -464,7 +538,9 @@ PIPELINE_QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_verified": q_minhash_verified,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_canonical": q_dedup_keep_canonical,
     "contamination": q_contamination,
+    "column_profile": q_column_profile,
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
     "doc_repetition": q_doc_repetition,
@@ -483,7 +559,9 @@ PIPELINE_ORACLE_SQL = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_verified": SQL_MINHASH_VERIFIED,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_keep_canonical": SQL_DEDUP_KEEP_CANONICAL,
     "contamination": SQL_CONTAMINATION,
+    "column_profile": SQL_COLUMN_PROFILE,
     "ann_ivf_exhaustive": SQL_ANN_COSINE_TOPK,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "doc_repetition": SQL_DOC_REPETITION,
