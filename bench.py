@@ -52,6 +52,9 @@ HEADLINE = [
     "time_rollup",
     "count_distinct",
     "contamination",
+    "moving_avg",
+    "salted_join",
+    "domain_mix",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans

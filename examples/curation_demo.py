@@ -21,8 +21,9 @@ from pyspark.sql import functions as F
 
 import traceframe_spark as tfs
 from traceframe_spark import sinks
-from traceframe_spark.operators import dedup, text
+from traceframe_spark.operators import dedup, graph, text
 from traceframe_spark.operators.profile import column_profile
+from traceframe_spark.operators.sampling import weighted_domain_sample
 
 
 def main() -> None:
@@ -40,6 +41,7 @@ def main() -> None:
     sig = docs.select(
         "doc_id",
         "text",
+        "source",
         text.lang_id(F.col("text")).alias("lang"),
         text.quality_score(F.col("text")).alias("quality"),
         text.repetition_ratio(F.col("text")).alias("repetition"),
@@ -56,25 +58,46 @@ def main() -> None:
     scrubbed = gated.withColumn("text", text.redact_pii(F.col("text")))
     print(f"pii: {pii['emails']} emails redacted")
 
-    # 4. dedup: exact content hash, then MinHash-LSH near-dups
+    # 4. dedup: exact content hash, then MinHash-LSH near-dup pairs →
+    #    connected components → keep each cluster's canonical doc
+    #    (transitive: a≈b≈c collapses to one survivor, not pairwise)
     exact = dedup.exact_dedup(scrubbed, ["text"], "doc_id")
     n2 = exact.count()
     near_pairs = dedup.minhash_dedup_pairs(exact, "doc_id", "text", threshold=0.9)
-    drop = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    kept = exact.join(drop, "doc_id", "left_anti")
+    comp = graph.connected_components(near_pairs, "id_a", "id_b")
+    kept = graph.keep_canonical(exact, "doc_id", comp)
     n3 = kept.count()
-    print(f"dedup: {n1} -> {n2} (exact) -> {n3} (near-dup, keep lowest id per pair)")
+    n_clusters = comp.select("component").distinct().count()
+    print(
+        f"dedup: {n1} -> {n2} (exact) -> {n3} "
+        f"(near-dup: {n_clusters} clusters collapsed to canonicals)"
+    )
 
-    # 5. pack into fixed-token training sequences
-    packed = text.pack_sequences(kept, budget=512)
+    # 5. benchmark decontamination: drop docs leaking eval-set n-grams
+    bench = docs.filter(F.col("doc_id") % 97 == 0)  # stand-in eval set
+    scores = text.contamination(kept, bench, n=3)
+    clean = kept.join(
+        scores.filter(F.col("overlap") <= 0.3).select("doc_id"), "doc_id"
+    )
+    n4 = clean.count()
+    print(f"decontamination: {n3} -> {n4} (3-gram overlap <= 0.3 vs eval set)")
+
+    # 6. domain mixture: resample each source at its mixture weight
+    rates = {f"src{i}": [1.0, 0.7, 0.4][i % 3] for i in range(20)}
+    mixed = weighted_domain_sample(clean, rates)
+    n5 = mixed.count()
+    print(f"domain mix: {n4} -> {n5} (per-source rates, deterministic)")
+
+    # 7. pack into fixed-token training sequences
+    packed = text.pack_sequences(mixed, budget=512)
     seqs = packed.agg(F.max("seq_id")).first()[0] + 1
     toks = packed.agg(F.sum("n_tokens")).first()[0]
     print(f"packing: {toks} tokens -> {seqs} sequences of 512")
 
-    # 6. deterministic shard export for the dataloader
+    # 8. deterministic shard export for the dataloader
     out = tempfile.mkdtemp(prefix="curated_shards_")
     sinks.write_training_shards(
-        kept.join(packed.select("doc_id", "seq_id"), "doc_id"),
+        mixed.join(packed.select("doc_id", "seq_id"), "doc_id"),
         out,
         n_shards=4,
         shuffle_key="doc_id",
