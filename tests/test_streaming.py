@@ -343,3 +343,54 @@ def test_stream_parent_enrich_stream_stream_join(spark, tmp_path):
     assert rows["c2"] == ("frontend", "/root")
     # left-outer: the orphan child still emits, with null parent columns
     assert "c3" in rows and rows["c3"] == (None, None)
+
+
+def test_stream_to_rollup_maintains_continuous_aggregate(spark, tmp_path):
+    from traceframe_spark.operators import rollup as R
+    from traceframe_spark.streaming.spans import stream_to_rollup
+
+    HOUR_US = 3_600_000_000
+    evs = [
+        # batch 0: two hours' worth
+        [(1, BASE, "click", 10.0), (2, BASE + 1_000_000, "view", 4.0),
+         (3, BASE + HOUR_US, "click", 2.0)],
+        # batch 1: new hour + a LATE straggler back into hour 0
+        [(4, BASE + 2 * HOUR_US, "view", 7.0), (5, BASE + 5_000_000, "click", 1.0)],
+    ]
+    feed = tmp_path / "events"
+    feed.mkdir()
+    cols = ["event_id", "ts_us", "event_type", "value"]
+    for i, batch in enumerate(evs):
+        (feed / f"b{i}.jsonl").write_text(
+            "\n".join(json.dumps(dict(zip(cols, e))) for e in batch)
+        )
+
+    schema = "event_id long, ts_us long, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+        .withColumn("ts", F.col("ts_us") * 1000)  # long ns, like the events table
+    )
+    store, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+    q = stream_to_rollup(
+        stream, store, ckpt, R.MINUTE_NS, ["event_type"], "value",
+        trigger_available_now=True,
+    )
+    q.awaitTermination(180)
+
+    all_events = spark.createDataFrame(
+        [e for b in evs for e in b], schema
+    ).withColumn("ts", F.col("ts_us") * 1000)
+    expected = {
+        (r["bucket_ns"], r["event_type"]): (r["n"], r["value_sum"], r["value_min"], r["value_max"])
+        for r in R.rollup_events(all_events, R.MINUTE_NS, ["event_type"], "value").collect()
+    }
+    got = {
+        (r["bucket_ns"], r["event_type"]): (r["n"], r["value_sum"], r["value_min"], r["value_max"])
+        for r in spark.read.parquet(store).collect()
+    }
+    assert got == expected
+    # the straggler's minute bucket really did merge across batches
+    late_bucket = (BASE + 5_000_000) * 1000 // R.MINUTE_NS * R.MINUTE_NS
+    assert got[(late_bucket, "click")][0] >= 1

@@ -134,6 +134,70 @@ def stream_to_span_store(
     return writer.start()
 
 
+def stream_to_rollup(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    bucket_ns: int,
+    keys: list[str],
+    value_col: str,
+    ts_col: str = "ts",
+    trigger_available_now: bool = False,
+):
+    """Maintain a continuous-aggregate store from a stream: each
+    micro-batch folds its delta into the standing rollup
+    (operators/rollup.incremental_refresh) and rewrites ONLY the hour
+    partitions the batch touched, via dynamic partition overwrite.
+
+    Cost per batch scales with the delta (late data included — an
+    hour's partition is re-merged when a straggler lands in it), never
+    with the store's history. Batch dashboards read ``path`` as plain
+    parquet partitioned by ``hour_ns``; no stream-side state store is
+    involved, so the rollup survives checkpoint resets and is queryable
+    mid-stream.
+    """
+    from traceframe_spark.operators import rollup as R
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = R.rollup_events(batch_df, bucket_ns, keys, value_col, ts_col)
+        delta = delta.withColumn(
+            "hour_ns", R.time_bucket(F.col("bucket_ns"), R.HOUR_NS)
+        )
+        from pyspark.errors import AnalysisException
+
+        try:
+            standing = spark.read.parquet(path)
+        except AnalysisException:  # first batch: store doesn't exist yet
+            standing = None
+        if standing is not None:
+            touched = [r["hour_ns"] for r in delta.select("hour_ns").distinct().collect()]
+            # localCheckpoint cuts the file-source lineage: Spark refuses
+            # to overwrite a path that is also being read from otherwise
+            standing = (
+                standing.filter(F.col("hour_ns").isin(touched)).localCheckpoint()
+            )
+            merged = R.merge_rollups(
+                standing.drop("hour_ns"), delta.drop("hour_ns"), keys
+            ).withColumn("hour_ns", R.time_bucket(F.col("bucket_ns"), R.HOUR_NS))
+        else:
+            merged = delta
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("hour_ns")
+            .parquet(path)
+        )
+
+    writer = (
+        events.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_dedup(
     df: DataFrame,
     key_cols: list[str],
