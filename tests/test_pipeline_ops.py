@@ -512,3 +512,25 @@ def test_weighted_domain_sample_deterministic_rates(spark):
     extra = spark.createDataFrame([(900, "dX")], "doc_id: long, source: string")
     out2 = weighted_domain_sample(df.union(extra), rates, default_rate=1.0)
     assert out2.filter(F.col("source") == "dX").count() == 1
+
+
+def test_token_entropy_hand_cases(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a b c"),          # -(1/2*log2(1/2) + 1/4*log2(1/4)*2) = 1.5
+            (2, "spam spam spam"),   # single symbol -> 0
+            (3, "w x y z"),          # uniform over 4 -> 2.0
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", text.token_entropy(F.col("text")).alias("h")
+        ).collect()
+    }
+    assert math.isclose(got[1], 1.5)
+    assert got[2] == 0.0
+    assert math.isclose(got[3], 2.0)

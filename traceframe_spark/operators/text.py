@@ -160,6 +160,42 @@ def repetition_ratio(col: Column, n: int = 2) -> Column:
     )
 
 
+def token_entropy(col: Column) -> Column:
+    """Shannon entropy (base 2) of the document's token distribution —
+    the gibberish/boilerplate signal: near 0 for repeated filler, high
+    for diverse text.
+
+    Computed as a single fold over the SORTED token array using
+    ``H = log2(n) - (Σ c·log2 c)/n`` over run lengths ``c``: the lambda
+    state is (prev, run, Σ c·log2 c) and never references the token
+    array itself — a per-distinct-token ``filter`` count would re-split
+    the text per distinct token once Catalyst inlines the alias (see
+    :func:`word_ngrams`). Zero-shuffle JVM expression.
+    """
+    toks = F.array_sort(tokens(col))
+
+    def close_run(acc):
+        c = acc["run"].cast("double")
+        return acc["s"] + F.when(acc["run"] > 0, c * F.log2(c)).otherwise(F.lit(0.0))
+
+    def step(acc, t):
+        same = acc["prev"].isNotNull() & (acc["prev"] == t)
+        return F.struct(
+            t.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["s"]).otherwise(close_run(acc)).alias("s"),
+        )
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0.0).alias("s"),
+    )
+    sum_clogc = F.aggregate(toks, init, step, close_run)
+    n = F.size(tokens(col)).cast("double")
+    return F.when(n > 0, F.log2(n) - sum_clogc / n).otherwise(F.lit(0.0))
+
+
 def word_ngrams(col: Column, n: int) -> Column:
     """Strict word ``n``-grams (space-joined): empty array for documents
     shorter than ``n`` words. JVM expression built as ``arrays_zip`` of

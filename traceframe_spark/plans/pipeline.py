@@ -223,6 +223,27 @@ WHERE d.doc_id % 20 <> 0
 """
 
 
+def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution entropy per document (gibberish/boilerplate
+    signal), against DuckDB's native base-2 ``entropy()`` aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", qint(text.token_entropy(F.col("text")), 4).alias("entropy_q")
+    )
+
+
+SQL_DOC_ENTROPY = r"""
+SELECT doc_id,
+       CAST(floor(entropy(tok) * 10000 + 0.5) AS BIGINT) AS entropy_q
+FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+)
+GROUP BY doc_id
+"""
+
+
 def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass table profile of ``documents``, restricted to its
     deterministic metrics (the HLL approx_distinct is engine-specific
@@ -541,6 +562,7 @@ PIPELINE_QUERIES = {
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "contamination": q_contamination,
     "column_profile": q_column_profile,
+    "doc_entropy": q_doc_entropy,
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
     "doc_repetition": q_doc_repetition,
@@ -562,6 +584,7 @@ PIPELINE_ORACLE_SQL = {
     "dedup_keep_canonical": SQL_DEDUP_KEEP_CANONICAL,
     "contamination": SQL_CONTAMINATION,
     "column_profile": SQL_COLUMN_PROFILE,
+    "doc_entropy": SQL_DOC_ENTROPY,
     "ann_ivf_exhaustive": SQL_ANN_COSINE_TOPK,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "doc_repetition": SQL_DOC_REPETITION,
