@@ -236,6 +236,66 @@ GROUP BY user_id
 """
 
 
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the SQL facade: suppliers with at least
+    one near-max-quantity lineitem. Catalyst rewrites this to a left
+    semi join — no per-row subquery execution."""
+    return api.sql(
+        spark,
+        sf_dir,
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier s
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49
+        )
+        """,
+    )
+
+
+SQL_EXISTS_SUBQUERY = """
+SELECT s_suppkey, s_name
+FROM supplier s
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49
+)
+"""
+
+
+def q_unpivot_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→tall reshape with the native ``unpivot`` (melt): lineitem's
+    three charge columns become (charge, value_c) rows. Zero-shuffle —
+    the Expand node emits 3 rows per input row map-side."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        qint(F.col("l_extendedprice"), 2).alias("price_c"),
+        qint(F.col("l_discount"), 4).alias("disc_c"),
+        qint(F.col("l_tax"), 4).alias("tax_c"),
+    )
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["price_c", "disc_c", "tax_c"],
+        "charge",
+        "value_c",
+    )
+
+
+SQL_UNPIVOT_CHARGES = """
+SELECT l_orderkey, l_linenumber, charge, value_c
+FROM (
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+           CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS disc_c,
+           CAST(floor(l_tax * 10000 + 0.5) AS BIGINT) AS tax_c
+    FROM lineitem WHERE l_orderkey < 2000
+) UNPIVOT (value_c FOR charge IN (price_c, disc_c, tax_c))
+"""
+
+
 ADVANCED_QUERIES = {
     "set_intersect": q_intersect,
     "set_except": q_except,
@@ -246,6 +306,8 @@ ADVANCED_QUERIES = {
     "in_subquery": q_in_subquery,
     "scalar_subquery": q_scalar_subquery,
     "sessionize": q_sessionize,
+    "exists_subquery": q_exists_subquery,
+    "unpivot_charges": q_unpivot_charges,
 }
 
 ADVANCED_ORACLE_SQL = {
@@ -258,4 +320,6 @@ ADVANCED_ORACLE_SQL = {
     "in_subquery": SQL_IN_SUBQUERY,
     "scalar_subquery": SQL_SCALAR_SUBQUERY,
     "sessionize": SQL_SESSIONIZE,
+    "exists_subquery": SQL_EXISTS_SUBQUERY,
+    "unpivot_charges": SQL_UNPIVOT_CHARGES,
 }
