@@ -82,3 +82,14 @@ def test_keep_canonical_drops_non_representatives(spark):
     kept_ids = sorted(r["doc_id"] for r in kept.collect())
     # clusters {1,2,3} -> keep 1; {7,8} -> keep 7; singletons untouched
     assert kept_ids == [0, 1, 4, 5, 6, 7, 9]
+
+
+def test_connected_components_empty_and_single_edge(spark):
+    empty = spark.createDataFrame([], "id_a: long, id_b: long")
+    assert connected_components(empty).count() == 0
+    one = spark.createDataFrame([(5, 3)], "id_a: long, id_b: long")
+    got = {r["id"]: r["component"] for r in connected_components(one).collect()}
+    assert got == {3: 3, 5: 3}
+    # self-loops are dropped, not clustered
+    loops = spark.createDataFrame([(7, 7)], "id_a: long, id_b: long")
+    assert connected_components(loops).count() == 0

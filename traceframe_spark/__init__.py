@@ -37,6 +37,20 @@ from traceframe_spark.operators.critical_path import critical_segments_of_trace
 from traceframe_spark.operators.search import search_traces
 from traceframe_spark.sources.jaeger_datasource import JaegerDataSource
 
+# training-data pipeline surface (module handles: tfs.dedup.minhash_..., etc.)
+from traceframe_spark.operators import (  # noqa: F401
+    dedup,
+    graph,
+    multimodal,
+    profile,
+    rollup,
+    sampling,
+    similarity,
+    skew,
+    text,
+)
+from traceframe_spark.sources.jsonl import read_jsonl_quarantined, spans_from_jsonl
+
 __all__ = [
     "get_spark",
     "CRITSEG_SCHEMA",
@@ -59,6 +73,17 @@ __all__ = [
     "JaegerDataSource",
     "sinks",
     "viz",
+    "dedup",
+    "graph",
+    "multimodal",
+    "profile",
+    "rollup",
+    "sampling",
+    "similarity",
+    "skew",
+    "text",
+    "read_jsonl_quarantined",
+    "spans_from_jsonl",
 ]
 
 __version__ = "0.1.0"
