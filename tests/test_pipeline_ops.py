@@ -534,3 +534,34 @@ def test_token_entropy_hand_cases(spark):
     assert math.isclose(got[1], 1.5)
     assert got[2] == 0.0
     assert math.isclose(got[3], 2.0)
+
+
+def test_chunk_documents_boundaries(spark):
+    import pytest as _pytest
+
+    words = " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, " ".join(f"x{i}" for i in range(32)))],
+        "doc_id: long, text: string",
+    )
+    out = text.chunk_documents(df, chunk_tokens=32, overlap=8)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: 60 tokens -> chunks at 0,24,48 -> ceil((60-8)/24)=3 chunks
+    assert {k for k in rows if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert rows[(1, 0)]["n_chunk_tokens"] == 32
+    assert rows[(1, 0)]["chunk_text"].startswith("w0 w1 ")
+    assert rows[(1, 1)]["chunk_text"].startswith("w24 ")  # overlap of 8
+    assert rows[(1, 2)]["n_chunk_tokens"] == 12  # remainder 48..59
+    # doc 2: shorter than one chunk -> exactly one chunk, whole doc
+    assert {k for k in rows if k[0] == 2} == {(2, 0)}
+    assert rows[(2, 0)]["chunk_text"] == "short doc"
+    # doc 3: exactly chunk_tokens -> one chunk, no empty second chunk
+    assert {k for k in rows if k[0] == 3} == {(3, 0)}
+    # reconstruction: stripping each chunk's leading overlap re-joins to the doc
+    parts = [rows[(1, 0)]["chunk_text"]] + [
+        " ".join(rows[(1, i)]["chunk_text"].split()[8:]) for i in (1, 2)
+    ]
+    assert " ".join(parts) == words.lower()
+
+    with _pytest.raises(ValueError):
+        text.chunk_documents(df, chunk_tokens=32, overlap=32)

@@ -279,6 +279,54 @@ def contamination(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    pre-packing step for long documents (a context-window's worth of
+    tokens per training row, overlapping so no boundary context is
+    lost).
+
+    Output: (id_col, chunk_id, n_chunk_tokens, chunk_text). Stride is
+    ``chunk_tokens - overlap``; the final chunk is the remainder (never
+    empty, never duplicated: a doc shorter than ``chunk_tokens`` yields
+    exactly one chunk). Pure JVM expressions, zero shuffle.
+
+    The token array rides THROUGH the explode as a materialized column —
+    a Generate node is a projection-collapse barrier, so each chunk's
+    ``slice`` reads the already-built array instead of re-splitting the
+    text per chunk (Catalyst would inline a per-chunk lambda slice; see
+    :func:`word_ngrams` for the quadratic failure mode).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # chunk starts: 0, stride, 2*stride, ... while start + overlap < n
+    # (i.e. the chunk contributes at least one NEW token past the overlap)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)).cast("int"),
+        F.lit(1),
+    )
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
 def pii_counts(col: Column) -> Column:
     """Struct of per-kind PII match counts (email / ipv4 / phone)."""
     return F.struct(

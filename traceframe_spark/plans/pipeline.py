@@ -223,6 +223,32 @@ WHERE d.doc_id % 20 <> 0
 """
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 32-token chunks with 8-token overlap
+    (production sizes are 10-100×; small here so the synthetic docs
+    produce multi-chunk output to pin)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(d, chunk_tokens=32, overlap=8)
+
+
+SQL_DOC_CHUNKS = r"""
+WITH words AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+    FROM documents
+),
+idx AS (
+    SELECT doc_id, w,
+           unnest(range(0, greatest(CAST(ceil((len(w) - 8) / 24.0) AS BIGINT), 1))) AS g
+    FROM words
+)
+SELECT doc_id,
+       g AS chunk_id,
+       CAST(len(w[g*24+1 : g*24+32]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(w[g*24+1 : g*24+32], ' ') AS chunk_text
+FROM idx
+"""
+
+
 def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-distribution entropy per document (gibberish/boilerplate
     signal), against DuckDB's native base-2 ``entropy()`` aggregate."""
@@ -563,6 +589,7 @@ PIPELINE_QUERIES = {
     "contamination": q_contamination,
     "column_profile": q_column_profile,
     "doc_entropy": q_doc_entropy,
+    "doc_chunks": q_doc_chunks,
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
     "doc_repetition": q_doc_repetition,
@@ -585,6 +612,7 @@ PIPELINE_ORACLE_SQL = {
     "contamination": SQL_CONTAMINATION,
     "column_profile": SQL_COLUMN_PROFILE,
     "doc_entropy": SQL_DOC_ENTROPY,
+    "doc_chunks": SQL_DOC_CHUNKS,
     "ann_ivf_exhaustive": SQL_ANN_COSINE_TOPK,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "doc_repetition": SQL_DOC_REPETITION,
