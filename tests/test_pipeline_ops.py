@@ -565,3 +565,22 @@ def test_chunk_documents_boundaries(spark):
 
     with _pytest.raises(ValueError):
         text.chunk_documents(df, chunk_tokens=32, overlap=32)
+
+
+def test_cross_near_dup_subtract_drops_only_reference_dups(spark, docs):
+    base = docs.limit(20)
+    ref_rows = [(9000, r["text"]) for r in base.limit(3).collect()]
+    ref = spark.createDataFrame(ref_rows, "doc_id: long, text: string")
+    corpus = base.select("doc_id", "text")
+    survivors = dedup.cross_near_dup_subtract(corpus, ref, "doc_id", "text", threshold=0.9)
+    kept = sorted(r["doc_id"] for r in survivors.collect())
+    dropped = sorted(set(r["doc_id"] for r in base.collect()) - set(kept))
+    # exactly the 3 docs duplicated into the reference are gone
+    assert dropped == sorted(r["doc_id"] for r in base.limit(3).collect())
+    # reference side untouched by construction; id collisions are safe:
+    ref2 = spark.createDataFrame(
+        [(r["doc_id"], t) for (r, (_, t)) in zip(base.limit(3).collect(), ref_rows)],
+        "doc_id: long, text: string",
+    )
+    survivors2 = dedup.cross_near_dup_subtract(corpus, ref2, "doc_id", "text", threshold=0.9)
+    assert sorted(r["doc_id"] for r in survivors2.collect()) == kept

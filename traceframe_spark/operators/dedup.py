@@ -155,6 +155,74 @@ def lsh_candidate_pairs(
     )
 
 
+def cross_near_dup_subtract(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    n_hashes: int = 64,
+    bands: int | None = None,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Asymmetric near-dup filtering: drop every ``corpus`` doc whose
+    exact shingle-Jaccard with ANY ``reference`` doc is ≥ ``threshold``;
+    the reference side is never modified. The cross-corpus form of
+    dedup a pipeline runs against an already-curated snapshot or a
+    held-out eval suite.
+
+    Same LSH shape as :func:`minhash_dedup_pairs` but the band-bucket
+    join is corpus×reference (not a self-join, no id ordering), and id
+    collisions between the two tables are safe — each side verifies
+    against its own signature frame. Returns the surviving corpus rows.
+    """
+    bands = bands or bands_for_threshold(threshold, n_hashes)
+    rows_per_band = max(n_hashes // bands, 1)
+
+    def buckets(sig: DataFrame) -> DataFrame:
+        band_entries = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.hash(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("bh"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return sig.select("id", F.explode(band_entries).alias("e")).select(
+            "id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
+        )
+
+    sig_c = minhash_signatures(corpus, id_col, text_col, n_hashes, shingle_size).persist()
+    sig_r = minhash_signatures(reference, id_col, text_col, n_hashes, shingle_size).persist()
+    cand = (
+        buckets(sig_c).alias("c")
+        .join(buckets(sig_r).alias("r"), ["band", "bh"])
+        .select(F.col("c.id").alias("id_c"), F.col("r.id").alias("id_r"))
+        .distinct()
+    )
+    joined = (
+        cand.join(
+            sig_c.select(F.col("id").alias("id_c"), F.col("shingles").alias("sh_c")),
+            "id_c",
+        ).join(
+            sig_r.select(F.col("id").alias("id_r"), F.col("shingles").alias("sh_r")),
+            "id_r",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_c", "sh_r")).cast("double")
+    union = F.size(F.array_union("sh_c", "sh_r")).cast("double")
+    contaminated = (
+        joined.filter(inter / union >= threshold).select(F.col("id_c").alias("_drop"))
+        .distinct()
+    )
+    return corpus.join(
+        contaminated, corpus[id_col] == contaminated["_drop"], "left_anti"
+    )
+
+
 def jaccard_verify(
     candidates: DataFrame, signatures: DataFrame, threshold: float
 ) -> DataFrame:

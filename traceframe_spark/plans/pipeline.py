@@ -179,6 +179,52 @@ WHERE d.doc_id < 150 AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
 """
 
 
+def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric cross-corpus subtraction: corpus docs near-duplicating
+    any reference-side doc (exact shingle-Jaccard ≥ 0.9, LSH-routed)
+    are dropped; survivors returned. Bounded subset; at t=0.9 with
+    16-band/64-hash LSH the candidate recall is ≈1, so the verified
+    output equals the exact cross-pair answer the oracle computes."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    ref = d.filter(F.col("doc_id") % 20 == 0)
+    out = dedup.cross_near_dup_subtract(corpus, ref, "doc_id", "text", threshold=0.9)
+    return out.select("doc_id", "source")
+
+
+SQL_CROSS_DEDUP = """
+WITH docs AS (
+    SELECT doc_id, lower(trim(text)) AS t FROM documents WHERE doc_id < 300
+),
+shingled AS (
+    SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, substr(t, CAST(g AS INT), 5) AS sh
+        FROM (SELECT doc_id, t,
+                     unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS g
+              FROM docs)
+    )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id),
+common AS (
+    SELECT c.doc_id AS id_c, r.doc_id AS id_r, count(*) AS n_common
+    FROM shingled c JOIN shingled r ON c.sh = r.sh
+    WHERE c.doc_id % 20 <> 0 AND r.doc_id % 20 = 0
+    GROUP BY 1, 2
+),
+dropped AS (
+    SELECT DISTINCT id_c
+    FROM common
+    JOIN sizes sc ON sc.doc_id = id_c
+    JOIN sizes sr ON sr.doc_id = id_r
+    WHERE n_common::DOUBLE / (sc.n_sh + sr.n_sh - n_common) >= 0.9
+)
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE d.doc_id < 300 AND d.doc_id % 20 <> 0
+  AND d.doc_id NOT IN (SELECT id_c FROM dropped)
+"""
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 20th doc plays the held-out
     benchmark; the rest of the corpus is scored for distinct word
@@ -586,6 +632,7 @@ PIPELINE_QUERIES = {
     "minhash_verified": q_minhash_verified,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_canonical": q_dedup_keep_canonical,
+    "cross_dedup": q_cross_dedup,
     "contamination": q_contamination,
     "column_profile": q_column_profile,
     "doc_entropy": q_doc_entropy,
@@ -609,6 +656,7 @@ PIPELINE_ORACLE_SQL = {
     "minhash_verified": SQL_MINHASH_VERIFIED,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_keep_canonical": SQL_DEDUP_KEEP_CANONICAL,
+    "cross_dedup": SQL_CROSS_DEDUP,
     "contamination": SQL_CONTAMINATION,
     "column_profile": SQL_COLUMN_PROFILE,
     "doc_entropy": SQL_DOC_ENTROPY,
