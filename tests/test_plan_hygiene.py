@@ -24,3 +24,26 @@ def test_plan_has_no_hard_flags(spark, name):
     flags = audit_one(name, QUERIES[name](spark, SF))
     hard = [f for f in flags if f.startswith("HARD:")]
     assert not hard, f"{name}: {hard}"
+
+
+def test_pipeline_plans_have_intended_shapes(spark):
+    """Positive plan pins (beyond no-red-flags): the designs the scale
+    notes promise actually plan that way."""
+    from tools.plan_audit import plan_of
+
+    # decontamination: benchmark gram set broadcasts; corpus side never
+    # pays a distinct shuffle of exploded grams (one groupBy + the tiny
+    # bench-side distinct only)
+    plan = plan_of(QUERIES["contamination"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+    # cross-corpus subtraction routes through the band-bucket equi-join,
+    # not any nested-loop/cartesian form
+    plan = plan_of(QUERIES["cross_dedup"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    # chunking is a pure scan->generate->project pipeline: zero exchanges
+    plan = plan_of(QUERIES["doc_chunks"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Generate" in plan

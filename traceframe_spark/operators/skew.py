@@ -68,10 +68,12 @@ def salted_join(
     AQE's skew-join split handles most cases at runtime; this is the
     explicit form for when the skew is known up front (one hot service,
     one boilerplate cluster) or AQE is unavailable — e.g. inside
-    streaming micro-batches, where AQE does not re-plan. The small side
-    grows ``n_salts``×, so this only makes sense when it is
-    broadcast-size to begin with; each hot key's rows then spread over
-    ``n_salts`` reducers instead of one straggler.
+    streaming micro-batches, where AQE does not re-plan. Its niche is
+    the middle ground where the small side is too big to broadcast
+    (when it fits, just broadcast — broadcast joins don't skew) but
+    ``n_salts`` copies of it are still an affordable shuffle: each hot
+    key's rows then spread over ``n_salts`` reducers instead of one
+    straggler.
 
     Only inner and left joins: replication would double-count the
     unmatched small-side rows of right/full joins.
