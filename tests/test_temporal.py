@@ -158,3 +158,40 @@ def test_incremental_rollup_refresh_equals_full(spark):
     hourly_from_partials = R.coarsen(full, R.HOUR_NS, ["event_type"])
     hourly_direct = R.rollup_events(e, R.HOUR_NS, ["event_type"], "value")
     assert key(hourly_from_partials) == key(hourly_direct)
+
+
+def test_histogram_quantile_bounds_and_merge(spark):
+    from traceframe_spark.operators import rollup as R
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    hist = R.histogram_rollup(e, R.MINUTE_NS, ["event_type"], "value", bin_width=1.0)
+    q95 = {
+        r["event_type"]: r["q95_upper"]
+        for r in R.quantile_from_histogram(hist, ["event_type"], 0.95, 1.0).collect()
+    }
+    import math
+
+    by_type: dict[str, list[float]] = {}
+    for r in e.select("event_type", "value").collect():
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for et, vals in by_type.items():
+        # the histogram answer is exactly the upper edge of the bin
+        # holding the k-th order statistic, k = ceil(0.95 n)
+        k = math.ceil(0.95 * len(vals))
+        stat = sorted(vals)[k - 1]
+        assert q95[et] == math.floor(stat / 1.0) + 1.0
+
+    # merging two disjoint histogram partials == histogram of the union
+    h1 = R.histogram_rollup(
+        e.filter(F.col("event_id") % 2 == 0), R.MINUTE_NS, ["event_type"], "value", 1.0
+    )
+    h2 = R.histogram_rollup(
+        e.filter(F.col("event_id") % 2 == 1), R.MINUTE_NS, ["event_type"], "value", 1.0
+    )
+    merged = h1.unionByName(h2).groupBy("bucket_ns", "event_type", "bin").agg(
+        F.sum("n").alias("n")
+    )
+    key = lambda df: {  # noqa: E731
+        (r["bucket_ns"], r["event_type"], r["bin"]): r["n"] for r in df.collect()
+    }
+    assert key(merged) == key(hist)

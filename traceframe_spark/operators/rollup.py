@@ -86,6 +86,68 @@ def coarsen(rollup: DataFrame, to_bucket_ns: int, keys: Sequence[str]) -> DataFr
     )
 
 
+def histogram_rollup(
+    df: DataFrame,
+    bucket_ns: int,
+    keys: Sequence[str],
+    value_col: str,
+    bin_width: float,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tall histogram partials: (bucket_ns, *keys, bin, n) where ``bin``
+    is ``floor(value / bin_width)``. Mergeable by summing ``n`` — the
+    deterministic alternative to quantile sketches: any percentile
+    derives from the merged bins with error ≤ ``bin_width``, and two
+    engines (or two refreshes) always agree because the partial is
+    exact integer counts, not a probabilistic digest."""
+    return (
+        df.select(
+            time_bucket(F.col(ts_col), bucket_ns).alias("bucket_ns"),
+            *keys,
+            F.floor(F.col(value_col) / F.lit(bin_width)).cast("long").alias("bin"),
+        )
+        .groupBy("bucket_ns", *keys, "bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def quantile_from_histogram(
+    hist: DataFrame,
+    keys: Sequence[str],
+    q: float,
+    bin_width: float,
+) -> DataFrame:
+    """Per-key quantile from (merged) histogram partials: the upper edge
+    of the first bin where the running count reaches ``q`` of the total.
+    One window pass over bins — the raw table is never read. Upper-edge
+    convention keeps the answer a deterministic bin boundary (error ≤
+    ``bin_width``), identical across engines and refreshes."""
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    w_cum = (
+        Window.partitionBy(*keys).orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    per_key = hist.groupBy(*keys, "bin").agg(F.sum("n").alias("n"))
+    ranked = per_key.select(
+        *keys,
+        "bin",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    return (
+        ranked.filter(F.col("cum") >= F.lit(q) * F.col("total"))
+        .groupBy(*keys)
+        .agg(F.min("bin").alias("_qbin"))
+        .select(
+            *keys,
+            ((F.col("_qbin") + 1) * F.lit(bin_width)).alias(f"q{int(q * 100)}_upper"),
+        )
+    )
+
+
 def incremental_refresh(
     standing: DataFrame,
     new_raw: DataFrame,

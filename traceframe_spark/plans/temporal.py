@@ -559,6 +559,41 @@ SELECT doc_id, source FROM ranked WHERE rn <= ceil(rate * n)
 """
 
 
+def q_p95_from_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-but-deterministic p95 from mergeable histogram
+    partials: events bin into a 1-minute × unit-width histogram rollup,
+    partials merge per event_type, and the quantile is the first bin
+    whose running count clears 95% — error ≤ bin width, identical
+    across engines and refreshes (unlike probabilistic sketches). The
+    oracle bins raw events directly, proving the rollup→merge→quantile
+    chain is lossless."""
+    from traceframe_spark.operators import rollup as R
+
+    e = load_table(spark, sf_dir, "events")
+    hist = R.histogram_rollup(e, R.MINUTE_NS, ["event_type"], "value", bin_width=1.0)
+    q = R.quantile_from_histogram(hist, ["event_type"], 0.95, bin_width=1.0)
+    return q.select("event_type", qint(F.col("q95_upper"), 4).alias("q95_upper_q"))
+
+
+SQL_P95_FROM_ROLLUP = """
+WITH bins AS (
+    SELECT event_type, CAST(floor(value / 1.0) AS BIGINT) AS bin, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT event_type, bin,
+           sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+           sum(n) OVER (PARTITION BY event_type) AS total
+    FROM bins
+)
+SELECT event_type,
+       CAST(floor((min(bin) + 1) * 1.0 * 10000 + 0.5) AS BIGINT) AS q95_upper_q
+FROM ranked
+WHERE cum >= 0.95 * total
+GROUP BY event_type
+"""
+
+
 TEMPORAL_QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -575,6 +610,7 @@ TEMPORAL_QUERIES = {
     "json_props": q_json_props,
     "moving_avg": q_moving_avg,
     "domain_mix": q_domain_mix,
+    "p95_from_rollup": q_p95_from_rollup,
 }
 
 TEMPORAL_ORACLE_SQL = {
@@ -593,4 +629,5 @@ TEMPORAL_ORACLE_SQL = {
     "json_props": SQL_JSON_PROPS,
     "moving_avg": SQL_MOVING_AVG,
     "domain_mix": SQL_DOMAIN_MIX,
+    "p95_from_rollup": SQL_P95_FROM_ROLLUP,
 }
