@@ -309,7 +309,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("okey"), "o_orderpriority"
     )
     return (
-        salted_join(li, o, on=["okey"], n_salts=8)
+        salted_join(li, o, on=["okey"], n_salts=4)
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n"), F.sum("qty_c").alias("qty_c_sum"))
     )
