@@ -2,6 +2,8 @@
 
 from traceframe_spark.plans.advanced import ADVANCED_ORACLE_SQL, ADVANCED_QUERIES
 from traceframe_spark.plans.catalog import ORACLE_SQL, QUERIES, load_table
+from traceframe_spark.plans.events import EVENTS_ORACLE_SQL, EVENTS_QUERIES
+from traceframe_spark.plans.lexical import LEXICAL_ORACLE_SQL, LEXICAL_QUERIES
 from traceframe_spark.plans.pipeline import PIPELINE_ORACLE_SQL, PIPELINE_QUERIES
 from traceframe_spark.plans.temporal import TEMPORAL_ORACLE_SQL, TEMPORAL_QUERIES
 from traceframe_spark.plans.traceops import TRACEOPS_ORACLE_SQL, TRACEOPS_QUERIES
@@ -15,6 +17,8 @@ def catalog_queries():
         **ADVANCED_QUERIES,
         **TEMPORAL_QUERIES,
         **TRACEOPS_QUERIES,
+        **EVENTS_QUERIES,
+        **LEXICAL_QUERIES,
     }
 
 
@@ -28,6 +32,8 @@ def catalog_oracle_sql():
         **ADVANCED_ORACLE_SQL,
         **TEMPORAL_ORACLE_SQL,
         **TRACEOPS_ORACLE_SQL,
+        **EVENTS_ORACLE_SQL,
+        **LEXICAL_ORACLE_SQL,
     }
 
 
