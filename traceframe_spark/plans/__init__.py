@@ -6,6 +6,7 @@ from traceframe_spark.plans.events import EVENTS_ORACLE_SQL, EVENTS_QUERIES
 from traceframe_spark.plans.lexical import LEXICAL_ORACLE_SQL, LEXICAL_QUERIES
 from traceframe_spark.plans.pipeline import PIPELINE_ORACLE_SQL, PIPELINE_QUERIES
 from traceframe_spark.plans.temporal import TEMPORAL_ORACLE_SQL, TEMPORAL_QUERIES
+from traceframe_spark.plans.tpch import TPCH_ORACLE_SQL, TPCH_QUERIES
 from traceframe_spark.plans.traceops import TRACEOPS_ORACLE_SQL, TRACEOPS_QUERIES
 
 
@@ -19,6 +20,7 @@ def catalog_queries():
         **TRACEOPS_QUERIES,
         **EVENTS_QUERIES,
         **LEXICAL_QUERIES,
+        **TPCH_QUERIES,
     }
 
 
@@ -34,6 +36,7 @@ def catalog_oracle_sql():
         **TRACEOPS_ORACLE_SQL,
         **EVENTS_ORACLE_SQL,
         **LEXICAL_ORACLE_SQL,
+        **TPCH_ORACLE_SQL,
     }
 
 
