@@ -584,3 +584,24 @@ def test_cross_near_dup_subtract_drops_only_reference_dups(spark, docs):
     )
     survivors2 = dedup.cross_near_dup_subtract(corpus, ref2, "doc_id", "text", threshold=0.9)
     assert sorted(r["doc_id"] for r in survivors2.collect()) == kept
+
+
+def test_dedup_cache_released_with_plan(spark, near_dup_docs):
+    """persist()'d signature intermediates must not outlive the returned
+    plan: when the result DataFrame is garbage-collected the cache entry
+    is released (long-lived sessions would otherwise leak one signature
+    frame per dedup call)."""
+    import gc
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = n_cached()
+    pairs = dedup.minhash_dedup_pairs(
+        near_dup_docs, "doc_id", "text", threshold=0.6, n_hashes=64, bands=16
+    )
+    pairs.collect()
+    assert n_cached() > base  # signatures were cached during execution
+    del pairs
+    gc.collect()
+    assert n_cached() == base

@@ -1,0 +1,70 @@
+"""Registry-wide build smoke + testdata schema gates.
+
+Round 2 died on silent schema drift: the driver's testdata switched
+``events.ts`` from TIMESTAMP(NANOS) to TIMESTAMP_NTZ(µs) between rounds,
+every events plan raised at *build* time, and the driver's oracle runner
+aborted mid-registry — one bug cost 39 untested queries. These tests turn
+that failure mode into ordinary red pytest rows:
+
+- ``test_all_queries_build``: constructing every registered DataFrame must
+  not throw (build-only — nothing executes, so the whole registry checks
+  in seconds);
+- ``test_events_ts_normalized_to_long_ns``: the post-``load_table`` events
+  contract (``ts``: int64 nanoseconds in the Jan-2024 range) asserted
+  against the REAL driver testdata, not a fixture;
+- ``test_oracle_sql_keys_subset_of_queries``: every oracle entry has a
+  query (a dangling oracle would crash the driver's runner).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from traceframe_spark.plans import catalog_oracle_sql, catalog_queries
+from traceframe_spark.plans.catalog import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+needs_testdata = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not available"
+)
+
+
+@needs_testdata
+def test_all_queries_build(spark):
+    """Every registered query must construct a DataFrame without raising.
+
+    Build-only on purpose: an AnalysisException at plan-construction time
+    is what aborts the driver's gate; execution failures surface as
+    individual oracle rows instead and are survivable.
+    """
+    failures = {}
+    for name, fn in catalog_queries().items():
+        try:
+            df = fn(spark, SF_DIR)
+            _ = df.schema  # force analysis
+        except Exception as exc:  # noqa: BLE001 — collect all, report once
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+    assert not failures, f"{len(failures)} queries failed to build: {failures}"
+
+
+@needs_testdata
+def test_events_ts_normalized_to_long_ns(spark):
+    e = load_table(spark, SF_DIR, "events")
+    assert isinstance(e.schema["ts"].dataType, LongType), e.schema["ts"].dataType
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    # Jan-2024 epoch-ns range: 2024-01-01 is ~1.704e18 ns; anything under
+    # ~1e17 means the µs (or s) scale leaked through unconverted.
+    assert lo > 1_500_000_000_000_000_000, lo
+    assert hi < 2_500_000_000_000_000_000, hi
+
+
+def test_oracle_sql_keys_subset_of_queries():
+    queries = set(catalog_queries())
+    oracles = set(catalog_oracle_sql())
+    dangling = oracles - queries
+    assert not dangling, f"oracle SQL without a registered query: {dangling}"

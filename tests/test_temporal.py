@@ -10,6 +10,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from traceframe_spark.plans.catalog import normalize_event_ts
 from traceframe_spark.plans.temporal import q_asof_join, q_range_join, JAN1_NS
 
 US = 1_000  # ns per µs
@@ -79,7 +80,7 @@ def test_approx_count_distinct_tracks_exact(spark):
     """HLL surface (the 100 TB cheap path for n_users-style metrics):
     approx_count_distinct must land within its documented ~2-5% rsd of
     the exact distinct count on the events table."""
-    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    e = normalize_event_ts(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     row = e.agg(
         F.count_distinct("user_id").alias("exact"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
@@ -132,7 +133,7 @@ def test_asof_join_matches_naive_inequality_join(spark, tmp_path):
 def test_incremental_rollup_refresh_equals_full(spark):
     from traceframe_spark.operators import rollup as R
 
-    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    e = normalize_event_ts(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     # split history/delta on event_id; refresh(standing, delta) == rollup(full)
     hist = e.filter(F.col("event_id") % 5 != 0)
     delta = e.filter(F.col("event_id") % 5 == 0)
@@ -163,7 +164,7 @@ def test_incremental_rollup_refresh_equals_full(spark):
 def test_histogram_quantile_bounds_and_merge(spark):
     from traceframe_spark.operators import rollup as R
 
-    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    e = normalize_event_ts(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     hist = R.histogram_rollup(e, R.MINUTE_NS, ["event_type"], "value", bin_width=1.0)
     q95 = {
         r["event_type"]: r["q95_upper"]

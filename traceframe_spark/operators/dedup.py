@@ -23,6 +23,8 @@ functions; nothing leaves codegen except the documented kernels.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -32,14 +34,37 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     """Repartition a narrow input before CPU-heavy per-row work.
 
     A small parquet table often scans as 1-2 partitions; hashing/shingling
-    then runs on 1-2 cores regardless of cluster size. If the input has
-    fewer partitions than half the default parallelism, hash-repartition
-    on ``key`` so the compute spreads. No-op on well-partitioned inputs.
+    then runs on 1-2 cores regardless of cluster size. Hash-repartition on
+    ``key`` to default parallelism; AQE's partition coalescing collapses
+    the exchange back down when the input is already wide, so this never
+    over-shuffles — and unlike inspecting ``df.rdd.getNumPartitions()``
+    it costs no driver-side RDD conversion at plan-build time.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
-        return df.repartition(target, key)
-    return df
+    return df.repartition(target, key)
+
+
+def _unpersist_with(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Tie cached intermediates' lifetime to the returned plan.
+
+    ``persist()`` entries live in the JVM CacheManager until explicitly
+    released — in a long-lived session every dedup call would otherwise
+    leak one signature frame of cache. When the returned DataFrame is
+    garbage-collected, unpersist the intermediates. Unpersist only drops
+    the cache (lineage survives), so a finalizer firing while a derived
+    plan is still alive can only cost a recompute, never correctness.
+    """
+    jdfs = [c._jdf for c in cached]
+
+    def _release() -> None:
+        for j in jdfs:
+            try:
+                j.unpersist(False)
+            except Exception:  # noqa: BLE001 — session may already be gone
+                pass
+
+    weakref.finalize(result, _release)
+    return result
 
 
 def char_shingles(col: Column, n: int = 5) -> Column:
@@ -218,9 +243,10 @@ def cross_near_dup_subtract(
         joined.filter(inter / union >= threshold).select(F.col("id_c").alias("_drop"))
         .distinct()
     )
-    return corpus.join(
+    survivors = corpus.join(
         contaminated, corpus[id_col] == contaminated["_drop"], "left_anti"
     )
+    return _unpersist_with(survivors, sig_c, sig_r)
 
 
 def jaccard_verify(
@@ -285,7 +311,7 @@ def minhash_dedup_pairs(
         bands = bands_for_threshold(threshold, n_hashes)
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_size).persist()
     cands = lsh_candidate_pairs(sigs, bands, n_hashes=n_hashes)
-    return jaccard_verify(cands, sigs, threshold)
+    return _unpersist_with(jaccard_verify(cands, sigs, threshold), sigs)
 
 
 def simhash64(col: Column, shingle_size: int = 4) -> Column:
@@ -383,7 +409,7 @@ def simhash_near_dup_pairs(
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     hamming = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
@@ -398,6 +424,7 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    return _unpersist_with(pairs, fp)
 
 
 def ngram_jaccard_pairs(

@@ -48,17 +48,45 @@ TABLES = [
 ]
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to int64 nanoseconds since epoch.
+
+    The engine's events contract is long-ns (exact integer arithmetic for
+    sessionize/as-of/rollup; no double-precision loss at ~1.7e18). The
+    testdata parquet has shipped ``ts`` as both TIMESTAMP(NANOS) (read as
+    long via ``nanosAsLong``) and TIMESTAMP_NTZ(µs) (read as timestamp)
+    across environments, so adapt on schema, not on a read-time conf:
+
+    - already LongType -> pass through (nanosAsLong path, or pre-normalized);
+    - timestamp/timestamp_ntz -> ``unix_micros(cast(ts as timestamp)) * 1000``.
+      The intermediate ``cast("timestamp")`` is required because
+      ``unix_micros`` rejects TIMESTAMP_NTZ input directly; under the UTC
+      session timezone the NTZ->TZ cast is the identity on the epoch value.
+    """
+    from pyspark.sql.types import LongType
+
+    if "ts" not in df.columns or isinstance(df.schema["ts"].dataType, LongType):
+        return df
+    return df.withColumn(
+        "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).cast("long")
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Defensive session confs: the driver harness calls these query
     # functions with ITS OWN SparkSession, which may lack the settings
     # traceframe_spark.session.get_spark applies. Both are runtime-settable.
-    # - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), unreadable
-    #   otherwise (ordering-equivalent as long nanos).
+    # - nanosAsLong: if events.parquet carries TIMESTAMP(NANOS) it is
+    #   unreadable otherwise (ordering-equivalent as long nanos).
     # - UTC timezone: year()/month() on parquet timestamps must match the
-    #   timezone-naive DuckDB oracle.
+    #   timezone-naive DuckDB oracle (and makes the NTZ->TZ cast in
+    #   normalize_event_ts the identity).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
 
 
 def qint(col, scale: int):
