@@ -47,3 +47,36 @@ def test_pipeline_plans_have_intended_shapes(spark):
     plan = plan_of(QUERIES["doc_chunks"](spark, SF))
     assert "Exchange" not in plan
     assert "Generate" in plan
+
+
+def test_tpch_plans_broadcast_tiny_dims(spark):
+    """TPC-H positive pins: tiny dimensions (region 5 rows / nation 25
+    rows at ANY scale factor) must come in through broadcast joins —
+    never a sort-merge join that shuffles the fact side on a dim key —
+    and the top-k queries must plan TakeOrderedAndProject, not a global
+    sort."""
+    from tools.plan_audit import audit_one, plan_of
+
+    for name in ("tpch_q3", "tpch_q5", "tpch_q9", "tpch_q18"):
+        df = QUERIES[name](spark, SF)
+        plan = plan_of(df)
+        assert "BroadcastHashJoin" in plan, name
+        soft_smj = [f for f in audit_one(name, df) if "smj-on-tiny-dim" in f]
+        assert not soft_smj, (name, soft_smj)
+
+    for name in ("tpch_q3", "tpch_q18"):
+        assert "TakeOrderedAndProject" in plan_of(QUERIES[name](spark, SF)), name
+
+
+def test_bm25_plan_shape(spark):
+    """bm25_topk: the document-frequency/length statistics reduce to ONE
+    row via a single-partition aggregate and broadcast into the scoring
+    scan (an intended one-row cross build); the per-document TF pass is
+    a pure scan with no hash exchange, and the final top-k is
+    TakeOrderedAndProject."""
+    from tools.plan_audit import plan_of
+
+    plan = plan_of(QUERIES["bm25_topk"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan

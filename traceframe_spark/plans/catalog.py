@@ -585,11 +585,20 @@ def q_doc_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring signal: stopword ratio per document (JVM-side array
     lambda, no Python in the loop)."""
     d = load_table(spark, sf_dir, "documents")
+    # tokenize ONCE in an explicit projection: referencing the split twice
+    # in one select re-inlines it after Catalyst collapses the projects,
+    # doubling the regex-split work per row (subexpr elimination does not
+    # reach into the higher-order filter's lambda)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    stop = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS))).cast("double")
-    return d.select(
-        "doc_id",
-        F.floor(F.lit(10000.0) * stop / F.size(toks).cast("double")).cast("long").alias("stop_ratio"),
+    stop = F.size(F.filter(F.col("toks"), lambda t: t.isin(_STOPWORDS))).cast("double")
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.floor(F.lit(10000.0) * stop / F.size(F.col("toks")).cast("double"))
+            .cast("long")
+            .alias("stop_ratio"),
+        )
     )
 
 
