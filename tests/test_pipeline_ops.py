@@ -605,3 +605,26 @@ def test_dedup_cache_released_with_plan(spark, near_dup_docs):
     del pairs
     gc.collect()
     assert n_cached() == base
+
+
+def test_dedup_cache_survives_derivation_with_carry(spark, near_dup_docs):
+    """carry_cache keeps the signature cache alive across a derive-and-
+    drop of the original result (the registry's q_minhash_pairs shape);
+    the cache still releases when the derived plan dies."""
+    import gc
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = n_cached()
+    pairs = dedup.minhash_dedup_pairs(
+        near_dup_docs, "doc_id", "text", threshold=0.6, n_hashes=64, bands=16
+    )
+    derived = dedup.carry_cache(pairs.select("id_a", "id_b"), pairs)
+    del pairs
+    gc.collect()
+    derived.collect()
+    assert n_cached() > base  # cache alive through the derived execution
+    del derived
+    gc.collect()
+    assert n_cached() == base

@@ -44,27 +44,43 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     return df.repartition(target, key)
 
 
+def _release_jdf(jdf) -> None:
+    try:
+        jdf.unpersist(False)
+    except Exception:  # noqa: BLE001 — session may already be gone
+        pass
+
+
 def _unpersist_with(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Tie cached intermediates' lifetime to the returned plan.
 
     ``persist()`` entries live in the JVM CacheManager until explicitly
     released — in a long-lived session every dedup call would otherwise
-    leak one signature frame of cache. When the returned DataFrame is
-    garbage-collected, unpersist the intermediates. Unpersist only drops
-    the cache (lineage survives), so a finalizer firing while a derived
-    plan is still alive can only cost a recompute, never correctness.
+    leak one signature frame of cache. Each cached frame gets a GC
+    finalizer that unpersists it, and the *result* carries strong
+    references (``_tf_keepalive``) so the cache lives exactly as long as
+    the returned plan object. Deriving a new DataFrame and dropping the
+    original releases the cache early — :func:`carry_cache` propagates
+    the keep-alive when the derived plan should keep it. An early
+    release only drops the cache (lineage survives), so it can cost a
+    recompute, never correctness.
     """
-    jdfs = [c._jdf for c in cached]
-
-    def _release() -> None:
-        for j in jdfs:
-            try:
-                j.unpersist(False)
-            except Exception:  # noqa: BLE001 — session may already be gone
-                pass
-
-    weakref.finalize(result, _release)
+    for c in cached:
+        weakref.finalize(c, _release_jdf, c._jdf)
+    result._tf_keepalive = tuple(cached) + tuple(getattr(result, "_tf_keepalive", ()))
     return result
+
+
+def carry_cache(derived: DataFrame, *sources: DataFrame) -> DataFrame:
+    """Propagate cached-intermediate keep-alives from ``sources`` onto a
+    ``derived`` plan so persisted signature frames stay cached while the
+    derived DataFrame is in use (see :func:`_unpersist_with`)."""
+    ka: tuple = tuple(getattr(derived, "_tf_keepalive", ()))
+    for s in sources:
+        ka += tuple(getattr(s, "_tf_keepalive", ()))
+    if ka:
+        derived._tf_keepalive = ka
+    return derived
 
 
 def char_shingles(col: Column, n: int = 5) -> Column:

@@ -73,7 +73,9 @@ def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the same exact pair set the ngram_jaccard query uses."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
     pairs = dedup.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.9, bands=16)
-    return pairs.select("id_a", "id_b", qint(F.col("jaccard"), 4).alias("jaccard_q"))
+    return dedup.carry_cache(
+        pairs.select("id_a", "id_b", qint(F.col("jaccard"), 4).alias("jaccard_q")), pairs
+    )
 
 
 SQL_MINHASH_VERIFIED = _sql_exact_jaccard(0.9, 250)
@@ -189,7 +191,7 @@ def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") % 20 != 0)
     ref = d.filter(F.col("doc_id") % 20 == 0)
     out = dedup.cross_near_dup_subtract(corpus, ref, "doc_id", "text", threshold=0.9)
-    return out.select("doc_id", "source")
+    return dedup.carry_cache(out.select("doc_id", "source"), out)
 
 
 SQL_CROSS_DEDUP = """
@@ -559,7 +561,9 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.9)
-    return pairs.select("id_a", "id_b", qint(F.col("jaccard"), 4).alias("jaccard_q"))
+    return dedup.carry_cache(
+        pairs.select("id_a", "id_b", qint(F.col("jaccard"), 4).alias("jaccard_q")), pairs
+    )
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
