@@ -591,7 +591,405 @@ GROUP BY n_name
 """
 
 
+# --------------------------------------------------------------------------
+# Q1 — pricing summary report (full column set exists). All sums go
+# through per-row integer cents (order-exact across engines); averages
+# are derived from the integer sums so no floating aggregate ever crosses
+# the engine boundary.
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    n = F.count("*")
+    sum_qty_c = F.sum(qint(F.col("l_quantity"), 2))
+    sum_price_c = F.sum(qint(F.col("l_extendedprice"), 2))
+    sum_disc_c = F.sum(qint(F.col("l_discount"), 4))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum_qty_c.alias("sum_qty_c"),
+        sum_price_c.alias("sum_base_price_c"),
+        F.sum(qint(_rev(), 2)).alias("sum_disc_price_c"),
+        F.sum(qint(_rev() * (1 + F.col("l_tax")), 2)).alias("sum_charge_c"),
+        F.floor(sum_qty_c / n + F.lit(0.5)).cast("long").alias("avg_qty_c"),
+        F.floor(sum_price_c / n + F.lit(0.5)).cast("long").alias("avg_price_c"),
+        F.floor(sum_disc_c / n + F.lit(0.5)).cast("long").alias("avg_disc_q"),
+        n.alias("count_order"),
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+       CAST(floor(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / count(*) + 0.5) AS BIGINT) AS avg_qty_c,
+       CAST(floor(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / count(*) + 0.5) AS BIGINT) AS avg_price_c,
+       CAST(floor(sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) / count(*) + 0.5) AS BIGINT) AS avg_disc_q,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (adapted: no partsupp table, so the
+# part↔supplier relation and its "cost" come from lineitem — unit price
+# = l_extendedprice / l_quantity, quantized per row BEFORE the min so
+# both engines take min over identical integers). Keeps the classic
+# shape: correlated per-part min + region-restricted multiway join.
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = F.broadcast(
+        _t(spark, sf_dir, "nation").join(
+            F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+    )
+    s = _t(spark, sf_dir, "supplier").join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    link = (
+        li.join(s, li.l_suppkey == F.col("s_suppkey"))
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(qint(F.col("l_extendedprice") / F.col("l_quantity"), 4)).alias("unit_cost_q"))
+    )
+    best = link.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("unit_cost_q").alias("min_cost_q")
+    )
+    return (
+        link.join(best, (link.l_partkey == F.col("pk")) & (F.col("unit_cost_q") == F.col("min_cost_q")))
+        .join(s.select("s_suppkey", "s_name", "s_acctbal", "n_name"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_t(spark, sf_dir, "part").select("p_partkey", "p_name"), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            qint(F.col("s_acctbal"), 2).alias("acctbal_c"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "unit_cost_q",
+        )
+        .orderBy(F.col("acctbal_c").desc(), F.col("s_name").asc(), F.col("p_partkey").asc())
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q2 = """
+WITH link AS (
+    SELECT l_partkey, l_suppkey,
+           min(CAST(floor(l_extendedprice / l_quantity * 10000 + 0.5) AS BIGINT)) AS unit_cost_q
+    FROM lineitem, supplier, nation, region, part
+    WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      AND l_partkey = p_partkey AND p_size = 15 AND p_type = 'ECONOMY'
+    GROUP BY l_partkey, l_suppkey
+)
+SELECT CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c,
+       s_name, n_name, p_partkey, p_name, unit_cost_q
+FROM link, supplier, nation, region, part
+WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  AND l_partkey = p_partkey
+  AND unit_cost_q = (SELECT min(unit_cost_q) FROM link l2 WHERE l2.l_partkey = link.l_partkey)
+ORDER BY acctbal_c DESC, s_name ASC, p_partkey ASC
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Q11 — important stock identification (adapted: no partsupp, so a
+# part's "value" for a nation's suppliers is the summed extended price
+# shipped by them, in integer cents). Keeps the classic shape: grouped
+# value + scalar-subquery threshold (one-row aggregate broadcast back,
+# never a collect).
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = F.broadcast(_t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3"))
+    s = _t(spark, sf_dir, "supplier").join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+    li = _t(spark, sf_dir, "lineitem")
+    value = (
+        li.join(s, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(qint(F.col("l_extendedprice"), 2)).alias("value_c"))
+    )
+    threshold = value.agg(
+        (F.sum("value_c") * F.lit(0.001)).alias("threshold_c")
+    )
+    return (
+        value.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value_c") > F.col("threshold_c"))
+        .select("l_partkey", "value_c")
+    )
+
+
+SQL_TPCH_Q11 = """
+WITH value AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c
+    FROM lineitem, supplier, nation
+    WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+    GROUP BY l_partkey
+)
+SELECT l_partkey, value_c
+FROM value
+WHERE value_c > (SELECT sum(value_c) * 0.001 FROM value)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q12 — shipping-delay priority classes (adapted: no l_shipmode /
+# l_commitdate / l_receiptdate; "late" is l_shipdate more than 90 days
+# after o_orderdate, and the grouping column is l_linestatus). Keeps the
+# classic shape: fact join + conditional aggregation by priority class.
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+SQL_TPCH_Q12 = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Q16 — parts/supplier relationship (adapted: the part↔supplier link is
+# distinct lineitem pairs instead of partsupp, and the "customer
+# complaints" exclusion is suppliers with negative account balance via
+# NOT IN / anti-join). Keeps the shape: anti-subquery + distinct-count
+# aggregation over three grouping columns.
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    link = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return (
+        link.join(p, F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem), part
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------------------------------------
+# Q19 — discounted revenue (adapted: no p_container / l_shipmode /
+# l_shipinstruct, so each disjunct brackets on brand + size + quantity
+# only). Keeps the shape: join with an OR-of-ANDs bracket predicate that
+# must still push the partkey equi-condition into the join.
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    brackets = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(brackets)
+        .agg(F.sum(qint(_rev(), 2)).alias("revenue_c"))
+    )
+
+
+SQL_TPCH_Q19 = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
+# --------------------------------------------------------------------------
+# Q20 — potential part promotion (adapted: no partsupp availability, so
+# a supplier "has excess stock to promote" when its 1997 shipped
+# quantity of some gear part exceeds 1.5x the per-supplier average for
+# that part). Keeps the shape: nested aggregation -> threshold join ->
+# semi-join into the supplier dimension, nation-filtered.
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gear = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("gear")).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    per_sp = (
+        li.join(F.broadcast(gear), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(qint(F.col("l_quantity"), 2)).alias("qty_c"))
+    )
+    per_part = per_sp.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("qty_c") * F.lit(1.5)).alias("avg15_c")
+    )
+    heavy = (
+        per_sp.join(per_part, per_sp.l_partkey == F.col("pk"))
+        .filter(F.col("qty_c") > F.col("avg15_c"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = F.broadcast(_t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7"))
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", qint(F.col("s_acctbal"), 2).alias("acctbal_c"))
+    )
+
+
+SQL_TPCH_Q20 = """
+WITH per_sp AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_c
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey AND p_name LIKE '%gear%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_partkey, l_suppkey
+)
+SELECT s_name, CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c
+FROM supplier, nation
+WHERE s_nationkey = n_nationkey AND n_name = 'NATION_7'
+  AND s_suppkey IN (
+      SELECT l_suppkey FROM per_sp
+      WHERE qty_c > (SELECT avg(qty_c) * 1.5 FROM per_sp p2 WHERE p2.l_partkey = per_sp.l_partkey)
+  )
+"""
+
+
+# --------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (adapted: "late" is
+# l_shipdate more than 60 days after o_orderdate since commit/receipt
+# dates don't exist). Keeps the classic double-correlation: the order
+# involves another supplier (EXISTS) but no OTHER supplier was late
+# (NOT EXISTS) — expressed as one semi-join and one anti-join.
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2"))
+    l3 = late.select(F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3"))
+    waiting = (
+        late.join(
+            l2,
+            (F.col("l_orderkey") == F.col("ok2")) & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("ok3")) & (F.col("l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(_t(spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q21 = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND o3.o_orderkey = l3.l_orderkey AND o3.o_orderstatus = 'F'
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
 TPCH_QUERIES = {
+    "tpch_q1": q_tpch_q1,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q19": q_tpch_q19,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
@@ -609,6 +1007,14 @@ TPCH_QUERIES = {
 }
 
 TPCH_ORACLE_SQL = {
+    "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q2": SQL_TPCH_Q2,
+    "tpch_q11": SQL_TPCH_Q11,
+    "tpch_q12": SQL_TPCH_Q12,
+    "tpch_q16": SQL_TPCH_Q16,
+    "tpch_q19": SQL_TPCH_Q19,
+    "tpch_q20": SQL_TPCH_Q20,
+    "tpch_q21": SQL_TPCH_Q21,
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q4": SQL_TPCH_Q4,
     "tpch_q5": SQL_TPCH_Q5,
