@@ -55,9 +55,11 @@ HEADLINE = [
     "moving_avg",
     "salted_join",
     "domain_mix",
+    "tpch_q1",
     "tpch_q3",
     "tpch_q9",
     "tpch_q18",
+    "tpch_q21",
     "bm25_topk",
     "funnel_conversion",
 ]

@@ -394,3 +394,81 @@ def test_stream_to_rollup_maintains_continuous_aggregate(spark, tmp_path):
     # the straggler's minute bucket really did merge across batches
     late_bucket = (BASE + 5_000_000) * 1000 // R.MINUTE_NS * R.MINUTE_NS
     assert got[(late_bucket, "click")][0] >= 1
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """session_window over an availableNow stream equals the batch run
+    on the union of all batches, including a late event that lands
+    inside an already-open session (within watermark)."""
+    from traceframe_spark.streaming.sessions import session_stats, sessionize_stream
+
+    MIN_US = 60_000_000
+    evs = [
+        # batch 0: user 1 session A (3 events), user 2 session (1 event)
+        [(1, 1, 0), (2, 1, 5 * MIN_US), (3, 1, 10 * MIN_US), (4, 2, 0)],
+        # batch 1: late event inside user 1's session A + a far-future
+        # event opening session B (also advances the watermark past A)
+        [(5, 1, 7 * MIN_US), (6, 1, 600 * MIN_US)],
+    ]
+    feed = tmp_path / "sessfeed"
+    feed.mkdir()
+    cols = ["event_id", "user_id", "ts_us"]
+    for i, batch in enumerate(evs):
+        (feed / f"b{i}.jsonl").write_text(
+            "\n".join(json.dumps(dict(zip(cols, e))) for e in batch)
+        )
+    schema = "event_id long, user_id long, ts_us long"
+    base_us = 1_700_000_000_000_000
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+        .withColumn("ts", (F.col("ts_us") + base_us) * 1000)
+    )
+    out = sessionize_stream(stream, gap="30 minutes", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch_df = spark.createDataFrame(
+        [e for b in evs for e in b], schema
+    ).withColumn("ts", (F.col("ts_us") + base_us) * 1000)
+    expected = {
+        (r["user_id"], r["session_start_us"]): (r["session_end_us"], r["n_events"])
+        for r in session_stats(batch_df, "30 minutes").collect()
+    }
+    got = {
+        (r["user_id"], r["session_start_us"]): (r["session_end_us"], r["n_events"])
+        for r in spark.sql("select * from sess_out").collect()
+    }
+    # append mode only emits sessions the watermark has closed; every
+    # emitted session must match the batch answer exactly, and the late
+    # event's session (4 events, user 1) must be among them
+    assert got, "no sessions emitted"
+    for k, v in got.items():
+        assert expected[k] == v, (k, v, expected[k])
+    late_sessions = [v for (u, _), v in got.items() if u == 1]
+    assert any(n == 4 for _, n in late_sessions), got
+
+
+def test_session_window_boundary_semantics(spark):
+    """session_window's merge boundary is CLOSED: an event at exactly
+    prev + gap merges into the session; only a strictly larger gap
+    splits — identical to the lag idiom's > gap rule (this equivalence
+    is what lets the catalog query share the lag-idiom oracle)."""
+    from traceframe_spark.streaming.sessions import session_stats
+
+    MIN_NS = 60_000_000_000
+    df = spark.createDataFrame(
+        # 0 and 30 merge (exact gap); 45 merges; 76 > 45+30 splits
+        [(1, 1, 0), (2, 1, 30 * MIN_NS), (3, 1, 45 * MIN_NS), (4, 1, 76 * MIN_NS)],
+        "event_id long, user_id long, off long",
+    ).withColumn("ts", F.col("off") + F.lit(1_700_000_000_000_000_000))
+    sessions = session_stats(df, "30 minutes").collect()
+    assert len(sessions) == 2
+    assert sorted(r["n_events"] for r in sessions) == [1, 3]

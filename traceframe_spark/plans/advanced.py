@@ -236,6 +236,55 @@ GROUP BY user_id
 """
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native sessionization (``F.session_window``) — the form
+    that also runs incrementally under Structured Streaming
+    (:mod:`traceframe_spark.streaming.sessions`). Grouping happens in
+    ONE hash aggregation instead of the lag idiom's sort window + two
+    aggregations. The oracle re-derives the same sessions with the
+    lag idiom: session_window's merge boundary is closed (an event at
+    exactly prev + 30min merges; only a strictly larger gap splits),
+    which is precisely the lag idiom's ``> gap`` split rule.
+    """
+    from traceframe_spark.streaming.sessions import session_stats
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        session_stats(e, "30 minutes")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("n_events").cast("long").alias("total_events"),
+        )
+    )
+
+
+SQL_SESSION_WINDOW = """
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, event_id,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+),
+per_session AS (
+    SELECT user_id, session_id, count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions,
+       max(n_events) AS max_session_events,
+       CAST(sum(n_events) AS BIGINT) AS total_events
+FROM per_session
+GROUP BY user_id
+"""
+
+
 def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS through the SQL facade: suppliers with at least
     one near-max-quantity lineitem. Catalyst rewrites this to a left
@@ -306,6 +355,7 @@ ADVANCED_QUERIES = {
     "in_subquery": q_in_subquery,
     "scalar_subquery": q_scalar_subquery,
     "sessionize": q_sessionize,
+    "session_window": q_session_window,
     "exists_subquery": q_exists_subquery,
     "unpivot_charges": q_unpivot_charges,
 }
@@ -320,6 +370,7 @@ ADVANCED_ORACLE_SQL = {
     "in_subquery": SQL_IN_SUBQUERY,
     "scalar_subquery": SQL_SCALAR_SUBQUERY,
     "sessionize": SQL_SESSIONIZE,
+    "session_window": SQL_SESSION_WINDOW,
     "exists_subquery": SQL_EXISTS_SUBQUERY,
     "unpivot_charges": SQL_UNPIVOT_CHARGES,
 }
