@@ -98,6 +98,62 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(load_table(spark, sf_dir, "documents"))
 
 
+def vocab_topk(
+    docs: DataFrame, k: int = 100, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary: top-``k`` terms by total occurrences with
+    document frequency — the first pass of tokenizer training / corpus
+    probing.
+
+    Scale shape: tokenize in the scan, pre-aggregate per (doc, term)
+    (map-side partials collapse within-doc repeats before the wide
+    term-keyed exchange), then one term-keyed aggregation; the top-k is
+    TakeOrderedAndProject with a term tie-break so the cut is total.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("tokens")
+    )
+    per_doc = (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            F.sum("tf").cast("long").alias("n_occurrences"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_topk(load_table(spark, sf_dir, "documents"))
+
+
+SQL_VOCAB_TOPK = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS tokens
+    FROM documents
+),
+exploded AS (
+    SELECT doc_id, unnest(tokens) AS term FROM toks
+),
+per_doc AS (
+    SELECT doc_id, term, count(*) AS tf FROM exploded GROUP BY doc_id, term
+)
+SELECT term, CAST(sum(tf) AS BIGINT) AS n_occurrences, count(*) AS n_docs
+FROM per_doc
+GROUP BY term
+ORDER BY n_occurrences DESC, term ASC
+LIMIT 100
+"""
+
+
 SQL_BM25_TOPK = f"""
 WITH toks AS (
     SELECT doc_id,
@@ -141,8 +197,10 @@ LIMIT {TOP_K}
 
 LEXICAL_QUERIES = {
     "bm25_topk": q_bm25_topk,
+    "vocab_topk": q_vocab_topk,
 }
 
 LEXICAL_ORACLE_SQL = {
     "bm25_topk": SQL_BM25_TOPK,
+    "vocab_topk": SQL_VOCAB_TOPK,
 }
