@@ -472,3 +472,53 @@ def test_session_window_boundary_semantics(spark):
     sessions = session_stats(df, "30 minutes").collect()
     assert len(sessions) == 2
     assert sorted(r["n_events"] for r in sessions) == [1, 3]
+
+
+def test_session_window_equals_lag_idiom_randomized(spark):
+    """Randomized pin: session_stats (native session_window) produces
+    exactly the sessions of the lag + cumulative-sum idiom with the
+    > gap split rule, on adversarial data (dense ties, exact-gap
+    boundaries, multi-user interleave)."""
+    import random
+
+    from pyspark.sql.window import Window
+    from traceframe_spark.streaming.sessions import session_stats
+
+    rng = random.Random(7)
+    MIN_NS = 60_000_000_000
+    base = 1_700_000_000_000_000_000
+    rows = []
+    for eid in range(300):
+        user = rng.randint(1, 4)
+        # offsets in whole minutes so exact-30min gaps actually occur
+        off = rng.randint(0, 400) * MIN_NS
+        rows.append((eid, user, base + off))
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts long")
+
+    got = {
+        (r["user_id"], r["session_start_us"]): r["n_events"]
+        for r in session_stats(df, "30 minutes").collect()
+    }
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ns = 30 * MIN_NS
+    sess = (
+        df.withColumn(
+            "new_s",
+            F.when((F.col("ts") - F.lag("ts").over(w)) > gap_ns, 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    want = {
+        (r["user_id"], r["start_us"]): r["n_events"]
+        for r in sess.groupBy("user_id", "session_id")
+        .agg(
+            (F.min("ts") / 1000).cast("long").alias("start_us"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == want
