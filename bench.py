@@ -61,7 +61,9 @@ HEADLINE = [
     "tpch_q18",
     "tpch_q21",
     "bm25_topk",
+    "vocab_topk",
     "funnel_conversion",
+    "session_window",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans
