@@ -628,3 +628,39 @@ def test_dedup_cache_survives_derivation_with_carry(spark, near_dup_docs):
     del derived
     gc.collect()
     assert n_cached() == base
+
+
+def test_ivf_index_append_matches_full_build(spark, embeddings, tmp_path):
+    """Incremental index maintenance: building on half the corpus then
+    appending the other half answers queries identically to an index
+    built over everything at once (nprobe=K makes retrieval exhaustive,
+    so centroid placement can't mask a lost or double-counted vector),
+    and the append touches only data files, not the centroid sidecar."""
+    import os
+
+    idx_full = str(tmp_path / "ivf_full")
+    idx_incr = str(tmp_path / "ivf_incr")
+    K = 8
+    cents = similarity.write_ivf_index(
+        embeddings, idx_full, "vec_id", "embedding", n_centroids=K
+    )
+    half_a = embeddings.filter(F.col("vec_id") % 2 == 0)
+    half_b = embeddings.filter(F.col("vec_id") % 2 == 1)
+    similarity.write_ivf_index(
+        half_a, idx_incr, "vec_id", "embedding", centroids=cents
+    )
+    before = os.path.getmtime(os.path.join(idx_incr, "_centroids.json"))
+    similarity.append_to_ivf_index(half_b, idx_incr, "vec_id", "embedding")
+    assert os.path.getmtime(os.path.join(idx_incr, "_centroids.json")) == before
+
+    q = embeddings.filter(F.col("vec_id") < 5)
+
+    def answers(path):
+        return {
+            (r["qid"], r["rn"]): (r["cid"], r["cos"])
+            for r in similarity.ivf_topk_over_index(
+                spark, path, q, "vec_id", "embedding", k=3, nprobe=K
+            ).collect()
+        }
+
+    assert answers(idx_incr) == answers(idx_full)

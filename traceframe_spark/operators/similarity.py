@@ -356,6 +356,42 @@ def write_ivf_index(
     return centroids
 
 
+def append_to_ivf_index(
+    new_rows: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+) -> None:
+    """Incrementally maintain a persisted IVF index: assign new vectors
+    to the EXISTING centroids (read from the sidecar) and append them to
+    their inverted-list partitions. The coarse quantizer is frozen — the
+    standard IVF maintenance contract: recall for new vectors matches
+    how well the original centroids cover them, and a periodic
+    :func:`write_ivf_index` rebuild re-trains when drift accumulates.
+
+    At scale this is one narrow scan + a partitioned append of only the
+    delta; existing list partitions are untouched (dynamic append writes
+    new files into the probed directories only).
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = json.load(f)
+    assigned = new_rows.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_nrm"),
+        ivf_assign(F.col(vec_col), centroids).alias("list_id"),
+    )
+    (
+        assigned.repartition("list_id")
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+
+
 def ivf_topk_over_index(
     spark,
     path: str,
