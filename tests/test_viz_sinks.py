@@ -209,3 +209,30 @@ def test_raw_trace_json_export_roundtrip(spark, jaeger_json_path, tmp_path):
     a = {(r["traceID"], r["spanID"], r["startTime"], r["service"]) for r in orig.collect()}
     b = {(r["traceID"], r["spanID"], r["startTime"], r["service"]) for r in dfS.collect()}
     assert a == b
+
+
+def test_bucketed_store_search_is_shuffle_free(spark, jaeger_json_path, tmp_path):
+    """search_traces composes with the bucketed store for free: its three
+    wide ops (distinct matching ids, the hit-spans join, the per-trace
+    root aggregation) all key on traceID — the bucket key — so the whole
+    search plans with ZERO hash exchanges, and still returns the same
+    traces the plain-store path finds."""
+    from traceframe_spark.operators.search import search_traces
+
+    dfS = spans_from_jaeger_file(spark, jaeger_json_path)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkts LOCATION '{tmp_path}/bkts.db'")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sinks.write_spans_bucketed(dfS, "bkts.spans", n_buckets=4)
+        t = spark.table("bkts.spans")
+        out = search_traces(t, service="frontend", limit=50)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        got = {r["traceID"] for r in out.collect()}
+        want = {r["traceID"] for r in search_traces(dfS, service="frontend", limit=50).collect()}
+        assert got == want and got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkts.spans")
+        spark.sql("DROP DATABASE IF EXISTS bkts")
