@@ -720,8 +720,10 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(qint(F.col("l_extendedprice"), 2)).alias("value_c"))
     )
+    # 0.0002: small enough to clear at every testdata SF (the classic
+    # query scales its fraction by 1/SF for the same reason)
     threshold = value.agg(
-        (F.sum("value_c") * F.lit(0.001)).alias("threshold_c")
+        (F.sum("value_c") * F.lit(0.0002)).alias("threshold_c")
     )
     return (
         value.crossJoin(F.broadcast(threshold))
@@ -740,7 +742,7 @@ WITH value AS (
 )
 SELECT l_partkey, value_c
 FROM value
-WHERE value_c > (SELECT sum(value_c) * 0.001 FROM value)
+WHERE value_c > (SELECT sum(value_c) * 0.0002 FROM value)
 """
 
 
