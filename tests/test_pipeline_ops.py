@@ -664,3 +664,40 @@ def test_ivf_index_append_matches_full_build(spark, embeddings, tmp_path):
         }
 
     assert answers(idx_incr) == answers(idx_full)
+
+
+def test_remove_duplicated_substrings(spark):
+    """Exact substring dedup (Lee et al.): a repeated 10-token passage
+    survives only at its canonical (min doc_id, min pos) occurrence;
+    unique text is untouched; a doc repeating the passage internally
+    keeps only the first copy."""
+    # NB: boundary words are distinct per doc on purpose — any shared
+    # word adjacent to the passage would legitimately extend the
+    # duplicated run across it (windows spanning the boundary would
+    # also repeat) and the operator would rightly cut it too.
+    passage = "the quick brown fox jumps over the lazy sleeping dog"
+    rows = [
+        (1, f"aaa bbb {passage} ccc ddd"),
+        (2, f"eee fff {passage} ggg hhh"),              # cross-doc dup
+        (3, f"{passage} middle filler words here now again {passage}"),  # self dup
+        (4, "totally unique document with no repeated passages at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["text_dedup"]
+        for r in dedup.remove_duplicated_substrings(
+            df, "doc_id", "text", window_tokens=8
+        ).collect()
+    }
+    # doc 1 is canonical (smallest doc_id): passage intact
+    assert passage in out[1]
+    assert out[1].startswith("aaa bbb") and out[1].endswith("ccc ddd")
+    # doc 2 loses the passage, keeps its own words
+    assert passage not in out[2]
+    assert "eee fff" in out[2] and "ggg hhh" in out[2]
+    # doc 3: doc 1 < doc 3 holds the canonical copy, so BOTH copies in
+    # doc 3 are non-canonical and are cut
+    assert passage not in out[3]
+    assert "middle filler words here now again" in out[3]
+    # unique doc unchanged (modulo uniform whitespace normalization)
+    assert out[4] == rows[3][1]

@@ -482,3 +482,118 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring (duplicated-window) deduplication
+# ---------------------------------------------------------------------------
+
+
+def _word_tokens(col: Column) -> Column:
+    return F.filter(F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != F.lit(""))
+
+
+def duplicated_window_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int = 8,
+) -> DataFrame:
+    """Token positions covered by EXACT duplicated runs — the
+    duplicated-substring dedup of Lee et al., *Deduplicating Training
+    Data Makes Language Models Better* (arXiv:2107.06499), re-expressed
+    relationally: every ``window_tokens``-token sliding window whose
+    content occurs more than once in the corpus (any document,
+    including its own) marks its position as duplicated — EXCEPT at the
+    canonical occurrence, the corpus-wide (min doc id, min position)
+    holder of that window, which survives so one copy of every repeated
+    passage remains.
+
+    Returns ``(id, pos)`` rows: 1-based token start positions of
+    non-canonical duplicated windows.
+
+    Scale shape: windows travel as 64-bit ``xxhash64`` keys, never
+    window strings — the explode is O(tokens) rows of (id, pos, hash);
+    ONE aggregation finds each hash's occurrence count and canonical
+    holder (``min_by`` under the total (id, pos) order, with map-side
+    partials); an equi-join routes the surviving marks back. Collision
+    risk: a 64-bit hash pair-collides at ~1e-9 per billion distinct
+    windows, and a collision can only over-remove one window, never
+    corrupt the canonical copy.
+    """
+    toks = _word_tokens(F.col(text_col))
+    base = spread(df, id_col).select(F.col(id_col).alias("id"), toks.alias("toks"))
+    nwin = F.greatest(F.size("toks") - (window_tokens - 1), F.lit(0))
+    wins = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), nwin),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(
+                        F.concat_ws("\x1f", F.slice("toks", i, window_tokens))
+                    ).alias("whash"),
+                ),
+            )
+        ).alias("w"),
+    ).select("id", F.col("w.pos").alias("pos"), F.col("w.whash").alias("whash"))
+    per_hash = wins.groupBy("whash").agg(
+        F.count("*").alias("n_occ"),
+        F.min_by(F.struct("id", "pos"), F.struct("id", "pos")).alias("canon"),
+    )
+    return (
+        wins.join(per_hash.filter(F.col("n_occ") >= 2), "whash")
+        .filter(
+            (F.col("id") != F.col("canon.id")) | (F.col("pos") != F.col("canon.pos"))
+        )
+        .select("id", "pos")
+    )
+
+
+def remove_duplicated_substrings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int = 8,
+) -> DataFrame:
+    """Cut non-canonical duplicated runs out of each document.
+
+    Tokens covered by any non-canonical duplicated window (see
+    :func:`duplicated_window_spans`) are dropped; the survivors rejoin
+    with single spaces into ``<text_col>_dedup``. Documents without
+    duplicated runs pass through (modulo whitespace normalization,
+    which applies uniformly).
+
+    The per-document interval union is an array expression: dup starts
+    collect to one bounded array per doc (at most one per token), and
+    each token position tests coverage with a single ``exists`` -
+    no Python in the loop.
+    """
+    w = window_tokens
+    spans = duplicated_window_spans(df, id_col, text_col, w)
+    per_doc = spans.groupBy(F.col("id")).agg(
+        F.sort_array(F.collect_list("pos")).alias("dup_starts")
+    )
+    toks = _word_tokens(F.col(text_col))
+    return (
+        df.join(per_doc, df[id_col] == per_doc["id"], "left")
+        .drop("id")
+        .withColumn("_toks", toks)
+        .withColumn(
+            "_kept",
+            F.when(F.col("dup_starts").isNull(), F.col("_toks")).otherwise(
+                # 0-based token index p is covered by a dup window with
+                # 1-based start s iff s-1 <= p <= s-1 + (w-1)
+                F.filter(
+                    F.col("_toks"),
+                    lambda t, p: ~F.exists(
+                        F.col("dup_starts"),
+                        lambda s: (p >= s - 1) & (p <= s + F.lit(w - 2)),
+                    ),
+                )
+            ),
+        )
+        .withColumn(f"{text_col}_dedup", F.concat_ws(" ", "_kept"))
+        .drop("_toks", "_kept", "dup_starts")
+    )

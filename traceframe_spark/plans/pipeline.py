@@ -62,6 +62,44 @@ WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
 SQL_NGRAM_JACCARD = _sql_exact_jaccard(0.85, 150)
 
 
+def q_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection (Lee et al. 2107.06499):
+    per-document count of non-canonical duplicated 8-token windows on a
+    bounded subset. The operator keys windows by xxhash64; the oracle
+    groups by the literal window string — identical answers unless a
+    64-bit collision lands inside 300 docs (~1e-13)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    spans = dedup.duplicated_window_spans(d, "doc_id", "text", window_tokens=8)
+    return spans.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count("*").alias("n_dup_windows")
+    )
+
+
+SQL_DUP_WINDOWS = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                       x -> x <> '') AS t
+    FROM documents WHERE doc_id < 300
+),
+wins AS (
+    SELECT doc_id, u.i AS pos,
+           array_to_string(list_slice(t, u.i, u.i + 7), chr(31)) AS win
+    FROM toks, unnest(range(1, greatest(len(t) - 6, 1))) AS u(i)
+),
+marked AS (
+    SELECT doc_id, pos,
+           count(*) OVER (PARTITION BY win) AS n_occ,
+           row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+    FROM wins
+)
+SELECT doc_id, count(*) AS n_dup_windows
+FROM marked
+WHERE n_occ >= 2 AND rn > 1
+GROUP BY doc_id
+"""
+
+
 def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The verified layer of MinHash-LSH dedup, oracle-checked: banded
     candidate generation is xxhash64-dependent, but the OUTPUT (exact
@@ -633,6 +671,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIPELINE_QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
+    "dup_windows": q_dup_windows,
     "minhash_verified": q_minhash_verified,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_canonical": q_dedup_keep_canonical,
@@ -657,6 +696,7 @@ PIPELINE_QUERIES = {
 
 PIPELINE_ORACLE_SQL = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dup_windows": SQL_DUP_WINDOWS,
     "minhash_verified": SQL_MINHASH_VERIFIED,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_keep_canonical": SQL_DEDUP_KEEP_CANONICAL,
