@@ -73,6 +73,20 @@ def main() -> None:
         f"(near-dup: {n_clusters} clusters collapsed to canonicals)"
     )
 
+    # 4b. exact substring dedup (duplicated-window, Lee et al.): cut
+    #     repeated >=8-token passages, keeping one canonical copy.
+    #     Runs AFTER doc-level dedup on purpose (cutting shared passages
+    #     first would lower pair similarity and mask near-dups); on this
+    #     synthetic corpus the cluster stage already removed every
+    #     whole-doc near-dup, so typically 0 docs shrink here — the
+    #     residual check that the survivors carry no repeated runs.
+    cut = dedup.remove_duplicated_substrings(kept, "doc_id", "text")
+    n_shrunk = cut.filter(
+        F.length("text_dedup") < F.length(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    ).count()
+    kept = cut.withColumn("text", F.col("text_dedup")).drop("text_dedup")
+    print(f"substring dedup: repeated passages cut from {n_shrunk} docs, {n3} retained")
+
     # 5. benchmark decontamination: drop docs leaking eval-set n-grams
     bench = docs.filter(F.col("doc_id") % 97 == 0)  # stand-in eval set
     scores = text.contamination(kept, bench, n=3)
