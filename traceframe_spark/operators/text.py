@@ -418,6 +418,43 @@ def pack_sequences(
     )
 
 
+def bigram_logprob_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Statistical-LM quality scoring: each document's mean add-one-
+    smoothed bigram log-probability under the LM estimated from the
+    corpus itself — the relational core of perplexity-based filtering
+    (out-of-distribution/gibberish docs score far below the corpus
+    mode). ``lp(w1 w2) = ln((c(w1,w2) + 1) / (c(w1) + |V|))`` with
+    ``c(w1)`` the bigram-prefix count and ``|V|`` the distinct
+    second-token vocabulary.
+
+    Scale shape: one explode to (doc, w1, w2); the model is two
+    aggregations OVER that relation (map-side partials) joined back by
+    key; the vocabulary size is a one-row aggregate broadcast via
+    crossJoin — training and scoring are the same two-pass dataflow a
+    100 TB corpus needs, no driver-side model object.
+    """
+    toks = tokens(F.col(text_col))
+    k = F.size(toks) - 1
+    z = F.arrays_zip(F.slice(toks, 1, k), F.slice(toks, 2, k))
+    pairs = (
+        df.select(F.col(id_col).alias("id"), F.explode(z).alias("p"))
+        .select("id", F.col("p")["0"].alias("w1"), F.col("p")["1"].alias("w2"))
+    )
+    uni = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    voc = pairs.agg(F.count_distinct("w2").alias("v"))
+    lp = F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
+    return (
+        pairs.join(bi, ["w1", "w2"])
+        .join(uni, ["w1"])
+        .crossJoin(F.broadcast(voc))
+        .groupBy("id")
+        .agg(F.avg(lp).alias("avg_logprob"))
+    )
+
+
 def document_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One-pass per-document profile: language guess, quality signals +
     score, token counts, fingerprints."""

@@ -100,6 +100,43 @@ GROUP BY doc_id
 """
 
 
+def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring: mean add-one-smoothed bigram
+    log-probability per document under the corpus's own bigram LM, on a
+    bounded subset (quantized at 1e-4; ln() agrees across engines far
+    below that)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    scores = text.bigram_logprob_scores(d, "doc_id", "text")
+    return scores.select(
+        F.col("id").alias("doc_id"), qint(F.col("avg_logprob"), 4).alias("logprob_q")
+    )
+
+
+SQL_DOC_BIGRAM_LOGPROB = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+    FROM documents WHERE doc_id < 300
+),
+pairs AS (
+    SELECT doc_id, t[CAST(u.i AS INT)] AS w1, t[CAST(u.i AS INT) + 1] AS w2
+    FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)
+),
+uni AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
+bi AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+voc AS (SELECT count(DISTINCT w2) AS v FROM pairs),
+scored AS (
+    SELECT p.doc_id, ln((c12 + 1.0) / (c1 + v)) AS lp
+    FROM pairs p
+    JOIN bi USING (w1, w2)
+    JOIN uni USING (w1)
+    CROSS JOIN voc
+)
+SELECT doc_id, CAST(floor(avg(lp) * 10000 + 0.5) AS BIGINT) AS logprob_q
+FROM scored
+GROUP BY doc_id
+"""
+
+
 def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The verified layer of MinHash-LSH dedup, oracle-checked: banded
     candidate generation is xxhash64-dependent, but the OUTPUT (exact
@@ -672,6 +709,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 PIPELINE_QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "dup_windows": q_dup_windows,
+    "doc_bigram_logprob": q_doc_bigram_logprob,
     "minhash_verified": q_minhash_verified,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_canonical": q_dedup_keep_canonical,
@@ -697,6 +735,7 @@ PIPELINE_QUERIES = {
 PIPELINE_ORACLE_SQL = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dup_windows": SQL_DUP_WINDOWS,
+    "doc_bigram_logprob": SQL_DOC_BIGRAM_LOGPROB,
     "minhash_verified": SQL_MINHASH_VERIFIED,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_keep_canonical": SQL_DEDUP_KEEP_CANONICAL,
