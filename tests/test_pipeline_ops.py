@@ -701,3 +701,43 @@ def test_remove_duplicated_substrings(spark):
     assert "middle filler words here now again" in out[3]
     # unique doc unchanged (modulo uniform whitespace normalization)
     assert out[4] == rows[3][1]
+
+
+def test_bigram_logprob_matches_naive(spark):
+    """Randomized pin: the distributed bigram-LM scorer equals a plain
+    Python reference implementation (same add-one smoothing, same
+    prefix-count denominator) to float tolerance."""
+    import math
+    import random
+    from collections import Counter
+
+    rng = random.Random(13)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 12))))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["id"]: r["avg_logprob"]
+        for r in text.bigram_logprob_scores(df, "doc_id", "text").collect()
+    }
+
+    pairs = []
+    per_doc: dict[int, list] = {}
+    for i, t in rows:
+        toks = t.split()
+        ps = list(zip(toks, toks[1:]))
+        per_doc[i] = ps
+        pairs.extend(ps)
+    c12 = Counter(pairs)
+    c1 = Counter(w1 for w1, _ in pairs)
+    v = len({w2 for _, w2 in pairs})
+    want = {
+        i: sum(math.log((c12[p] + 1.0) / (c1[p[0]] + v)) for p in ps) / len(ps)
+        for i, ps in per_doc.items()
+        if ps
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i])
