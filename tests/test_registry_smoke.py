@@ -68,3 +68,37 @@ def test_oracle_sql_keys_subset_of_queries():
     oracles = set(catalog_oracle_sql())
     dangling = oracles - queries
     assert not dangling, f"oracle SQL without a registered query: {dangling}"
+
+
+def test_no_query_name_collisions_across_modules():
+    """The merged registry would silently overwrite on duplicate names
+    across plan modules — keep every module's key set disjoint."""
+    from traceframe_spark.plans import (
+        ADVANCED_QUERIES,
+        EVENTS_QUERIES,
+        LEXICAL_QUERIES,
+        PIPELINE_QUERIES,
+        QUERIES,
+        TEMPORAL_QUERIES,
+        TPCH_QUERIES,
+        TRACEOPS_QUERIES,
+    )
+
+    modules = {
+        "catalog": QUERIES,
+        "pipeline": PIPELINE_QUERIES,
+        "advanced": ADVANCED_QUERIES,
+        "temporal": TEMPORAL_QUERIES,
+        "traceops": TRACEOPS_QUERIES,
+        "events": EVENTS_QUERIES,
+        "lexical": LEXICAL_QUERIES,
+        "tpch": TPCH_QUERIES,
+    }
+    seen: dict[str, str] = {}
+    clashes = []
+    for mod, qs in modules.items():
+        for name in qs:
+            if name in seen:
+                clashes.append((name, seen[name], mod))
+            seen[name] = mod
+    assert not clashes, f"duplicate query names across modules: {clashes}"

@@ -196,3 +196,17 @@ def test_histogram_quantile_bounds_and_merge(spark):
         (r["bucket_ns"], r["event_type"], r["bin"]): r["n"] for r in df.collect()
     }
     assert key(merged) == key(hist)
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """The 100 TB percentile path: approx_percentile (one-pass, mergeable
+    sketch) must land within 2% relative error of the exact interpolated
+    percentile on the real lineitem distribution — the documented
+    alternative where exact percentile's per-group sort is too hot
+    (SCALING.md: exact is the one 4.9x data-bound query at 10x)."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    row = li.agg(
+        F.expr("percentile(l_extendedprice, 0.95)").alias("exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.02, row
