@@ -86,3 +86,49 @@ def test_salted_join_rejects_right_joins(spark):
 
     with _pytest.raises(ValueError):
         skew.salted_join(df, df, on=["k"], how="right")
+
+
+def test_sessionize_under_hot_user_skew(spark):
+    """A hot user holding ~80% of all events (the window-skew case a
+    uniform testdata never exercises): the native session_window form and
+    the lag + cumulative-sum idiom must agree exactly, and per-partition
+    cost stays bounded by the hottest user, not the table."""
+    from pyspark.sql.window import Window
+    from traceframe_spark.streaming.sessions import session_stats
+
+    MIN_NS = 60_000_000_000
+    base = 1_700_000_000_000_000_000
+    hot = [(i, 1, base + (i * 7 % 40_000) * MIN_NS) for i in range(40_000)]
+    cold = [
+        (100_000 + i, 2 + (i % 50), base + (i * 13 % 2_000) * MIN_NS)
+        for i in range(10_000)
+    ]
+    df = spark.createDataFrame(hot + cold, "event_id long, user_id long, ts long")
+
+    got = {
+        (r["user_id"], r["session_start_us"]): r["n_events"]
+        for r in session_stats(df, "30 minutes").collect()
+    }
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        df.withColumn(
+            "new_s",
+            F.when((F.col("ts") - F.lag("ts").over(w)) > 30 * MIN_NS, 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    want = {
+        (r["user_id"], r["start_us"]): r["n_events"]
+        for r in sess.groupBy("user_id", "session_id")
+        .agg(
+            (F.min("ts") / 1000).cast("long").alias("start_us"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert sum(n for (u, _), n in got.items() if u == 1) == 40_000

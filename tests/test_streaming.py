@@ -522,3 +522,57 @@ def test_session_window_equals_lag_idiom_randomized(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stream_to_rollup_recovers_from_checkpoint(spark, tmp_path):
+    """Exactly-once across restarts: run the rollup stream to completion
+    on batch 0, STOP, add batch 1 files, restart with the SAME
+    checkpoint — the standing aggregate equals a batch rollup over all
+    events (no double-count of batch 0, no loss of batch 1)."""
+    from traceframe_spark.operators import rollup as R
+    from traceframe_spark.streaming.spans import stream_to_rollup
+
+    evs = [
+        [(1, BASE, "click", 10.0), (2, BASE + 1_000_000, "view", 4.0)],
+        [(3, BASE + 3_600_000_000, "click", 2.0), (4, BASE + 5_000_000, "click", 1.0)],
+    ]
+    feed = tmp_path / "rollup_feed"
+    feed.mkdir()
+    cols = ["event_id", "ts_us", "event_type", "value"]
+    schema = "event_id long, ts_us long, event_type string, value double"
+    store, ckpt = str(tmp_path / "rollup_store"), str(tmp_path / "rollup_ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(feed))
+            .withColumn("ts", F.col("ts_us") * 1000)
+        )
+        q = stream_to_rollup(
+            stream, store, ckpt, R.MINUTE_NS, ["event_type"], "value",
+            trigger_available_now=True,
+        )
+        q.awaitTermination(180)
+
+    (feed / "b0.jsonl").write_text(
+        "\n".join(json.dumps(dict(zip(cols, e))) for e in evs[0])
+    )
+    run_once()  # first incarnation drains batch 0 and stops
+    (feed / "b1.jsonl").write_text(
+        "\n".join(json.dumps(dict(zip(cols, e))) for e in evs[1])
+    )
+    run_once()  # restart from the same checkpoint picks up only b1
+
+    all_events = spark.createDataFrame(
+        [e for b in evs for e in b], schema
+    ).withColumn("ts", F.col("ts_us") * 1000)
+    expected = {
+        (r["bucket_ns"], r["event_type"]): (r["n"], r["value_sum"])
+        for r in R.rollup_events(all_events, R.MINUTE_NS, ["event_type"], "value").collect()
+    }
+    got = {
+        (r["bucket_ns"], r["event_type"]): (r["n"], r["value_sum"])
+        for r in spark.read.parquet(store).collect()
+    }
+    assert got == expected
