@@ -741,3 +741,31 @@ def test_bigram_logprob_matches_naive(spark):
     assert set(got) == set(want)
     for i in want:
         assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i])
+
+
+def test_substring_dedup_short_docs_and_case_and_id_name(spark):
+    """Three regressions from review: (1) docs shorter than the window
+    must contribute zero windows, not crash (F.sequence(1,0) is the
+    descending [1,0]); (2) reconstruction preserves ORIGINAL case while
+    matching case-insensitively; (3) id_col='id' must survive the
+    internal join bookkeeping."""
+    passage = "The Quick Brown Fox Jumps Over The Lazy Sleeping Dog"
+    rows = [
+        (1, "short doc"),                       # 2 tokens < window
+        (2, f"aaa bbb {passage} ccc ddd"),
+        (3, f"eee fff {passage.lower()} ggg hhh"),  # case-insensitive dup of 2
+        (4, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {
+        r["id"]: r["text_dedup"]
+        for r in dedup.remove_duplicated_substrings(
+            df, "id", "text", window_tokens=8
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}          # id column survived (3)
+    assert out[1] == "short doc"             # short doc: no crash (1)
+    assert out[4] == "tiny"
+    assert passage in out[2]                 # canonical keeps ORIGINAL case (2)
+    assert passage.lower() not in out[3]     # dup detected across case
+    assert out[3] == "eee fff ggg hhh"

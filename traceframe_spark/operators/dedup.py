@@ -35,13 +35,14 @@ def spread(df: DataFrame, key: str) -> DataFrame:
 
     A small parquet table often scans as 1-2 partitions; hashing/shingling
     then runs on 1-2 cores regardless of cluster size. Hash-repartition on
-    ``key`` to default parallelism; AQE's partition coalescing collapses
-    the exchange back down when the input is already wide, so this never
-    over-shuffles — and unlike inspecting ``df.rdd.getNumPartitions()``
-    it costs no driver-side RDD conversion at plan-build time.
+    ``key`` WITHOUT an explicit partition count: AQE can coalesce a
+    ``REPARTITION_BY_COL`` exchange down when the input is small, but a
+    pinned ``repartition(n, key)`` (REPARTITION_BY_NUM) it must honor
+    verbatim — the count-free form is what lets well-partitioned inputs
+    avoid paying a full fixed-width shuffle. Costs no driver-side RDD
+    conversion at plan-build time (unlike a getNumPartitions() probe).
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target, key)
+    return df.repartition(key)
 
 
 def _release_jdf(jdf) -> None:
@@ -523,12 +524,18 @@ def duplicated_window_spans(
     """
     toks = _word_tokens(F.col(text_col))
     base = spread(df, id_col).select(F.col(id_col).alias("id"), toks.alias("toks"))
-    nwin = F.greatest(F.size("toks") - (window_tokens - 1), F.lit(0))
+    nwin = F.size("toks") - (window_tokens - 1)
+    # the when-guard matters: F.sequence(1, 0) is a DESCENDING [1, 0],
+    # not empty, and its pos=0 element makes slice() throw — a doc
+    # shorter than the window must contribute zero windows
+    starts = F.when(nwin >= 1, F.sequence(F.lit(1), nwin)).otherwise(
+        F.array().cast("array<int>")
+    )
     wins = base.select(
         "id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), nwin),
+                starts,
                 lambda i: F.struct(
                     i.alias("pos"),
                     F.xxhash64(
@@ -561,7 +568,10 @@ def remove_duplicated_substrings(
 
     Tokens covered by any non-canonical duplicated window (see
     :func:`duplicated_window_spans`) are dropped; the survivors rejoin
-    with single spaces into ``<text_col>_dedup``. Documents without
+    with single spaces into ``<text_col>_dedup``, ORIGINAL CASE
+    preserved — window matching is case-insensitive (the detector
+    lowercases for hashing) but reconstruction re-splits the raw text,
+    whose whitespace token positions are identical. Documents without
     duplicated runs pass through (modulo whitespace normalization,
     which applies uniformly).
 
@@ -572,13 +582,15 @@ def remove_duplicated_substrings(
     """
     w = window_tokens
     spans = duplicated_window_spans(df, id_col, text_col, w)
-    per_doc = spans.groupBy(F.col("id")).agg(
+    per_doc = spans.groupBy(F.col("id").alias("_dup_id")).agg(
         F.sort_array(F.collect_list("pos")).alias("dup_starts")
     )
-    toks = _word_tokens(F.col(text_col))
+    # case-preserving tokens: same \s+ structure as the detector's
+    # lowercased tokens, so positions line up one-to-one
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
     return (
-        df.join(per_doc, df[id_col] == per_doc["id"], "left")
-        .drop("id")
+        df.join(per_doc, df[id_col] == per_doc["_dup_id"], "left")
+        .drop("_dup_id")
         .withColumn("_toks", toks)
         .withColumn(
             "_kept",
