@@ -769,3 +769,19 @@ def test_substring_dedup_short_docs_and_case_and_id_name(spark):
     assert passage in out[2]                 # canonical keeps ORIGINAL case (2)
     assert passage.lower() not in out[3]     # dup detected across case
     assert out[3] == "eee fff ggg hhh"
+
+
+def test_lsh_dim_mismatch_raises(spark, embeddings):
+    """A vector/dim mismatch must raise, not silently zero every LSH
+    signature (zip_with null-pads, collapsing the corpus into one
+    bucket = O(n^2) self-join)."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    q = embeddings.filter(F.col("vec_id") < 3)
+    bad = similarity.hyperplane_lsh_topk(
+        embeddings, q, "vec_id", "embedding", k=3, dim=32  # real dim is 64
+    )
+    with _pytest.raises(Exception) as exc:
+        bad.collect()
+    assert "does not match configured dim=32" in str(exc.value)

@@ -156,7 +156,7 @@ def test_incremental_rollup_refresh_equals_full(spark):
 
     assert key(refreshed) == key(full)
     # coarsening from partials == direct coarse rollup from raw
-    hourly_from_partials = R.coarsen(full, R.HOUR_NS, ["event_type"])
+    hourly_from_partials = R.coarsen(full, R.HOUR_NS, ["event_type"], from_bucket_ns=R.MINUTE_NS)
     hourly_direct = R.rollup_events(e, R.HOUR_NS, ["event_type"], "value")
     assert key(hourly_from_partials) == key(hourly_direct)
 

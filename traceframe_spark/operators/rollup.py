@@ -38,7 +38,12 @@ def rollup_events(
     """Aggregate raw rows into (bucket_ns, *keys, n, value_sum,
     value_min, value_max) partials. One shuffle; partials are mergeable
     (see :func:`merge_rollups`), so coarser resolutions and refreshes
-    never touch raw rows again."""
+    never touch raw rows again.
+
+    ``n`` counts NON-NULL values (``count(_v)``, like sum/min/max skip
+    nulls) so a derived mean ``value_sum / n`` is the mean of observed
+    values — ``count(*)`` would silently mix null rows into the
+    denominator."""
     return (
         df.select(
             time_bucket(F.col(ts_col), bucket_ns).alias("bucket_ns"),
@@ -47,7 +52,7 @@ def rollup_events(
         )
         .groupBy("bucket_ns", *keys)
         .agg(
-            F.count("*").alias("n"),
+            F.count("_v").alias("n"),
             F.sum("_v").alias("value_sum"),
             F.min("_v").alias("value_min"),
             F.max("_v").alias("value_max"),
@@ -71,9 +76,26 @@ def merge_rollups(a: DataFrame, b: DataFrame, keys: Sequence[str]) -> DataFrame:
     )
 
 
-def coarsen(rollup: DataFrame, to_bucket_ns: int, keys: Sequence[str]) -> DataFrame:
+def coarsen(
+    rollup: DataFrame,
+    to_bucket_ns: int,
+    keys: Sequence[str],
+    from_bucket_ns: int | None = None,
+) -> DataFrame:
     """Re-bucket a fine rollup to a coarser resolution FROM PARTIALS —
-    the raw table is never read."""
+    the raw table is never read.
+
+    Lossless ONLY when ``to_bucket_ns`` is a whole multiple of the fine
+    bucket width: otherwise a fine bucket straddles two coarse buckets
+    and its partial lands wholly in the earlier one (silently shifted
+    aggregates). Pass ``from_bucket_ns`` to make that precondition an
+    error instead of a silent corruption."""
+    if from_bucket_ns is not None and to_bucket_ns % from_bucket_ns != 0:
+        raise ValueError(
+            f"coarsen: to_bucket_ns ({to_bucket_ns}) must be a multiple of "
+            f"the fine bucket width ({from_bucket_ns}); a fine partial "
+            "cannot be split across coarse buckets"
+        )
     return (
         rollup.withColumn("bucket_ns", time_bucket(F.col("bucket_ns"), to_bucket_ns))
         .groupBy("bucket_ns", *keys)
@@ -99,9 +121,14 @@ def histogram_rollup(
     deterministic alternative to quantile sketches: any percentile
     derives from the merged bins with error ≤ ``bin_width``, and two
     engines (or two refreshes) always agree because the partial is
-    exact integer counts, not a probabilistic digest."""
+    exact integer counts, not a probabilistic digest.
+
+    Null values are excluded: a null bin would sort before every real
+    bin and inflate the running counts in
+    :func:`quantile_from_histogram`, shifting quantiles downward."""
     return (
-        df.select(
+        df.filter(F.col(value_col).isNotNull())
+        .select(
             time_bucket(F.col(ts_col), bucket_ns).alias("bucket_ns"),
             *keys,
             F.floor(F.col(value_col) / F.lit(bin_width)).cast("long").alias("bin"),

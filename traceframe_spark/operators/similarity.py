@@ -42,9 +42,73 @@ def dot_f64(a: Column, b: Column) -> Column:
     )
 
 
+def _sidecar_write(spark, index_path: str, centroids: list[list[float]]) -> None:
+    """Write the centroid sidecar through the Hadoop FileSystem API so
+    the index works on ANY storage the cluster can reach (local, HDFS,
+    s3a, ...) — a plain ``open()`` would silently bind the index to the
+    driver's local disk, contradicting the partition-pruning design."""
+    import json
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(index_path + "/_centroids.json")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(centroids).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _sidecar_read(spark, index_path: str) -> list[list[float]]:
+    import json
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(index_path + "/_centroids.json")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(data)
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def _dim_checked(vec: Column, dim: int) -> Column:
+    """Fail fast on a vector/``dim`` mismatch: ``zip_with`` null-pads a
+    length mismatch, which silently zeroes every signature bit and
+    collapses the whole corpus into one LSH bucket (degenerating the
+    bucket join to O(n²)). Raising beats that silent collapse."""
+    return F.when(F.size(vec) == dim, vec).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"embedding dimension %s does not match configured dim={dim}",
+                F.size(vec),
+            )
+        )
+    )
+
+
+def _rerank_topk(cands: DataFrame, k: int) -> DataFrame:
+    """Shared exact re-rank for the approximate tiers: candidates carry
+    (qid, cid, q_vec, q_nrm, c_vec, c_nrm); score with the SAME 1e-4
+    quantized cosine grid as :func:`cosine_topk`'s default (so the
+    approximate paths stay verifiable against the exact baseline), then
+    per-query row_number top-k with the cid tie-break."""
+    cos = F.floor(
+        dot_f64(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")) * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    scored = cands.select("qid", "cid", cos.alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
     )
 
 
@@ -137,7 +201,8 @@ def embedding_near_dup_pairs(
     planes = _hyperplanes(dim, n_planes, seed)
     per_band = n_planes // bands
     mask = (1 << per_band) - 1
-    sig = hyperplane_signature(F.col(vec_col), planes)
+    checked = _dim_checked(F.col(vec_col), dim)
+    sig = hyperplane_signature(checked, planes)
     blocks = F.array(
         *[
             F.struct(
@@ -154,8 +219,10 @@ def embedding_near_dup_pairs(
         F.explode(blocks).alias("e"),
     ).select("id", "vec", "nrm", "e.band", "e.key")
     a, b = keyed.alias("a"), keyed.alias("b")
-    cos = dot_f64(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
+    # dedup the candidate id pairs BEFORE scoring: a true near-dup pair
+    # collides in several bands, and the dim-length dot product is the
+    # expensive part — score each surviving pair exactly once
+    cands = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -165,9 +232,16 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cos.alias("cosine"),
+            F.col("a.vec").alias("vec_a"),
+            F.col("a.nrm").alias("nrm_a"),
+            F.col("b.vec").alias("vec_b"),
+            F.col("b.nrm").alias("nrm_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = dot_f64(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        cands.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -195,7 +269,7 @@ def hyperplane_lsh_topk(
     mask = (1 << per_band) - 1
 
     def banded(df: DataFrame, side: str) -> DataFrame:
-        sig = hyperplane_signature(F.col(vec_col), planes)
+        sig = hyperplane_signature(_dim_checked(F.col(vec_col), dim), planes)
         blocks = F.array(
             *[
                 F.struct(
@@ -220,16 +294,7 @@ def hyperplane_lsh_topk(
         .select("qid", "cid", "q_vec", "q_nrm", "c_vec", "c_nrm")
         .dropDuplicates(["qid", "cid"])
     )
-    cos = F.floor(
-        dot_f64(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")) * 10000
-        + F.lit(0.5)
-    ).cast("long")
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
-    return (
-        cands.select("qid", "cid", cos.alias("cos"))
-        .withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= k)
-    )
+    return _rerank_topk(cands, k)
 
 
 # ---------------------------------------------------------------------------
@@ -351,8 +416,7 @@ def write_ivf_index(
         .partitionBy("list_id")
         .parquet(path)
     )
-    with open(os.path.join(path, "_centroids.json"), "w") as f:
-        json.dump(centroids, f)
+    _sidecar_write(corpus.sparkSession, path, centroids)
     return centroids
 
 
@@ -373,11 +437,7 @@ def append_to_ivf_index(
     delta; existing list partitions are untouched (dynamic append writes
     new files into the probed directories only).
     """
-    import json
-    import os
-
-    with open(os.path.join(path, "_centroids.json")) as f:
-        centroids = json.load(f)
+    centroids = _sidecar_read(new_rows.sparkSession, path)
     assigned = new_rows.select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("c_vec"),
@@ -408,11 +468,7 @@ def ivf_topk_over_index(
     scan's PartitionFilters and unprobed list directories are skipped
     entirely. Candidate re-rank matches :func:`ivf_topk`.
     """
-    import json
-    import os
-
-    with open(os.path.join(path, "_centroids.json")) as f:
-        centroids = json.load(f)
+    centroids = _sidecar_read(spark, path)
     corpus = spark.read.parquet(path)
     q = queries.select(
         F.col(id_col).alias("qid"),
@@ -422,20 +478,8 @@ def ivf_topk_over_index(
     )
     probed = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})
     pruned = corpus.filter(F.col("list_id").isin(probed))
-    cos = F.floor(
-        dot_f64(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")) * 10000
-        + F.lit(0.5)
-    ).cast("long")
-    cands = (
-        q.join(pruned, "list_id")
-        .filter(F.col("qid") != F.col("cid"))
-        .select("qid", "cid", cos.alias("cos"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
-    return (
-        cands.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= k)
-    )
+    cands = q.join(pruned, "list_id").filter(F.col("qid") != F.col("cid"))
+    return _rerank_topk(cands, k)
 
 
 def ivf_topk(
@@ -475,17 +519,5 @@ def ivf_topk(
         l2_norm(F.col(vec_col)).alias("q_nrm"),
         F.explode(ivf_probe_lists(F.col(vec_col), centroids, nprobe)).alias("list_id"),
     )
-    cos = F.floor(
-        dot_f64(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")) * 10000
-        + F.lit(0.5)
-    ).cast("long")
-    cands = (
-        q.join(c, "list_id")
-        .filter(F.col("qid") != F.col("cid"))
-        .select("qid", "cid", cos.alias("cos"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
-    return (
-        cands.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= k)
-    )
+    cands = q.join(c, "list_id").filter(F.col("qid") != F.col("cid"))
+    return _rerank_topk(cands, k)

@@ -41,7 +41,9 @@ def subword_count(col: Column) -> Column:
         F.trim(col),
         r"(?<=[^\p{L}\p{N}])|(?=[^\p{L}\p{N}])",
     )
-    return F.size(F.filter(pieces, lambda p: (p != "") & (p != " "))).cast("long")
+    # trim(p) != '' drops EVERY whitespace piece — a bare p != ' ' would
+    # count tabs/newlines as subword tokens
+    return F.size(F.filter(pieces, lambda p: F.trim(p) != F.lit(""))).cast("long")
 
 
 def stopword_hits(toks: Column, lang: str) -> Column:
@@ -429,11 +431,17 @@ def bigram_logprob_scores(
     ``c(w1)`` the bigram-prefix count and ``|V|`` the distinct
     second-token vocabulary.
 
-    Scale shape: one explode to (doc, w1, w2); the model is two
-    aggregations OVER that relation (map-side partials) joined back by
-    key; the vocabulary size is a one-row aggregate broadcast via
-    crossJoin — training and scoring are the same two-pass dataflow a
-    100 TB corpus needs, no driver-side model object.
+    Scale shape: one explode to (doc, w1, w2); the model is ONE
+    aggregation over that relation (map-side partials) — the prefix
+    counts and vocabulary size derive from the bigram partials, not
+    from extra corpus scans — joined back by key, with the vocabulary
+    size broadcast via crossJoin. Training and scoring are the same
+    two-scan dataflow a 100 TB corpus needs, no driver-side model
+    object.
+
+    Contract: documents with fewer than 2 tokens have no bigrams and
+    therefore NO output row (their log-probability is undefined, not
+    zero) — left-join the scores back if passthrough is needed.
     """
     toks = tokens(F.col(text_col))
     k = F.size(toks) - 1
@@ -442,9 +450,9 @@ def bigram_logprob_scores(
         df.select(F.col(id_col).alias("id"), F.explode(z).alias("p"))
         .select("id", F.col("p")["0"].alias("w1"), F.col("p")["1"].alias("w2"))
     )
-    uni = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
     bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    voc = pairs.agg(F.count_distinct("w2").alias("v"))
+    uni = bi.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    voc = bi.agg(F.count_distinct("w2").alias("v"))
     lp = F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
     return (
         pairs.join(bi, ["w1", "w2"])

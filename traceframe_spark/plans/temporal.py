@@ -340,7 +340,7 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     rollup_1m = R.rollup_events(e, R.MINUTE_NS, ["event_type"], "value")
-    hourly = R.coarsen(rollup_1m, R.HOUR_NS, ["event_type"])
+    hourly = R.coarsen(rollup_1m, R.HOUR_NS, ["event_type"], from_bucket_ns=R.MINUTE_NS)
     return hourly.select(
         F.expr("bucket_ns div 1000").alias("hour_us"),
         "event_type",
