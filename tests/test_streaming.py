@@ -576,3 +576,17 @@ def test_stream_to_rollup_recovers_from_checkpoint(spark, tmp_path):
         for r in spark.read.parquet(store).collect()
     }
     assert got == expected
+
+
+def test_batch_markers_make_replay_noop(spark, tmp_path):
+    """At-least-once replay protection: an applied batch_id is detected
+    (skip), and markers are namespaced by checkpoint lineage so a new
+    checkpoint's batch 0 is NOT shadowed by the old lineage's batch 0."""
+    from traceframe_spark.streaming import spans as S
+
+    store = str(tmp_path / "marked_store")
+    assert not S._batch_already_applied(spark, store, "ckpt-A", 0)
+    S._mark_batch_applied(spark, store, "ckpt-A", 0)
+    assert S._batch_already_applied(spark, store, "ckpt-A", 0)
+    assert not S._batch_already_applied(spark, store, "ckpt-A", 1)
+    assert not S._batch_already_applied(spark, store, "ckpt-B", 0)

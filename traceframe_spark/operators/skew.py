@@ -36,9 +36,16 @@ def salted_agg(
         if fn not in merge_fn:
             raise ValueError(f"{fn} is not a salt-decomposable aggregate")
 
-    # per-row deterministic-ish spray; any distribution over salts works
+    # salt derives from ROW CONTENT, not monotonically_increasing_id:
+    # an order-dependent salt makes the stage indeterminate (a shuffle-
+    # fetch retry re-assigns rows to different salts than the partials
+    # already fetched, forcing full-stage reruns or job aborts). Content
+    # hashing is recomputation-stable; only complete duplicate rows
+    # share a salt, which skews nothing unless the hot key is one
+    # exact row repeated — then dedup-first is the right tool anyway.
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+        "_salt",
+        F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in df.columns])), F.lit(n_salts)),
     )
 
     phase1 = salted.groupBy(*keys, "_salt").agg(
@@ -81,8 +88,11 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner' or 'left' only")
     on = list(on)
+    # content-derived salt for the same recomputation-stability reason
+    # as salted_agg (see comment there)
     salted = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+        "_salt",
+        F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in big.columns])), F.lit(n_salts)),
     )
     replicated = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
@@ -92,12 +102,15 @@ def salted_join(
 
 def top_hot_keys(df: DataFrame, keys: Sequence[str], top: int = 10) -> DataFrame:
     """Diagnostic: the heaviest grouping keys and their share of rows —
-    run before choosing a partitioning/salting strategy."""
-    total = df.count()
+    run before choosing a partitioning/salting strategy. One scan: the
+    total derives from the aggregated counts (an unpartitioned window
+    over the small per-key frame), not a second pass over ``df``."""
+    from pyspark.sql.window import Window
+
+    counted = df.groupBy(*keys).count()
+    total = F.sum("count").over(Window.partitionBy())
     return (
-        df.groupBy(*keys)
-        .count()
-        .withColumn("share", F.col("count") / F.lit(float(total)))
+        counted.withColumn("share", F.col("count") / total)
         .orderBy(F.desc("count"))
         .limit(top)
     )

@@ -31,9 +31,17 @@ def write_spans(
     n_buckets: int = DEFAULT_BUCKETS,
     compression: str = "zstd",
 ) -> None:
-    """Span table → parquet partitioned by (span_date, trace_bucket)."""
+    """Span table → parquet partitioned by (span_date, trace_bucket).
+
+    ``span_date`` is the UTC calendar day computed by pure integer
+    arithmetic on the µs epoch (``date_from_unix_date(startTime div
+    86400e6)``) — NOT ``to_date(timestamp_micros(...))``, which resolves
+    in the session timezone and would let differently-configured writers
+    split the same instant across two partition directories (and make
+    date pruning depend on who wrote the file)."""
     out = spans.withColumn(
-        "span_date", F.to_date(F.timestamp_micros(F.col("startTime")))
+        "span_date",
+        F.date_from_unix_date(F.expr("startTime div 86400000000").cast("int")),
     ).withColumn("trace_bucket", F.pmod(F.xxhash64("traceID"), F.lit(n_buckets)))
     (
         out.repartition("span_date", "trace_bucket")
@@ -76,26 +84,42 @@ def compact_span_store(spark, path: str, files_per_partition: int = 1) -> None:
     Streaming ingest (:func:`~traceframe_spark.streaming.spans.
     stream_to_span_store`) appends one file per partition per
     microbatch; over days that is thousands of small files per
-    directory and scan planning degrades. Compaction reads the store,
-    shuffles rows back to one task per partition directory, and
-    atomically replaces the data (write to a sibling temp dir, then
-    swap) — run it per-partition off the hot path in production.
+    directory and scan planning degrades.
+
+    MAINTENANCE-WINDOW operation, stated plainly: the two-rename swap is
+    NOT atomic — pause writers while compacting (an append landing
+    between the read and the swap would be lost), readers in the
+    instant between the renames see a missing path, and the rename
+    plumbing is local-filesystem only (non-local URIs raise; on object
+    stores use a table format with transactional replace instead).
     """
     import shutil
     import tempfile
 
-    df = spark.read.parquet(path)
-    tmp = tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(path.rstrip("/")) or ".")
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            "compact_span_store swaps directories with local renames; "
+            f"non-local store {path!r} needs a transactional table format"
+        )
+    local = path[len("file://"):] if path.startswith("file://") else path
+
+    df = spark.read.parquet(local)
+    tmp = tempfile.mkdtemp(
+        prefix="compact_", dir=os.path.dirname(local.rstrip("/")) or "."
+    )
+    # one output task per (partition-dir, file-slot): files_per_partition
+    # slots split each directory's rows by a content hash
+    slot = F.pmod(F.xxhash64("spanID"), F.lit(files_per_partition))
     (
-        df.repartition("span_date", "trace_bucket")
+        df.repartition(F.col("span_date"), F.col("trace_bucket"), slot)
         .write.mode("overwrite")
         .option("compression", "zstd")
         .partitionBy("span_date", "trace_bucket")
         .parquet(f"{tmp}/data")
     )
     old = f"{tmp}/old"
-    shutil.move(path, old)
-    shutil.move(f"{tmp}/data", path)
+    shutil.move(local, old)
+    shutil.move(f"{tmp}/data", local)
     shutil.rmtree(tmp, ignore_errors=True)
 
 

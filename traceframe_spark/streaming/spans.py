@@ -113,17 +113,76 @@ def stream_parent_enrich(
     return c.join(p, cond, "leftOuter").drop("p_traceID", "p_spanID", "p_time", "c_time")
 
 
+def _batch_marker_fs(spark, store_path: str, checkpoint: str, batch_id: int):
+    import hashlib
+
+    # markers are namespaced by checkpoint lineage: batch ids restart at
+    # 0 after a checkpoint reset, so un-namespaced markers from the old
+    # lineage would silently skip the new lineage's first batches.
+    # Resetting therefore means a NEW checkpoint path (the standard
+    # practice) — same-path-after-wipe is documented unsupported.
+    lineage = hashlib.sha256(checkpoint.encode()).hexdigest()[:12]
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{store_path}/_applied_batches/{lineage}/{batch_id}"
+    )
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _batch_already_applied(spark, store_path: str, checkpoint: str, batch_id: int) -> bool:
+    """foreachBatch is at-least-once: a batch whose write completed but
+    whose checkpoint commit didn't is REPLAYED on restart. A marker file
+    per applied batch_id (written after the data lands) makes the
+    replay a no-op instead of a silent duplicate/double-count. The
+    remaining exposure is a crash inside the write-then-mark pair —
+    vastly narrower than write-then-checkpoint-commit; closing it fully
+    needs a transactional table format (the documented production
+    upgrade path)."""
+    fs, p = _batch_marker_fs(spark, store_path, checkpoint, batch_id)
+    return fs.exists(p)
+
+
+def _mark_batch_applied(spark, store_path: str, checkpoint: str, batch_id: int) -> None:
+    fs, p = _batch_marker_fs(spark, store_path, checkpoint, batch_id)
+    fs.create(p, True).close()
+
+
+def _store_exists(spark, path: str) -> bool:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return False
+    # an empty dir left by a failed first write is "absent" too — but a
+    # dir holding any data/partition entry is a real store, and read
+    # errors there must FAIL LOUDLY, never be treated as first-batch
+    it = fs.listStatus(p)
+    for status in it:
+        name = status.getPath().getName()
+        if not name.startswith("_"):
+            return True
+    return False
+
+
 def stream_to_span_store(
     spans: DataFrame, path: str, checkpoint: str, trigger_available_now: bool = False
 ):
     """Continuously land a span feed into the partitioned parquet store
     (same layout as :func:`traceframe_spark.sinks.write_spans`) via
     foreachBatch — the streaming ingest half of a lambda-free
-    architecture: batch queries read the store the stream writes."""
+    architecture: batch queries read the store the stream writes.
+
+    Idempotent across restarts: each batch_id lands once (marker files
+    under ``_applied_batches/``), so an at-least-once replay does not
+    append duplicate spans."""
     from traceframe_spark import sinks
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if _batch_already_applied(spark, path, checkpoint, batch_id):
+            return
         sinks.write_spans(batch_df, path, mode="append")
+        _mark_batch_applied(spark, path, checkpoint, batch_id)
 
     writer = (
         spans.writeStream.foreachBatch(write_batch)
@@ -153,24 +212,33 @@ def stream_to_rollup(
     hour's partition is re-merged when a straggler lands in it), never
     with the store's history. Batch dashboards read ``path`` as plain
     parquet partitioned by ``hour_ns``; no stream-side state store is
-    involved, so the rollup survives checkpoint resets and is queryable
-    mid-stream.
+    involved, and each batch_id folds exactly once (lineage-namespaced
+    markers under ``_applied_batches/``) so an at-least-once replay
+    cannot double-count. Restarting from a FRESH checkpoint path
+    replays the source into the standing rollup — wipe the store
+    together with the checkpoint, or keep both.
     """
     from traceframe_spark.operators import rollup as R
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # at-least-once replay protection: re-merging an already-applied
+        # delta would permanently double-count every touched bucket
+        if _batch_already_applied(spark, path, checkpoint, batch_id):
+            return
         delta = R.rollup_events(batch_df, bucket_ns, keys, value_col, ts_col)
+        # localCheckpoint: the touched-hours collect AND the final write
+        # both consume delta — without it each recomputes the batch's
+        # groupBy shuffle from scratch
         delta = delta.withColumn(
             "hour_ns", R.time_bucket(F.col("bucket_ns"), R.HOUR_NS)
-        )
-        from pyspark.errors import AnalysisException
-
-        try:
+        ).localCheckpoint()
+        # explicit FS existence probe, NOT a broad except AnalysisException:
+        # a store that exists but fails to read (schema conflict, corrupt
+        # footer) must fail loudly — treating it as "first batch" would
+        # dynamic-overwrite real history with this batch's delta alone
+        if _store_exists(spark, path):
             standing = spark.read.parquet(path)
-        except AnalysisException:  # first batch: store doesn't exist yet
-            standing = None
-        if standing is not None:
             touched = [r["hour_ns"] for r in delta.select("hour_ns").distinct().collect()]
             # localCheckpoint cuts the file-source lineage: Spark refuses
             # to overwrite a path that is also being read from otherwise
@@ -188,6 +256,7 @@ def stream_to_rollup(
             .partitionBy("hour_ns")
             .parquet(path)
         )
+        _mark_batch_applied(spark, path, checkpoint, batch_id)
 
     writer = (
         events.writeStream.foreachBatch(fold_batch)
@@ -259,20 +328,24 @@ def _assemble(
     if state.hasTimedOut:
         n, root_op, root_start, root_dur, min_start, max_end = state.get
         state.remove()
+        # root-seen is signalled by root_start is not None — truthiness
+        # would misfire on legitimate zero values (an instant root with
+        # duration 0, a root at epoch 0, an empty operationName)
+        has_root = root_start is not None
         yield pd.DataFrame(
             {
                 "traceID": [key[0]],
                 "nspans": [n],
                 "root_operation": [root_op],
-                "start_us": [root_start if root_start else min_start],
-                "duration_us": [root_dur if root_dur else max_end - min_start],
-                "is_complete": [1 if root_op else 0],
+                "start_us": [root_start if has_root else min_start],
+                "duration_us": [root_dur if has_root else max_end - min_start],
+                "is_complete": [1 if has_root else 0],
             }
         )
         return
 
     n, root_op, root_start, root_dur, min_start, max_end = (
-        state.get if state.exists else (0, None, 0, 0, None, 0)
+        state.get if state.exists else (0, None, None, None, None, 0)
     )
     for pdf in pdfs:
         n += len(pdf)
