@@ -161,3 +161,39 @@ def test_random_soup_never_crashes():
         segs = critical_segments_of_trace(spans)
         for (s1, d1, _), (s2, _, _) in zip(segs, segs[1:]):
             assert s1 + d1 <= s2
+
+
+@given(nested_trace(), st.data())
+@settings(max_examples=40, deadline=None)
+def test_zero_duration_spans_do_not_break_the_sweep(spans, data):
+    """Zero-duration (instant) spans are real — log-like spans and
+    sub-µs truncation both produce them. The sweep must neither crash
+    (a Return sorting before its own Call once KeyError'd the kernel)
+    nor change the partition property: total critical time still equals
+    the root duration, zero-length blips included."""
+    root = spans[0]
+    # inject an instant child at an arbitrary interior time of a random
+    # parent, INCLUDING boundary collisions with existing event times
+    parent = data.draw(st.sampled_from(spans))
+    t = data.draw(
+        st.integers(
+            min_value=parent["startTime"],
+            max_value=parent["startTime"] + parent["duration"],
+        )
+    )
+    instant = {
+        "traceID": "t",
+        "spanID": "zz",
+        "operationName": "instant",
+        "startTime": t,
+        "duration": 0,
+        "processID": "p",
+        "service": "svc",
+        "parent": parent["spanID"],
+    }
+    segs = critical_segments_of_trace(spans + [instant])
+    assert segs
+    total = sum(d for _, d, _ in segs)
+    assert total == root["duration"]
+    for _, d, _ in segs:
+        assert d >= 0

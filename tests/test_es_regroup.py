@@ -66,9 +66,13 @@ def test_regroup_to_traces(spark):
     got = {r["traceID"]: r for r in raw.collect()}
     assert set(got) == {"t1", "t2"}
     assert len(got["t1"]["spans"]) == 2
-    # processID synthesized from the hostname process tag
-    assert {s["processID"] for s in got["t1"]["spans"]} == {"host1", "host2"}
-    assert got["t1"]["processes"]["host2"]["serviceName"] == "svc-host2"
+    # processID synthesized as hostname:serviceName (collision-proof:
+    # two services on one host stay distinct map entries)
+    assert {s["processID"] for s in got["t1"]["spans"]} == {
+        "host1:svc-host1",
+        "host2:svc-host2",
+    }
+    assert got["t1"]["processes"]["host2:svc-host2"]["serviceName"] == "svc-host2"
     # downstream traces_table works on the regrouped form
     t = traces_table(raw.withColumn(
         "spans",
@@ -82,3 +86,27 @@ def test_regroup_to_traces(spark):
     rows_t = {r["traceID"]: r for r in t.collect()}
     assert rows_t["t1"]["nspans"] == 2
     assert rows_t["t1"]["traceName"] == "svc-host1: /op"
+
+
+def test_regroup_survives_missing_hostname_and_shared_host(spark):
+    """Two review regressions: (1) a process without the hostname tag
+    must degrade to an 'unknown:<service>' id, not abort the job with
+    NULL_MAP_KEY; (2) two services sharing one host must keep separate
+    process-map entries, not collapse into an arbitrary winner."""
+    rows = [
+        _raw_es_span("t1", "a", None, T0, "hostX"),
+        _raw_es_span("t1", "b", "a", T0 + 10, "hostX"),
+        _raw_es_span("t1", "c", "a", T0 + 20, "hostY"),
+    ]
+    # span b: same host as a but a DIFFERENT service; span c: no hostname
+    rows[1]["process"] = {
+        "serviceName": "other-svc",
+        "tags": [{"key": "hostname", "type": "string", "value": "hostX"}],
+    }
+    rows[2]["process"] = {"serviceName": "bare-svc", "tags": []}
+    df = spark.createDataFrame(rows, schema=ES_SPAN_SCHEMA)
+    got = {r["traceID"]: r for r in regroup_spans_to_traces(df).collect()}
+    procs = got["t1"]["processes"]
+    assert procs["hostX:svc-hostX"]["serviceName"] == "svc-hostX"
+    assert procs["hostX:other-svc"]["serviceName"] == "other-svc"
+    assert procs["unknown:bare-svc"]["serviceName"] == "bare-svc"

@@ -142,8 +142,8 @@ def test_traces_from_es_end_to_end(spark):
     assert set(rows) == {"t1", "t2"}
     assert rows["t1"]["nspans"] == 2
     assert rows["t1"]["traceName"] == "front: /op"
-    # processes keyed by the hostname process tag (ref traceframe.py:298-301)
-    assert rows["t1"]["processes"]["host2"]["serviceName"] == "back"
+    # processes keyed hostname:serviceName (collision-proof id)
+    assert rows["t1"]["processes"]["host2:back"]["serviceName"] == "back"
     assert rows["t2"]["nspans"] == 1
     assert len(fake.scroll_calls) >= 1
 
@@ -167,7 +167,7 @@ def test_spans_from_es_scroll_flat_table(spark):
     assert set(rows) == {"r1", "c1", "r2"}
     assert rows["c1"]["parent"] == "r1" and rows["r1"]["parent"] == ""
     assert rows["c1"]["service"] == "backend"
-    assert rows["c1"]["processID"] == "hostB"  # hostname-synthesized id
+    assert rows["c1"]["processID"] == "hostB:backend"  # host:service id
     assert rows["r1"]["tags"] == {"k": "v"}
 
     # agrees with the regroup route (modulo row order)

@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 
 from traceframe_spark.operators import spans_table, traces_table
+from traceframe_spark.schemas import RAW_TRACE_SCHEMA
 from traceframe_spark.sources.jaeger_http import (
     _clip_latest,
     get_traces,
@@ -279,3 +280,52 @@ def test_known_services_null_data_and_error():
     assert known_services("http://j", get=lambda *a, **k: _FakeResp(200, {"data": None})) == []
     with pytest.raises(RuntimeError, match="status 503"):
         known_services("http://j", get=lambda *a, **k: _FakeResp(503, {}))
+
+
+def test_bisection_dedups_straddling_traces():
+    """Jaeger matches a trace when ANY span lands in the window, so a
+    trace straddling the bisection midpoint is returned by BOTH halves
+    — the merge must dedup by traceID, not concatenate."""
+
+    class AnySpanFake(FakeJaeger):
+        def fetch(self, params: dict) -> list[dict]:
+            self.calls += 1
+            start = int(params.get("start", 0))
+            end = int(params.get("end", 2**63 - 1))
+            hits = [
+                t
+                for t in self.traces
+                if any(start <= s["startTime"] <= end for s in t["spans"])
+            ]
+            return hits[: self.cap]
+
+    traces = [make_trace(i, T0 + i * US) for i in range(10)]
+    strad = make_trace(99, T0)
+    strad["spans"].append(
+        {**strad["spans"][0], "spanID": "straddle2", "startTime": T0 + 9 * US}
+    )
+    traces.append(strad)
+    fake = AnySpanFake(traces, cap=6)
+    got = get_traces(
+        "svc",
+        fetch=fake.fetch,
+        start=T0,
+        end=T0 + 9 * US,
+        result_cap=6,
+        now_us=fake.now_us,
+    )
+    ids = [t["traceID"] for t in got]
+    assert len(ids) == len(set(ids)), f"duplicated traces: {ids}"
+    assert set(ids) == {t["traceID"] for t in traces}
+
+
+def test_fetch_traces_partitioned_degenerate_range(spark):
+    """start >= end must yield an empty RAW_TRACE_SCHEMA frame, not a
+    schema-inference crash on an empty seed list."""
+    from traceframe_spark.sources.jaeger_http import fetch_traces_partitioned
+
+    df = fetch_traces_partitioned(
+        spark, "http://unused:16686", "svc", start=1000, end=1000, n_buckets=4
+    )
+    assert df.count() == 0
+    assert df.schema == RAW_TRACE_SCHEMA

@@ -67,14 +67,24 @@ def critical_segments_of_trace(spans: list[dict[str, Any]]) -> list[tuple[int, i
         raise ValueError("critical path of an empty span set is undefined")
 
     span_by_id: dict[str, dict[str, Any]] = {}
-    events: list[tuple[int, int, str, dict[str, Any]]] = []
+    # event: (time, order, spanID, is_call, span). order 0 = Return,
+    # 1 = Call, so simultaneous cross-span Return/Call pairs release the
+    # parent first. EXCEPT zero-duration spans: both their events share
+    # one timestamp, and Return-before-own-Call would remove an
+    # in_flight entry that was never added (KeyError). Their pair gets
+    # orders (-2, -1): the Call still precedes its own Return, and the
+    # blip resolves before the normal Return/Call traffic at that
+    # instant.
+    events: list[tuple[int, int, str, bool, dict[str, Any]]] = []
     for s in spans:
         span_by_id[s["spanID"]] = s
         end = s["startTime"] + s["duration"]
-        # sort key: (time, kind, spanID); kind 0 = Return, 1 = Call so
-        # simultaneous Return/Call pairs release the parent first.
-        events.append((s["startTime"], 1, s["spanID"], s))
-        events.append((end, 0, s["spanID"], s))
+        if s["duration"] == 0:
+            call_order, ret_order = -2, -1
+        else:
+            call_order, ret_order = 1, 0
+        events.append((s["startTime"], call_order, s["spanID"], True, s))
+        events.append((end, ret_order, s["spanID"], False, s))
     events.sort(key=lambda e: (e[0], e[1], e[2]))
 
     # in_flight[spanID] = ordered child spanIDs that have Called but not
@@ -84,12 +94,12 @@ def critical_segments_of_trace(spans: list[dict[str, Any]]) -> list[tuple[int, i
     stack: list[dict[str, Any]] = []
 
     # The earliest event's span leads first; clock starts at its start.
-    leader = events[0][3]
+    leader = events[0][4]
     clock = leader["startTime"]
 
-    for when, kind, _, span in events:
+    for when, _order, _, is_call, span in events:
         parent = span["parent"]
-        if kind == 1:  # Call
+        if is_call:  # Call
             if leader["spanID"] == parent and not in_flight.get(parent):
                 # The leader was idle and now hands off to this child:
                 # close the open interval, attributed to the parent.

@@ -121,15 +121,22 @@ def with_tag_columns(
     matching the reference frame's dtypes instead of all-string. Values
     that don't parse become null (``try_cast``), mirroring pandas'
     mixed-type fallback rather than failing the job under ANSI.
+
+    A tag key colliding with a fixed span column (an app tagging
+    ``service`` or ``parent`` is plausible) pivots as ``tag_<key>`` —
+    a raw-key alias would produce two identically named columns, and
+    every later ``F.col`` reference would die with AMBIGUOUS_REFERENCE
+    (parquet writes reject it outright).
     """
     if keys is None:
         keys = sorted(types) if types is not None else distinct_tag_keys(spans)
     types = types or {}
+    fixed = set(SPAN_FIXED_COLUMNS)
     cols = [F.col(c) for c in SPAN_FIXED_COLUMNS]
     for k in keys:
         col = F.col("tags")[k]
         cast_to = JAEGER_TYPE_CASTS.get(types.get(k, "string"))
         if cast_to is not None:
             col = col.try_cast(cast_to)
-        cols.append(col.alias(k))
+        cols.append(col.alias(f"tag_{k}" if k in fixed else k))
     return spans.select(*cols)

@@ -209,6 +209,24 @@ def internal_spans_from_es(
     return all_spans
 
 
+def _normalize_es_spans(spans: list[dict]) -> list[dict]:
+    """Pin structured ``logs`` entries to JSON text before the schema
+    coerces them: StringType accepts any Python object, so a dict log
+    would land as its single-quoted ``repr`` — unparseable, and
+    different from the identical trace ingested via the HTTP path
+    (``jaeger_http._conform_trace`` json.dumps's each log entry)."""
+    import json
+
+    out = []
+    for s in spans:
+        logs = s.get("logs")
+        if logs and any(not isinstance(x, str) for x in logs):
+            s = dict(s)
+            s["logs"] = [x if isinstance(x, str) else json.dumps(x) for x in logs]
+        out.append(s)
+    return out
+
+
 def traces_from_es(
     spark: SparkSession,
     es_endpoint: str | None = None,
@@ -231,7 +249,7 @@ def traces_from_es(
     spans = internal_spans_from_es(
         es_endpoint, es_password, prefix, transport=transport, **kwargs
     )
-    raw = spark.createDataFrame(spans, schema=ES_SPAN_SCHEMA)
+    raw = spark.createDataFrame(_normalize_es_spans(spans), schema=ES_SPAN_SCHEMA)
     return traces_table(regroup_spans_to_traces(raw, process_name_key))
 
 
@@ -249,7 +267,9 @@ def es_spans_table(
     from traceframe_spark.functions import parent_span_id, tags_to_map
 
     s = F.struct("references")
-    pid = F.element_at(
+    # same hostname:serviceName synthesis as regroup_spans_to_traces —
+    # the two ES paths must agree on processID for cross-path parity
+    host = F.element_at(
         F.map_from_entries(
             F.transform(
                 F.col("process.tags"),
@@ -258,6 +278,12 @@ def es_spans_table(
         ),
         process_name_key,
     )
+    pid = F.concat_ws(
+        ":",
+        F.coalesce(host, F.lit("unknown")),
+        F.coalesce(F.col("process.serviceName"), F.lit("unknown")),
+    )
+    # canonical column order (SPAN_FIXED_COLUMNS + tags)
     return raw_spans.select(
         "traceID",
         "spanID",
@@ -271,9 +297,6 @@ def es_spans_table(
         F.col("process.serviceName").alias("service"),
         parent_span_id(s).alias("parent"),
         tags_to_map(F.col("tags")).alias("tags"),
-    ).select(  # canonical column order (SPAN_FIXED_COLUMNS + tags)
-        "traceID", "spanID", "flags", "operationName", "startTime", "duration",
-        "logs", "processID", "warnings", "service", "parent", "tags",
     )
 
 
@@ -295,7 +318,8 @@ def spans_from_es_scroll(
         es_endpoint, es_password, prefix, transport=transport, **kwargs
     )
     return es_spans_table(
-        spark.createDataFrame(spans, schema=ES_SPAN_SCHEMA), process_name_key
+        spark.createDataFrame(_normalize_es_spans(spans), schema=ES_SPAN_SCHEMA),
+        process_name_key,
     )
 
 
@@ -321,12 +345,18 @@ def spans_from_es(
         reader = reader.option("es.net.http.auth.pass", es_password)
     try:
         return reader.load()
-    except Exception as e:  # connector jar not on classpath in this runtime
-        raise NotImplementedError(
-            "elasticsearch-spark connector not on the classpath; add the "
-            "es-hadoop jar (org.elasticsearch:elasticsearch-spark-30_2.13) "
-            "to spark.jars.packages"
-        ) from e
+    except Exception as e:
+        # only translate the MISSING-CONNECTOR failure; a present jar
+        # failing on endpoint/auth/options must surface its real error,
+        # not a misdiagnosis pointing at spark.jars.packages
+        msg = str(e)
+        if "Failed to find data source" in msg or "ClassNotFound" in msg:
+            raise NotImplementedError(
+                "elasticsearch-spark connector not on the classpath; add the "
+                "es-hadoop jar (org.elasticsearch:elasticsearch-spark-30_2.13) "
+                "to spark.jars.packages"
+            ) from e
+        raise
 
 
 def regroup_spans_to_traces(
@@ -336,12 +366,24 @@ def regroup_spans_to_traces(
 
     Replaces the reference's driver-side sort + streaming group-break
     (``traceframe.py:277-309``) with one shuffle: group by traceID,
-    collect the span list, and aggregate the synthesized process map
-    (processID := the process tag named ``process_name_key``, reference
-    ``traceframe.py:298-301``). Output matches RAW_TRACE_SCHEMA's shape
-    so the standard spans_table/traces_table operators apply downstream.
+    collect the span list, and aggregate the synthesized process map.
+    Output matches RAW_TRACE_SCHEMA's shape so the standard
+    spans_table/traces_table operators apply downstream.
+
+    processID synthesis deviates from the reference
+    (``traceframe.py:298-301``, hostname tag alone) in two deliberate
+    ways:
+
+    - the id is ``<hostname>:<serviceName>`` — two services sharing a
+      host would otherwise collapse into ONE map entry (an arbitrary
+      collect_set winner), silently attributing one service's spans to
+      the other;
+    - a span whose process lacks the ``process_name_key`` tag gets
+      ``unknown:<serviceName>`` instead of a null id, which would abort
+      the whole job with NULL_MAP_KEY (the reference raised a per-row
+      KeyError; a distributed rebuild should degrade per span, not die).
     """
-    pid = F.element_at(
+    host = F.element_at(
         F.map_from_entries(
             F.transform(
                 F.col("process.tags"),
@@ -349,6 +391,11 @@ def regroup_spans_to_traces(
             )
         ),
         process_name_key,
+    )
+    pid = F.concat_ws(
+        ":",
+        F.coalesce(host, F.lit("unknown")),
+        F.coalesce(F.col("process.serviceName"), F.lit("unknown")),
     )
     with_pid = raw_spans.withColumn("processID", pid)
     return (

@@ -63,7 +63,9 @@ def _requests_fetch(endpoint: str, headers: dict[str, str] | None) -> Fetch:
         )
         if resp.status_code != 200:
             raise RuntimeError(f"/api/traces status {resp.status_code}: {resp.text[:200]}")
-        return resp.json()["data"]
+        # Jaeger answers {"data": null} for an empty result (same
+        # normalization known_services applies for /api/services)
+        return resp.json()["data"] or []
 
     return fetch
 
@@ -192,7 +194,12 @@ def get_traces(
         result_cap=result_cap,
         now_us=now_us,
     )
-    return _clip_latest(first + second, limit)
+    # dedup by traceID: Jaeger matches a trace when ANY span falls in
+    # the window, so a trace straddling the midpoint comes back from
+    # BOTH halves; the newest-half copy wins (it was fetched first)
+    merged = {t.get("traceID"): t for t in first}
+    merged.update({t.get("traceID"): t for t in second})
+    return _clip_latest(list(merged.values()), limit)
 
 
 def _clip_latest(traces: list[dict], limit: int | None) -> list[dict]:
@@ -376,8 +383,16 @@ def fetch_traces_partitioned(
     ``fetch_factory`` (a picklable zero-arg callable returning a Fetch)
     overrides the default requests transport — used by tests and by
     callers that need custom auth/session pooling on executors.
+
+    A trace whose spans straddle a bucket boundary is returned by every
+    bucket it touches (Jaeger matches on ANY span in the window) — the
+    cross-partition dedup is one ``dropDuplicates(traceID)``.
     """
     buckets = time_buckets(start, end, n_buckets)
+    if not buckets:
+        # degenerate range: an empty seed list would crash schema
+        # inference; the correct answer is an empty trace frame
+        return spark.createDataFrame([], schema=RAW_TRACE_SCHEMA)
 
     def fetch_bucket(rows):
         # runs on executors; one HTTP session per task
@@ -397,4 +412,4 @@ def fetch_traces_partitioned(
     seed = spark.createDataFrame(buckets, ["b_start", "b_end"]).repartition(n_buckets)
     return spark.createDataFrame(
         seed.rdd.mapPartitions(fetch_bucket), schema=RAW_TRACE_SCHEMA
-    )
+    ).dropDuplicates(["traceID"])
