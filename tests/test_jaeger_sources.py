@@ -305,3 +305,62 @@ def test_jsonl_quarantine_splits_corrupt_lines(spark, tmp_path):
     # quarantine_path got the same raw lines, appended as text
     requeued = sorted(r["value"] for r in spark.read.text(qdir).collect())
     assert requeued == bad
+
+
+def test_traces_table_malformed_documents(spark):
+    """Review regressions: spans missing tags/references fields (null
+    after schema fill) must not null the trace's counts or mis-pick the
+    root; an absent spans array falls back like an empty one; a root
+    processID missing from the processes map labels the trace
+    'unknown: <op>' instead of silently shortening the name."""
+    from traceframe_spark.operators.traces import traces_table
+    from traceframe_spark.schemas import RAW_TRACE_SCHEMA
+
+    def span(sid, start, parent_refs, tags, pid="p1"):
+        return {
+            "traceID": "t1",
+            "spanID": sid,
+            "flags": 1,
+            "operationName": f"/{sid}",
+            "references": parent_refs,
+            "startTime": start,
+            "duration": 10,
+            "tags": tags,
+            "logs": [],
+            "processID": pid,
+            "warnings": None,
+        }
+
+    err = [{"key": "error", "type": "bool", "value": "true"}]
+    docs = [
+        {
+            "traceID": "t1",
+            # root at 100 has NULL references and NULL tags; the child at
+            # 50 is EARLIER (clock skew) and carries the only error tag
+            "spans": [
+                span("root", 100, None, None),
+                span("child", 50, [{"refType": "CHILD_OF", "traceID": "t1", "spanID": "root"}], err),
+            ],
+            "processes": {"p1": {"serviceName": "svc", "tags": []}},
+            "warnings": None,
+        },
+        {"traceID": "t2", "spans": None, "processes": None, "warnings": None},
+        {
+            "traceID": "t3",
+            # root's processID is absent from the processes map
+            "spans": [span("r3", 7, [], [], pid="ghost")],
+            "processes": {"p1": {"serviceName": "svc", "tags": []}},
+            "warnings": None,
+        },
+    ]
+    raw = spark.createDataFrame(docs, schema=RAW_TRACE_SCHEMA)
+    rows = {r["traceID"]: r for r in traces_table(raw).collect()}
+    # null-references root is recognized; error tag still counted
+    assert rows["t1"]["traceName"] == "svc: /root"
+    assert rows["t1"]["errspans"] == 1 and rows["t1"]["iserror"] is True
+    # absent spans array: documented fallbacks, zero counts, not nulls
+    assert rows["t2"]["traceName"] == "t2"
+    assert rows["t2"]["nspans"] == 0 and rows["t2"]["errspans"] == 0
+    assert rows["t2"]["iserror"] is False
+    # unmapped processID labels loudly
+    assert rows["t3"]["traceName"] == "unknown: /r3"

@@ -37,14 +37,21 @@ def tags_to_map(tags: Column) -> Column:
 def root_span(spans: Column) -> Column:
     """Pick the root span of a trace from its span array.
 
-    A root span has no references (``traceframe.py:140-155``). Fallback when
-    no span qualifies (broken trace): the span with the earliest
-    ``startTime`` — the deterministic rule the reference leaves as a TODO
+    A root span has no references (``traceframe.py:140-155``) — and a
+    span whose ``references`` field is ABSENT (null after schema fill,
+    routine in JSON/ES exports) is a root too: ``size(null)`` is null,
+    so without the coalesce the real root fails the predicate and a
+    clock-skewed child would name the trace. Fallback when no span
+    qualifies (broken trace): the span with the earliest ``startTime``
+    — the deterministic rule the reference leaves as a TODO
     (``traceframe.py:152-154``; its actual fallback is positional
     ``spans[0]``, which is input-order-dependent and not reproducible
     after a shuffle).
     """
-    roots = F.filter(spans, lambda s: F.size(s["references"]) == 0)
+    roots = F.filter(
+        spans,
+        lambda s: s["references"].isNull() | (F.size(s["references"]) == 0),
+    )
     earliest = F.array_sort(
         spans,
         lambda a, b: F.when(a["startTime"] < b["startTime"], F.lit(-1))
@@ -62,12 +69,18 @@ def error_span_count(spans: Column) -> Column:
     """Count of ``error`` tags across a trace's spans.
 
     Parity with reference ``traceobj_errcount`` (``traceframe.py:177-183``),
-    which increments once per matching *tag* (not per span).
+    which increments once per matching *tag* (not per span). A span with
+    a missing ``tags`` array contributes 0 — without the coalesce its
+    null size would null the whole trace's count (and ``iserror``).
     """
     return F.aggregate(
         spans,
         F.lit(0),
-        lambda acc, s: acc + F.size(F.filter(s["tags"], lambda t: t["key"] == F.lit("error"))),
+        lambda acc, s: acc
+        + F.coalesce(
+            F.size(F.filter(s["tags"], lambda t: t["key"] == F.lit("error"))),
+            F.lit(0),
+        ),
     )
 
 

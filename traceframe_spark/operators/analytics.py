@@ -80,7 +80,9 @@ def critical_path_breakdown(spans: DataFrame, by: str = "service") -> DataFrame:
     total = per_group.agg(F.sum("crit_us").alias("total_us"))
     return (
         per_group.crossJoin(F.broadcast(total))
-        .withColumn("share", F.col("crit_us") / F.col("total_us"))
+        # try_divide: an all-zero-duration corpus has total_us 0, and under
+        # ANSI a plain division would abort the job (share is null then)
+        .withColumn("share", F.try_divide(F.col("crit_us"), F.col("total_us")))
         .drop("total_us")
         .orderBy(F.col("crit_us").desc())
     )

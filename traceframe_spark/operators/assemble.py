@@ -13,7 +13,21 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
 from pyspark.sql.window import Window
+
+
+def _row_hash(df):
+    """Deterministic content hash of a full row; map columns become
+    key-sorted entry arrays (xxhash64 prohibits MAP inputs because map
+    hashcodes aren't content-stable)."""
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, MapType):
+            cols.append(F.array_sort(F.map_entries(F.col(f.name))))
+        else:
+            cols.append(F.col(f.name))
+    return F.xxhash64(F.struct(*cols))
 
 
 def trace_with_spans(traces: DataFrame, spans: DataFrame, trace_id: str) -> dict[str, Any]:
@@ -35,7 +49,14 @@ def trace_with_spans(traces: DataFrame, spans: DataFrame, trace_id: str) -> dict
         spans.filter(F.col("traceID") == F.lit(trace_id))
         .withColumn(
             "_rank",
-            F.row_number().over(Window.partitionBy("spanID").orderBy("startTime", "spanID")),
+            # spanID is the partition key (constant inside the window), so
+            # the tie-break must be content-bearing: equal-startTime copies
+            # of a re-exported span order by a hash of the full row.
+            # xxhash64 refuses MAP columns (hash not content-stable), so
+            # maps canonicalize to key-sorted entry arrays first.
+            F.row_number().over(
+                Window.partitionBy("spanID").orderBy("startTime", _row_hash(spans))
+            ),
         )
         .filter(F.col("_rank") == 1)
         .drop("_rank")

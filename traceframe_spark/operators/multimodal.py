@@ -121,8 +121,10 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     from metadata without touching payload bytes (pruned scan), then a
     decode step would explode selected frames. Returns (media_id,
     frame_idx) pairs."""
+    # try_cast: meta is free-form map<string,string>; a non-numeric
+    # n_frames must sample zero frames, not kill the job under ANSI
     n_frames = F.coalesce(
-        F.element_at(F.col("meta"), "n_frames").cast("long"), F.lit(0)
+        F.element_at(F.col("meta"), "n_frames").try_cast("long"), F.lit(0)
     )
     idx = F.sequence(
         F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n)
@@ -186,18 +188,24 @@ def resize_media(
 
 
 def media_exact_dedup(media: DataFrame) -> DataFrame:
-    """Exact media dedup by payload content hash (lowest media_id
-    survives). One shuffle on the 64-bit hash — the first pass of any
-    image/audio dedup pipeline; byte-identical re-uploads collapse
-    before a single payload is decoded."""
+    """Exact media dedup by payload content (lowest media_id
+    survives). One shuffle keyed on the 64-bit payload hash for
+    distribution, with the PAYLOAD ITSELF in the window key so a hash
+    collision can never delete a distinct payload — "exact" means byte
+    equality, the hash is only the shuffle key. Null payloads pass
+    through undeduplicated (no bytes, nothing to be a duplicate of)."""
     from pyspark.sql.window import Window
 
     hashed = media.withColumn("_ph", F.xxhash64(F.col("payload")))
-    w = Window.partitionBy("_ph").orderBy(F.col("media_id").asc())
-    return (
-        hashed.withColumn("_rn", F.row_number().over(w))
+    w = Window.partitionBy("_ph", "payload").orderBy(F.col("media_id").asc())
+    deduped = (
+        hashed.filter(F.col("payload").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_ph")
+    )
+    return deduped.unionByName(
+        media.filter(F.col("payload").isNull())
     )
 
 

@@ -29,10 +29,16 @@ def traces_table(raw_traces: DataFrame, sort: bool = True) -> DataFrame:
     Missing-root fallbacks follow the reference (``traceframe.py:159-206``):
     traceName falls back to the traceID, startTime to epoch 0, duration to
     0 — though with the deterministic earliest-start root pick a non-empty
-    span array always yields a root candidate.
+    span array always yields a root candidate. A document whose ``spans``
+    field is ABSENT (null) gets the same fallbacks with nspans/errspans 0
+    (``size(null)`` would otherwise null the counts and make ``iserror``
+    filters silently drop the row), and a root whose processID is missing
+    from the processes map names the trace ``unknown: <op>`` rather than
+    silently shortening to the bare operation (the reference raises; a
+    distributed build labels and moves on).
     """
     root = root_span(F.col("spans"))
-    have_spans = F.size(F.col("spans")) > 0
+    have_spans = F.col("spans").isNotNull() & (F.size(F.col("spans")) > 0)
 
     df = raw_traces.select(
         F.col("traceID"),
@@ -40,14 +46,17 @@ def traces_table(raw_traces: DataFrame, sort: bool = True) -> DataFrame:
             have_spans,
             F.concat_ws(
                 ": ",
-                service_of(F.col("processes"), root["processID"]),
+                F.coalesce(
+                    service_of(F.col("processes"), root["processID"]),
+                    F.lit("unknown"),
+                ),
                 root["operationName"],
             ),
         )
         .otherwise(F.col("traceID"))
         .alias("traceName"),
-        F.size("spans").alias("nspans"),
-        error_span_count(F.col("spans")).alias("errspans"),
+        F.coalesce(F.size("spans"), F.lit(0)).alias("nspans"),
+        F.coalesce(error_span_count(F.col("spans")), F.lit(0)).alias("errspans"),
         (
             F.coalesce(F.when(have_spans, root["duration"]), F.lit(0))
             * F.expr("INTERVAL '1' MICROSECOND")

@@ -52,6 +52,27 @@ def read_jsonl_quarantined(
         quarantine.select(F.col("raw").alias("value")).write.mode("append").text(
             quarantine_path
         )
+    # the cache must not outlive its consumers: release when BOTH
+    # returned frames are garbage-collected (a backfill looping over
+    # many inputs would otherwise pin every parsed dataset for the
+    # session lifetime). Early release only costs a re-parse.
+    import weakref
+
+    def _release(jdf=parsed._jdf):
+        try:
+            jdf.unpersist(False)
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+
+    keep = {"holders": 2}
+
+    def _on_gc():
+        keep["holders"] -= 1
+        if keep["holders"] <= 0:
+            _release()
+
+    weakref.finalize(valid, _on_gc)
+    weakref.finalize(quarantine, _on_gc)
     return valid, quarantine
 
 
