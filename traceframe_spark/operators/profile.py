@@ -36,7 +36,9 @@ def column_profile(df: DataFrame, rsd: float = 0.05) -> DataFrame:
     for f in df.schema.fields:
         c, metrics = f.name, []
         col = q(c)
-        aggs.append(F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("double").alias(f"__{c}__n_null"))
+        # count(when(...)) is 0 on an empty input where sum(when(...))
+        # would be NULL — an empty stage profiles as zeros, not nulls
+        aggs.append(F.count(F.when(col.isNull(), 1)).cast("double").alias(f"__{c}__n_null"))
         metrics.append("n_null")
         aggs.append(F.approx_count_distinct(col, rsd=rsd).cast("double").alias(f"__{c}__approx_distinct"))
         metrics.append("approx_distinct")

@@ -40,7 +40,12 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view → click → purchase funnel: a user converts a stage
     only with an event at-or-after their previous stage's first event.
     One row: users entering each stage."""
-    e = load_table(spark, sf_dir, "events")
+    # stage thresholds compare at us precision — the oracle's TIMESTAMP
+    # resolution — so a same-us event with a smaller ns fraction still
+    # clears its stage on both engines
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("ts div 1000")
+    )
     w = Window.partitionBy("user_id")
     t_v = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
     staged = e.withColumn("t_view", t_v)
@@ -105,8 +110,10 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     (offsets 0-7). Two aggregations share the user_id shuffle; the final
     rollup's cardinality is bounded by days x offsets, not users."""
     e = load_table(spark, sf_dir, "events")
+    # integer div, not floor(ts/day): double division of ~1.7e18 ns
+    # loses bits past 2^53 and can misbucket near day boundaries
     days = e.select(
-        "user_id", F.floor(F.col("ts") / F.lit(NS_PER_DAY)).cast("long").alias("day")
+        "user_id", F.expr(f"ts div {NS_PER_DAY}").alias("day")
     ).distinct()
     w = Window.partitionBy("user_id")
     with_cohort = days.withColumn("cohort_day", F.min("day").over(w))
@@ -138,10 +145,16 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative per-user spend: running-sum window in (ts, event_id)
     order. Both engines add left-to-right over the same deterministic
     order, so the IEEE double sums agree bit-for-bit before quantizing."""
-    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        # order at us precision: the oracle's TIMESTAMP ordering; raw-ns
+        # order could sum same-us ties in a different order than DuckDB
+        .withColumn("ts_us", F.expr("ts div 1000"))
+    )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return e.select(

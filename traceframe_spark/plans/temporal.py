@@ -238,16 +238,10 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS (§2.D aggregations beyond rollup/cube): explicit
     grouping combinations in one pass over lineitem (Spark EXPAND — each
     input row fans out once per set, partial aggs still map-side)."""
-    return api.sql(
-        spark,
-        sf_dir,
-        """
-        SELECT l_returnflag, l_linestatus, count(*) AS n,
-               CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS qty_c
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-        """,
-    )
+    # the ONE query text runs on both engines (the SQL facade makes the
+    # grouping-sets class literally engine-portable); a drifted copy
+    # here would silently diverge from the oracle
+    return api.sql(spark, sf_dir, SQL_GROUPING_SETS)
 
 
 SQL_GROUPING_SETS = """
@@ -354,7 +348,7 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TIME_ROLLUP = """
 SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
        event_type,
-       count(*) AS n_events,
+       count(value) AS n_events,
        CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS value_sum_q,
        CAST(floor(min(value) * 10000 + 0.5) AS BIGINT) AS value_min_q,
        CAST(floor(max(value) * 10000 + 0.5) AS BIGINT) AS value_max_q
@@ -507,11 +501,13 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame is NOT portable (Spark sums in frame order, DuckDB uses a
     segment tree). One window shuffle on event_type; at scale this is
     the per-key sorted scan Spark's WindowExec already streams."""
-    e = load_table(spark, sf_dir, "events")
+    # frame order at us precision (the oracle's TIMESTAMP resolution):
+    # raw-ns order could frame same-us ties differently than DuckDB
+    e = load_table(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
     cents = qint(F.col("value"), 2)
     w = (
         Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
+        .orderBy("ts_us", "event_id")
         .rowsBetween(-6, Window.currentRow)
     )
     return e.select(
@@ -540,7 +536,12 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     cycle = [1.0, 0.5, 0.25, 0.1]
-    rates = {f"src{i}": cycle[i % 4] for i in range(20)}
+    # derive the rate table from the sources actually present (a bounded
+    # dimension discovery, like the tag-key scan) — a hardcoded src0..19
+    # dict would silently default any NEW source to rate 1.0 while the
+    # oracle derives its rate from the source index
+    sources = [r["source"] for r in d.select("source").distinct().collect()]
+    rates = {s: cycle[int(s[3:]) % 4] for s in sources}
     return weighted_domain_sample(d, rates).select("doc_id", "source")
 
 
@@ -578,7 +579,7 @@ def q_p95_from_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_P95_FROM_ROLLUP = """
 WITH bins AS (
     SELECT event_type, CAST(floor(value / 1.0) AS BIGINT) AS bin, count(*) AS n
-    FROM events GROUP BY 1, 2
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ),
 ranked AS (
     SELECT event_type, bin,

@@ -149,6 +149,21 @@ def show_single_trace(trace: dict[str, Any]):
             vdims=["service"],
         ).opts(**opts)
 
+    def edges(rows, **opts):
+        # vertical parent<->child tree edges (reference showSingleTrace
+        # draws call AND return lines, traceframe.py:702-720)
+        return hv.Segments(
+            {
+                "start": [r["time"] for r in rows],
+                "end": [r["time"] for r in rows],
+                "start_event": [r["from_label"] for r in rows],
+                "end_event": [r["to_label"] for r in rows],
+            },
+            kdims=["start", "start_event", "end", "end_event"],
+        ).opts(**opts)
+
     span_layer = segs(data["spans"], line_width=10, color="service")
     crit_layer = segs(data["critical"], line_width=6, color="red")
-    return span_layer * crit_layer
+    call_layer = edges(data["calls"], line_width=1, color="gray")
+    return_layer = edges(data["returns"], line_width=1, color="lightgray")
+    return span_layer * call_layer * return_layer * crit_layer
