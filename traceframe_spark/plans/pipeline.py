@@ -28,12 +28,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", qint(F.col("jaccard"), 4).alias("jaccard_q"))
 
 
-def _sql_exact_jaccard(threshold: float, max_id: int) -> str:
-    """DuckDB form of the exact 5-gram Jaccard pair set ≥ ``threshold``
-    over documents with doc_id < ``max_id`` — the shared oracle for the
-    exact inverted-index query AND the verified layer of MinHash-LSH."""
+def _sql_jaccard_pair_ctes(threshold: float, max_id: int) -> str:
+    """CTE chain ending in ``pairs(id_a, id_b)`` — the exact-Jaccard pair
+    set ≥ ``threshold``, shared by the closure-based cluster oracle."""
     return f"""
-WITH docs AS (
+docs AS (
     SELECT doc_id, lower(trim(text)) AS t FROM documents WHERE doc_id < {max_id}
 ),
 shingled AS (
@@ -49,13 +48,31 @@ common AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
     FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.doc_id < b.doc_id
     GROUP BY 1, 2
-)
-SELECT id_a, id_b,
-       CAST(floor(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) * 10000 + 0.5) AS BIGINT) AS jaccard_q
-FROM common
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
+),
+pairs AS (
+    SELECT id_a, id_b
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
+)"""
+
+
+def _sql_exact_jaccard(threshold: float, max_id: int) -> str:
+    """DuckDB form of the exact 5-gram Jaccard pair set >= ``threshold``
+    over documents with doc_id < ``max_id`` — the shared oracle for the
+    exact inverted-index query AND the verified layer of MinHash-LSH.
+    Builds on the SAME CTE chain the cluster oracle uses
+    (:func:`_sql_jaccard_pair_ctes`) so the shingling/Jaccard definition
+    exists exactly once."""
+    return f"""
+WITH {_sql_jaccard_pair_ctes(threshold, max_id)}
+SELECT c.id_a, c.id_b,
+       CAST(floor(c.n_common::DOUBLE / (sa.n_sh + sb.n_sh - c.n_common) * 10000 + 0.5) AS BIGINT) AS jaccard_q
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE c.n_common::DOUBLE / (sa.n_sh + sb.n_sh - c.n_common) >= {threshold}
 """
 
 
@@ -171,36 +188,6 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_jaccard_pair_ctes(threshold: float, max_id: int) -> str:
-    """CTE chain ending in ``pairs(id_a, id_b)`` — the exact-Jaccard pair
-    set ≥ ``threshold``, shared by the closure-based cluster oracle."""
-    return f"""
-docs AS (
-    SELECT doc_id, lower(trim(text)) AS t FROM documents WHERE doc_id < {max_id}
-),
-shingled AS (
-    SELECT DISTINCT doc_id, sh FROM (
-        SELECT doc_id, substr(t, CAST(g AS INT), 5) AS sh
-        FROM (SELECT doc_id, t,
-                     unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS g
-              FROM docs)
-    )
-),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id),
-common AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-    FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-),
-pairs AS (
-    SELECT id_a, id_b
-    FROM common
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
-)"""
-
-
 # Connected components as a recursive transitive closure: tractable for
 # the oracle's bounded pair set; the engine's star contraction is the
 # form that scales.
@@ -265,7 +252,12 @@ def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     corpus = d.filter(F.col("doc_id") % 20 != 0)
     ref = d.filter(F.col("doc_id") % 20 == 0)
-    out = dedup.cross_near_dup_subtract(corpus, ref, "doc_id", "text", threshold=0.9)
+    # bands=16 (4-row bands) pins LSH miss probability at ~4e-8 for
+    # pairs just over 0.9 — the auto-tuned 8x8 banding misses ~1% of
+    # them, enough to diverge from the exact-pair oracle
+    out = dedup.cross_near_dup_subtract(
+        corpus, ref, "doc_id", "text", threshold=0.9, bands=16
+    )
     return dedup.carry_cache(out.select("doc_id", "source"), out)
 
 
@@ -366,8 +358,10 @@ idx AS (
 )
 SELECT doc_id,
        g AS chunk_id,
-       CAST(len(w[g*24+1 : g*24+32]) AS BIGINT) AS n_chunk_tokens,
-       array_to_string(w[g*24+1 : g*24+32], ' ') AS chunk_text
+       -- coalesce for NULL text: the engine's size()/concat_ws yield
+       -- 0/'' where a NULL array would yield NULL/NULL here
+       CAST(coalesce(len(w[g*24+1 : g*24+32]), 0) AS BIGINT) AS n_chunk_tokens,
+       coalesce(array_to_string(w[g*24+1 : g*24+32], ' '), '') AS chunk_text
 FROM idx
 """
 
@@ -382,14 +376,21 @@ def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DOC_ENTROPY = r"""
-SELECT doc_id,
-       CAST(floor(entropy(tok) * 10000 + 0.5) AS BIGINT) AS entropy_q
-FROM (
+-- LEFT JOIN back to documents: a NULL-text doc unnests to zero rows and
+-- would vanish, where the engine emits entropy 0 for it
+SELECT d.doc_id,
+       CAST(coalesce(e.entropy_q, 0) AS BIGINT) AS entropy_q
+FROM documents d
+LEFT JOIN (
     SELECT doc_id,
-           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
-    FROM documents
-)
-GROUP BY doc_id
+           CAST(floor(entropy(tok) * 10000 + 0.5) AS BIGINT) AS entropy_q
+    FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        FROM documents
+    )
+    GROUP BY doc_id
+) e ON d.doc_id = e.doc_id
 """
 
 
@@ -496,6 +497,9 @@ WITH scores AS (
 )
 SELECT doc_id,
        CASE
+         -- NULL text: every score is NULL, every WHEN is NULL, and the
+         -- bare ELSE would answer 'it' where the engine answers 'und'
+         WHEN greatest(s_en, s_de, s_fr, s_es, s_it) IS NULL THEN 'und'
          WHEN greatest(s_en, s_de, s_fr, s_es, s_it) = 0 THEN 'und'
          WHEN s_en >= greatest(s_de, s_fr, s_es, s_it) THEN 'en'
          WHEN s_de >= greatest(s_fr, s_es, s_it) THEN 'de'
