@@ -102,3 +102,45 @@ def test_no_query_name_collisions_across_modules():
                 clashes.append((name, seen[name], mod))
             seen[name] = mod
     assert not clashes, f"duplicate query names across modules: {clashes}"
+
+
+@needs_testdata
+def test_null_text_oracle_parity(spark, tmp_path):
+    """The driver testdata has no NULL-text documents, so the NULL
+    branches of the doc-query oracles are never exercised by the gate —
+    pin them here on a synthetic corpus: Spark result == DuckDB oracle
+    for every doc query that touches text, including a NULL-text row."""
+    import duckdb
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "src0"),
+        (2, None, "src1"),
+        (3, "der hund lief mit dem ball und die katze", "src2"),
+    ]
+    d = tmp_path / "nulls"
+    d.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string, source string").coalesce(
+        1
+    ).write.parquet(str(d / "documents.parquet"))
+
+    from traceframe_spark.plans import catalog_oracle_sql, catalog_queries
+
+    qs, oracles = catalog_queries(), catalog_oracle_sql()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    for name in ("doc_lang_id", "doc_entropy", "doc_chunks", "doc_quality",
+                 "doc_repetition", "doc_pii", "doc_fingerprint"):
+        got = sorted(
+            tuple(r) for r in qs[name](spark, str(d)).toPandas().itertuples(index=False)
+        )
+        want = sorted(
+            tuple(r) for r in con.sql(oracles[name]).df().itertuples(index=False)
+        )
+        def norm(rows_):
+            out = []
+            for t in rows_:
+                out.append(tuple(None if (isinstance(x, float) and x != x) else x for x in t))
+            return out
+        assert norm(got) == norm(want), f"{name}: {norm(got)[:3]} != {norm(want)[:3]}"

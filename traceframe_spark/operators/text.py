@@ -157,9 +157,11 @@ def repetition_ratio(col: Column, n: int = 2) -> Column:
     grams = F.transform(
         z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
     )
-    return F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(grams).cast(
-        "double"
-    )
+    ratio = F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(
+        grams
+    ).cast("double")
+    # absent text repeats nothing: 0, not a null that poisons filters
+    return F.coalesce(ratio, F.lit(0.0))
 
 
 def token_entropy(col: Column) -> Column:
@@ -324,7 +326,9 @@ def chunk_documents(
     return exploded.select(
         id_col,
         F.col("chunk_id").cast("long").alias("chunk_id"),
-        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        # coalesce: a NULL-text doc yields one empty chunk whose token
+        # count is 0, matching the chunk_text '' convention below
+        F.coalesce(F.size(piece), F.lit(0)).cast("long").alias("n_chunk_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
 

@@ -536,7 +536,10 @@ grams AS (
           FROM toks)
 )
 SELECT doc_id,
-       CAST(floor((1.0 - count(DISTINCT gram)::DOUBLE / count(*)::DOUBLE) * 10000 + 0.5) AS BIGINT) AS rep_q
+       -- count(gram) skips the NULL gram a NULL-text doc produces; the
+       -- nullif/coalesce pair makes its repetition 0 like the engine
+       CAST(floor(coalesce(1.0 - count(DISTINCT gram)::DOUBLE
+                           / nullif(count(gram), 0)::DOUBLE, 0.0) * 10000 + 0.5) AS BIGINT) AS rep_q
 FROM grams GROUP BY doc_id
 """
 
