@@ -136,7 +136,10 @@ def run_one(df: DataFrame, repeats: int = 3) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    except ValueError:  # non-sf<N> dir name: the label must not kill the bench
+        sf = -1.0
     spark = get_spark(app_name="traceframe-bench")
     # warm the JVM/codegen paths AND the Python/Arrow worker pool so
     # per-query numbers measure the plans, not one-time interpreter

@@ -22,18 +22,7 @@ import duckdb
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-TABLES = [
-    "region",
-    "nation",
-    "customer",
-    "supplier",
-    "part",
-    "orders",
-    "lineitem",
-    "events",
-    "documents",
-    "embeddings",
-]
+from traceframe_spark.plans.catalog import TABLES  # noqa: E402 — one source of truth
 
 
 def _norm_cell(v):
@@ -62,8 +51,15 @@ def _norm_cell(v):
 
 
 def _canon(df) -> list[tuple]:
+    # itertuples, NOT iterrows: iterrows materializes each row as a
+    # Series whose dtype upcasts int64 to float64 in mixed-numeric
+    # frames, collapsing distinct integers >= 2^53 (routine at this
+    # repo's 1.7e18-ns scale) into equal floats — a false PASS
     cols = sorted(df.columns)
-    rows = [tuple(_norm_cell(r[c]) for c in cols) for _, r in df[cols].iterrows()]
+    rows = [
+        tuple(_norm_cell(x) for x in t)
+        for t in df[cols].itertuples(index=False, name=None)
+    ]
     return sorted(rows, key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
 
 
@@ -87,15 +83,39 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = args.queries or list(qs)
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(f"unknown queries: {unknown}; valid names: {sorted(qs)}")
+        spark.stop()
+        return 2
 
     failures = []
     for name in names:
         t0 = time.time()
-        sdf = qs[name](spark, args.sf).toPandas()
-        if name not in oracles:
-            print(f"{name:24s} rows-only: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+        # per-query isolation: one raising query must not abort the gate
+        # and discard every later query's result (the r02 lesson bench.py
+        # already absorbed)
+        try:
+            sdf = qs[name](spark, args.sf).toPandas()
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            print(f"{name:24s} FAIL spark error: {type(exc).__name__}: {str(exc)[:200]}")
+            failures.append(name)
             continue
-        ddf = con.sql(oracles[name]).df()
+        if name not in oracles:
+            # rows-only queries have no value oracle — an empty result is
+            # exactly the regression class that would otherwise pass
+            # vacuously, so 0 rows is a failure
+            status = "" if len(sdf) > 0 else "  FAIL empty rows-only result"
+            print(f"{name:24s} rows-only: {len(sdf)} rows ({time.time()-t0:.1f}s){status}")
+            if not len(sdf):
+                failures.append(name)
+            continue
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name:24s} FAIL oracle error: {type(exc).__name__}: {str(exc)[:200]}")
+            failures.append(name)
+            continue
         problems = []
         if len(sdf) != len(ddf):
             problems.append(f"rowcount spark={len(sdf)} duck={len(ddf)}")

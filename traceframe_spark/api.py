@@ -15,9 +15,17 @@ from traceframe_spark.plans.catalog import TABLES, load_table
 
 
 def register_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
-    """Register each parquet table under its bare name as a temp view."""
-    for name in tables or TABLES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    """Register each parquet table under its bare name as a temp view.
+
+    Only tables whose parquet actually exists register (a partial export
+    must not crash queries that never touch the absent tables), and an
+    explicitly EMPTY ``tables`` list registers nothing (``or`` would
+    silently treat it as "everything")."""
+    import os
+
+    for name in TABLES if tables is None else tables:
+        if os.path.exists(f"{sf_dir}/{name}.parquet"):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
 def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:

@@ -52,4 +52,16 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # getOrCreate IGNORES every builder config when a session already
+    # exists (notebooks, shared runtimes) — re-apply the runtime-settable
+    # correctness confs so tag-map LAST_WIN semantics, the UTC timezone
+    # contract, and nano reads hold regardless of who built the session
+    for k, v in {
+        "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.adaptive.enabled": "true",
+    }.items():
+        spark.conf.set(k, v)
+    return spark
