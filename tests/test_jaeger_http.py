@@ -104,6 +104,56 @@ def test_capped_fetch_with_limit_keeps_latest():
     assert starts == [T0 + i * US for i in range(n - 50, n)]
 
 
+class FakeJaegerAnySpan(FakeJaeger):
+    """Matches a trace when ANY span falls in the window (real Jaeger
+    semantics) and honors the ``limit`` param (latest-N) — needed to
+    model traces straddling the bisection midpoint."""
+
+    def fetch(self, params: dict) -> list[dict]:
+        self.calls += 1
+        start = int(params.get("start", 0))
+        end = int(params.get("end", 2**63 - 1))
+        limit = int(params.get("limit", 10**9))
+        hits = [
+            t
+            for t in self.traces
+            if any(start <= s["startTime"] <= end for s in t["spans"])
+        ]
+        if len(hits) > self.cap:
+            return hits[: self.cap]  # capped: worst case, drop the newest
+        if len(hits) > limit:
+            hits = hits[-limit:]  # honor limit: keep the latest N
+        return hits
+
+
+def test_straddling_traces_do_not_undershoot_limit():
+    # Traces 150..199 straddle the midpoint (extra span in the newer
+    # half); a remainder-based older-half ask double-counts them against
+    # the limit and undershoots after the merge dedups. Full-limit ask
+    # must recover exactly the 100 latest distinct traces.
+    n, limit = 200, 100
+    traces = [make_trace(i, T0 + i * US) for i in range(n)]
+    for i in range(150, 200):
+        t = traces[i]
+        extra = dict(t["spans"][0])
+        extra["spanID"] = t["traceID"] + "-b"
+        extra["startTime"] = T0 + 300 * US
+        t["spans"] = [t["spans"][0], extra]
+    srv = FakeJaegerAnySpan(traces, cap=80)
+    out = get_traces(
+        "svc",
+        fetch=srv.fetch,
+        start=T0,
+        end=T0 + 400 * US,
+        limit=limit,
+        result_cap=80,
+        now_us=srv.now_us,
+    )
+    got = {t["traceID"] for t in out}
+    assert len(out) == limit and len(got) == limit
+    assert got == {f"{i:016x}" for i in range(100, 200)}
+
+
 def test_clip_latest_is_deterministic():
     traces = [make_trace(i, T0 + (i % 7) * US) for i in range(20)]
     a = _clip_latest(list(traces), 5)

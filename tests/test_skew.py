@@ -43,6 +43,23 @@ def test_salted_agg_rejects_non_decomposable(spark):
         skew.salted_agg(li, ["l_returnflag"], {"m": ("l_quantity", "median")})
 
 
+def test_salted_agg_handles_map_columns(spark):
+    """Span-shaped frames carry a tags map; xxhash64 rejects MAP inputs,
+    so the content salt must canonicalize maps (row_content_hash) rather
+    than fail at plan time."""
+    df = spark.createDataFrame(
+        [("svc-a", 10, {"k": "v"}), ("svc-a", 20, {"b": "c", "a": "z"}), ("svc-b", 5, {})],
+        "service: string, dur: long, tags: map<string,string>",
+    )
+    out = {
+        r["service"]: (r["n"], r["s"])
+        for r in skew.salted_agg(
+            df, ["service"], {"n": ("dur", "count"), "s": ("dur", "sum")}, n_salts=4
+        ).collect()
+    }
+    assert out == {"svc-a": (2, 30), "svc-b": (1, 5)}
+
+
 def test_top_hot_keys(spark):
     li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     hot = skew.top_hot_keys(li, ["l_returnflag"], top=3).collect()

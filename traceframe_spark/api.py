@@ -20,11 +20,15 @@ def register_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None =
     Only tables whose parquet actually exists register (a partial export
     must not crash queries that never touch the absent tables), and an
     explicitly EMPTY ``tables`` list registers nothing (``or`` would
-    silently treat it as "everything")."""
-    import os
-
+    silently treat it as "everything"). Existence is probed through the
+    Hadoop FileSystem API, not ``os.path.exists``, so an ``hdfs://`` or
+    ``s3a://`` ``sf_dir`` works the same as a local one (matching the
+    storage-agnostic sidecar I/O in ``operators/similarity.py``)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
     for name in TABLES if tables is None else tables:
-        if os.path.exists(f"{sf_dir}/{name}.parquet"):
+        p = jvm.org.apache.hadoop.fs.Path(f"{sf_dir}/{name}.parquet")
+        if p.getFileSystem(hconf).exists(p):
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 

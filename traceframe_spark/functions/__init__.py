@@ -11,6 +11,27 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def row_content_hash(df) -> Column:
+    """Deterministic content hash over every column of ``df``'s rows.
+
+    Map columns are canonicalized to key-sorted entry arrays first —
+    ``xxhash64`` rejects MAP inputs outright because map hashcodes are
+    not content-stable. Used wherever a recomputation-stable per-row
+    key is needed (dedup tie-breaks, content-derived salts): unlike
+    ``monotonically_increasing_id`` the value survives shuffle-fetch
+    retries, so stages built on it stay deterministic.
+    """
+    from pyspark.sql.types import MapType
+
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, MapType):
+            cols.append(F.array_sort(F.map_entries(F.col(f.name))))
+        else:
+            cols.append(F.col(f.name))
+    return F.xxhash64(F.struct(*cols))
+
+
 def parent_span_id(span: Column) -> Column:
     """First CHILD_OF reference's spanID, else "" for a root span.
 

@@ -13,21 +13,15 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import MapType
 from pyspark.sql.window import Window
 
 
 def _row_hash(df):
-    """Deterministic content hash of a full row; map columns become
-    key-sorted entry arrays (xxhash64 prohibits MAP inputs because map
-    hashcodes aren't content-stable)."""
-    cols = []
-    for f in df.schema.fields:
-        if isinstance(f.dataType, MapType):
-            cols.append(F.array_sort(F.map_entries(F.col(f.name))))
-        else:
-            cols.append(F.col(f.name))
-    return F.xxhash64(F.struct(*cols))
+    """Deterministic content hash of a full row (map-safe); see
+    :func:`traceframe_spark.functions.row_content_hash`."""
+    from traceframe_spark.functions import row_content_hash
+
+    return row_content_hash(df)
 
 
 def trace_with_spans(traces: DataFrame, spans: DataFrame, trace_id: str) -> dict[str, Any]:

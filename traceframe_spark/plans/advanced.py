@@ -346,18 +346,18 @@ FROM (
 
 
 ADVANCED_QUERIES = {
+    "in_subquery": q_in_subquery,
+    "scalar_subquery": q_scalar_subquery,
+    "sessionize": q_sessionize,
+    "session_window": q_session_window,
+    "unpivot_charges": q_unpivot_charges,
+    "exists_subquery": q_exists_subquery,
     "set_intersect": q_intersect,
     "set_except": q_except,
     "cube_agg": q_cube_agg,
     "percentiles": q_percentiles,
     "case_bucketing": q_case_bucketing,
     "having_filter": q_having_filter,
-    "in_subquery": q_in_subquery,
-    "scalar_subquery": q_scalar_subquery,
-    "sessionize": q_sessionize,
-    "session_window": q_session_window,
-    "exists_subquery": q_exists_subquery,
-    "unpivot_charges": q_unpivot_charges,
 }
 
 ADVANCED_ORACLE_SQL = {

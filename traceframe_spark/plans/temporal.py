@@ -541,6 +541,18 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dict would silently default any NEW source to rate 1.0 while the
     # oracle derives its rate from the source index
     sources = [r["source"] for r in d.select("source").distinct().collect()]
+    # validate the src<N> shape explicitly: the oracle hard-fails on a
+    # non-numeric CAST too, so a null/misnamed source must be a CLEAR
+    # error here, not a ValueError out of int() at plan-build time
+    import re
+
+    bad = [s for s in sources if s is None or not re.fullmatch(r"src(\d+)", s)]
+    if bad:
+        raise ValueError(
+            f"domain_mix requires 'src<N>' source names; found {bad!r} — "
+            "pass an explicit rate table via weighted_domain_sample for "
+            "non-conforming corpora"
+        )
     rates = {s: cycle[int(s[3:]) % 4] for s in sources}
     return weighted_domain_sample(d, rates).select("doc_id", "source")
 

@@ -177,10 +177,19 @@ def get_traces(
         result_cap=result_cap,
         now_us=now_us,
     )
+    # dedup BEFORE any limit arithmetic: a leaf-level response is returned
+    # raw, so ``second`` may repeat a traceID and inflate its count
+    second = list({t.get("traceID"): t for t in second}.values())
     if limit is not None and len(second) >= limit:
         return _clip_latest(second, limit)
 
-    remaining = limit - len(second) if limit is not None else None
+    # Ask the older half for the FULL limit, not ``limit - len(second)``:
+    # Jaeger matches a trace when ANY span falls in the window, so traces
+    # straddling the midpoint come back from both halves and would be
+    # double-counted against a remainder-based ask, undershooting the
+    # limit after the merge dedups them. Straddlers sit at the older
+    # half's newest edge, so a full-limit ask always leaves >= the needed
+    # distinct traces after dedup; _clip_latest discards the over-ask.
     first = get_traces(
         service,
         fetch=fetch,
@@ -190,7 +199,7 @@ def get_traces(
         end=midpoint,
         min_duration_us=min_duration_us,
         max_duration_us=max_duration_us,
-        limit=remaining,
+        limit=limit,
         result_cap=result_cap,
         now_us=now_us,
     )
