@@ -29,14 +29,14 @@ def test_plan_has_no_hard_flags(spark, name):
 def test_pipeline_plans_have_intended_shapes(spark):
     """Positive plan pins (beyond no-red-flags): the designs the scale
     notes promise actually plan that way."""
-    from tools.plan_audit import plan_of
+    from tools.plan_audit import n_shuffles, plan_of
 
     # decontamination: benchmark gram set broadcasts; corpus side never
     # pays a distinct shuffle of exploded grams (one groupBy + the tiny
     # bench-side distinct only)
     plan = plan_of(QUERIES["contamination"](spark, SF))
     assert "BroadcastHashJoin" in plan
-    assert plan.count("Exchange hashpartitioning") <= 2
+    assert n_shuffles(plan) <= 2, plan
 
     # cross-corpus subtraction routes through the band-bucket equi-join,
     # not any nested-loop/cartesian form
@@ -68,15 +68,70 @@ def test_tpch_plans_broadcast_tiny_dims(spark):
         assert "TakeOrderedAndProject" in plan_of(QUERIES[name](spark, SF)), name
 
 
+def test_search_traces_single_scan(spark, jaeger_json_path):
+    """search_traces must read the span store exactly ONCE: the
+    any-span-matches test rides the per-trace aggregation (max(when))
+    instead of a filtered-ids scan + second scan + join."""
+    from tools.plan_audit import plan_of
+    from traceframe_spark.operators.search import search_traces
+    from traceframe_spark.sources.jaeger_file import spans_from_jaeger_file
+
+    dfS = spans_from_jaeger_file(spark, jaeger_json_path)
+    store = "/tmp/_hygiene_span_store"
+    dfS.write.mode("overwrite").parquet(store)
+    plan = plan_of(
+        search_traces(
+            spark.read.parquet(store), service="frontend", operation="/checkout"
+        )
+    )
+    from tools.plan_audit import n_scans
+
+    assert n_scans(plan) == 1, plan
+    assert "Join" not in plan  # the old semi-join shape must not return
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_temporal_plan_shapes(spark):
+    """Temporal-suite positive pins.
+
+    - asof_join plans as the union+window sorted-merge (ONE exchange on
+      the join key, no physical Join node — the as-of match is a
+      last-value window over the interleaved sides, so there is no
+      per-row range probe to skew).
+    - time_rollup is the two-level continuous aggregate: exactly two
+      exchanges — the minute layer over raw rows, then the coarsen merge
+      over the ~raw/1000 rollup — and never a join back to raw.
+    - sessionize pays ONE shuffle total: the lag window, the
+      cumulative-sum window, and both aggregation layers all reuse the
+      user_id partitioning.
+    """
+    from tools.plan_audit import n_shuffles, plan_of
+
+    plan = plan_of(QUERIES["asof_join"](spark, SF))
+    assert n_shuffles(plan) == 1, plan
+    assert "Window" in plan and "Join" not in plan
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type," in plan
+
+    plan = plan_of(QUERIES["time_rollup"](spark, SF))
+    assert n_shuffles(plan) == 2, plan
+    assert "Join" not in plan
+
+    import re
+
+    plan = plan_of(QUERIES["sessionize"](spark, SF))
+    assert n_shuffles(plan) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) >= 2, plan
+
+
 def test_bm25_plan_shape(spark):
     """bm25_topk: the document-frequency/length statistics reduce to ONE
     row via a single-partition aggregate and broadcast into the scoring
     scan (an intended one-row cross build); the per-document TF pass is
     a pure scan with no hash exchange, and the final top-k is
     TakeOrderedAndProject."""
-    from tools.plan_audit import plan_of
+    from tools.plan_audit import n_shuffles, plan_of
 
     plan = plan_of(QUERIES["bm25_topk"](spark, SF))
-    assert plan.count("Exchange hashpartitioning") == 0
+    assert n_shuffles(plan) == 0, plan
     assert "BroadcastExchange" in plan
     assert "TakeOrderedAndProject" in plan

@@ -210,3 +210,19 @@ def test_approx_percentile_tracks_exact(spark):
         F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias("approx"),
     ).first()
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.02, row
+
+
+def test_percentiles_approx_twin_tracks_exact(spark):
+    """q_percentiles_approx (the registered production twin) must agree
+    with q_percentiles per group within the sketch's rank-error bound —
+    2% relative on every column, both quantity and price."""
+    from traceframe_spark.plans.advanced import q_percentiles, q_percentiles_approx
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["l_returnflag"]: r for r in q_percentiles(spark, sf).collect()}
+    approx = {r["l_returnflag"]: r for r in q_percentiles_approx(spark, sf).collect()}
+    assert set(exact) == set(approx)
+    for flag, e in exact.items():
+        a = approx[flag]
+        for col in ("p50_qty", "p90_qty", "p50_price"):
+            assert abs(a[col] - e[col]) <= max(0.02 * abs(e[col]), 1), (flag, col, e[col], a[col])

@@ -37,6 +37,21 @@ def plan_of(df) -> str:
     )
 
 
+def n_shuffles(plan: str) -> int:
+    """Count shuffle exchanges in a FORMATTED plan. The node prints as
+    ``(n) Exchange`` with ``Arguments: hashpartitioning(...)`` — a plain
+    substring count of "Exchange hashpartitioning" (the SIMPLE-mode
+    spelling) silently returns 0 on formatted plans, making any
+    shuffle-budget assertion built on it vacuous."""
+    return len(re.findall(r"Arguments: hashpartitioning", plan))
+
+
+def n_scans(plan: str) -> int:
+    """Count physical scan nodes in a FORMATTED plan (each appears once
+    in the tree and once as a ``(n) Scan`` detail header)."""
+    return len(re.findall(r"\(\d+\) Scan ", plan))
+
+
 def audit_one(name: str, df) -> list[str]:
     plan = plan_of(df)
     flags: list[str] = []

@@ -43,9 +43,18 @@ def search_traces(
     Returns one row per matching trace: (traceID, root_service,
     root_operation, start_us, duration_us, n_spans), ordered newest
     first, capped at ``limit`` (TakeOrderedAndProject — per-partition
-    heaps, no global sort). Everything after the predicate scan runs on
-    the matching traces only (semi-join first), so search cost follows
-    the match set, not the store size.
+    heaps, no global sort).
+
+    ONE pass over the store: the any-span-matches test rides the same
+    per-trace aggregation that computes the root and span count
+    (``max(when(match,1))``), instead of a filtered-ids scan followed by
+    a second full scan + join. Map-side partial aggregation collapses
+    each scan partition to one compact partial per trace before the
+    shuffle, so shuffle volume follows the trace count, not the span
+    count — on a 100 TB store that single scan + compact shuffle
+    replaces what used to be two scans and a span-wide join. On a
+    traceID-bucketed store the shuffle disappears entirely (the groupBy
+    reuses the bucketing).
     """
     match = F.lit(True)
     if service is not None:
@@ -55,14 +64,11 @@ def search_traces(
     for k, v in (tags or {}).items():
         match = match & (F.element_at(F.col("tags"), k) == v)
 
-    matching_ids = spans.filter(match).select("traceID").distinct()
-    hit_spans = spans.join(matching_ids, "traceID")  # only matching traces
-
     # one row per trace: deterministic root (parent-less first, then
-    # earliest start, then spanID) + span count, as a min_by aggregation
-    # — map-side partial aggregation, no per-trace sort (a window
-    # row_number form computes the same thing but shuffles and sorts
-    # every matching span row)
+    # earliest start, then spanID) + span count + match flag, as one
+    # min_by/max aggregation — no per-trace sort (a window row_number
+    # form computes the same thing but shuffles and sorts every span
+    # row), no second scan
     root_order = F.struct(
         F.when(F.col("parent") == "", 0).otherwise(1).alias("k_child"),
         F.col("startTime").alias("k_start"),
@@ -72,8 +78,13 @@ def search_traces(
         F.struct("service", "operationName", "startTime", "duration"), root_order
     )
     summary = (
-        hit_spans.groupBy("traceID")
-        .agg(root.alias("_root"), F.count("*").alias("n_spans"))
+        spans.groupBy("traceID")
+        .agg(
+            root.alias("_root"),
+            F.count("*").alias("n_spans"),
+            F.max(F.when(match, F.lit(1)).otherwise(F.lit(0))).alias("_hit"),
+        )
+        .filter(F.col("_hit") == 1)
         .select(
             "traceID",
             F.col("_root.service").alias("root_service"),

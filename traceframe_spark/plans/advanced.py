@@ -65,12 +65,41 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated median and p90 of quantity per return flag."""
+    """Exact interpolated median and p90 of quantity per return flag.
+
+    SCALE CAVEAT — oracle-parity form only: Spark's exact ``percentile``
+    buffers EVERY group value in the aggregation buffer, so on a 100 TB
+    lineitem each of the 3-4 return-flag groups would hold billions of
+    doubles on one executor and OOM it. Production paths use
+    :func:`q_percentiles_approx` (t-digest ``approx_percentile``,
+    bounded memory, mergeable partials) or the deterministic histogram
+    rollup (``p95_from_rollup``, error ≤ bin width). This exact form
+    exists because the DuckDB oracle computes ``quantile_cont`` and the
+    gate hash-compares values.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         qint(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
         qint(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
         qint(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50_price"),
+    )
+
+
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of :func:`q_percentiles`: ``approx_percentile``
+    with accuracy 10000 — constant-size mergeable sketch per group, so
+    memory stays bounded no matter how many rows a group holds. Columns
+    mirror the exact form; ``tests/test_temporal.py`` pins agreement
+    with the exact percentiles within the sketch's rank-error bound.
+    Rows-only at the gate (the sketch's interpolation is
+    engine-specific), value-pinned against the exact twin in pytest."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        qint(F.expr("approx_percentile(l_quantity, 0.5, 10000)"), 4).alias("p50_qty"),
+        qint(F.expr("approx_percentile(l_quantity, 0.9, 10000)"), 4).alias("p90_qty"),
+        qint(F.expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 2).alias(
+            "p50_price"
+        ),
     )
 
 
@@ -358,6 +387,9 @@ ADVANCED_QUERIES = {
     "percentiles": q_percentiles,
     "case_bucketing": q_case_bucketing,
     "having_filter": q_having_filter,
+    # rows-only: sketch interpolation is engine-specific; value-pinned
+    # against the exact twin in tests/test_temporal.py
+    "percentiles_approx": q_percentiles_approx,
 }
 
 ADVANCED_ORACLE_SQL = {
