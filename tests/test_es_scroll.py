@@ -121,6 +121,20 @@ def test_tagexpr_unsupported():
         internal_spans_from_es(transport=fake.transport, tagexpr="http.status=500")
 
 
+def test_bulk_connector_gate_translates_missing_jar(spark):
+    """spans_from_es (the es-hadoop executor-side bulk path) must turn
+    the jar-missing DataSource failure into the actionable
+    NotImplementedError — this runtime ships no connector jar, which is
+    exactly the condition the gate exists for. Auth options are wired
+    before load(), so the gate also proves the option plumbing parses."""
+    from traceframe_spark.sources.es import spans_from_es
+
+    with pytest.raises(NotImplementedError, match="elasticsearch-spark"):
+        spans_from_es(
+            spark, "localhost:9200", index_prefix="x-", es_user="u", es_password="p"
+        )
+
+
 def test_search_body_filters():
     body = _search_body("front", "/cart", T0, T0 + US, 500, None, 100)
     clauses = body["query"]["bool"]["filter"]

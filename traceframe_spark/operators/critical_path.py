@@ -54,20 +54,20 @@ _KERNEL_COLS = [
     "parent",
     "service",
 ]
+# positional indices into a kernel row tuple (same order as _KERNEL_COLS)
+_TID, _SID, _OP, _START, _DUR, _PID, _PARENT, _SVC = range(8)
 
 
-def critical_segments_of_trace(spans: list[dict[str, Any]]) -> list[tuple[int, int, dict[str, Any]]]:
-    """Sweep one trace's spans; return ordered ``(seg_start, seg_duration, span)``.
+def _sweep_rows(rows: list[tuple]) -> list[tuple[int, int, tuple]]:
+    """Sweep one trace given positional-tuple rows (``_KERNEL_COLS``
+    order); return ordered ``(seg_start, seg_duration, row)``.
 
-    Pure-Python single-trace kernel, also usable directly on collected rows
-    (parity with reference ``get_critical_segments``). Raises on empty
-    input like the reference (``traceframe.py:560-561``).
+    The hot kernel: tuples + integer indices instead of per-span dicts —
+    at millions of spans the dict construction and string-key hashing
+    were the measurable overhead, not the sweep itself.
     """
-    if not spans:
-        raise ValueError("critical path of an empty span set is undefined")
-
-    span_by_id: dict[str, dict[str, Any]] = {}
-    # event: (time, order, spanID, is_call, span). order 0 = Return,
+    span_by_id: dict[str, tuple] = {}
+    # event: (time, order, spanID, is_call, row). order 0 = Return,
     # 1 = Call, so simultaneous cross-span Return/Call pairs release the
     # parent first. EXCEPT zero-duration spans: both their events share
     # one timestamp, and Return-before-own-Call would remove an
@@ -75,32 +75,34 @@ def critical_segments_of_trace(spans: list[dict[str, Any]]) -> list[tuple[int, i
     # orders (-2, -1): the Call still precedes its own Return, and the
     # blip resolves before the normal Return/Call traffic at that
     # instant.
-    events: list[tuple[int, int, str, bool, dict[str, Any]]] = []
-    for s in spans:
-        span_by_id[s["spanID"]] = s
-        end = s["startTime"] + s["duration"]
-        if s["duration"] == 0:
-            call_order, ret_order = -2, -1
+    events: list[tuple[int, int, str, bool, tuple]] = []
+    for s in rows:
+        sid = s[_SID]
+        span_by_id[sid] = s
+        start = s[_START]
+        dur = s[_DUR]
+        if dur == 0:
+            events.append((start, -2, sid, True, s))
+            events.append((start, -1, sid, False, s))
         else:
-            call_order, ret_order = 1, 0
-        events.append((s["startTime"], call_order, s["spanID"], True, s))
-        events.append((end, ret_order, s["spanID"], False, s))
+            events.append((start, 1, sid, True, s))
+            events.append((start + dur, 0, sid, False, s))
     events.sort(key=lambda e: (e[0], e[1], e[2]))
 
     # in_flight[spanID] = ordered child spanIDs that have Called but not
     # yet Returned; key "" collects roots.
     in_flight: dict[str, list[str]] = {}
-    segments: list[tuple[int, int, dict[str, Any]]] = []
-    stack: list[dict[str, Any]] = []
+    segments: list[tuple[int, int, tuple]] = []
+    stack: list[tuple] = []
 
     # The earliest event's span leads first; clock starts at its start.
     leader = events[0][4]
-    clock = leader["startTime"]
+    clock = leader[_START]
 
     for when, _order, _, is_call, span in events:
-        parent = span["parent"]
+        parent = span[_PARENT]
         if is_call:  # Call
-            if leader["spanID"] == parent and not in_flight.get(parent):
+            if leader[_SID] == parent and not in_flight.get(parent):
                 # The leader was idle and now hands off to this child:
                 # close the open interval, attributed to the parent.
                 if parent:
@@ -108,19 +110,19 @@ def critical_segments_of_trace(spans: list[dict[str, Any]]) -> list[tuple[int, i
                     stack.append(leader)
                     leader = span
                 clock = when
-            in_flight.setdefault(parent, []).append(span["spanID"])
+            in_flight.setdefault(parent, []).append(span[_SID])
         else:  # Return
-            in_flight[parent].remove(span["spanID"])
-            if not in_flight.get(leader["spanID"]):
+            in_flight[parent].remove(span[_SID])
+            if not in_flight.get(leader[_SID]):
                 # The leader just became unblocked-or-done: the interval
                 # since `clock` belonged to it.
                 segments.append((clock, when - clock, leader))
                 clock = when
                 # Unwind ancestors that are also done waiting...
-                while not in_flight.get(leader["spanID"]) and stack:
+                while not in_flight.get(leader[_SID]) and stack:
                     leader = stack.pop()
                 # ...or descend into the leader's oldest live child.
-                live = in_flight.get(leader["spanID"])
+                live = in_flight.get(leader[_SID])
                 if live:
                     stack.append(leader)
                     child = span_by_id.get(live[0])
@@ -129,26 +131,44 @@ def critical_segments_of_trace(spans: list[dict[str, Any]]) -> list[tuple[int, i
     return segments
 
 
+def critical_segments_of_trace(spans: list[dict[str, Any]]) -> list[tuple[int, int, dict[str, Any]]]:
+    """Sweep one trace's spans; return ordered ``(seg_start, seg_duration, span)``.
+
+    Dict-based public API over the tuple kernel (:func:`_sweep_rows` is
+    the single implementation — no logic drift between the per-trace and
+    streaming paths), also usable directly on collected rows (parity
+    with reference ``get_critical_segments``). Raises on empty input
+    like the reference (``traceframe.py:560-561``).
+    """
+    if not spans:
+        raise ValueError("critical path of an empty span set is undefined")
+    by_sid = {s["spanID"]: s for s in spans}
+    rows = [tuple(s.get(c) for c in _KERNEL_COLS) for s in spans]
+    return [
+        (start, dur, by_sid[row[_SID]]) for start, dur, row in _sweep_rows(rows)
+    ]
+
+
 class _SegBuffer:
     """Columnar accumulator for output segments, flushed per Arrow batch."""
 
     def __init__(self) -> None:
         self.cols: dict[str, list] = {f.name: [] for f in CRITSEG_SCHEMA.fields}
 
-    def add_trace(self, segs: list[tuple[int, int, dict[str, Any]]]) -> None:
+    def add_trace(self, segs: list[tuple[int, int, tuple]]) -> None:
         c = self.cols
         for i, (start, dur, s) in enumerate(segs):
-            c["traceID"].append(s["traceID"])
+            c["traceID"].append(s[_TID])
             c["seg_index"].append(i)
             c["seg_start"].append(start)
             c["seg_duration"].append(dur)
-            c["spanID"].append(s["spanID"])
-            c["operationName"].append(s["operationName"])
-            c["span_start"].append(s["startTime"])
-            c["span_duration"].append(s["duration"])
-            c["processID"].append(s["processID"])
-            c["parent"].append(s["parent"])
-            c["service"].append(s["service"])
+            c["spanID"].append(s[_SID])
+            c["operationName"].append(s[_OP])
+            c["span_start"].append(s[_START])
+            c["span_duration"].append(s[_DUR])
+            c["processID"].append(s[_PID])
+            c["parent"].append(s[_PARENT])
+            c["service"].append(s[_SVC])
 
     def flush(self) -> pd.DataFrame:
         out = pd.DataFrame(self.cols)
@@ -161,24 +181,26 @@ class _SegBuffer:
 
 def _sweep_stream(batches):
     """mapInPandas kernel over ONE partition: rows arrive sorted by
-    traceID, so each trace is a contiguous run; sweep on group break."""
+    traceID, so each trace is a contiguous run; sweep on group break.
+    Rows travel as positional tuples (``.tolist()`` converts the Arrow
+    columns to native Python values once per batch — no per-row dict,
+    no numpy-scalar arithmetic inside the sweep)."""
     buf = _SegBuffer()
     open_tid: str | None = None
-    open_spans: list[dict[str, Any]] = []
+    open_spans: list[tuple] = []
     for pdf in batches:
-        arrays = [pdf[c].values for c in _KERNEL_COLS]
-        for row in zip(*arrays):
-            s = dict(zip(_KERNEL_COLS, row))
-            tid = s["traceID"]
+        cols = [pdf[c].tolist() for c in _KERNEL_COLS]
+        for row in zip(*cols):
+            tid = row[_TID]
             if tid != open_tid:
                 if open_spans:
-                    buf.add_trace(critical_segments_of_trace(open_spans))
+                    buf.add_trace(_sweep_rows(open_spans))
                 open_tid, open_spans = tid, []
-            open_spans.append(s)
+            open_spans.append(row)
         if len(buf) >= 10_000:
             yield buf.flush()
     if open_spans:
-        buf.add_trace(critical_segments_of_trace(open_spans))
+        buf.add_trace(_sweep_rows(open_spans))
     if len(buf):
         yield buf.flush()
 

@@ -1,11 +1,15 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
-The Spark-side plumbing is real and tested — schema, partition-friendly
-batch iteration, Arrow-batched Pandas exchange with bounded batch sizes —
-while the actual codec calls are STUBBED behind
-:data:`HAVE_IMAGE_CODECS` (the runtime here ships no image/audio
-libraries). Swap ``_decode_stub`` for a real PIL/ffmpeg call and nothing
-else changes.
+The Spark-side plumbing — schema, partition-friendly batch iteration,
+Arrow-batched Pandas exchange with bounded batch sizes — is real and
+tested, and so is the PNG image path: :func:`decode_png` /
+:func:`encode_png` implement the public PNG spec (8-bit grayscale / RGB
+/ RGBA, all five scanline filters) on stdlib ``zlib``, so image decode
+works in this runtime with no image libraries installed. Pillow, when
+present, extends decode to every other raster format
+(:data:`HAVE_IMAGE_CODECS`); formats that neither path can read fall
+back to a clearly-fake deterministic byte-histogram
+(:func:`_fake_features`) so pipelines stay runnable.
 
 At 100 TB: binary payloads ride in parquet alongside their metadata;
 ``spark.sql.files.maxPartitionBytes`` bounds scan-task size, and the
@@ -15,6 +19,8 @@ instead of materializing a partition of images at once.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -33,12 +39,135 @@ from pyspark.sql.types import (
     StructType,
 )
 
-try:  # pragma: no cover - codecs are absent in this runtime by design
+try:  # pragma: no cover - Pillow is optional; PNG works without it
     import PIL.Image  # noqa: F401
 
     HAVE_IMAGE_CODECS = True
 except ImportError:
     HAVE_IMAGE_CODECS = False
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# PNG color types with 8-bit samples we decode natively: code -> channels
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode a uint8 array (H×W gray, H×W×3 RGB, or H×W×4 RGBA) as a
+    non-interlaced 8-bit PNG (filter 0 scanlines, one IDAT). Pure
+    stdlib — the deterministic inverse of :func:`decode_png`."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(raw: bytes, h: int, w: int, c: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (types 0-4 per the spec §9)."""
+    stride = w * c
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(c, stride):
+                line[x] = (int(line[x]) + int(line[x - c])) & 0xFF
+        elif ftype == 2:  # Up
+            line = (line.astype(np.int32) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = int(line[x - c]) if x >= c else 0
+                line[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(line[x - c]) if x >= c else 0
+                b = int(prev[x])
+                cc = int(prev[x - c]) if x >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {ftype}")
+        out[y] = line
+        prev = line
+    return out.reshape(h, w, c)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit PNG to an H×W×C uint8 array
+    (C ∈ {1, 2, 3, 4} for gray / gray+alpha / RGB / RGBA). Pure stdlib
+    implementation of the public spec; raises ``ValueError`` on
+    interlaced, paletted, or 16-bit images (Pillow handles those when
+    installed)."""
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("PNG: bad signature")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color_type not in _PNG_CHANNELS:
+                raise ValueError(
+                    f"PNG: unsupported depth={depth} color_type={color_type}"
+                )
+            if interlace != 0:
+                raise ValueError("PNG: interlaced images unsupported")
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG: missing IHDR")
+    c = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (1 + width * c):
+        raise ValueError("PNG: truncated pixel data")
+    return _unfilter(raw, height, width, c)
+
+
+def decode_image(payload: bytes, media_type: str = "") -> np.ndarray:
+    """Decode an image payload to an H×W×C uint8 array: native PNG
+    decoder first (by magic bytes, works in any runtime), Pillow for
+    other formats when installed, else ``NotImplementedError`` — the
+    honest boundary for codecs this runtime doesn't ship."""
+    if payload[:8] == PNG_MAGIC:
+        return decode_png(payload)
+    if HAVE_IMAGE_CODECS:  # pragma: no cover - Pillow absent here
+        import io
+
+        import PIL.Image
+
+        arr = np.asarray(PIL.Image.open(io.BytesIO(payload)))
+        return arr[:, :, None] if arr.ndim == 2 else arr
+    raise NotImplementedError(
+        f"no decoder for media_type={media_type!r} in this runtime "
+        "(native path covers PNG; install Pillow for other formats)"
+    )
 
 # Canonical multimodal column group: payload + typed metadata.
 MEDIA_SCHEMA = StructType(
@@ -76,14 +205,43 @@ def attach_fake_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _decode_stub(payload: bytes) -> np.ndarray:
-    """Deterministic fake 'decode': byte-histogram features. A real
-    implementation decodes pixels/samples here; everything around it
-    (batching, schema, partitioning) is production-shaped."""
-    if HAVE_IMAGE_CODECS:
-        raise NotImplementedError(
-            "real image decode not wired in this runtime; see module docstring"
-        )
+def synthesize_png_media(df: DataFrame, id_col: str, batch_rows: int = 256) -> DataFrame:
+    """Deterministic REAL-PNG media rows derived from an id column: each
+    id becomes an (id%13+1) × (id%7+1) RGB image whose flattened pixel
+    i holds ``(id*31 + i) % 256``, encoded through :func:`encode_png`.
+    Closed-form pixels make decoded width/height/channels/pixel_sum
+    independently computable by a SQL oracle — the test/bench stand-in
+    for a real binary-ingest source that still exercises a REAL codec."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo : lo + batch_rows]
+                ids = chunk[id_col].astype(np.int64)
+                payloads = []
+                for i in ids:
+                    w, h = int(i % 13 + 1), int(i % 7 + 1)
+                    px = ((i * 31 + np.arange(w * h * 3, dtype=np.int64)) % 256).astype(
+                        np.uint8
+                    ).reshape(h, w, 3)
+                    payloads.append(encode_png(px))
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids.values,
+                        "media_type": "image/png",
+                        "payload": payloads,
+                        "meta": [{} for _ in payloads],
+                    }
+                )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def _fake_features(payload: bytes) -> np.ndarray:
+    """Deterministic byte-histogram stand-in for formats with no decoder
+    in this runtime — clearly fake, keeps pipelines runnable end-to-end."""
     arr = np.frombuffer(payload, dtype=np.uint8)
     if arr.size == 0:
         return np.zeros(FEATURE_DIM, dtype=np.float32)
@@ -91,16 +249,32 @@ def _decode_stub(payload: bytes) -> np.ndarray:
     return (hist / arr.size).astype(np.float32)
 
 
+def _features_of(payload: bytes, media_type: str) -> np.ndarray:
+    """Feature vector for one payload: REAL pixel-value histogram (16
+    bins over 0..255) when a decoder can read it, byte-histogram fake
+    otherwise."""
+    try:
+        px = decode_image(payload, media_type)
+    except (NotImplementedError, ValueError):
+        return _fake_features(payload)
+    flat = px.reshape(-1)
+    hist, _ = np.histogram(flat, bins=FEATURE_DIM, range=(0, 256))
+    return (hist / max(flat.size, 1)).astype(np.float32)
+
+
 def extract_media_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
     """Decode/feature-extract media payloads via Arrow-batched
-    ``mapInPandas``; output one feature vector per media row."""
+    ``mapInPandas``; output one feature vector per media row (real
+    pixel histograms for decodable images, byte-histogram fake
+    otherwise)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for lo in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[lo : lo + batch_rows]
                 feats = [
-                    _decode_stub(p if p is not None else b"") for p in chunk["payload"]
+                    _features_of(p if p is not None else b"", t)
+                    for p, t in zip(chunk["payload"], chunk["media_type"])
                 ]
                 yield pd.DataFrame(
                     {
@@ -113,6 +287,47 @@ def extract_media_features(media: DataFrame, batch_rows: int = 256) -> DataFrame
 
     return media.select("media_id", "media_type", "payload").mapInPandas(
         run, schema=FEATURES_SCHEMA
+    )
+
+
+DECODE_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("pixel_sum", LongType()),
+    ]
+)
+
+
+def decode_image_meta(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """REAL image decode as a distributed step: one row per decodable
+    payload with (width, height, channels, pixel_sum) read from the
+    actual pixel data — the values an oracle can verify. Undecodable
+    payloads yield nulls (inspect with ``width IS NULL``) rather than
+    failing the batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo : lo + batch_rows]
+                rows = {"media_id": [], "width": [], "height": [], "channels": [], "pixel_sum": []}
+                for mid, p, t in zip(chunk["media_id"], chunk["payload"], chunk["media_type"]):
+                    rows["media_id"].append(mid)
+                    try:
+                        px = decode_image(p if p is not None else b"", t)
+                        rows["width"].append(px.shape[1])
+                        rows["height"].append(px.shape[0])
+                        rows["channels"].append(px.shape[2])
+                        rows["pixel_sum"].append(int(px.astype(np.int64).sum()))
+                    except (NotImplementedError, ValueError):
+                        for k in ("width", "height", "channels", "pixel_sum"):
+                            rows[k].append(None)
+                yield pd.DataFrame(rows)
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        run, schema=DECODE_META_SCHEMA
     )
 
 
@@ -134,21 +349,24 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     ).filter(F.col("frame_idx") < n_frames)
 
 
-def _resize_stub(payload: bytes, width: int, height: int) -> bytes:
-    """Deterministic fake 'resize': linear byte re-sample to a size
-    proportional to the target area. A real implementation decodes,
-    resamples pixels, and re-encodes here (PIL ``Image.resize`` /
-    ffmpeg scale filter); batching and schema around it are final."""
-    if HAVE_IMAGE_CODECS:
-        raise NotImplementedError(
-            "real image resize not wired in this runtime; see module docstring"
-        )
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    target = max(width * height // 64, 1)
-    if arr.size == 0:
-        return bytes(target)
-    idx = np.linspace(0, arr.size - 1, target).astype(np.int64)
-    return arr[idx].tobytes()
+def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
+    """Resize one payload. Decodable images get a REAL resize —
+    decode, nearest-neighbor pixel resample, PNG re-encode (output is
+    always PNG, the one format every runtime here can write).
+    Undecodable payloads fall back to a deterministic linear byte
+    re-sample so non-image media still flows through the pipeline."""
+    try:
+        px = decode_image(payload)
+        ys = np.linspace(0, px.shape[0] - 1, height).round().astype(np.int64)
+        xs = np.linspace(0, px.shape[1] - 1, width).round().astype(np.int64)
+        return encode_png(px[ys][:, xs])
+    except (NotImplementedError, ValueError):
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        target = max(width * height // 64, 1)
+        if arr.size == 0:
+            return bytes(target)
+        idx = np.linspace(0, arr.size - 1, target).astype(np.int64)
+        return arr[idx].tobytes()
 
 
 def resize_media(
@@ -164,7 +382,7 @@ def resize_media(
             for lo in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[lo : lo + batch_rows]
                 payloads = [
-                    _resize_stub(p if p is not None else b"", width, height)
+                    _resize_payload(p if p is not None else b"", width, height)
                     for p in chunk["payload"]
                 ]
                 metas = []

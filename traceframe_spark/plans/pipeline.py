@@ -701,16 +701,32 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    media = multimodal.attach_fake_media(d, "doc_id", "text")
-    feats = multimodal.extract_media_features(media)
-    return feats.select(
-        "media_id",
-        "n_bytes",
-        qint(F.aggregate(F.col("features"), F.lit(0.0), lambda a, x: a + x.cast("double")), 4).alias(
-            "feat_sum_q"
-        ),
-    )
+    """REAL image decode with a full value oracle: deterministic PNGs
+    (closed-form pixels, see ``synthesize_png_media``) round-trip
+    through the pure-stdlib PNG encoder+decoder as two Arrow-batched
+    ``mapInPandas`` stages, and the decoded width/height/channels/
+    pixel_sum are exactly computable by the DuckDB oracle — so the
+    codec itself, not just the plumbing, is value-verified."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = multimodal.synthesize_png_media(d, "doc_id")
+    return multimodal.decode_image_meta(media)
+
+
+SQL_MEDIA_FEATURES = """
+WITH d AS (
+    SELECT doc_id, doc_id % 13 + 1 AS width, doc_id % 7 + 1 AS height
+    FROM documents WHERE doc_id < 200
+),
+px AS (
+    SELECT doc_id, width, height,
+           unnest(generate_series(0, width * height * 3 - 1)) AS i
+    FROM d
+)
+SELECT doc_id AS media_id, width, height,
+       CAST(3 AS BIGINT) AS channels,
+       CAST(SUM((doc_id * 31 + i) % 256) AS BIGINT) AS pixel_sum
+FROM px GROUP BY doc_id, width, height
+"""
 
 
 PIPELINE_QUERIES = {
@@ -758,4 +774,7 @@ PIPELINE_ORACLE_SQL = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "doc_quality": SQL_DOC_QUALITY,
     "doc_lang_id": SQL_DOC_LANG_ID,
+    # real PNG decode: closed-form pixels make the decoded stats exactly
+    # SQL-computable — media decode leaves the rows-only list
+    "media_features": SQL_MEDIA_FEATURES,
 }
