@@ -64,6 +64,12 @@ HEADLINE = [
     "vocab_topk",
     "funnel_conversion",
     "session_window",
+    "embed_quantize",
+    "ann_hamming_topk",
+    "label_outliers",
+    "tfidf_topk",
+    "pmi_bigrams",
+    "inflight_concurrency",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans

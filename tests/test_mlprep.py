@@ -1,0 +1,156 @@
+"""Unit pins for the ML-data-prep operators (`operators/vectorprep.py`,
+`plans/mlprep.py`): crafted-vector value checks the oracle gate can't
+express (hand-computable expected outputs), plus positive plan-shape
+pins for the scale claims in the docstrings."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from traceframe_spark.operators import vectorprep  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _vec_df(spark, rows, dim=None):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, (v) in enumerate(rows)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_quantize_int8_hand_values(spark):
+    # v0: maxabs=2.0 -> scale=63.5; codes floor(x*63.5+0.5)
+    #   [2.0, -1.0, 0.5] -> [127, floor(-63.0)= -63, floor(32.25)=32]
+    # v1: all zeros -> scale 0, all codes 0
+    df = _vec_df(spark, [[2.0, -1.0, 0.5], [0.0, 0.0, 0.0]])
+    out = {
+        r["vec_id"]: r
+        for r in vectorprep.quantization_stats(df, "vec_id", "embedding").collect()
+    }
+    assert out[0]["q_sum"] == 127 - 63 + 32
+    assert out[0]["q_abs_sum"] == 127 + 63 + 32
+    assert out[0]["n_sat"] == 1
+    assert out[0]["scale_q"] == int(63.5 * 1e6 + 0.5)
+    assert out[1]["q_sum"] == 0 and out[1]["q_abs_sum"] == 0 and out[1]["n_sat"] == 0
+    assert out[1]["scale_q"] == 0
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    """Dequantized values are within half a step of the original —
+    the defining property of round-half-up symmetric quantization."""
+    import random
+
+    rng = random.Random(7)
+    vals = [[rng.uniform(-3, 3) for _ in range(16)] for _ in range(20)]
+    df = _vec_df(spark, vals)
+    deq = df.select(
+        "vec_id",
+        F.col("embedding").alias("orig"),
+        vectorprep.quantize_int8(
+            F.col("embedding"), vectorprep.int8_scale(F.col("embedding"))
+        ).alias("q"),
+    ).collect()
+    for r in deq:
+        maxabs = max(abs(x) for x in r["orig"])
+        scale = 127.0 / maxabs
+        for x, q in zip(r["orig"], r["q"]):
+            assert abs(q / scale - x) <= (0.5 / scale) + 1e-9
+
+
+def test_sign_words_and_hamming(spark):
+    # 64-dim vectors differing in exactly 3 sign positions -> hamming 3
+    base = [1.0] * 64
+    flipped = list(base)
+    for i in (0, 33, 63):  # one in the low word, two in the high word
+        flipped[i] = -1.0
+    df = _vec_df(spark, [base, flipped])
+    out = vectorprep.hamming_topk(df, df, "vec_id", "embedding", k=2).collect()
+    by_pair = {(r["qid"], r["cid"]): r["hamming"] for r in out}
+    assert by_pair[(0, 0)] == 0 and by_pair[(1, 1)] == 0
+    assert by_pair[(0, 1)] == 3 and by_pair[(1, 0)] == 3
+
+
+def test_assign_centroids_picks_nearest_with_tiebreak(spark):
+    # centroids along axes; v=[1,1,0...] ties between c0 and c1 -> lowest id
+    dim = 4
+    c0 = [1.0, 0.0, 0.0, 0.0]
+    c1 = [0.0, 1.0, 0.0, 0.0]
+    cents = spark.createDataFrame(
+        [(0, c0), (1, c1)], "centroid_id long, embedding array<float>"
+    )
+    vecs = _vec_df(spark, [[1.0, 1.0, 0.0, 0.0], [0.1, 0.9, 0.0, 0.0]], dim)
+    out = {
+        r["vec_id"]: r["centroid_id"]
+        for r in vectorprep.assign_centroids(
+            vecs, cents, "vec_id", "embedding"
+        ).collect()
+    }
+    assert out[0] == 0  # exact cosine tie -> lowest centroid id
+    assert out[1] == 1
+
+
+def test_label_outliers_flags_the_odd_one(spark):
+    # 4 aligned vectors + 1 anti-aligned under one label: the outlier
+    # must rank first (lowest cosine to the label centroid)
+    rows = [(i, [1.0, 0.0], 0) for i in range(4)] + [(9, [-1.0, 0.0], 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = vectorprep.label_outlier_scores(
+        df, "vec_id", "embedding", "label", dim=2, bottom_k=1
+    ).collect()
+    assert len(out) == 1 and out[0]["vec_id"] == 9 and out[0]["rn"] == 1
+    # centroid = [0.6, 0]; cos(outlier, centroid) = -1
+    assert out[0]["cos_q"] == -10000
+
+
+def test_inflight_concurrency_hand_case(spark, tmp_path):
+    """Three overlapping intervals for one supplier peak at 3; verified
+    against the registered plan by writing a minimal lineitem table."""
+    import datetime as dt
+
+    rows = [
+        # suppkey 1: qty%7+1 = 3 days each, staggered by 1 day -> peak 3
+        (1, 1, 1, 1, 2.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(2020, 1, 1)),
+        (2, 1, 1, 1, 2.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(2020, 1, 2)),
+        (3, 1, 1, 1, 2.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(2020, 1, 3)),
+        # suppkey 2: disjoint 1-day intervals -> peak 1
+        (4, 1, 2, 1, 0.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(2020, 1, 1)),
+        (5, 1, 2, 1, 0.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(2020, 2, 1)),
+    ]
+    cols = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp"
+    )
+    spark.createDataFrame(rows, cols).write.parquet(f"{tmp_path}/lineitem.parquet")
+    from traceframe_spark.plans.mlprep import q_inflight_concurrency
+
+    out = {r["suppkey"]: r["peak"] for r in q_inflight_concurrency(spark, str(tmp_path)).collect()}
+    assert out == {1: 3, 2: 1}
+
+
+def test_mlprep_plan_shapes(spark):
+    """Positive plan pins for the scale claims: quantization is a
+    zero-exchange scan; hamming ranks via one broadcast join + one
+    shuffle (the per-query window); the concurrency sweep's final
+    per-supplier max reuses the window's partitioning (2 exchanges)."""
+    from tools.plan_audit import n_shuffles, plan_of
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+
+    plan = plan_of(qs["embed_quantize"](spark, SF))
+    assert "Exchange" not in plan
+
+    plan = plan_of(qs["ann_hamming_topk"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast cross join, query side
+    assert n_shuffles(plan) == 1  # the qid window only
+
+    plan = plan_of(qs["inflight_concurrency"](spark, SF))
+    assert n_shuffles(plan) == 2  # (suppkey, day) agg + suppkey window; max reuses

@@ -1,0 +1,250 @@
+"""Embedding *preparation* operators for training-data pipelines:
+int8 scalar quantization, sign-bit binarization with Hamming-distance
+top-k, deterministic nearest-centroid assignment, and within-label
+outlier scoring.
+
+These complement `operators/similarity` (which answers *retrieval*
+questions): a 100 TB embedding corpus is rarely served as float32 —
+it is quantized (4x smaller), binarized (32x smaller, Hamming-rankable
+with two ALU ops per comparison), clustered, and cleaned of
+label-inconsistent outliers before training. No reference analogue
+(the reference has no vector ops, `/root/reference/traceframe/
+traceframe.py` is trace-only); this extends the pipeline surface the
+engine adds (BASELINE.json north_star).
+
+Scale notes
+-----------
+- Every op here is a single corpus scan of pure JVM expressions —
+  no Python, no explode, no shuffle before the terminal aggregation.
+- :func:`hamming_topk` ranks on the *binarized* form: the per-pair cost
+  is ``XOR + POPCNT`` on two longs instead of a 64-float dot product,
+  and the scan reads 16 bytes/vector instead of 256. The query side
+  broadcasts (bounded query sets), so corpus cost is one codegen pass.
+- :func:`assign_centroids` broadcasts the centroid set (k rows) and
+  keeps assignment as an array expression — the same shape the IVF
+  router uses (`similarity.py`), exposed standalone for k-means-style
+  partitioning of a corpus.
+- :func:`label_centroids` computes per-dimension means as ``dim``
+  stacked ``avg`` aggregates in ONE shuffle (no posexplode of the
+  vector, which would multiply the shuffle volume by ``dim``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from traceframe_spark.operators.similarity import dot_f64, l2_norm
+
+INT8_MAX = 127.0
+
+
+def int8_scale(vec: Column) -> Column:
+    """Symmetric per-vector int8 scale: ``127 / max(|x|)`` (0.0 for an
+    all-zero vector so quantization maps it to all zeros instead of
+    dividing by zero)."""
+    maxabs = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    return F.when(maxabs == 0.0, F.lit(0.0)).otherwise(F.lit(INT8_MAX) / maxabs)
+
+
+def quantize_int8(vec: Column, scale: Column) -> Column:
+    """Quantized int8 codes ``floor(x*scale + 0.5)`` (round-half-up on
+    the binary double — the same grid `plans/catalog.qint` uses, so
+    DuckDB reproduces every code bit-for-bit). With the symmetric scale
+    the codes are exactly in [-127, 127]; no clamp is needed."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("int")
+    )
+
+
+def quantization_stats(
+    df: DataFrame, id_col: str, vec_col: str, scale_q: int = 6
+) -> DataFrame:
+    """Per-vector quantization summary with integer-only payload:
+    (id, scale_q, q_sum, q_abs_sum, n_sat). ``q_sum``/``q_abs_sum`` pin
+    every code's value and sign; ``n_sat`` counts saturated (|q|=127)
+    codes — the metric that decides whether a corpus needs per-channel
+    instead of per-vector scales. Zero-shuffle scan."""
+    vec = F.col(vec_col)
+    scale = int8_scale(vec)
+    q = quantize_int8(vec, scale)
+    zero = F.lit(0).cast("long")
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.floor(scale * (10**scale_q) + F.lit(0.5)).cast("long").alias("scale_q"),
+        F.aggregate(q, zero, lambda acc, x: acc + x.cast("long")).alias("q_sum"),
+        F.aggregate(q, zero, lambda acc, x: acc + F.abs(x.cast("long"))).alias(
+            "q_abs_sum"
+        ),
+        F.aggregate(
+            q,
+            zero,
+            lambda acc, x: acc
+            + F.when(F.abs(x) == int(INT8_MAX), F.lit(1).cast("long")).otherwise(zero),
+        ).alias("n_sat"),
+    )
+
+
+def sign_word(vec: Column, lo_bit: int, n_bits: int = 32) -> Column:
+    """Pack sign bits ``vec[lo_bit .. lo_bit+n_bits)`` (``x >= 0`` → 1)
+    into a long. Two 32-bit words cover dim=64 without touching the
+    sign bit of a 64-bit long (DuckDB's ``2**63`` overflows BIGINT, so
+    the two-word split keeps the oracle exactly expressible)."""
+    bits = [
+        F.when(
+            F.element_at(vec, i + 1).cast("double") >= 0.0,
+            F.shiftleft(F.lit(1).cast("long"), i - lo_bit),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(lo_bit, lo_bit + n_bits)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def binarize(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
+    """(id, w_lo, w_hi): 64-dim vector → two 32-bit sign words."""
+    vec = F.col(vec_col)
+    return df.select(
+        F.col(id_col).alias(out_id),
+        sign_word(vec, 0).alias("w_lo"),
+        sign_word(vec, 32).alias("w_hi"),
+    )
+
+
+def hamming_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 5
+) -> DataFrame:
+    """Top-k nearest corpus vectors per query under Hamming distance of
+    the sign-bit binarization. Output (qid, cid, hamming, rn); the query
+    itself ranks first at distance 0 when present in the corpus —
+    deterministic, so it stays (self-hits are trivially filterable).
+
+    Ranking on the binary sketch is the classic cheap tier above exact
+    cosine: ``XOR + POPCNT`` per pair. Ties break on ``cid``."""
+    c = binarize(corpus, id_col, vec_col, "cid")
+    q = binarize(queries, id_col, vec_col, "qid").withColumnsRenamed(
+        {"w_lo": "q_lo", "w_hi": "q_hi"}
+    )
+    ham = (
+        F.bit_count(F.col("w_lo").bitwiseXOR(F.col("q_lo")))
+        + F.bit_count(F.col("w_hi").bitwiseXOR(F.col("q_hi")))
+    ).cast("long")
+    pairs = c.crossJoin(F.broadcast(q)).select("qid", "cid", ham.alias("hamming"))
+    w = Window.partitionBy("qid").orderBy(F.col("hamming").asc(), F.col("cid").asc())
+    return pairs.withColumn("rn", F.row_number().over(w).cast("long")).filter(
+        F.col("rn") <= k
+    )
+
+
+def assign_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_id_col: str = "centroid_id",
+    quantize: int = 6,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine similarity
+    (quantized at 10^-q, ties → lowest centroid id — both rules make the
+    argmax identical across engines). ``centroids`` must be small (it
+    broadcasts: k rows). Output (id, centroid_id, cos_q).
+
+    The standalone form of the IVF router (`similarity.ivf_topk`):
+    corpus-side cost is one codegen scan over k broadcast vectors."""
+    c = centroids.select(
+        F.col(centroid_id_col).alias("_ctr_id"),
+        F.col(vec_col).alias("_ctr_vec"),
+        l2_norm(F.col(vec_col)).alias("_ctr_nrm"),
+    )
+    vec = F.col(vec_col)
+    scored = df.select(
+        F.col(id_col).alias("vec_id"), vec.alias("_vec"), l2_norm(vec).alias("_nrm")
+    ).crossJoin(F.broadcast(c))
+    cos_q = F.floor(
+        dot_f64(F.col("_vec"), F.col("_ctr_vec"))
+        / (F.col("_nrm") * F.col("_ctr_nrm"))
+        * (10**quantize)
+        + F.lit(0.5)
+    ).cast("long")
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_q").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.select("vec_id", F.col("_ctr_id").alias("centroid_id"), cos_q.alias("cos_q"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def label_centroids(
+    df: DataFrame, label_col: str, vec_col: str, dim: int, quantize: int = 6
+) -> DataFrame:
+    """Per-label mean vector as ``dim`` stacked ``avg`` aggregates in one
+    shuffle; components quantized at 10^-q so the centroid is integer-
+    exact across engines (a raw double mean depends on summation order).
+    Output (label, centroid array<double> on the quantized grid)."""
+    vec = F.col(vec_col)
+    comps = [
+        F.floor(
+            F.avg(F.element_at(vec, i + 1).cast("double")) * (10**quantize) + F.lit(0.5)
+        ).cast("long")
+        for i in range(dim)
+    ]
+    agg = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.array(*comps).alias("_centroid_q")
+    )
+    return agg.select(
+        "label",
+        F.transform(
+            F.col("_centroid_q"), lambda x: x.cast("double") / (10**quantize)
+        ).alias("centroid"),
+    )
+
+
+def label_outlier_scores(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    dim: int,
+    bottom_k: int = 3,
+    quantize: int = 4,
+) -> DataFrame:
+    """Rank each label's least-typical members: cosine of every vector to
+    its OWN label centroid, bottom-k per label (lowest cosine = most
+    likely mislabeled / noisy — the standard curation signal for
+    classifier training sets). Output (label, vec_id, cos_q, rn).
+
+    Two scans of the corpus (centroid pass + scoring pass) joined by a
+    broadcast of the tiny per-label centroid table."""
+    cent = label_centroids(df, label_col, vec_col, dim)
+    vec = F.col(vec_col)
+    scored = (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(label_col).alias("label"),
+            vec.alias("_vec"),
+            l2_norm(vec).alias("_nrm"),
+        )
+        .join(F.broadcast(cent), "label")
+        .select(
+            "label",
+            "vec_id",
+            F.floor(
+                dot_f64(F.col("_vec"), F.col("centroid"))
+                / (F.col("_nrm") * l2_norm(F.col("centroid")))
+                * (10**quantize)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cos_q"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("cos_q").asc(), F.col("vec_id").asc())
+    return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(
+        F.col("rn") <= bottom_k
+    )

@@ -4,6 +4,7 @@ from traceframe_spark.plans.advanced import ADVANCED_ORACLE_SQL, ADVANCED_QUERIE
 from traceframe_spark.plans.catalog import ORACLE_SQL, QUERIES, load_table
 from traceframe_spark.plans.events import EVENTS_ORACLE_SQL, EVENTS_QUERIES
 from traceframe_spark.plans.lexical import LEXICAL_ORACLE_SQL, LEXICAL_QUERIES
+from traceframe_spark.plans.mlprep import MLPREP_ORACLE_SQL, MLPREP_QUERIES
 from traceframe_spark.plans.pipeline import PIPELINE_ORACLE_SQL, PIPELINE_QUERIES
 from traceframe_spark.plans.temporal import TEMPORAL_ORACLE_SQL, TEMPORAL_QUERIES
 from traceframe_spark.plans.tpch import TPCH_ORACLE_SQL, TPCH_QUERIES
@@ -27,6 +28,7 @@ def catalog_queries():
         **ADVANCED_QUERIES,
         **QUERIES,
         **PIPELINE_QUERIES,
+        **MLPREP_QUERIES,
     }
 
 
@@ -43,6 +45,7 @@ def catalog_oracle_sql():
         **ADVANCED_ORACLE_SQL,
         **ORACLE_SQL,
         **PIPELINE_ORACLE_SQL,
+        **MLPREP_ORACLE_SQL,
     }
 
 

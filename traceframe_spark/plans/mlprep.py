@@ -1,0 +1,394 @@
+"""ML-data-prep query suite: embedding compaction (int8 quantization,
+sign-bit Hamming ranking), deterministic clustering (nearest-centroid
+assignment, within-label outliers), corpus statistics (TF-IDF top
+terms, PMI collocations), and an interval-sweep concurrency analysis.
+
+Every query has a DuckDB oracle. Determinism rules shared with the rest
+of the catalog: quantize doubles onto the `qint` grid before any
+ranking, break ties on ids, and keep aggregation payloads integer
+(sums of quantized values commute; raw double sums do not).
+
+No reference analogue — this widens the training-data-pipeline surface
+(`/root/reference/traceframe/traceframe.py` has no vector/text-corpus
+ops); plan shapes follow the scale notes in `operators/vectorprep.py`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from traceframe_spark.operators import vectorprep
+from traceframe_spark.plans.catalog import load_table, qint
+from traceframe_spark.plans.lexical import _tokens
+
+EMBED_DIM = 64
+
+
+# ---------------------------------------------------------------------------
+# embedding compaction
+# ---------------------------------------------------------------------------
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization summary for every embedding: the
+    integer q_sum/q_abs_sum/n_sat triple pins each code's exact value,
+    so the oracle verifies the full quantizer, not a sketch of it."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return vectorprep.quantization_stats(e, "vec_id", "embedding")
+
+
+SQL_EMBED_QUANTIZE = """
+WITH scaled AS (
+    SELECT vec_id,
+           CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+                THEN 0.0
+                ELSE 127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           END AS scale,
+           embedding
+    FROM embeddings
+),
+coded AS (
+    SELECT vec_id, scale,
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS q
+    FROM scaled
+)
+SELECT vec_id,
+       CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS scale_q,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(q, v -> abs(v))) AS BIGINT) AS q_abs_sum,
+       CAST(list_sum(list_transform(q, v -> CASE WHEN abs(v) = 127 THEN 1 ELSE 0 END)) AS BIGINT) AS n_sat
+FROM coded
+"""
+
+
+def q_ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming top-5 over the sign-bit binarized corpus for 10 query
+    vectors. Unlike the hyperplane-LSH tier there is no randomness —
+    the bits are the data's own signs — so the DuckDB oracle reproduces
+    distances exactly (two 32-bit words keep 2^i inside BIGINT)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return vectorprep.hamming_topk(e, q, "vec_id", "embedding", k=5)
+
+
+SQL_ANN_HAMMING_TOPK = """
+WITH words AS (
+    SELECT vec_id,
+           CAST(list_sum(list_transform(generate_series(0, 31),
+                i -> CASE WHEN CAST(embedding[i + 1] AS DOUBLE) >= 0 THEN CAST(2 ** i AS BIGINT) ELSE 0 END)) AS BIGINT) AS w_lo,
+           CAST(list_sum(list_transform(generate_series(32, 63),
+                i -> CASE WHEN CAST(embedding[i + 1] AS DOUBLE) >= 0 THEN CAST(2 ** (i - 32) AS BIGINT) ELSE 0 END)) AS BIGINT) AS w_hi
+    FROM embeddings
+),
+pairs AS (
+    SELECT q.vec_id AS qid, c.vec_id AS cid,
+           CAST(bit_count(xor(c.w_lo, q.w_lo)) + bit_count(xor(c.w_hi, q.w_hi)) AS BIGINT) AS hamming
+    FROM words c CROSS JOIN words q
+    WHERE q.vec_id < 10
+),
+ranked AS (
+    SELECT qid, cid, hamming,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY hamming ASC, cid ASC) AS BIGINT) AS rn
+    FROM pairs
+)
+SELECT qid, cid, hamming, rn FROM ranked WHERE rn <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic clustering / curation
+# ---------------------------------------------------------------------------
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment of the whole corpus to a fixed,
+    deterministic centroid set (the 8 lowest vec_ids — a seed choice
+    both engines share), reduced to per-centroid population and an
+    integer cosine mass. Pins the assignment argmax rule the IVF router
+    relies on, end-to-end against SQL."""
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = vectorprep.assign_centroids(e, centroids, "vec_id", "embedding", quantize=4)
+    return assigned.groupBy("centroid_id").agg(
+        F.count("*").cast("long").alias("n_assigned"),
+        F.sum("cos_q").cast("long").alias("sum_cos_q"),
+    )
+
+
+SQL_KMEANS_ASSIGN = """
+WITH cent AS (
+    SELECT vec_id AS centroid_id, embedding AS cvec,
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cnrm
+    FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+    SELECT e.vec_id, c.centroid_id,
+           CAST(floor(
+               list_sum(list_transform(generate_series(1, 64),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * c.cnrm)
+               * 10000 + 0.5) AS BIGINT) AS cos_q
+    FROM embeddings e CROSS JOIN cent c
+),
+best AS (
+    SELECT vec_id, centroid_id, cos_q,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos_q DESC, centroid_id ASC) AS rn
+    FROM scored
+)
+SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_assigned, CAST(sum(cos_q) AS BIGINT) AS sum_cos_q
+FROM best WHERE rn = 1 GROUP BY centroid_id
+"""
+
+
+def q_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-3 least-typical members of every label class by cosine to
+    the label's own centroid (mean embedding on a quantized grid so both
+    engines see the identical centroid)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return vectorprep.label_outlier_scores(
+        e, "vec_id", "embedding", "label", dim=EMBED_DIM, bottom_k=3
+    )
+
+
+SQL_LABEL_OUTLIERS = """
+WITH percomp AS (
+    SELECT label, i,
+           CAST(floor(avg(CAST(x AS DOUBLE)) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS c
+    FROM (SELECT label, unnest(embedding) AS x, unnest(generate_series(1, 64)) AS i
+          FROM embeddings)
+    GROUP BY label, i
+),
+cent AS (
+    SELECT label, list(c ORDER BY i) AS centroid FROM percomp GROUP BY label
+),
+scored AS (
+    SELECT e.label, e.vec_id,
+           CAST(floor(
+               list_sum(list_transform(generate_series(1, 64),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.centroid, x -> x * x))))
+               * 10000 + 0.5) AS BIGINT) AS cos_q
+    FROM embeddings e JOIN cent c USING (label)
+),
+ranked AS (
+    SELECT label, vec_id, cos_q,
+           CAST(row_number() OVER (PARTITION BY label ORDER BY cos_q ASC, vec_id ASC) AS BIGINT) AS rn
+    FROM scored
+)
+SELECT label, vec_id, cos_q, rn FROM ranked WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics
+# ---------------------------------------------------------------------------
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF (corpus stats
+    over ALL docs, output bounded to doc_id < 50). The per-term scan is
+    one explode + two keyed aggregations; the doc-frequency table is
+    vocabulary-sized, so the tf⋈df join stays an equi-join AQE can
+    broadcast when the vocabulary is small."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    n_docs = d.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") < 50)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            qint(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias("tfidf_q"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_q").desc(), F.col("term").asc())
+    return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(
+        F.col("rn") <= 3
+    )
+
+
+SQL_TFIDF_TOPK = """
+WITH toks AS (
+    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           CAST(floor(tf.tf * ln(n.n_docs / dfreq.df) * 10000 + 0.5) AS BIGINT) AS tfidf_q
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    WHERE tf.doc_id < 50
+),
+ranked AS (
+    SELECT doc_id, term, tfidf_q,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_q DESC, term ASC) AS BIGINT) AS rn
+    FROM scored
+)
+SELECT doc_id, term, tfidf_q, rn FROM ranked WHERE rn <= 3
+"""
+
+
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations: adjacent-token bigrams with count >= 5,
+    ranked by pointwise mutual information. Bigram generation is a pure
+    array expression (slice+zip) — no Python and no shuffle before the
+    count aggregations; the unigram⋈bigram joins are vocabulary-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(_tokens(F.col("text")).alias("w"))
+    n = F.size("w")
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("w", 1, F.greatest(n - 1, F.lit(0))).alias("a"),
+                F.slice("w", 2, F.greatest(n - 1, F.lit(0))).alias("b"),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    big = pairs.groupBy("a", "b").agg(F.count("*").cast("double").alias("c_ab"))
+    uni = (
+        toks.select(F.explode("w").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("c_t"))
+    )
+    totals = big.agg(F.sum("c_ab").alias("n_big")).crossJoin(
+        uni.agg(F.sum("c_t").alias("n_tok"))
+    )
+    scored = (
+        big.filter(F.col("c_ab") >= 5)
+        .join(uni.withColumnsRenamed({"term": "a", "c_t": "c_a"}), "a")
+        .join(uni.withColumnsRenamed({"term": "b", "c_t": "c_b"}), "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "a",
+            "b",
+            F.col("c_ab").cast("long").alias("n_pair"),
+            qint(
+                F.log(
+                    (F.col("c_ab") / F.col("n_big"))
+                    / ((F.col("c_a") / F.col("n_tok")) * (F.col("c_b") / F.col("n_tok")))
+                ),
+                4,
+            ).alias("pmi_q"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_q").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(20)
+
+
+SQL_PMI_BIGRAMS = """
+WITH toks AS (
+    SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+    FROM documents
+),
+pairs AS (
+    SELECT w[i] AS a, w[i + 1] AS b
+    FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+),
+big AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS c_ab FROM pairs GROUP BY a, b),
+uni AS (
+    SELECT term, CAST(count(*) AS DOUBLE) AS c_t
+    FROM (SELECT unnest(w) AS term FROM toks) GROUP BY term
+),
+tot AS (
+    SELECT (SELECT sum(c_ab) FROM big) AS n_big, (SELECT sum(c_t) FROM uni) AS n_tok
+),
+scored AS (
+    SELECT big.a, big.b, CAST(big.c_ab AS BIGINT) AS n_pair,
+           CAST(floor(ln((big.c_ab / tot.n_big) / ((ua.c_t / tot.n_tok) * (ub.c_t / tot.n_tok))) * 10000 + 0.5) AS BIGINT) AS pmi_q
+    FROM big
+    JOIN uni ua ON ua.term = big.a
+    JOIN uni ub ON ub.term = big.b
+    CROSS JOIN tot
+    WHERE big.c_ab >= 5
+)
+SELECT a, b, n_pair, pmi_q FROM scored ORDER BY pmi_q DESC, a ASC, b ASC LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# interval sweep
+# ---------------------------------------------------------------------------
+
+
+def q_inflight_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent in-transit shipments per supplier: each lineitem
+    occupies [shipdate, shipdate + (qty % 7 + 1) days); the sweep is the
+    classic +1/-1 endpoint encoding with a running sum. Endpoint deltas
+    pre-aggregate per (supplier, day) BEFORE the window — the running
+    max is unchanged (the merged delta equals the post-arrivals value,
+    and the departures-first intermediate value is never larger), and
+    the window then shuffles per-day rows, not per-shipment rows. The
+    final per-supplier max reuses the window's hash partitioning: the
+    plan carries exactly two exchanges at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    days = (F.col("l_quantity").cast("int") % 7 + 1).cast("int")
+    start = li.select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.to_date("l_shipdate").alias("day"),
+        F.lit(1).alias("delta"),
+    )
+    end = li.select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.date_add(F.to_date("l_shipdate"), days).alias("day"),
+        F.lit(-1).alias("delta"),
+    )
+    net = (
+        start.unionByName(end)
+        .groupBy("suppkey", "day")
+        .agg(F.sum("delta").alias("net"))
+    )
+    w = Window.partitionBy("suppkey").orderBy("day")
+    running = net.withColumn("open", F.sum("net").over(w))
+    peaks = running.groupBy("suppkey").agg(F.max("open").cast("long").alias("peak"))
+    return peaks.orderBy(F.col("peak").desc(), F.col("suppkey").asc()).limit(25)
+
+
+SQL_INFLIGHT_CONCURRENCY = """
+WITH ev AS (
+    SELECT l_suppkey AS suppkey, CAST(l_shipdate AS DATE) AS day, 1 AS delta FROM lineitem
+    UNION ALL
+    SELECT l_suppkey, CAST(l_shipdate AS DATE) + (CAST(l_quantity AS INTEGER) % 7 + 1), -1 FROM lineitem
+),
+net AS (SELECT suppkey, day, sum(delta) AS net FROM ev GROUP BY suppkey, day),
+run AS (
+    SELECT suppkey, sum(net) OVER (PARTITION BY suppkey ORDER BY day) AS open
+    FROM net
+)
+SELECT suppkey, CAST(max(open) AS BIGINT) AS peak
+FROM run GROUP BY suppkey
+ORDER BY peak DESC, suppkey ASC LIMIT 25
+"""
+
+
+MLPREP_QUERIES = {
+    "embed_quantize": q_embed_quantize,
+    "ann_hamming_topk": q_ann_hamming_topk,
+    "kmeans_assign": q_kmeans_assign,
+    "label_outliers": q_label_outliers,
+    "tfidf_topk": q_tfidf_topk,
+    "pmi_bigrams": q_pmi_bigrams,
+    "inflight_concurrency": q_inflight_concurrency,
+}
+
+MLPREP_ORACLE_SQL = {
+    "embed_quantize": SQL_EMBED_QUANTIZE,
+    "ann_hamming_topk": SQL_ANN_HAMMING_TOPK,
+    "kmeans_assign": SQL_KMEANS_ASSIGN,
+    "label_outliers": SQL_LABEL_OUTLIERS,
+    "tfidf_topk": SQL_TFIDF_TOPK,
+    "pmi_bigrams": SQL_PMI_BIGRAMS,
+    "inflight_concurrency": SQL_INFLIGHT_CONCURRENCY,
+}
