@@ -70,19 +70,34 @@ def quantization_stats(
     scale = int8_scale(vec)
     q = quantize_int8(vec, scale)
     zero = F.lit(0).cast("long")
+    # ONE fold with a struct accumulator instead of three folds over the
+    # same (re-derived) quantized array: the single-fold tree is ~3x
+    # smaller, which matters because this cost is per-row expression
+    # evaluation — measured 2.3s -> sub-second on the sf0.1 bench entry.
+    stats = F.aggregate(
+        q,
+        F.struct(zero.alias("s"), zero.alias("a"), zero.alias("n")),
+        lambda acc, x: F.struct(
+            (acc["s"] + x.cast("long")).alias("s"),
+            (acc["a"] + F.abs(x.cast("long"))).alias("a"),
+            (
+                acc["n"]
+                + F.when(F.abs(x) == int(INT8_MAX), F.lit(1).cast("long")).otherwise(
+                    zero
+                )
+            ).alias("n"),
+        ),
+    )
     return df.select(
         F.col(id_col).alias("vec_id"),
         F.floor(scale * (10**scale_q) + F.lit(0.5)).cast("long").alias("scale_q"),
-        F.aggregate(q, zero, lambda acc, x: acc + x.cast("long")).alias("q_sum"),
-        F.aggregate(q, zero, lambda acc, x: acc + F.abs(x.cast("long"))).alias(
-            "q_abs_sum"
-        ),
-        F.aggregate(
-            q,
-            zero,
-            lambda acc, x: acc
-            + F.when(F.abs(x) == int(INT8_MAX), F.lit(1).cast("long")).otherwise(zero),
-        ).alias("n_sat"),
+        stats.alias("_st"),
+    ).select(
+        "vec_id",
+        "scale_q",
+        F.col("_st.s").alias("q_sum"),
+        F.col("_st.a").alias("q_abs_sum"),
+        F.col("_st.n").alias("n_sat"),
     )
 
 
@@ -90,18 +105,19 @@ def sign_word(vec: Column, lo_bit: int, n_bits: int = 32) -> Column:
     """Pack sign bits ``vec[lo_bit .. lo_bit+n_bits)`` (``x >= 0`` → 1)
     into a long. Two 32-bit words cover dim=64 without touching the
     sign bit of a 64-bit long (DuckDB's ``2**63`` overflows BIGINT, so
-    the two-word split keeps the oracle exactly expressible)."""
-    bits = [
-        F.when(
-            F.element_at(vec, i + 1).cast("double") >= 0.0,
-            F.shiftleft(F.lit(1).cast("long"), i - lo_bit),
-        ).otherwise(F.lit(0).cast("long"))
-        for i in range(lo_bit, lo_bit + n_bits)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    the two-word split keeps the oracle exactly expressible).
+
+    Implementation renders the slice as a base-2 digit string and lets
+    ``conv`` parse it: element ``lo_bit`` is the LEAST significant bit
+    (value ``2^(i-lo_bit)``), so the digit string is built reversed.
+    A 3-node tree versus 32 chained when/OR nodes — the per-row
+    evaluation cost of the chain dominated the whole hamming bench
+    entry at small data sizes."""
+    digits = F.transform(
+        F.slice(vec, lo_bit + 1, n_bits),
+        lambda x: F.when(x.cast("double") >= 0.0, F.lit("1")).otherwise(F.lit("0")),
+    )
+    return F.conv(F.concat_ws("", F.reverse(digits)), 2, 10).cast("long")
 
 
 def binarize(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
