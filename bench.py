@@ -66,6 +66,7 @@ HEADLINE = [
     "session_window",
     "embed_quantize",
     "ann_hamming_topk",
+    "kmeans_assign",
     "label_outliers",
     "tfidf_topk",
     "pmi_bigrams",

@@ -119,6 +119,26 @@ def main() -> None:
     )
     back = spark.read.parquet(out)
     print(f"shards: {back.count()} rows across 4 files at {out}")
+
+    # 9. embedding-side curation: flag within-label outliers (likely
+    # mislabeled vectors), then compact for serving — int8 quantization
+    # and sign-bit binarization (the Hamming-rankable 16-byte form)
+    from traceframe_spark.operators import vectorprep
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    outliers = vectorprep.label_outlier_scores(
+        emb, "vec_id", "embedding", "label", dim=64, bottom_k=1
+    )
+    n_out = outliers.count()
+    qstats = vectorprep.quantization_stats(emb, "vec_id", "embedding")
+    n_sat = qstats.agg(F.sum("n_sat")).first()[0]
+    ham = vectorprep.hamming_topk(
+        emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding", k=3
+    )
+    print(
+        f"embeddings: {emb.count()} vectors, {n_out} per-label outliers flagged, "
+        f"{n_sat} saturated int8 codes, hamming top-3 for 3 probes -> {ham.count()} rows"
+    )
     spark.stop()
 
 

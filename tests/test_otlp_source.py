@@ -151,6 +151,32 @@ def test_otlp_traces_table(spark, tmp_path):
     assert ok["nspans"] == 1 and ok["errspans"] == 0 and not bool(ok["iserror"])
 
 
+def test_otlp_span_stream(spark, tmp_path):
+    """The streaming reader yields the same canonical rows as the batch
+    reader over a JSONL feed directory (one export doc per line)."""
+    from traceframe_spark.sources.otlp import span_stream_from_otlp
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    with open(feed / "part-0.jsonl", "w") as f:
+        f.write(json.dumps(_export_doc()) + "\n")
+
+    stream = span_stream_from_otlp(spark, str(feed), max_files_per_trigger=1)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("otlp_stream_spans")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r["spanID"]: r for r in spark.sql("SELECT * FROM otlp_stream_spans").collect()}
+    assert set(rows) == {"aa00000000000001", "bb00000000000002", "cc00000000000003"}
+    assert rows["aa00000000000001"]["tags"]["error"] == "true"
+    assert rows["bb00000000000002"]["parent"] == "aa00000000000001"
+
+
 def test_otlp_feeds_critical_path(spark, tmp_path):
     from traceframe_spark.operators.critical_path import critical_path_segments
 

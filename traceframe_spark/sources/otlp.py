@@ -245,13 +245,10 @@ def otlp_raw_spans(raw: DataFrame) -> DataFrame:
     )
 
 
-def spans_from_otlp_file(
-    spark: SparkSession, path: str, multiline: bool = True
-) -> DataFrame:
-    """Canonical span table (SPAN_SCHEMA: 11 fixed cols + tags map) from
-    an OTLP/JSON export — the OTLP twin of ``spans_from_jaeger_file``.
-    Zero-shuffle: explode + projection only."""
-    s = otlp_raw_spans(read_raw_otlp(spark, path, multiline=multiline))
+def _canonical_spans(s: DataFrame) -> DataFrame:
+    """Flattened OTLP spans → canonical SPAN_SCHEMA projection (shared
+    by the batch file reader and the streaming reader — identical
+    semantics, and streaming-safe: stateless select only)."""
     pid = F.concat_ws(":", F.lit("otlp"), F.col("process.serviceName"))
     return s.select(
         "traceID",
@@ -272,6 +269,31 @@ def spans_from_otlp_file(
             )
         ).alias("tags"),
     )
+
+
+def spans_from_otlp_file(
+    spark: SparkSession, path: str, multiline: bool = True
+) -> DataFrame:
+    """Canonical span table (SPAN_SCHEMA: 11 fixed cols + tags map) from
+    an OTLP/JSON export — the OTLP twin of ``spans_from_jaeger_file``.
+    Zero-shuffle: explode + projection only."""
+    return _canonical_spans(otlp_raw_spans(read_raw_otlp(spark, path, multiline=multiline)))
+
+
+def span_stream_from_otlp(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 64
+) -> DataFrame:
+    """Unbounded canonical span table from a directory of OTLP/JSON-lines
+    export files (one ExportTraceServiceRequest per line — the shape a
+    collector file exporter rotates out). The flatten is stateless, so
+    every downstream streaming operator (windowed stats, open-trace
+    assembly, streaming dedup, span-store sink) composes unchanged."""
+    raw = (
+        spark.readStream.schema(OTLP_EXPORT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+    return _canonical_spans(otlp_raw_spans(raw))
 
 
 def traces_from_otlp_file(
