@@ -42,6 +42,7 @@ HEADLINE = [
     "doc_token_stats",
     "doc_stopword_ratio",
     "ann_cosine_topk",
+    "ann_cosine_blas",
     "minhash_pairs",
     "simhash_pairs",
     "ann_ivf_topk",

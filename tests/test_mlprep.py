@@ -154,3 +154,53 @@ def test_mlprep_plan_shapes(spark):
 
     plan = plan_of(qs["inflight_concurrency"](spark, SF))
     assert n_shuffles(plan) == 2  # (suppkey, day) agg + suppkey window; max reuses
+
+
+def test_cosine_topk_blas_matches_expression_form(spark):
+    """The BLAS kernel must reproduce cosine_topk byte-for-byte: same
+    quantized scores, same neighbor sets, same tie-breaks — on the real
+    sf0.001 embeddings table, not crafted vectors."""
+    from traceframe_spark.operators.similarity import cosine_topk, cosine_topk_blas
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    want = sorted(
+        (r["qid"], r["cid"], int(r["cos"]), r["rn"])
+        for r in cosine_topk(e, q, "vec_id", "embedding", k=5).collect()
+    )
+    got = sorted(
+        (r["qid"], r["cid"], int(r["cos"]), r["rn"])
+        for r in cosine_topk_blas(e, q, "vec_id", "embedding", k=5).collect()
+    )
+    assert got == want and len(got) == 50
+
+
+def test_cosine_topk_blas_partial_topk_bounds_window_input(spark):
+    """Scale pin: with many partitions, the kernel's map-side combine
+    emits at most k rows per query per batch — verified by running on a
+    deliberately over-partitioned corpus and checking the exact top-k
+    still comes out (the union-of-local-top-k property)."""
+    from traceframe_spark.operators.similarity import cosine_topk, cosine_topk_blas
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").repartition(16)
+    q = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.col("vec_id") < 3)
+    want = sorted(
+        (r["qid"], r["cid"], r["rn"])
+        for r in cosine_topk(e, q, "vec_id", "embedding", k=7).collect()
+    )
+    got = sorted(
+        (r["qid"], r["cid"], r["rn"])
+        for r in cosine_topk_blas(e, q, "vec_id", "embedding", k=7).collect()
+    )
+    assert got == want
+
+
+def test_cosine_topk_blas_empty_queries(spark):
+    from traceframe_spark.operators.similarity import cosine_topk_blas
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = cosine_topk_blas(
+        e, e.filter(F.col("vec_id") < 0), "vec_id", "embedding", k=5
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["qid", "cid", "cos", "rn"]

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from traceframe_spark.operators import vectorprep
-from traceframe_spark.plans.catalog import load_table, qint
+from traceframe_spark.plans.catalog import SQL_ANN_COSINE_TOPK, load_table, qint
 from traceframe_spark.plans.lexical import _tokens
 
 EMBED_DIM = 64
@@ -373,8 +373,24 @@ ORDER BY peak DESC, suppkey ASC LIMIT 25
 """
 
 
+def q_ann_cosine_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLAS-kernel form of ``ann_cosine_topk`` — the SAME brute-force
+    answer (same oracle SQL), produced by the 100 TB-shaped plan: one
+    float64 matrix multiply per Arrow batch plus a map-side top-k
+    combine, so the final per-query window ranks ~batches×k rows
+    instead of shuffling the full n×q pair set into q partitions. See
+    :func:`traceframe_spark.operators.similarity.cosine_topk_blas`."""
+    from traceframe_spark.operators.similarity import cosine_topk_blas
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_blas(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    )
+
+
 MLPREP_QUERIES = {
     "embed_quantize": q_embed_quantize,
+    "ann_cosine_blas": q_ann_cosine_blas,
     "ann_hamming_topk": q_ann_hamming_topk,
     "kmeans_assign": q_kmeans_assign,
     "label_outliers": q_label_outliers,
@@ -385,6 +401,7 @@ MLPREP_QUERIES = {
 
 MLPREP_ORACLE_SQL = {
     "embed_quantize": SQL_EMBED_QUANTIZE,
+    "ann_cosine_blas": SQL_ANN_COSINE_TOPK,
     "ann_hamming_topk": SQL_ANN_HAMMING_TOPK,
     "kmeans_assign": SQL_KMEANS_ASSIGN,
     "label_outliers": SQL_LABEL_OUTLIERS,
