@@ -204,3 +204,60 @@ def test_cosine_topk_blas_empty_queries(spark):
     )
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["qid", "cid", "cos", "rn"]
+
+
+def test_semdedup_pairs_hand_values(spark):
+    """Crafted clusters: two centroids at right angles; members near
+    each centroid; one near-identical pair per cluster. Hand-checkable
+    assignment, triangle convention, and threshold behavior."""
+    from traceframe_spark.operators.similarity import semdedup_pairs
+
+    rows = [
+        # centroid 0 direction ~ x-axis, centroid 1 ~ y-axis
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (10, [0.9, 0.1, 0.0]),   # cluster 0
+        (11, [0.9, 0.1001, 0.0]),  # ~identical to 10 -> dup pair
+        (20, [0.1, 0.9, 0.0]),   # cluster 1
+        (21, [-0.05, 0.8, 0.0]),  # cluster 1, far from 20 in angle? cos high actually
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    cent = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    got = {
+        (r["centroid_id"], r["id_a"], r["id_b"]): r["cos_q"]
+        for r in semdedup_pairs(
+            df, cent, "vec_id", "embedding", min_cos_q=9990
+        ).collect()
+    }
+    # only the near-identical pair clears 0.999; centroids themselves
+    # join their own cluster and pair at cos 1.0 with... no partner that close
+    assert (0, 10, 11) in got
+    assert got[(0, 10, 11)] >= 9990
+    assert all(k == (0, 10, 11) for k in got)
+
+
+def test_semdedup_blocked_stripes_match_unblocked(spark):
+    """The block-striped Gram sweep must be invisible: block=2 (many
+    stripes per cluster) and block=10^6 (one stripe) emit identical
+    pair sets on the real sf0.001 embeddings."""
+    from traceframe_spark.operators.similarity import semdedup_pairs
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    def run(block):
+        return sorted(
+            (r["centroid_id"], r["id_a"], r["id_b"], r["cos_q"])
+            for r in semdedup_pairs(
+                e, cent, "vec_id", "embedding", min_cos_q=3000, block=block
+            ).collect()
+        )
+    small, big = run(2), run(1_000_000)
+    assert small == big and len(big) > 0
+    assert all(a < b for _, a, b, _ in big)

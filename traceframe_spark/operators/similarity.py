@@ -241,6 +241,106 @@ def cosine_topk_blas(
     )
 
 
+def semdedup_pairs(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cos_q: int = 3000,
+    quantize: int = 4,
+    block: int = 1024,
+) -> DataFrame:
+    """Semantic near-duplicate pairs, SemDeDup-shaped (cluster first,
+    compare only within a cluster — Abbas et al. 2023, arXiv:2303.09540).
+
+    Two stages, one shuffle:
+
+    1. **Assign** — every vector goes to its nearest centroid by
+       quantized cosine (ties → lowest centroid id, the same argmax rule
+       as ``vectorprep.assign_centroids``), computed per Arrow batch as
+       one float64 matrix multiply against the broadcast centroid
+       matrix. No shuffle, and the vector rides along to stage 2 —
+       assigning via the expression form would either re-scan the corpus
+       or window-shuffle the full n×k score set.
+    2. **Compare** — ``applyInPandas`` per cluster builds the pairwise
+       cosine Gram in ``block``-row stripes (memory O(block × occupancy),
+       never the full occupancy² matrix at once) and emits only pairs at
+       ``cos_q >= min_cos_q`` with ``id_a < id_b``.
+
+    At 100 TB the pair cost follows cluster occupancy, never O(n²) —
+    choose k so n/k keeps occupancy² tractable (SemDeDup uses n/k on the
+    order of 10³-10⁴); a skewed cluster bounds a single task, exactly
+    like an LSH bucket. Scores are floor-quantized longs on the 10^-q
+    grid (float64 dot / norm product), so results verify against a SQL
+    oracle. Output: (centroid_id, id_a, id_b, cos_q).
+
+    Downstream, the pairs drop into the existing dedup machinery
+    (``graph.connected_components`` → keep-canonical), same as the
+    MinHash/SimHash candidate streams.
+    """
+    crows = centroids.select(
+        F.col("centroid_id").cast("long"), F.col(vec_col).cast("array<double>")
+    ).collect()  # bounded: k centroid rows, the broadcast side
+    if not crows:
+        raise ValueError("centroids must be non-empty")
+    crows.sort(key=lambda r: r[0])  # ascending id → argmax tie = lowest id
+    cids = np.array([r[0] for r in crows], dtype=np.int64)
+    cmat = np.array([r[1] for r in crows], dtype=np.float64)
+    cnrm = np.sqrt(np.einsum("ij,ij->i", cmat, cmat))
+    ascale = float(10**quantize)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            vmat = np.array(list(pdf["vec"]), dtype=np.float64)
+            vnrm = np.sqrt(np.einsum("ij,ij->i", vmat, vmat))
+            cos = (vmat @ cmat.T) / np.outer(vnrm, cnrm)
+            q = np.floor(cos * ascale + 0.5).astype(np.int64)
+            # first max along ascending-id centroid axis = lowest-id tie win
+            best = q.argmax(axis=1)
+            yield pd.DataFrame(
+                {"centroid_id": cids[best], "id": ids, "vec": pdf["vec"]}
+            )
+
+    assigned = corpus.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).mapInPandas(assign, "centroid_id bigint, id bigint, vec array<double>")
+
+    def gram(pdf):
+        import pandas as pd
+
+        out = {"centroid_id": [], "id_a": [], "id_b": [], "cos_q": []}
+        n = len(pdf)
+        if n >= 2:
+            order = np.argsort(pdf["id"].to_numpy(dtype=np.int64), kind="stable")
+            ids = pdf["id"].to_numpy(dtype=np.int64)[order]
+            vmat = np.array(list(pdf["vec"].iloc[order]), dtype=np.float64)
+            nrm = np.sqrt(np.einsum("ij,ij->i", vmat, vmat))
+            ctr = int(pdf["centroid_id"].iloc[0])
+            for lo in range(0, n, block):
+                hi = min(lo + block, n)
+                stripe = np.floor(
+                    (vmat[lo:hi] @ vmat.T) / np.outer(nrm[lo:hi], nrm) * ascale + 0.5
+                ).astype(np.int64)
+                rr, cc = np.nonzero(stripe >= min_cos_q)
+                keep = rr + lo < cc  # strict upper triangle: id_a < id_b
+                rr, cc = rr[keep], cc[keep]
+                out["centroid_id"].extend([ctr] * len(rr))
+                out["id_a"].extend(ids[rr + lo])
+                out["id_b"].extend(ids[cc])
+                out["cos_q"].extend(stripe[rr, cc])
+        return pd.DataFrame(out, dtype=np.int64)
+
+    return assigned.groupBy("centroid_id").applyInPandas(
+        gram, "centroid_id bigint, id_a bigint, id_b bigint, cos_q bigint"
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()

@@ -388,11 +388,82 @@ def q_ann_cosine_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup summary: cluster to the 8 shared
+    deterministic centroids, score pairwise cosine WITHIN clusters only
+    (the SemDeDup cost bound: occupancy², never n²), and reduce the
+    qualifying pairs (cos >= 0.30) to per-cluster pair/duplicate counts.
+    The oracle recomputes assignment + within-cluster pairs in SQL, so
+    the whole route — argmax rule, triangle convention, quantized
+    scores — is value-verified, not just row-counted."""
+    from traceframe_spark.operators.similarity import semdedup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    pairs = semdedup_pairs(e, centroids, "vec_id", "embedding", min_cos_q=3000)
+    return (
+        pairs.groupBy("centroid_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.countDistinct("id_b").cast("long").alias("n_dups"),
+            F.sum("cos_q").cast("long").alias("sum_cos_q"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH cent AS (
+    SELECT vec_id AS centroid_id, embedding AS cvec,
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cnrm
+    FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+    SELECT e.vec_id, c.centroid_id,
+           CAST(floor(
+               list_sum(list_transform(generate_series(1, 64),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * c.cnrm)
+               * 10000 + 0.5) AS BIGINT) AS cos_q
+    FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+    SELECT vec_id, centroid_id
+    FROM (SELECT vec_id, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos_q DESC, centroid_id ASC) AS rn
+          FROM scored)
+    WHERE rn = 1
+),
+pairs AS (
+    SELECT a.centroid_id, a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(floor(
+               list_sum(list_transform(generate_series(1, 64),
+                   i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               * 10000 + 0.5) AS BIGINT) AS cos_q
+    FROM assigned a
+    JOIN assigned b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+)
+SELECT centroid_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT id_b) AS BIGINT) AS n_dups,
+       CAST(sum(cos_q) AS BIGINT) AS sum_cos_q
+FROM pairs WHERE cos_q >= 3000
+GROUP BY centroid_id ORDER BY centroid_id
+"""
+
+
 MLPREP_QUERIES = {
     "embed_quantize": q_embed_quantize,
     "ann_cosine_blas": q_ann_cosine_blas,
     "ann_hamming_topk": q_ann_hamming_topk,
     "kmeans_assign": q_kmeans_assign,
+    "semantic_dedup": q_semantic_dedup,
     "label_outliers": q_label_outliers,
     "tfidf_topk": q_tfidf_topk,
     "pmi_bigrams": q_pmi_bigrams,
@@ -404,6 +475,7 @@ MLPREP_ORACLE_SQL = {
     "ann_cosine_blas": SQL_ANN_COSINE_TOPK,
     "ann_hamming_topk": SQL_ANN_HAMMING_TOPK,
     "kmeans_assign": SQL_KMEANS_ASSIGN,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "label_outliers": SQL_LABEL_OUTLIERS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "pmi_bigrams": SQL_PMI_BIGRAMS,
