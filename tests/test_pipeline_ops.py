@@ -882,3 +882,98 @@ def test_lsh_dim_mismatch_raises(spark, embeddings):
     with _pytest.raises(Exception) as exc:
         bad.collect()
     assert "does not match configured dim=32" in str(exc.value)
+
+
+def test_wav_codec_roundtrip():
+    import numpy as np
+
+    from traceframe_spark.operators.multimodal import decode_wav, encode_wav
+
+    mono = np.array([0, 100, -100, 32767, -32768, 3], dtype=np.int16)
+    rate, got = decode_wav(encode_wav(mono, rate=16000))
+    assert rate == 16000 and got.shape == (6, 1)
+    assert (got[:, 0] == mono).all()
+
+    stereo = np.array([[1, -1], [200, -200], [0, 7]], dtype=np.int16)
+    rate, got = decode_wav(encode_wav(stereo, rate=44100))
+    assert rate == 44100 and got.shape == (3, 2)
+    assert (got == stereo).all()
+
+
+def test_wav_decoder_walks_unknown_chunks():
+    """A LIST/INFO metadata chunk (odd-sized, to exercise the RIFF
+    word-alignment pad byte) between fmt and data must be skipped, not
+    break the decode."""
+    import struct
+
+    import numpy as np
+
+    from traceframe_spark.operators.multimodal import decode_wav, encode_wav
+
+    s = np.array([5, -5, 9], dtype=np.int16)
+    payload = encode_wav(s, rate=8000)
+    # splice an odd-length LIST chunk right after the fmt chunk
+    fmt_end = payload.index(b"data")
+    info = b"INFOx"  # 5 bytes -> needs a pad byte
+    chunk = b"LIST" + struct.pack("<I", len(info)) + info + b"\x00"
+    spliced = payload[:fmt_end] + chunk + payload[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    rate, got = decode_wav(spliced)
+    assert rate == 8000 and (got[:, 0] == s).all()
+
+
+def test_wav_decoder_rejects_non_pcm():
+    import struct
+
+    import numpy as np
+
+    import pytest
+
+    from traceframe_spark.operators.multimodal import decode_wav, encode_wav
+
+    payload = bytearray(encode_wav(np.array([1, 2], dtype=np.int16)))
+    fmt_at = payload.index(b"fmt ") + 8
+    struct.pack_into("<H", payload, fmt_at, 3)  # IEEE float format code
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(payload))
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxAVI ")
+
+
+def test_audio_meta_zero_crossings_hand_values(spark):
+    """ZCR with zero-carry semantics: [1, 0, -1, 2, 2, -3] has sign
+    runs +,+(carried),-,+,+,- -> 3 crossings; zeros never count as
+    crossings themselves."""
+    import numpy as np
+
+    from traceframe_spark.operators import multimodal
+
+    payload = multimodal.encode_wav(
+        np.array([1, 0, -1, 2, 2, -3], dtype=np.int16), rate=8000
+    )
+    media = spark.createDataFrame(
+        [(1, "audio/wav", bytearray(payload), {})], multimodal.MEDIA_SCHEMA
+    )
+    row = multimodal.decode_audio_meta(media).collect()[0]
+    assert row["n_frames"] == 6
+    assert row["sample_sum"] == 1
+    assert row["abs_sum"] == 9
+    assert row["zero_crossings"] == 3
+    assert row["rate"] == 8000 and row["channels"] == 1
+
+
+def test_synthesized_wav_decodes_distributed(spark, docs):
+    from traceframe_spark.operators import multimodal
+
+    media = multimodal.synthesize_wav_media(docs.filter(F.col("doc_id") < 40), "doc_id")
+    meta = multimodal.decode_audio_meta(media)
+    rows = {r["media_id"]: r for r in meta.collect()}
+    assert len(rows) == 40
+    # closed form: doc 7 -> 17 frames, frame j = (7*37 + 11j) % 4096 - 2048
+    import numpy as np
+
+    j = np.arange(17, dtype=np.int64)
+    want = (7 * 37 + 11 * j) % 4096 - 2048
+    assert rows[7]["n_frames"] == 17
+    assert rows[7]["sample_sum"] == int(want.sum())
+    assert rows[7]["abs_sum"] == int(np.abs(want).sum())

@@ -729,7 +729,56 @@ FROM px GROUP BY doc_id, width, height
 """
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode with a full value oracle: deterministic PCM
+    WAVs (closed-form frames, see ``synthesize_wav_media``) round-trip
+    through the stdlib RIFF/WAVE encoder+decoder, and the decoded
+    frame count / sample sums / zero-crossing rate are recomputed
+    exactly by the DuckDB oracle — the audio twin of
+    ``media_features``."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = multimodal.synthesize_wav_media(d, "doc_id")
+    return multimodal.decode_audio_meta(media)
+
+
+SQL_AUDIO_FEATURES = """
+WITH d AS (
+    SELECT doc_id, doc_id % 50 + 10 AS n FROM documents WHERE doc_id < 200
+),
+v AS (
+    SELECT doc_id, j, (doc_id * 37 + j * 11) % 4096 - 2048 AS val
+    FROM (SELECT doc_id, unnest(generate_series(0, n - 1)) AS j FROM d)
+),
+agg AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(val) AS BIGINT) AS sample_sum,
+           CAST(sum(abs(val)) AS BIGINT) AS abs_sum
+    FROM v GROUP BY doc_id
+),
+zc AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN prev IS NOT NULL AND sgn * prev < 0 THEN 1 ELSE 0 END) AS BIGINT) AS z
+    FROM (
+        SELECT doc_id,
+               CASE WHEN val > 0 THEN 1 ELSE -1 END AS sgn,
+               lag(CASE WHEN val > 0 THEN 1 ELSE -1 END)
+                   OVER (PARTITION BY doc_id ORDER BY j) AS prev
+        FROM v WHERE val <> 0
+    )
+    GROUP BY doc_id
+)
+SELECT a.doc_id AS media_id,
+       CAST(8000 AS BIGINT) AS rate,
+       CAST(1 AS BIGINT) AS channels,
+       a.n_frames, a.sample_sum, a.abs_sum,
+       CAST(COALESCE(z.z, 0) AS BIGINT) AS zero_crossings
+FROM agg a LEFT JOIN zc z USING (doc_id)
+"""
+
+
 PIPELINE_QUERIES = {
+    "audio_features": q_audio_features,
     "ngram_jaccard": q_ngram_jaccard,
     "dup_windows": q_dup_windows,
     "doc_bigram_logprob": q_doc_bigram_logprob,
@@ -777,4 +826,5 @@ PIPELINE_ORACLE_SQL = {
     # real PNG decode: closed-form pixels make the decoded stats exactly
     # SQL-computable — media decode leaves the rows-only list
     "media_features": SQL_MEDIA_FEATURES,
+    "audio_features": SQL_AUDIO_FEATURES,
 }
