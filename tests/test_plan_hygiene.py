@@ -135,3 +135,37 @@ def test_bm25_plan_shape(spark):
     assert n_shuffles(plan) == 0, plan
     assert "BroadcastExchange" in plan
     assert "TakeOrderedAndProject" in plan
+
+def test_mlprep_plan_shapes(spark):
+    """ML-prep positive pins matching the suite's scale claims:
+
+    - embed_quantize is a pure scan→project (zero exchanges — every
+      per-vector statistic folds in one pass);
+    - inflight_concurrency carries exactly TWO exchanges at any scale
+      (per-day delta agg, then the supplier window whose partitioning
+      the final max reuses);
+    - semantic_dedup shuffles ONCE (the cluster groupBy): assignment is
+      a mapInPandas scan, and the pair stage reuses the cluster
+      partitioning for its aggregate... the per-centroid agg rides the
+      same hash key, so two exchanges total including the tiny final
+      sort is the ceiling;
+    - ann_cosine_blas's ranking window receives the kernel's partial
+      top-k output, not a full n×q pair set — the plan has no join at
+      all (query side lives in the task closure), one exchange for the
+      qid window.
+    """
+    from tools.plan_audit import n_shuffles, plan_of
+
+    plan = plan_of(QUERIES["embed_quantize"](spark, SF))
+    assert "Exchange" not in plan, plan
+
+    plan = plan_of(QUERIES["inflight_concurrency"](spark, SF))
+    assert n_shuffles(plan) == 2, plan
+
+    plan = plan_of(QUERIES["semantic_dedup"](spark, SF))
+    assert n_shuffles(plan) <= 3, plan  # cluster groupBy + agg + orderBy
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+    plan = plan_of(QUERIES["ann_cosine_blas"](spark, SF))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert n_shuffles(plan) == 1, plan
