@@ -68,6 +68,7 @@ HEADLINE = [
     "embed_quantize",
     "ann_hamming_topk",
     "kmeans_assign",
+    "kmeans_fit",
     "semantic_dedup",
     "label_outliers",
     "tfidf_topk",

@@ -261,3 +261,76 @@ def test_semdedup_blocked_stripes_match_unblocked(spark):
     small, big = run(2), run(1_000_000)
     assert small == big and len(big) > 0
     assert all(a < b for _, a, b, _ in big)
+
+
+def test_kmeans_fit_hand_lloyd_step(spark):
+    """One Lloyd step on a hand-checkable configuration: two init
+    centroids on the axes, members hugging a diagonal near each; after
+    the mean update, each trained centroid moves to its members' mean
+    and the re-assignment keeps the clusters (quantized cosine mass
+    must strictly improve vs the init assignment)."""
+    from traceframe_spark.operators import vectorprep
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (10, [0.9, 0.3, 0.0]),
+        (11, [0.8, 0.2, 0.0]),
+        (20, [0.3, 0.9, 0.0]),
+        (21, [0.2, 0.8, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    init = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned, cents = vectorprep.kmeans_fit(
+        df, init, "vec_id", "embedding", dim=3, n_iter=1
+    )
+    got = {r["vec_id"]: r for r in assigned.collect()}
+    assert {i for i, r in got.items() if r["centroid_id"] == 0} == {0, 10, 11}
+    assert {i for i, r in got.items() if r["centroid_id"] == 1} == {1, 20, 21}
+    cent0 = dict(cents)[0]
+    # mean of [1,.9,.8], [0,.3,.2], zeros — on the 1e-6 grid
+    assert abs(cent0[0] - 0.9) < 1e-6 and abs(cent0[1] - 1 / 6) < 1e-6
+    # trained centroids sit closer to their members than the init axes
+    init_assigned = vectorprep.assign_centroids(
+        df, init, "vec_id", "embedding", quantize=4
+    )
+    before = sum(r["cos_q"] for r in init_assigned.collect())
+    after = sum(r["cos_q"] for r in got.values())
+    assert after > before
+
+
+def test_kmeans_fit_empty_cluster_keeps_centroid(spark):
+    """A centroid that attracts no members must survive the update
+    unchanged (deterministic carry-over, not a crash or a drop)."""
+    from traceframe_spark.operators import vectorprep
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [-1.0, 0.001]),  # nothing will assign here
+        (10, [1.0, 0.1]),
+        (11, [1.0, -0.1]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    init = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    corpus = df.filter(F.col("vec_id") >= 10).union(
+        df.filter(F.col("vec_id") == 0)
+    )
+    assigned, cents = vectorprep.kmeans_fit(
+        corpus, init, "vec_id", "embedding", dim=2, n_iter=2
+    )
+    trained = dict(cents)
+    import numpy as np
+
+    # carried over bit-identical (as the float32->double cast of the init)
+    assert trained[1] == [-1.0, float(np.float32(0.001))]
+    assert all(r["centroid_id"] == 0 for r in assigned.collect())

@@ -241,6 +241,83 @@ def cosine_topk_blas(
     )
 
 
+def nearest_centroid_scan(
+    df: DataFrame,
+    cids: "np.ndarray",
+    cmat: "np.ndarray",
+    id_col: str,
+    vec_col: str,
+    quantize: int = 4,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Nearest-centroid assignment as ONE ``mapInPandas`` scan: the
+    centroid matrix rides in the task closure, each Arrow batch scores
+    all k centroids with a single float64 matrix multiply, and the
+    argmax applies the engine's shared rule (quantized cosine desc,
+    ties → lowest centroid id; ``cids`` MUST be sorted ascending so
+    numpy's first-max argmax lands on the lowest id).
+
+    The kernel counterpart of :func:`vectorprep.assign_centroids`
+    (same rule, same ``cos_q`` grid): where the expression form window-
+    shuffles the full n×k score set, this assigns in place with no
+    shuffle — the building block for SemDeDup clustering and Lloyd
+    iterations, where the vector must ride along to the next stage
+    (``keep_vec=True``). Output (centroid_id, vec_id, cos_q[, vec]).
+    """
+    if not (np.diff(cids) > 0).all():
+        raise ValueError("cids must be strictly ascending")
+    cnrm = np.sqrt(np.einsum("ij,ij->i", cmat, cmat))
+    scale = float(10**quantize)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            vmat = np.array(list(pdf["vec"]), dtype=np.float64)
+            vnrm = np.sqrt(np.einsum("ij,ij->i", vmat, vmat))
+            q = np.floor(
+                (vmat @ cmat.T) / np.outer(vnrm, cnrm) * scale + 0.5
+            ).astype(np.int64)
+            best = q.argmax(axis=1)  # first max = lowest centroid id
+            out = {
+                "centroid_id": cids[best],
+                "vec_id": ids,
+                "cos_q": q[np.arange(len(ids)), best],
+            }
+            if keep_vec:
+                out["vec"] = pdf["vec"]
+            yield pd.DataFrame(out)
+
+    schema = "centroid_id bigint, vec_id bigint, cos_q bigint"
+    if keep_vec:
+        schema += ", vec array<double>"
+    return df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).mapInPandas(run, schema)
+
+
+def collect_centroids(
+    centroids: DataFrame, id_col: str, vec_col: str
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """Collect a (small) centroid DataFrame to the sorted (cids, cmat)
+    numpy pair :func:`nearest_centroid_scan` expects — the bounded
+    broadcast side, k rows."""
+    rows = centroids.select(
+        F.col(id_col).cast("long"), F.col(vec_col).cast("array<double>")
+    ).collect()  # bounded: k centroid rows
+    if not rows:
+        raise ValueError("centroids must be non-empty")
+    rows.sort(key=lambda r: r[0])
+    return (
+        np.array([r[0] for r in rows], dtype=np.int64),
+        np.array([r[1] for r in rows], dtype=np.float64),
+    )
+
+
 def semdedup_pairs(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -278,38 +355,11 @@ def semdedup_pairs(
     (``graph.connected_components`` → keep-canonical), same as the
     MinHash/SimHash candidate streams.
     """
-    crows = centroids.select(
-        F.col("centroid_id").cast("long"), F.col(vec_col).cast("array<double>")
-    ).collect()  # bounded: k centroid rows, the broadcast side
-    if not crows:
-        raise ValueError("centroids must be non-empty")
-    crows.sort(key=lambda r: r[0])  # ascending id → argmax tie = lowest id
-    cids = np.array([r[0] for r in crows], dtype=np.int64)
-    cmat = np.array([r[1] for r in crows], dtype=np.float64)
-    cnrm = np.sqrt(np.einsum("ij,ij->i", cmat, cmat))
+    cids, cmat = collect_centroids(centroids, "centroid_id", vec_col)
     ascale = float(10**quantize)
-
-    def assign(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf["id"].to_numpy(dtype=np.int64)
-            vmat = np.array(list(pdf["vec"]), dtype=np.float64)
-            vnrm = np.sqrt(np.einsum("ij,ij->i", vmat, vmat))
-            cos = (vmat @ cmat.T) / np.outer(vnrm, cnrm)
-            q = np.floor(cos * ascale + 0.5).astype(np.int64)
-            # first max along ascending-id centroid axis = lowest-id tie win
-            best = q.argmax(axis=1)
-            yield pd.DataFrame(
-                {"centroid_id": cids[best], "id": ids, "vec": pdf["vec"]}
-            )
-
-    assigned = corpus.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
-    ).mapInPandas(assign, "centroid_id bigint, id bigint, vec array<double>")
+    assigned = nearest_centroid_scan(
+        corpus, cids, cmat, id_col, vec_col, quantize=quantize, keep_vec=True
+    ).select("centroid_id", F.col("vec_id").alias("id"), "vec")
 
     def gram(pdf):
         import pandas as pd

@@ -196,6 +196,79 @@ def assign_centroids(
     )
 
 
+def kmeans_fit(
+    df: DataFrame,
+    init_centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_iter: int = 1,
+    quantize: int = 4,
+    centroid_quantize: int = 6,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Distributed Lloyd iterations (spherical k-means): repeat
+    {assign to nearest centroid by cosine, recompute centroids as
+    per-component means}, then return the assignment against the final
+    trained centroids plus the centroids themselves.
+
+    Deterministic by construction, so the WHOLE training loop verifies
+    against a SQL oracle: the caller fixes ``init_centroids``,
+    assignment uses the engine's shared argmax rule (cosine floored at
+    10^-quantize, ties → lowest centroid id), and each updated centroid
+    lands on the 10^-centroid_quantize grid (a raw double mean depends
+    on summation order; the grid makes Spark and any other engine agree
+    component-for-component). An empty cluster keeps its previous
+    centroid — never dropped, never re-seeded from data order.
+
+    Scale shape, per iteration: ONE ``mapInPandas`` assignment scan
+    (centroid matrix in the task closure — no shuffle, see
+    :func:`similarity.nearest_centroid_scan`) + one partial-aggregated
+    groupBy whose reduce side is k rows of ``dim`` stacked means.
+    Centroids (k × dim doubles) round-trip through the driver between
+    iterations, exactly like Spark MLlib's KMeans — that is the
+    O(k·dim) part, not a data-sized collect. The input is scanned
+    ``n_iter + 1`` times; persist it first when iterating deeply.
+
+    Returns ``(assignment, centroids)``: assignment is (centroid_id,
+    vec_id, cos_q) vs the trained centroids; centroids is the sorted
+    [(centroid_id, [component, ...]), ...] list.
+    """
+    from traceframe_spark.operators.similarity import (
+        collect_centroids,
+        nearest_centroid_scan,
+    )
+
+    cids, cmat = collect_centroids(init_centroids, "centroid_id", vec_col)
+    cgrid = 10**centroid_quantize
+    for _ in range(n_iter):
+        assigned = nearest_centroid_scan(
+            df, cids, cmat, id_col, vec_col, quantize=quantize, keep_vec=True
+        )
+        comps = [
+            (
+                F.floor(
+                    F.avg(F.get(F.col("vec"), i)) * cgrid + F.lit(0.5)
+                ).cast("double")
+                / cgrid
+            ).alias(f"c{i}")
+            for i in range(dim)
+        ]
+        means = {
+            int(r["centroid_id"]): [r[f"c{i}"] for i in range(dim)]
+            for r in assigned.groupBy("centroid_id").agg(*comps).collect()
+        }  # bounded: k rows
+        import numpy as np
+
+        cmat = np.array(
+            [means.get(int(c), cmat[j].tolist()) for j, c in enumerate(cids)],
+            dtype=np.float64,
+        )
+    final = nearest_centroid_scan(
+        df, cids, cmat, id_col, vec_col, quantize=quantize, keep_vec=False
+    )
+    return final, [(int(c), cmat[j].tolist()) for j, c in enumerate(cids)]
+
+
 def label_centroids(
     df: DataFrame, label_col: str, vec_col: str, dim: int, quantize: int = 6
 ) -> DataFrame:

@@ -388,6 +388,92 @@ def q_ann_cosine_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full distributed Lloyd iteration, value-verified end-to-end:
+    assign to the 8 shared init centroids, recompute per-component mean
+    centroids on the 10^-6 grid, re-assign against the TRAINED
+    centroids, and reduce to per-centroid population + cosine mass. The
+    oracle replays the identical training step in SQL — assignment
+    argmax, grid-quantized means, empty-cluster carry-over — so this
+    pins the iterative algorithm itself, not just one assignment."""
+    e = load_table(spark, sf_dir, "embeddings")
+    init = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned, _ = vectorprep.kmeans_fit(
+        e, init, "vec_id", "embedding", dim=EMBED_DIM, n_iter=1
+    )
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(
+            F.count("*").cast("long").alias("n_assigned"),
+            F.sum("cos_q").cast("long").alias("sum_cos_q"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+SQL_KMEANS_FIT = """
+WITH cent0 AS (
+    SELECT vec_id AS centroid_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+    FROM embeddings WHERE vec_id < 8
+),
+s0 AS (
+    SELECT e.vec_id, c.centroid_id,
+           CAST(floor(
+               list_sum(list_transform(generate_series(1, 64),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i]))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.cvec, x -> x * x))))
+               * 10000 + 0.5) AS BIGINT) AS cos_q
+    FROM embeddings e CROSS JOIN cent0 c
+),
+a0 AS (
+    SELECT vec_id, centroid_id
+    FROM (SELECT vec_id, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos_q DESC, centroid_id ASC) AS rn
+          FROM s0)
+    WHERE rn = 1
+),
+m AS (
+    SELECT centroid_id, i,
+           CAST(floor(avg(CAST(x AS DOUBLE)) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS c
+    FROM (SELECT a0.centroid_id, unnest(e.embedding) AS x,
+                 unnest(generate_series(1, 64)) AS i
+          FROM a0 JOIN embeddings e ON e.vec_id = a0.vec_id)
+    GROUP BY centroid_id, i
+),
+cent1 AS (
+    SELECT c0.centroid_id, COALESCE(mm.centroid, c0.cvec) AS cvec
+    FROM cent0 c0
+    LEFT JOIN (SELECT centroid_id, list(c ORDER BY i) AS centroid
+               FROM m GROUP BY centroid_id) mm USING (centroid_id)
+),
+s1 AS (
+    SELECT e.vec_id, c.centroid_id,
+           CAST(floor(
+               list_sum(list_transform(generate_series(1, 64),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i]))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.cvec, x -> x * x))))
+               * 10000 + 0.5) AS BIGINT) AS cos_q
+    FROM embeddings e CROSS JOIN cent1 c
+),
+a1 AS (
+    SELECT vec_id, centroid_id, cos_q
+    FROM (SELECT vec_id, centroid_id, cos_q,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos_q DESC, centroid_id ASC) AS rn
+          FROM s1)
+    WHERE rn = 1
+)
+SELECT centroid_id,
+       CAST(count(*) AS BIGINT) AS n_assigned,
+       CAST(sum(cos_q) AS BIGINT) AS sum_cos_q
+FROM a1 GROUP BY centroid_id ORDER BY centroid_id
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup summary: cluster to the 8 shared
     deterministic centroids, score pairwise cosine WITHIN clusters only
@@ -463,6 +549,7 @@ MLPREP_QUERIES = {
     "ann_cosine_blas": q_ann_cosine_blas,
     "ann_hamming_topk": q_ann_hamming_topk,
     "kmeans_assign": q_kmeans_assign,
+    "kmeans_fit": q_kmeans_fit,
     "semantic_dedup": q_semantic_dedup,
     "label_outliers": q_label_outliers,
     "tfidf_topk": q_tfidf_topk,
@@ -475,6 +562,7 @@ MLPREP_ORACLE_SQL = {
     "ann_cosine_blas": SQL_ANN_COSINE_TOPK,
     "ann_hamming_topk": SQL_ANN_HAMMING_TOPK,
     "kmeans_assign": SQL_KMEANS_ASSIGN,
+    "kmeans_fit": SQL_KMEANS_FIT,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "label_outliers": SQL_LABEL_OUTLIERS,
     "tfidf_topk": SQL_TFIDF_TOPK,
