@@ -93,3 +93,35 @@ def test_connected_components_empty_and_single_edge(spark):
     # self-loops are dropped, not clustered
     loops = spark.createDataFrame([(7, 7)], "id_a: long, id_b: long")
     assert connected_components(loops).count() == 0
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    """On a directed 3-cycle every node's rank is exactly 1/3 at every
+    iteration (teleport + full in-mass balance)."""
+    from traceframe_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(e, n_iter=3).collect()}
+    assert all(abs(v - 1 / 3) < 1e-12 for v in got.values())
+
+
+def test_pagerank_star_and_dangling_hand_values(spark):
+    """Hub-and-spoke with a dangling sink: 1->2, 1->3, 2->1, 3->sink 4.
+    One iteration from uniform r=1/4, d=0.85:
+      contribs: node1 <- 1/4 (from 2); node2 <- 1/8; node3 <- 1/8;
+                node4 <- 1/4 (from 3); dangling mass = 1/4 (node 4).
+      rank(n) = 0.15/4 + 0.85*(in + (1/4)/4)
+    """
+    from traceframe_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 1), (3, 4)], "src long, dst long"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(e, n_iter=1).collect()}
+    base = 0.15 / 4 + 0.85 * (0.25 / 4)
+    assert abs(got[1] - (base + 0.85 * 0.25)) < 1e-12
+    assert abs(got[2] - (base + 0.85 * 0.125)) < 1e-12
+    assert abs(got[3] - (base + 0.85 * 0.125)) < 1e-12
+    assert abs(got[4] - (base + 0.85 * 0.25)) < 1e-12
+    # total mass is conserved (sums to 1 with dangling redistribution)
+    assert abs(sum(got.values()) - 1.0) < 1e-12

@@ -117,3 +117,80 @@ def keep_canonical(
     the duplicate set is small relative to the corpus."""
     drop = components.filter(F.col("id") != F.col("component")).select("id")
     return df.join(drop, df[id_col] == drop["id"], "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Distributed PageRank with a FIXED iteration count — the
+    link-graph quality prior used to weight web-crawl training data
+    (the original CommonCrawl-style curation signal).
+
+    Each iteration is the standard two-shuffle shape: join ranks onto
+    edges by source (contribution = rank / out_degree), then sum
+    contributions per destination; nodes with no in-links keep the
+    teleport term. Dangling mass (rank parked on nodes without
+    out-links) is redistributed uniformly through a one-row aggregate
+    that joins back as a broadcast — no driver collect inside the loop,
+    every scalar stays in the plan. ``localCheckpoint`` truncates
+    lineage per iteration, same as :func:`connected_components`.
+
+    A fixed ``n_iter`` (vs convergence polling) keeps the whole
+    computation a deterministic function of the edge set, so results
+    verify against an unrolled SQL oracle. Returns (node, rank) with
+    raw double ranks summing to ~1; quantize before comparing engines.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    ).localCheckpoint(eager=False)
+    n_nodes = nodes.agg(F.count("*").cast("double").alias("n"))  # one row
+    out_deg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(n_iter):
+        with_deg = ranks.join(out_deg, ranks["node"] == out_deg["src"], "left")
+        # mass sitting on dangling nodes (no out-edges) this iteration
+        dangling = with_deg.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("deg").isNull(), F.col("rank"))), F.lit(0.0)
+            ).alias("dangling")
+        )  # one row
+        contribs = (
+            e.join(
+                ranks.join(out_deg, ranks["node"] == out_deg["src"]).select(
+                    F.col("node").alias("c_src"),
+                    (F.col("rank") / F.col("deg")).alias("contrib"),
+                ),
+                F.col("src") == F.col("c_src"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping
+                    * (
+                        F.coalesce(F.col("in_mass"), F.lit(0.0))
+                        + F.col("dangling") / F.col("n")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

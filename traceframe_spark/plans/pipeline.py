@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from traceframe_spark.operators import dedup, graph, multimodal, similarity, text
 from traceframe_spark.plans.catalog import SQL_ANN_COSINE_TOPK, load_table, qint
@@ -777,8 +778,96 @@ FROM agg a LEFT JOIN zc z USING (doc_id)
 """
 
 
+def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank quality prior over a deterministic document link graph
+    (each doc links to 3 hash-derived neighbors — the traceops-style
+    shared synthetic input), 3 full distributed iterations, top-20 by
+    quantized rank. Verifies the iterative rank computation itself —
+    teleport term, out-degree normalization, dangling-mass
+    redistribution — against a fully unrolled SQL oracle."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = d.agg(F.count("*").alias("n_docs"))  # one row, broadcasts
+    edges = (
+        d.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    *[
+                        (F.col("doc_id") * 31 + j * 97) % F.col("n_docs")
+                        for j in (1, 2, 3)
+                    ]
+                )
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    ranks = graph.pagerank(edges, n_iter=3, damping=0.85)
+    w = Window.orderBy(F.col("rank_q").desc(), F.col("doc_id").asc())
+    return (
+        ranks.select(
+            F.col("node").alias("doc_id"), qint(F.col("rank") * 1e9, 0).alias("rank_q")
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 20)
+    )
+
+
+def _sql_pagerank_iter(prev: str, cur: str) -> str:
+    """One unrolled PageRank iteration as SQL CTEs (teleport +
+    damped in-mass + uniform dangling redistribution), mirroring
+    ``graph.pagerank`` exactly."""
+    return f"""
+dang_{cur} AS (
+    SELECT COALESCE(sum(r.rank), 0) AS dang
+    FROM {prev} r LEFT JOIN deg d ON d.src = r.node
+    WHERE d.src IS NULL
+),
+{cur} AS (
+    SELECT nodes.node,
+           0.15 / (SELECT n FROM nn)
+           + 0.85 * (COALESCE(m.mass, 0) + (SELECT dang FROM dang_{cur}) / (SELECT n FROM nn)) AS rank
+    FROM nodes LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / d.deg) AS mass
+        FROM e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.src = e.src
+        GROUP BY e.dst) m USING (node)
+)"""
+
+
+SQL_DOC_PAGERANK = f"""
+WITH e AS (
+    SELECT src, dst FROM (
+        SELECT d.doc_id AS src,
+               (d.doc_id * 31 + j.j * 97) % (SELECT count(*) FROM documents) AS dst
+        FROM documents d
+        CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS j) j
+    ) WHERE src <> dst
+),
+nodes AS (
+    SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+    )
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+{_sql_pagerank_iter("r0", "r1")},
+{_sql_pagerank_iter("r1", "r2")},
+{_sql_pagerank_iter("r2", "r3")}
+SELECT doc_id, rank_q, rn FROM (
+    SELECT node AS doc_id,
+           CAST(floor(rank * 1000000000 + 0.5) AS BIGINT) AS rank_q,
+           CAST(row_number() OVER (
+               ORDER BY CAST(floor(rank * 1000000000 + 0.5) AS BIGINT) DESC, node ASC
+           ) AS BIGINT) AS rn
+    FROM r3
+) WHERE rn <= 20
+"""
+
+
 PIPELINE_QUERIES = {
     "audio_features": q_audio_features,
+    "doc_pagerank": q_doc_pagerank,
     "ngram_jaccard": q_ngram_jaccard,
     "dup_windows": q_dup_windows,
     "doc_bigram_logprob": q_doc_bigram_logprob,
@@ -827,4 +916,5 @@ PIPELINE_ORACLE_SQL = {
     # SQL-computable — media decode leaves the rows-only list
     "media_features": SQL_MEDIA_FEATURES,
     "audio_features": SQL_AUDIO_FEATURES,
+    "doc_pagerank": SQL_DOC_PAGERANK,
 }
