@@ -374,6 +374,147 @@ FROM (
 """
 
 
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with unmatched rows on BOTH sides: per-customer
+    spend on urgent orders vs. the negative-balance customer roster.
+    Customers with no urgent orders and urgent buyers in good standing
+    both survive with NULLs; keys coalesce into one column. Plan: one
+    shuffle per side on custkey, sort-merge full-outer — the shape AQE
+    cannot broadcast (full outer preserves both sides), so this is the
+    honest large-large join case at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(qint(F.sum("o_totalprice"), 2).alias("urgent_spend_c"))
+    )
+    debtors = c.filter(F.col("c_acctbal") < 0).select(
+        "c_custkey", qint(F.col("c_acctbal"), 2).alias("acctbal_c")
+    )
+    joined = urgent.join(debtors, urgent.o_custkey == debtors.c_custkey, "full_outer")
+    return joined.select(
+        F.coalesce("o_custkey", "c_custkey").alias("custkey"),
+        "urgent_spend_c",
+        "acctbal_c",
+    )
+
+
+SQL_FULL_OUTER_JOIN = """
+SELECT coalesce(u.o_custkey, d.c_custkey) AS custkey, u.urgent_spend_c, d.acctbal_c
+FROM (
+    SELECT o_custkey, CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS urgent_spend_c
+    FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+) u
+FULL OUTER JOIN (
+    SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c
+    FROM customer WHERE c_acctbal < 0
+) d ON u.o_custkey = d.c_custkey
+"""
+
+
+def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) spend quartiles within each order priority, then one
+    row per (priority, quartile) with count and total. Ties broken by
+    orderkey so both engines assign identical bucket membership (NTILE
+    is order-dependent, not value-dependent). Two shuffles: the window
+    partition and the 20-row reaggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = qint(F.col("o_totalprice"), 2)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        cents.asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            cents.alias("price_c"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(F.count("*").alias("n"), F.sum("price_c").alias("total_c"))
+    )
+
+
+SQL_NTILE_BUCKETS = """
+SELECT o_orderpriority, quartile, count(*) AS n, CAST(sum(price_c) AS BIGINT) AS total_c
+FROM (
+    SELECT o_orderpriority,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+           ntile(4) OVER (PARTITION BY o_orderpriority
+                          ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ASC,
+                                   o_orderkey ASC) AS quartile
+    FROM orders
+) GROUP BY o_orderpriority, quartile
+"""
+
+
+def q_first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over the full-partition
+    frame (UNBOUNDED PRECEDING .. UNBOUNDED FOLLOWING): each customer's
+    first, latest, and second order key by date. The explicit frame
+    matters — last_value under the default frame is the running current
+    row, a classic silent-wrong-answer; pinning the frame keeps both
+    engines on the whole-partition semantics. One window shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first_value("o_orderkey").over(w).alias("first_key"),
+        F.last_value("o_orderkey").over(w).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
+
+
+SQL_FIRST_LAST_WINDOW = """
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w AS first_key,
+       last_value(o_orderkey) OVER w AS last_key,
+       nth_value(o_orderkey, 2) OVER w AS second_key
+FROM orders WHERE o_custkey < 300
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: for every order, how many orders (and
+    how much spend) the same customer placed in the trailing 30 days —
+    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW over epoch-days, the
+    frame ROWS can't express when order density varies. RANGE frames
+    include ALL peer rows of the current date, so same-day orders agree
+    between engines without a tie-break. One window shuffle; WindowExec
+    streams each customer's sorted orders once."""
+    o = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days.cast("long"))
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count("*").over(w).alias("orders_30d"),
+        F.sum(qint(F.col("o_totalprice"), 2)).over(w).alias("spend_30d_c"),
+    )
+
+
+SQL_RANGE_INTERVAL_WINDOW = """
+SELECT o_orderkey, o_custkey,
+       count(*) OVER w AS orders_30d,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS spend_30d_c
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+"""
+
+
 ADVANCED_QUERIES = {
     "in_subquery": q_in_subquery,
     "scalar_subquery": q_scalar_subquery,
@@ -381,6 +522,10 @@ ADVANCED_QUERIES = {
     "session_window": q_session_window,
     "unpivot_charges": q_unpivot_charges,
     "exists_subquery": q_exists_subquery,
+    "full_outer_join": q_full_outer_join,
+    "ntile_buckets": q_ntile_buckets,
+    "first_last_window": q_first_last_window,
+    "range_interval_window": q_range_interval_window,
     "set_intersect": q_intersect,
     "set_except": q_except,
     "cube_agg": q_cube_agg,
@@ -393,6 +538,10 @@ ADVANCED_QUERIES = {
 }
 
 ADVANCED_ORACLE_SQL = {
+    "full_outer_join": SQL_FULL_OUTER_JOIN,
+    "ntile_buckets": SQL_NTILE_BUCKETS,
+    "first_last_window": SQL_FIRST_LAST_WINDOW,
+    "range_interval_window": SQL_RANGE_INTERVAL_WINDOW,
     "set_intersect": SQL_INTERSECT,
     "set_except": SQL_EXCEPT,
     "cube_agg": SQL_CUBE_AGG,
