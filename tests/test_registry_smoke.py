@@ -131,7 +131,8 @@ def test_null_text_oracle_parity(spark, tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
     )
     for name in ("doc_lang_id", "doc_entropy", "doc_chunks", "doc_quality",
-                 "doc_repetition", "doc_pii", "doc_fingerprint"):
+                 "doc_repetition", "doc_pii", "doc_fingerprint",
+                 "quality_resample"):
         got = sorted(
             tuple(r) for r in qs[name](spark, str(d)).toPandas().itertuples(index=False)
         )

@@ -49,3 +49,44 @@ def weighted_domain_sample(
         .filter((F.col("_rn") <= F.col("_keep_n")) & (rate > 0))
         .drop("_rn", "_keep_n")
     )
+
+
+def md5_uniform(col) -> F.Column:
+    """Deterministic pseudo-uniform draw in ``[0, 2^32)`` from a key:
+    the first 8 hex digits of ``md5(key)`` as a bigint. md5 is bit-
+    identical in every engine (unlike xxhash64 seeds or RNGs), so a
+    sample defined on this draw is reproducible by any SQL oracle and
+    stable under Spark task retries — the properties per-row
+    ``rand()`` sacrifices."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def bernoulli_quality_sample(
+    df: DataFrame,
+    keep_prob,
+    id_col: str = "doc_id",
+    prob_scale: int = 4,
+) -> DataFrame:
+    """Per-row deterministic Bernoulli thinning: keep a row iff its
+    md5-uniform draw falls under ``keep_prob`` (a Column in [0, 1],
+    typically a quality score).
+
+    The comparison is pure integer math — ``u * 10^prob_scale <
+    p_q * 2^32`` with ``p_q`` the half-up-quantized probability — so
+    there is no float boundary for engines to disagree on. Unlike
+    :func:`weighted_domain_sample` (rank-based, one window shuffle)
+    this is a ZERO-SHUFFLE scan: each row decides independently, the
+    filter pushes into the scan, and the plan is embarrassingly
+    parallel at any scale. The trade: realized rates converge to
+    ``keep_prob`` only in expectation, not exactly per partition.
+
+    Returns the surviving rows plus ``p_q`` (quantized probability)
+    and ``u32`` (the draw) for auditability.
+    """
+    p_q = F.floor(keep_prob * (10**prob_scale) + F.lit(0.5)).cast("long")
+    u = md5_uniform(F.col(id_col))
+    return (
+        df.withColumn("p_q", p_q)
+        .withColumn("u32", u)
+        .filter(F.col("u32") * (10**prob_scale) < F.col("p_q") * F.lit(4294967296))
+    )

@@ -865,7 +865,45 @@ SELECT doc_id, rank_q, rn FROM (
 """
 
 
+
+
+def q_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli quality resampling: each document kept
+    with probability 0.2 + 0.75 * unique-word-ratio (repetitive docs
+    thinned hardest), decided by an md5-derived uniform draw — the
+    zero-shuffle, per-row-independent sibling of q_domain_mix's
+    rank-based rates. The whole plan is a single scan with the filter
+    pushed down; NULL text yields a NULL probability and is dropped by
+    both engines (C4-style: undecodable docs don't survive curation).
+    At 100 TB this is the right default thinning shape: no window, no
+    exchange, retry-safe (the draw is content-keyed, not RNG)."""
+    from traceframe_spark.operators.sampling import bernoulli_quality_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    uniq_ratio = F.size(F.array_distinct(words)) / F.size(words)
+    p = F.least(F.lit(1.0), F.lit(0.2) + F.lit(0.75) * uniq_ratio)
+    return bernoulli_quality_sample(d, p, id_col="doc_id").select(
+        "doc_id", "source", "p_q", "u32"
+    )
+
+
+SQL_QUALITY_RESAMPLE = """
+SELECT doc_id, source, p_q, u32
+FROM (
+    SELECT doc_id, source,
+           CAST(floor(least(1.0, 0.2 + 0.75 * (len(list_distinct(string_split(text, ' '))) /
+                                               CAST(len(string_split(text, ' ')) AS DOUBLE)))
+                      * 10000 + 0.5) AS BIGINT) AS p_q,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u32
+    FROM documents
+)
+WHERE u32 * 10000 < p_q * 4294967296
+"""
+
+
 PIPELINE_QUERIES = {
+    "quality_resample": q_quality_resample,
     "audio_features": q_audio_features,
     "doc_pagerank": q_doc_pagerank,
     "ngram_jaccard": q_ngram_jaccard,
@@ -894,6 +932,7 @@ PIPELINE_QUERIES = {
 }
 
 PIPELINE_ORACLE_SQL = {
+    "quality_resample": SQL_QUALITY_RESAMPLE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dup_windows": SQL_DUP_WINDOWS,
     "doc_bigram_logprob": SQL_DOC_BIGRAM_LOGPROB,
