@@ -1,0 +1,174 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016, public
+algorithm) — the vocabulary-learning step of an LLM data pipeline,
+built entirely from JVM-side expressions.
+
+Beyond the reference surface (hindfoot/traceframe has no tokenizer);
+included because a training-data engine that curates text at 100 TB
+also needs to LEARN the tokenizer from that text. The design follows
+how production tokenizer trainers shard the work:
+
+1. **Train on the word-frequency table, not the corpus.** One shuffle
+   (``groupBy(word).sum``) collapses 100 TB of text into the distinct
+   vocabulary (~10^8 rows for web scale) with counts; every merge
+   iteration after that touches only this small, persisted table. This
+   is the classic trick (HuggingFace/SentencePiece do the same): corpus
+   size stops mattering after the first pass.
+2. **A merge is a plain string replace, not a regex.** Each word's
+   symbol sequence is kept as a TWO-space-joined string with two-space
+   padding (``"  a  b  </w>  "``). Merging pair (a, b) is then
+   ``replace(s, ' a  b ', ' ab ')``: the single-space pattern edges
+   overlap the two-space separators so consecutive occurrences
+   (``a b a b``) each retain a boundary space and ALL merge in one
+   pass, while overlapping occurrences (``a a a``) merge leftmost-first
+   — exactly the greedy non-overlapping semantics of the reference BPE
+   implementation, with no lookarounds (so the same expression runs on
+   RE2-only engines, which is what makes the DuckDB oracle able to
+   replay the whole training loop).
+3. **One tiny job per merge.** Each iteration is: pair-count the
+   persisted symbol table (map-side partial agg), take the argmax with
+   a total-order tie-break (count DESC, left ASC, right ASC), apply
+   one ``replace`` map-side. The only driver traffic is the single
+   winning pair per round.
+
+Symbols must not contain spaces: callers train on whitespace-tokenized
+words (non-space symbols by construction) plus the ``</w>`` end-of-word
+marker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+END_WORD = "</w>"
+SEP = "  "
+
+
+def word_freq(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct-word frequency table: the working set BPE trains on.
+    One shuffle; NULL/empty text contributes nothing."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("wcount"))
+    )
+
+
+def initial_symbols(col: Column) -> Column:
+    """Char-level start state as the padded two-space-joined string:
+    ``'abc'`` → ``'  a  b  c  </w>  '``."""
+    return F.concat(
+        F.lit(SEP), F.regexp_replace(col, "(.)", "$1" + SEP), F.lit(END_WORD + SEP)
+    )
+
+
+def symbol_array(col: Column) -> Column:
+    """Back from the padded string to the symbol array."""
+    return F.filter(F.split(col, SEP), lambda x: x != "")
+
+
+def pair_counts(syms: DataFrame, sym_col: str = "s", weight_col: str = "wcount") -> DataFrame:
+    """Corpus-weighted counts of adjacent symbol pairs. The zip-of-
+    shifted-slices idiom keeps pair extraction inside codegen; the
+    aggregation gets map-side partials, so the shuffle carries only
+    distinct pairs."""
+    arr = symbol_array(F.col(sym_col))
+    k = F.greatest(F.size(arr) - 1, F.lit(0))
+    z = F.arrays_zip(F.slice(arr, 1, k).alias("l"), F.slice(arr, 2, k).alias("r"))
+    return (
+        syms.select(F.col(weight_col).alias("_w"), F.explode(z).alias("p"))
+        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.sum("_w").alias("pcount"))
+    )
+
+
+def merge_expr(col: Column, left: str, right: str) -> Column:
+    """Apply one merge to a padded symbol string."""
+    return F.replace(
+        col,
+        F.lit(" " + left + SEP + right + " "),
+        F.lit(" " + left + right + " "),
+    )
+
+
+def learn_bpe(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    checkpoint_every: int = 8,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Train ``n_merges`` BPE merges; returns the ordered merge list
+    ``[(left, right, pair_count), ...]`` and the final word-symbol
+    DataFrame (word, wcount, s).
+
+    Per-iteration lineage is truncated by persisting each new symbol
+    table and localCheckpoint-ing every ``checkpoint_every`` rounds, so
+    plan depth stays bounded for large ``n_merges``. Stops early when
+    no pair occurs twice (merging singletons is pure vocab bloat).
+    """
+    syms = word_freq(df, text_col).select(
+        "word", "wcount", initial_symbols(F.col("word")).alias("s")
+    )
+    syms = syms.persist()
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for i in range(n_merges):
+            top = (
+                pair_counts(syms)
+                .orderBy(F.col("pcount").desc(), F.col("left").asc(), F.col("right").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["pcount"] < 2:
+                break
+            left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["pcount"])
+            merges.append((left, right, cnt))
+            nxt = syms.withColumn("s", merge_expr(F.col("s"), left, right))
+            if (i + 1) % checkpoint_every == 0:
+                nxt = nxt.localCheckpoint(eager=True)
+            else:
+                nxt = nxt.persist()
+                nxt.count()
+            syms.unpersist()
+            syms = nxt
+    except Exception:
+        syms.unpersist()
+        raise
+    return merges, syms
+
+
+def apply_merges(col: Column, merges: list[tuple[str, str, int]]) -> Column:
+    """Chain the learned merges (in training order) onto one padded
+    symbol string — a pure scan-side expression tree."""
+    for left, right, _ in merges:
+        col = merge_expr(col, left, right)
+    return col
+
+
+def encode(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Tokenize text with a learned merge list: whitespace-split, run
+    every word through the merge chain, flatten the per-word symbol
+    arrays. Zero shuffles — encoding is embarrassingly parallel, and
+    the merge chain lives inside one projection (n_merges nested
+    ``replace`` calls, all codegen'd)."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    tok = F.flatten(
+        F.transform(words, lambda w: symbol_array(apply_merges(initial_symbols(w), merges)))
+    )
+    return df.withColumn(out_col, tok)
+
+
+def vocab(syms: DataFrame, spark: SparkSession | None = None) -> DataFrame:
+    """Corpus-weighted token frequencies of a trained symbol table:
+    what the tokenizer's effective vocabulary looks like."""
+    return (
+        syms.select(F.col("wcount"), F.explode(symbol_array(F.col("s"))).alias("token"))
+        .groupBy("token")
+        .agg(F.sum("wcount").alias("tcount"))
+    )

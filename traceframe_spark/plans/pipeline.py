@@ -902,8 +902,161 @@ WHERE u32 * 10000 < p_q * 4294967296
 """
 
 
+
+
+# ------------------------------------------------------ BPE tokenizer
+
+_BPE_N_MERGES = 10
+
+_SQL_BPE_BASE = """
+wf AS MATERIALIZED (
+    SELECT word, count(*) AS wcount FROM (
+        SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents
+    ) WHERE word <> '' GROUP BY word
+),
+w0 AS MATERIALIZED (
+    SELECT word, wcount,
+           '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') || '</w>  ' AS s
+    FROM wf
+)"""
+
+
+def _sql_bpe_iter(prev: str, pair: str, nxt: str) -> str:
+    """One BPE training round in SQL: argmax adjacent pair of the
+    current symbol table, then the same boundary-preserving replace
+    the Spark operator uses (operators/bpe.py merge_expr)."""
+    return f"""
+{pair} AS MATERIALIZED (
+    SELECT l, r, cnt FROM (
+        SELECT arr[j] AS l, arr[j + 1] AS r, CAST(sum(wcount) AS BIGINT) AS cnt
+        FROM (SELECT wcount, list_filter(string_split(s, '  '), x -> x <> '') AS arr
+              FROM {prev}),
+             unnest(range(1, len(arr))) AS t(j)
+        GROUP BY 1, 2
+    ) ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+),
+{nxt} AS MATERIALIZED (
+    SELECT word, wcount,
+           replace(s, ' ' || (SELECT l FROM {pair}) || '  ' || (SELECT r FROM {pair}) || ' ',
+                      ' ' || (SELECT l FROM {pair}) || (SELECT r FROM {pair}) || ' ') AS s
+    FROM {prev}
+)"""
+
+
+def _sql_bpe_chain(n: int) -> str:
+    parts = [_SQL_BPE_BASE]
+    for i in range(1, n + 1):
+        parts.append(_sql_bpe_iter(f"w{i - 1}", f"p{i}", f"w{i}"))
+    return "WITH " + ",".join(parts)
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-1 BPE statistics: the 50 most frequent adjacent symbol
+    pairs (char level + </w> marker) over the corpus word-frequency
+    table. Plan: one shuffle to the word table, map-side pair
+    explosion, one 50-row TakeOrdered — the per-iteration cost profile
+    of the trainer, benched in isolation."""
+    from traceframe_spark.operators import bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    wf = bpe.word_freq(d)
+    syms = wf.select("wcount", bpe.initial_symbols(F.col("word")).alias("s"))
+    pairs = bpe.pair_counts(syms)
+    w = Window.orderBy(
+        F.col("pcount").desc(), F.col("left").asc(), F.col("right").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 50)
+        .select("rank", F.col("left").alias("left_sym"), F.col("right").alias("right_sym"), "pcount")
+    )
+
+
+SQL_BPE_PAIR_COUNTS = (
+    "WITH " + _SQL_BPE_BASE + """
+SELECT rank, l AS left_sym, r AS right_sym, cnt AS pcount FROM (
+    SELECT l, r, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, l ASC, r ASC) AS BIGINT) AS rank
+    FROM (
+        SELECT arr[j] AS l, arr[j + 1] AS r, CAST(sum(wcount) AS BIGINT) AS cnt
+        FROM (SELECT wcount, list_filter(string_split(s, '  '), x -> x <> '') AS arr
+              FROM w0),
+             unnest(range(1, len(arr))) AS t(j)
+        GROUP BY 1, 2
+    )
+) WHERE rank <= 50
+"""
+)
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned tokenizer itself: 10 rounds of distributed BPE
+    training (operators/bpe.py) — each round one pair-count job over
+    the persisted word-symbol table plus a single-row collect. The
+    DuckDB oracle REPLAYS the full training loop as 10 chained CTEs,
+    exact to the tie-break, because a merge is a plain boundary-
+    preserving string replace in both engines — no engine-specific
+    hashing anywhere in the algorithm."""
+    from traceframe_spark.operators import bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, syms = bpe.learn_bpe(d, _BPE_N_MERGES)
+    syms.unpersist()
+    rows = [
+        (i + 1, left, right, left + right, cnt)
+        for i, (left, right, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank long, left_sym string, right_sym string, merged string, pcount long"
+    )
+
+
+SQL_BPE_MERGES = _sql_bpe_chain(_BPE_N_MERGES) + "\n" + "\nUNION ALL ".join(
+    f"SELECT CAST({i} AS BIGINT) AS rank, l AS left_sym, r AS right_sym, l || r AS merged, cnt AS pcount FROM p{i}"
+    for i in range(1, _BPE_N_MERGES + 1)
+)
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective vocabulary after the 10 learned merges: top-30 tokens
+    by corpus-weighted frequency. Trains (10 tiny jobs on the word
+    table), then one explode + aggregate + TakeOrdered."""
+    from traceframe_spark.operators import bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, syms = bpe.learn_bpe(d, _BPE_N_MERGES)
+    try:
+        v = bpe.vocab(syms)
+        w = Window.orderBy(F.col("tcount").desc(), F.col("token").asc())
+        return (
+            v.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 30)
+            .select("rank", "token", "tcount")
+            .localCheckpoint(eager=True)  # materialize before unpersisting the syms table
+        )
+    finally:
+        syms.unpersist()
+
+
+SQL_BPE_VOCAB = _sql_bpe_chain(_BPE_N_MERGES) + f"""
+SELECT rank, token, tcount FROM (
+    SELECT token, tcount,
+           CAST(row_number() OVER (ORDER BY tcount DESC, token ASC) AS BIGINT) AS rank
+    FROM (
+        SELECT t AS token, CAST(sum(wcount) AS BIGINT) AS tcount
+        FROM (SELECT wcount, unnest(list_filter(string_split(s, '  '), x -> x <> '')) AS t
+              FROM w{_BPE_N_MERGES})
+        GROUP BY 1
+    )
+) WHERE rank <= 30
+"""
+
+
 PIPELINE_QUERIES = {
     "quality_resample": q_quality_resample,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_merges": q_bpe_merges,
+    "bpe_vocab": q_bpe_vocab,
     "audio_features": q_audio_features,
     "doc_pagerank": q_doc_pagerank,
     "ngram_jaccard": q_ngram_jaccard,
@@ -933,6 +1086,9 @@ PIPELINE_QUERIES = {
 
 PIPELINE_ORACLE_SQL = {
     "quality_resample": SQL_QUALITY_RESAMPLE,
+    "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
+    "bpe_merges": SQL_BPE_MERGES,
+    "bpe_vocab": SQL_BPE_VOCAB,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dup_windows": SQL_DUP_WINDOWS,
     "doc_bigram_logprob": SQL_DOC_BIGRAM_LOGPROB,
