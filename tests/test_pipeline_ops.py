@@ -977,3 +977,52 @@ def test_synthesized_wav_decodes_distributed(spark, docs):
     assert rows[7]["n_frames"] == 17
     assert rows[7]["sample_sum"] == int(want.sum())
     assert rows[7]["abs_sum"] == int(np.abs(want).sum())
+
+
+def test_y4m_codec_roundtrip():
+    """The stdlib Y4M codec: encode→decode identity for mono and
+    neutral-chroma colorspaces, per-frame parameter tails tolerated,
+    malformed/truncated/unknown-colorspace inputs rejected."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.RandomState(11)
+    for n, h, w in [(1, 1, 1), (3, 4, 5), (5, 2, 8)]:
+        fr = rng.randint(0, 256, size=(n, h, w), dtype=np.uint8)
+        for cs in ("mono", "444", "420jpeg"):
+            gw, gh, num, den, y = multimodal.decode_y4m(
+                multimodal.encode_y4m(fr, fps=(30, 1), colorspace=cs)
+            )
+            assert (gw, gh, num, den) == (w, h, 30, 1)
+            assert (y == fr).all(), (n, h, w, cs)
+
+    # per-frame parameter tail (spec: FRAME may carry X params)
+    fr = rng.randint(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    b = multimodal.encode_y4m(fr)
+    b = b.replace(b"FRAME\n", b"FRAME Xscene=1\n", 1)
+    _, _, _, _, y = multimodal.decode_y4m(b)
+    assert (y == fr).all()
+
+    with pytest.raises(ValueError):
+        multimodal.decode_y4m(b"RIFF not a y4m")
+    with pytest.raises(ValueError):
+        multimodal.decode_y4m(multimodal.encode_y4m(fr)[:-3])  # truncated frame
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C410\nFRAME\n\x00\x00\x00\x00")
+
+
+def test_y4m_frame_sampling_distributed(spark, docs):
+    """y4m_sample_frames decodes, strides, and re-encodes REAL payloads:
+    the resampled stream decodes to frames [0, n, 2n, ...] of the
+    original, and decode_video_meta agrees on the new frame count."""
+    media = multimodal.synthesize_y4m_media(docs.filter("doc_id < 20"), "doc_id")
+    sampled = multimodal.y4m_sample_frames(media, every_n=3)
+    got = {r["media_id"]: r for r in multimodal.decode_video_meta(sampled).collect()}
+    orig = {r["media_id"]: r for r in multimodal.decode_video_meta(media).collect()}
+    assert len(got) == 20
+    for i in range(20):
+        n = i % 8 + 2
+        assert orig[i]["n_frames"] == n
+        assert got[i]["n_frames"] == (n + 2) // 3  # ceil(n/3): frames 0,3,6,...
+        assert got[i]["width"] == orig[i]["width"]
+        assert got[i]["frame0_sum"] == orig[i]["frame0_sum"]  # frame 0 always kept

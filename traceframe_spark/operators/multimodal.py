@@ -585,3 +585,212 @@ def media_near_dup_pairs(
         feats, "media_id", "features",
         threshold=threshold, dim=FEATURE_DIM, bands=bands,
     )
+
+
+# --------------------------------------------------------------- video (Y4M)
+
+Y4M_MAGIC = b"YUV4MPEG2"
+# colorspace tag -> chroma plane size as a fraction (num, den) of the Y plane
+_Y4M_CHROMA = {
+    "mono": (0, 1),
+    "420": (1, 4),
+    "420jpeg": (1, 4),
+    "420mpeg2": (1, 4),
+    "420paldv": (1, 4),
+    "422": (1, 2),
+    "444": (1, 1),
+}
+
+
+def encode_y4m(
+    frames: np.ndarray, fps: tuple[int, int] = (25, 1), colorspace: str = "mono"
+) -> bytes:
+    """Encode uint8 luma frames ``(n, h, w)`` as a YUV4MPEG2 (Y4M)
+    stream — the public uncompressed video interchange format
+    (mjpegtools/ffmpeg): one ASCII stream header, then ``FRAME\\n`` +
+    planar pixel data per frame. ``mono`` writes the Y plane only;
+    chroma colorspaces write neutral (128) chroma planes."""
+    f = np.ascontiguousarray(np.asarray(frames, dtype=np.uint8))
+    if f.ndim != 3:
+        raise ValueError("frames must be (n, h, w) uint8")
+    n, h, w = f.shape
+    num, den = fps
+    cnum, cden = _Y4M_CHROMA[colorspace]
+    header = f"YUV4MPEG2 W{w} H{h} F{num}:{den} Ip A1:1 C{colorspace}\n".encode()
+    chroma = bytes([128]) * (2 * (w * h * cnum // cden))
+    out = [header]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(f[i].tobytes())
+        if chroma:
+            out.append(chroma)
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, int, int, np.ndarray]:
+    """Decode a Y4M payload to ``(width, height, fps_num, fps_den,
+    y_frames)`` with ``y_frames`` the uint8 luma planes ``(n, h, w)``
+    (chroma planes are parsed past, not returned — features here are
+    luma-based). Handles per-frame parameter tails (``FRAME Xfoo\\n``)
+    per the spec; unknown colorspace tags raise
+    ``NotImplementedError``."""
+    if not payload.startswith(Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated Y4M stream header")
+    width = height = None
+    num, den = 30, 1
+    colorspace = "420jpeg"  # spec default when no C tag is present
+    for tok in payload[len(Y4M_MAGIC) : nl].split():
+        t = tok.decode("ascii", "replace")
+        if t.startswith("W"):
+            width = int(t[1:])
+        elif t.startswith("H"):
+            height = int(t[1:])
+        elif t.startswith("F"):
+            num, den = (int(x) for x in t[1:].split(":"))
+        elif t.startswith("C"):
+            colorspace = t[1:]
+    if width is None or height is None:
+        raise ValueError("Y4M header missing W or H")
+    if colorspace not in _Y4M_CHROMA:
+        raise NotImplementedError(f"unsupported Y4M colorspace C{colorspace}")
+    cnum, cden = _Y4M_CHROMA[colorspace]
+    y_size = width * height
+    frame_size = y_size + 2 * (y_size * cnum // cden)
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed FRAME marker")
+        body = payload[fnl + 1 : fnl + 1 + frame_size]
+        if len(body) < frame_size:
+            raise ValueError("truncated Y4M frame")
+        frames.append(
+            np.frombuffer(body[:y_size], dtype=np.uint8).reshape(height, width)
+        )
+        pos = fnl + 1 + frame_size
+    y = np.stack(frames) if frames else np.zeros((0, height, width), np.uint8)
+    return width, height, num, den, y
+
+
+def synthesize_y4m_media(df: DataFrame, id_col: str, batch_rows: int = 256) -> DataFrame:
+    """Deterministic REAL-Y4M media rows: id i becomes ``i % 8 + 2``
+    mono frames of ``(i % 6 + 4) × (i % 4 + 3)`` where pixel
+    ``(f, y, x) = (i*31 + f*17 + y*7 + x*3) % 256`` — closed-form, so
+    decoded sums and inter-frame motion are recomputable by a SQL
+    oracle, completing the image (PNG) / audio (WAV) / video (Y4M)
+    triad of real codecs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo : lo + batch_rows]
+                ids = chunk[id_col].astype(np.int64)
+                payloads = []
+                for i in ids:
+                    i = int(i)
+                    n, w, h = i % 8 + 2, i % 6 + 4, i % 4 + 3
+                    f = np.arange(n)[:, None, None] * 17
+                    y = np.arange(h)[None, :, None] * 7
+                    x = np.arange(w)[None, None, :] * 3
+                    frames = ((i * 31 + f + y + x) % 256).astype(np.uint8)
+                    payloads.append(encode_y4m(frames, fps=(25, 1)))
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids.values,
+                        "media_type": "video/x-yuv4mpeg",
+                        "payload": payloads,
+                        "meta": [{} for _ in payloads],
+                    }
+                )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("fps_num", LongType()),
+        StructField("fps_den", LongType()),
+        StructField("y_sum", LongType()),
+        StructField("frame0_sum", LongType()),
+        StructField("motion_sum", LongType()),
+    ]
+)
+
+
+def decode_video_meta(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """REAL video decode as a distributed step: per decodable payload,
+    geometry, frame rate, luma sum, first-frame sum, and ``motion_sum``
+    = Σ|frame_t − frame_{t−1}| (total temporal activity, the feature a
+    frame-sampling or scene-cut pass keys on). Undecodable payloads
+    yield nulls, not batch failures."""
+
+    cols = [f.name for f in VIDEO_META_SCHEMA.fields if f.name != "media_id"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo : lo + batch_rows]
+                rows = {k.name: [] for k in VIDEO_META_SCHEMA.fields}
+                for mid, p in zip(chunk["media_id"], chunk["payload"]):
+                    rows["media_id"].append(mid)
+                    try:
+                        w, h, num, den, yf = decode_y4m(p if p is not None else b"")
+                        y64 = yf.astype(np.int64)
+                        motion = (
+                            int(np.abs(y64[1:] - y64[:-1]).sum()) if len(y64) > 1 else 0
+                        )
+                        vals = {
+                            "width": w,
+                            "height": h,
+                            "n_frames": len(y64),
+                            "fps_num": num,
+                            "fps_den": den,
+                            "y_sum": int(y64.sum()),
+                            "frame0_sum": int(y64[0].sum()) if len(y64) else 0,
+                            "motion_sum": motion,
+                        }
+                        for k in cols:
+                            rows[k].append(vals[k])
+                    except (NotImplementedError, ValueError):
+                        for k in cols:
+                            rows[k].append(None)
+                yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=VIDEO_META_SCHEMA
+    )
+
+
+def y4m_sample_frames(media: DataFrame, every_n: int = 2, batch_rows: int = 256) -> DataFrame:
+    """REAL frame sampling: decode each Y4M payload, keep every
+    ``every_n``-th frame (always including frame 0), re-encode. The
+    physical shape a 100 TB video-curation pass needs — pure map-side
+    ``mapInPandas``, no shuffle, output payloads shrink ~1/every_n."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo : lo + batch_rows].copy()
+                out = []
+                for p in chunk["payload"]:
+                    try:
+                        _w, _h, num, den, yf = decode_y4m(p if p is not None else b"")
+                        out.append(encode_y4m(yf[::every_n], fps=(num, den)))
+                    except (NotImplementedError, ValueError):
+                        out.append(None)
+                chunk["payload"] = out
+                yield chunk
+
+    return media.mapInPandas(run, schema=media.schema)

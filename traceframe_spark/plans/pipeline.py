@@ -1052,12 +1052,62 @@ SELECT rank, token, tcount FROM (
 """
 
 
+
+
+def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode with a full value oracle: deterministic mono
+    Y4M streams (closed-form luma, see ``synthesize_y4m_media``)
+    round-trip through the stdlib YUV4MPEG2 encoder+decoder, and the
+    decoded geometry / luma sums / inter-frame motion are recomputed
+    exactly by the DuckDB oracle — completing the PNG/WAV/Y4M real-
+    codec triad. Map-side only: synthesize and decode are both
+    ``mapInPandas`` over the same scan, zero shuffles."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    media = multimodal.synthesize_y4m_media(d, "doc_id")
+    return multimodal.decode_video_meta(media)
+
+
+SQL_VIDEO_FEATURES = """
+WITH d AS (
+    SELECT doc_id, doc_id % 8 + 2 AS n, doc_id % 6 + 4 AS w, doc_id % 4 + 3 AS h
+    FROM documents WHERE doc_id < 150
+),
+px AS (
+    SELECT doc_id, f,
+           (doc_id * 31 + f * 17 + y * 7 + x * 3) % 256 AS v,
+           CASE WHEN f > 0 THEN
+               abs((doc_id * 31 + f * 17 + y * 7 + x * 3) % 256
+                   - (doc_id * 31 + (f - 1) * 17 + y * 7 + x * 3) % 256)
+           ELSE 0 END AS dv
+    FROM (
+        SELECT doc_id, f, y, x
+        FROM d,
+             unnest(generate_series(0, n - 1)) AS tf(f),
+             unnest(generate_series(0, h - 1)) AS ty(y),
+             unnest(generate_series(0, w - 1)) AS tx(x)
+    )
+)
+SELECT d.doc_id AS media_id,
+       CAST(d.w AS BIGINT) AS width,
+       CAST(d.h AS BIGINT) AS height,
+       CAST(d.n AS BIGINT) AS n_frames,
+       CAST(25 AS BIGINT) AS fps_num,
+       CAST(1 AS BIGINT) AS fps_den,
+       CAST(sum(px.v) AS BIGINT) AS y_sum,
+       CAST(sum(CASE WHEN px.f = 0 THEN px.v ELSE 0 END) AS BIGINT) AS frame0_sum,
+       CAST(sum(px.dv) AS BIGINT) AS motion_sum
+FROM d JOIN px USING (doc_id)
+GROUP BY d.doc_id, d.w, d.h, d.n
+"""
+
+
 PIPELINE_QUERIES = {
     "quality_resample": q_quality_resample,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_merges": q_bpe_merges,
     "bpe_vocab": q_bpe_vocab,
     "audio_features": q_audio_features,
+    "video_features": q_video_features,
     "doc_pagerank": q_doc_pagerank,
     "ngram_jaccard": q_ngram_jaccard,
     "dup_windows": q_dup_windows,
@@ -1111,5 +1161,6 @@ PIPELINE_ORACLE_SQL = {
     # SQL-computable — media decode leaves the rows-only list
     "media_features": SQL_MEDIA_FEATURES,
     "audio_features": SQL_AUDIO_FEATURES,
+    "video_features": SQL_VIDEO_FEATURES,
     "doc_pagerank": SQL_DOC_PAGERANK,
 }
