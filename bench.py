@@ -56,6 +56,8 @@ HEADLINE = [
     "moving_avg",
     "salted_join",
     "domain_mix",
+    "full_outer_join",
+    "range_interval_window",
     "tpch_q1",
     "tpch_q3",
     "tpch_q9",
@@ -65,6 +67,9 @@ HEADLINE = [
     "vocab_topk",
     "funnel_conversion",
     "session_window",
+    "quality_resample",
+    "bpe_merges",
+    "video_features",
     "embed_quantize",
     "ann_hamming_topk",
     "kmeans_assign",
