@@ -1101,11 +1101,51 @@ GROUP BY d.doc_id, d.w, d.h, d.n
 """
 
 
+
+
+def q_bpe_encode_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tokenizer application: train the 10 merges, then
+    ENCODE every document and report its token count — the number an
+    LLM-pipeline budget (sequence packing, cost estimates) actually
+    consumes. Encoding is a zero-shuffle projection (the merge chain is
+    nested ``replace`` calls inside one ``transform`` lambda); the
+    oracle reuses the replayed training CTEs and joins each document's
+    word multiset to the final per-word symbol counts."""
+    from traceframe_spark.operators import bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, syms = bpe.learn_bpe(d, _BPE_N_MERGES)
+    try:
+        enc = bpe.encode(d.filter(F.col("text").isNotNull()), merges)
+        return (
+            enc.select("doc_id", F.size("tokens").cast("long").alias("n_tokens"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        syms.unpersist()
+
+
+SQL_BPE_ENCODE_LENS = _sql_bpe_chain(_BPE_N_MERGES) + f"""
+, wlen AS MATERIALIZED (
+    SELECT word, CAST(len(list_filter(string_split(s, '  '), x -> x <> '')) AS BIGINT) AS n
+    FROM w{_BPE_N_MERGES}
+)
+SELECT d.doc_id, CAST(sum(wlen.n) AS BIGINT) AS n_tokens
+FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+    FROM documents WHERE text IS NOT NULL
+) d JOIN wlen USING (word)
+WHERE d.word <> ''
+GROUP BY d.doc_id
+"""
+
+
 PIPELINE_QUERIES = {
     "quality_resample": q_quality_resample,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_merges": q_bpe_merges,
     "bpe_vocab": q_bpe_vocab,
+    "bpe_encode_lens": q_bpe_encode_lens,
     "audio_features": q_audio_features,
     "video_features": q_video_features,
     "doc_pagerank": q_doc_pagerank,
@@ -1139,6 +1179,7 @@ PIPELINE_ORACLE_SQL = {
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
     "bpe_merges": SQL_BPE_MERGES,
     "bpe_vocab": SQL_BPE_VOCAB,
+    "bpe_encode_lens": SQL_BPE_ENCODE_LENS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dup_windows": SQL_DUP_WINDOWS,
     "doc_bigram_logprob": SQL_DOC_BIGRAM_LOGPROB,
