@@ -169,3 +169,33 @@ def test_mlprep_plan_shapes(spark):
     plan = plan_of(QUERIES["ann_cosine_blas"](spark, SF))
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert n_shuffles(plan) == 1, plan
+
+
+def test_r04_additions_plan_shapes(spark):
+    """Positive pins for the round-4 additions:
+    - full_outer_join: sort-merge FULL OUTER (both sides preserved —
+      broadcast is impossible), exactly the 2 key shuffles, no NLJ
+    - range_interval_window: ONE exchange feeding the RANGE-frame window
+    - quality_resample: ZERO exchanges — the Bernoulli filter lives in
+      the scan's pushed-down stage
+    - video_features: ZERO exchanges, two MapInPandas stages, and the
+      scan reads ONLY doc_id (column pruning through mapInPandas)
+    """
+    from tools.plan_audit import n_shuffles, plan_of
+
+    plan = plan_of(QUERIES["full_outer_join"](spark, SF))
+    assert "SortMergeJoin FullOuter" in plan
+    assert n_shuffles(plan) == 2, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    plan = plan_of(QUERIES["range_interval_window"](spark, SF))
+    assert n_shuffles(plan) == 1, plan
+    assert "Window" in plan
+
+    plan = plan_of(QUERIES["quality_resample"](spark, SF))
+    assert "Exchange" not in plan, plan
+
+    plan = plan_of(QUERIES["video_features"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") >= 2
+    assert "ReadSchema: struct<doc_id:bigint>" in plan

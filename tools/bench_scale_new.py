@@ -32,6 +32,7 @@ def main() -> None:
     ap.add_argument("--one", default="/root/testdata/sf0.1")
     ap.add_argument("--ten", default="/tmp/sparktrace_scale")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("queries", nargs="*", help="override the default NEW list")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -44,7 +45,7 @@ def main() -> None:
     qs = catalog_queries()
 
     out: dict[str, dict[str, float]] = {}
-    for name in NEW:
+    for name in (args.queries or NEW):
         row = {}
         for label, sf_dir in (("1x", args.one), ("10x", args.ten)):
             best = float("inf")
