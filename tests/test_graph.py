@@ -125,3 +125,39 @@ def test_pagerank_star_and_dangling_hand_values(spark):
     assert abs(got[4] - (base + 0.85 * 0.25)) < 1e-12
     # total mass is conserved (sums to 1 with dangling redistribution)
     assert abs(sum(got.values()) - 1.0) < 1e-12
+
+
+def test_triangle_enumeration_exact(spark):
+    """Hand-built graph: K4 on {1,2,3,4} (4 triangles), a pendant
+    (4-5), a star at 10 (no triangles among leaves), a duplicate and a
+    reversed edge (must not double-count), and a self-loop (dropped)."""
+    from traceframe_spark.operators import graph
+
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+        (4, 5),                                           # pendant
+        (10, 11), (10, 12), (10, 13),                     # star
+        (2, 1), (3, 1),                                   # reversed dups
+        (7, 7),                                           # self-loop
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    tri = sorted(
+        tuple(r) for r in graph.triangles(e).collect()
+    )
+    assert tri == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+
+    part = {r["v"]: r["n_triangles"] for r in graph.triangle_participation(e).collect()}
+    assert part == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_hub_orientation(spark):
+    """A high-degree hub with triangles only at its rim: the oriented
+    enumeration still finds them all (orientation must not lose
+    triangles whose lowest-degree vertex is not the lowest id)."""
+    from traceframe_spark.operators import graph
+
+    hub = [(100, i) for i in range(20)]          # hub 100 -> 20 leaves
+    rim = [(0, 1), (2, 3)]                        # two rim edges close triangles
+    e = spark.createDataFrame(hub + rim, "src long, dst long")
+    tri = sorted(tuple(r) for r in graph.triangles(e).collect())
+    assert tri == [(0, 1, 100), (2, 3, 100)]

@@ -194,3 +194,67 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """All triangles of the undirected graph, one row per triangle
+    ``(a, b, c)`` with ``rank(a) < rank(b) < rank(c)``.
+
+    Degree-oriented enumeration (the MapReduce-classic shape, Suri &
+    Vassilvitskii 2011): orient every undirected edge from the
+    lower-``(degree, id)`` endpoint to the higher, enumerate wedges at
+    each vertex's OUT-neighbors, and close them with a third equi-join.
+    The orientation is what survives 100 TB graphs: a hub of degree d
+    contributes wedges only among its higher-rank neighbors, bounding
+    per-vertex wedge fan-out by O(sqrt(m)) instead of O(d^2) — without
+    it, one celebrity node explodes the wedge join. Three shuffles
+    total (degree agg + two equi-joins), all on vertex keys."""
+    ue = _canonical_edges(edges, src, dst).select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    )  # a < b, distinct
+    deg = (
+        ue.select(F.col("a").alias("v"))
+        .unionAll(ue.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient by (deg, id): lo -> hi
+    with_deg = (
+        ue.join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oe = with_deg.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    # wedges at the common low-rank vertex, ordered to avoid double counting
+    e1 = oe.select(F.col("lo").alias("u"), F.col("hi").alias("v1"))
+    e2 = oe.select(F.col("lo").alias("u"), F.col("hi").alias("v2"))
+    wedges = e1.join(e2, "u").filter(F.col("v1") < F.col("v2"))
+    # close the wedge with an (undirected) edge between v1 and v2
+    closed = wedges.join(
+        ue.select(F.col("a").alias("v1"), F.col("b").alias("v2")),
+        ["v1", "v2"],
+        "inner",
+    )
+    return closed.select(
+        F.least("u", "v1", "v2").alias("a"),
+        F.array_sort(F.array("u", "v1", "v2"))[1].alias("b"),
+        F.greatest("u", "v1", "v2").alias("c"),
+    )
+
+
+def triangle_participation(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-vertex triangle counts (the clustering-coefficient numerator
+    and a standard spam/community signal): each triangle credited to
+    all three corners, one aggregation on top of :func:`triangles`."""
+    t = triangles(edges, src, dst)
+    corners = (
+        t.select(F.col("a").alias("v"))
+        .unionAll(t.select(F.col("b").alias("v")))
+        .unionAll(t.select(F.col("c").alias("v")))
+    )
+    return corners.groupBy("v").agg(F.count("*").alias("n_triangles"))

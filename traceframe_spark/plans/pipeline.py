@@ -1140,6 +1140,69 @@ GROUP BY d.doc_id
 """
 
 
+
+
+def q_doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation over the deterministic link
+    graph (same synthetic edges as q_doc_pagerank), top-20. The engine
+    runs degree-ORIENTED enumeration (operators/graph.py triangles —
+    wedge fan-out bounded by O(sqrt m) per vertex, the shape that
+    survives hub-skewed 100 TB graphs); the oracle counts the same
+    triangles with the naive id-ordered 3-way self-join — the results
+    are the same exact graph property, so the hash match proves the
+    oriented algorithm enumerates precisely the triangle set."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = d.agg(F.count("*").alias("n_docs"))
+    edges = (
+        d.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    *[
+                        (F.col("doc_id") * 31 + j * 97) % F.col("n_docs")
+                        for j in (1, 2, 3)
+                    ]
+                )
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    part = graph.triangle_participation(edges)
+    w = Window.orderBy(F.col("n_triangles").desc(), F.col("v").asc())
+    return (
+        part.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("rank", F.col("v").alias("doc_id"), "n_triangles")
+    )
+
+
+SQL_DOC_TRIANGLES = """
+WITH d AS (SELECT doc_id FROM documents),
+nn AS (SELECT count(*) AS n FROM d),
+e0 AS (
+    SELECT doc_id AS src, (doc_id * 31 + j * 97) % (SELECT n FROM nn) AS dst
+    FROM d, unnest([1, 2, 3]) AS t(j)
+    WHERE doc_id <> (doc_id * 31 + j * 97) % (SELECT n FROM nn)
+),
+ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e0),
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM ue e1 JOIN ue e2 ON e1.b = e2.a JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+part AS (
+    SELECT v, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+    ) GROUP BY v
+)
+SELECT rank, v AS doc_id, n_triangles FROM (
+    SELECT v, n_triangles,
+           CAST(row_number() OVER (ORDER BY n_triangles DESC, v ASC) AS BIGINT) AS rank
+    FROM part
+) WHERE rank <= 20
+"""
+
+
 PIPELINE_QUERIES = {
     "quality_resample": q_quality_resample,
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -1149,6 +1212,7 @@ PIPELINE_QUERIES = {
     "audio_features": q_audio_features,
     "video_features": q_video_features,
     "doc_pagerank": q_doc_pagerank,
+    "doc_triangles": q_doc_triangles,
     "ngram_jaccard": q_ngram_jaccard,
     "dup_windows": q_dup_windows,
     "doc_bigram_logprob": q_doc_bigram_logprob,
@@ -1204,4 +1268,5 @@ PIPELINE_ORACLE_SQL = {
     "audio_features": SQL_AUDIO_FEATURES,
     "video_features": SQL_VIDEO_FEATURES,
     "doc_pagerank": SQL_DOC_PAGERANK,
+    "doc_triangles": SQL_DOC_TRIANGLES,
 }
