@@ -803,14 +803,18 @@ def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
     )
     ranks = graph.pagerank(edges, n_iter=3, damping=0.85)
-    w = Window.orderBy(F.col("rank_q").desc(), F.col("doc_id").asc())
-    return (
+    # top-k FIRST (TakeOrderedAndProject — never a global single-partition
+    # sort of every node), then rank the 20 surviving rows
+    order = [F.col("rank_q").desc(), F.col("doc_id").asc()]
+    top = (
         ranks.select(
             F.col("node").alias("doc_id"), qint(F.col("rank") * 1e9, 0).alias("rank_q")
         )
-        .withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 20)
+        .orderBy(*order)
+        .limit(20)
     )
+    w = Window.orderBy(*order)
+    return top.withColumn("rn", F.row_number().over(w).cast("long"))
 
 
 def _sql_pagerank_iter(prev: str, cur: str) -> str:
@@ -962,12 +966,13 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     wf = bpe.word_freq(d)
     syms = wf.select("wcount", bpe.initial_symbols(F.col("word")).alias("s"))
     pairs = bpe.pair_counts(syms)
-    w = Window.orderBy(
-        F.col("pcount").desc(), F.col("left").asc(), F.col("right").asc()
-    )
+    # top-k first (TakeOrdered over the distinct-pair set), then rank
+    # the bounded 50 rows — never a global sort of every pair
+    order = [F.col("pcount").desc(), F.col("left").asc(), F.col("right").asc()]
+    top = pairs.orderBy(*order).limit(50)
+    w = Window.orderBy(*order)
     return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 50)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", F.col("left").alias("left_sym"), F.col("right").alias("right_sym"), "pcount")
     )
 
@@ -1027,10 +1032,11 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, syms = bpe.learn_bpe(d, _BPE_N_MERGES)
     try:
         v = bpe.vocab(syms)
-        w = Window.orderBy(F.col("tcount").desc(), F.col("token").asc())
+        order = [F.col("tcount").desc(), F.col("token").asc()]
+        top = v.orderBy(*order).limit(30)
+        w = Window.orderBy(*order)
         return (
-            v.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= 30)
+            top.withColumn("rank", F.row_number().over(w).cast("long"))
             .select("rank", "token", "tcount")
             .localCheckpoint(eager=True)  # materialize before unpersisting the syms table
         )
@@ -1169,11 +1175,11 @@ def q_doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
     )
     part = graph.triangle_participation(edges)
-    w = Window.orderBy(F.col("n_triangles").desc(), F.col("v").asc())
-    return (
-        part.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
-        .select("rank", F.col("v").alias("doc_id"), "n_triangles")
+    order = [F.col("n_triangles").desc(), F.col("v").asc()]
+    top = part.orderBy(*order).limit(20)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", F.col("v").alias("doc_id"), "n_triangles"
     )
 
 
