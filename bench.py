@@ -68,6 +68,7 @@ HEADLINE = [
     "funnel_conversion",
     "session_window",
     "quality_resample",
+    "doc_triangles",
     "bpe_merges",
     "video_features",
     "embed_quantize",

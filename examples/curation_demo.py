@@ -102,6 +102,20 @@ def main() -> None:
     n5 = mixed.count()
     print(f"domain mix: {n4} -> {n5} (per-source rates, deterministic)")
 
+    # 6b. learn the tokenizer ON the curated corpus (BPE): the word-
+    # frequency table absorbs corpus size, each merge is one tiny job
+    from traceframe_spark.operators import bpe
+
+    merges, syms = bpe.learn_bpe(mixed, n_merges=12)
+    base_syms = syms.select(F.sum(F.col("wcount") * F.size(bpe.symbol_array(bpe.initial_symbols(F.col("word"))))).alias("n")).first()["n"]
+    bpe_syms = syms.select(F.sum(F.col("wcount") * F.size(bpe.symbol_array(F.col("s")))).alias("n")).first()["n"]
+    syms.unpersist()
+    print(
+        f"tokenizer: {len(merges)} BPE merges learned; "
+        f"{base_syms} char symbols -> {bpe_syms} tokens "
+        f"({100 * (1 - bpe_syms / base_syms):.0f}% compression)"
+    )
+
     # 7. pack into fixed-token training sequences
     packed = text.pack_sequences(mixed, budget=512)
     seqs = packed.agg(F.max("seq_id")).first()[0] + 1
