@@ -137,15 +137,20 @@ def bench_search_traces(spark: SparkSession, store_path: str) -> DataFrame:
     )
 
 
-def run_one(df: DataFrame, repeats: int = 3) -> float:
+def run_one(thunk, repeats: int = 3) -> float:
     """Best-of-N execution time through the noop sink: the min measures
     the plan; single-shot numbers at these sizes are dominated by
     GC/JIT/page-cache noise (observed 1.3 s vs 12 s for the same query;
-    best-of-2 still showed occasional 3-4x outliers round over round)."""
+    best-of-2 still showed occasional 3-4x outliers round over round).
+
+    The DataFrame is BUILT inside the timed region: queries that run
+    jobs at plan-construction time (BPE training's per-merge argmax
+    collects, k-means iterations) would otherwise report only the cost
+    of writing their already-computed result."""
     best = float("inf")
     for _ in range(repeats):
         t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
+        thunk().write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
     return best
 
@@ -175,7 +180,7 @@ def main() -> None:
 
     def timed(name, thunk) -> None:
         try:
-            timings[name] = round(run_one(thunk()), 3)
+            timings[name] = round(run_one(thunk), 3)
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             timings[name] = None

@@ -1,0 +1,138 @@
+"""Zipkin v2 source tests: a hand-built ListOfSpans document (the
+POST /api/v2/spans payload shape) must land in the canonical span/trace
+tables, tolerate mixed-case ids / missing endpoints / shared spans, and
+compose with the critical-path kernel unchanged."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from traceframe_spark.sources.zipkin import (  # noqa: E402
+    span_stream_from_zipkin,
+    spans_from_zipkin_file,
+    traces_from_zipkin_file,
+)
+
+BASE_US = 1_700_000_000_000_000
+
+
+def _spans():
+    return [
+        {
+            "traceId": "ABCD00000000000000000000000000EF",  # mixed case, 128-bit
+            "id": "AA00000000000001",
+            "name": "/checkout",
+            "kind": "SERVER",
+            "timestamp": BASE_US,
+            "duration": 50_000,
+            "debug": True,
+            "localEndpoint": {"serviceName": "frontend", "ipv4": "10.0.0.1", "port": 8080},
+            "annotations": [{"timestamp": BASE_US + 10, "value": "ws"}],
+            "tags": {"http.method": "POST", "error": "true"},
+        },
+        {
+            "traceId": "abcd00000000000000000000000000ef",
+            "id": "aa00000000000002",
+            "parentId": "AA00000000000001",
+            "name": "charge",
+            "kind": "CLIENT",
+            "timestamp": BASE_US + 5_000,
+            "duration": 30_000,
+            "localEndpoint": {"serviceName": "payments", "ipv4": "10.0.0.2"},
+            "tags": {"currency": "usd"},
+        },
+        {
+            # second trace: no endpoint, no tags, no duration — all optional
+            "traceId": "1111111111111111",
+            "id": "bb00000000000001",
+            "name": "ping",
+            "timestamp": BASE_US + 100,
+        },
+    ]
+
+
+def _write(tmp_path, multiline=True):
+    p = tmp_path / ("zipkin.json" if multiline else "zipkin.jsonl")
+    if multiline:
+        p.write_text(json.dumps(_spans()))
+    else:
+        p.write_text("\n".join(json.dumps(s) for s in _spans()))
+    return str(p)
+
+
+def test_zipkin_span_table_canonical(spark, tmp_path):
+    df = spans_from_zipkin_file(spark, _write(tmp_path))
+    rows = {r["spanID"]: r for r in df.collect()}
+    assert set(rows) == {"aa00000000000001", "aa00000000000002", "bb00000000000001"}
+
+    root = rows["aa00000000000001"]
+    assert root["traceID"] == "abcd00000000000000000000000000ef"  # lowercased
+    assert root["parent"] == ""
+    assert root["service"] == "frontend"
+    assert root["processID"] == "zipkin:frontend"
+    assert root["startTime"] == BASE_US and root["duration"] == 50_000
+    assert root["flags"] == 1  # debug
+    assert root["tags"]["error"] == "true"
+    assert root["tags"]["span.kind"] == "server"
+    assert json.loads(root["logs"][0])["value"] == "ws"
+
+    child = rows["aa00000000000002"]
+    assert child["parent"] == "aa00000000000001"  # parent id lowercased
+    assert child["service"] == "payments"
+    assert child["flags"] == 0
+
+    bare = rows["bb00000000000001"]
+    assert bare["service"] == "unknown"
+    assert bare["duration"] == 0
+    assert bare["tags"] == {}  # no tags, null kind -> empty map, not null
+
+
+def test_zipkin_jsonl_matches_array_form(spark, tmp_path):
+    a = spans_from_zipkin_file(spark, _write(tmp_path, multiline=True))
+    b = spans_from_zipkin_file(spark, _write(tmp_path, multiline=False), multiline=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_zipkin_traces_table(spark, tmp_path):
+    t = traces_from_zipkin_file(spark, _write(tmp_path))
+    rows = {r["traceID"]: r for r in t.collect()}
+    assert len(rows) == 2
+    big = rows["abcd00000000000000000000000000ef"]
+    assert big["nspans"] == 2
+    assert big["errspans"] == 1 and bool(big["iserror"])
+    assert big["traceName"] == "frontend: /checkout"
+
+
+def test_zipkin_span_stream(spark, tmp_path):
+    d = tmp_path / "stream"
+    d.mkdir()
+    (d / "part1.json").write_text("\n".join(json.dumps(s) for s in _spans()))
+    stream = span_stream_from_zipkin(spark, str(d))
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("zipkin_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql("select * from zipkin_stream_test").collect()
+    assert len(got) == 3
+    assert {r["service"] for r in got} == {"frontend", "payments", "unknown"}
+
+
+def test_zipkin_feeds_critical_path(spark, tmp_path):
+    from traceframe_spark.operators import critical_path_segments
+
+    spans = spans_from_zipkin_file(spark, _write(tmp_path))
+    segs = critical_path_segments(
+        spans.filter("traceID = 'abcd00000000000000000000000000ef'")
+    ).collect()
+    assert len(segs) >= 2  # parent-child split yields >= 2 segments
+    total = sum(s["seg_duration"] for s in segs)
+    assert total == 50_000  # critical path covers the root span exactly

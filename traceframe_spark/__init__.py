@@ -39,6 +39,7 @@ from traceframe_spark.sources.jaeger_datasource import JaegerDataSource
 
 # training-data pipeline surface (module handles: tfs.dedup.minhash_..., etc.)
 from traceframe_spark.operators import (  # noqa: F401
+    bpe,
     dedup,
     graph,
     multimodal,
@@ -73,6 +74,7 @@ __all__ = [
     "JaegerDataSource",
     "sinks",
     "viz",
+    "bpe",
     "dedup",
     "graph",
     "multimodal",
