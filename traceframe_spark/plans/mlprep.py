@@ -544,7 +544,98 @@ GROUP BY centroid_id ORDER BY centroid_id
 """
 
 
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each probe
+    vector, the 3 nearest neighbors whose LABEL DIFFERS — the pairs a
+    metric-learning loss needs most. Same plan shape as the brute
+    cosine baseline (broadcast probe side, per-probe top-k window) with
+    the label inequality pushed into the pair filter, so mined
+    candidates never include same-class rows. At scale the candidate
+    side streams once; the IVF/LSH variants apply unchanged when the
+    corpus outgrows brute force."""
+    e = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    base = e.select("vec_id", "label", "embedding", norm.alias("nrm"))
+    q = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("q_emb"), F.col("c_emb"), lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_label") != F.col("q_label"))
+        .select(
+            "qid",
+            "cid",
+            F.col("c_label").cast("long").alias("neg_label"),
+            qint(dot / (F.col("q_nrm") * F.col("c_nrm")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "cid", "neg_label", "cos", "rn")
+    )
+
+
+SQL_HARD_NEGATIVES = """
+WITH norms AS (
+    SELECT vec_id, sqrt(sum(v * v)) AS nrm
+    FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
+    GROUP BY vec_id
+),
+dots AS (
+    SELECT qid, cid, neg_label, sum(qv * cv) AS dot
+    FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cid, CAST(c.label AS BIGINT) AS neg_label,
+               CAST(unnest(q.embedding) AS DOUBLE) AS qv,
+               CAST(unnest(c.embedding) AS DOUBLE) AS cv
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 8 AND c.label <> q.label
+    )
+    GROUP BY qid, cid, neg_label
+),
+scored AS (
+    SELECT d.qid, d.cid, d.neg_label,
+           CAST(floor(d.dot / (nq.nrm * nc.nrm) * 10000 + 0.5) AS BIGINT) AS cos
+    FROM dots d
+    JOIN norms nq ON nq.vec_id = d.qid
+    JOIN norms nc ON nc.vec_id = d.cid
+)
+SELECT qid, cid, neg_label, cos, rn
+FROM (
+    SELECT qid, cid, neg_label, cos,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
+    FROM scored
+) WHERE rn <= 3
+"""
+
+
 MLPREP_QUERIES = {
+    "hard_negatives": q_hard_negatives,
     "embed_quantize": q_embed_quantize,
     "ann_cosine_blas": q_ann_cosine_blas,
     "ann_hamming_topk": q_ann_hamming_topk,
@@ -558,6 +649,7 @@ MLPREP_QUERIES = {
 }
 
 MLPREP_ORACLE_SQL = {
+    "hard_negatives": SQL_HARD_NEGATIVES,
     "embed_quantize": SQL_EMBED_QUANTIZE,
     "ann_cosine_blas": SQL_ANN_COSINE_TOPK,
     "ann_hamming_topk": SQL_ANN_HAMMING_TOPK,
