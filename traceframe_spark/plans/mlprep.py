@@ -335,20 +335,20 @@ def q_inflight_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan carries exactly two exchanges at any scale."""
     li = load_table(spark, sf_dir, "lineitem")
     days = (F.col("l_quantity").cast("int") % 7 + 1).cast("int")
-    start = li.select(
-        F.col("l_suppkey").alias("suppkey"),
-        F.to_date("l_shipdate").alias("day"),
-        F.lit(1).alias("delta"),
-    )
-    end = li.select(
-        F.col("l_suppkey").alias("suppkey"),
-        F.date_add(F.to_date("l_shipdate"), days).alias("day"),
-        F.lit(-1).alias("delta"),
+    # ONE scan: each shipment emits its two endpoints via a 2-element
+    # explode (map-side Generate), instead of a union of two scans that
+    # reads the fact table twice
+    endpoints = F.array(
+        F.struct(F.to_date("l_shipdate").alias("day"), F.lit(1).alias("delta")),
+        F.struct(
+            F.date_add(F.to_date("l_shipdate"), days).alias("day"),
+            F.lit(-1).alias("delta"),
+        ),
     )
     net = (
-        start.unionByName(end)
-        .groupBy("suppkey", "day")
-        .agg(F.sum("delta").alias("net"))
+        li.select(F.col("l_suppkey").alias("suppkey"), F.explode(endpoints).alias("e"))
+        .groupBy("suppkey", F.col("e.day").alias("day"))
+        .agg(F.sum("e.delta").alias("net"))
     )
     w = Window.partitionBy("suppkey").orderBy("day")
     running = net.withColumn("open", F.sum("net").over(w))
