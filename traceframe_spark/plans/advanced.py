@@ -515,6 +515,60 @@ WINDOW w AS (PARTITION BY o_custkey
 """
 
 
+
+
+def q_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-ranking windows the rank/ntile queries don't cover:
+    percent_rank and cume_dist of each order's spend within its
+    priority class (quantized to stable integers). One window shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
+    cents = qint(F.col("o_totalprice"), 2)
+    w = Window.partitionBy("o_orderpriority").orderBy(cents.asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        qint(F.percent_rank().over(w), 6).alias("pct_rank_q"),
+        qint(F.cume_dist().over(w), 6).alias("cume_q"),
+    )
+
+
+SQL_RANK_DISTRIBUTIONS = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT) AS pct_rank_q,
+       CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT) AS cume_q
+FROM orders WHERE o_orderkey < 4000
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ASC, o_orderkey ASC)
+"""
+
+
+def q_stats_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per return flag: sample stddev/variance of
+    quantity and the quantity↔price correlation — the moment-based
+    aggregate family nothing else in the catalog exercises. Both
+    engines accumulate co-moments in different orders, so outputs are
+    quantized coarsely enough (4 decimals on [-1,1] correlation, 3 on
+    single-digit stddev) that the last-ulp disagreement can't surface.
+    Map-side partial aggregation applies; one 3-row exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        qint(F.stddev_samp("l_quantity"), 3).alias("qty_sd_q"),
+        qint(F.var_samp("l_quantity"), 3).alias("qty_var_q"),
+        qint(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr_q"),
+        qint(F.covar_samp("l_quantity", "l_discount"), 4).alias("qty_disc_cov_q"),
+    )
+
+
+SQL_STATS_BY_GROUP = """
+SELECT l_returnflag,
+       CAST(floor(stddev_samp(l_quantity) * 1000 + 0.5) AS BIGINT) AS qty_sd_q,
+       CAST(floor(var_samp(l_quantity) * 1000 + 0.5) AS BIGINT) AS qty_var_q,
+       CAST(floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5) AS BIGINT) AS qty_price_corr_q,
+       CAST(floor(covar_samp(l_quantity, l_discount) * 10000 + 0.5) AS BIGINT) AS qty_disc_cov_q
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 ADVANCED_QUERIES = {
     "in_subquery": q_in_subquery,
     "scalar_subquery": q_scalar_subquery,
@@ -523,6 +577,8 @@ ADVANCED_QUERIES = {
     "unpivot_charges": q_unpivot_charges,
     "exists_subquery": q_exists_subquery,
     "full_outer_join": q_full_outer_join,
+    "rank_distributions": q_rank_distributions,
+    "stats_by_group": q_stats_by_group,
     "ntile_buckets": q_ntile_buckets,
     "first_last_window": q_first_last_window,
     "range_interval_window": q_range_interval_window,
@@ -539,6 +595,8 @@ ADVANCED_QUERIES = {
 
 ADVANCED_ORACLE_SQL = {
     "full_outer_join": SQL_FULL_OUTER_JOIN,
+    "rank_distributions": SQL_RANK_DISTRIBUTIONS,
+    "stats_by_group": SQL_STATS_BY_GROUP,
     "ntile_buckets": SQL_NTILE_BUCKETS,
     "first_last_window": SQL_FIRST_LAST_WINDOW,
     "range_interval_window": SQL_RANGE_INTERVAL_WINDOW,
