@@ -57,6 +57,8 @@ HEADLINE = [
     "salted_join",
     "domain_mix",
     "full_outer_join",
+    "stats_by_group",
+    "rank_distributions",
     "range_interval_window",
     "tpch_q1",
     "tpch_q3",
