@@ -569,6 +569,38 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+
+
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (EXCEPT ALL / INTERSECT ALL): per-status
+    multiset of customer keys — duplicates preserved, which the
+    DISTINCT-semantics set_intersect/set_except queries cannot cover.
+    Spark plans these as aggregate+generate (sum of signed counts), not
+    a join — the multiset algebra survives skew the same way a count
+    aggregation does."""
+    o = load_table(spark, sf_dir, "orders")
+    f_cust = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o_cust = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    both = f_cust.intersectAll(o_cust).withColumn("op", F.lit("intersect_all"))
+    only_f = f_cust.exceptAll(o_cust).withColumn("op", F.lit("except_all"))
+    return both.unionByName(only_f)
+
+
+SQL_SET_OPS_ALL = """
+SELECT custkey, 'intersect_all' AS op FROM (
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+UNION ALL
+SELECT custkey, 'except_all' AS op FROM (
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+"""
+
+
 ADVANCED_QUERIES = {
     "in_subquery": q_in_subquery,
     "scalar_subquery": q_scalar_subquery,
@@ -583,6 +615,7 @@ ADVANCED_QUERIES = {
     "first_last_window": q_first_last_window,
     "range_interval_window": q_range_interval_window,
     "set_intersect": q_intersect,
+    "set_ops_all": q_set_ops_all,
     "set_except": q_except,
     "cube_agg": q_cube_agg,
     "percentiles": q_percentiles,
@@ -601,6 +634,7 @@ ADVANCED_ORACLE_SQL = {
     "first_last_window": SQL_FIRST_LAST_WINDOW,
     "range_interval_window": SQL_RANGE_INTERVAL_WINDOW,
     "set_intersect": SQL_INTERSECT,
+    "set_ops_all": SQL_SET_OPS_ALL,
     "set_except": SQL_EXCEPT,
     "cube_agg": SQL_CUBE_AGG,
     "percentiles": SQL_PERCENTILES,
