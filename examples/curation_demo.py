@@ -134,6 +134,25 @@ def main() -> None:
     back = spark.read.parquet(out)
     print(f"shards: {back.count()} rows across 4 files at {out}")
 
+    # 8b. multimodal curation: synthesize real PNG/WAV/Y4M payloads for
+    # a document slice, decode REAL features distributed (mapInPandas),
+    # and drop undecodable media — the image/audio/video triage step
+    from traceframe_spark.operators import multimodal
+
+    docs50 = docs.filter("doc_id < 50")
+    img = multimodal.decode_image_meta(multimodal.synthesize_png_media(docs50, "doc_id"))
+    aud = multimodal.decode_audio_meta(multimodal.synthesize_wav_media(docs50, "doc_id"))
+    vid = multimodal.decode_video_meta(multimodal.synthesize_y4m_media(docs50, "doc_id"))
+    n_img = img.filter("width IS NOT NULL").count()
+    n_aud = aud.filter("n_frames IS NOT NULL").count()
+    vid_ok = vid.filter("n_frames IS NOT NULL")
+    n_vid = vid_ok.count()
+    motion = vid_ok.agg(F.sum("motion_sum")).first()[0]
+    print(
+        f"media triage: {n_img}/50 images, {n_aud}/50 audio, {n_vid}/50 video "
+        f"decoded (total video motion {motion})"
+    )
+
     # 9. embedding-side curation: flag within-label outliers (likely
     # mislabeled vectors), then compact for serving — int8 quantization
     # and sign-bit binarization (the Hamming-rankable 16-byte form)
