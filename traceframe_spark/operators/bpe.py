@@ -32,7 +32,11 @@ how production tokenizer trainers shard the work:
 
 Symbols must not contain spaces: callers train on whitespace-tokenized
 words (non-space symbols by construction) plus the ``</w>`` end-of-word
-marker.
+marker. As in the reference algorithm, a corpus word whose literal text
+spells the marker (``</w>``) is indistinguishable from the marker once
+merges rebuild it from characters — the standard marker-collision caveat
+of every BPE implementation; pick a marker absent from the corpus
+alphabet if that matters.
 """
 
 from __future__ import annotations

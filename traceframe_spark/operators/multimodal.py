@@ -775,7 +775,10 @@ def y4m_sample_frames(media: DataFrame, every_n: int = 2, batch_rows: int = 256)
     """REAL frame sampling: decode each Y4M payload, keep every
     ``every_n``-th frame (always including frame 0), re-encode. The
     physical shape a 100 TB video-curation pass needs — pure map-side
-    ``mapInPandas``, no shuffle, output payloads shrink ~1/every_n."""
+    ``mapInPandas``, no shuffle, output payloads shrink ~1/every_n.
+    Output is always mono Y4M: the luma planes are what downstream
+    features consume, so chroma planes of 420/444 inputs are dropped
+    at re-encode rather than resampled."""
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
 
