@@ -116,6 +116,11 @@ def learn_bpe(
     )
     syms = syms.persist()
     merges: list[tuple[str, str, int]] = []
+    # lazy persist + deferred unpersist: each round's pair-count collect
+    # is the job that materializes the new table's cache, and the PARENT
+    # is unpersisted only after that happens — one job per merge instead
+    # of two (no eager count() just to pin the cache before unpersist)
+    prev: DataFrame | None = None
     try:
         for i in range(n_merges):
             top = (
@@ -124,6 +129,9 @@ def learn_bpe(
                 .limit(1)
                 .collect()
             )
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top or top[0]["pcount"] < 2:
                 break
             left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["pcount"])
@@ -131,14 +139,18 @@ def learn_bpe(
             nxt = syms.withColumn("s", merge_expr(F.col("s"), left, right))
             if (i + 1) % checkpoint_every == 0:
                 nxt = nxt.localCheckpoint(eager=True)
+                syms.unpersist()
             else:
                 nxt = nxt.persist()
-                nxt.count()
-            syms.unpersist()
+                prev = syms
             syms = nxt
     except Exception:
+        if prev is not None:
+            prev.unpersist()
         syms.unpersist()
         raise
+    if prev is not None:
+        prev.unpersist()
     return merges, syms
 
 
