@@ -145,3 +145,36 @@ def test_null_text_oracle_parity(spark, tmp_path):
                 out.append(tuple(None if (isinstance(x, float) and x != x) else x for x in t))
             return out
         assert norm(got) == norm(want), f"{name}: {norm(got)[:3]} != {norm(want)[:3]}"
+
+
+@needs_testdata
+def test_queries_run_on_bare_session(spark):
+    """The driver's correctness gate calls query functions with ITS OWN
+    SparkSession — one that has none of get_spark's conveniences
+    (LAST_WIN map dedup, timezone, nanosAsLong are load_table's job).
+    Pin a representative per-suite subset against a bare-config clone:
+    any query that silently depends on a get_spark-only conf fails here
+    instead of in the driver."""
+    bare = spark.newSession()  # shares JVM, drops session-conf state
+    for k in (
+        "spark.sql.mapKeyDedupPolicy",
+        "spark.sql.legacy.parquet.nanosAsLong",
+    ):
+        try:
+            bare.conf.unset(k)
+        except Exception:
+            pass
+
+    from traceframe_spark.plans import catalog_queries
+
+    qs = catalog_queries()
+    subset = [
+        "tpch_q1", "sessionize", "service_graph", "funnel_conversion",
+        "bm25_topk", "json_props", "filter_project", "quality_resample",
+        "bpe_pair_counts", "video_features", "doc_triangles",
+        "hard_negatives", "stats_by_group", "set_ops_all",
+    ]
+    sf = "/root/testdata/sf0.001"
+    for name in subset:
+        n = qs[name](bare, sf).count()
+        assert n >= 0, name
