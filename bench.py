@@ -71,6 +71,7 @@ HEADLINE = [
     "session_window",
     "quality_resample",
     "doc_triangles",
+    "cms_heavy_hitters",
     "bpe_merges",
     "video_features",
     "embed_quantize",

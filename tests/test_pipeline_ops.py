@@ -1026,3 +1026,42 @@ def test_y4m_frame_sampling_distributed(spark, docs):
         assert got[i]["n_frames"] == (n + 2) // 3  # ceil(n/3): frames 0,3,6,...
         assert got[i]["width"] == orig[i]["width"]
         assert got[i]["frame0_sum"] == orig[i]["frame0_sum"]  # frame 0 always kept
+
+
+# ------------------------------------------------------------ count-min sketch
+
+
+def test_cms_estimates_bound_and_merge(spark, docs):
+    """CMS invariants: every estimate is >= the exact count (one-sided
+    error), the top heavy hitter is estimated exactly-ish (within the
+    epsilon*N bound for w=1024), and sketch(full) == merge(sketch(A),
+    sketch(B)) — the additivity that makes it distributable."""
+    from pyspark.sql import functions as F
+
+    from traceframe_spark.operators import sketch
+
+    occ = docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    exact = {r["w"]: r["n"] for r in occ.groupBy("w").agg(F.count("*").alias("n")).collect()}
+    n_total = sum(exact.values())
+
+    sk = sketch.cms_build(occ, "w", depth=4, width=1024)
+    est = {
+        r["w"]: r["est"]
+        for r in sketch.cms_estimate(sk, occ.distinct(), "w", depth=4, width=1024).collect()
+    }
+    assert set(est) == set(exact)
+    for w, n in exact.items():
+        assert est[w] >= n, (w, est[w], n)
+        # epsilon = e/w; overshoot beyond eps*N means the hashing is broken
+        assert est[w] - n <= max(3, int(2.72 / 1024 * n_total) * 4), (w, est[w], n)
+
+    # additivity: sketch of halves merges to the sketch of the whole
+    a = sketch.cms_build(occ.filter(F.length("w") <= 4), "w")
+    b = sketch.cms_build(occ.filter(F.length("w") > 4), "w")
+    merged = {
+        (r["row"], r["bucket"]): r["cnt"] for r in sketch.cms_merge(a, b).collect()
+    }
+    whole = {(r["row"], r["bucket"]): r["cnt"] for r in sk.collect()}
+    assert merged == whole

@@ -47,6 +47,7 @@ from traceframe_spark.operators import (  # noqa: F401
     rollup,
     sampling,
     similarity,
+    sketch,
     skew,
     text,
 )
@@ -82,6 +83,7 @@ __all__ = [
     "rollup",
     "sampling",
     "similarity",
+    "sketch",
     "skew",
     "text",
     "read_jsonl_quarantined",

@@ -1209,6 +1209,64 @@ SELECT rank, v AS doc_id, n_triangles FROM (
 """
 
 
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters: build the fixed-memory 4×1024
+    sketch over every word occurrence, point-estimate every distinct
+    word through it, top-20 by estimate. The md5-derived bucket hashing
+    makes the whole sketch — and therefore every estimate — exactly
+    reproducible by the DuckDB oracle, which rebuilds the identical
+    counter table in SQL. Estimates are upper bounds on true counts;
+    pytest pins estimate ≥ exact and the sketch-additivity (merge)
+    property. At 100 TB the sketch stays ~4·1024 longs regardless of
+    corpus size — the structure a vocabulary that doesn't fit uses."""
+    from traceframe_spark.operators import sketch
+
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    sk = sketch.cms_build(occ, "w", depth=4, width=1024)
+    keys = occ.distinct()
+    est = sketch.cms_estimate(sk, keys, "w", depth=4, width=1024)
+    order = [F.col("est").desc(), F.col("w").asc()]
+    top = est.orderBy(*order).limit(20)
+    wnd = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(wnd).cast("long")).select(
+        "rank", F.col("w").alias("word"), F.col("est").cast("long").alias("est")
+    )
+
+
+SQL_CMS_HEAVY_HITTERS = """
+WITH occ AS (
+    SELECT w FROM (
+        SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents
+    ) WHERE w <> ''
+),
+sk AS MATERIALIZED (
+    SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || w), 1, 8))::BIGINT % 1024 AS bucket,
+           count(*) AS cnt
+    FROM occ, unnest([0, 1, 2, 3]) AS t(r)
+    GROUP BY 1, 2
+),
+keys AS (SELECT DISTINCT w FROM occ),
+est AS (
+    SELECT w, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est
+    FROM (
+        SELECT k.w, t.r,
+               ('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || k.w), 1, 8))::BIGINT % 1024 AS bucket
+        FROM keys k, unnest([0, 1, 2, 3]) AS t(r)
+    ) q LEFT JOIN sk s ON s.r = q.r AND s.bucket = q.bucket
+    GROUP BY w
+)
+SELECT rank, w AS word, est FROM (
+    SELECT w, est, CAST(row_number() OVER (ORDER BY est DESC, w ASC) AS BIGINT) AS rank
+    FROM est
+) WHERE rank <= 20
+"""
+
+
 PIPELINE_QUERIES = {
     "quality_resample": q_quality_resample,
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -1219,6 +1277,7 @@ PIPELINE_QUERIES = {
     "video_features": q_video_features,
     "doc_pagerank": q_doc_pagerank,
     "doc_triangles": q_doc_triangles,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     "ngram_jaccard": q_ngram_jaccard,
     "dup_windows": q_dup_windows,
     "doc_bigram_logprob": q_doc_bigram_logprob,
@@ -1275,4 +1334,5 @@ PIPELINE_ORACLE_SQL = {
     "video_features": SQL_VIDEO_FEATURES,
     "doc_pagerank": SQL_DOC_PAGERANK,
     "doc_triangles": SQL_DOC_TRIANGLES,
+    "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
 }
