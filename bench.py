@@ -72,6 +72,7 @@ HEADLINE = [
     "quality_resample",
     "doc_triangles",
     "cms_heavy_hitters",
+    "bloom_prefilter",
     "bpe_merges",
     "video_features",
     "embed_quantize",

@@ -1065,3 +1065,33 @@ def test_cms_estimates_bound_and_merge(spark, docs):
     }
     whole = {(r["row"], r["bucket"]): r["cnt"] for r in sk.collect()}
     assert merged == whole
+
+
+def test_bloom_filter_invariants(spark):
+    """Bloom invariants: NO false negatives ever (the decontamination
+    guarantee), false-positive rate near the analytic bound, and
+    additive merge (bloom(A∪B) == bit_or-merge of the halves)."""
+    from pyspark.sql import functions as F
+
+    from traceframe_spark.operators import sketch
+
+    members = spark.createDataFrame([(f"in{i}",) for i in range(500)], "k string")
+    others = spark.createDataFrame([(f"out{i}",) for i in range(500)], "k string")
+    bl = sketch.bloom_build(members, "k")
+
+    got_in = sketch.bloom_probe(bl, members, "k").collect()
+    assert all(r["probable_member"] for r in got_in)  # no false negatives
+
+    fp = sum(1 for r in sketch.bloom_probe(bl, others, "k").collect() if r["probable_member"])
+    # n=500, m=65536, k=5 -> (1-e^{-kn/m})^k ~ 2e-7; allow generous slack
+    assert fp <= 2, fp
+
+    half_a = members.filter(F.col("k") < "in3")
+    half_b = members.filter(F.col("k") >= "in3")
+    merged = (
+        sketch.bloom_build(half_a, "k")
+        .unionByName(sketch.bloom_build(half_b, "k"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, bl.collect()))

@@ -92,3 +92,77 @@ def cms_estimate(
     return out.select(key_col, est.alias("est")).drop(
         *[f"_bk{r}" for r in range(depth)]
     )
+
+
+# ------------------------------------------------------------- bloom filter
+
+def _bit_positions(key: Column, n_hashes: int, n_bits: int) -> list[Column]:
+    """k md5-derived bit positions for a key (same portable-hash trick
+    as the CMS buckets)."""
+    return [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("#", F.lit(str(r)), key)), 1, 8), 16, 10
+            ).cast("long")
+            % n_bits
+        )
+        for r in range(n_hashes)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, n_hashes: int = 5, n_bits: int = 1 << 16
+) -> DataFrame:
+    """Bloom filter as a DataFrame of bit words: (word_idx, bits) —
+    32 bits packed per long.
+    Built with one explode + a ``bit_or`` aggregation (map-side
+    combinable); two filters over the same geometry merge by unioning
+    and re-``bit_or``-ing — additive like the CMS. ~n_bits/32 rows
+    total (8 KiB of longs at the default geometry) regardless of input
+    size: the membership structure for a set that doesn't fit."""
+    key = F.col(key_col)
+    pos = F.array(*_bit_positions(key, n_hashes, n_bits))
+    return (
+        df.select(F.explode(pos).alias("p"))
+        # pyspark's shiftleft wrapper takes only literal shift amounts;
+        # the SQL form accepts a column
+        # 32 bits per long word: shift amounts stay <= 31, which keeps
+        # the expression portable to engines that CHECK signed shift
+        # overflow (DuckDB errors on 1::BIGINT << 63)
+        .select(
+            (F.col("p") / 32).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    n_hashes: int = 5,
+    n_bits: int = 1 << 16,
+) -> DataFrame:
+    """Membership probe: a key is a PROBABLE member iff all k of its
+    bits are set (no false negatives; false positives at the classic
+    (1-e^{-kn/m})^k rate). k word-indexed equi-joins against the ~1000-
+    row filter — broadcast-sized at any corpus scale."""
+    key = F.col(key_col)
+    out = keys
+    for r, p in enumerate(_bit_positions(key, n_hashes, n_bits)):
+        side = bloom.select(
+            F.col("word_idx").alias(f"_w{r}"), F.col("bits").alias(f"_b{r}")
+        )
+        out = out.withColumn(f"_p{r}", p).withColumn(
+            f"_w{r}", (F.col(f"_p{r}") / 32).cast("long")
+        ).join(F.broadcast(side), f"_w{r}", "left")
+    hit = None
+    for r in range(n_hashes):
+        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_p{r} % 32 AS INT))")
+        this = F.coalesce(F.col(f"_b{r}"), F.lit(0)).bitwiseAND(mask) != 0
+        hit = this if hit is None else (hit & this)
+    return out.select(key_col, hit.alias("probable_member")).drop(
+        *[c for r in range(n_hashes) for c in (f"_p{r}", f"_w{r}", f"_b{r}")]
+    )

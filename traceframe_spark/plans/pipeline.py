@@ -1267,6 +1267,83 @@ SELECT rank, w AS word, est FROM (
 """
 
 
+
+
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-pass for decontamination: build the
+    8 KiB filter over the benchmark slice's words (docs < 50), probe
+    every distinct word of the candidate corpus (docs >= 100), and
+    account exactly for the outcome — probed / probable / true members
+    / false positives. No false negatives is the structural guarantee
+    (a missed benchmark word would leak contamination); the false-
+    positive count only costs re-checking. The md5-derived bit
+    positions make the filter bit-identical in DuckDB, so the oracle
+    rebuilds it and must land on the same FP set. At 100 TB the filter
+    is ~1k longs — broadcast once, probe map-side."""
+    from traceframe_spark.operators import sketch
+
+    d = load_table(spark, sf_dir, "documents")
+    words = lambda df: df.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    bench = words(d.filter(F.col("doc_id") < 50)).distinct()
+    cand = words(d.filter(F.col("doc_id") >= 100)).distinct()
+    bl = sketch.bloom_build(bench, "w")
+    probed = sketch.bloom_probe(bl, cand, "w")
+    truth = bench.withColumnRenamed("w", "w_t").withColumn("is_member", F.lit(True))
+    joined = probed.join(truth, probed.w == truth.w_t, "left")
+    return joined.agg(
+        F.count("*").cast("long").alias("n_probed"),
+        F.sum(F.col("probable_member").cast("long")).cast("long").alias("n_probable"),
+        F.sum(F.coalesce(F.col("is_member"), F.lit(False)).cast("long"))
+        .cast("long")
+        .alias("n_true_members"),
+        F.sum(
+            (F.col("probable_member") & F.col("is_member").isNull()).cast("long")
+        )
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+
+
+SQL_BLOOM_PREFILTER = """
+WITH bench AS (
+    SELECT DISTINCT w FROM (
+        SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents WHERE doc_id < 50
+    ) WHERE w <> ''
+),
+cand AS (
+    SELECT DISTINCT w FROM (
+        SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents WHERE doc_id >= 100
+    ) WHERE w <> ''
+),
+bloom AS MATERIALIZED (
+    SELECT CAST(p / 32 AS BIGINT) AS word_idx, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+    FROM (
+        SELECT ('0x' || substr(md5(CAST(r AS VARCHAR) || '#' || w), 1, 8))::BIGINT % 65536 AS p
+        FROM bench, unnest([0, 1, 2, 3, 4]) AS t(r)
+    )
+    GROUP BY 1
+),
+probe AS (
+    SELECT c.w,
+           bool_and(coalesce(b.bits, 0) & (1::BIGINT << CAST(q.p % 32 AS INT)) <> 0) AS probable_member
+    FROM cand c,
+         LATERAL (
+             SELECT ('0x' || substr(md5(CAST(r AS VARCHAR) || '#' || c.w), 1, 8))::BIGINT % 65536 AS p
+             FROM unnest([0, 1, 2, 3, 4]) AS t(r)
+         ) q
+         LEFT JOIN bloom b ON b.word_idx = CAST(q.p / 32 AS BIGINT)
+    GROUP BY c.w
+)
+SELECT CAST(count(*) AS BIGINT) AS n_probed,
+       CAST(sum(CASE WHEN probable_member THEN 1 ELSE 0 END) AS BIGINT) AS n_probable,
+       CAST(sum(CASE WHEN bench.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true_members,
+       CAST(sum(CASE WHEN probable_member AND bench.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+FROM probe LEFT JOIN bench ON probe.w = bench.w
+"""
+
+
 PIPELINE_QUERIES = {
     "quality_resample": q_quality_resample,
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -1278,6 +1355,7 @@ PIPELINE_QUERIES = {
     "doc_pagerank": q_doc_pagerank,
     "doc_triangles": q_doc_triangles,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "bloom_prefilter": q_bloom_prefilter,
     "ngram_jaccard": q_ngram_jaccard,
     "dup_windows": q_dup_windows,
     "doc_bigram_logprob": q_doc_bigram_logprob,
@@ -1335,4 +1413,5 @@ PIPELINE_ORACLE_SQL = {
     "doc_pagerank": SQL_DOC_PAGERANK,
     "doc_triangles": SQL_DOC_TRIANGLES,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
+    "bloom_prefilter": SQL_BLOOM_PREFILTER,
 }
