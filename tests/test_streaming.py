@@ -590,3 +590,75 @@ def test_batch_markers_make_replay_noop(spark, tmp_path):
     assert S._batch_already_applied(spark, store, "ckpt-A", 0)
     assert not S._batch_already_applied(spark, store, "ckpt-A", 1)
     assert not S._batch_already_applied(spark, store, "ckpt-B", 0)
+
+
+def test_streaming_cms_merges_to_batch_sketch(spark, tmp_path):
+    """Sketch additivity under streaming: fold each micro-batch's CMS
+    partial into a standing sketch store via foreachBatch; after the
+    stream drains, the stored sketch equals the batch-built sketch of
+    all data — so heavy-hitter estimates from the standing store are
+    identical to batch estimates. The same merge shape as
+    stream_to_rollup, applied to the sketch family."""
+    from traceframe_spark.operators import sketch
+
+    batches = [
+        ["spark spark shuffle join", "join scan scan scan"],
+        ["spark window agg", "scan spark spark shuffle"],
+    ]
+    feed = tmp_path / "docs"
+    feed.mkdir()
+    for i, texts in enumerate(batches):
+        (feed / f"b{i}.jsonl").write_text(
+            "\n".join(json.dumps({"text": t}) for t in texts)
+        )
+
+    store = str(tmp_path / "cms_store")
+
+    def fold(batch_df, batch_id):
+        occ = batch_df.select(
+            F.explode(F.split(F.col("text"), r"\s+")).alias("w")
+        ).filter(F.col("w") != "")
+        part = sketch.cms_build(occ, "w")
+        import os
+
+        if os.path.isdir(store):
+            part = sketch.cms_merge(part, batch_df.sparkSession.read.parquet(store))
+        part.coalesce(1).write.mode("overwrite").format("parquet").save(store + "_next")
+        # atomic-enough swap for the test; production uses the rollup
+        # store's dynamic-partition merge instead
+        import shutil
+
+        if os.path.isdir(store):
+            shutil.rmtree(store)
+        os.rename(store + "_next", store)
+
+    stream = (
+        spark.readStream.schema("text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    all_docs = spark.createDataFrame(
+        [(t,) for b in batches for t in b], "text string"
+    )
+    occ = all_docs.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    want = {(r["row"], r["bucket"]): r["cnt"] for r in sketch.cms_build(occ, "w").collect()}
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in spark.read.parquet(store).collect()}
+    assert got == want
+
+    est = {
+        r["w"]: r["est"]
+        for r in sketch.cms_estimate(
+            spark.read.parquet(store), occ.distinct(), "w"
+        ).collect()
+    }
+    assert est["spark"] >= 5 and est["scan"] >= 4
