@@ -63,6 +63,30 @@ def main() -> None:
         back = tfs.sinks.read_spans(spark, f"{d}/spans")
         print(f"store roundtrip: {back.count()} spans")
 
+    # 8. the other open trace formats land in the SAME canonical tables
+    import json as _json
+
+    from traceframe_spark.sources import spans_from_zipkin_file
+
+    with tempfile.TemporaryDirectory() as d:
+        zk = [
+            {"traceId": "beef00000000cafe", "id": "aa001", "name": "/checkout",
+             "timestamp": 1_700_000_000_000_000, "duration": 9000,
+             "localEndpoint": {"serviceName": "frontend"}},
+            {"traceId": "beef00000000cafe", "id": "aa002", "parentId": "aa001",
+             "name": "charge", "timestamp": 1_700_000_000_002_000, "duration": 4000,
+             "localEndpoint": {"serviceName": "payments"}},
+        ]
+        p = f"{d}/zipkin.json"
+        with open(p, "w") as fh:
+            _json.dump(zk, fh)
+        z = spans_from_zipkin_file(spark, p)
+        segs = tfs.critical_path_segments(z)
+        print(
+            f"zipkin ingest: {z.count()} spans -> {segs.count()} critical segments "
+            "(same tables, same kernels)"
+        )
+
     spark.stop()
 
 

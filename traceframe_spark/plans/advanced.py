@@ -601,6 +601,39 @@ SELECT custkey, 'except_all' AS op FROM (
 """
 
 
+
+
+def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking/navigation window functions in one pass:
+    rank, dense_rank, lag, and lead over each customer's order history
+    (other queries cover row_number/ntile/percent_rank/cume_dist/
+    first/last/nth). One window shuffle; all five functions share the
+    same sort, so WindowExec evaluates them in a single pass."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    cents = qint(F.col("o_totalprice"), 2)
+    w = Window.partitionBy("o_custkey").orderBy(cents.asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_key"),
+        F.lead("o_orderkey", 1).over(w).alias("next_key"),
+    )
+
+
+SQL_RANK_FAMILY = """
+SELECT o_custkey, o_orderkey,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       lag(o_orderkey, 1) OVER w AS prev_key,
+       lead(o_orderkey, 1) OVER w AS next_key
+FROM orders WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ASC, o_orderkey ASC)
+"""
+
+
 ADVANCED_QUERIES = {
     "in_subquery": q_in_subquery,
     "scalar_subquery": q_scalar_subquery,
@@ -610,6 +643,7 @@ ADVANCED_QUERIES = {
     "exists_subquery": q_exists_subquery,
     "full_outer_join": q_full_outer_join,
     "rank_distributions": q_rank_distributions,
+    "rank_family": q_rank_family,
     "stats_by_group": q_stats_by_group,
     "ntile_buckets": q_ntile_buckets,
     "first_last_window": q_first_last_window,
@@ -629,6 +663,7 @@ ADVANCED_QUERIES = {
 ADVANCED_ORACLE_SQL = {
     "full_outer_join": SQL_FULL_OUTER_JOIN,
     "rank_distributions": SQL_RANK_DISTRIBUTIONS,
+    "rank_family": SQL_RANK_FAMILY,
     "stats_by_group": SQL_STATS_BY_GROUP,
     "ntile_buckets": SQL_NTILE_BUCKETS,
     "first_last_window": SQL_FIRST_LAST_WINDOW,
