@@ -58,6 +58,9 @@ HEADLINE = [
     "domain_mix",
     "full_outer_join",
     "stats_by_group",
+    "rank_family",
+    "set_ops_all",
+    "hard_negatives",
     "rank_distributions",
     "range_interval_window",
     "tpch_q1",
