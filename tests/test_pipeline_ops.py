@@ -1011,6 +1011,29 @@ def test_y4m_codec_roundtrip():
         multimodal.decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C410\nFRAME\n\x00\x00\x00\x00")
 
 
+def test_y4m_odd_dimension_subsampled_chroma():
+    """An externally-produced odd-dimension C420 stream sizes chroma
+    planes as ceil(w/2)*ceil(h/2) per plane (spec behavior, what ffmpeg
+    writes): a 5x3 frame carries 2*3*2=12 chroma bytes. The decoder
+    must step exactly that far or every later frame misaligns."""
+    import numpy as np
+
+    w, h = 5, 3
+    f0 = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    f1 = (f0 + 100).astype(np.uint8)
+    chroma = bytes([128]) * (2 * 3 * 2)  # ceil(5/2)*ceil(3/2) per plane
+    raw = (
+        b"YUV4MPEG2 W5 H3 F25:1 Ip A1:1 C420jpeg\n"
+        + b"FRAME\n" + f0.tobytes() + chroma
+        + b"FRAME\n" + f1.tobytes() + chroma
+    )
+    gw, gh, _, _, y = multimodal.decode_y4m(raw)
+    assert (gw, gh) == (w, h) and y.shape == (2, h, w)
+    assert (y[0] == f0).all() and (y[1] == f1).all()
+    # the engine's own encoder writes the identical layout
+    assert multimodal.encode_y4m(np.stack([f0, f1]), colorspace="420jpeg") == raw
+
+
 def test_y4m_frame_sampling_distributed(spark, docs):
     """y4m_sample_frames decodes, strides, and re-encodes REAL payloads:
     the resampled stream decodes to frames [0, n, 2n, ...] of the

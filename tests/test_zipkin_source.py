@@ -91,6 +91,46 @@ def test_zipkin_span_table_canonical(spark, tmp_path):
     assert bare["tags"] == {}  # no tags, null kind -> empty map, not null
 
 
+def test_zipkin_shared_span_disambiguation(spark, tmp_path):
+    """A dump carrying BOTH halves of an RPC (client span + shared=true
+    server span reusing the same id) must yield unique spanIDs, with the
+    server half parented on the client half — not a duplicate key that
+    double-counts in regroup / critical-path kernels."""
+    both_halves = [
+        {
+            "traceId": "2222222222222222",
+            "id": "cc00000000000001",
+            "name": "/api",
+            "kind": "CLIENT",
+            "timestamp": BASE_US,
+            "duration": 40_000,
+            "localEndpoint": {"serviceName": "gateway"},
+        },
+        {
+            "traceId": "2222222222222222",
+            "id": "CC00000000000001",  # same id, server half
+            "parentId": "dd00000000000009",  # ignored for shared spans
+            "name": "/api",
+            "kind": "SERVER",
+            "shared": True,
+            "timestamp": BASE_US + 2_000,
+            "duration": 35_000,
+            "localEndpoint": {"serviceName": "backend"},
+        },
+    ]
+    p = tmp_path / "shared.json"
+    p.write_text(json.dumps(both_halves))
+    rows = {r["spanID"]: r for r in spans_from_zipkin_file(spark, str(p)).collect()}
+    assert set(rows) == {"cc00000000000001", "cc00000000000001-s"}
+    server = rows["cc00000000000001-s"]
+    assert server["parent"] == "cc00000000000001"  # client half, not parentId
+    assert server["service"] == "backend"
+    assert rows["cc00000000000001"]["parent"] == ""
+    # traces table sees 2 distinct spans, one trace
+    t = traces_from_zipkin_file(spark, str(p)).collect()
+    assert len(t) == 1 and t[0]["nspans"] == 2
+
+
 def test_zipkin_jsonl_matches_array_form(spark, tmp_path):
     a = spans_from_zipkin_file(spark, _write(tmp_path, multiline=True))
     b = spans_from_zipkin_file(spark, _write(tmp_path, multiline=False), multiline=False)

@@ -590,16 +590,28 @@ def media_near_dup_pairs(
 # --------------------------------------------------------------- video (Y4M)
 
 Y4M_MAGIC = b"YUV4MPEG2"
-# colorspace tag -> chroma plane size as a fraction (num, den) of the Y plane
+# colorspace tag -> chroma subsampling factors (sx, sy); None = no chroma.
+# Plane bytes are ceil(w/sx)*ceil(h/sy) — the ceil matters for odd
+# dimensions with subsampled colorspaces (a 5x3 C420 frame carries
+# 3*2=6 bytes per chroma plane, not 15//4=3).
 _Y4M_CHROMA = {
-    "mono": (0, 1),
-    "420": (1, 4),
-    "420jpeg": (1, 4),
-    "420mpeg2": (1, 4),
-    "420paldv": (1, 4),
-    "422": (1, 2),
+    "mono": None,
+    "420": (2, 2),
+    "420jpeg": (2, 2),
+    "420mpeg2": (2, 2),
+    "420paldv": (2, 2),
+    "422": (2, 1),
     "444": (1, 1),
 }
+
+
+def _y4m_chroma_bytes(width: int, height: int, colorspace: str) -> int:
+    """Total chroma bytes per frame (both planes) for a colorspace."""
+    sub = _Y4M_CHROMA[colorspace]
+    if sub is None:
+        return 0
+    sx, sy = sub
+    return 2 * (-(-width // sx)) * (-(-height // sy))
 
 
 def encode_y4m(
@@ -615,9 +627,10 @@ def encode_y4m(
         raise ValueError("frames must be (n, h, w) uint8")
     n, h, w = f.shape
     num, den = fps
-    cnum, cden = _Y4M_CHROMA[colorspace]
+    if colorspace not in _Y4M_CHROMA:
+        raise NotImplementedError(f"unsupported Y4M colorspace C{colorspace}")
     header = f"YUV4MPEG2 W{w} H{h} F{num}:{den} Ip A1:1 C{colorspace}\n".encode()
-    chroma = bytes([128]) * (2 * (w * h * cnum // cden))
+    chroma = bytes([128]) * _y4m_chroma_bytes(w, h, colorspace)
     out = [header]
     for i in range(n):
         out.append(b"FRAME\n")
@@ -656,9 +669,8 @@ def decode_y4m(payload: bytes) -> tuple[int, int, int, int, np.ndarray]:
         raise ValueError("Y4M header missing W or H")
     if colorspace not in _Y4M_CHROMA:
         raise NotImplementedError(f"unsupported Y4M colorspace C{colorspace}")
-    cnum, cden = _Y4M_CHROMA[colorspace]
     y_size = width * height
-    frame_size = y_size + 2 * (y_size * cnum // cden)
+    frame_size = y_size + _y4m_chroma_bytes(width, height, colorspace)
     frames = []
     pos = nl + 1
     while pos < len(payload):

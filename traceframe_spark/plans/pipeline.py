@@ -1136,13 +1136,17 @@ SQL_BPE_ENCODE_LENS = _sql_bpe_chain(_BPE_N_MERGES) + f"""
     SELECT word, CAST(len(list_filter(string_split(s, '  '), x -> x <> '')) AS BIGINT) AS n
     FROM w{_BPE_N_MERGES}
 )
-SELECT d.doc_id, CAST(sum(wlen.n) AS BIGINT) AS n_tokens
-FROM (
-    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
-    FROM documents WHERE text IS NOT NULL
-) d JOIN wlen USING (word)
-WHERE d.word <> ''
-GROUP BY d.doc_id
+, dw AS (
+    SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+        FROM documents WHERE text IS NOT NULL
+    ) WHERE word <> ''
+)
+SELECT doc.doc_id, CAST(coalesce(sum(wlen.n), 0) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) doc
+LEFT JOIN dw USING (doc_id)
+LEFT JOIN wlen USING (word)
+GROUP BY doc.doc_id
 """
 
 
@@ -1318,7 +1322,7 @@ cand AS (
     ) WHERE w <> ''
 ),
 bloom AS MATERIALIZED (
-    SELECT CAST(p / 32 AS BIGINT) AS word_idx, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+    SELECT CAST(p // 32 AS BIGINT) AS word_idx, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
     FROM (
         SELECT ('0x' || substr(md5(CAST(r AS VARCHAR) || '#' || w), 1, 8))::BIGINT % 65536 AS p
         FROM bench, unnest([0, 1, 2, 3, 4]) AS t(r)
@@ -1333,7 +1337,7 @@ probe AS (
              SELECT ('0x' || substr(md5(CAST(r AS VARCHAR) || '#' || c.w), 1, 8))::BIGINT % 65536 AS p
              FROM unnest([0, 1, 2, 3, 4]) AS t(r)
          ) q
-         LEFT JOIN bloom b ON b.word_idx = CAST(q.p / 32 AS BIGINT)
+         LEFT JOIN bloom b ON b.word_idx = CAST(q.p // 32 AS BIGINT)
     GROUP BY c.w
 )
 SELECT CAST(count(*) AS BIGINT) AS n_probed,

@@ -20,7 +20,15 @@ shape of Zipkin's own JSON file dumps):
   (process tags carry ipv4/port when present); ``annotations`` →
   ``logs`` as JSON strings; ``debug`` → ``flags`` (1 like Jaeger's
   debug flag bit), ``kind`` becomes a ``span.kind`` tag (Jaeger's own
-  convention for it).
+  convention for it);
+- ``shared=true`` spans (the server half of an RPC reusing the client
+  span's id) are disambiguated the way Jaeger's Zipkin receiver does:
+  the shared half gets ``<id>-s`` as its spanID and the original
+  ``<id>`` (the client half) as its parent, so a dump carrying both
+  halves yields unique spanIDs and a correct parent/child edge instead
+  of double-counting in regroup / critical-path kernels keyed on
+  spanID. If the client half is absent from the dump the shared span
+  is an orphan (parent points at a missing id) — same as Jaeger.
 
 One ``spark.read.json`` with an explicit schema plus native
 explode/projection — distributed, pruned, zero Python row logic; the
@@ -107,7 +115,12 @@ def zipkin_raw_spans(raw: DataFrame) -> DataFrame:
     """Flat Zipkin spans → the regroup input shape (Jaeger-style
     references/tags + a process struct). Pure projection — no
     shuffle."""
-    parent = F.coalesce(F.lower("parentId"), F.lit(""))
+    shared = F.coalesce(F.col("shared"), F.lit(False))
+    # shared server half: unique id (<id>-s), parented on the client half
+    span_id = F.when(shared, F.concat(F.lower("id"), F.lit("-s"))).otherwise(F.lower("id"))
+    parent = F.when(shared, F.lower("id")).otherwise(
+        F.coalesce(F.lower("parentId"), F.lit(""))
+    )
     ep = F.col("localEndpoint")
     proc_tags = F.filter(
         F.array(
@@ -131,7 +144,7 @@ def zipkin_raw_spans(raw: DataFrame) -> DataFrame:
     )
     return raw.select(
         F.lower("traceId").alias("traceID"),
-        F.lower("id").alias("spanID"),
+        span_id.alias("spanID"),
         F.when(F.coalesce(F.col("debug"), F.lit(False)), F.lit(1))
         .otherwise(F.lit(0))
         .cast("long")
