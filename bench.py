@@ -44,6 +44,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_cosine_blas",
     "minhash_pairs",
+    "dedup_pipeline",
     "simhash_pairs",
     "ann_ivf_topk",
     "sessionize",

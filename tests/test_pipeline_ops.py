@@ -47,6 +47,50 @@ def test_exact_dedup(near_dup_docs):
     assert ids == {1, 3, 4, 5}  # doc 2 removed, lowest id kept
 
 
+def test_dedup_pipeline_collapses_clones_before_lsh(spark):
+    """Clone-stress: 8 distinct docs × 20 exact clones + 1 near-dup.
+    Raw LSH emits candidate pairs quadratic in clone-cluster size
+    (C(20,2)=190 per cluster); the composed pipeline's exact stage
+    collapses clones first, so its LSH stage sees one rep per distinct
+    text and candidate cost follows the residual near-dup mass — the
+    100 TB mitigation SCALING.md documents for minhash_pairs."""
+    bases = [
+        f"document number {i} " + " ".join(f"tok{i}x{j}" for j in range(30))
+        for i in range(8)
+    ]
+    rows = [(i * 20 + k, bases[i]) for i in range(8) for k in range(20)]
+    near = bases[0].replace("tok0x29", "tok0xzz")  # near (not exact) dup of base 0
+    rows.append((999, near))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    out = dedup.dedup_pipeline(df, "doc_id", "text", threshold=0.7, bands=16)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # one canonical (min id) per content cluster; the near-dup joins base 0's
+    assert ids == [i * 20 for i in range(8)]
+
+    # candidate-pair cost: quadratic on the raw corpus ...
+    raw_pairs = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(df, "doc_id", "text"), bands=16
+    ).count()
+    assert raw_pairs >= 8 * 190  # every clone pair collides in every band
+    # ... but near-linear on the exact-stage residual (9 distinct texts)
+    from pyspark.sql.window import Window
+
+    norm = F.lower(F.trim(F.col("text")))
+    residual = (
+        df.withColumn("_k", F.md5(norm))
+        .withColumn(
+            "_rn", F.row_number().over(Window.partitionBy("_k").orderBy("doc_id"))
+        )
+        .filter("_rn = 1")
+        .drop("_k", "_rn")
+    )
+    res_pairs = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(residual, "doc_id", "text"), bands=16
+    ).count()
+    assert res_pairs <= 5, f"residual LSH should see ~1 candidate pair, got {res_pairs}"
+
+
 def test_minhash_lsh_finds_near_dups(near_dup_docs):
     pairs = dedup.minhash_dedup_pairs(
         near_dup_docs, "doc_id", "text", threshold=0.6, n_hashes=64, bands=16

@@ -609,3 +609,53 @@ def remove_duplicated_substrings(
         .withColumn(f"{text_col}_dedup", F.concat_ws(" ", "_kept"))
         .drop("_toks", "_kept", "dup_starts")
     )
+
+
+def dedup_pipeline(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    n_hashes: int = 64,
+    bands: int | None = None,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """The production dedup composition: exact dedup → MinHash-LSH on
+    the residual → connected-component clustering → keep-one-per-
+    cluster. Returns the surviving rows of ``df`` unchanged in shape.
+
+    This IS the 100 TB answer to clone-heavy corpora (crawl snapshots,
+    mirrored docs): raw MinHash-LSH output is quadratic in clone-cluster
+    size — a corpus where every doc has 99 byte-identical copies emits
+    ~n·99²/2 candidate pairs and exhausts any executor. Stage 1
+    collapses byte-identical content with ONE partial-aggregating
+    shuffle of (id, md5) pairs — never the document bytes — so LSH only
+    ever sees one representative per exact clone set and its cost
+    follows the residual *near*-duplicate mass, which real corpora keep
+    small. Stage 3 turns surviving near-dup pairs into canonical
+    clusters with the O(log² n) star contraction (operators/graph.py).
+
+    Exact-stage key: ``md5(lower(trim(text)))`` — 128 bits, so engine/
+    oracle collision divergence is not a practical concern, and the
+    normalization matches the shingling in :func:`minhash_signatures`
+    (a doc differing only in case/outer whitespace IS an exact dup).
+
+    No reference analogue (the reference's only dedup is spanID
+    ``drop_duplicates``, ``/root/reference/traceframe/traceframe.py:
+    629-630``); this is the composition its pipeline would need first
+    at training-data scale.
+    """
+    from traceframe_spark.operators.graph import connected_components, keep_canonical
+
+    norm = F.lower(F.trim(F.col(text_col)))
+    keymap = df.select(F.col(id_col).alias("_id"), F.md5(norm).alias("_k"))
+    keep = keymap.groupBy("_k").agg(F.min("_id").alias("_keep_id")).select("_keep_id")
+    residual = df.join(
+        keep, df[id_col] == keep["_keep_id"], "left_semi"
+    ).persist()
+    pairs = minhash_dedup_pairs(
+        residual, id_col, text_col, threshold, n_hashes, bands, shingle_size
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    out = keep_canonical(residual, id_col, comp)
+    return _unpersist_with(carry_cache(out, pairs), residual)

@@ -244,6 +244,73 @@ WHERE d.doc_id < 150 AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
 """
 
 
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production dedup (operators/dedup.dedup_pipeline):
+    exact md5 dedup → MinHash-LSH near-dup pairs on the residual →
+    connected components → keep-one-per-cluster, end to end on a
+    bounded subset. LSH is hash-dependent but the OUTPUT is the exact
+    keep-set: at t=0.9 with 16 bands of 4 rows candidate recall is
+    ≈1 - 4e-8 (see minhash_verified) and the verify step makes
+    precision exactly 1, so the oracle replays the same decision with
+    exact text grouping + exact Jaccard + a recursive closure."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = dedup.dedup_pipeline(d, "doc_id", "text", threshold=0.9, bands=16)
+    return dedup.carry_cache(out.select("doc_id", "source"), out)
+
+
+SQL_DEDUP_PIPELINE = """
+WITH RECURSIVE
+docs0 AS (
+    SELECT doc_id, lower(trim(text)) AS t, source
+    FROM documents WHERE doc_id < 300
+),
+keep AS (
+    SELECT min(doc_id) AS doc_id FROM docs0 GROUP BY t
+),
+docs AS (
+    SELECT d.doc_id, d.t FROM docs0 d JOIN keep USING (doc_id)
+),
+shingled AS (
+    SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, substr(t, CAST(g AS INT), 5) AS sh
+        FROM (SELECT doc_id, t,
+                     unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS g
+              FROM docs)
+    )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+    FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT id_a, id_b
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.9
+),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+),
+reach AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v WHERE e.v <> r.u
+),
+dropped AS (
+    SELECT u AS doc_id FROM reach GROUP BY u HAVING least(u, min(v)) <> u
+)
+SELECT d.doc_id, d.source
+FROM documents d
+JOIN keep USING (doc_id)
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
 def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric cross-corpus subtraction: corpus docs near-duplicating
     any reference-side doc (exact shingle-Jaccard ≥ 0.9, LSH-routed)
@@ -1366,6 +1433,7 @@ PIPELINE_QUERIES = {
     "minhash_verified": q_minhash_verified,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_canonical": q_dedup_keep_canonical,
+    "dedup_pipeline": q_dedup_pipeline,
     "cross_dedup": q_cross_dedup,
     "contamination": q_contamination,
     "column_profile": q_column_profile,
@@ -1397,6 +1465,7 @@ PIPELINE_ORACLE_SQL = {
     "minhash_verified": SQL_MINHASH_VERIFIED,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_keep_canonical": SQL_DEDUP_KEEP_CANONICAL,
+    "dedup_pipeline": SQL_DEDUP_PIPELINE,
     "cross_dedup": SQL_CROSS_DEDUP,
     "contamination": SQL_CONTAMINATION,
     "column_profile": SQL_COLUMN_PROFILE,
