@@ -135,6 +135,55 @@ def test_bulk_connector_gate_translates_missing_jar(spark):
         )
 
 
+def test_bulk_connector_success_path(spark):
+    """The bulk branch's SUCCESS path, driven without the external jar:
+    a Python DataSource registered under another name stands in for
+    es-hadoop (the ``source_format`` seam), echoing the reader options
+    it received — proving endpoint/resource/auth wiring reaches the
+    DataSource and load() returns its rows un-translated."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader
+
+    from traceframe_spark.sources.es import spans_from_es
+
+    class EchoReader(DataSourceReader):
+        def __init__(self, options):
+            self.options = options
+
+        def read(self, partition):
+            for k in sorted(self.options):
+                if k.startswith("es."):
+                    yield (k, self.options[k])
+
+    class FakeESBulk(DataSource):
+        @classmethod
+        def name(cls):
+            return "fake_es_bulk"
+
+        def schema(self):
+            return "opt string, val string"
+
+        def reader(self, schema):
+            return EchoReader(self.options)
+
+    spark.dataSource.register(FakeESBulk)
+    got = dict(
+        spans_from_es(
+            spark,
+            "es.internal:9200",
+            index_prefix="prod-",
+            es_user="svc",
+            es_password="hunter2",
+            source_format="fake_es_bulk",
+        ).collect()
+    )
+    assert got == {
+        "es.nodes": "es.internal:9200",
+        "es.resource": "prod-jaeger-span-*",
+        "es.net.http.auth.user": "svc",
+        "es.net.http.auth.pass": "hunter2",
+    }
+
+
 def test_search_body_filters():
     body = _search_body("front", "/cart", T0, T0 + US, 500, None, 100)
     clauses = body["query"]["bool"]["filter"]

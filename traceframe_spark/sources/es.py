@@ -329,13 +329,19 @@ def spans_from_es(
     index_prefix: str = "",
     es_user: str | None = None,
     es_password: str | None = None,
+    source_format: str = ES_FORMAT,
 ) -> DataFrame:
     """Flat raw span table from ES via the es-hadoop connector (gated:
     raises with instructions when the connector jar is absent). This is
     the bulk path: the connector maps index shards to input partitions,
-    so the scroll runs on executors, not the driver."""
+    so the scroll runs on executors, not the driver.
+
+    ``source_format`` is the injectable seam (same philosophy as the
+    scroll path's ``transport``): tests register a Python DataSource
+    under another name to drive the option wiring and load end-to-end
+    without the external jar, which this runtime cannot ship."""
     reader = (
-        spark.read.format(ES_FORMAT)
+        spark.read.format(source_format)
         .option("es.nodes", es_endpoint)
         .option("es.resource", f"{index_prefix}jaeger-span-*")
     )
