@@ -116,6 +116,60 @@ def test_async_child_outlives_parent():
         assert s1 + d1 <= s2
 
 
+def test_async_child_overhang_attribution_exact():
+    """The documented attribution rule for a child that outlives its
+    parent: the parent's Return splits the child's segment, and the
+    overhang past the parent's end is attributed to the CHILD — the
+    critical path extends to the trace's last Return, not the root's."""
+    spans = [
+        _make_span("t", "root", BASE, 1000, ""),
+        _make_span("t", "async", BASE + 100, 5000, "root"),  # ends at +5100
+    ]
+    segs = [(s - BASE, d, sp["spanID"]) for s, d, sp in critical_segments_of_trace(spans)]
+    assert segs == [
+        (0, 100, "root"),
+        (100, 900, "async"),  # up to the root's Return
+        (1000, 4100, "async"),  # overhang: still the child's time
+    ]
+    assert sum(d for _, d, _ in segs) == 5100  # root start -> LAST Return
+
+
+def test_overlapping_siblings_oldest_live_child_leads():
+    """Concurrent siblings (fan-out): leadership stays with the OLDEST
+    still-live child in call order; the younger sibling's Return only
+    splits the leader's segment and earns no attribution of its own."""
+    spans = [
+        _make_span("t", "root", BASE, 1000, ""),
+        _make_span("t", "c1", BASE + 100, 500, "root"),  # 100..600
+        _make_span("t", "c2", BASE + 200, 200, "root"),  # 200..400, inside c1
+    ]
+    segs = [(s - BASE, d, sp["spanID"]) for s, d, sp in critical_segments_of_trace(spans)]
+    assert segs == [
+        (0, 100, "root"),
+        (100, 300, "c1"),  # split at c2's Return...
+        (400, 200, "c1"),  # ...but c1 keeps the lead; c2 gets nothing
+        (600, 400, "root"),
+    ]
+
+
+def test_zero_duration_child_at_parent_return_instant():
+    """An instant child exactly at the parent's Return: its Call/Return
+    pair resolves BEFORE the parent's Return at that timestamp (the
+    kernel's (-2,-1) event orders), yielding two zero-length blips and
+    an unchanged duration partition."""
+    spans = [
+        _make_span("t", "root", BASE, 1000, ""),
+        _make_span("t", "z", BASE + 1000, 0, "root"),
+    ]
+    segs = [(s - BASE, d, sp["spanID"]) for s, d, sp in critical_segments_of_trace(spans)]
+    assert segs == [
+        (0, 1000, "root"),
+        (1000, 0, "z"),
+        (1000, 0, "root"),
+    ]
+    assert sum(d for _, d, _ in segs) == 1000
+
+
 def test_simultaneous_call_and_return():
     """A child starts exactly when its sibling ends: the Return sorts
     first (documented tie-break), so the parent resumes for 0µs."""

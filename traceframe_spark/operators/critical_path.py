@@ -24,6 +24,20 @@ At 100 TB this scales linearly with executor count; traceID is a
 high-cardinality hash-friendly key so skew is bounded by the largest
 single trace, not by data volume.
 
+Async-child attribution (the reference's own open TODO —
+``traceframe.py:205``, children outliving parents): this engine pins the
+rule rather than leaving it undefined. (1) A child Returning AFTER its
+parent keeps the lead: the parent's Return splits the child's segment
+and the overhang past the parent's end is attributed to the child, so
+the critical path always extends to the trace's LAST Return. (2) Among
+concurrent siblings, leadership belongs to the oldest still-live child
+in Call order; a younger sibling's Return only splits the leader's
+segment and earns no time of its own. (3) A zero-duration child at its
+parent's Return instant resolves first (event orders (-2, -1) below),
+emitting zero-length blips without changing the duration partition.
+All three are pinned by exact-value fixtures in
+``tests/test_critical_path_properties.py``.
+
 Determinism (SURVEY.md §7.1): the reference sorts events only by timestamp
 and relies on Python's stable sort + input order for ties. After a Spark
 shuffle input order is gone, so events sort by the total key
