@@ -199,3 +199,65 @@ def test_r04_additions_plan_shapes(spark):
     assert "Exchange" not in plan, plan
     assert plan.count("MapInPandas") >= 2
     assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_smj_tiny_dim_check_sensitivity_and_specificity(spark):
+    """The subtree-aware tiny-dim check (r05 replacement for a raw-text
+    proximity regex): a forced merge join ON nation flags; the default
+    broadcast join does not; and a fact-fact SMJ whose side merely
+    CONTAINS an upstream broadcast nation join does not (the q2/q20
+    false-positive class)."""
+    from tools.plan_audit import plan_of, smj_tiny_dim_flags
+
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    s = spark.read.parquet(f"{SF}/supplier.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+
+    bad = s.join(n.hint("merge"), s.s_nationkey == n.n_nationkey)
+    assert smj_tiny_dim_flags(plan_of(bad)) == ["SOFT:smj-on-tiny-dim(nation)"]
+
+    good = s.join(n, s.s_nationkey == n.n_nationkey)
+    assert smj_tiny_dim_flags(plan_of(good)) == []
+
+    # fact-fact SMJ; nation joined broadcast upstream on one side
+    from pyspark.sql import functions as F
+
+    enriched = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    factfact = li.hint("merge").join(enriched, li.l_suppkey == enriched.s_suppkey)
+    plan = plan_of(factfact)
+    assert "SortMergeJoin" in plan  # the shape under test actually planned
+    assert smj_tiny_dim_flags(plan) == []
+
+
+def test_unpartitioned_window_bound_check(spark):
+    """Unpartitioned WindowExec is OK only above a ≤100-row limit (the
+    ranked_topk pattern); a global unpartitioned window flags; a
+    partitioned window never flags."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from tools.plan_audit import plan_of, unpartitioned_window_flags
+    from traceframe_spark.functions import ranked_topk
+
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+
+    good = ranked_topk(n, [F.col("n_nationkey").asc()], 5, rank_col="rn")
+    assert unpartitioned_window_flags(plan_of(good)) == []
+
+    bad = n.withColumn("rn", F.row_number().over(Window.orderBy("n_nationkey")))
+    assert unpartitioned_window_flags(plan_of(bad)) != []
+
+    part = n.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("n_regionkey").orderBy("n_nationkey")),
+    )
+    assert unpartitioned_window_flags(plan_of(part)) == []
+
+
+def test_ranked_topk_caps_k():
+    import pytest as _pytest
+
+    from traceframe_spark.functions import ranked_topk
+
+    with _pytest.raises(ValueError, match="bounded-window cap"):
+        ranked_topk(None, [], 101)

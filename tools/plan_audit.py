@@ -52,6 +52,160 @@ def n_scans(plan: str) -> int:
     return len(re.findall(r"\(\d+\) Scan ", plan))
 
 
+def _tree_nodes(plan: str) -> list[tuple[int, str, str]]:
+    """Parse the formatted plan's tree section into preorder
+    ``(depth, label, node_id)`` triples. Each tree level indents by
+    exactly 3 chars (``+- `` / ``:- `` / ``:  `` / spaces); the section
+    ends at the first blank line (details follow)."""
+    nodes: list[tuple[int, str, str]] = []
+    lines = plan.splitlines()
+    started = False
+    for ln in lines:
+        if ln.startswith("== Physical Plan =="):
+            started = True
+            continue
+        if not started:
+            continue
+        if not ln.strip():
+            break
+        m = re.match(r"^([ :+\-]*)(\S[^()]*?)\s*\((\d+)\)\s*$", ln)
+        if not m:
+            continue
+        nodes.append((len(m.group(1)) // 3, m.group(2), m.group(3)))
+    return nodes
+
+
+def _dim_scan_ids(plan: str, dims: tuple[str, ...]) -> dict[str, str]:
+    """node_id -> dim name, for every parquet scan whose details block
+    reads one of the named dim tables."""
+    out: dict[str, str] = {}
+    for m in re.finditer(r"\((\d+)\) Scan parquet.*\n(?:(?!\(\d+\) ).*\n?)*", plan):
+        block = m.group(0)
+        for dim in dims:
+            if re.search(rf"{dim}\.parquet", block):
+                out[m.group(1)] = dim
+    return out
+
+
+def smj_tiny_dim_flags(plan: str, dims: tuple[str, ...] = ("region", "nation")) -> list[str]:
+    """Flag a SortMergeJoin only when one of its IMMEDIATE sides feeds
+    a tiny-dim parquet scan raw (through Sort/Exchange/Project/Filter
+    only) — i.e. the dim itself is being sort-merge-joined. A dim scan
+    sitting under a nested join inside the side (a broadcast join
+    already handled it upstream) is not this SMJ's problem; the nested
+    join gets its own check when the iteration reaches it. This
+    replaces a 4000-char raw-text proximity regex that flagged fact-
+    side SMJs merely for appearing near a dim name in the plan text."""
+    nodes = _tree_nodes(plan)
+    dim_ids = _dim_scan_ids(plan, dims)
+    flags: list[str] = []
+    for i, (d, label, _) in enumerate(nodes):
+        if not label.startswith("SortMergeJoin"):
+            continue
+        end = i + 1
+        while end < len(nodes) and nodes[end][0] > d:
+            end += 1
+        sides = [j for j in range(i + 1, end) if nodes[j][0] == d + 1]
+        for s in sides:
+            k = s
+            side_end = s + 1
+            while side_end < end and nodes[side_end][0] > nodes[s][0]:
+                side_end += 1
+            while k < side_end:
+                dep, lab, nid = nodes[k]
+                if "Join" in lab:  # nested join: its subtree is not raw input
+                    k += 1
+                    while k < side_end and nodes[k][0] > dep:
+                        k += 1
+                    continue
+                if lab.startswith("Scan") and nid in dim_ids:
+                    flags.append(f"SOFT:smj-on-tiny-dim({dim_ids[nid]})")
+                k += 1
+    return flags
+
+
+def _top_level_groups(argline: str) -> list[str]:
+    """Top-level ``[...]`` groups of a details Arguments line (brackets
+    nest inside windowspecdefinition etc.)."""
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
+    for ch in argline:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            depth += 1
+            if depth == 1:
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(buf))
+                continue
+        if depth >= 1:
+            buf.append(ch)
+    return groups
+
+
+def _window_is_unpartitioned(argline: str) -> bool:
+    """A WindowExec's Arguments are ``[exprs], [partitionSpec],
+    [orderSpec]`` with EMPTY specs omitted from the print. 3 groups =
+    partitioned; with 2 groups the second is the order spec (contains
+    ASC/DESC → unpartitioned) or the partition spec (plain column list,
+    e.g. ``count(*) OVER (PARTITION BY x)`` → partitioned); 1 group =
+    an over-()-everything window."""
+    groups = _top_level_groups(argline)
+    if len(groups) >= 3:
+        return False
+    if len(groups) == 2:
+        return bool(re.search(r"\b(ASC|DESC)\b", groups[1]))
+    return True
+
+
+def unpartitioned_window_flags(plan: str, max_rows: int = 100) -> list[str]:
+    """Flag every WindowExec with NO partition spec unless its subtree
+    is bounded by a ≤ ``max_rows`` limit (TakeOrderedAndProject /
+    GlobalLimit / CollectLimit) — the repo's documented top-k-first
+    pattern (``functions.ranked_topk``), where the single partition
+    provably holds ≤ k rows (see :func:`_window_is_unpartitioned` for
+    how partitioning is read off the details Arguments line).
+    This turns Spark's blanket "No Partition Defined" warning into
+    signal: a benign bounded window audits OK, a real global window
+    flags."""
+    nodes = _tree_nodes(plan)
+    limits: dict[str, int] = {}
+    for m in re.finditer(
+        r"\((\d+)\) (?:TakeOrderedAndProject|GlobalLimit|CollectLimit).*\n"
+        r"(?:(?!\(\d+\) ).*\n?)*",
+        plan,
+    ):
+        k = re.search(r"Arguments: (\d+)", m.group(0))
+        if k:
+            limits[m.group(1)] = int(k.group(1))
+    unpart: set[str] = set()
+    for m in re.finditer(r"\((\d+)\) Window\n(?:(?!\(\d+\) ).*\n?)*", plan):
+        arg = re.search(r"Arguments: (.*)", m.group(0))
+        if arg and _window_is_unpartitioned(arg.group(1)):
+            unpart.add(m.group(1))
+    flags: list[str] = []
+    bounder = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+    for i, (d, label, nid) in enumerate(nodes):
+        if label.split()[0] != "Window" or nid not in unpart:
+            continue
+        bounded = False
+        j = i + 1
+        while j < len(nodes) and nodes[j][0] > d:
+            if (
+                nodes[j][1].split()[0] in bounder
+                and limits.get(nodes[j][2], 1 << 62) <= max_rows
+            ):
+                bounded = True
+            j += 1
+        if not bounded:
+            flags.append(f"SOFT:unbounded-unpartitioned-window({nid})")
+    return flags
+
+
 def audit_one(name: str, df) -> list[str]:
     plan = plan_of(df)
     flags: list[str] = []
@@ -78,10 +232,10 @@ def audit_one(name: str, df) -> list[str]:
     # SortMergeJoin against a tiny named dim table that should broadcast.
     # Only region/nation are unconditionally tiny (5/25 rows at any SF);
     # supplier/part/customer scale with SF, so an SMJ there can be right.
-    if "SortMergeJoin" in plan:
-        for dim in ("region", "nation"):
-            if re.search(rf"SortMergeJoin[\s\S]{{0,4000}}{dim}", plan):
-                flags.append(f"SOFT:smj-on-tiny-dim({dim})")
+    flags.extend(smj_tiny_dim_flags(plan))
+
+    # Unpartitioned windows must sit above a bounded top-k limit.
+    flags.extend(unpartitioned_window_flags(plan))
     return flags
 
 

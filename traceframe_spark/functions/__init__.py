@@ -109,3 +109,35 @@ def service_of(processes: Column, process_id: Column) -> Column:
     """Map-lookup enrichment ``processes[processID].serviceName``
     (``traceframe.py:462,489``)."""
     return F.element_at(processes, process_id)["serviceName"]
+
+
+RANKED_TOPK_MAX = 100
+"""Upper bound on :func:`ranked_topk`'s ``k`` — the row count an
+unpartitioned WindowExec may legitimately see. tests/test_plan_hygiene
+asserts every unpartitioned window in the catalog sits above a limit
+no larger than this."""
+
+
+def ranked_topk(df, order: list[Column], k: int, rank_col: str = "rank"):
+    """Top-``k`` rows plus a 1..k rank column, scale-safely.
+
+    ``orderBy().limit(k)`` FIRST — Spark plans that as
+    TakeOrderedAndProject (per-partition heaps, one k-row merge), never
+    a global single-partition sort — and only THEN ``row_number()``
+    over an unpartitioned window: the window's lone partition holds
+    ≤ k rows by construction, so Spark's "No Partition Defined"
+    warning is provably benign here. ``k`` is capped at
+    :data:`RANKED_TOPK_MAX`; a bigger k wants a partitioned window,
+    not this helper.
+    """
+    from pyspark.sql.window import Window
+
+    if k > RANKED_TOPK_MAX:
+        raise ValueError(
+            f"ranked_topk k={k} exceeds the bounded-window cap "
+            f"{RANKED_TOPK_MAX}; use a partitioned window instead"
+        )
+    top = df.orderBy(*order).limit(k)
+    return top.withColumn(
+        rank_col, F.row_number().over(Window.orderBy(*order)).cast("long")
+    )

@@ -12,8 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
+from traceframe_spark.functions import ranked_topk
 from traceframe_spark.operators import dedup, graph, multimodal, similarity, text
 from traceframe_spark.plans.catalog import SQL_ANN_COSINE_TOPK, load_table, qint
 
@@ -873,15 +873,14 @@ def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top-k FIRST (TakeOrderedAndProject — never a global single-partition
     # sort of every node), then rank the 20 surviving rows
     order = [F.col("rank_q").desc(), F.col("doc_id").asc()]
-    top = (
+    return ranked_topk(
         ranks.select(
             F.col("node").alias("doc_id"), qint(F.col("rank") * 1e9, 0).alias("rank_q")
-        )
-        .orderBy(*order)
-        .limit(20)
+        ),
+        order,
+        20,
+        rank_col="rn",
     )
-    w = Window.orderBy(*order)
-    return top.withColumn("rn", F.row_number().over(w).cast("long"))
 
 
 def _sql_pagerank_iter(prev: str, cur: str) -> str:
@@ -1036,11 +1035,8 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top-k first (TakeOrdered over the distinct-pair set), then rank
     # the bounded 50 rows — never a global sort of every pair
     order = [F.col("pcount").desc(), F.col("left").asc(), F.col("right").asc()]
-    top = pairs.orderBy(*order).limit(50)
-    w = Window.orderBy(*order)
-    return (
-        top.withColumn("rank", F.row_number().over(w).cast("long"))
-        .select("rank", F.col("left").alias("left_sym"), F.col("right").alias("right_sym"), "pcount")
+    return ranked_topk(pairs, order, 50).select(
+        "rank", F.col("left").alias("left_sym"), F.col("right").alias("right_sym"), "pcount"
     )
 
 
@@ -1100,10 +1096,8 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         v = bpe.vocab(syms)
         order = [F.col("tcount").desc(), F.col("token").asc()]
-        top = v.orderBy(*order).limit(30)
-        w = Window.orderBy(*order)
         return (
-            top.withColumn("rank", F.row_number().over(w).cast("long"))
+            ranked_topk(v, order, 30)
             .select("rank", "token", "tcount")
             .localCheckpoint(eager=True)  # materialize before unpersisting the syms table
         )
@@ -1247,9 +1241,7 @@ def q_doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = graph.triangle_participation(edges)
     order = [F.col("n_triangles").desc(), F.col("v").asc()]
-    top = part.orderBy(*order).limit(20)
-    w = Window.orderBy(*order)
-    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+    return ranked_topk(part, order, 20).select(
         "rank", F.col("v").alias("doc_id"), "n_triangles"
     )
 
@@ -1302,9 +1294,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = occ.distinct()
     est = sketch.cms_estimate(sk, keys, "w", depth=4, width=1024)
     order = [F.col("est").desc(), F.col("w").asc()]
-    top = est.orderBy(*order).limit(20)
-    wnd = Window.orderBy(*order)
-    return top.withColumn("rank", F.row_number().over(wnd).cast("long")).select(
+    return ranked_topk(est, order, 20).select(
         "rank", F.col("w").alias("word"), F.col("est").cast("long").alias("est")
     )
 
