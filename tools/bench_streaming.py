@@ -1,0 +1,119 @@
+"""Streaming throughput bench: replay the events table through a file
+stream into ``stream_to_rollup`` and report end-to-end events/s — the
+SCALING.md streaming evidence row.
+
+The replay is honest continuous-aggregate maintenance, not a toy source:
+the events table is split into N parquet files, streamed one file per
+micro-batch, and every batch folds its delta into the standing rollup
+store via dynamic partition overwrite (the same path a production ingest
+pays). Throughput therefore includes the batch scheduling, the delta
+groupBy, the standing-store re-merge for touched hours, and the parquet
+rewrite. Default feed order is time-sorted slices (production ingest:
+each batch touches only its own hours); ``--shuffled`` replays in random
+order instead, making every batch all-late-data against every hour of
+the store — the worst-case merge stress.
+
+Usage: python tools/bench_streaming.py [--sf DIR] [--batches 16]
+Prints one JSON line {"sf_dir": ..., "events": N, "seconds": S,
+"events_per_sec": R, "batches": B}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--batches", type=int, default=16)
+    ap.add_argument(
+        "--shuffled",
+        action="store_true",
+        help="randomly distribute events across micro-batches instead of "
+        "time-ordered slices: EVERY batch then touches EVERY hour of the "
+        "standing store — the worst-case all-late-data stress, not the "
+        "production ingest shape",
+    )
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from traceframe_spark.operators import rollup as R
+    from traceframe_spark.plans.catalog import load_table
+    from traceframe_spark.session import get_spark
+    from traceframe_spark.streaming.spans import stream_to_rollup
+
+    spark = get_spark(app_name="bench-streaming")
+    spark.range(1_000_000).select(F.sum("id")).collect()  # JVM warmup
+
+    work = tempfile.mkdtemp(prefix="stream_bench_")
+    feed = os.path.join(work, "feed")
+    store = os.path.join(work, "rollup")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        e = load_table(spark, args.sf, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        n_events = e.count()
+        if args.shuffled:
+            e.repartition(args.batches).write.parquet(feed)
+        else:
+            # time-ordered replay: each micro-batch is a contiguous time
+            # slice, so a batch's standing-store merge touches only its
+            # own hours (plus boundary stragglers) — the shape real
+            # ingest has, and the shape the per-batch cost model assumes
+            e.repartitionByRange(args.batches, "ts").sortWithinPartitions(
+                "ts"
+            ).write.parquet(feed)
+
+        stream = (
+            spark.readStream.schema("event_id long, ts long, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        t0 = time.time()
+        q = stream_to_rollup(
+            stream,
+            store,
+            ckpt,
+            R.MINUTE_NS,
+            ["event_type"],
+            "value",
+            trigger_available_now=True,
+        )
+        q.awaitTermination()
+        dt = time.time() - t0
+
+        # sanity: the maintained rollup accounts for every replayed event
+        total = spark.read.parquet(store).agg(F.sum("n")).first()[0]
+        assert total == n_events, (total, n_events)
+
+        print(
+            json.dumps(
+                {
+                    "sf_dir": args.sf,
+                    "events": n_events,
+                    "seconds": round(dt, 2),
+                    "events_per_sec": int(n_events / dt),
+                    "batches": args.batches,
+                    "order": "shuffled" if args.shuffled else "time",
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
