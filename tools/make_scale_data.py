@@ -34,6 +34,14 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/sparktrace_scale")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument(
+        "--exact-clones",
+        action="store_true",
+        help="copy document text UNCHANGED across the K copies (byte-"
+        "identical clones, only doc_id shifted) instead of the default "
+        "id-prefix perturbation that makes NEAR-copies: the stress shape "
+        "for dedup_pipeline's exact stage (crawl snapshots / mirrors)",
+    )
     args = ap.parse_args()
 
     from traceframe_spark.session import get_spark
@@ -78,7 +86,9 @@ def main() -> None:
     multiply(
         "documents",
         {"doc_id": "key"},
-        perturb=lambda d, i: d.withColumn(
+        perturb=None
+        if args.exact_clones
+        else lambda d, i: d.withColumn(
             "text", F.concat(F.lit(f"copy{i} edition {i} "), F.col("text"))
         ),
     )
