@@ -184,6 +184,38 @@ def test_ivf_topk_recall_vs_bruteforce(spark, embeddings):
     assert recall >= 0.7, f"IVF recall too low: {recall}"
 
 
+def test_ivf_recall_at_k_instrument(spark, embeddings):
+    """The recall@k instrument: exhaustive probing must report perfect
+    recall for every query (IVF with nprobe=n_centroids IS brute force),
+    pruned probing reports values in [0, 1] that match an independently
+    computed intersection, and every query gets exactly one row even at
+    zero hits."""
+    q = embeddings.filter(F.col("vec_id") < 10)
+
+    full = similarity.ivf_recall_at_k(
+        embeddings, q, "vec_id", "embedding", k=5, nprobe=8, n_centroids=8
+    ).collect()
+    assert len(full) == 10
+    assert all(r["n_hit"] == 5 and r["recall_q"] == 10000 for r in full)
+
+    pruned = similarity.ivf_recall_at_k(
+        embeddings, q, "vec_id", "embedding", k=5, nprobe=2, n_centroids=8
+    ).collect()
+    assert len(pruned) == 10
+    assert all(0 <= r["n_hit"] <= 5 for r in pruned)
+
+    # cross-check one operating point against the hand-rolled sets
+    exact = similarity.cosine_topk(embeddings, q, "vec_id", "embedding", k=5)
+    approx = similarity.ivf_topk(
+        embeddings, q, "vec_id", "embedding", k=5, n_centroids=8, nprobe=2
+    )
+    e = {(r["qid"], r["cid"]) for r in exact.collect()}
+    a = {(r["qid"], r["cid"]) for r in approx.collect()}
+    by_q = {r["qid"]: r["n_hit"] for r in pruned}
+    for qid in range(10):
+        assert by_q[qid] == len({p for p in (e & a) if p[0] == qid})
+
+
 def test_ivf_centroid_training_deterministic(spark, embeddings):
     """Training is hash-sampled and driver-side: identical across calls
     and across input partitionings."""

@@ -761,3 +761,53 @@ def ivf_topk(
     )
     cands = q.join(c, "list_id").filter(F.col("qid") != F.col("cid"))
     return _rerank_topk(cands, k)
+
+
+def ivf_recall_at_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    centroids: list[list[float]] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Measure the IVF approximation: per-query recall@k of
+    :func:`ivf_topk` against the exact :func:`cosine_topk` baseline.
+
+    Output: one row per query — (qid, n_hit, recall_q) with ``n_hit``
+    the size of the approximate∩exact top-k intersection and
+    ``recall_q`` = n_hit/k on the engine-portable 1e-4 grid. This is
+    the operating-point instrument for the nprobe/n_centroids knobs: a
+    production pipeline runs it on a query sample before fixing the
+    index parameters, then monitors it as the corpus drifts (recall
+    decays when new data stops matching the trained quantizer).
+
+    Cost: one IVF probe join (shuffle keyed on ~n_centroids values)
+    plus one brute-force pass over the query sample — the sample, not
+    the corpus, bounds the brute-force side, so the instrument stays
+    affordable at any corpus size. No reference analogue (the
+    reference has no vector surface at all).
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, id_col, vec_col, n_centroids=n_centroids, seed=seed
+        )
+    approx = ivf_topk(
+        corpus, queries, id_col, vec_col, k=k,
+        nprobe=nprobe, centroids=centroids,
+    )
+    exact = cosine_topk(corpus, queries, id_col, vec_col, k=k)
+    hits = approx.join(exact.select("qid", "cid"), ["qid", "cid"], "left_semi")
+    per_q = (
+        queries.select(F.col(id_col).alias("qid"))
+        .join(hits.groupBy("qid").agg(F.count("*").alias("_n")), "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+    )
+    recall_q = F.floor(F.col("n_hit") / F.lit(float(k)) * 10000 + F.lit(0.5)).cast("long")
+    return per_q.select("qid", "n_hit", recall_q.alias("recall_q"))

@@ -694,6 +694,130 @@ FROM (
 """
 
 
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PRUNED IVF path (nprobe=3 of 8 lists) against
+    brute force, per query — the approximation quantified rather than
+    assumed. The coarse quantizer is the first 8 corpus vectors
+    verbatim (no training), which makes the entire pipeline —
+    nearest-centroid assignment, probe-list selection, candidate
+    pruning, quantized-cosine re-rank, and the recall join itself —
+    replayable in ANSI SQL, so this is a full value oracle over an
+    *approximate* ANN operating point (`ann_ivf_topk`'s rows-only
+    gap, closed from the measurement side)."""
+    from traceframe_spark.operators import similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.ivf_recall_at_k(
+        e, q, "vec_id", "embedding", k=5, nprobe=3, centroids=cents
+    )
+
+
+SQL_ANN_IVF_RECALL = """
+WITH cent AS (
+    SELECT vec_id AS list_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+    FROM embeddings WHERE vec_id < 8
+),
+d2 AS (
+    SELECT e.vec_id, c.list_id,
+           list_sum(list_transform(generate_series(1, 64),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+                  * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))) AS d
+    FROM embeddings e CROSS JOIN cent c
+),
+assign AS (
+    SELECT vec_id, list_id
+    FROM (SELECT vec_id, list_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, list_id ASC) AS rn
+          FROM d2)
+    WHERE rn = 1
+),
+probes AS (
+    SELECT vec_id AS qid, list_id
+    FROM (SELECT vec_id, list_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, list_id ASC) AS rn
+          FROM d2 WHERE vec_id < 10)
+    WHERE rn <= 3
+),
+norms AS (
+    SELECT vec_id, sqrt(sum(v * v)) AS nrm
+    FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
+    GROUP BY vec_id
+),
+cand AS (
+    SELECT DISTINCT p.qid, a.vec_id AS cid
+    FROM probes p JOIN assign a ON a.list_id = p.list_id
+    WHERE a.vec_id <> p.qid
+),
+cdots AS (
+    SELECT qid, cid, sum(qv * cv) AS dot
+    FROM (
+        SELECT cand.qid, cand.cid,
+               CAST(unnest(q.embedding) AS DOUBLE) AS qv,
+               CAST(unnest(c.embedding) AS DOUBLE) AS cv
+        FROM cand
+        JOIN embeddings q ON q.vec_id = cand.qid
+        JOIN embeddings c ON c.vec_id = cand.cid
+    )
+    GROUP BY qid, cid
+),
+approx AS (
+    SELECT qid, cid
+    FROM (
+        SELECT d.qid, d.cid,
+               row_number() OVER (
+                   PARTITION BY d.qid
+                   ORDER BY CAST(floor(d.dot / (nq.nrm * nc.nrm) * 10000 + 0.5) AS BIGINT) DESC,
+                            d.cid ASC
+               ) AS rn
+        FROM cdots d
+        JOIN norms nq ON nq.vec_id = d.qid
+        JOIN norms nc ON nc.vec_id = d.cid
+    ) WHERE rn <= 5
+),
+edots AS (
+    SELECT qid, cid, sum(qv * cv) AS dot
+    FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               CAST(unnest(q.embedding) AS DOUBLE) AS qv,
+               CAST(unnest(c.embedding) AS DOUBLE) AS cv
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    )
+    GROUP BY qid, cid
+),
+exact AS (
+    SELECT qid, cid
+    FROM (
+        SELECT d.qid, d.cid,
+               row_number() OVER (
+                   PARTITION BY d.qid
+                   ORDER BY CAST(floor(d.dot / (nq.nrm * nc.nrm) * 10000 + 0.5) AS BIGINT) DESC,
+                            d.cid ASC
+               ) AS rn
+        FROM edots d
+        JOIN norms nq ON nq.vec_id = d.qid
+        JOIN norms nc ON nc.vec_id = d.cid
+    ) WHERE rn <= 5
+),
+hits AS (
+    SELECT a.qid, count(*) AS n_hit
+    FROM approx a JOIN exact e ON a.qid = e.qid AND a.cid = e.cid
+    GROUP BY a.qid
+)
+SELECT q.vec_id AS qid,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(floor(COALESCE(h.n_hit, 0) / 5.0 * 10000 + 0.5) AS BIGINT) AS recall_q
+FROM embeddings q LEFT JOIN hits h ON h.qid = q.vec_id
+WHERE q.vec_id < 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -724,6 +848,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_stopword_ratio": q_doc_stopword_ratio,
     "doc_fingerprint": q_doc_fingerprint,
+    "ann_ivf_recall": q_ann_ivf_recall,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -748,4 +873,5 @@ ORACLE_SQL: dict[str, str] = {
     "doc_stopword_ratio": SQL_DOC_STOPWORD_RATIO,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "ann_ivf_recall": SQL_ANN_IVF_RECALL,
 }
