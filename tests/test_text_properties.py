@@ -82,3 +82,47 @@ class TestTextProperties:
         # every chunk except the last is full-size
         for r in rows[:-1]:
             assert r["n_chunk_tokens"] == 8
+
+
+def test_quality_gate_rules_fire_independently(spark):
+    """Each gate rule trips on a document engineered to trip ONLY it
+    (token count, bigram repetition, token entropy, and language are
+    separate axes); a clean English document passes with n_fail=0."""
+    clean = (
+        "the quick brown fox jumps over the lazy dog and then walks "
+        "to a small house near the river where many other animals "
+        "gather for food and water every single day of the year"
+    )
+    # 18 DISTINCT tokens: <20 (short) but entropy log2(18)=4.17>3.8,
+    # zero repeated bigrams, stopword-rich -> only too_short fires
+    short = "the of and a in to for is on that by with from as at this but not"
+    # 44 distinct English-leaning words + one bigram repeated 4x:
+    # 5/51 repeated bigrams (>0.06) but entropy ~5.4 and 52 tokens
+    base = " ".join(
+        ["the", "of", "and", "a", "in", "to", "for", "is", "on", "that"]
+        + [f"w{i}" for i in range(34)]
+    )
+    repetitive = base + " foo bar" * 4
+    # 24 DISTINCT German stopwords: >=20 tokens, entropy 4.6, rep 0,
+    # stopword argmax = de -> only non_en fires
+    german = (
+        "der die das und ist nicht ein eine mit von zu aus bei auf "
+        "dem den des im am um an als auch nach"
+    )
+    df = spark.createDataFrame(
+        [(1, clean), (2, short), (3, repetitive), (4, german)],
+        "doc_id: long, text: string",
+    )
+    rows = {r["doc_id"]: r for r in text.quality_gate(df).collect()}
+    assert rows[1]["keep"] and rows[1]["n_fail"] == 0
+    for doc_id, rule in [(2, "too_short"), (3, "repetitive"), (4, "non_en")]:
+        assert rows[doc_id][rule], (doc_id, rule)
+        assert rows[doc_id]["n_fail"] == 1, (doc_id, dict(rows[doc_id].asDict()))
+        assert not rows[doc_id]["keep"]
+    # low_entropy: repeated filler drops entropy below the gate
+    low = spark.createDataFrame(
+        [(9, "the " * 60 + "of and a in to for is on that by")],
+        "doc_id: long, text: string",
+    )
+    (r9,) = text.quality_gate(low).collect()
+    assert r9["low_entropy"] and not r9["keep"]

@@ -481,3 +481,52 @@ def document_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         fingerprint_md5(t).alias("fp_md5"),
         rolling_fingerprint(t).alias("fp_rolling"),
     )
+
+
+def quality_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_repetition: float = 0.06,
+    min_entropy: float = 3.8,
+    lang: str = "en",
+) -> DataFrame:
+    """Composed C4/Gopher-style document gate: one zero-shuffle scan
+    emits per-rule flags, the failed-rule count, and the keep verdict —
+    the standard first stage of a training-data curation pipeline
+    (filter *with reasons*, so rejected mass is attributable per rule).
+
+    Rules: ``too_short`` (token count), ``repetitive`` (repeated
+    word-bigram ratio), ``low_entropy`` (token Shannon entropy),
+    ``non_<lang>`` (stopword-overlap language guess). Ratio thresholds
+    are compared on the engine-portable 1e-4 grid (the suite's ``qint``
+    convention), so the verdict is identical across engines even for
+    documents that sit exactly on a threshold.
+
+    Everything is a JVM expression over one pass of the text column —
+    at 100 TB this is a pure map stage with full codegen, no Python,
+    no shuffle; cost is scan throughput. No reference analogue (the
+    reference has no text-curation surface).
+    """
+    c = F.col(text_col)
+    rep_q = F.floor(repetition_ratio(c, 2) * 10000 + F.lit(0.5)).cast("long")
+    ent_q = F.floor(token_entropy(c) * 10000 + F.lit(0.5)).cast("long")
+    max_rep_q = int(max_repetition * 10000 + 0.5)
+    min_ent_q = int(min_entropy * 10000 + 0.5)
+    flags = [
+        ("too_short", token_count(c) < min_tokens),
+        ("repetitive", rep_q > max_rep_q),
+        ("low_entropy", ent_q < min_ent_q),
+        (f"non_{lang}", lang_id(c) != lang),
+    ]
+    n_fail = None
+    for _, fl in flags:
+        term = fl.cast("int")
+        n_fail = term if n_fail is None else n_fail + term
+    return df.select(
+        id_col,
+        *[fl.alias(name) for name, fl in flags],
+        n_fail.cast("long").alias("n_fail"),
+        (n_fail == 0).alias("keep"),
+    )

@@ -1405,6 +1405,76 @@ FROM probe LEFT JOIN bench ON probe.w = bench.w
 """
 
 
+
+
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation gate (operators/text.py::quality_gate):
+    per-rule flags + keep verdict in one zero-shuffle scan, with every
+    rule's threshold comparison replayed on the 1e-4 grid by the
+    oracle — including the stopword-argmax language guess."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.quality_gate(d, "doc_id", "text")
+
+
+SQL_QUALITY_GATE = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+    FROM documents
+),
+rep AS (
+    SELECT doc_id,
+           CAST(floor(coalesce(1.0 - count(DISTINCT gram)::DOUBLE
+                               / nullif(count(gram), 0)::DOUBLE, 0.0)
+                      * 10000 + 0.5) AS BIGINT) AS rep_q
+    FROM (
+        SELECT doc_id,
+               array_to_string(list_slice(t, CAST(g AS INT), CAST(g AS INT) + 1), ' ') AS gram
+        FROM (SELECT doc_id, t,
+                     unnest(range(1, greatest(len(t) - 1, 1) + 1)) AS g
+              FROM toks)
+    ) GROUP BY doc_id
+),
+ent AS (
+    SELECT doc_id,
+           CAST(floor(entropy(tok) * 10000 + 0.5) AS BIGINT) AS ent_q
+    FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+    GROUP BY doc_id
+),
+lng AS (
+    SELECT doc_id,
+           {_sql_stop_count('en')} AS s_en,
+           {_sql_stop_count('de')} AS s_de,
+           {_sql_stop_count('fr')} AS s_fr,
+           {_sql_stop_count('es')} AS s_es,
+           {_sql_stop_count('it')} AS s_it
+    FROM documents
+),
+flags AS (
+    SELECT t.doc_id,
+           len(t.t) < 20 AS too_short,
+           r.rep_q > 600 AS repetitive,
+           coalesce(e.ent_q, 0) < 38000 AS low_entropy,
+           (CASE
+              WHEN greatest(l.s_en, l.s_de, l.s_fr, l.s_es, l.s_it) IS NULL THEN 'und'
+              WHEN greatest(l.s_en, l.s_de, l.s_fr, l.s_es, l.s_it) = 0 THEN 'und'
+              WHEN l.s_en >= greatest(l.s_de, l.s_fr, l.s_es, l.s_it) THEN 'en'
+              WHEN l.s_de >= greatest(l.s_fr, l.s_es, l.s_it) THEN 'de'
+              WHEN l.s_fr >= greatest(l.s_es, l.s_it) THEN 'fr'
+              WHEN l.s_es >= l.s_it THEN 'es'
+              ELSE 'it'
+            END) <> 'en' AS non_en
+    FROM toks t
+    JOIN rep r ON r.doc_id = t.doc_id
+    LEFT JOIN ent e ON e.doc_id = t.doc_id
+    JOIN lng l ON l.doc_id = t.doc_id
+)
+SELECT doc_id, too_short, repetitive, low_entropy, non_en,
+       CAST(too_short::INT + repetitive::INT + low_entropy::INT + non_en::INT AS BIGINT) AS n_fail,
+       (too_short::INT + repetitive::INT + low_entropy::INT + non_en::INT) = 0 AS keep
+FROM flags
+"""
+
+
 PIPELINE_QUERIES = {
     "quality_resample": q_quality_resample,
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -1441,6 +1511,7 @@ PIPELINE_QUERIES = {
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
     "embed_near_dup": q_embed_near_dup,
     "media_features": q_media_features,
+    "quality_gate": q_quality_gate,
 }
 
 PIPELINE_ORACLE_SQL = {
@@ -1468,6 +1539,7 @@ PIPELINE_ORACLE_SQL = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "doc_quality": SQL_DOC_QUALITY,
     "doc_lang_id": SQL_DOC_LANG_ID,
+    "quality_gate": SQL_QUALITY_GATE,
     # real PNG decode: closed-form pixels make the decoded stats exactly
     # SQL-computable — media decode leaves the rows-only list
     "media_features": SQL_MEDIA_FEATURES,
