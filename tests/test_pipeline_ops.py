@@ -1194,3 +1194,39 @@ def test_bloom_filter_invariants(spark):
         .agg(F.bit_or("bits").alias("bits"))
     )
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, bl.collect()))
+
+
+# ------------------------------------------------------------ split
+
+
+def test_leakage_safe_split_duplicates_never_straddle(spark):
+    """Byte-identical (post-normalization) documents always land in the
+    same split regardless of id; with cluster_col, a NEAR-dup cluster
+    moves as one unit; rates must sum to 1."""
+    from traceframe_spark.operators.sampling import leakage_safe_split
+
+    rows = [(i, f"unique document number {i} with words") for i in range(40)]
+    rows += [(100 + j, "  The SAME text  ") for j in range(5)]  # dups mod norm
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = leakage_safe_split(df, {"train": 0.6, "val": 0.2, "test": 0.2})
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len({got[100 + j] for j in range(5)}) == 1  # one split for all dups
+    assert {"train", "val", "test"} >= set(got.values())
+    assert len(set(got.values())) >= 2  # the draw actually splits 41 clusters
+
+    # near-dup clusters: key the draw on the cluster canonical instead
+    clustered = df.withColumn(
+        "cluster", (F.col("doc_id") % 7).cast("string")
+    )
+    out2 = leakage_safe_split(
+        clustered, {"train": 0.5, "test": 0.5}, cluster_col="cluster"
+    )
+    by_cluster = {}
+    for r in out2.collect():
+        by_cluster.setdefault(r["cluster"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        leakage_safe_split(df, {"train": 0.9, "val": 0.2})

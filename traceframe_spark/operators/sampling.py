@@ -90,3 +90,50 @@ def bernoulli_quality_sample(
         .withColumn("u32", u)
         .filter(F.col("u32") * (10**prob_scale) < F.col("p_q") * F.lit(4294967296))
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cluster_col: str | None = None,
+) -> DataFrame:
+    """Deterministic train/val/test assignment that CANNOT leak
+    duplicate content across splits: the split is drawn from the
+    document's content-cluster key, never its id, so byte-identical
+    documents (after lower/trim normalization) land in the same split
+    by construction. Pass ``cluster_col`` (e.g. the canonical id from
+    ``graph.connected_components`` over MinHash-LSH pairs) to extend
+    the guarantee to NEAR-duplicate clusters.
+
+    Splitting on row id is the classic eval-contamination bug: a
+    benchmark answer duplicated into the crawl lands in train while
+    its twin lands in eval, and the eval silently measures memorized
+    text. Keying the draw on content removes the failure mode without
+    a join — one zero-shuffle scan when ``cluster_col`` is None.
+
+    ``rates`` maps split name -> fraction, summing to 1 (validated).
+    Assignment: the md5-uniform draw of the cluster key is compared
+    against cumulative integer thresholds ``floor(cum_rate * 2^32)``
+    in split-name insertion order — pure integer math, reproducible
+    by any SQL engine. Returns ``df`` plus ``split``.
+    """
+    total = sum(rates.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split rates must sum to 1, got {total}")
+    key = (
+        F.col(cluster_col)
+        if cluster_col is not None
+        else F.md5(F.lower(F.trim(F.col(text_col))))
+    )
+    u = md5_uniform(key)
+    expr = None
+    cum = 0.0
+    names = list(rates)
+    for name in names[:-1]:
+        cum += rates[name]
+        cond = u < F.lit(int(cum * 4294967296))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", split)

@@ -822,6 +822,34 @@ WHERE q.vec_id < 10
 # Registry
 # ---------------------------------------------------------------------------
 
+
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed 90/5/5 train/val/test assignment
+    (operators/sampling.py::leakage_safe_split): the split draw comes
+    from md5 of the normalized text, so duplicate content can never
+    straddle splits. Thresholds are integer literals shared with the
+    oracle (3865470566 / 4080218931 = floor(cum_rate * 2^32))."""
+    from traceframe_spark.operators.sampling import leakage_safe_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return leakage_safe_split(
+        d, {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+
+
+SQL_LEAKAGE_SPLIT = r"""
+SELECT doc_id,
+       CASE WHEN u < 3865470566 THEN 'train'
+            WHEN u < 4080218931 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+    SELECT doc_id,
+           ('0x' || substr(md5(md5(lower(trim(text)))), 1, 8))::BIGINT AS u
+    FROM documents
+)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # doc_dedup_exact / ann_cosine_topk lead: with PIPELINE+MLPREP rotated
     # ahead (plans/__init__.py) only the first ~4 core entries fit in the
@@ -849,6 +877,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_stopword_ratio": q_doc_stopword_ratio,
     "doc_fingerprint": q_doc_fingerprint,
     "ann_ivf_recall": q_ann_ivf_recall,
+    "leakage_split": q_leakage_split,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -874,4 +903,5 @@ ORACLE_SQL: dict[str, str] = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_ivf_recall": SQL_ANN_IVF_RECALL,
+    "leakage_split": SQL_LEAKAGE_SPLIT,
 }
