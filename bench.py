@@ -88,6 +88,9 @@ HEADLINE = [
     "tfidf_topk",
     "pmi_bigrams",
     "inflight_concurrency",
+    "quality_gate",
+    "leakage_split",
+    "ann_ivf_recall",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans
