@@ -662,3 +662,54 @@ def test_streaming_cms_merges_to_batch_sketch(spark, tmp_path):
         ).collect()
     }
     assert est["spark"] >= 5 and est["scan"] >= 4
+
+
+def test_quality_gate_on_document_stream(spark, tmp_path):
+    """The curation gate is a stateless zero-shuffle projection, so it
+    composes with Structured Streaming unchanged — a continuous-ingest
+    pipeline can gate documents before they ever land in the corpus
+    store. Verified equal to the batch verdicts over a file-fed
+    stream."""
+    from traceframe_spark.operators.text import quality_gate
+
+    feed = tmp_path / "docs"
+    feed.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog "
+                              "and walks to a small house near the river "
+                              "where many animals gather for food"},
+        {"doc_id": 2, "text": "the of and"},
+        {"doc_id": 3, "text": "der die das und ist nicht ein eine mit von "
+                              "zu aus bei auf dem den des im am um an als "
+                              "auch nach"},
+    ]
+    with open(feed / "b0.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(feed))
+    )
+    gated = quality_gate(stream)
+    assert gated.isStreaming
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("gated_docs")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["doc_id"]: r for r in spark.sql("select * from gated_docs").collect()}
+    batch = {
+        r["doc_id"]: r
+        for r in quality_gate(
+            spark.createDataFrame(
+                [(r["doc_id"], r["text"]) for r in rows], "doc_id: long, text: string"
+            )
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    for did in got:
+        assert got[did].asDict() == batch[did].asDict(), did
+    assert got[1]["keep"] and not got[2]["keep"] and not got[3]["keep"]
