@@ -1230,3 +1230,34 @@ def test_leakage_safe_split_duplicates_never_straddle(spark):
 
     with _pytest.raises(ValueError, match="sum to 1"):
         leakage_safe_split(df, {"train": 0.9, "val": 0.2})
+
+
+def test_curation_flow_statuses_with_planted_dups(spark, tmp_path):
+    """End-to-end disposition: a failing doc is dropped_quality, a
+    duplicate of a surviving doc is dropped_dup (only the min-id
+    canonical goes on to a split), and every canonical survivor gets a
+    split drawn from its CONTENT, so the duplicate's canonical twin and
+    any byte-identical content agree on the split."""
+    from traceframe_spark.plans.pipeline import q_curation_flow
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then walks "
+        "to a small house near the river where many other animals "
+        "gather for food and water every single day of the year"
+    )
+    rows = [
+        (1, good, "en", "src0", len(good)),
+        (2, "the of and", "en", "src0", 10),     # fails the gate
+        (3, good.upper() + "  ", "en", "src1", len(good)),  # dup of 1 mod norm
+        (4, good.replace("fox", "wolf"), "en", "src1", len(good)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/documents.parquet")
+    got = {r["doc_id"]: r["status"] for r in q_curation_flow(spark, sf).collect()}
+    assert got[2] == "dropped_quality"
+    assert got[3] == "dropped_dup"
+    assert got[1] in ("train", "val", "test")
+    assert got[4] in ("train", "val", "test")

@@ -1475,6 +1475,80 @@ FROM flags
 """
 
 
+
+def q_curation_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline end to end as ONE dataflow, per-document
+    attributable: quality gate -> exact content dedup among survivors
+    -> leakage-safe split, emitting each document's final disposition
+    (``dropped_quality`` / ``dropped_dup`` / ``train|val|test``). This
+    is the composed flow `examples/curation_demo.py` narrates, as an
+    oracle-backed registry query: the DuckDB oracle replays all three
+    stages (the near-dup LSH stage stays out of this query because its
+    hash choices are engine-specific; `dedup_pipeline` covers it).
+
+    Plan shape at scale: the gate is a zero-shuffle scan; dedup is one
+    (id, md5) shuffle over gate survivors; the split is a pure map of
+    the same md5 — three stages, one narrow shuffle total.
+    """
+    from traceframe_spark.operators.sampling import leakage_safe_split
+
+    d = load_table(spark, sf_dir, "documents")
+    gated = text.quality_gate(d, "doc_id", "text").select("doc_id", "keep")
+    base = d.join(gated, "doc_id")
+    norm_key = F.md5(F.lower(F.trim(F.col("text"))))
+    keepers = base.filter(F.col("keep"))
+    canon = (
+        keepers.select(norm_key.alias("_k"), F.col("doc_id"))
+        .groupBy("_k")
+        .agg(F.min("doc_id").alias("_canon_id"))
+    )
+    survivors = keepers.join(
+        canon, keepers["doc_id"] == canon["_canon_id"], "left_semi"
+    )
+    split = leakage_safe_split(
+        survivors, {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+    return (
+        base.join(split, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(~F.col("keep"), F.lit("dropped_quality"))
+            .when(F.col("split").isNull(), F.lit("dropped_dup"))
+            .otherwise(F.col("split"))
+            .alias("status"),
+        )
+    )
+
+
+SQL_CURATION_FLOW = f"""
+WITH gate AS ({SQL_QUALITY_GATE}),
+keyed AS (
+    SELECT d.doc_id, g.keep, md5(lower(trim(d.text))) AS k
+    FROM documents d JOIN gate g ON g.doc_id = d.doc_id
+),
+canon AS (
+    SELECT k, min(doc_id) AS canon_id FROM keyed WHERE keep GROUP BY k
+),
+survivors AS (
+    SELECT keyed.doc_id, keyed.k
+    FROM keyed JOIN canon ON keyed.doc_id = canon.canon_id
+),
+split AS (
+    SELECT doc_id,
+           CASE WHEN u < 3865470566 THEN 'train'
+                WHEN u < 4080218931 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, ('0x' || substr(md5(k), 1, 8))::BIGINT AS u
+          FROM survivors)
+)
+SELECT keyed.doc_id,
+       CASE WHEN NOT keyed.keep THEN 'dropped_quality'
+            WHEN split.split IS NULL THEN 'dropped_dup'
+            ELSE split.split END AS status
+FROM keyed LEFT JOIN split ON split.doc_id = keyed.doc_id
+"""
+
+
 PIPELINE_QUERIES = {
     "quality_resample": q_quality_resample,
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -1512,6 +1586,7 @@ PIPELINE_QUERIES = {
     "embed_near_dup": q_embed_near_dup,
     "media_features": q_media_features,
     "quality_gate": q_quality_gate,
+    "curation_flow": q_curation_flow,
 }
 
 PIPELINE_ORACLE_SQL = {
@@ -1540,6 +1615,7 @@ PIPELINE_ORACLE_SQL = {
     "doc_quality": SQL_DOC_QUALITY,
     "doc_lang_id": SQL_DOC_LANG_ID,
     "quality_gate": SQL_QUALITY_GATE,
+    "curation_flow": SQL_CURATION_FLOW,
     # real PNG decode: closed-form pixels make the decoded stats exactly
     # SQL-computable — media decode leaves the rows-only list
     "media_features": SQL_MEDIA_FEATURES,
