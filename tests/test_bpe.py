@@ -132,3 +132,43 @@ def test_early_stop_on_singleton_pairs(spark):
     merges, syms = bpe.learn_bpe(df, 5)
     syms.unpersist()
     assert merges == []
+
+
+def test_token_ids_decode_back_to_text(spark, tmp_path):
+    """The id pipeline is faithful: ids are dense 1..|vocab|, and
+    decoding each document's id sequence through the inverted vocab
+    (dropping the end-of-word markers) reconstructs its exact
+    whitespace words in order."""
+    from traceframe_spark.plans.pipeline import q_bpe_token_ids
+
+    texts = {
+        0: "low lower lowest newer newest wide wider widest",
+        1: "the newer method is wider than the lowest one",
+        2: "low low low newest newest wide",
+    }
+    rows = [(i, t, "en", "src0", len(t)) for i, t in texts.items()]
+    spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    out = q_bpe_token_ids(spark, str(tmp_path)).collect()
+    ids_seen = {r["token_id"] for r in out}
+    assert min(ids_seen) >= 1
+
+    # rebuild the id -> token mapping exactly as the query defines it
+    d = spark.read.parquet(f"{tmp_path}/documents.parquet")
+    merges, syms = bpe.learn_bpe(d, 10)
+    vrows = bpe.vocab(syms).collect()
+    syms.unpersist()
+    vrows.sort(key=lambda r: (-r["tcount"], r["token"]))
+    id2tok = {i + 1: r["token"] for i, r in enumerate(vrows)}
+    assert ids_seen <= set(id2tok)
+
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["token_id"]))
+    for doc_id, seq in by_doc.items():
+        seq.sort()
+        assert [p for p, _ in seq] == list(range(len(seq)))  # dense positions
+        decoded = "".join(id2tok[t] for _, t in seq)
+        assert decoded.replace(bpe.END_WORD, " ").strip() == texts[doc_id]

@@ -1549,6 +1549,79 @@ FROM keyed LEFT JOIN split ON split.doc_id = keyed.doc_id
 """
 
 
+
+def q_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer's actual product: dense token-ID sequences. Train
+    the merges, rank the corpus-weighted vocabulary into ids (count
+    DESC, token ASC — the deterministic order a vocab file ships in),
+    encode the first 50 documents, and emit (doc_id, pos, token_id)
+    rows. Id assignment collects the VOCABULARY-sized frequency table
+    to the driver (the same bounded-by-|vocab| traffic as writing a
+    vocab file; corpus size never reaches the driver) and broadcasts
+    it back for the id join; the oracle replays training, vocabulary
+    ranking, per-word encoding, and position flattening in SQL."""
+    from traceframe_spark.operators import bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, syms = bpe.learn_bpe(d, _BPE_N_MERGES)
+    try:
+        vrows = bpe.vocab(syms).collect()
+        vrows.sort(key=lambda r: (-r["tcount"], r["token"]))
+        ids = spark.createDataFrame(
+            [(r["token"], i + 1) for i, r in enumerate(vrows)],
+            "token: string, token_id: long",
+        )
+        enc = bpe.encode(
+            d.filter(F.col("text").isNotNull() & (F.col("doc_id") < 50)), merges
+        )
+        ex = enc.selectExpr("doc_id", "posexplode(tokens) AS (pos, token)")
+        return (
+            ex.join(F.broadcast(ids), "token")
+            .select("doc_id", F.col("pos").cast("long").alias("pos"), "token_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        syms.unpersist()
+
+
+SQL_BPE_TOKEN_IDS = _sql_bpe_chain(_BPE_N_MERGES) + f"""
+, vtok AS MATERIALIZED (
+    SELECT token, CAST(sum(wcount) AS BIGINT) AS tcount
+    FROM (SELECT wcount,
+                 unnest(list_filter(string_split(s, '  '), x -> x <> '')) AS token
+          FROM w{_BPE_N_MERGES})
+    GROUP BY token
+)
+, ids AS (
+    SELECT token,
+           CAST(row_number() OVER (ORDER BY tcount DESC, token ASC) AS BIGINT) AS token_id
+    FROM vtok
+)
+, wsym AS MATERIALIZED (
+    SELECT word, list_filter(string_split(s, '  '), x -> x <> '') AS sl
+    FROM w{_BPE_N_MERGES}
+)
+, dw AS (
+    SELECT doc_id, unnest(wl) AS word, unnest(range(1, len(wl) + 1)) AS wpos
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS wl
+          FROM documents WHERE text IS NOT NULL AND doc_id < 50)
+)
+, tokpos AS (
+    SELECT doc_id, wpos,
+           unnest(sl) AS token, unnest(range(1, len(sl) + 1)) AS spos
+    FROM dw JOIN wsym USING (word)
+)
+, ordered AS (
+    SELECT doc_id, token,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, spos) - 1 AS BIGINT) AS pos
+    FROM tokpos
+)
+SELECT o.doc_id, o.pos, ids.token_id
+FROM ordered o JOIN ids USING (token)
+"""
+
+
 PIPELINE_QUERIES = {
     "quality_resample": q_quality_resample,
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -1587,6 +1660,7 @@ PIPELINE_QUERIES = {
     "media_features": q_media_features,
     "quality_gate": q_quality_gate,
     "curation_flow": q_curation_flow,
+    "bpe_token_ids": q_bpe_token_ids,
 }
 
 PIPELINE_ORACLE_SQL = {
@@ -1616,6 +1690,7 @@ PIPELINE_ORACLE_SQL = {
     "doc_lang_id": SQL_DOC_LANG_ID,
     "quality_gate": SQL_QUALITY_GATE,
     "curation_flow": SQL_CURATION_FLOW,
+    "bpe_token_ids": SQL_BPE_TOKEN_IDS,
     # real PNG decode: closed-form pixels make the decoded stats exactly
     # SQL-computable — media decode leaves the rows-only list
     "media_features": SQL_MEDIA_FEATURES,
