@@ -19,9 +19,13 @@ def catalog_queries():
     temporal / traceops / events / lexical / advanced / core heads; round 5
     rotates the LLM-data-pipeline suites (PIPELINE + MLPREP: dedup, ANN,
     BPE, media, text quality, sketches) to the front so they get recorded
-    rows too.  Reorder only with care.
+    rows too.  Within that order, oracle-backed queries precede the
+    rows-only ones (engine-specific hash outputs), so a head-first sample
+    records value-verified rows; every rows-only query has an oracle-backed
+    exact twin ahead of it (minhash_verified, ann_ivf_exhaustive,
+    ann_ivf_recall, percentiles).  Reorder only with care.
     """
-    return {
+    merged = {
         **PIPELINE_QUERIES,
         **MLPREP_QUERIES,
         **QUERIES,
@@ -31,6 +35,11 @@ def catalog_queries():
         **TRACEOPS_QUERIES,
         **TEMPORAL_QUERIES,
         **TPCH_QUERIES,
+    }
+    oracles = catalog_oracle_sql()
+    return {
+        **{k: v for k, v in merged.items() if k in oracles},
+        **{k: v for k, v in merged.items() if k not in oracles},
     }
 
 
