@@ -102,6 +102,17 @@ def main() -> None:
     n5 = mixed.count()
     print(f"domain mix: {n4} -> {n5} (per-source rates, deterministic)")
 
+    # 6a. leakage-safe train/val/test split: the split is drawn from
+    # document CONTENT, so duplicate text can never straddle splits
+    from traceframe_spark.operators.sampling import leakage_safe_split
+
+    split = leakage_safe_split(mixed, {"train": 0.9, "val": 0.05, "test": 0.05})
+    sc = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    print(
+        f"split: train {sc.get('train', 0)} / val {sc.get('val', 0)} / "
+        f"test {sc.get('test', 0)} (content-keyed, leakage-safe)"
+    )
+
     # 6b. learn the tokenizer ON the curated corpus (BPE): the word-
     # frequency table absorbs corpus size, each merge is one tiny job
     from traceframe_spark.operators import bpe
