@@ -126,3 +126,21 @@ def test_quality_gate_rules_fire_independently(spark):
     )
     (r9,) = text.quality_gate(low).collect()
     assert r9["low_entropy"] and not r9["keep"]
+
+
+def test_token_kl_drift_flags_the_shifted_token(spark):
+    """A token whose mass explodes in snapshot B dominates the |KL|
+    ranking; stable shared tokens sit near zero."""
+    base = "the cat sat on the mat with a dog and a bird near the tree"
+    a = spark.createDataFrame([(i, base) for i in range(20)], "doc_id: long, text: string")
+    b_rows = [(100 + i, base) for i in range(20)]
+    b_rows += [(200 + i, "boilerplate " * 30) for i in range(5)]
+    b = spark.createDataFrame(b_rows, "doc_id: long, text: string")
+
+    drift = text.token_kl_drift(a, b).collect()
+    by_tok = {r["tok"]: r for r in drift}
+    top = max(drift, key=lambda r: abs(r["kl_q"]))
+    assert top["tok"] == "boilerplate"
+    assert by_tok["boilerplate"]["n_a"] == 0 and by_tok["boilerplate"]["n_b"] == 150
+    # a token present on both sides at similar rates barely contributes
+    assert abs(by_tok["cat"]["kl_q"]) < abs(by_tok["boilerplate"]["kl_q"]) / 10

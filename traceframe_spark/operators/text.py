@@ -530,3 +530,54 @@ def quality_gate(
         n_fail.cast("long").alias("n_fail"),
         (n_fail == 0).alias("keep"),
     )
+
+
+def token_kl_drift(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots: each union-
+    vocabulary token's contribution ``pA*ln(pA/pB) + pB*ln(pB/pA)`` to
+    the SYMMETRIC (Jeffreys) KL divergence, with add-one smoothing so
+    tokens absent from one side stay finite. Symmetry matters: plain
+    KL(A‖B) weights by pA, so a token that EXPLODES in the new snapshot
+    but was absent from the old one barely registers — exactly the
+    boilerplate-injection case the instrument exists to catch. The
+    corpus-QA question is "did this ingest change what the model will
+    read?"; mass concentrating on a few tokens means boilerplate or a
+    source shift, a flat profile means benign growth.
+
+    Two grouped counts (one shuffle each, vocabulary-sized results) and
+    a vocabulary-sized join — corpus size only enters through the
+    scans, so the instrument is affordable at any snapshot size.
+    Returns (tok, n_a, n_b, kl_q) with kl_q on the 1e-7 grid.
+    """
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+            .filter(F.col("tok") != "")
+            .groupBy("tok")
+            .agg(F.count("*").alias(out))
+        )
+
+    ca = counts(a, "n_a")
+    cb = counts(b, "n_b")
+    j = ca.join(cb, "tok", "full_outer").select(
+        "tok",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    tot = j.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"), F.count("*").alias("v")
+    )
+    j = j.crossJoin(F.broadcast(tot))  # one-row scalar totals
+    pa = (F.col("n_a") + 1).cast("double") / (F.col("ta") + F.col("v")).cast("double")
+    pb = (F.col("n_b") + 1).cast("double") / (F.col("tb") + F.col("v")).cast("double")
+    kl = pa * F.log(pa / pb) + pb * F.log(pb / pa)
+    return j.select(
+        "tok",
+        "n_a",
+        "n_b",
+        F.floor(kl * 10000000 + F.lit(0.5)).cast("long").alias("kl_q"),
+    )

@@ -1622,6 +1622,60 @@ FROM ordered o JOIN ids USING (token)
 """
 
 
+
+def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift QA between the even- and odd-numbered sources
+    (operators/text.py::token_kl_drift): top-20 tokens by |KL
+    contribution|, rank-stable. Both per-token counts and the
+    smoothed-KL arithmetic are replayed exactly by the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    side = F.substring(F.col("source"), 4, 9).cast("int") % 2
+    drift = text.token_kl_drift(d.filter(side == 0), d.filter(side == 1))
+    order = [F.abs(F.col("kl_q")).desc(), F.col("tok").asc()]
+    return ranked_topk(drift, order, 20, rank_col="rn").select(
+        "rn", "tok", "n_a", "n_b", "kl_q"
+    )
+
+
+SQL_TOKEN_DRIFT = r"""
+WITH ca AS (
+    SELECT tok, count(*) AS n_a
+    FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+          FROM documents WHERE CAST(substr(source, 4) AS INT) % 2 = 0)
+    WHERE tok <> '' GROUP BY tok
+),
+cb AS (
+    SELECT tok, count(*) AS n_b
+    FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+          FROM documents WHERE CAST(substr(source, 4) AS INT) % 2 = 1)
+    WHERE tok <> '' GROUP BY tok
+),
+j AS (
+    SELECT coalesce(ca.tok, cb.tok) AS tok,
+           coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+    FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok
+),
+tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS v FROM j),
+kl AS (
+    SELECT tok, n_a, n_b,
+           CAST(floor(
+               (((n_a + 1)::DOUBLE / (ta + v)::DOUBLE)
+                * ln(((n_a + 1)::DOUBLE / (ta + v)::DOUBLE)
+                     / ((n_b + 1)::DOUBLE / (tb + v)::DOUBLE))
+                + ((n_b + 1)::DOUBLE / (tb + v)::DOUBLE)
+                  * ln(((n_b + 1)::DOUBLE / (tb + v)::DOUBLE)
+                       / ((n_a + 1)::DOUBLE / (ta + v)::DOUBLE)))
+               * 10000000 + 0.5) AS BIGINT) AS kl_q
+    FROM j CROSS JOIN tot
+)
+SELECT CAST(row_number() OVER (ORDER BY abs(kl_q) DESC, tok ASC) AS BIGINT) AS rn,
+       tok, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, kl_q
+FROM kl
+ORDER BY abs(kl_q) DESC, tok ASC
+LIMIT 20
+"""
+
+
 PIPELINE_QUERIES = {
     "quality_resample": q_quality_resample,
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -1661,6 +1715,7 @@ PIPELINE_QUERIES = {
     "quality_gate": q_quality_gate,
     "curation_flow": q_curation_flow,
     "bpe_token_ids": q_bpe_token_ids,
+    "token_drift": q_token_drift,
 }
 
 PIPELINE_ORACLE_SQL = {
@@ -1691,6 +1746,7 @@ PIPELINE_ORACLE_SQL = {
     "quality_gate": SQL_QUALITY_GATE,
     "curation_flow": SQL_CURATION_FLOW,
     "bpe_token_ids": SQL_BPE_TOKEN_IDS,
+    "token_drift": SQL_TOKEN_DRIFT,
     # real PNG decode: closed-form pixels make the decoded stats exactly
     # SQL-computable — media decode leaves the rows-only list
     "media_features": SQL_MEDIA_FEATURES,
