@@ -91,6 +91,8 @@ HEADLINE = [
     "quality_gate",
     "leakage_split",
     "ann_ivf_recall",
+    "curation_flow",
+    "token_drift",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans
