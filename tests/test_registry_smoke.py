@@ -173,6 +173,9 @@ def test_queries_run_on_bare_session(spark):
         "bm25_topk", "json_props", "filter_project", "quality_resample",
         "bpe_pair_counts", "video_features", "doc_triangles",
         "hard_negatives", "stats_by_group", "set_ops_all",
+        # r05 additions
+        "quality_gate", "curation_flow", "leakage_split",
+        "ann_ivf_recall", "token_drift", "bpe_token_ids",
     ]
     sf = "/root/testdata/sf0.001"
     for name in subset:
