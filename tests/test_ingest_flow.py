@@ -34,8 +34,8 @@ def _ingest_batch(spark, batch, store_path, first=False):
     gated = dedup.exact_dedup(gated, ["text"], "doc_id")
     if not first:
         standing = spark.read.parquet(store_path)
-        # exact cross-dedup on content hash, then near-dup subtract
-        k = F.md5(F.lower(F.trim(F.col("text"))))
+        # exact cross-dedup on the shared content key, then near-dup subtract
+        k = dedup.content_key("text")
         gated = (
             gated.withColumn("_k", k)
             .join(standing.select(k.alias("_k")).distinct(), "_k", "left_anti")

@@ -261,3 +261,31 @@ def test_ranked_topk_caps_k():
 
     with _pytest.raises(ValueError, match="bounded-window cap"):
         ranked_topk(None, [], 101)
+
+
+def test_smj_check_sees_subquery_sections(spark):
+    """A forced merge join on nation INSIDE a scalar subquery must flag
+    like any main-tree join (the formatted plan prints subquery trees
+    in a separate section); the default broadcast plan stays clean."""
+    from tools.plan_audit import plan_of, smj_tiny_dim_flags
+
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    s = spark.read.parquet(f"{SF}/supplier.parquet")
+    n.createOrReplaceTempView("hyg_nv")
+    s.createOrReplaceTempView("hyg_sv")
+
+    bad = spark.sql(
+        "SELECT * FROM hyg_sv WHERE s_acctbal > "
+        "(SELECT /*+ MERGE(hyg_nv) */ avg(n_nationkey) FROM hyg_nv "
+        " JOIN hyg_sv s2 ON hyg_nv.n_nationkey = s2.s_nationkey)"
+    )
+    plan = plan_of(bad)
+    assert "===== Subqueries =====" in plan  # the shape under test
+    assert "SOFT:smj-on-tiny-dim(nation)" in smj_tiny_dim_flags(plan)
+
+    good = spark.sql(
+        "SELECT * FROM hyg_sv WHERE s_acctbal > "
+        "(SELECT avg(n_nationkey) FROM hyg_nv "
+        " JOIN hyg_sv s2 ON hyg_nv.n_nationkey = s2.s_nationkey)"
+    )
+    assert smj_tiny_dim_flags(plan_of(good)) == []

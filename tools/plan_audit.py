@@ -53,21 +53,27 @@ def n_scans(plan: str) -> int:
 
 
 def _tree_nodes(plan: str) -> list[tuple[int, str, str]]:
-    """Parse the formatted plan's tree section into preorder
-    ``(depth, label, node_id)`` triples. Each tree level indents by
-    exactly 3 chars (``+- `` / ``:- `` / ``:  `` / spaces); the section
-    ends at the first blank line (details follow)."""
+    """Parse EVERY tree section of a formatted plan into preorder
+    ``(depth, label, node_id)`` triples: the main tree after
+    ``== Physical Plan ==`` AND each subquery tree after a
+    ``Subquery:N Hosting ...`` header (under ``===== Subqueries =====``)
+    — a SortMergeJoin or Window inside a scalar/IN subquery must audit
+    like any other. Each tree level indents by exactly 3 chars
+    (``+- `` / ``:- `` / ``:  `` / spaces); a tree ends at the first
+    blank line (details follow). Concatenating trees is safe for the
+    subtree walks: every tree root restarts at depth 0, so a
+    ``depth > d`` descent can never cross a tree boundary."""
     nodes: list[tuple[int, str, str]] = []
-    lines = plan.splitlines()
-    started = False
-    for ln in lines:
-        if ln.startswith("== Physical Plan =="):
-            started = True
+    in_tree = False
+    for ln in plan.splitlines():
+        if ln.startswith("== Physical Plan ==") or ln.startswith("Subquery:"):
+            in_tree = True
             continue
-        if not started:
+        if not in_tree:
             continue
         if not ln.strip():
-            break
+            in_tree = False
+            continue
         m = re.match(r"^([ :+\-]*)(\S[^()]*?)\s*\((\d+)\)\s*$", ln)
         if not m:
             continue

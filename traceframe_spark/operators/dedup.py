@@ -124,6 +124,36 @@ def exact_dedup(df: DataFrame, cols: list[str], order_col: str) -> DataFrame:
     )
 
 
+def content_key(text_col: Column | str = "text") -> Column:
+    """THE canonical exact-content key: ``md5(lower(trim(text)))``.
+
+    One definition on purpose — the exact-dedup stage of
+    :func:`dedup_pipeline`, the registry's curation-flow oracle twin,
+    and the ingest loop's cross-dedup all key on this; normalization
+    changes (e.g. adding NFC or whitespace collapsing) must land here
+    once, or the engine, the oracles, and the store contract silently
+    diverge. Matches the shingling normalization in
+    :func:`minhash_signatures` (a doc differing only in case/outer
+    whitespace IS an exact dup), and md5's 128 bits make engine/oracle
+    collision divergence a non-concern."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.lower(F.trim(col)))
+
+
+def exact_canonical_ids(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """One row per distinct content: ``(_k, _canon_id)`` with the
+    minimum id as canonical. The narrow-shuffle primitive (only
+    ``(id, md5)`` pairs move — never document bytes) that exact-dedup
+    compositions left-semi join against."""
+    return (
+        df.select(content_key(text_col).alias("_k"), F.col(id_col).alias("_id"))
+        .groupBy("_k")
+        .agg(F.min("_id").alias("_canon_id"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -647,11 +677,9 @@ def dedup_pipeline(
     """
     from traceframe_spark.operators.graph import connected_components, keep_canonical
 
-    norm = F.lower(F.trim(F.col(text_col)))
-    keymap = df.select(F.col(id_col).alias("_id"), F.md5(norm).alias("_k"))
-    keep = keymap.groupBy("_k").agg(F.min("_id").alias("_keep_id")).select("_keep_id")
+    keep = exact_canonical_ids(df, id_col, text_col).select("_canon_id")
     residual = df.join(
-        keep, df[id_col] == keep["_keep_id"], "left_semi"
+        keep, df[id_col] == keep["_canon_id"], "left_semi"
     ).persist()
     pairs = minhash_dedup_pairs(
         residual, id_col, text_col, threshold, n_hashes, bands, shingle_size

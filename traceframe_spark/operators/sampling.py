@@ -95,7 +95,6 @@ def bernoulli_quality_sample(
 def leakage_safe_split(
     df: DataFrame,
     rates: dict[str, float],
-    id_col: str = "doc_id",
     text_col: str = "text",
     cluster_col: str | None = None,
 ) -> DataFrame:

@@ -1495,13 +1495,8 @@ def q_curation_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     gated = text.quality_gate(d, "doc_id", "text").select("doc_id", "keep")
     base = d.join(gated, "doc_id")
-    norm_key = F.md5(F.lower(F.trim(F.col("text"))))
     keepers = base.filter(F.col("keep"))
-    canon = (
-        keepers.select(norm_key.alias("_k"), F.col("doc_id"))
-        .groupBy("_k")
-        .agg(F.min("doc_id").alias("_canon_id"))
-    )
+    canon = dedup.exact_canonical_ids(keepers, "doc_id").select("_canon_id")
     survivors = keepers.join(
         canon, keepers["doc_id"] == canon["_canon_id"], "left_semi"
     )
