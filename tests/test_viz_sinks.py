@@ -236,3 +236,48 @@ def test_bucketed_store_search_is_shuffle_free(spark, jaeger_json_path, tmp_path
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS bkts.spans")
         spark.sql("DROP DATABASE IF EXISTS bkts")
+
+
+def test_shard_manifest_checksums(spark, tmp_path):
+    """Manifest contract: re-export with the same seed reproduces the
+    manifest byte-for-byte; re-sharding (different seed or shard count)
+    moves rows between files but CANNOT change the XOR of all shard
+    checksums — corpus identity is layout-invariant."""
+    from functools import reduce
+
+    from traceframe_spark import sinks
+
+    df = spark.createDataFrame(
+        [(i, f"document {i} body text") for i in range(200)],
+        "doc_id: long, text: string",
+    )
+    p1, p1b, p2 = (str(tmp_path / n) for n in ("s1", "s1b", "s2"))
+    sinks.write_training_shards(df, p1, n_shards=4, shuffle_key="doc_id")
+    sinks.write_training_shards(df, p1b, n_shards=4, shuffle_key="doc_id")
+    sinks.write_training_shards(df, p2, n_shards=7, shuffle_key="doc_id", seed=9)
+
+    m1 = {r["file"]: (r["n_rows"], r["checksum"])
+          for r in sinks.shard_manifest(spark, p1).collect()}
+    m1b = {r["file"]: (r["n_rows"], r["checksum"])
+           for r in sinks.shard_manifest(spark, p1b).collect()}
+    m2 = sinks.shard_manifest(spark, p2).collect()
+
+    assert len(m1) == 4 and len(m2) == 7
+    assert sum(n for n, _ in m1.values()) == 200
+    assert sum(r["n_rows"] for r in m2) == 200
+    # same corpus + seed -> identical per-shard manifest (modulo job-id
+    # noise in filenames: compare the sorted (n_rows, checksum) profile)
+    assert sorted(m1.values()) == sorted(m1b.values())
+    # layout-invariant corpus checksum
+    x1 = reduce(lambda a, b: a ^ b, (c for _, c in m1.values()))
+    x2 = reduce(lambda a, b: a ^ b, (r["checksum"] for r in m2))
+    assert x1 == x2
+    # a corrupted/substituted corpus is detected
+    df_bad = df.withColumn("text", F.concat(F.col("text"), F.lit("!")))
+    p3 = str(tmp_path / "s3")
+    sinks.write_training_shards(df_bad, p3, n_shards=4, shuffle_key="doc_id")
+    x3 = reduce(
+        lambda a, b: a ^ b,
+        (r["checksum"] for r in sinks.shard_manifest(spark, p3).collect()),
+    )
+    assert x3 != x1

@@ -184,3 +184,37 @@ def write_spans_bucketed(
         .sortBy("traceID", "startTime")
         .saveAsTable(table)
     )
+
+
+def shard_manifest(
+    spark,
+    path: str,
+    checksum_cols: list[str] | None = None,
+) -> DataFrame:
+    """Delivery manifest for a training-shard export: one row per shard
+    file with row count and an order-independent content checksum
+    (``bit_xor`` of per-row ``xxhash64`` over the named columns, string-
+    canonicalized). The dataloader-side verification contract:
+
+    - a re-export with the same corpus and seed must produce identical
+      (file, n_rows, checksum) rows;
+    - XOR-ing all shard checksums yields a SHARDING-INVARIANT corpus
+      checksum — re-sharding with a different seed or shard count moves
+      rows between files but cannot change the global XOR, so corpus
+      identity is checkable across layout changes without re-reading
+      the original.
+
+    One scan, one tiny per-file aggregate; no driver-side row traffic.
+    """
+    df = spark.read.parquet(path)
+    cols = checksum_cols or sorted(df.columns)
+    row_hash = F.xxhash64(*[F.col(c).cast("string") for c in cols])
+    return (
+        df.withColumn("_h", row_hash)
+        .withColumn("file", F.element_at(F.split(F.input_file_name(), "/"), -1))
+        .groupBy("file")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(_h)").alias("checksum"),
+        )
+    )
