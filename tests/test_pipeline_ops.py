@@ -1261,3 +1261,35 @@ def test_curation_flow_statuses_with_planted_dups(spark, tmp_path):
     assert got[3] == "dropped_dup"
     assert got[1] in ("train", "val", "test")
     assert got[4] in ("train", "val", "test")
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    """T=0.5 boosts small domains' SHARE relative to natural sampling
+    (T=1): the small domain keeps a larger fraction of the budget than
+    its corpus share; quotas never exceed domain size; the selection is
+    deterministic across calls."""
+    from traceframe_spark.operators.sampling import temperature_domain_sample
+
+    rows = [(i, f"doc {i}", "big") for i in range(900)]
+    rows += [(1000 + i, f"doc small {i}", "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    t5 = temperature_domain_sample(df, budget=200, temperature=0.5)
+    by = {r["source"]: 0 for r in t5.select("source").distinct().collect()}
+    for r in t5.collect():
+        by[r["source"]] += 1
+    # natural share of 'small' is 10%; sqrt-flattening lifts it to
+    # sqrt(100)/(sqrt(900)+sqrt(100)) = 25%
+    assert by["small"] >= 0.2 * (by["small"] + by["big"])
+    assert by["small"] <= 100  # quota capped at domain size
+
+    t1 = temperature_domain_sample(df, budget=200, temperature=1.0)
+    n1 = {r["source"]: 0 for r in t1.select("source").distinct().collect()}
+    for r in t1.collect():
+        n1[r["source"]] += 1
+    assert n1["small"] <= 0.12 * (n1["small"] + n1["big"])  # ~natural share
+
+    again = {tuple(sorted(r)) for r in t5.select("doc_id").collect()}
+    first = {tuple(sorted(r)) for r in temperature_domain_sample(
+        df, budget=200, temperature=0.5).select("doc_id").collect()}
+    assert again == first  # hash-rank selection is deterministic

@@ -136,3 +136,53 @@ def leakage_safe_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     split = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn("split", split)
+
+
+def temperature_domain_sample(
+    df: DataFrame,
+    budget: int,
+    temperature: float = 0.5,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled domain mixture (the multilingual-training
+    recipe): target weight ``w_s ∝ (n_s/N)^T`` with ``T < 1`` flattening
+    the natural distribution toward uniform (T=1 keeps it, T→0 equalizes
+    domains), then keep ``min(ceil(w_s · budget), n_s)`` rows per domain
+    by the deterministic md5 hash order. Downsampling only — a domain
+    whose target exceeds its size contributes everything it has (cap,
+    not upsample; explode copies upstream if true upsampling is needed).
+
+    The per-domain quota table is computed from the domain-count
+    aggregate COLLECTED to the driver — domains are a bounded dimension
+    (same justification as the rate-table discovery in
+    ``plans/temporal.q_domain_mix``), so this is a |domains|-row
+    transfer, never corpus-scale. It also sidesteps a Spark 4 analyzer
+    quirk: cross-joining an aggregate back onto the frame it derives
+    from raises AMBIGUOUS_REFERENCE for the original count column even
+    though the two outputs are name-disjoint. The normalization uses
+    the N-free identity ``w_s/Z = n_s^T / Σ n_t^T``; selection is the
+    same per-domain hash-rank window as :func:`weighted_domain_sample`.
+    """
+    counts = {
+        r[domain_col]: r["_n"]
+        for r in df.groupBy(domain_col).agg(F.count("*").alias("_n")).collect()
+    }
+    z = sum(n**temperature for n in counts.values())
+    import math
+
+    quota = {
+        s: min(math.ceil(n**temperature / z * budget), n)
+        for s, n in counts.items()
+    }
+    quota_map = F.create_map(
+        *[F.lit(x) for s, k in quota.items() for x in (s, k)]
+    )
+    w = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota_map[F.col(domain_col)])
+        .drop("_rn")
+    )

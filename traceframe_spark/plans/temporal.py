@@ -607,6 +607,49 @@ GROUP BY event_type
 """
 
 
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture (operators/sampling.py::
+    temperature_domain_sample, T=0.5, budget 300): the multilingual-
+    training recipe that flattens the natural domain distribution
+    toward uniform. The oracle replays counts → sqrt-weights →
+    normalization → per-domain quota → md5 hash-rank selection."""
+    from traceframe_spark.operators.sampling import temperature_domain_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return temperature_domain_sample(d, budget=300, temperature=0.5).select(
+        "doc_id", "source"
+    )
+
+
+SQL_TEMPERATURE_MIX = """
+WITH cnt AS (
+    SELECT source, count(*) AS n FROM documents GROUP BY source
+),
+-- N-free normalization (identical formula to the engine):
+-- w_s / Z = sqrt(n_s) / sum_t sqrt(n_t)
+wt AS (
+    SELECT source, n, sqrt(n::DOUBLE) AS w FROM cnt
+),
+z AS (SELECT sum(w) AS Z FROM wt),
+quota AS (
+    SELECT source,
+           least(CAST(ceil(w / Z * 300.0) AS BIGINT), n) AS keep_n
+    FROM wt CROSS JOIN z
+),
+ranked AS (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM documents
+)
+SELECT r.doc_id, r.source
+FROM ranked r JOIN quota q ON q.source = r.source
+WHERE r.rn <= q.keep_n
+"""
+
+
 TEMPORAL_QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -623,6 +666,7 @@ TEMPORAL_QUERIES = {
     "json_props": q_json_props,
     "moving_avg": q_moving_avg,
     "domain_mix": q_domain_mix,
+    "temperature_mix": q_temperature_mix,
     "p95_from_rollup": q_p95_from_rollup,
 }
 
@@ -642,5 +686,6 @@ TEMPORAL_ORACLE_SQL = {
     "json_props": SQL_JSON_PROPS,
     "moving_avg": SQL_MOVING_AVG,
     "domain_mix": SQL_DOMAIN_MIX,
+    "temperature_mix": SQL_TEMPERATURE_MIX,
     "p95_from_rollup": SQL_P95_FROM_ROLLUP,
 }
