@@ -289,3 +289,25 @@ def test_smj_check_sees_subquery_sections(spark):
         " JOIN hyg_sv s2 ON hyg_nv.n_nationkey = s2.s_nationkey)"
     )
     assert smj_tiny_dim_flags(plan_of(good)) == []
+
+
+def test_unpartitioned_window_limit_must_be_on_the_spine(spark):
+    """A <=100-row limit on the BROADCAST SIDE of a join does not bound
+    a global unpartitioned window over the join output — the audit must
+    still flag it (the limit-anywhere-in-subtree hole)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from tools.plan_audit import plan_of, unpartitioned_window_flags
+
+    n = spark.read.parquet(f"{SF}/nation.parquet").limit(5)
+    s = spark.read.parquet(f"{SF}/supplier.parquet")
+    joined = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    bad = joined.withColumn("rn", F.row_number().over(Window.orderBy("s_suppkey")))
+    assert unpartitioned_window_flags(plan_of(bad)) != []
+
+    # ...while the genuine ranked_topk spine shape still audits clean
+    from traceframe_spark.functions import ranked_topk
+
+    good = ranked_topk(joined, [F.col("s_suppkey").asc()], 5, rank_col="rn")
+    assert unpartitioned_window_flags(plan_of(good)) == []

@@ -241,10 +241,10 @@ def test_bucketed_store_search_is_shuffle_free(spark, jaeger_json_path, tmp_path
 def test_shard_manifest_checksums(spark, tmp_path):
     """Manifest contract: re-export with the same seed reproduces the
     manifest byte-for-byte; re-sharding (different seed or shard count)
-    moves rows between files but CANNOT change the XOR of all shard
-    checksums — corpus identity is layout-invariant."""
-    from functools import reduce
-
+    moves rows between files but CANNOT change the SUM of all shard
+    checksums — corpus identity is layout-invariant. Duplicated rows
+    stay visible to the checksum (the reason it sums rather than xors:
+    xor cancels even multiplicities)."""
     from traceframe_spark import sinks
 
     df = spark.createDataFrame(
@@ -269,15 +269,26 @@ def test_shard_manifest_checksums(spark, tmp_path):
     # noise in filenames: compare the sorted (n_rows, checksum) profile)
     assert sorted(m1.values()) == sorted(m1b.values())
     # layout-invariant corpus checksum
-    x1 = reduce(lambda a, b: a ^ b, (c for _, c in m1.values()))
-    x2 = reduce(lambda a, b: a ^ b, (r["checksum"] for r in m2))
+    x1 = sum(c for _, c in m1.values())
+    x2 = sum(r["checksum"] for r in m2)
     assert x1 == x2
     # a corrupted/substituted corpus is detected
     df_bad = df.withColumn("text", F.concat(F.col("text"), F.lit("!")))
     p3 = str(tmp_path / "s3")
     sinks.write_training_shards(df_bad, p3, n_shards=4, shuffle_key="doc_id")
-    x3 = reduce(
-        lambda a, b: a ^ b,
-        (r["checksum"] for r in sinks.shard_manifest(spark, p3).collect()),
-    )
+    x3 = sum(r["checksum"] for r in sinks.shard_manifest(spark, p3).collect())
     assert x3 != x1
+    # even-multiplicity substitution (the xor blind spot): a corpus with
+    # doc X twice vs one with doc Y twice must NOT collide
+    dup_x = spark.createDataFrame(
+        [(1, "xxx"), (2, "xxx")], "doc_id: long, text: string"
+    ).drop("doc_id")
+    dup_y = spark.createDataFrame(
+        [(1, "yyy"), (2, "yyy")], "doc_id: long, text: string"
+    ).drop("doc_id")
+    px, py = str(tmp_path / "dx"), str(tmp_path / "dy")
+    dup_x.write.parquet(px)
+    dup_y.write.parquet(py)
+    cx = sum(r["checksum"] for r in sinks.shard_manifest(spark, px).collect())
+    cy = sum(r["checksum"] for r in sinks.shard_manifest(spark, py).collect())
+    assert cx != cy

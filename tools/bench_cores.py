@@ -1,5 +1,5 @@
 """Strong-scaling (cores) curve: the same queries on the same data at
-1/4/8/32 local cores — the scale-OUT evidence for the 100 TB story.
+4/16/32 local cores (configurable) — the scale-OUT evidence for the 100 TB story.
 Data-scaling (SCALING.md's 10x/100x tables) shows cost grows ~linearly
 with input; this shows the other axis: that the plans actually convert
 added parallelism into wall-clock, i.e. nothing serializes on the
@@ -52,7 +52,12 @@ def run_one_config(sf: str, names: list[str], repeats: int) -> None:
             qs[name](spark, sf).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         out[name] = round(best, 3)
-    print(json.dumps({"cores": os.environ["SPARK_GRAFT_CPUS"], "times": out}), flush=True)
+    print(
+        json.dumps(
+            {"cores": os.environ.get("SPARK_GRAFT_CPUS", "default"), "times": out}
+        ),
+        flush=True,
+    )
     spark.stop()
 
 
@@ -71,7 +76,7 @@ def main() -> None:
         return
 
     merged: dict[str, dict[str, float]] = {}
-    for c in args.cores.split(","):
+    for c in (x.strip() for x in args.cores.split(",")):
         env = dict(os.environ, SPARK_GRAFT_CPUS=c, SPARK_GRAFT_SHUFFLE=c)
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child", "--sf", args.sf,

@@ -195,17 +195,29 @@ def unpartitioned_window_flags(plan: str, max_rows: int = 100) -> list[str]:
             unpart.add(m.group(1))
     flags: list[str] = []
     bounder = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+    # nodes that do NOT preserve the row bound between a limit and the
+    # window: anything multi-input or row-multiplying. A limit found
+    # below one of these (e.g. on the broadcast side of a join, or
+    # under an explode) bounds only that branch, not the window input.
+    spine_breakers = ("Join", "Union", "Generate", "Expand", "CartesianProduct")
     for i, (d, label, nid) in enumerate(nodes):
         if label.split()[0] != "Window" or nid not in unpart:
             continue
+        # walk ONLY the single-child spine under the window: consecutive
+        # preorder nodes at strictly incrementing depth. The first node
+        # at an unexpected depth or a row-multiplying/multi-input label
+        # ends the spine — a limit beyond it cannot bound the window.
         bounded = False
+        expect = d + 1
         j = i + 1
-        while j < len(nodes) and nodes[j][0] > d:
-            if (
-                nodes[j][1].split()[0] in bounder
-                and limits.get(nodes[j][2], 1 << 62) <= max_rows
-            ):
+        while j < len(nodes) and nodes[j][0] == expect:
+            lab = nodes[j][1]
+            if lab.split()[0] in bounder and limits.get(nodes[j][2], 1 << 62) <= max_rows:
                 bounded = True
+                break
+            if any(b in lab for b in spine_breakers):
+                break
+            expect += 1
             j += 1
         if not bounded:
             flags.append(f"SOFT:unbounded-unpartitioned-window({nid})")

@@ -121,11 +121,9 @@ def leakage_safe_split(
     total = sum(rates.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split rates must sum to 1, got {total}")
-    key = (
-        F.col(cluster_col)
-        if cluster_col is not None
-        else F.md5(F.lower(F.trim(F.col(text_col))))
-    )
+    from traceframe_spark.operators.dedup import content_key
+
+    key = F.col(cluster_col) if cluster_col is not None else content_key(text_col)
     u = md5_uniform(key)
     expr = None
     cum = 0.0
@@ -167,7 +165,14 @@ def temperature_domain_sample(
     counts = {
         r[domain_col]: r["_n"]
         for r in df.groupBy(domain_col).agg(F.count("*").alias("_n")).collect()
+        # NULL domains are DROPPED from the mixture (they cannot key the
+        # quota map — Spark rejects null map keys — and a row with no
+        # domain has no defensible mixture weight); filter upstream to
+        # keep them under an explicit bucket instead
+        if r[domain_col] is not None
     }
+    if not counts:
+        return df.filter(F.lit(False))
     z = sum(n**temperature for n in counts.values())
     import math
 

@@ -491,6 +491,7 @@ def quality_gate(
     max_repetition: float = 0.06,
     min_entropy: float = 3.8,
     lang: str = "en",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Composed C4/Gopher-style document gate: one zero-shuffle scan
     emits per-rule flags, the failed-rule count, and the keep verdict —
@@ -526,6 +527,7 @@ def quality_gate(
         n_fail = term if n_fail is None else n_fail + term
     return df.select(
         id_col,
+        *carry,  # pass-through columns, so compositions avoid a rejoin
         *[fl.alias(name) for name, fl in flags],
         n_fail.cast("long").alias("n_fail"),
         (n_fail == 0).alias("keep"),

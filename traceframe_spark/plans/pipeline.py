@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from traceframe_spark.functions import ranked_topk
 from traceframe_spark.operators import dedup, graph, multimodal, similarity, text
@@ -1486,33 +1487,31 @@ def q_curation_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages (the near-dup LSH stage stays out of this query because its
     hash choices are engine-specific; `dedup_pipeline` covers it).
 
-    Plan shape at scale: the gate is a zero-shuffle scan; dedup is one
-    (id, md5) shuffle over gate survivors; the split is a pure map of
-    the same md5 — three stages, one narrow shuffle total.
+    Plan shape at scale: the gate is a pure projection carried on the
+    scan, canonical selection is ``min(doc_id) over (partition by
+    content_key)`` among gate survivors, and the split is a pure map of
+    the same key — one scan, ONE hash shuffle (the window on the
+    128-bit content key), zero self-joins of the corpus.
     """
     from traceframe_spark.operators.sampling import leakage_safe_split
 
     d = load_table(spark, sf_dir, "documents")
-    gated = text.quality_gate(d, "doc_id", "text").select("doc_id", "keep")
-    base = d.join(gated, "doc_id")
-    keepers = base.filter(F.col("keep"))
-    canon = dedup.exact_canonical_ids(keepers, "doc_id").select("_canon_id")
-    survivors = keepers.join(
-        canon, keepers["doc_id"] == canon["_canon_id"], "left_semi"
+    gated = text.quality_gate(
+        d.withColumn("_k", dedup.content_key("text")), "doc_id", "text",
+        carry=("_k",),
     )
-    split = leakage_safe_split(
-        survivors, {"train": 0.9, "val": 0.05, "test": 0.05}
-    ).select("doc_id", "split")
-    return (
-        base.join(split, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.when(~F.col("keep"), F.lit("dropped_quality"))
-            .when(F.col("split").isNull(), F.lit("dropped_dup"))
-            .otherwise(F.col("split"))
-            .alias("status"),
-        )
+    scored = leakage_safe_split(
+        gated, {"train": 0.9, "val": 0.05, "test": 0.05}, cluster_col="_k"
     )
+    min_keep = F.min(F.when(F.col("keep"), F.col("doc_id"))).over(
+        Window.partitionBy("_k")
+    )
+    status = (
+        F.when(~F.col("keep"), F.lit("dropped_quality"))
+        .when(F.col("doc_id") != min_keep, F.lit("dropped_dup"))
+        .otherwise(F.col("split"))
+    )
+    return scored.select("doc_id", status.alias("status"))
 
 
 SQL_CURATION_FLOW = f"""

@@ -192,17 +192,25 @@ def shard_manifest(
     checksum_cols: list[str] | None = None,
 ) -> DataFrame:
     """Delivery manifest for a training-shard export: one row per shard
-    file with row count and an order-independent content checksum
-    (``bit_xor`` of per-row ``xxhash64`` over the named columns, string-
-    canonicalized). The dataloader-side verification contract:
+    file with row count and an order-independent content checksum (the
+    SUM of per-row ``xxhash64`` over the named columns, accumulated in
+    decimal(38,0) so it cannot overflow below ~10^19 rows). The
+    dataloader-side verification contract:
 
     - a re-export with the same corpus and seed must produce identical
       (file, n_rows, checksum) rows;
-    - XOR-ing all shard checksums yields a SHARDING-INVARIANT corpus
+    - SUMMING all shard checksums yields a SHARDING-INVARIANT corpus
       checksum — re-sharding with a different seed or shard count moves
-      rows between files but cannot change the global XOR, so corpus
+      rows between files but cannot change the global sum, so corpus
       identity is checkable across layout changes without re-reading
       the original.
+
+    Sum, deliberately NOT xor: xor of row hashes is blind to
+    even-multiplicity changes (two identical rows cancel to 0, so
+    swapping a duplicated row X,X for a different duplicated row Y,Y
+    preserves the xor) — and duplicated rows are exactly what a
+    pre-dedup crawl export contains. Summing keeps multiplicity:
+    2·h(X) ≠ 2·h(Y).
 
     One scan, one tiny per-file aggregate; no driver-side row traffic.
     """
@@ -210,11 +218,11 @@ def shard_manifest(
     cols = checksum_cols or sorted(df.columns)
     row_hash = F.xxhash64(*[F.col(c).cast("string") for c in cols])
     return (
-        df.withColumn("_h", row_hash)
+        df.withColumn("_h", row_hash.cast("decimal(38,0)"))
         .withColumn("file", F.element_at(F.split(F.input_file_name(), "/"), -1))
         .groupBy("file")
         .agg(
             F.count("*").alias("n_rows"),
-            F.expr("bit_xor(_h)").alias("checksum"),
+            F.sum("_h").cast("decimal(38,0)").alias("checksum"),
         )
     )
