@@ -1670,6 +1670,42 @@ LIMIT 20
 """
 
 
+
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup over REAL binary payloads, value-verified end
+    to end: 200 documents synthesize PNGs keyed on ``doc_id % 40``, so
+    every payload exists in 5 byte-identical copies; media_exact_dedup
+    collapses them by content (hash only distributes the shuffle — the
+    payload itself is in the window key, so collisions cannot merge
+    distinct bytes) and the survivors are DECODED, giving the oracle
+    closed-form width/height/pixel_sum to recompute per surviving key."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = multimodal.synthesize_png_media(
+        d.select((F.col("doc_id") % 40).alias("img_key")), "img_key"
+    )
+    kept = multimodal.media_exact_dedup(media)
+    return multimodal.decode_image_meta(kept)
+
+
+SQL_MEDIA_DEDUP = """
+WITH k AS (
+    SELECT DISTINCT doc_id % 40 AS media_id FROM documents WHERE doc_id < 200
+),
+d AS (
+    SELECT media_id, media_id % 13 + 1 AS width, media_id % 7 + 1 AS height FROM k
+),
+px AS (
+    SELECT media_id, width, height,
+           unnest(generate_series(0, width * height * 3 - 1)) AS i
+    FROM d
+)
+SELECT media_id, width, height,
+       CAST(3 AS BIGINT) AS channels,
+       CAST(SUM((media_id * 31 + i) % 256) AS BIGINT) AS pixel_sum
+FROM px GROUP BY media_id, width, height
+"""
+
+
 PIPELINE_QUERIES = {
     "quality_resample": q_quality_resample,
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -1710,6 +1746,7 @@ PIPELINE_QUERIES = {
     "curation_flow": q_curation_flow,
     "bpe_token_ids": q_bpe_token_ids,
     "token_drift": q_token_drift,
+    "media_dedup": q_media_dedup,
 }
 
 PIPELINE_ORACLE_SQL = {
@@ -1741,6 +1778,7 @@ PIPELINE_ORACLE_SQL = {
     "curation_flow": SQL_CURATION_FLOW,
     "bpe_token_ids": SQL_BPE_TOKEN_IDS,
     "token_drift": SQL_TOKEN_DRIFT,
+    "media_dedup": SQL_MEDIA_DEDUP,
     # real PNG decode: closed-form pixels make the decoded stats exactly
     # SQL-computable — media decode leaves the rows-only list
     "media_features": SQL_MEDIA_FEATURES,
