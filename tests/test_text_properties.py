@@ -128,6 +128,23 @@ def test_quality_gate_rules_fire_independently(spark):
     assert r9["low_entropy"] and not r9["keep"]
 
 
+def test_quality_gate_excludes_null_text(spark):
+    """Explicit NULL-text semantics: a document with NULL text is not
+    gateable (no rule can be evaluated) and is EXCLUDED from the gate
+    output — matching the SQL oracle, whose n-gram unnest drops such
+    rows. Previously the engine emitted a NULL-flag row here, a latent
+    engine/oracle row-count divergence."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and "
+             "again across the wide green field every day"),
+         (2, None)],
+        "doc_id: long, text: string",
+    )
+    rows = text.quality_gate(df).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert all(r["keep"] is not None for r in rows)
+
+
 def test_token_kl_drift_flags_the_shifted_token(spark):
     """A token whose mass explodes in snapshot B dominates the |KL|
     ranking; stable shared tokens sit near zero."""

@@ -121,14 +121,66 @@ def test_zipkin_shared_span_disambiguation(spark, tmp_path):
     p = tmp_path / "shared.json"
     p.write_text(json.dumps(both_halves))
     rows = {r["spanID"]: r for r in spans_from_zipkin_file(spark, str(p)).collect()}
-    assert set(rows) == {"cc00000000000001", "cc00000000000001-s"}
-    server = rows["cc00000000000001-s"]
+    # shared half gets a synthetic 16-hex id (endpoint hashed in)
+    import hashlib
+
+    shared_id = hashlib.md5(b"cc00000000000001#backend##").hexdigest()[:16]
+    assert set(rows) == {"cc00000000000001", shared_id}
+    server = rows[shared_id]
+    assert len(shared_id) == 16  # keeps the 16-hex spanID shape
     assert server["parent"] == "cc00000000000001"  # client half, not parentId
     assert server["service"] == "backend"
     assert rows["cc00000000000001"]["parent"] == ""
     # traces table sees 2 distinct spans, one trace
     t = traces_from_zipkin_file(spark, str(p)).collect()
     assert len(t) == 1 and t[0]["nspans"] == 2
+
+
+def test_zipkin_two_shared_halves_stay_distinct(spark, tmp_path):
+    """Edge case the fixed-suffix scheme got wrong: a dump with TWO
+    shared=true halves for ONE id (multi-hop proxy / duplicated server
+    records from distinct endpoints) must still produce unique spanIDs —
+    the endpoint is hashed into the synthetic id."""
+    spans = [
+        {
+            "traceId": "3333333333333333",
+            "id": "ee00000000000001",
+            "name": "/hop",
+            "kind": "CLIENT",
+            "timestamp": BASE_US,
+            "duration": 50_000,
+            "localEndpoint": {"serviceName": "edge"},
+        },
+        {
+            "traceId": "3333333333333333",
+            "id": "ee00000000000001",
+            "name": "/hop",
+            "kind": "SERVER",
+            "shared": True,
+            "timestamp": BASE_US + 1_000,
+            "duration": 48_000,
+            "localEndpoint": {"serviceName": "proxy"},
+        },
+        {
+            "traceId": "3333333333333333",
+            "id": "ee00000000000001",
+            "name": "/hop",
+            "kind": "SERVER",
+            "shared": True,
+            "timestamp": BASE_US + 2_000,
+            "duration": 45_000,
+            "localEndpoint": {"serviceName": "origin"},
+        },
+    ]
+    p = tmp_path / "twoshared.json"
+    p.write_text(json.dumps(spans))
+    rows = {r["spanID"]: r for r in spans_from_zipkin_file(spark, str(p)).collect()}
+    assert len(rows) == 3  # three unique spanIDs, no double-counting
+    shared_ids = {k for k, r in rows.items() if r["service"] in ("proxy", "origin")}
+    assert len(shared_ids) == 2
+    for sid in shared_ids:
+        assert len(sid) == 16 and all(c in "0123456789abcdef" for c in sid)
+        assert rows[sid]["parent"] == "ee00000000000001"
 
 
 def test_zipkin_jsonl_matches_array_form(spark, tmp_path):

@@ -129,6 +129,13 @@ def ranked_topk(df, order: list[Column], k: int, rank_col: str = "rank"):
     warning is provably benign here. ``k`` is capped at
     :data:`RANKED_TOPK_MAX`; a bigger k wants a partitioned window,
     not this helper.
+
+    CONTRACT: ``order`` must be a TOTAL order over the input — end it
+    with a unique-id tie-break column. With ties at the k-boundary,
+    both the limit's membership and the row_number ranks are
+    nondeterministic (Spark may pick either tied row on different
+    runs), which breaks oracle comparison. Every catalog caller
+    appends an id column; do the same.
     """
     from pyspark.sql.window import Window
 

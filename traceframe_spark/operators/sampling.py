@@ -173,12 +173,19 @@ def temperature_domain_sample(
     }
     if not counts:
         return df.filter(F.lit(False))
-    z = sum(n**temperature for n in counts.values())
     import math
 
+    # Determinism contract: collect() returns domains in nondeterministic
+    # order and float addition is non-associative, so Z is computed with
+    # math.fsum (exactly-rounded — the result is the double nearest the
+    # true sum, independent of term order) over key-sorted terms. A ceil()
+    # sitting exactly on a ULP boundary therefore cannot flip between runs;
+    # the SQL oracle's own summation order agrees because fsum's answer is
+    # the correctly-rounded one.
+    z = math.fsum(n**temperature for _, n in sorted(counts.items()))
     quota = {
         s: min(math.ceil(n**temperature / z * budget), n)
-        for s, n in counts.items()
+        for s, n in sorted(counts.items())
     }
     quota_map = F.create_map(
         *[F.lit(x) for s, k in quota.items() for x in (s, k)]

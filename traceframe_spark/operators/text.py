@@ -509,7 +509,14 @@ def quality_gate(
     at 100 TB this is a pure map stage with full codegen, no Python,
     no shuffle; cost is scan throughput. No reference analogue (the
     reference has no text-curation surface).
+
+    NULL-text semantics (explicit): documents with NULL text are NOT
+    gateable — no rule can be evaluated — so they are excluded from the
+    output entirely (same row set as the SQL oracle, whose n-gram unnest
+    drops them). Route NULL-text rows through an upstream completeness
+    check if they must be accounted for.
     """
+    df = df.filter(F.col(text_col).isNotNull())
     c = F.col(text_col)
     rep_q = F.floor(repetition_ratio(c, 2) * 10000 + F.lit(0.5)).cast("long")
     ent_q = F.floor(token_entropy(c) * 10000 + F.lit(0.5)).cast("long")

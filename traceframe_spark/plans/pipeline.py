@@ -1418,9 +1418,14 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_QUALITY_GATE = f"""
+-- NULL-text docs are excluded on BOTH sides (engine filters isNotNull;
+-- here the WHERE below) — without it the rep CTE's unnest-over-NULL
+-- silently drops them from the oracle while the engine would emit
+-- NULL-flag rows, a latent row-count divergence.
 WITH toks AS (
     SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
     FROM documents
+    WHERE text IS NOT NULL
 ),
 rep AS (
     SELECT doc_id,

@@ -22,13 +22,23 @@ shape of Zipkin's own JSON file dumps):
   debug flag bit), ``kind`` becomes a ``span.kind`` tag (Jaeger's own
   convention for it);
 - ``shared=true`` spans (the server half of an RPC reusing the client
-  span's id) are disambiguated the way Jaeger's Zipkin receiver does:
-  the shared half gets ``<id>-s`` as its spanID and the original
-  ``<id>`` (the client half) as its parent, so a dump carrying both
-  halves yields unique spanIDs and a correct parent/child edge instead
-  of double-counting in regroup / critical-path kernels keyed on
-  spanID. If the client half is absent from the dump the shared span
-  is an orphan (parent points at a missing id) — same as Jaeger.
+  span's id) are disambiguated in the spirit of Jaeger's Zipkin
+  receiver: the shared half gets a SYNTHETIC 16-hex spanID —
+  ``substr(md5(id # serviceName # ipv4 # port), 1, 16)`` — and the
+  original ``<id>`` (the client half) as its parent, so a dump
+  carrying both halves yields unique spanIDs and a correct
+  parent/child edge instead of double-counting in regroup /
+  critical-path kernels keyed on spanID. Hashing the endpoint into the
+  id (rather than a fixed ``-s`` suffix) keeps ids unique even when a
+  dump carries TWO shared halves for one id (multi-hop proxies,
+  duplicated server records from distinct endpoints), and preserves
+  the 16-hex spanID shape downstream consumers assume. FORMAT
+  DEVIATION: the synthetic id is not Zipkin's original id — consumers
+  that join back to the raw dump should key on (traceId, parent,
+  endpoint). Byte-identical duplicate shared records still collide by
+  design (they ARE duplicates). If the client half is absent from the
+  dump the shared span is an orphan (parent points at a missing id) —
+  same as Jaeger.
 
 One ``spark.read.json`` with an explicit schema plus native
 explode/projection — distributed, pruned, zero Python row logic; the
@@ -116,8 +126,24 @@ def zipkin_raw_spans(raw: DataFrame) -> DataFrame:
     references/tags + a process struct). Pure projection — no
     shuffle."""
     shared = F.coalesce(F.col("shared"), F.lit(False))
-    # shared server half: unique id (<id>-s), parented on the client half
-    span_id = F.when(shared, F.concat(F.lower("id"), F.lit("-s"))).otherwise(F.lower("id"))
+    # shared server half: synthetic 16-hex id unique PER HALF (endpoint
+    # hashed in, so two shared halves of one id stay distinct and the
+    # spanID keeps its 16-hex shape), parented on the client half
+    ep0 = F.col("localEndpoint")
+    shared_id = F.substring(
+        F.md5(
+            F.concat_ws(
+                "#",
+                F.lower("id"),
+                F.coalesce(ep0["serviceName"], F.lit("")),
+                F.coalesce(ep0["ipv4"], F.lit("")),
+                F.coalesce(ep0["port"].cast("string"), F.lit("")),
+            )
+        ),
+        1,
+        16,
+    )
+    span_id = F.when(shared, shared_id).otherwise(F.lower("id"))
     parent = F.when(shared, F.lower("id")).otherwise(
         F.coalesce(F.lower("parentId"), F.lit(""))
     )
