@@ -91,6 +91,72 @@ def test_dedup_pipeline_collapses_clones_before_lsh(spark):
     assert res_pairs <= 5, f"residual LSH should see ~1 candidate pair, got {res_pairs}"
 
 
+def test_lsh_max_pairs_per_bucket_bounds_clone_blowup(spark, caplog):
+    """Production-safety valve for raw LSH: a 60-clone cluster emits
+    C(60,2)=1770 candidate pairs per band uncapped; with
+    max_pairs_per_bucket=45 each bucket keeps only C(10,2)=45 pairs'
+    worth of members, truncation is LOGGED (never silent), and the
+    surviving pairs still span the cluster (any spanning pair set
+    collapses it via connected components). Default path unchanged."""
+    import logging
+
+    base = "clone payload " + " ".join(f"tok{j}" for j in range(40))
+    rows = [(i, base) for i in range(60)] + [
+        (100 + i, f"distinct doc {i} " + " ".join(f"d{i}x{j}" for j in range(40)))
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = dedup.minhash_signatures(df, "doc_id", "text")
+
+    uncapped = dedup.lsh_candidate_pairs(sigs, bands=16).count()
+    assert uncapped >= 1770  # quadratic in clone-cluster size
+
+    with caplog.at_level(logging.WARNING, logger="traceframe_spark.dedup"):
+        capped = dedup.lsh_candidate_pairs(
+            sigs, bands=16, max_pairs_per_bucket=45
+        ).collect()
+    # C(10,2)=45 distinct pairs among the 10 retained members (same 10
+    # retained in every band: deterministic id order)
+    clone_pairs = [p for p in capped if p["id_a"] < 60 and p["id_b"] < 60]
+    assert len(clone_pairs) == 45
+    # retained members are the first 10 ids — deterministic
+    assert {p["id_a"] for p in clone_pairs} | {p["id_b"] for p in clone_pairs} == set(
+        range(10)
+    )
+    msgs = [r.message for r in caplog.records if "truncated" in r.message]
+    assert msgs and "max_pairs_per_bucket=45" in msgs[0]
+    assert "60 members" in msgs[0]  # worst bucket size reported
+
+    # verification still collapses the whole cluster: every retained pair is
+    # jaccard 1.0, and CC over a spanning pair set reaches all 60 ids only
+    # if exact dedup ran first — the documented production order.
+    verified = dedup.jaccard_verify(
+        spark.createDataFrame(clone_pairs), sigs, threshold=0.9
+    )
+    assert verified.count() == 45
+
+
+def test_minhash_pairs_cap_plumbs_through(near_dup_docs, caplog):
+    """minhash_dedup_pairs(max_pairs_per_bucket=...) must not change
+    results when no bucket exceeds the cap (no clones in this fixture) —
+    and must not log a truncation report."""
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="traceframe_spark.dedup"):
+        pairs = dedup.minhash_dedup_pairs(
+            near_dup_docs,
+            "doc_id",
+            "text",
+            threshold=0.6,
+            n_hashes=64,
+            bands=16,
+            max_pairs_per_bucket=1000,
+        ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found and (1, 3) in found
+    assert not [r for r in caplog.records if "truncated" in r.message]
+
+
 def test_minhash_lsh_finds_near_dups(near_dup_docs):
     pairs = dedup.minhash_dedup_pairs(
         near_dup_docs, "doc_id", "text", threshold=0.6, n_hashes=64, bands=16

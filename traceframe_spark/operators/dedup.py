@@ -23,11 +23,14 @@ functions; nothing leaves codegen except the documented kernels.
 
 from __future__ import annotations
 
+import logging
 import weakref
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+_LOG = logging.getLogger("traceframe_spark.dedup")
 
 
 def spread(df: DataFrame, key: str) -> DataFrame:
@@ -190,7 +193,10 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 16, n_hashes: int | None = None
+    signatures: DataFrame,
+    bands: int = 16,
+    n_hashes: int | None = None,
+    max_pairs_per_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` blocks, bucket rows
     whose block hashes collide, emit distinct candidate pairs (a < b).
@@ -199,6 +205,26 @@ def lsh_candidate_pairs(
     collisions join, so the shuffle key is high-cardinality and the join
     never degenerates to a cross product. At scale, skewed buckets (e.g.
     boilerplate-heavy corpora) are handled by AQE skew-join splitting.
+
+    ``max_pairs_per_bucket`` is the production-safety valve for the one
+    failure mode AQE cannot fix: a CLONE CLUSTER (m byte-identical or
+    near-identical docs) puts all m members in the same bucket in EVERY
+    band, and the self-join emits O(m²) pairs — unbounded output
+    quadratic in clone mass, enough to exhaust an executor when a crawl
+    carries a boilerplate page repeated 10⁶ times. With the cap set,
+    each (band, hash) bucket keeps only its first ``m_keep`` members in
+    deterministic id order, where C(m_keep, 2) ≤ max_pairs_per_bucket,
+    bounding output at bands × max_pairs_per_bucket pairs per cluster.
+    Truncation is NEVER silent: the function runs a bounded aggregation
+    over the over-cap buckets and logs how many buckets were truncated,
+    how many members were dropped, and the worst bucket size (logger
+    ``traceframe_spark.dedup``). Recall within a truncated cluster is
+    deliberately reduced to pairs among its retained members — a clone
+    cluster's members are interchangeable for dedup purposes (any
+    spanning set of pairs collapses it via connected components). The
+    default (None) is exact, unchanged behavior; pipelines should
+    prefer :func:`dedup_pipeline`, whose exact stage removes clone mass
+    before LSH ever runs, and keep this cap as defense in depth.
     """
     n = n_hashes if n_hashes is not None else signatures.select(F.size("sig")).first()[0]
     rows_per_band = max(n // bands, 1)
@@ -214,8 +240,42 @@ def lsh_candidate_pairs(
     buckets = signatures.select("id", F.explode(band_entries).alias("e")).select(
         "id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
     )
+    if max_pairs_per_bucket is not None:
+        import math
+
+        # largest member count whose pair count stays within the cap
+        m_keep = max(int((1 + math.isqrt(1 + 8 * max_pairs_per_bucket)) // 2), 2)
+        ranked = buckets.withColumn(
+            "_r",
+            F.row_number().over(Window.partitionBy("band", "bh").orderBy("id")),
+        ).persist()
+        report = (
+            ranked.filter(F.col("_r") > m_keep)
+            .groupBy("band", "bh")
+            .agg(F.count("*").alias("dropped"), F.max("_r").alias("bucket_size"))
+            .agg(
+                F.count("*").alias("n_buckets_truncated"),
+                F.coalesce(F.sum("dropped"), F.lit(0)).alias("n_members_dropped"),
+                F.coalesce(F.max("bucket_size"), F.lit(0)).alias("worst_bucket"),
+            )
+            .first()
+        )
+        if report["n_buckets_truncated"]:
+            _LOG.warning(
+                "lsh_candidate_pairs: max_pairs_per_bucket=%d truncated %d "
+                "bucket(s) to %d members each (%d memberships dropped; "
+                "largest bucket had %d members). Clone-cluster recall is "
+                "bounded to pairs among retained members — run exact dedup "
+                "first (dedup_pipeline) to remove clone mass.",
+                max_pairs_per_bucket,
+                report["n_buckets_truncated"],
+                m_keep,
+                report["n_members_dropped"],
+                report["worst_bucket"],
+            )
+        buckets = ranked.filter(F.col("_r") <= m_keep).drop("_r")
     a, b = buckets.alias("a"), buckets.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -225,6 +285,9 @@ def lsh_candidate_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    if max_pairs_per_bucket is not None:
+        pairs = _unpersist_with(pairs, ranked)
+    return pairs
 
 
 def cross_near_dup_subtract(
@@ -344,6 +407,7 @@ def minhash_dedup_pairs(
     n_hashes: int = 64,
     bands: int | None = None,
     shingle_size: int = 5,
+    max_pairs_per_bucket: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-duplicate pairs: signatures → banded
     candidates → exact-Jaccard verification at ``threshold``.
@@ -353,11 +417,19 @@ def minhash_dedup_pairs(
     only ≥0.9 pairs are wanted). Signatures persist for the plan's
     lifetime: the bucket explode and both verify joins would otherwise
     each recompute the signature subplan.
+
+    ``max_pairs_per_bucket`` (default None = exact) bounds candidate
+    output per LSH bucket against clone-cluster blowup — see
+    :func:`lsh_candidate_pairs` for the truncation semantics and the
+    logged report. Prefer :func:`dedup_pipeline` in production; this
+    cap makes the RAW operator survivable on adversarial corpora.
     """
     if bands is None:
         bands = bands_for_threshold(threshold, n_hashes)
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_size).persist()
-    cands = lsh_candidate_pairs(sigs, bands, n_hashes=n_hashes)
+    cands = lsh_candidate_pairs(
+        sigs, bands, n_hashes=n_hashes, max_pairs_per_bucket=max_pairs_per_bucket
+    )
     return _unpersist_with(jaccard_verify(cands, sigs, threshold), sigs)
 
 
