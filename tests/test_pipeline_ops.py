@@ -905,6 +905,84 @@ def test_ivf_index_append_matches_full_build(spark, embeddings, tmp_path):
     assert answers(idx_incr) == answers(idx_full)
 
 
+def test_ivf_rebuild_trigger_fires_on_drifted_append(spark, embeddings, tmp_path):
+    """Incremental maintenance health check: appending drift mass that
+    all lands in ONE inverted list (the frozen-quantizer failure mode)
+    pushes list-size skew past the bound and ivf_rebuild_due fires with
+    an attributable report; the freshly-built balanced index does not
+    fire. ann_ivf_recall's instrument stays green on the appended index:
+    retrieval quality matches the full build at the same operating
+    point."""
+    import numpy as np
+
+    idx = str(tmp_path / "ivf_drift")
+    K = 8
+    cents = similarity.write_ivf_index(
+        embeddings, idx, "vec_id", "embedding", n_centroids=K
+    )
+    before = similarity.ivf_rebuild_due(spark, idx, skew_bound=3.0, min_rows_per_list=10)
+    assert not before["due"] and before["n_lists"] >= 2
+
+    # drift: 600 new vectors, all tiny perturbations of centroid 0 ->
+    # every one of them assigns to the same frozen list
+    rng = np.random.default_rng(7)
+    c0 = np.array(cents[0], dtype="float64")
+    drift = [
+        (10_000 + i, (c0 + rng.normal(0, 1e-3, c0.shape)).tolist())
+        for i in range(600)
+    ]
+    drift_df = spark.createDataFrame(drift, "vec_id: long, embedding: array<double>")
+    similarity.append_to_ivf_index(drift_df, idx, "vec_id", "embedding")
+
+    after = similarity.ivf_rebuild_due(spark, idx, skew_bound=3.0, min_rows_per_list=10)
+    assert after["due"]
+    assert after["skew"] > 3.0 and after["max_list"] >= 600
+    assert after["n_lists"] == before["n_lists"]  # quantizer frozen
+
+    # per-list counts account for every vector exactly once
+    total = sum(
+        r["n_vectors"] for r in similarity.ivf_list_stats(spark, idx).collect()
+    )
+    assert total == embeddings.count() + 600
+
+
+def test_ivf_recall_green_on_appended_index(spark, embeddings, tmp_path):
+    """recall@k measured against exact cosine is IDENTICAL for an index
+    built all-at-once and one built half-then-appended with the same
+    centroids — append changes index layout, never retrieval."""
+    idx_full = str(tmp_path / "rf")
+    idx_incr = str(tmp_path / "ri")
+    K, TOPK, NPROBE = 8, 3, 2
+    cents = similarity.write_ivf_index(
+        embeddings, idx_full, "vec_id", "embedding", n_centroids=K
+    )
+    similarity.write_ivf_index(
+        embeddings.filter(F.col("vec_id") % 2 == 0), idx_incr, "vec_id",
+        "embedding", centroids=cents,
+    )
+    similarity.append_to_ivf_index(
+        embeddings.filter(F.col("vec_id") % 2 == 1), idx_incr, "vec_id", "embedding"
+    )
+    q = embeddings.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["qid"], r["cid"])
+        for r in similarity.cosine_topk(embeddings, q, "vec_id", "embedding", k=TOPK).collect()
+    }
+
+    def recall(path):
+        got = {
+            (r["qid"], r["cid"])
+            for r in similarity.ivf_topk_over_index(
+                spark, path, q, "vec_id", "embedding", k=TOPK, nprobe=NPROBE
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_full, r_incr = recall(idx_full), recall(idx_incr)
+    assert r_incr == r_full
+    assert r_incr >= 0.4  # nprobe=2/8 operating point still retrieves
+
+
 def test_remove_duplicated_substrings(spark):
     """Exact substring dedup (Lee et al.): a repeated 10-token passage
     survives only at its canonical (min doc_id, min pos) occurrence;

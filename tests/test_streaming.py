@@ -396,6 +396,73 @@ def test_stream_to_rollup_maintains_continuous_aggregate(spark, tmp_path):
     assert got[(late_bucket, "click")][0] >= 1
 
 
+def test_stream_to_rollup_staged_worst_case_matches_batch(spark, tmp_path):
+    """Late-delta staging (the all-late-data worst-case mitigation):
+    every batch scatters rows across every hour, so with
+    late_stage_threshold set high every delta goes to staging; the store
+    after periodic compaction + the final compact_rollup_store must
+    EXACTLY equal the batch rollup — staging trades bounded staleness
+    between compactions, never correctness. Also pins that mixed
+    hot/cold batches (threshold between hour masses) stay exact."""
+    from traceframe_spark.operators import rollup as R
+    from traceframe_spark.streaming.spans import (
+        _STAGING_DIR,
+        compact_rollup_store,
+        stream_to_rollup,
+    )
+
+    HOUR_US = 3_600_000_000
+    # 5 batches x 6 hours: shuffled/all-late shape — every batch touches
+    # every hour with a few rows
+    evs = [
+        [
+            (100 * b + h * 10 + i, BASE + h * HOUR_US + (b * 7 + i) * 1_000_000,
+             "click" if (b + h + i) % 2 else "view", float(b + h + i))
+            for h in range(6)
+            for i in range(3)
+        ]
+        for b in range(5)
+    ]
+    feed = tmp_path / "stagefeed"
+    feed.mkdir()
+    cols = ["event_id", "ts_us", "event_type", "value"]
+    for i, batch in enumerate(evs):
+        (feed / f"b{i}.jsonl").write_text(
+            "\n".join(json.dumps(dict(zip(cols, e))) for e in batch)
+        )
+    schema = "event_id long, ts_us long, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+        .withColumn("ts", F.col("ts_us") * 1000)
+    )
+    store, ckpt = str(tmp_path / "stagerollup"), str(tmp_path / "stageckpt")
+    q = stream_to_rollup(
+        stream, store, ckpt, R.MINUTE_NS, ["event_type"], "value",
+        trigger_available_now=True,
+        late_stage_threshold=1000,  # everything is "cold": pure staging path
+        compact_every=3,            # one mid-stream compaction fires (batch 2)
+    )
+    q.awaitTermination(180)
+    assert compact_rollup_store(spark, store, ["event_type"])  # staged rows existed
+    assert not compact_rollup_store(spark, store, ["event_type"])  # idempotent drain
+    assert not (tmp_path / "stagerollup" / _STAGING_DIR).exists()
+
+    all_events = spark.createDataFrame(
+        [e for b in evs for e in b], schema
+    ).withColumn("ts", F.col("ts_us") * 1000)
+    expected = {
+        (r["bucket_ns"], r["event_type"]): (r["n"], r["value_sum"], r["value_min"], r["value_max"])
+        for r in R.rollup_events(all_events, R.MINUTE_NS, ["event_type"], "value").collect()
+    }
+    got = {
+        (r["bucket_ns"], r["event_type"]): (r["n"], r["value_sum"], r["value_min"], r["value_max"])
+        for r in spark.read.parquet(store).collect()
+    }
+    assert got == expected
+
+
 def test_streaming_sessionize_matches_batch(spark, tmp_path):
     """session_window over an availableNow stream equals the batch run
     on the union of all batches, including a late event that lands

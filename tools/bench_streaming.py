@@ -44,6 +44,16 @@ def main() -> None:
         "standing store — the worst-case all-late-data stress, not the "
         "production ingest shape",
     )
+    ap.add_argument(
+        "--stage-threshold",
+        type=int,
+        default=None,
+        help="enable late-delta staging: hours whose per-batch delta has "
+        "fewer partial rows than this are appended to staging and folded "
+        "in bulk every --compact-every batches (plus a final compaction "
+        "after the drain) instead of re-merging the store every batch",
+    )
+    ap.add_argument("--compact-every", type=int, default=8)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -51,7 +61,7 @@ def main() -> None:
     from traceframe_spark.operators import rollup as R
     from traceframe_spark.plans.catalog import load_table
     from traceframe_spark.session import get_spark
-    from traceframe_spark.streaming.spans import stream_to_rollup
+    from traceframe_spark.streaming.spans import compact_rollup_store, stream_to_rollup
 
     spark = get_spark(app_name="bench-streaming")
     spark.range(1_000_000).select(F.sum("id")).collect()  # JVM warmup
@@ -90,8 +100,14 @@ def main() -> None:
             ["event_type"],
             "value",
             trigger_available_now=True,
+            late_stage_threshold=args.stage_threshold,
+            compact_every=args.compact_every,
         )
         q.awaitTermination()
+        if args.stage_threshold is not None:
+            # final compaction makes the store exact after the drain; its
+            # cost belongs in the measured wall time
+            compact_rollup_store(spark, store, ["event_type"])
         dt = time.time() - t0
 
         # sanity: the maintained rollup accounts for every replayed event
@@ -107,6 +123,7 @@ def main() -> None:
                     "events_per_sec": int(n_events / dt),
                     "batches": args.batches,
                     "order": "shuffled" if args.shuffled else "time",
+                    "stage_threshold": args.stage_threshold,
                 }
             )
         )

@@ -692,6 +692,59 @@ def append_to_ivf_index(
     )
 
 
+def ivf_list_stats(spark, path: str) -> DataFrame:
+    """Per-inverted-list row counts of a persisted IVF index — the
+    health metric incremental maintenance watches. One aggregate over
+    the partition column; parquet count pushdown answers it from file
+    metadata without materializing vectors."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("list_id")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+def ivf_rebuild_due(
+    spark,
+    path: str,
+    skew_bound: float = 4.0,
+    min_rows_per_list: int = 64,
+) -> dict:
+    """Rebuild trigger for an incrementally-maintained IVF index.
+
+    :func:`append_to_ivf_index` freezes the coarse quantizer, so a
+    drifting corpus (new vectors concentrating where old centroids are
+    sparse) shows up as LIST-SIZE SKEW: one inverted list absorbs the
+    drift mass, its partition grows, and every probe that touches it
+    re-ranks a growing candidate set — probe cost stops being
+    ``~1/n_centroids`` of the corpus. The trigger fires when
+    ``max_list / mean_list > skew_bound`` once lists are big enough to
+    matter (``min_rows_per_list`` guards the small-index noise regime,
+    where a handful of vectors make ratios meaningless).
+
+    Returns a dict — ``{"due": bool, "max_list": int, "mean_list":
+    float, "skew": float, "n_lists": int}`` — so schedulers can log WHY
+    a rebuild fired, not just that it did. The rebuild itself is
+    :func:`write_ivf_index` with ``centroids=None`` (re-train) and
+    ``mode="overwrite"`` to a fresh path, swapped in atomically by the
+    caller's catalog. Bounded driver traffic: one row per list.
+    """
+    stats = ivf_list_stats(spark, path).collect()
+    if not stats:
+        return {"due": False, "max_list": 0, "mean_list": 0.0, "skew": 0.0, "n_lists": 0}
+    sizes = sorted(r["n_vectors"] for r in stats)
+    mx, mean = sizes[-1], sum(sizes) / len(sizes)
+    skew = mx / mean if mean else 0.0
+    due = mx >= min_rows_per_list and skew > skew_bound
+    return {
+        "due": due,
+        "max_list": mx,
+        "mean_list": mean,
+        "skew": skew,
+        "n_lists": len(sizes),
+    }
+
+
 def ivf_topk_over_index(
     spark,
     path: str,

@@ -193,6 +193,81 @@ def stream_to_span_store(
     return writer.start()
 
 
+_STAGING_DIR = "_late_staging"
+"""Late-delta staging area under the rollup store root. The leading
+underscore keeps it invisible to store readers (Hadoop/Spark path
+filters skip ``_``/``.`` entries), like ``_applied_batches``."""
+
+
+def _write_merged_hours(merged: DataFrame, path: str) -> None:
+    (
+        # repartition by the partition column first: each touched hour
+        # then lands in exactly ONE task and writes exactly ONE file.
+        # Without this every shuffle task writes a file into every
+        # hour directory it holds rows for, so the store accumulates
+        # O(batches x shuffle_partitions) files per hour and the
+        # standing-store re-read cost creeps up every batch (measured:
+        # 720-task scan stages per micro-batch by batch 16 at sf0.1).
+        # A rollup hour is a few thousand rows at most — one file is
+        # the right physical shape at any scale.
+        merged.repartition("hour_ns")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("hour_ns")
+        .parquet(path)
+    )
+
+
+def _merge_into_store(spark, delta: DataFrame, path: str, keys: list[str]) -> None:
+    """Fold a (bucket_ns, *keys, n, sums, hour_ns) partial frame into the
+    standing store, rewriting only the touched hour partitions."""
+    from traceframe_spark.operators import rollup as R
+
+    standing = spark.read.parquet(path)
+    touched = [r["hour_ns"] for r in delta.select("hour_ns").distinct().collect()]
+    # localCheckpoint cuts the file-source lineage: Spark refuses
+    # to overwrite a path that is also being read from otherwise
+    standing = standing.filter(F.col("hour_ns").isin(touched)).localCheckpoint()
+    merged = R.merge_rollups(
+        standing.drop("hour_ns"), delta.drop("hour_ns"), keys
+    ).withColumn("hour_ns", R.time_bucket(F.col("bucket_ns"), R.HOUR_NS))
+    _write_merged_hours(merged, path)
+
+
+def compact_rollup_store(spark, path: str, keys: list[str]) -> bool:
+    """Fold the late-delta staging area into the standing rollup store
+    and clear it; returns True if anything was compacted.
+
+    Called automatically every ``compact_every`` batches by
+    :func:`stream_to_rollup` when staging is enabled, and by hand (or
+    from a scheduler) after an ``availableNow`` drain to make the store
+    exact. Crash exposure: the merged-write → staging-delete pair has
+    the same narrow at-least-once window as the store's existing
+    write-then-mark pair (a crash between them re-merges the staged
+    deltas on the next compaction) — closing it fully needs a
+    transactional table format, the same documented upgrade path.
+    """
+    staging = f"{path}/{_STAGING_DIR}"
+    if not _store_exists(spark, staging):
+        return False
+    # localCheckpoint materializes the staged partials BEFORE the store
+    # rewrite and the staging delete, cutting both file-source lineages
+    staged = spark.read.parquet(staging).localCheckpoint()
+    if _store_exists(spark, path):
+        _merge_into_store(spark, staged, path, keys)
+    else:
+        from traceframe_spark.operators import rollup as R
+
+        merged = R.merge_rollups(
+            staged.drop("hour_ns"), staged.drop("hour_ns").limit(0), keys
+        ).withColumn("hour_ns", R.time_bucket(F.col("bucket_ns"), R.HOUR_NS))
+        _write_merged_hours(merged, path)
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(staging)
+    p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+    return True
+
+
 def stream_to_rollup(
     events: DataFrame,
     path: str,
@@ -202,6 +277,8 @@ def stream_to_rollup(
     value_col: str,
     ts_col: str = "ts",
     trigger_available_now: bool = False,
+    late_stage_threshold: int | None = None,
+    compact_every: int = 8,
 ):
     """Maintain a continuous-aggregate store from a stream: each
     micro-batch folds its delta into the standing rollup
@@ -217,6 +294,20 @@ def stream_to_rollup(
     cannot double-count. Restarting from a FRESH checkpoint path
     replays the source into the standing rollup — wipe the store
     together with the checkpoint, or keep both.
+
+    ``late_stage_threshold`` bounds the worst case the per-delta cost
+    model does not cover: an all-late-data replay (every batch touching
+    every store hour) re-merges the WHOLE store every batch — measured
+    5× the ordered replay's wall time at sf0.1. With the threshold set,
+    an hour whose per-batch delta has fewer than ``late_stage_threshold``
+    partial rows is APPENDED to a staging area (``_late_staging/`` under
+    the store root, invisible to readers) instead of re-merged; staged
+    deltas are folded in bulk every ``compact_every`` batches and by
+    :func:`compact_rollup_store` after a drain. Hot hours (the batch's
+    own time slice) still merge immediately, so the common read is
+    exact; staged straggler hours are eventually-consistent between
+    compactions, bounded by ``compact_every`` batches of staleness.
+    Default None keeps today's always-exact immediate merge.
     """
     from traceframe_spark.operators import rollup as R
 
@@ -238,34 +329,37 @@ def stream_to_rollup(
         # footer) must fail loudly — treating it as "first batch" would
         # dynamic-overwrite real history with this batch's delta alone
         if _store_exists(spark, path):
-            standing = spark.read.parquet(path)
-            touched = [r["hour_ns"] for r in delta.select("hour_ns").distinct().collect()]
-            # localCheckpoint cuts the file-source lineage: Spark refuses
-            # to overwrite a path that is also being read from otherwise
-            standing = (
-                standing.filter(F.col("hour_ns").isin(touched)).localCheckpoint()
-            )
-            merged = R.merge_rollups(
-                standing.drop("hour_ns"), delta.drop("hour_ns"), keys
-            ).withColumn("hour_ns", R.time_bucket(F.col("bucket_ns"), R.HOUR_NS))
+            if late_stage_threshold is not None:
+                # split the delta by per-hour partial-row mass: hot hours
+                # (the batch's own slice) merge now; straggler hours are a
+                # cheap append to staging, re-merged in bulk at compaction
+                hour_counts = (
+                    delta.groupBy("hour_ns").count().collect()
+                )  # bounded: one row per touched hour
+                hot = [
+                    r["hour_ns"]
+                    for r in hour_counts
+                    if r["count"] >= late_stage_threshold
+                ]
+                cold_delta = delta.filter(~F.col("hour_ns").isin(hot))
+                if hot:
+                    _merge_into_store(
+                        spark, delta.filter(F.col("hour_ns").isin(hot)), path, keys
+                    )
+                if len(hot) < len(hour_counts):
+                    # staging is only ever read WHOLE by compaction — no
+                    # partition pruning wanted, so write it flat (hour_ns
+                    # as a data column): ONE small file per batch instead
+                    # of one per touched hour directory
+                    cold_delta.coalesce(1).write.mode("append").parquet(
+                        f"{path}/{_STAGING_DIR}"
+                    )
+                if (batch_id + 1) % compact_every == 0:
+                    compact_rollup_store(spark, path, keys)
+            else:
+                _merge_into_store(spark, delta, path, keys)
         else:
-            merged = delta
-        (
-            # repartition by the partition column first: each touched hour
-            # then lands in exactly ONE task and writes exactly ONE file.
-            # Without this every shuffle task writes a file into every
-            # hour directory it holds rows for, so the store accumulates
-            # O(batches x shuffle_partitions) files per hour and the
-            # standing-store re-read cost creeps up every batch (measured:
-            # 720-task scan stages per micro-batch by batch 16 at sf0.1).
-            # A rollup hour is a few thousand rows at most — one file is
-            # the right physical shape at any scale.
-            merged.repartition("hour_ns")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("hour_ns")
-            .parquet(path)
-        )
+            _write_merged_hours(delta, path)
         _mark_batch_applied(spark, path, checkpoint, batch_id)
 
     writer = (
