@@ -408,6 +408,7 @@ def test_stream_to_rollup_staged_worst_case_matches_batch(spark, tmp_path):
     from traceframe_spark.streaming.spans import (
         _STAGING_DIR,
         compact_rollup_store,
+        read_rollup_store,
         stream_to_rollup,
     )
 
@@ -445,9 +446,6 @@ def test_stream_to_rollup_staged_worst_case_matches_batch(spark, tmp_path):
         compact_every=3,            # one mid-stream compaction fires (batch 2)
     )
     q.awaitTermination(180)
-    assert compact_rollup_store(spark, store, ["event_type"])  # staged rows existed
-    assert not compact_rollup_store(spark, store, ["event_type"])  # idempotent drain
-    assert not (tmp_path / "stagerollup" / _STAGING_DIR).exists()
 
     all_events = spark.createDataFrame(
         [e for b in evs for e in b], schema
@@ -456,6 +454,23 @@ def test_stream_to_rollup_staged_worst_case_matches_batch(spark, tmp_path):
         (r["bucket_ns"], r["event_type"]): (r["n"], r["value_sum"], r["value_min"], r["value_max"])
         for r in R.rollup_events(all_events, R.MINUTE_NS, ["event_type"], "value").collect()
     }
+
+    # BEFORE compaction: staging still holds post-batch-2 deltas; the
+    # merge-on-read view is exact while the raw store undercounts
+    assert (tmp_path / "stagerollup" / _STAGING_DIR).exists()
+    view = {
+        (r["bucket_ns"], r["event_type"]): (r["n"], r["value_sum"], r["value_min"], r["value_max"])
+        for r in read_rollup_store(spark, store, ["event_type"]).collect()
+    }
+    assert view == expected
+    raw_total = spark.read.parquet(store).agg(F.sum("n")).first()[0]
+    assert raw_total < sum(v[0] for v in expected.values())
+
+    assert compact_rollup_store(spark, store, ["event_type"])  # staged rows existed
+    assert not compact_rollup_store(spark, store, ["event_type"])  # idempotent drain
+    assert not (tmp_path / "stagerollup" / _STAGING_DIR).exists()
+    # post-compaction the merge-on-read view degrades to the plain scan
+    assert read_rollup_store(spark, store, ["event_type"]).count() == len(expected)
     got = {
         (r["bucket_ns"], r["event_type"]): (r["n"], r["value_sum"], r["value_min"], r["value_max"])
         for r in spark.read.parquet(store).collect()

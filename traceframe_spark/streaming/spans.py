@@ -234,6 +234,28 @@ def _merge_into_store(spark, delta: DataFrame, path: str, keys: list[str]) -> No
     _write_merged_hours(merged, path)
 
 
+def read_rollup_store(spark, path: str, keys: list[str]) -> DataFrame:
+    """Merge-on-read view of a rollup store maintained with late-delta
+    staging: the standing store plus any not-yet-compacted staged
+    partials, folded with the same lossless :func:`merge_rollups`. Use
+    this (instead of ``spark.read.parquet(path)``) when a dashboard
+    needs EXACT totals between compactions; the standing store alone
+    undercounts staged straggler hours by at most ``compact_every``
+    batches of late data. Cost: the staging area is small by
+    construction (cold deltas only), so the merge is a broadcast-sized
+    union + one aggregation on top of the normal store scan."""
+    from traceframe_spark.operators import rollup as R
+
+    standing = spark.read.parquet(path)
+    staging = f"{path}/{_STAGING_DIR}"
+    if not _store_exists(spark, staging):
+        return standing
+    staged = spark.read.parquet(staging)
+    return R.merge_rollups(
+        standing.drop("hour_ns"), staged.drop("hour_ns"), keys
+    ).withColumn("hour_ns", R.time_bucket(F.col("bucket_ns"), R.HOUR_NS))
+
+
 def compact_rollup_store(spark, path: str, keys: list[str]) -> bool:
     """Fold the late-delta staging area into the standing rollup store
     and clear it; returns True if anything was compacted.
