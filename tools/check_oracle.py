@@ -77,7 +77,11 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         path = f"{args.sf}/{t}.parquet"
-        if os.path.exists(path):
+        if os.path.isdir(path):
+            # Spark directory dataset (tools/make_scale_data.py output):
+            # DuckDB wants a part-file glob, not the directory itself
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}/*.parquet'")
+        elif os.path.exists(path):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs = entrymod.queries()

@@ -179,44 +179,69 @@ LIMIT 10
 
 def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing-summary aggregate: partial (map-side) agg then one shuffle
-    on a 6-value grouping key (B15/B16 generalization)."""
+    on a 6-value grouping key (B15/B16 generalization).
+
+    Money sums are computed in DECIMAL, not double: the source values
+    are exact 2-decimal cents stored as doubles, so the casts below are
+    exact, and a decimal sum is order-independent — at the 100× copy
+    (5.3 M rows per group) double summation order flipped a half-cent
+    boundary between Spark and DuckDB (off-by-one in ``sum_base_price``
+    after the ×100 quantization), the r06 volume-sweep catch. Averages
+    derive from the exact sums via one double division of bit-identical
+    inputs, which IEEE makes deterministic across engines."""
     li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    dc = F.col("l_discount").cast("decimal(4,2)")
+    tx = F.col("l_tax").cast("decimal(4,2)")
+    qt = F.col("l_quantity").cast("decimal(6,2)")
+    n = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            qint(F.sum("l_quantity"), 2).alias("sum_qty"),
-            qint(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            qint(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
-            qint(
-                F.sum(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            qint(F.avg("l_quantity"), 4).alias("avg_qty"),
-            qint(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            qint(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            qint(F.sum(qt), 2).alias("sum_qty"),
+            qint(F.sum(ep), 2).alias("sum_base_price"),
+            qint(F.sum(ep * (one - dc)), 2).alias("sum_disc_price"),
+            qint(F.sum(ep * (one - dc) * (one + tx)), 2).alias("sum_charge"),
+            qint(F.sum(qt).cast("double") / n, 4).alias("avg_qty"),
+            qint(F.sum(ep).cast("double") / n, 4).alias("avg_price"),
+            qint(F.sum(dc).cast("double") / n, 4).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
 
+# The oracle mirrors the engine's arithmetic SHAPE, not just its value:
+# exact decimal sums, then the same double-floor quantization qint uses
+# (CAST(... AS DOUBLE) BEFORE the +0.5/floor — a pure-decimal floor
+# could disagree at half boundaries the double grid cannot represent).
 SQL_GROUP_AGG = """
+WITH s AS (
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(6,2))) AS sq,
+           sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sbp,
+           sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS sdp,
+           sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))
+               * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS sch,
+           sum(CAST(l_discount AS DECIMAL(4,2))) AS sdc,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+)
 SELECT l_returnflag, l_linestatus,
-       CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS sum_qty,
-       CAST(floor(sum(l_extendedprice) * 100 + 0.5) AS BIGINT) AS sum_base_price,
-       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) AS sum_disc_price,
-       CAST(floor(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100 + 0.5) AS BIGINT) AS sum_charge,
-       CAST(floor(avg(l_quantity) * 10000 + 0.5) AS BIGINT) AS avg_qty,
-       CAST(floor(avg(l_extendedprice) * 10000 + 0.5) AS BIGINT) AS avg_price,
-       CAST(floor(avg(l_discount) * 10000 + 0.5) AS BIGINT) AS avg_disc,
-       count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
+       CAST(floor(CAST(sq * 100 AS DOUBLE) + 0.5) AS BIGINT) AS sum_qty,
+       CAST(floor(CAST(sbp * 100 AS DOUBLE) + 0.5) AS BIGINT) AS sum_base_price,
+       CAST(floor(CAST(sdp * 100 AS DOUBLE) + 0.5) AS BIGINT) AS sum_disc_price,
+       CAST(floor(CAST(sch * 100 AS DOUBLE) + 0.5) AS BIGINT) AS sum_charge,
+       CAST(floor(CAST(sq AS DOUBLE) / n * 10000 + 0.5) AS BIGINT) AS avg_qty,
+       CAST(floor(CAST(sbp AS DOUBLE) / n * 10000 + 0.5) AS BIGINT) AS avg_price,
+       CAST(floor(CAST(sdc AS DOUBLE) / n * 10000 + 0.5) AS BIGINT) AS avg_disc,
+       n AS count_order
+FROM s
 """
 
 
