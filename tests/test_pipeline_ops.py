@@ -983,6 +983,72 @@ def test_ivf_recall_green_on_appended_index(spark, embeddings, tmp_path):
     assert r_incr >= 0.4  # nprobe=2/8 operating point still retrieves
 
 
+def test_containment_detects_embedded_quote(spark):
+    """The asymmetric case Jaccard misses: a short doc quoted verbatim
+    inside a much longer one has containment(sub→super) ≈ 1 while its
+    Jaccard stays low — and the reverse direction stays small."""
+    quote = "the seven laws of robust distributed systems design"
+    long_doc = (
+        "chapter one introduces many unrelated concepts and then cites "
+        f"{quote} before wandering into further unrelated material about "
+        "networks storage consensus replication and finally scheduling"
+    )
+    df = spark.createDataFrame([(1, quote), (2, long_doc)], ["doc_id", "text"])
+    rows = {
+        (r["id_sub"], r["id_super"]): r["containment"]
+        for r in dedup.containment_pairs(df, "doc_id", "text", threshold=0.0).collect()
+    }
+    assert rows[(1, 2)] > 0.9  # the quote is contained
+    assert rows[(2, 1)] < 0.5  # the chapter is not contained in the quote
+    jac = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0).collect()
+    assert all(r["jaccard"] < 0.5 for r in jac)  # symmetric measure misses it
+
+
+def test_ngram_novelty_flags_recrawl(spark):
+    """novelty ≈ 0 for a doc the reference corpus already contains,
+    ≈ 1 for genuinely new text, and 0 (with n_grams=0) for docs too
+    short to shingle."""
+    from traceframe_spark.operators import text as T
+
+    seen = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ref = spark.createDataFrame([(100, seen)], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, seen), (2, "totally fresh unseen material nobody crawled before"),
+         (3, "too short")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in T.ngram_novelty(corpus, ref, n=3).collect()}
+    assert rows[1]["novelty"] == 0.0 and rows[1]["n_novel"] == 0
+    assert rows[2]["novelty"] == 1.0
+    assert rows[3]["n_grams"] == 0 and rows[3]["novelty"] == 0.0
+
+
+def test_embedding_drift_stable_vs_shifted(spark):
+    """Identical snapshots score cos_q = 10000 for every label; negating
+    one label's vectors in snapshot B drives exactly that label's
+    centroid cosine to -10000 while the others stay at 10000."""
+    import numpy as np
+
+    from traceframe_spark.operators import vectorprep as VP
+
+    rng = np.random.default_rng(3)
+    base = [(i, rng.normal(size=8).tolist(), i % 2) for i in range(40)]
+    a = spark.createDataFrame(base, "vec_id: long, embedding: array<double>, label: int")
+    same = VP.embedding_drift(a, a, "label", "embedding", dim=8)
+    assert {r["cos_q"] for r in same.collect()} == {10000}
+
+    flipped = [
+        (i, ([-x for x in v] if lab == 1 else v), lab) for i, v, lab in base
+    ]
+    b = spark.createDataFrame(
+        flipped, "vec_id: long, embedding: array<double>, label: int"
+    )
+    drift = {r["label"]: r for r in VP.embedding_drift(a, b, "label", "embedding", dim=8).collect()}
+    assert drift[0]["cos_q"] == 10000
+    assert drift[1]["cos_q"] == -10000
+    assert drift[1]["n_a"] == drift[1]["n_b"] == 20
+
+
 def test_remove_duplicated_substrings(spark):
     """Exact substring dedup (Lee et al.): a repeated 10-token passage
     survives only at its canonical (min doc_id, min pos) occurrence;

@@ -587,6 +587,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT ``C(sub→sup) = |sub ∩ sup| / |sub|``
+    — the quote/excerpt detector Jaccard cannot be: a short document
+    embedded verbatim in a long one has containment ≈ 1 while Jaccard
+    ≈ |sub|/|sup| stays arbitrarily low, so symmetric near-dup passes
+    miss exactly the "eval question quoted inside a training document"
+    case decontamination cares about (Broder's containment measure,
+    1997).
+
+    One inverted shingle index, one self-join on shingle (a < b), then
+    BOTH directions are emitted from the single shared-count aggregate
+    (union of a→b and b→a with the matching denominator) and filtered
+    at ``threshold``. Exact and O(pairs sharing a shingle) like
+    :func:`ngram_jaccard_pairs` — bounded candidate subsets; at corpus
+    scale route candidates through MinHash-LSH or
+    :func:`cross_near_dup_subtract` first and use this as the exact
+    verifier. Output: (id_sub, id_super, containment).
+    """
+    sh = spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        char_shingles(F.lower(F.trim(F.col(text_col))), shingle_size).alias("shingles"),
+    )
+    sizes = sh.select("id", F.size("shingles").alias("n_sh"))
+    inv = sh.select("id", F.explode("shingles").alias("sh"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+        .join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+    )
+    fwd = common.select(
+        F.col("id_a").alias("id_sub"),
+        F.col("id_b").alias("id_super"),
+        (F.col("n_common").cast("double") / F.col("n_a").cast("double")).alias(
+            "containment"
+        ),
+    )
+    rev = common.select(
+        F.col("id_b").alias("id_sub"),
+        F.col("id_a").alias("id_super"),
+        (F.col("n_common").cast("double") / F.col("n_b").cast("double")).alias(
+            "containment"
+        ),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
 # ---------------------------------------------------------------------------
 # Exact substring (duplicated-window) deduplication
 # ---------------------------------------------------------------------------

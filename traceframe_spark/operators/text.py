@@ -283,6 +283,47 @@ def contamination(
     )
 
 
+def ngram_novelty(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    broadcast_reference: bool = False,
+) -> DataFrame:
+    """Ingest QA: per-document fraction of distinct word ``n``-grams NOT
+    present anywhere in a reference corpus (e.g. yesterday's snapshot).
+    Novelty ≈ 1 flags genuinely new content; novelty ≈ 0 flags
+    re-crawls, mirrors, and templated boilerplate — the triage signal a
+    continuous-ingest pipeline uses to decide what deserves the full
+    curation pass. The inverse view of :func:`contamination` (same
+    distinct-gram machinery, reference side instead of benchmark side),
+    so gram semantics exist exactly once.
+
+    Unlike benchmark suites, reference corpora are corpus-sized —
+    default is a plain hash join on the gram key (one shuffle each
+    side); pass ``broadcast_reference=True`` only for small references.
+    Output: (id_col, n_grams, n_novel, novelty); zero-gram docs (shorter
+    than ``n`` words) report novelty 0.0 — nothing new, nothing to keep.
+    """
+    hits = contamination(
+        corpus,
+        reference,
+        id_col,
+        text_col,
+        n=n,
+        broadcast_benchmark=broadcast_reference,
+    )
+    return hits.select(
+        id_col,
+        "n_grams",
+        (F.col("n_grams") - F.col("n_hit")).cast("long").alias("n_novel"),
+        F.when(F.col("n_grams") > 0, 1.0 - F.col("overlap"))
+        .otherwise(F.lit(0.0))
+        .alias("novelty"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -294,6 +294,48 @@ def label_centroids(
     )
 
 
+def embedding_drift(
+    a: DataFrame,
+    b: DataFrame,
+    label_col: str,
+    vec_col: str,
+    dim: int,
+    quantize: int = 6,
+) -> DataFrame:
+    """Embedding-space drift between two snapshots (old vs new encoder
+    run, last week's corpus vs this week's): per label, the cosine
+    between the label's mean vector in A and in B, plus both member
+    counts. Cosine ≈ 1 means the region is stable; a dropping cosine
+    flags encoder drift or a population shift in exactly that label —
+    the signal that decides when ANN indexes and k-means partitions
+    (whose geometry assumes a stable space) need rebuilding, the vector
+    twin of :func:`text.token_kl_drift`.
+
+    Centroids come from :func:`label_centroids`, so the per-dimension
+    means live on the integer 10^-q grid and are engine-exact; the
+    final cosine is one double expression of those identical inputs
+    (IEEE-deterministic). Cost: one scan + one ``dim``-wide aggregate
+    per snapshot and a labels-sized join — corpus size enters only
+    through the scans. Output (label, n_a, n_b, cos_q) with cos_q on
+    the suite's 1e-4 cosine grid (same as similarity's re-rank).
+    """
+    ca = label_centroids(a, label_col, vec_col, dim, quantize)
+    cb = label_centroids(b, label_col, vec_col, dim, quantize)
+    na = a.groupBy(F.col(label_col).alias("label")).agg(F.count("*").alias("n_a"))
+    nb = b.groupBy(F.col(label_col).alias("label")).agg(F.count("*").alias("n_b"))
+    j = (
+        ca.withColumnRenamed("centroid", "c_a")
+        .join(cb.withColumnRenamed("centroid", "c_b"), "label")
+        .join(na, "label")
+        .join(nb, "label")
+    )
+    cos = dot_f64(F.col("c_a"), F.col("c_b")) / (
+        l2_norm(F.col("c_a")) * l2_norm(F.col("c_b"))
+    )
+    cos_q = F.floor(cos * 10000 + F.lit(0.5)).cast("long")
+    return j.select("label", "n_a", "n_b", cos_q.alias("cos_q"))
+
+
 def label_outlier_scores(
     df: DataFrame,
     id_col: str,

@@ -634,6 +634,56 @@ FROM (
 """
 
 
+def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift (operators/vectorprep.embedding_drift):
+    even vec_ids play the old snapshot, odd the new; per label, the
+    cosine between the two snapshots' mean vectors plus both member
+    counts — the geometry-stability signal that schedules ANN-index /
+    k-means rebuilds, the vector twin of token_drift. Centroids live on
+    the 1e-6 quantized grid (label_centroids), so both engines compute
+    the final cosine from identical inputs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return vectorprep.embedding_drift(
+        e.filter(F.col("vec_id") % 2 == 0),
+        e.filter(F.col("vec_id") % 2 == 1),
+        "label",
+        "embedding",
+        dim=EMBED_DIM,
+    )
+
+
+SQL_EMBED_DRIFT = """
+WITH pa AS (
+    SELECT label, i,
+           CAST(floor(avg(CAST(x AS DOUBLE)) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS c
+    FROM (SELECT label, unnest(embedding) AS x, unnest(generate_series(1, 64)) AS i
+          FROM embeddings WHERE vec_id % 2 = 0)
+    GROUP BY label, i
+),
+pb AS (
+    SELECT label, i,
+           CAST(floor(avg(CAST(x AS DOUBLE)) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS c
+    FROM (SELECT label, unnest(embedding) AS x, unnest(generate_series(1, 64)) AS i
+          FROM embeddings WHERE vec_id % 2 = 1)
+    GROUP BY label, i
+),
+ca AS (SELECT label, list(c ORDER BY i) AS c_a FROM pa GROUP BY label),
+cb AS (SELECT label, list(c ORDER BY i) AS c_b FROM pb GROUP BY label),
+na AS (SELECT label, count(*) AS n_a FROM embeddings WHERE vec_id % 2 = 0 GROUP BY label),
+nb AS (SELECT label, count(*) AS n_b FROM embeddings WHERE vec_id % 2 = 1 GROUP BY label)
+SELECT ca.label, n_a, n_b,
+       CAST(floor(
+           list_sum(list_transform(generate_series(1, 64), i -> c_a[i] * c_b[i]))
+           / (sqrt(list_sum(list_transform(c_a, x -> x * x)))
+              * sqrt(list_sum(list_transform(c_b, x -> x * x))))
+           * 10000 + 0.5) AS BIGINT) AS cos_q
+FROM ca
+JOIN cb USING (label)
+JOIN na USING (label)
+JOIN nb USING (label)
+"""
+
+
 MLPREP_QUERIES = {
     "hard_negatives": q_hard_negatives,
     "embed_quantize": q_embed_quantize,
@@ -646,6 +696,7 @@ MLPREP_QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "pmi_bigrams": q_pmi_bigrams,
     "inflight_concurrency": q_inflight_concurrency,
+    "embed_drift": q_embed_drift,
 }
 
 MLPREP_ORACLE_SQL = {
@@ -660,4 +711,5 @@ MLPREP_ORACLE_SQL = {
     "tfidf_topk": SQL_TFIDF_TOPK,
     "pmi_bigrams": SQL_PMI_BIGRAMS,
     "inflight_concurrency": SQL_INFLIGHT_CONCURRENCY,
+    "embed_drift": SQL_EMBED_DRIFT,
 }

@@ -1711,6 +1711,98 @@ FROM px GROUP BY media_id, width, height
 """
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric 5-gram shingle containment ≥ 0.6 on a bounded doc
+    subset (operators/dedup.containment_pairs): the quote/excerpt
+    detector — a short doc embedded in a long one scores containment
+    ≈ 1 where symmetric Jaccard stays low. Same shingling definition as
+    ngram_jaccard; the oracle emits both directions from the shared
+    pair-count aggregate."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    pairs = dedup.containment_pairs(d, "doc_id", "text", threshold=0.6)
+    return pairs.select(
+        "id_sub", "id_super", qint(F.col("containment"), 4).alias("containment_q")
+    )
+
+
+SQL_CONTAINMENT_PAIRS = """
+WITH docs AS (
+    SELECT doc_id, lower(trim(text)) AS t FROM documents WHERE doc_id < 150
+),
+shingled AS (
+    SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, substr(t, CAST(g AS INT), 5) AS sh
+        FROM (SELECT doc_id, t,
+                     unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS g
+              FROM docs)
+    )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+    FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+dirs AS (
+    SELECT c.id_a AS id_sub, c.id_b AS id_super,
+           c.n_common::DOUBLE / sa.n_sh::DOUBLE AS cont
+    FROM common c JOIN sizes sa ON sa.doc_id = c.id_a
+    UNION ALL
+    SELECT c.id_b, c.id_a, c.n_common::DOUBLE / sb.n_sh::DOUBLE
+    FROM common c JOIN sizes sb ON sb.doc_id = c.id_b
+)
+SELECT id_sub, id_super,
+       CAST(floor(cont * 10000 + 0.5) AS BIGINT) AS containment_q
+FROM dirs WHERE cont >= 0.6
+"""
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest triage (operators/text.ngram_novelty): docs
+    with ``doc_id % 10 < 3`` play yesterday's snapshot; the rest are
+    scored for the fraction of distinct word 3-grams the snapshot has
+    never seen. Novelty ≈ 0 flags re-crawls and boilerplate before the
+    full curation pass spends anything on them."""
+    d = load_table(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") % 10 < 3)
+    corpus = d.filter(F.col("doc_id") % 10 >= 3)
+    out = text.ngram_novelty(corpus, ref, n=3)
+    return out.select(
+        "doc_id", "n_grams", "n_novel", qint(F.col("novelty"), 4).alias("novelty_q")
+    )
+
+
+# novelty_q mirrors the ENGINE's float expression shape exactly:
+# floor((1 - hit/n) * 1e4 + 0.5), not the algebraically-equal
+# (n - hit)/n form — the two can differ in the last ulp at a grid
+# boundary (same lesson as SQL_GROUP_AGG's double-floor note).
+SQL_NGRAM_NOVELTY = r"""
+WITH words AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, array_to_string(w[g:g+2], ' ') AS g
+    FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS g FROM words)
+),
+ref AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 < 3),
+corpus AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 10 >= 3),
+per_doc AS (
+    SELECT c.doc_id,
+           count(*) AS n_grams,
+           count(r.g) AS n_hit
+    FROM corpus c LEFT JOIN ref r ON c.g = r.g
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(n_grams - n_hit, 0) AS BIGINT) AS n_novel,
+       CAST(floor(coalesce(1.0 - n_hit::DOUBLE / n_grams::DOUBLE, 0.0) * 10000 + 0.5) AS BIGINT) AS novelty_q
+FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+WHERE d.doc_id % 10 >= 3
+"""
+
+
 PIPELINE_QUERIES = {
     "quality_resample": q_quality_resample,
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -1752,6 +1844,10 @@ PIPELINE_QUERIES = {
     "bpe_token_ids": q_bpe_token_ids,
     "token_drift": q_token_drift,
     "media_dedup": q_media_dedup,
+    # r06 additions — registered at the tail so the recorded head-50
+    # (rotation + refreshers) is untouched
+    "containment_pairs": q_containment_pairs,
+    "ngram_novelty": q_ngram_novelty,
 }
 
 PIPELINE_ORACLE_SQL = {
@@ -1793,4 +1889,6 @@ PIPELINE_ORACLE_SQL = {
     "doc_triangles": SQL_DOC_TRIANGLES,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "bloom_prefilter": SQL_BLOOM_PREFILTER,
+    "containment_pairs": SQL_CONTAINMENT_PAIRS,
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
 }
