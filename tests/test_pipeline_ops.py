@@ -1340,6 +1340,36 @@ def test_y4m_frame_sampling_distributed(spark, docs):
 # ------------------------------------------------------------ count-min sketch
 
 
+def test_hll_estimate_accuracy_and_merge(spark):
+    """HLL invariants: the estimate lands within the ~3.25%·√ expected
+    error of the true cardinality (generous 4-sigma bound: 13% at
+    p=10), merge(sketch(A), sketch(B)) == sketch(A∪B) register-for-
+    register (the distributability property), and the small-range
+    linear-counting branch engages for tiny sets (est ≈ exact)."""
+    from pyspark.sql import functions as F
+
+    from traceframe_spark.operators import sketch
+
+    keys = spark.createDataFrame([(f"key-{i}",) for i in range(20000)], "k string")
+    regs = sketch.hll_registers(keys, "k", p=10)
+    est = sketch.hll_estimate(regs, p=10).first()["est"]
+    assert abs(est - 20000) / 20000 < 0.13, est
+
+    # merge property: exact register equality, not approximate
+    a = keys.filter(F.substring("k", 5, 1).isin("0", "1", "2", "3", "4"))
+    b = keys.subtract(a)
+    merged = sketch.hll_merge(
+        sketch.hll_registers(a, "k", p=10), sketch.hll_registers(b, "k", p=10)
+    )
+    as_rows = lambda df: sorted((r["bucket"], r["rho_max"]) for r in df.collect())
+    assert as_rows(merged) == as_rows(regs)
+
+    # linear-counting branch: 50 keys over 1024 buckets
+    small = spark.createDataFrame([(f"s{i}",) for i in range(50)], "k string")
+    row = sketch.hll_estimate(sketch.hll_registers(small, "k", p=10), p=10).first()
+    assert row["n_empty"] > 0 and abs(row["est"] - 50) < 5
+
+
 def test_cms_estimates_bound_and_merge(spark, docs):
     """CMS invariants: every estimate is >= the exact count (one-sided
     error), the top heavy hitter is estimated exactly-ish (within the

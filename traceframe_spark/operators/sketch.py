@@ -166,3 +166,71 @@ def bloom_probe(
     return out.select(key_col, hit.alias("probable_member")).drop(
         *[c for r in range(n_hashes) for c in (f"_p{r}", f"_w{r}", f"_b{r}")]
     )
+
+
+def hll_registers(df: DataFrame, key_col: str, p: int = 10) -> DataFrame:
+    """HyperLogLog registers (Flajolet et al. 2007) as a DataFrame of
+    (bucket, rho_max) — the fixed-memory DISTINCT-count structure that
+    completes the sketch family (CMS = frequency, Bloom = membership,
+    HLL = cardinality). 2^p buckets; every key contributes rho = one
+    plus the count of leading zeros in a 40-bit md5-derived hash, and
+    the register keeps the per-bucket max.
+
+    Same portability contract as the other sketches: bucket and rho
+    both derive from md5 substrings (``conv`` hex→dec) plus ``bin()``
+    length — bit-identical in every engine, so a SQL oracle rebuilds
+    the exact registers AND the exact estimate. Registers MERGE by
+    unionByName + re-max (:func:`hll_merge`) across partitions, days,
+    or corpora; ≤ 2^p rows total no matter the corpus size.
+    """
+    m = 1 << p
+    key = F.col(key_col).cast("string")
+    bucket = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % m
+    ).alias("bucket")
+    # independent 40-bit hash for the rank; rho = leading zeros + 1,
+    # computed integer-exactly via the binary-string length (no log2
+    # float boundary): v in [1, 2^40) -> rho = 41 - len(bin(v)); v = 0
+    # (prob 2^-40) -> all 40 bits are zero -> rho = 41
+    v = F.conv(F.substring(F.md5(F.concat_ws("#", F.lit("rho"), key)), 1, 10), 16, 10).cast(
+        "long"
+    )
+    rho = F.when(v == 0, F.lit(41)).otherwise(41 - F.length(F.bin(v))).cast("long")
+    return (
+        df.select(bucket, rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Lossless register merge: union + per-bucket max (the property
+    that lets each partition/day/corpus sketch independently)."""
+    return a.unionByName(b).groupBy("bucket").agg(F.max("rho_max").alias("rho_max"))
+
+
+def hll_estimate(registers: DataFrame, p: int = 10) -> DataFrame:
+    """Cardinality estimate from the registers, with the standard
+    small-range (linear-counting) correction. One row out:
+    (n_nonempty, n_empty, est).
+
+    Engine-exactness note: every 2^-rho term is a dyadic rational with
+    rho ≤ 41, and the full register sum is bounded by 2^p, so every
+    partial sum fits EXACTLY in a double (≤ 51 significand bits) —
+    the sum is order-independent, and the remaining arithmetic is one
+    IEEE expression over identical inputs. The estimate is therefore
+    deterministic across engines without quantizing intermediate state.
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # the m >= 128 constant
+    agg = registers.agg(
+        F.count("*").cast("long").alias("n_nonempty"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho_max"))).alias("inv_sum"),
+    )
+    n_empty = (F.lit(m) - F.col("n_nonempty")).cast("long")
+    raw = F.lit(alpha * m * m) / (F.col("inv_sum") + n_empty.cast("double"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (n_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / n_empty.cast("double")),
+    ).otherwise(raw)
+    return agg.select("n_nonempty", n_empty.alias("n_empty"), est.alias("est"))

@@ -1711,6 +1711,62 @@ FROM px GROUP BY media_id, width, height
 """
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog cardinality (operators/sketch.hll_registers /
+    hll_estimate): estimate distinct l_orderkey over lineitem with 1024
+    md5-portable registers and report it next to the exact distinct —
+    the fixed-memory distinct-count the profile pass uses when the key
+    universe doesn't fit (completes the sketch family: CMS frequency,
+    Bloom membership, HLL cardinality). Every 2^-rho term is dyadic
+    with the register sum bounded by 2^p, so the double sum is
+    order-independent and the oracle lands on the IDENTICAL estimate,
+    not an approximation of it."""
+    from traceframe_spark.operators import sketch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    regs = sketch.hll_registers(li, "l_orderkey", p=10)
+    est = sketch.hll_estimate(regs, p=10)
+    exact = li.agg(F.countDistinct("l_orderkey").cast("long").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_nonempty",
+        "n_empty",
+        qint(F.col("est"), 2).alias("est_q"),
+        "exact_distinct",
+    )
+
+
+SQL_HLL_DISTINCT = """
+WITH keys AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+regs AS (
+    SELECT ('0x' || substr(md5(k), 1, 8))::BIGINT % 1024 AS bucket,
+           max(CASE WHEN v = 0 THEN 41 ELSE 41 - length(bin(v)) END) AS rho_max
+    FROM (SELECT k,
+                 ('0x' || substr(md5('rho' || '#' || k), 1, 10))::BIGINT AS v
+          FROM keys)
+    GROUP BY 1
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_nonempty,
+           sum(power(2.0, -rho_max)) AS inv_sum
+    FROM regs
+),
+est AS (
+    SELECT n_nonempty,
+           CAST(1024 - n_nonempty AS BIGINT) AS n_empty,
+           (0.7213 / (1.0 + 1.079 / 1024)) * 1024.0 * 1024.0
+               / (inv_sum + (1024 - n_nonempty)) AS raw
+    FROM agg
+)
+SELECT n_nonempty, n_empty,
+       CAST(floor(
+           CASE WHEN raw <= 2560.0 AND n_empty > 0
+                THEN 1024.0 * ln(1024.0 / n_empty)
+                ELSE raw END * 100 + 0.5) AS BIGINT) AS est_q,
+       (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS exact_distinct
+FROM est
+"""
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric 5-gram shingle containment ≥ 0.6 on a bounded doc
     subset (operators/dedup.containment_pairs): the quote/excerpt
@@ -1848,6 +1904,7 @@ PIPELINE_QUERIES = {
     # (rotation + refreshers) is untouched
     "containment_pairs": q_containment_pairs,
     "ngram_novelty": q_ngram_novelty,
+    "hll_distinct": q_hll_distinct,
 }
 
 PIPELINE_ORACLE_SQL = {
@@ -1891,4 +1948,5 @@ PIPELINE_ORACLE_SQL = {
     "bloom_prefilter": SQL_BLOOM_PREFILTER,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
+    "hll_distinct": SQL_HLL_DISTINCT,
 }
