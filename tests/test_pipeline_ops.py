@@ -729,6 +729,26 @@ def test_contamination_counts_distinct_grams_once(spark):
     assert row["n_hit"] == 1
 
 
+def test_priority_sample_weighted_without_replacement(spark):
+    """Efraimidis-Spirakis invariants: exactly k distinct rows, fully
+    deterministic across runs, weight<=0 rows never drawn, and a row
+    whose weight dwarfs the rest (priority u^(1/w) -> 1) always makes
+    the sample."""
+    from traceframe_spark.operators.sampling import priority_sample
+
+    rows = [(i, 1.0) for i in range(200)] + [(999, 1e9), (1000, 0.0), (1001, -3.0)]
+    df = spark.createDataFrame(rows, "doc_id: long, w: double")
+    s1 = priority_sample(df, k=20, weight_col="w").collect()
+    s2 = priority_sample(df, k=20, weight_col="w").collect()
+    assert [r["doc_id"] for r in s1] == [r["doc_id"] for r in s2]  # deterministic
+    ids = {r["doc_id"] for r in s1}
+    assert len(s1) == 20 and len(ids) == 20  # k distinct, no replacement
+    assert 999 in ids  # the dominant weight is always selected
+    assert 1000 not in ids and 1001 not in ids  # non-positive weights excluded
+    ranks = sorted(r["rank"] for r in s1)
+    assert ranks == list(range(1, 21))
+
+
 def test_weighted_domain_sample_deterministic_rates(spark):
     from traceframe_spark.operators.sampling import weighted_domain_sample
 

@@ -198,3 +198,38 @@ def temperature_domain_sample(
         .filter(F.col("_rn") <= quota_map[F.col(domain_col)])
         .drop("_rn")
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministically:
+    Efraimidis-Spirakis priority sampling (IPL 2006) — each row draws
+    ``u = md5_uniform(id) / 2^32`` and keeps priority ``u^(1/w)``; the
+    k largest priorities ARE a weighted sample without replacement
+    (inclusion probability proportional to weight, exactly). The draw
+    is keyed on the row id, so the sample is reproducible across runs,
+    engines, and Spark task retries — rand()-based weighted sampling is
+    none of those. Rows with weight <= 0 are excluded (they cannot be
+    drawn under the scheme and 1/w would be undefined).
+
+    One scan + a TakeOrderedAndProject top-k (per-partition heaps, a
+    k-row driver merge) — no shuffle of the corpus, so the selection
+    cost at 100 TB is the scan. The id tie-break makes the order total
+    (ranked_topk's documented contract). Output: the sampled rows plus
+    their ``priority``.
+    """
+    from traceframe_spark.functions import ranked_topk
+
+    w = F.col(weight_col).cast("double")
+    u = (md5_uniform(F.col(id_col)).cast("double") + F.lit(1.0)) / F.lit(
+        4294967296.0
+    )  # (0, 1]: +1 keeps u > 0 so priority stays defined for any weight
+    pri = F.pow(u, F.lit(1.0) / w)
+    keyed = df.filter(w > 0).withColumn("priority", pri)
+    return ranked_topk(
+        keyed, [F.col("priority").desc(), F.col(id_col).asc()], k, rank_col="rank"
+    )

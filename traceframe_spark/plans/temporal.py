@@ -623,6 +623,44 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement
+    (operators/sampling.priority_sample): top-100 documents by
+    Efraimidis-Spirakis priority ``u^(1/n_chars)`` with the md5-keyed
+    deterministic draw — longer documents proportionally likelier,
+    reproducible across engines and runs. Ordering happens on the full
+    doubles; the reported priority is quantized for the value hash."""
+    from traceframe_spark.operators.sampling import priority_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    out = priority_sample(d, k=100, weight_col="n_chars")
+    return out.select(
+        "doc_id",
+        qint(F.col("priority"), 6).alias("priority_q"),
+        F.col("rank"),
+    )
+
+
+SQL_PRIORITY_SAMPLE = """
+WITH pri AS (
+    SELECT doc_id,
+           power((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT::DOUBLE + 1.0)
+                     / 4294967296.0,
+                 1.0 / n_chars::DOUBLE) AS priority
+    FROM documents WHERE n_chars > 0
+),
+ranked AS (
+    SELECT doc_id, priority,
+           CAST(row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS BIGINT) AS rank
+    FROM pri
+)
+SELECT doc_id,
+       CAST(floor(priority * 1000000 + 0.5) AS BIGINT) AS priority_q,
+       rank
+FROM ranked WHERE rank <= 100
+"""
+
+
 SQL_TEMPERATURE_MIX = """
 WITH cnt AS (
     SELECT source, count(*) AS n FROM documents GROUP BY source
@@ -667,6 +705,7 @@ TEMPORAL_QUERIES = {
     "moving_avg": q_moving_avg,
     "domain_mix": q_domain_mix,
     "temperature_mix": q_temperature_mix,
+    "priority_sample": q_priority_sample,
     "p95_from_rollup": q_p95_from_rollup,
 }
 
@@ -687,5 +726,6 @@ TEMPORAL_ORACLE_SQL = {
     "moving_avg": SQL_MOVING_AVG,
     "domain_mix": SQL_DOMAIN_MIX,
     "temperature_mix": SQL_TEMPERATURE_MIX,
+    "priority_sample": SQL_PRIORITY_SAMPLE,
     "p95_from_rollup": SQL_P95_FROM_ROLLUP,
 }
