@@ -93,6 +93,12 @@ HEADLINE = [
     "ann_ivf_recall",
     "curation_flow",
     "token_drift",
+    # r06 additions
+    "containment_pairs",
+    "ngram_novelty",
+    "embed_drift",
+    "hll_distinct",
+    "priority_sample",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans
