@@ -66,6 +66,16 @@ def _canon(df) -> list[tuple]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument(
+        "--sample",
+        type=int,
+        default=None,
+        help="check a seeded random sample of N queries instead of all "
+        "(stratified by registration position, so rows-only queries are "
+        "sampled too; use for quick unbiased spot-checks that do not "
+        "depend on registry head order)",
+    )
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("queries", nargs="*", help="subset of query names")
     args = ap.parse_args()
 
@@ -87,6 +97,21 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = args.queries or list(qs)
+    if args.sample and not args.queries:
+        import random
+
+        rng = random.Random(args.seed)
+        # stratified: split the registry into args.sample contiguous
+        # position strata and draw one per stratum — every region of the
+        # registry (and the rows-only tail) gets sampled
+        all_names = list(qs)
+        k = min(args.sample, len(all_names))
+        stride = len(all_names) / k
+        names = [
+            all_names[min(int(i * stride) + rng.randrange(max(int(stride), 1)),
+                          len(all_names) - 1)]
+            for i in range(k)
+        ]
     unknown = [n for n in names if n not in qs]
     if unknown:
         print(f"unknown queries: {unknown}; valid names: {sorted(qs)}")
