@@ -471,6 +471,29 @@ def test_stream_to_rollup_staged_worst_case_matches_batch(spark, tmp_path):
     assert not (tmp_path / "stagerollup" / _STAGING_DIR).exists()
     # post-compaction the merge-on-read view degrades to the plain scan
     assert read_rollup_store(spark, store, ["event_type"]).count() == len(expected)
+
+    # the size-free knob: cap hot hours per batch instead of a row
+    # threshold — exactness must hold identically
+    store2, ckpt2 = str(tmp_path / "caprollup"), str(tmp_path / "capckpt")
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+        .withColumn("ts", F.col("ts_us") * 1000)
+    )
+    q2 = stream_to_rollup(
+        stream2, store2, ckpt2, R.MINUTE_NS, ["event_type"], "value",
+        trigger_available_now=True,
+        max_hot_hours=2,   # each batch merges only its 2 heaviest hours
+        compact_every=4,
+    )
+    q2.awaitTermination(180)
+    compact_rollup_store(spark, store2, ["event_type"])
+    got2 = {
+        (r["bucket_ns"], r["event_type"]): (r["n"], r["value_sum"], r["value_min"], r["value_max"])
+        for r in spark.read.parquet(store2).collect()
+    }
+    assert got2 == expected
     got = {
         (r["bucket_ns"], r["event_type"]): (r["n"], r["value_sum"], r["value_min"], r["value_max"])
         for r in spark.read.parquet(store).collect()

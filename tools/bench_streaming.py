@@ -54,6 +54,14 @@ def main() -> None:
         "after the drain) instead of re-merging the store every batch",
     )
     ap.add_argument("--compact-every", type=int, default=8)
+    ap.add_argument(
+        "--max-hot-hours",
+        type=int,
+        default=None,
+        help="size-free staging knob: merge at most this many (heaviest) "
+        "hours per batch, stage the rest -- no row-threshold re-sizing "
+        "needed when batch volume changes",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -102,9 +110,10 @@ def main() -> None:
             trigger_available_now=True,
             late_stage_threshold=args.stage_threshold,
             compact_every=args.compact_every,
+            max_hot_hours=args.max_hot_hours,
         )
         q.awaitTermination()
-        if args.stage_threshold is not None:
+        if args.stage_threshold is not None or args.max_hot_hours is not None:
             # final compaction makes the store exact after the drain; its
             # cost belongs in the measured wall time
             compact_rollup_store(spark, store, ["event_type"])
@@ -124,6 +133,7 @@ def main() -> None:
                     "batches": args.batches,
                     "order": "shuffled" if args.shuffled else "time",
                     "stage_threshold": args.stage_threshold,
+                    "max_hot_hours": args.max_hot_hours,
                 }
             )
         )

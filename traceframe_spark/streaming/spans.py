@@ -301,6 +301,7 @@ def stream_to_rollup(
     trigger_available_now: bool = False,
     late_stage_threshold: int | None = None,
     compact_every: int = 8,
+    max_hot_hours: int | None = None,
 ):
     """Maintain a continuous-aggregate store from a stream: each
     micro-batch folds its delta into the standing rollup
@@ -330,6 +331,16 @@ def stream_to_rollup(
     exact; staged straggler hours are eventually-consistent between
     compactions, bounded by ``compact_every`` batches of staleness.
     Default None keeps today's always-exact immediate merge.
+
+    ``max_hot_hours`` is the size-free form of the same knob: merge at
+    most that many hours per batch — the ones carrying the LARGEST
+    deltas — and stage the rest, regardless of absolute row counts.
+    Row thresholds must be re-sized when batch volume changes (the 1×
+    threshold that tamed the worst case degrades at 10×ed volume,
+    measured in SCALING.md); an hour-count cap bounds the per-batch
+    merge cost by construction at any volume. The two compose:
+    threshold first (if set), then the cap; setting only
+    ``max_hot_hours`` enables staging with no row threshold.
     """
     from traceframe_spark.operators import rollup as R
 
@@ -351,18 +362,26 @@ def stream_to_rollup(
         # footer) must fail loudly — treating it as "first batch" would
         # dynamic-overwrite real history with this batch's delta alone
         if _store_exists(spark, path):
-            if late_stage_threshold is not None:
+            if late_stage_threshold is not None or max_hot_hours is not None:
                 # split the delta by per-hour partial-row mass: hot hours
                 # (the batch's own slice) merge now; straggler hours are a
                 # cheap append to staging, re-merged in bulk at compaction
                 hour_counts = (
                     delta.groupBy("hour_ns").count().collect()
                 )  # bounded: one row per touched hour
-                hot = [
-                    r["hour_ns"]
+                hot_rows = [
+                    r
                     for r in hour_counts
-                    if r["count"] >= late_stage_threshold
+                    if late_stage_threshold is None
+                    or r["count"] >= late_stage_threshold
                 ]
+                if max_hot_hours is not None and len(hot_rows) > max_hot_hours:
+                    # keep the heaviest hours; hour_ns tie-break for
+                    # determinism under equal masses
+                    hot_rows = sorted(
+                        hot_rows, key=lambda r: (-r["count"], r["hour_ns"])
+                    )[:max_hot_hours]
+                hot = [r["hour_ns"] for r in hot_rows]
                 cold_delta = delta.filter(~F.col("hour_ns").isin(hot))
                 if hot:
                     _merge_into_store(
