@@ -99,6 +99,8 @@ HEADLINE = [
     "embed_drift",
     "hll_distinct",
     "priority_sample",
+    "corpus_report",
+    "hll_daily_users",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans

@@ -183,24 +183,30 @@ def hll_registers(df: DataFrame, key_col: str, p: int = 10) -> DataFrame:
     unionByName + re-max (:func:`hll_merge`) across partitions, days,
     or corpora; ≤ 2^p rows total no matter the corpus size.
     """
+    bucket, rho = hll_bucket_rho(F.col(key_col), p)
+    return (
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+
+
+def hll_bucket_rho(key: Column, p: int = 10) -> tuple[Column, Column]:
+    """The (bucket, rho) column pair one key contributes — exposed so
+    GROUPED sketches (per-day uniques etc.) reuse the identical hash
+    definition: group on (your keys, bucket) with max(rho)."""
     m = 1 << p
-    key = F.col(key_col).cast("string")
-    bucket = (
-        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % m
-    ).alias("bucket")
+    key = key.cast("string")
+    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % m
     # independent 40-bit hash for the rank; rho = leading zeros + 1,
     # computed integer-exactly via the binary-string length (no log2
     # float boundary): v in [1, 2^40) -> rho = 41 - len(bin(v)); v = 0
     # (prob 2^-40) -> all 40 bits are zero -> rho = 41
-    v = F.conv(F.substring(F.md5(F.concat_ws("#", F.lit("rho"), key)), 1, 10), 16, 10).cast(
-        "long"
-    )
+    v = F.conv(
+        F.substring(F.md5(F.concat_ws("#", F.lit("rho"), key)), 1, 10), 16, 10
+    ).cast("long")
     rho = F.when(v == 0, F.lit(41)).otherwise(41 - F.length(F.bin(v))).cast("long")
-    return (
-        df.select(bucket, rho.alias("rho"))
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("rho_max"))
-    )
+    return bucket, rho
 
 
 def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -221,16 +227,38 @@ def hll_estimate(registers: DataFrame, p: int = 10) -> DataFrame:
     IEEE expression over identical inputs. The estimate is therefore
     deterministic across engines without quantizing intermediate state.
     """
-    m = 1 << p
-    alpha = 0.7213 / (1.0 + 1.079 / m)  # the m >= 128 constant
     agg = registers.agg(
         F.count("*").cast("long").alias("n_nonempty"),
         F.sum(F.pow(F.lit(2.0), -F.col("rho_max"))).alias("inv_sum"),
     )
+    return _hll_estimate_select(agg, [], p)
+
+
+def hll_estimate_by(
+    registers: DataFrame, group_cols: list[str], p: int = 10
+) -> DataFrame:
+    """Grouped cardinality estimates from grouped registers — the
+    per-day/per-tenant uniques rollup: ``registers`` carries
+    (group_cols..., bucket, rho_max) (build by grouping
+    :func:`hll_bucket_rho`'s pair on (group, bucket) with max). One row
+    per group: (group_cols..., n_nonempty, n_empty, est). Same
+    engine-exactness argument as :func:`hll_estimate`."""
+    agg = registers.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_nonempty"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho_max"))).alias("inv_sum"),
+    )
+    return _hll_estimate_select(agg, group_cols, p)
+
+
+def _hll_estimate_select(agg: DataFrame, group_cols: list[str], p: int) -> DataFrame:
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # the m >= 128 constant
     n_empty = (F.lit(m) - F.col("n_nonempty")).cast("long")
     raw = F.lit(alpha * m * m) / (F.col("inv_sum") + n_empty.cast("double"))
     est = F.when(
         (raw <= F.lit(2.5 * m)) & (n_empty > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / n_empty.cast("double")),
     ).otherwise(raw)
-    return agg.select("n_nonempty", n_empty.alias("n_empty"), est.alias("est"))
+    return agg.select(
+        *group_cols, "n_nonempty", n_empty.alias("n_empty"), est.alias("est")
+    )

@@ -1767,6 +1767,41 @@ FROM est
 """
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card in one query: per-source document count, exact
+    distinct-content count (dup mass), quality-gate keep count and
+    rate, and mean length — the summary table a curation pipeline
+    publishes with every corpus snapshot. Pure composition of existing
+    pieces (content_key + quality_gate), one scan + one grouped
+    aggregate after the gate's zero-shuffle projection."""
+    d = load_table(spark, sf_dir, "documents")
+    gate = text.quality_gate(d, "doc_id", "text")
+    joined = d.join(gate.select("doc_id", "keep"), "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct(dedup.content_key("text")).cast("long").alias("n_distinct"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep"),
+            qint(F.avg(F.col("keep").cast("double")), 4).alias("keep_rate_q"),
+            qint(F.avg(F.col("n_chars").cast("double")), 2).alias("avg_chars_q"),
+        )
+    )
+
+
+SQL_CORPUS_REPORT = f"""
+WITH gate AS ({SQL_QUALITY_GATE})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(lower(trim(d.text)))) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(floor(avg(CASE WHEN g.keep THEN 1.0 ELSE 0.0 END) * 10000 + 0.5) AS BIGINT) AS keep_rate_q,
+       CAST(floor(avg(d.n_chars::DOUBLE) * 100 + 0.5) AS BIGINT) AS avg_chars_q
+FROM documents d JOIN gate g ON g.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric 5-gram shingle containment ≥ 0.6 on a bounded doc
     subset (operators/dedup.containment_pairs): the quote/excerpt
@@ -1905,6 +1940,7 @@ PIPELINE_QUERIES = {
     "containment_pairs": q_containment_pairs,
     "ngram_novelty": q_ngram_novelty,
     "hll_distinct": q_hll_distinct,
+    "corpus_report": q_corpus_report,
 }
 
 PIPELINE_ORACLE_SQL = {
@@ -1949,4 +1985,5 @@ PIPELINE_ORACLE_SQL = {
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "hll_distinct": SQL_HLL_DISTINCT,
+    "corpus_report": SQL_CORPUS_REPORT,
 }

@@ -623,6 +623,72 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct users via GROUPED HyperLogLog (sketch.hll_bucket_rho
+    grouped on (day, bucket) + hll_estimate_by) next to the exact
+    count — the classic fixed-memory uniques rollup: per-day registers
+    are ≤1024 rows each and merge losslessly into weekly/monthly
+    uniques (union+max) without re-reading events. The oracle rebuilds
+    the identical registers and lands on the identical estimate."""
+    from traceframe_spark.operators import sketch
+
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr("ts div 86400000000000").alias("day")
+    b, r = sketch.hll_bucket_rho(F.col("user_id"), p=10)
+    regs = (
+        e.select(day, b.alias("bucket"), r.alias("rho"))
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+    est = sketch.hll_estimate_by(regs, ["day"], p=10)
+    exact = e.groupBy(F.expr("ts div 86400000000000").alias("day")).agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "day").select(
+        "day", "n_nonempty", "n_empty", qint(F.col("est"), 2).alias("est_q"),
+        "exact_distinct",
+    )
+
+
+SQL_HLL_DAILY_USERS = """
+WITH keyed AS (
+    SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           CAST(user_id AS VARCHAR) AS k
+    FROM events
+),
+regs AS (
+    SELECT day, ('0x' || substr(md5(k), 1, 8))::BIGINT % 1024 AS bucket,
+           max(CASE WHEN v = 0 THEN 41 ELSE 41 - length(bin(v)) END) AS rho_max
+    FROM (SELECT day, k,
+                 ('0x' || substr(md5('rho' || '#' || k), 1, 10))::BIGINT AS v
+          FROM keyed)
+    GROUP BY 1, 2
+),
+agg AS (
+    SELECT day, CAST(count(*) AS BIGINT) AS n_nonempty,
+           sum(power(2.0, -rho_max)) AS inv_sum
+    FROM regs GROUP BY day
+),
+est AS (
+    SELECT day, n_nonempty, CAST(1024 - n_nonempty AS BIGINT) AS n_empty,
+           (0.7213 / (1.0 + 1.079 / 1024)) * 1024.0 * 1024.0
+               / (inv_sum + (1024 - n_nonempty)) AS raw
+    FROM agg
+),
+ex AS (
+    SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+    FROM events GROUP BY 1
+)
+SELECT e.day, e.n_nonempty, e.n_empty,
+       CAST(floor(CASE WHEN e.raw <= 2560.0 AND e.n_empty > 0
+                       THEN 1024.0 * ln(1024.0 / e.n_empty)
+                       ELSE e.raw END * 100 + 0.5) AS BIGINT) AS est_q,
+       ex.exact_distinct
+FROM est e JOIN ex ON ex.day = e.day
+"""
+
+
 def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement
     (operators/sampling.priority_sample): top-100 documents by
@@ -706,6 +772,7 @@ TEMPORAL_QUERIES = {
     "domain_mix": q_domain_mix,
     "temperature_mix": q_temperature_mix,
     "priority_sample": q_priority_sample,
+    "hll_daily_users": q_hll_daily_users,
     "p95_from_rollup": q_p95_from_rollup,
 }
 
@@ -727,5 +794,6 @@ TEMPORAL_ORACLE_SQL = {
     "domain_mix": SQL_DOMAIN_MIX,
     "temperature_mix": SQL_TEMPERATURE_MIX,
     "priority_sample": SQL_PRIORITY_SAMPLE,
+    "hll_daily_users": SQL_HLL_DAILY_USERS,
     "p95_from_rollup": SQL_P95_FROM_ROLLUP,
 }
