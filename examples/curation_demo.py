@@ -183,6 +183,33 @@ def main() -> None:
         f"embeddings: {emb.count()} vectors, {n_out} per-label outliers flagged, "
         f"{n_sat} saturated int8 codes, hamming top-3 for 3 probes -> {ham.count()} rows"
     )
+
+    # 10. corpus instruments (r06): the dataset card, ingest-novelty
+    # triage, HLL cardinality, weighted sampling, and embedding drift —
+    # the monitoring surface a CONTINUOUS pipeline runs per snapshot
+    from traceframe_spark.operators import sketch
+    from traceframe_spark.operators.sampling import priority_sample
+    from traceframe_spark.operators.text import ngram_novelty
+
+    regs = sketch.hll_registers(docs, "text", p=10)
+    hll = sketch.hll_estimate(regs, p=10).first()
+    exact_texts = docs.select("text").distinct().count()
+    ref = docs.filter(F.col("doc_id") % 10 < 3)
+    nov = ngram_novelty(docs.filter(F.col("doc_id") % 10 >= 3), ref, n=3)
+    n_stale = nov.filter(F.col("novelty") < 0.3).count()
+    sample = priority_sample(docs, k=25, weight_col="n_chars")
+    drift = vectorprep.embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        "label", "embedding", dim=64,
+    )
+    min_cos = drift.agg(F.min("cos_q")).first()[0]
+    print(
+        f"instruments: HLL distinct texts ~{hll['est']:.0f} (exact {exact_texts}), "
+        f"{n_stale} low-novelty docs vs the 30% reference snapshot, "
+        f"priority sample of {sample.count()} by length, "
+        f"per-label embedding drift min cos_q {min_cos} (10000 = stable)"
+    )
     spark.stop()
 
 
