@@ -501,6 +501,82 @@ def test_stream_to_rollup_staged_worst_case_matches_batch(spark, tmp_path):
     assert got == expected
 
 
+def test_stream_to_hll_store_matches_batch_registers(spark, tmp_path):
+    """Continuous distinct counting: after an availableNow drain over a
+    SHUFFLED feed (late data everywhere), the standing HLL register
+    store equals the batch-computed registers EXACTLY (register merge
+    is max — no approximation is introduced by streaming), and the
+    per-day estimates match the batch estimates."""
+    from traceframe_spark.operators import sketch
+    from traceframe_spark.streaming.spans import stream_to_hll_store
+
+    HOUR_US = 3_600_000_000
+    DAY_US = 24 * HOUR_US
+    # 4 batches scattering users across 3 days (shuffled/late shape)
+    evs = [
+        [
+            (b * 100 + d * 10 + i, BASE + d * DAY_US + (b * 3 + i) * HOUR_US,
+             (b * 7 + d * 3 + i) % 40)
+            for d in range(3)
+            for i in range(6)
+        ]
+        for b in range(4)
+    ]
+    feed = tmp_path / "hllfeed"
+    feed.mkdir()
+    cols = ["event_id", "ts_us", "user_id"]
+    for i, batch in enumerate(evs):
+        (feed / f"b{i}.jsonl").write_text(
+            "\n".join(json.dumps(dict(zip(cols, e))) for e in batch)
+        )
+    schema = "event_id long, ts_us long, user_id long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+        .withColumn("ts", F.col("ts_us") * 1000)
+    )
+    store, ckpt = str(tmp_path / "hllstore"), str(tmp_path / "hllckpt")
+    q = stream_to_hll_store(
+        stream, store, ckpt, "user_id", trigger_available_now=True
+    )
+    q.awaitTermination(180)
+
+    all_events = spark.createDataFrame(
+        [e for b in evs for e in b], schema
+    ).withColumn("ts", F.col("ts_us") * 1000)
+    b, r = sketch.hll_bucket_rho(F.col("user_id"), 10)
+    batch_regs = (
+        all_events.select(
+            F.expr("ts div 86400000000000").alias("day"), b.alias("bucket"), r.alias("rho")
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+    as_rows = lambda df: sorted(
+        (row["day"], row["bucket"], row["rho_max"]) for row in df.collect()
+    )
+    assert as_rows(spark.read.parquet(store)) == as_rows(batch_regs)
+
+    est = {
+        row["day"]: row["est"]
+        for row in sketch.hll_estimate_by(
+            spark.read.parquet(store), ["day"], p=10
+        ).collect()
+    }
+    exact = {
+        row["day"]: row["n"]
+        for row in all_events.groupBy(F.expr("ts div 86400000000000").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    # BASE is not midnight-aligned, so the 3 synthetic "days" straddle
+    # 3-4 calendar days — the day SET must match the batch run exactly
+    assert set(est) == set(exact) and len(est) >= 3
+    for day, n in exact.items():
+        assert abs(est[day] - n) / n < 0.25  # tiny-set linear counting regime
+
+
 def test_streaming_sessionize_matches_batch(spark, tmp_path):
     """session_window over an availableNow stream equals the batch run
     on the union of all batches, including a late event that lands

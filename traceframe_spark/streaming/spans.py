@@ -412,6 +412,85 @@ def stream_to_rollup(
     return writer.start()
 
 
+def stream_to_hll_store(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_col: str,
+    day_from_ts: str = "ts",
+    p: int = 10,
+    trigger_available_now: bool = False,
+):
+    """Continuous DISTINCT counting: maintain per-day HyperLogLog
+    registers from a stream — the streaming twin of the batch
+    ``hll_daily_users`` query, and the register-merge property made
+    operational: each micro-batch sketches its own rows (≤ 2^p register
+    rows per touched day) and folds into the standing store with
+    union + per-(day, bucket) MAX, the same idempotent-shape fold
+    ``stream_to_rollup`` uses for sums. Exact-once per batch via the
+    same lineage-namespaced markers. Readers get daily uniques at any
+    moment with ``sketch.hll_estimate_by(spark.read.parquet(path),
+    ["day"])`` — no distinct state store, no watermark bookkeeping, and
+    the store is a few KB per day regardless of stream volume.
+
+    Late data is FREE here (unlike the sum rollup): a straggler's
+    register max folds into its day whenever it arrives, and re-merging
+    a day costs ≤ 2^p rows — there is no worst case to stage against.
+    And because MAX is idempotent, even the write-then-mark crash
+    window the sum store documents is harmless here: re-merging an
+    already-applied batch's registers changes nothing. This store's
+    exactly-once is structural, not marker-dependent (markers are kept
+    anyway — they make the replay a skip instead of a no-op merge).
+    """
+    from traceframe_spark.operators import sketch
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if _batch_already_applied(spark, path, checkpoint, batch_id):
+            return
+        b, r = sketch.hll_bucket_rho(F.col(key_col), p)
+        delta = (
+            batch_df.select(
+                F.expr(f"{day_from_ts} div 86400000000000").alias("day"),
+                b.alias("bucket"),
+                r.alias("rho"),
+            )
+            .groupBy("day", "bucket")
+            .agg(F.max("rho").alias("rho_max"))
+            .localCheckpoint()
+        )
+        if _store_exists(spark, path):
+            touched = [row["day"] for row in delta.select("day").distinct().collect()]
+            standing = (
+                spark.read.parquet(path)
+                .filter(F.col("day").isin(touched))
+                .localCheckpoint()
+            )
+            merged = (
+                standing.unionByName(delta)
+                .groupBy("day", "bucket")
+                .agg(F.max("rho_max").alias("rho_max"))
+            )
+        else:
+            merged = delta
+        (
+            merged.repartition("day")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day")
+            .parquet(path)
+        )
+        _mark_batch_applied(spark, path, checkpoint, batch_id)
+
+    writer = (
+        events.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_dedup(
     df: DataFrame,
     key_cols: list[str],
