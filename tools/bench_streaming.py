@@ -55,6 +55,14 @@ def main() -> None:
     )
     ap.add_argument("--compact-every", type=int, default=8)
     ap.add_argument(
+        "--hll",
+        action="store_true",
+        help="bench the streaming HLL register store (per-day distinct "
+        "user_id sketches via stream_to_hll_store) instead of the sum "
+        "rollup -- register MAX merge makes late data free, so the "
+        "shuffled feed should cost the same as the ordered one",
+    )
+    ap.add_argument(
         "--max-hot-hours",
         type=int,
         default=None,
@@ -69,7 +77,11 @@ def main() -> None:
     from traceframe_spark.operators import rollup as R
     from traceframe_spark.plans.catalog import load_table
     from traceframe_spark.session import get_spark
-    from traceframe_spark.streaming.spans import compact_rollup_store, stream_to_rollup
+    from traceframe_spark.streaming.spans import (
+        compact_rollup_store,
+        stream_to_hll_store,
+        stream_to_rollup,
+    )
 
     spark = get_spark(app_name="bench-streaming")
     spark.range(1_000_000).select(F.sum("id")).collect()  # JVM warmup
@@ -100,6 +112,36 @@ def main() -> None:
             .parquet(feed)
         )
         t0 = time.time()
+        if args.hll:
+            # sketch event_id: every event is distinct, so the summed
+            # estimate has a known truth (n_events) for the sanity assert
+            q = stream_to_hll_store(
+                stream, store, ckpt, "event_id", trigger_available_now=True
+            )
+            q.awaitTermination()
+            dt = time.time() - t0
+            from traceframe_spark.operators import sketch
+
+            est = sketch.hll_estimate_by(
+                spark.read.parquet(store), ["day"]
+            ).agg(F.sum("est")).first()[0]
+            # every event_id is distinct: summed estimate ~= n_events
+            assert abs(est - n_events) / n_events < 0.1, (est, n_events)
+            print(
+                json.dumps(
+                    {
+                        "sf_dir": args.sf,
+                        "mode": "hll_store",
+                        "events": n_events,
+                        "seconds": round(dt, 2),
+                        "events_per_sec": int(n_events / dt),
+                        "batches": args.batches,
+                        "order": "shuffled" if args.shuffled else "time",
+                        "est_total": int(est),
+                    }
+                )
+            )
+            return
         q = stream_to_rollup(
             stream,
             store,
