@@ -1553,3 +1553,23 @@ def test_temperature_mix_flattens_toward_uniform(spark):
     first = {tuple(sorted(r)) for r in temperature_domain_sample(
         df, budget=200, temperature=0.5).select("doc_id").collect()}
     assert again == first  # hash-rank selection is deterministic
+
+
+def test_priority_sample_large_k_partitioned_rank(spark):
+    """k beyond RANKED_TOPK_MAX takes the partitioned_topk path: same
+    selection semantics (the k=100 sample must be exactly the first 100
+    ranks of the k=250 sample), global ranks 1..k, deterministic."""
+    from traceframe_spark.operators.sampling import priority_sample
+
+    rows = [(i, 1.0 + (i % 7)) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id: long, w: double")
+    big = priority_sample(df, k=250, weight_col="w").collect()
+    assert sorted(r["rank"] for r in big) == list(range(1, 251))
+    assert len({r["doc_id"] for r in big}) == 250
+    by_rank = {r["rank"]: r["doc_id"] for r in big}
+    small = priority_sample(df, k=100, weight_col="w").collect()
+    assert [r["doc_id"] for r in sorted(small, key=lambda r: r["rank"])] == [
+        by_rank[i] for i in range(1, 101)
+    ]
+    again = priority_sample(df, k=250, weight_col="w").collect()
+    assert {r["rank"]: r["doc_id"] for r in again} == by_rank

@@ -311,3 +311,36 @@ def test_unpartitioned_window_limit_must_be_on_the_spine(spark):
 
     good = ranked_topk(joined, [F.col("s_suppkey").asc()], 5, rank_col="rn")
     assert unpartitioned_window_flags(plan_of(good)) == []
+
+
+def test_partitioned_topk_multi_partition_global_rank(spark):
+    """partitioned_topk: range repartition + per-partition row_number +
+    cumulative offsets must reproduce the exact global 1..k rank across
+    several physical partitions (rows_per_partition forces nparts=5)."""
+    from pyspark.sql import functions as F
+
+    from traceframe_spark.functions import partitioned_topk
+
+    df = spark.createDataFrame(
+        [((i * 7919) % 1000, i) for i in range(1000)], "v: long, id: long"
+    )
+    out = partitioned_topk(
+        df, [F.col("v").asc(), F.col("id").asc()], 300, rows_per_partition=64
+    ).collect()
+    assert len(out) == 300
+    ordered = sorted(out, key=lambda r: r["rank"])
+    assert [r["rank"] for r in ordered] == list(range(1, 301))
+    # global rank order == value order (v is a permutation, so distinct)
+    assert [r["v"] for r in ordered] == sorted(r["v"] for r in out)
+    assert [r["v"] for r in ordered] == sorted({(i * 7919) % 1000 for i in range(1000)})[:300]
+
+
+def test_lsh_cap_rejects_sub_one(spark):
+    """max_pairs_per_bucket < 1 is a contract error, not a silent
+    clamp-to-one-pair (the C(2,2) floor would exceed the stated bound)."""
+    import pytest as _pytest
+
+    from traceframe_spark.operators.dedup import lsh_candidate_pairs
+
+    with _pytest.raises(ValueError, match="max_pairs_per_bucket"):
+        lsh_candidate_pairs(None, max_pairs_per_bucket=0)

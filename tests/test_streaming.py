@@ -894,3 +894,65 @@ def test_quality_gate_on_document_stream(spark, tmp_path):
     for did in got:
         assert got[did].asDict() == batch[did].asDict(), did
     assert got[1]["keep"] and not got[2]["keep"] and not got[3]["keep"]
+
+
+def test_compact_rollup_store_folds_tombstone_leftover(spark, tmp_path):
+    """Compaction renames staging to a tombstoned path before merging
+    (so concurrent readers never see a staged delta twice); a crash
+    between the store rewrite and the tombstone delete leaves the
+    tombstone behind — the next compact_rollup_store call must fold the
+    leftover FIRST, then the live staging area, and clear both."""
+    from traceframe_spark.operators import rollup as R
+    from traceframe_spark.streaming.spans import (
+        _STAGING_DIR,
+        _STAGING_TOMB_DIR,
+        compact_rollup_store,
+        read_rollup_store,
+    )
+
+    HOUR_US = 3_600_000_000
+    schema = "event_id long, ts_us long, event_type string, value double"
+
+    def delta_for(rows):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts_us") * 1000
+        )
+        return R.rollup_events(df, R.MINUTE_NS, ["event_type"], "value").withColumn(
+            "hour_ns", R.time_bucket(F.col("bucket_ns"), R.HOUR_NS)
+        )
+
+    store = str(tmp_path / "tombstore")
+    b0 = [(i, BASE + i * 1_000_000, "click", float(i)) for i in range(6)]
+    b1 = [(10 + i, BASE + HOUR_US + i * 1_000_000, "view", 2.0 * i) for i in range(6)]
+    b2 = [(20 + i, BASE + i * 1_000_000, "click", 3.0 * i) for i in range(6)]
+
+    # batch 0 staged then compacted -> standing store exists
+    delta_for(b0).coalesce(1).write.mode("append").parquet(f"{store}/{_STAGING_DIR}")
+    assert compact_rollup_store(spark, store, ["event_type"])
+    # simulate the crash window: a tombstoned staging area whose delete
+    # never ran (batch 1), PLUS freshly staged deltas (batch 2)
+    delta_for(b1).coalesce(1).write.mode("append").parquet(
+        f"{store}/{_STAGING_TOMB_DIR}"
+    )
+    delta_for(b2).coalesce(1).write.mode("append").parquet(f"{store}/{_STAGING_DIR}")
+    assert compact_rollup_store(spark, store, ["event_type"])
+    assert not (tmp_path / "tombstore" / _STAGING_TOMB_DIR).exists()
+    assert not (tmp_path / "tombstore" / _STAGING_DIR).exists()
+    assert not compact_rollup_store(spark, store, ["event_type"])  # drained
+
+    expected = {
+        (r["bucket_ns"], r["event_type"]): (r["n"], r["value_sum"])
+        for r in R.rollup_events(
+            spark.createDataFrame(b0 + b1 + b2, schema).withColumn(
+                "ts", F.col("ts_us") * 1000
+            ),
+            R.MINUTE_NS,
+            ["event_type"],
+            "value",
+        ).collect()
+    }
+    got = {
+        (r["bucket_ns"], r["event_type"]): (r["n"], r["value_sum"])
+        for r in read_rollup_store(spark, store, ["event_type"]).collect()
+    }
+    assert got == expected

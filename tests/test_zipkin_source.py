@@ -121,10 +121,13 @@ def test_zipkin_shared_span_disambiguation(spark, tmp_path):
     p = tmp_path / "shared.json"
     p.write_text(json.dumps(both_halves))
     rows = {r["spanID"]: r for r in spans_from_zipkin_file(spark, str(p)).collect()}
-    # shared half gets a synthetic 16-hex id (endpoint hashed in)
+    # shared half gets a synthetic 16-hex id (endpoint + timestamp hashed
+    # in, so even same-endpoint re-records at different instants diverge)
     import hashlib
 
-    shared_id = hashlib.md5(b"cc00000000000001#backend##").hexdigest()[:16]
+    shared_id = hashlib.md5(
+        f"cc00000000000001#backend###{BASE_US + 2_000}".encode()
+    ).hexdigest()[:16]
     assert set(rows) == {"cc00000000000001", shared_id}
     server = rows[shared_id]
     assert len(shared_id) == 16  # keeps the 16-hex spanID shape

@@ -107,9 +107,11 @@ def main() -> int:
         all_names = list(qs)
         k = min(args.sample, len(all_names))
         stride = len(all_names) / k
+        # draw uniformly within REAL-valued stratum bounds [i*stride,
+        # (i+1)*stride): with an integer randrange over a fractional
+        # stride, positions in each stratum's tail were unreachable
         names = [
-            all_names[min(int(i * stride) + rng.randrange(max(int(stride), 1)),
-                          len(all_names) - 1)]
+            all_names[min(int((i + rng.random()) * stride), len(all_names) - 1)]
             for i in range(k)
         ]
     unknown = [n for n in names if n not in qs]

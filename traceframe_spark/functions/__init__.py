@@ -148,3 +148,60 @@ def ranked_topk(df, order: list[Column], k: int, rank_col: str = "rank"):
     return top.withColumn(
         rank_col, F.row_number().over(Window.orderBy(*order)).cast("long")
     )
+
+
+def partitioned_topk(
+    df,
+    order: list[Column],
+    k: int,
+    rank_col: str = "rank",
+    rows_per_partition: int = 262_144,
+):
+    """Top-``k`` rows plus a global 1..k rank for ``k`` beyond
+    :data:`RANKED_TOPK_MAX`, without an unpartitioned window.
+
+    ``orderBy().limit(k)`` first (TakeOrderedAndProject, same as
+    :func:`ranked_topk`), then ``repartitionByRange`` on the SAME order:
+    Spark's range partitioning assigns contiguous sort ranges to
+    ascending partition ids, so every row in partition ``i`` precedes
+    every row in partition ``i+1`` under ``order``. The global rank is
+    then a PARTITIONED ``row_number`` (each window sees at most
+    ``rows_per_partition`` rows) plus the cumulative row count of the
+    earlier partitions — one bounded collect of ``nparts`` counts. The
+    ``localCheckpoint`` pins the physical partitioning so the count job
+    and the rank job see identical ``spark_partition_id`` values.
+
+    Same CONTRACT as :func:`ranked_topk`: ``order`` must be TOTAL (end
+    with a unique-id tie-break) or boundary membership and ranks are
+    nondeterministic.
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    nparts = max(1, math.ceil(k / rows_per_partition))
+    ranged = (
+        df.orderBy(*order)
+        .limit(k)
+        .repartitionByRange(nparts, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    sizes = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    acc, offsets = 0, {}
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+    )
+    w = Window.partitionBy("_pid").orderBy(*order)
+    return ranged.withColumn(
+        rank_col,
+        (F.row_number().over(w) + F.coalesce(off_map[F.col("_pid")], F.lit(0))).cast(
+            "long"
+        ),
+    ).drop("_pid")

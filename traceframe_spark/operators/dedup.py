@@ -225,7 +225,19 @@ def lsh_candidate_pairs(
     default (None) is exact, unchanged behavior; pipelines should
     prefer :func:`dedup_pipeline`, whose exact stage removes clone mass
     before LSH ever runs, and keep this cap as defense in depth.
+    ``max_pairs_per_bucket`` must be >= 1 (a pair cannot be emitted
+    from fewer than 2 members, so the effective floor is C(2,2) = 1
+    pair per bucket; asking for less is a contract error, rejected with
+    ValueError). Enabling the cap costs one extra BOUNDED aggregation
+    job per call (the truncation report, one row per over-cap bucket
+    collapsed to one row) even when nothing ends up truncated.
     """
+    if max_pairs_per_bucket is not None and max_pairs_per_bucket < 1:
+        raise ValueError(
+            f"max_pairs_per_bucket={max_pairs_per_bucket} < 1: the cap floor "
+            "is one pair per bucket (two retained members); use None for "
+            "exact uncapped behavior"
+        )
     n = n_hashes if n_hashes is not None else signatures.select(F.size("sig")).first()[0]
     rows_per_band = max(n // bands, 1)
     band_entries = F.array(

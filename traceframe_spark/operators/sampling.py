@@ -221,8 +221,16 @@ def priority_sample(
     cost at 100 TB is the scan. The id tie-break makes the order total
     (ranked_topk's documented contract). Output: the sampled rows plus
     their ``priority``.
+
+    Rank machinery by sample size: ``k <= RANKED_TOPK_MAX`` (100) uses
+    :func:`~traceframe_spark.functions.ranked_topk`'s bounded
+    single-window rank; a realistically sized corpus sample (k = 1e3 …
+    1e7) falls back to :func:`~traceframe_spark.functions.
+    partitioned_topk` — same TakeOrderedAndProject selection, global
+    rank from a range-partitioned window — so no k cap applies to this
+    operator.
     """
-    from traceframe_spark.functions import ranked_topk
+    from traceframe_spark.functions import RANKED_TOPK_MAX, partitioned_topk, ranked_topk
 
     w = F.col(weight_col).cast("double")
     u = (md5_uniform(F.col(id_col)).cast("double") + F.lit(1.0)) / F.lit(
@@ -230,6 +238,7 @@ def priority_sample(
     )  # (0, 1]: +1 keeps u > 0 so priority stays defined for any weight
     pri = F.pow(u, F.lit(1.0) / w)
     keyed = df.filter(w > 0).withColumn("priority", pri)
-    return ranked_topk(
-        keyed, [F.col("priority").desc(), F.col(id_col).asc()], k, rank_col="rank"
-    )
+    order = [F.col("priority").desc(), F.col(id_col).asc()]
+    if k <= RANKED_TOPK_MAX:
+        return ranked_topk(keyed, order, k, rank_col="rank")
+    return partitioned_topk(keyed, order, k, rank_col="rank")

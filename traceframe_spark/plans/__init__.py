@@ -11,26 +11,20 @@ from traceframe_spark.plans.tpch import TPCH_ORACLE_SQL, TPCH_QUERIES
 from traceframe_spark.plans.traceops import TRACEOPS_ORACLE_SQL, TRACEOPS_QUERIES
 
 
-# Round-6 head rotation, driven by `python tools/coverage_ledger.py`: the 13
-# queries below had never had a driver-recorded CORRECTNESS row across
-# r01-r05 (the external gate records only the registry head-50), so they
-# lead the registry this round.  `percentiles_approx` is rows-only and is
-# deliberately inside the sampled prefix so the external gate exercises the
-# rows-only path too (its oracle-backed exact twin `percentiles` follows).
-_R6_ROTATION_HEAD = [
-    "ann_ivf_recall",
-    "leakage_split",
-    "exists_subquery",
-    "full_outer_join",
-    "rank_distributions",
-    "rank_family",
-    "stats_by_group",
-    "ntile_buckets",
-    "first_last_window",
-    "range_interval_window",
-    "set_ops_all",
-    "temperature_mix",
-    "percentiles_approx",
+# Round-7 head rotation, driven by `python tools/coverage_ledger.py`: the 7
+# queries below (all registered in round 6 *after* that round's head-50
+# rotation) are the only registry entries that have never had a
+# driver-recorded CORRECTNESS row, so they lead the registry this round.
+# Round-6's head (ann_ivf_recall ... percentiles_approx) was recorded in
+# CORRECTNESS_r06.json and returns to natural registry order.
+_R7_ROTATION_HEAD = [
+    "containment_pairs",
+    "ngram_novelty",
+    "hll_distinct",
+    "corpus_report",
+    "embed_drift",
+    "priority_sample",
+    "hll_daily_users",
 ]
 
 
@@ -41,12 +35,13 @@ def catalog_queries():
     registry head-first.  Rounds 1-4 banked green rows for the TPC-H /
     temporal / traceops / events / lexical / advanced / core heads; round 5
     rotated the LLM-data-pipeline suites (PIPELINE + MLPREP) to the front;
-    round 6 leads with the 13 queries the gate had never recorded (see
-    `_R6_ROTATION_HEAD` / tools/coverage_ledger.py), then refills the head
-    with pipeline/mlprep refreshers.  The oracle-backed vs rows-only
-    distinction is metadata, not ordering — see `catalog_meta()`; the head
-    now includes a rows-only entry on purpose so the external sample
-    exercises both verification paths.
+    round 6 led with the 13 queries the gate had never recorded; round 7
+    leads with the 7 operators added late in round 6 (see
+    `_R7_ROTATION_HEAD` / tools/coverage_ledger.py) — once these record,
+    every registered query has a driver-green row at least once.  The
+    oracle-backed vs rows-only distinction is metadata, not ordering — see
+    `catalog_meta()`; rows-only entries remain inside the head-50 so the
+    external sample exercises both verification paths.
     """
     merged = {
         **PIPELINE_QUERIES,
@@ -59,7 +54,7 @@ def catalog_queries():
         **TEMPORAL_QUERIES,
         **TPCH_QUERIES,
     }
-    head = {k: merged[k] for k in _R6_ROTATION_HEAD if k in merged}
+    head = {k: merged[k] for k in _R7_ROTATION_HEAD if k in merged}
     return {**head, **{k: v for k, v in merged.items() if k not in head}}
 
 

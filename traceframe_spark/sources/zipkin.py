@@ -24,19 +24,23 @@ shape of Zipkin's own JSON file dumps):
 - ``shared=true`` spans (the server half of an RPC reusing the client
   span's id) are disambiguated in the spirit of Jaeger's Zipkin
   receiver: the shared half gets a SYNTHETIC 16-hex spanID —
-  ``substr(md5(id # serviceName # ipv4 # port), 1, 16)`` — and the
-  original ``<id>`` (the client half) as its parent, so a dump
+  ``substr(md5(id # serviceName # ipv4 # port # timestamp), 1, 16)`` —
+  and the original ``<id>`` (the client half) as its parent, so a dump
   carrying both halves yields unique spanIDs and a correct
   parent/child edge instead of double-counting in regroup /
-  critical-path kernels keyed on spanID. Hashing the endpoint into the
-  id (rather than a fixed ``-s`` suffix) keeps ids unique even when a
-  dump carries TWO shared halves for one id (multi-hop proxies,
-  duplicated server records from distinct endpoints), and preserves
-  the 16-hex spanID shape downstream consumers assume. FORMAT
-  DEVIATION: the synthetic id is not Zipkin's original id — consumers
-  that join back to the raw dump should key on (traceId, parent,
-  endpoint). Byte-identical duplicate shared records still collide by
-  design (they ARE duplicates). If the client half is absent from the
+  critical-path kernels keyed on spanID. Hashing the endpoint AND the
+  start timestamp into the id (rather than a fixed ``-s`` suffix)
+  keeps ids unique even when a dump carries TWO shared halves for one
+  id (multi-hop proxies, duplicated server records from distinct
+  endpoints, or the same server recording the span twice at different
+  instants), and preserves the 16-hex spanID shape downstream
+  consumers assume. FORMAT DEVIATION: the synthetic id is not Zipkin's
+  original id — consumers that join back to the raw dump should key on
+  (traceId, parent, endpoint, timestamp). Shared records agreeing on
+  (id, endpoint, timestamp) still collide by design — at microsecond
+  start-time resolution such records describe the same observation, so
+  collapsing them is the deduplication this mapping exists to provide.
+  If the client half is absent from the
   dump the shared span is an orphan (parent points at a missing id) —
   same as Jaeger.
 
@@ -127,8 +131,9 @@ def zipkin_raw_spans(raw: DataFrame) -> DataFrame:
     shuffle."""
     shared = F.coalesce(F.col("shared"), F.lit(False))
     # shared server half: synthetic 16-hex id unique PER HALF (endpoint
-    # hashed in, so two shared halves of one id stay distinct and the
-    # spanID keeps its 16-hex shape), parented on the client half
+    # and start timestamp hashed in, so two shared halves of one id stay
+    # distinct — even same-endpoint re-records at different instants —
+    # and the spanID keeps its 16-hex shape), parented on the client half
     ep0 = F.col("localEndpoint")
     shared_id = F.substring(
         F.md5(
@@ -138,6 +143,7 @@ def zipkin_raw_spans(raw: DataFrame) -> DataFrame:
                 F.coalesce(ep0["serviceName"], F.lit("")),
                 F.coalesce(ep0["ipv4"], F.lit("")),
                 F.coalesce(ep0["port"].cast("string"), F.lit("")),
+                F.coalesce(F.col("timestamp").cast("string"), F.lit("")),
             )
         ),
         1,

@@ -198,6 +198,14 @@ _STAGING_DIR = "_late_staging"
 underscore keeps it invisible to store readers (Hadoop/Spark path
 filters skip ``_``/``.`` entries), like ``_applied_batches``."""
 
+_STAGING_TOMB_DIR = "_late_staging_compacting"
+"""Tombstoned staging area: compaction RENAMES ``_late_staging`` here
+(one atomic FS rename) before folding it into the standing store, so a
+concurrent :func:`read_rollup_store` — which only ever looks at
+``_late_staging`` — can never see a staged delta both in the rewritten
+store and in staging (transient double-count). Also ``_``-prefixed, so
+plain store readers skip it."""
+
 
 def _write_merged_hours(merged: DataFrame, path: str) -> None:
     (
@@ -243,7 +251,18 @@ def read_rollup_store(spark, path: str, keys: list[str]) -> DataFrame:
     undercounts staged straggler hours by at most ``compact_every``
     batches of late data. Cost: the staging area is small by
     construction (cold deltas only), so the merge is a broadcast-sized
-    union + one aggregation on top of the normal store scan."""
+    union + one aggregation on top of the normal store scan.
+
+    Concurrency: exact-on-read holds against a CONCURRENT compaction
+    too — :func:`compact_rollup_store` atomically renames staging to a
+    tombstoned path before touching the store, so a read taken mid-
+    compaction sees each staged delta at most once (in the standing
+    store once the rewrite lands, in staging before the rename, never
+    both). The mid-compaction read may transiently MISS the in-flight
+    deltas — the same bounded staleness the standing store already has
+    between compactions, resolved by the next read. The store assumes a
+    single writer (the one streaming query / compactor), as all the
+    stores here do."""
     from traceframe_spark.operators import rollup as R
 
     standing = spark.read.parquet(path)
@@ -256,25 +275,18 @@ def read_rollup_store(spark, path: str, keys: list[str]) -> DataFrame:
     ).withColumn("hour_ns", R.time_bucket(F.col("bucket_ns"), R.HOUR_NS))
 
 
-def compact_rollup_store(spark, path: str, keys: list[str]) -> bool:
-    """Fold the late-delta staging area into the standing rollup store
-    and clear it; returns True if anything was compacted.
+def _fs_path(spark, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
 
-    Called automatically every ``compact_every`` batches by
-    :func:`stream_to_rollup` when staging is enabled, and by hand (or
-    from a scheduler) after an ``availableNow`` drain to make the store
-    exact. Crash exposure: the merged-write → staging-delete pair has
-    the same narrow at-least-once window as the store's existing
-    write-then-mark pair (a crash between them re-merges the staged
-    deltas on the next compaction) — closing it fully needs a
-    transactional table format, the same documented upgrade path.
-    """
-    staging = f"{path}/{_STAGING_DIR}"
-    if not _store_exists(spark, staging):
-        return False
+
+def _fold_staged_into_store(spark, staged_path: str, path: str, keys: list[str]) -> None:
+    """Merge one staged-deltas directory into the standing store."""
     # localCheckpoint materializes the staged partials BEFORE the store
-    # rewrite and the staging delete, cutting both file-source lineages
-    staged = spark.read.parquet(staging).localCheckpoint()
+    # rewrite, cutting the file-source lineage (Spark refuses to
+    # overwrite a path it is also reading from)
+    staged = spark.read.parquet(staged_path).localCheckpoint()
     if _store_exists(spark, path):
         _merge_into_store(spark, staged, path, keys)
     else:
@@ -284,9 +296,44 @@ def compact_rollup_store(spark, path: str, keys: list[str]) -> bool:
             staged.drop("hour_ns"), staged.drop("hour_ns").limit(0), keys
         ).withColumn("hour_ns", R.time_bucket(F.col("bucket_ns"), R.HOUR_NS))
         _write_merged_hours(merged, path)
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(staging)
-    p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+
+
+def compact_rollup_store(spark, path: str, keys: list[str]) -> bool:
+    """Fold the late-delta staging area into the standing rollup store
+    and clear it; returns True if anything was compacted.
+
+    Called automatically every ``compact_every`` batches by
+    :func:`stream_to_rollup` when staging is enabled, and by hand (or
+    from a scheduler) after an ``availableNow`` drain to make the store
+    exact. Staging is first RENAMED (atomic) to a ``_``-prefixed
+    tombstone path, then merged from there — so a concurrent
+    :func:`read_rollup_store`, which only reads ``_late_staging``,
+    never sees a staged delta in both the rewritten store and staging
+    at once (see its docstring for the exact read semantics). Crash
+    exposure: a crash between the store rewrite and the tombstone
+    delete leaves the tombstone behind; the NEXT compaction folds the
+    leftover first, re-merging those deltas — the same narrow
+    at-least-once window as the store's existing write-then-mark pair.
+    Closing it fully needs a transactional table format, the same
+    documented upgrade path. Single writer assumed (one streaming
+    query / compactor at a time), as everywhere in this store.
+    """
+    staging = f"{path}/{_STAGING_DIR}"
+    tomb = f"{path}/{_STAGING_TOMB_DIR}"
+    compacted = False
+    # crash leftover from a prior compaction: fold it before anything else
+    if _store_exists(spark, tomb):
+        _fold_staged_into_store(spark, tomb, path, keys)
+        fs, p = _fs_path(spark, tomb)
+        fs.delete(p, True)
+        compacted = True
+    if not _store_exists(spark, staging):
+        return compacted
+    fs, src = _fs_path(spark, staging)
+    _, dst = _fs_path(spark, tomb)
+    fs.rename(src, dst)
+    _fold_staged_into_store(spark, tomb, path, keys)
+    fs.delete(dst, True)
     return True
 
 
