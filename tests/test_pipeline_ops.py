@@ -1573,3 +1573,50 @@ def test_priority_sample_large_k_partitioned_rank(spark):
     ]
     again = priority_sample(df, k=250, weight_col="w").collect()
     assert {r["rank"]: r["doc_id"] for r in again} == by_rank
+
+
+def test_containment_pipeline_exact_and_clone_safe(spark):
+    """The shippable composition must (a) reproduce containment_pairs
+    EXACTLY (the prefix-filter candidate router is pigeonhole-exact:
+    any floor((1-t)|A|)+1 shingles of A must hit a superset of A),
+    (b) collapse exact clones to canonicals so clone mass never reaches
+    the candidate join, and (c) still find the asymmetric quote case
+    that Jaccard-LSH routing would structurally miss."""
+    quote = "the seven laws of robust distributed systems design"
+    long_doc = (
+        "chapter one introduces many unrelated concepts and then cites "
+        f"{quote} before wandering into further unrelated material about "
+        "networks storage consensus replication and finally scheduling"
+    )
+    filler = "completely different text about cooking pasta with garlic"
+    rows = [(1, quote), (2, long_doc), (3, filler)]
+    # 4 exact clones of each doc (ids above the originals)
+    clones = [(100 * i + j, t) for j in range(1, 5) for i, t in rows]
+    df = spark.createDataFrame(rows + clones, ["doc_id", "text"])
+
+    exact = {
+        (r["id_sub"], r["id_super"]): round(r["containment"], 9)
+        for r in dedup.containment_pairs(
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            "doc_id", "text", threshold=0.6,
+        ).collect()
+    }
+    piped = {
+        (r["id_sub"], r["id_super"]): round(r["containment"], 9)
+        for r in dedup.containment_pipeline(
+            df, "doc_id", "text", threshold=0.6
+        ).collect()
+    }
+    assert piped == exact  # clone-collapsed pipeline == raw operator
+    assert (1, 2) in piped and piped[(1, 2)] > 0.9  # the quote case
+    assert (2, 1) not in piped  # asymmetry preserved
+
+    # collapse_exact=False on the clone-free corpus: same answer too
+    raw = {
+        (r["id_sub"], r["id_super"]): round(r["containment"], 9)
+        for r in dedup.containment_pipeline(
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            "doc_id", "text", threshold=0.6, collapse_exact=False,
+        ).collect()
+    }
+    assert raw == exact

@@ -826,3 +826,111 @@ def dedup_pipeline(
     comp = connected_components(pairs, "id_a", "id_b")
     out = keep_canonical(residual, id_col, comp)
     return _unpersist_with(carry_cache(out, pairs), residual)
+
+
+def containment_pipeline(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_size: int = 5,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """Corpus-scale asymmetric containment: exact-clone collapse →
+    prefix-filtered candidate routing → exact containment verification.
+    Returns ``(id_sub, id_super, containment)`` pairs ≥ ``threshold``
+    among exact-canonical representatives — EXACTLY the
+    :func:`containment_pairs` answer on the collapsed corpus, because
+    the candidate stage has provably zero false negatives (below); the
+    verifier stage IS :func:`containment_pairs`' measure, evaluated
+    only on routed candidates.
+
+    Candidate routing is deliberately NOT MinHash-LSH: Jaccard-banded
+    LSH buckets by the SYMMETRIC measure, and the asymmetric pairs this
+    operator exists for (a short eval question quoted verbatim inside a
+    long training doc) have Jaccard ≈ |sub|/|sup| — arbitrarily far
+    below any useful band threshold — so LSH routing forfeits exactly
+    the recall containment is asked to provide. Instead, PREFIX
+    FILTERING (Chaudhuri-Ganti-Kaushik, ICDE 2006; the PPJoin family,
+    Xiao et al., WWW 2008), which is exact by pigeonhole: if
+    ``C(A→B) = |A∩B|/|A| ≥ t`` then ``|A∖B| ≤ floor((1-t)·|A|)``, so
+    ANY ``floor((1-t)·|A|) + 1`` distinct shingles of A must include at
+    least one shingle of B. Probing each doc's that-many RAREST
+    shingles (ascending corpus document-frequency — the ordering that
+    makes the probed posting lists short) against the full inverted
+    index therefore surfaces every qualifying (sub, super) pair in
+    both directions.
+
+    Scale shape: one narrow (id, md5) shuffle for stage 1; one
+    document-frequency aggregation; one per-doc window (partitioned by
+    id) to rank shingles; one equi-join of ~(1-t)·|shingles| probe rows
+    against the inverted index — candidate-mass cost, not corpus², and
+    the AQE skew machinery applies to any residual hot shingle. The
+    clone blowup that breaks raw inverted-index self-joins (m copies of
+    one page multiply every posting list they touch by m, and emit m²
+    pairs) is removed by stage 1: collapsed, each content appears once,
+    and every clone of a canonical doc has its canonical's exact
+    containment BY TEXT IDENTITY — expand through the content key if
+    per-clone pairs are needed. For sketch-only routing at
+    internet scale see LSH Ensemble (Zhu et al., VLDB 2016 —
+    size-partitioned banding for containment); unnecessary here because
+    the prefix join is exact in the same shuffle class.
+    """
+    from pyspark.sql.window import Window
+
+    base = df
+    if collapse_exact:
+        keep = exact_canonical_ids(df, id_col, text_col).select("_canon_id")
+        base = df.join(keep, df[id_col] == keep["_canon_id"], "left_semi")
+    sh = (
+        spread(base, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            char_shingles(F.lower(F.trim(F.col(text_col))), shingle_size).alias(
+                "shingles"
+            ),
+        )
+        .persist()
+    )
+    inv = sh.select("id", F.explode("shingles").alias("sh"))
+    dfreq = inv.groupBy("sh").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy("id").orderBy("_df", "sh")
+    prefix = (
+        inv.join(dfreq, "sh")
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(Window.partitionBy("id")))
+        .filter(
+            F.col("_rn")
+            <= F.floor((F.lit(1.0) - F.lit(threshold)) * F.col("_n")).cast("long")
+            + F.lit(1)
+        )
+        .select(F.col("id").alias("id_sub"), "sh")
+    )
+    cand = (
+        prefix.join(inv.withColumnRenamed("id", "id_super"), "sh")
+        .filter(F.col("id_sub") != F.col("id_super"))
+        .select("id_sub", "id_super")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            sh.select(F.col("id").alias("id_sub"), F.col("shingles").alias("_sh_sub")),
+            "id_sub",
+        )
+        .join(
+            sh.select(
+                F.col("id").alias("id_super"), F.col("shingles").alias("_sh_sup")
+            ),
+            "id_super",
+        )
+        .select(
+            "id_sub",
+            "id_super",
+            (
+                F.size(F.array_intersect("_sh_sub", "_sh_sup")).cast("double")
+                / F.size("_sh_sub").cast("double")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return _unpersist_with(verified, sh)

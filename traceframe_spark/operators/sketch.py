@@ -96,9 +96,20 @@ def cms_estimate(
 
 # ------------------------------------------------------------- bloom filter
 
-def _bit_positions(key: Column, n_hashes: int, n_bits: int) -> list[Column]:
+def _bit_positions(
+    key: Column, n_hashes: int, n_bits: int, fast: bool = False
+) -> list[Column]:
     """k md5-derived bit positions for a key (same portable-hash trick
-    as the CMS buckets)."""
+    as the CMS buckets). ``fast=True`` switches to seeded ``xxhash64``
+    — an order of magnitude cheaper per key, but NOT oracle-portable
+    (engine-specific hash); use it only where the filter's answer
+    cannot change results, e.g. the novelty join prefilter, where a
+    false positive merely adds join traffic."""
+    if fast:
+        return [
+            F.pmod(F.xxhash64(key, F.lit(r)), F.lit(n_bits)).cast("long")
+            for r in range(n_hashes)
+        ]
     return [
         (
             F.conv(
@@ -111,7 +122,11 @@ def _bit_positions(key: Column, n_hashes: int, n_bits: int) -> list[Column]:
 
 
 def bloom_build(
-    df: DataFrame, key_col: str, n_hashes: int = 5, n_bits: int = 1 << 16
+    df: DataFrame,
+    key_col: str,
+    n_hashes: int = 5,
+    n_bits: int = 1 << 16,
+    fast: bool = False,
 ) -> DataFrame:
     """Bloom filter as a DataFrame of bit words: (word_idx, bits) —
     32 bits packed per long.
@@ -121,7 +136,7 @@ def bloom_build(
     total (8 KiB of longs at the default geometry) regardless of input
     size: the membership structure for a set that doesn't fit."""
     key = F.col(key_col)
-    pos = F.array(*_bit_positions(key, n_hashes, n_bits))
+    pos = F.array(*_bit_positions(key, n_hashes, n_bits, fast))
     return (
         df.select(F.explode(pos).alias("p"))
         # pyspark's shiftleft wrapper takes only literal shift amounts;
@@ -138,20 +153,25 @@ def bloom_build(
     )
 
 
-def bloom_probe(
+def bloom_probe_keep(
     bloom: DataFrame,
-    keys: DataFrame,
+    df: DataFrame,
     key_col: str,
     n_hashes: int = 5,
     n_bits: int = 1 << 16,
+    fast: bool = False,
+    out_col: str = "probable_member",
 ) -> DataFrame:
-    """Membership probe: a key is a PROBABLE member iff all k of its
-    bits are set (no false negatives; false positives at the classic
-    (1-e^{-kn/m})^k rate). k word-indexed equi-joins against the ~1000-
-    row filter — broadcast-sized at any corpus scale."""
+    """Column-preserving membership probe: ``df`` plus a boolean
+    ``out_col`` — a key is a PROBABLE member iff all k of its bits are
+    set (no false negatives; false positives at the classic
+    (1-e^{-kn/m})^k rate). k word-indexed broadcast equi-joins against
+    the n_bits/32-row filter — broadcast-sized at any corpus scale.
+    ``fast`` must match the :func:`bloom_build` call that built the
+    filter (different hash families probe different bits)."""
     key = F.col(key_col)
-    out = keys
-    for r, p in enumerate(_bit_positions(key, n_hashes, n_bits)):
+    out = df
+    for r, p in enumerate(_bit_positions(key, n_hashes, n_bits, fast)):
         side = bloom.select(
             F.col("word_idx").alias(f"_w{r}"), F.col("bits").alias(f"_b{r}")
         )
@@ -163,8 +183,23 @@ def bloom_probe(
         mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_p{r} % 32 AS INT))")
         this = F.coalesce(F.col(f"_b{r}"), F.lit(0)).bitwiseAND(mask) != 0
         hit = this if hit is None else (hit & this)
-    return out.select(key_col, hit.alias("probable_member")).drop(
+    return out.withColumn(out_col, hit).drop(
         *[c for r in range(n_hashes) for c in (f"_p{r}", f"_w{r}", f"_b{r}")]
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    n_hashes: int = 5,
+    n_bits: int = 1 << 16,
+) -> DataFrame:
+    """Membership probe projecting ``(key_col, probable_member)`` — see
+    :func:`bloom_probe_keep` for the semantics (this is its
+    key-only view, kept for the oracle-portable md5 path)."""
+    return bloom_probe_keep(bloom, keys, key_col, n_hashes, n_bits).select(
+        key_col, "probable_member"
     )
 
 

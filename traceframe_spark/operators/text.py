@@ -227,6 +227,9 @@ def contamination(
     bench_text_col: str | None = None,
     n: int = 13,
     broadcast_benchmark: bool = True,
+    bloom_prefilter: bool = False,
+    bloom_bits: int = 1 << 24,
+    bloom_hashes: int = 7,
 ) -> DataFrame:
     """Benchmark decontamination: per-document overlap of distinct word
     ``n``-grams with the benchmark set's n-gram union — the GPT-3-style
@@ -243,6 +246,21 @@ def contamination(
     the explode, and the only exchange is the per-doc groupBy. If the
     benchmark side is itself huge, pass ``broadcast_benchmark=False``
     for a plain hash join on the gram key.
+
+    ``bloom_prefilter=True`` (for the non-broadcast, corpus-sized
+    reference case) broadcasts a Bloom sketch of the reference grams
+    (xxhash64-hashed, ``bloom_bits`` bits / ``bloom_hashes`` hashes —
+    size ``bloom_bits`` at ~10 bits per distinct reference gram) and
+    routes ONLY probable-hit grams into the exact gram-key join; a
+    Bloom miss is a GUARANTEED non-hit (no false negatives), so it
+    skips both the join and the per-gram aggregation entirely, and a
+    false positive merely adds join traffic the exact join then
+    rejects — the answer is bit-identical with the filter on or off.
+    The saving follows the corpus's novel mass (misses skip all
+    shuffles); the residual cost is one extra corpus scan (the
+    doc-size frame) plus k hash evaluations per gram. Past a few
+    billion distinct reference grams the sketch outgrows broadcast —
+    fall back to the plain hash join (scale-out) there.
     """
     bench_grams = (
         benchmark.select(
@@ -253,10 +271,42 @@ def contamination(
     )
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
-    exploded = corpus.select(
+    base = corpus.select(
         F.col(id_col),
         F.array_distinct(word_ngrams(F.col(text_col), n)).alias("gs"),
-    ).select(
+    )
+    if bloom_prefilter:
+        from traceframe_spark.operators import sketch
+
+        # the same distinct-grams subtree feeds the bloom build AND the
+        # exact join — identical subplans, so ReuseExchange shares the
+        # distinct's shuffle instead of scanning the reference twice
+        bg = bench_grams.select("g")
+        bloom = sketch.bloom_build(bg, "g", bloom_hashes, bloom_bits, fast=True)
+        grams = base.select(id_col, F.explode("gs").alias("g"))
+        probed = sketch.bloom_probe_keep(
+            bloom, grams, "g", bloom_hashes, bloom_bits, fast=True
+        )
+        hits = (
+            probed.filter(F.col("probable_member"))
+            .join(bg, "g")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_hit"))
+        )
+        docs = base.select(id_col, F.size("gs").alias("n_grams"))
+        return docs.join(hits, id_col, "left").select(
+            id_col,
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_grams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("overlap"),
+        )
+    exploded = base.select(
         id_col,
         F.size("gs").alias("n_grams"),
         # explode_outer keeps zero-gram (shorter-than-n) docs as a null row
@@ -290,6 +340,9 @@ def ngram_novelty(
     text_col: str = "text",
     n: int = 3,
     broadcast_reference: bool = False,
+    bloom_prefilter: bool = False,
+    bloom_bits: int = 1 << 24,
+    bloom_hashes: int = 7,
 ) -> DataFrame:
     """Ingest QA: per-document fraction of distinct word ``n``-grams NOT
     present anywhere in a reference corpus (e.g. yesterday's snapshot).
@@ -303,8 +356,15 @@ def ngram_novelty(
     Unlike benchmark suites, reference corpora are corpus-sized —
     default is a plain hash join on the gram key (one shuffle each
     side); pass ``broadcast_reference=True`` only for small references.
-    Output: (id_col, n_grams, n_novel, novelty); zero-gram docs (shorter
-    than ``n`` words) report novelty 0.0 — nothing new, nothing to keep.
+    ``bloom_prefilter=True`` broadcasts a Bloom sketch of the reference
+    grams and lets the (typically dominant) definitely-novel gram mass
+    skip the join and the per-gram aggregation entirely — answers are
+    bit-identical (Bloom misses are guaranteed novel; false positives
+    are re-checked by the exact join); see :func:`contamination` for
+    sizing. This is the knob for the 100×-and-up regime where the
+    gram-key shuffle both sides dominates. Output: (id_col, n_grams,
+    n_novel, novelty); zero-gram docs (shorter than ``n`` words) report
+    novelty 0.0 — nothing new, nothing to keep.
     """
     hits = contamination(
         corpus,
@@ -313,6 +373,9 @@ def ngram_novelty(
         text_col,
         n=n,
         broadcast_benchmark=broadcast_reference,
+        bloom_prefilter=bloom_prefilter,
+        bloom_bits=bloom_bits,
+        bloom_hashes=bloom_hashes,
     )
     return hits.select(
         id_col,

@@ -25,6 +25,9 @@ _R7_ROTATION_HEAD = [
     "embed_drift",
     "priority_sample",
     "hll_daily_users",
+    # new in r07 — in the head from birth so they record the round they
+    # land instead of waiting a rotation (the r06 bookkeeping lesson)
+    "containment_pipeline",
 ]
 
 

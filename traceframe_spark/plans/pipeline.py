@@ -1848,6 +1848,69 @@ FROM dirs WHERE cont >= 0.6
 """
 
 
+def q_containment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shippable corpus-scale containment composition
+    (operators/dedup.containment_pipeline): exact-clone collapse →
+    prefix-filtered candidate routing (pigeonhole-exact, rarest
+    shingles first) → exact containment verification. The corpus is the
+    same bounded subset as ``containment_pairs`` PLUS a shifted exact
+    clone of itself, so the query pins both stages at once: stage 1
+    must collapse every clone to its canonical (min id), after which
+    the answer must EQUAL the raw operator's on the original subset —
+    the candidate router provably loses no pair."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 100000))
+    pairs = dedup.containment_pipeline(doubled, "doc_id", "text", threshold=0.6)
+    return pairs.select(
+        "id_sub", "id_super", qint(F.col("containment"), 4).alias("containment_q")
+    )
+
+
+SQL_CONTAINMENT_PIPELINE = """
+WITH canon AS (
+    -- exact-clone collapse over the doubled corpus: min doc_id per
+    -- md5(lower(trim(text))) content key, mirroring exact_canonical_ids
+    SELECT min(doc_id) AS doc_id FROM (
+        SELECT doc_id, md5(lower(trim(text))) AS k
+        FROM documents WHERE doc_id < 150
+        UNION ALL
+        SELECT doc_id + 100000, md5(lower(trim(text)))
+        FROM documents WHERE doc_id < 150
+    ) GROUP BY k
+),
+docs AS (
+    SELECT d.doc_id, lower(trim(d.text)) AS t
+    FROM documents d JOIN canon c ON c.doc_id = d.doc_id
+    WHERE d.doc_id < 150
+),
+shingled AS (
+    SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, substr(t, CAST(g AS INT), 5) AS sh
+        FROM (SELECT doc_id, t,
+                     unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS g
+              FROM docs)
+    )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+    FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+dirs AS (
+    SELECT c.id_a AS id_sub, c.id_b AS id_super,
+           c.n_common::DOUBLE / sa.n_sh::DOUBLE AS cont
+    FROM common c JOIN sizes sa ON sa.doc_id = c.id_a
+    UNION ALL
+    SELECT c.id_b, c.id_a, c.n_common::DOUBLE / sb.n_sh::DOUBLE
+    FROM common c JOIN sizes sb ON sb.doc_id = c.id_b
+)
+SELECT id_sub, id_super,
+       CAST(floor(cont * 10000 + 0.5) AS BIGINT) AS containment_q
+FROM dirs WHERE cont >= 0.6
+"""
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingest triage (operators/text.ngram_novelty): docs
     with ``doc_id % 10 < 3`` play yesterday's snapshot; the rest are
@@ -1857,7 +1920,10 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     ref = d.filter(F.col("doc_id") % 10 < 3)
     corpus = d.filter(F.col("doc_id") % 10 >= 3)
-    out = text.ngram_novelty(corpus, ref, n=3)
+    # bloom_prefilter: definitely-novel grams (the dominant mass here)
+    # skip the gram-key join — answers are bit-identical with it off,
+    # so the oracle is unchanged (r07; SCALING.md has the 100x factor)
+    out = text.ngram_novelty(corpus, ref, n=3, bloom_prefilter=True)
     return out.select(
         "doc_id", "n_grams", "n_novel", qint(F.col("novelty"), 4).alias("novelty_q")
     )
@@ -1941,6 +2007,9 @@ PIPELINE_QUERIES = {
     "ngram_novelty": q_ngram_novelty,
     "hll_distinct": q_hll_distinct,
     "corpus_report": q_corpus_report,
+    # r07 additions — placed into the registry head by _R7_ROTATION_HEAD
+    # so they get driver-recorded the round they land (the r06 lesson)
+    "containment_pipeline": q_containment_pipeline,
 }
 
 PIPELINE_ORACLE_SQL = {
@@ -1986,4 +2055,5 @@ PIPELINE_ORACLE_SQL = {
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "hll_distinct": SQL_HLL_DISTINCT,
     "corpus_report": SQL_CORPUS_REPORT,
+    "containment_pipeline": SQL_CONTAINMENT_PIPELINE,
 }
