@@ -1620,3 +1620,73 @@ def test_containment_pipeline_exact_and_clone_safe(spark):
         ).collect()
     }
     assert raw == exact
+
+
+def test_containment_pipeline_fp_safe_prefix_bound_at_default_threshold(spark):
+    """Regression for the floating-point pigeonhole bound: 1.0 - 0.8 is
+    0.19999999999999996 in binary, so floor((1-t)*n) at the DEFAULT
+    threshold 0.8 came out one short for every doc whose distinct-
+    shingle count is a multiple of 5 (floor(0.9999999999999998) = 0 at
+    n=5) — the router probed one shingle too few and silently dropped a
+    pair sitting EXACTLY on the containment boundary. shingle_size=1
+    makes shingle sets = distinct characters, so the corpus is fully
+    hand-controlled: A="abcde" (n=5, a 5-multiple), B="bcdefgh",
+    C(A→B) = 4/5 = 0.8 exactly; A's rarest shingle 'a' (df=1) is the
+    one NOT in B, so a length-1 prefix misses the pair while the exact
+    length-2 bound catches it via 'b'."""
+    rows = [(1, "abcde"), (2, "bcdefgh")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    piped = {
+        (r["id_sub"], r["id_super"]): round(r["containment"], 9)
+        for r in dedup.containment_pipeline(
+            df, "doc_id", "text", threshold=0.8, shingle_size=1
+        ).collect()
+    }
+    exact = {
+        (r["id_sub"], r["id_super"]): round(r["containment"], 9)
+        for r in dedup.containment_pairs(
+            df, "doc_id", "text", threshold=0.8, shingle_size=1
+        ).collect()
+    }
+    assert exact == {(1, 2): 0.8}  # the boundary pair really qualifies
+    assert piped == exact  # pipeline must not drop it
+
+    # threshold=0.9 has the same binary shape (1-0.9=0.09999999999999998):
+    # n=10 doc with exactly one shingle outside the superset.
+    rows9 = [(1, "abcdefghij"), (2, "bcdefghijklm")]
+    df9 = spark.createDataFrame(rows9, ["doc_id", "text"])
+    piped9 = {
+        (r["id_sub"], r["id_super"]): round(r["containment"], 9)
+        for r in dedup.containment_pipeline(
+            df9, "doc_id", "text", threshold=0.9, shingle_size=1
+        ).collect()
+    }
+    exact9 = {
+        (r["id_sub"], r["id_super"]): round(r["containment"], 9)
+        for r in dedup.containment_pairs(
+            df9, "doc_id", "text", threshold=0.9, shingle_size=1
+        ).collect()
+    }
+    assert exact9 == {(1, 2): 0.9}
+    assert piped9 == exact9
+
+
+def test_partitioned_topk_empty_input(spark):
+    """Empty input must return an empty ranked frame, not an
+    AnalysisException from a zero-arg create_map() offset lookup
+    (reachable via priority_sample k>RANKED_TOPK_MAX when no row has
+    positive weight)."""
+    from traceframe_spark.functions import partitioned_topk
+    from traceframe_spark.operators.sampling import priority_sample
+
+    df = spark.createDataFrame([(1, 0.0)], ["id", "w"]).filter("id < 0")
+    out = partitioned_topk(df, [F.col("w").desc(), F.col("id")], k=250)
+    assert out.count() == 0
+    assert "rank" in out.columns
+
+    # data-driven zeros (a literal 0.0 weight would constant-fold the
+    # 1/w expression at plan time and raise before the filter applies)
+    zero_w = spark.createDataFrame(
+        [(i, 0.0) for i in range(50)], ["doc_id", "w"]
+    )
+    assert priority_sample(zero_w, k=250, weight_col="w").count() == 0

@@ -104,14 +104,22 @@ def main() -> int:
         # stratified: split the registry into args.sample contiguous
         # position strata and draw one per stratum — every region of the
         # registry (and the rows-only tail) gets sampled
+        import math
+
         all_names = list(qs)
         k = min(args.sample, len(all_names))
         stride = len(all_names) / k
-        # draw uniformly within REAL-valued stratum bounds [i*stride,
-        # (i+1)*stride): with an integer randrange over a fractional
-        # stride, positions in each stratum's tail were unreachable
+        # draw within DISJOINT integer stratum bounds [ceil(i*stride),
+        # ceil((i+1)*stride)): real-valued bounds let adjacent strata
+        # share a boundary index when stride is fractional, so the
+        # sample could contain the same query twice (fewer unique
+        # queries than --sample asked for). With stride >= 1 each
+        # ceil-bounded stratum is nonempty, disjoint, and the union
+        # covers every index including the tail.
         names = [
-            all_names[min(int((i + rng.random()) * stride), len(all_names) - 1)]
+            all_names[
+                rng.randrange(math.ceil(i * stride), math.ceil((i + 1) * stride))
+            ]
             for i in range(k)
         ]
     unknown = [n for n in names if n not in qs]

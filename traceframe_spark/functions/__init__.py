@@ -195,6 +195,12 @@ def partitioned_topk(
     for pid in sorted(sizes):
         offsets[pid] = acc
         acc += sizes[pid]
+    if not offsets:
+        # empty input (e.g. priority_sample with k>RANKED_TOPK_MAX and no
+        # positive-weight rows): a zero-arg create_map() is map<string,
+        # string> and the int _pid lookup is an AnalysisException, not an
+        # empty frame — seed a typed degenerate entry instead.
+        offsets = {0: 0}
     off_map = F.create_map(
         *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
     )

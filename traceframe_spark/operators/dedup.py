@@ -900,8 +900,18 @@ def containment_pipeline(
         .withColumn("_rn", F.row_number().over(w))
         .withColumn("_n", F.count("*").over(Window.partitionBy("id")))
         .filter(
+            # FP-safe pigeonhole bound: (1 - 0.8) is 0.19999999999999996
+            # in binary, so floor((1-t)*n) under-counts by one whenever
+            # (1-t)*n is exactly integral (every n that is a multiple of
+            # 5 at t=0.8) — one probe shingle too few silently drops a
+            # pair sitting exactly on the containment boundary. round(,9)
+            # snaps the <1e-9 representation error back before floor; a
+            # true product within 5e-10 of an integer can only round UP,
+            # which adds candidates (never false negatives).
             F.col("_rn")
-            <= F.floor((F.lit(1.0) - F.lit(threshold)) * F.col("_n")).cast("long")
+            <= F.floor(
+                F.round((F.lit(1.0) - F.lit(threshold)) * F.col("_n"), 9)
+            ).cast("long")
             + F.lit(1)
         )
         .select(F.col("id").alias("id_sub"), "sh")

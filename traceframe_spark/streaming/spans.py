@@ -253,14 +253,19 @@ def read_rollup_store(spark, path: str, keys: list[str]) -> DataFrame:
     construction (cold deltas only), so the merge is a broadcast-sized
     union + one aggregation on top of the normal store scan.
 
-    Concurrency: exact-on-read holds against a CONCURRENT compaction
-    too — :func:`compact_rollup_store` atomically renames staging to a
-    tombstoned path before touching the store, so a read taken mid-
-    compaction sees each staged delta at most once (in the standing
-    store once the rewrite lands, in staging before the rename, never
-    both). The mid-compaction read may transiently MISS the in-flight
-    deltas — the same bounded staleness the standing store already has
-    between compactions, resolved by the next read. The store assumes a
+    Concurrency: a CONCURRENT compaction can never DOUBLE-COUNT a
+    staged delta against this read — :func:`compact_rollup_store`
+    atomically renames staging to a tombstoned path before touching the
+    store, so a read taken mid-compaction sees each staged delta at
+    most once (in the standing store once the rewrite lands, in staging
+    before the rename, never both). Two caveats short of full
+    exact-on-read: the mid-compaction read may transiently MISS the
+    in-flight deltas (the same bounded staleness the standing store has
+    between compactions, resolved by the next read), and the standing-
+    store rewrite itself (dynamic partition overwrite of touched hours)
+    is NOT atomic — a reader racing the rewrite can observe a partially
+    rewritten hour or hit deleted files; closing that needs the
+    documented transactional-table-format upgrade. The store assumes a
     single writer (the one streaming query / compactor), as all the
     stores here do."""
     from traceframe_spark.operators import rollup as R
@@ -325,15 +330,28 @@ def compact_rollup_store(spark, path: str, keys: list[str]) -> bool:
     if _store_exists(spark, tomb):
         _fold_staged_into_store(spark, tomb, path, keys)
         fs, p = _fs_path(spark, tomb)
-        fs.delete(p, True)
+        if not fs.delete(p, True):
+            raise IOError(f"compact_rollup_store: failed to delete leftover tombstone {tomb}")
         compacted = True
     if not _store_exists(spark, staging):
         return compacted
     fs, src = _fs_path(spark, staging)
     _, dst = _fs_path(spark, tomb)
-    fs.rename(src, dst)
+    # raw-exists check (not _store_exists, which ignores _-only dirs): an
+    # underscore-entries-only leftover tomb dir would make rename() nest
+    # src INSIDE dst on some FSs, stranding the staged deltas where
+    # neither the fold nor read_rollup_store looks.
+    if fs.exists(dst) and not fs.delete(dst, True):
+        raise IOError(f"compact_rollup_store: failed to clear tombstone path {tomb}")
+    # Hadoop FileSystem reports failure via a boolean, not an exception
+    if not fs.rename(src, dst):
+        raise IOError(
+            f"compact_rollup_store: rename {staging} -> {tomb} failed; "
+            "staged deltas left in place (store remains merge-on-read exact)"
+        )
     _fold_staged_into_store(spark, tomb, path, keys)
-    fs.delete(dst, True)
+    if not fs.delete(dst, True):
+        raise IOError(f"compact_rollup_store: failed to delete tombstone {tomb}")
     return True
 
 
