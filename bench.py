@@ -101,6 +101,9 @@ HEADLINE = [
     "priority_sample",
     "corpus_report",
     "hll_daily_users",
+    # r08 additions
+    "containment_pipeline",
+    "hll_weekly_users",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans
@@ -209,6 +212,21 @@ def main() -> None:
     for name in HEADLINE:
         timed(name, lambda n=name: QUERIES[n](spark, sf_dir))
     timed("critical_path", lambda: bench_critical_path(spark, sf_dir))
+
+    # partitioned_topk-path priority sample: k far beyond the bounded-
+    # window cap (100), drawn from lineitem so the selection is real
+    # (600k rows -> 100k at sf0.1), pricing the range-repartition rank
+    # machinery the registry's k=100 query never touches
+    def bench_priority_sample_100k() -> DataFrame:
+        from traceframe_spark.operators.sampling import priority_sample
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("doc_id"),
+            F.col("l_quantity").cast("double").alias("w"),
+        )
+        return priority_sample(li, k=100_000, weight_col="w")
+
+    timed("priority_sample_100k", bench_priority_sample_100k)
 
     # store-backed paths: the store/index writes are setup, not timed
     import shutil

@@ -1690,3 +1690,77 @@ def test_partitioned_topk_empty_input(spark):
         [(i, 0.0) for i in range(50)], ["doc_id", "w"]
     )
     assert priority_sample(zero_w, k=250, weight_col="w").count() == 0
+
+
+@pytest.mark.parametrize("seed,cap", [(11, 1), (23, 3), (37, 10), (59, 45)])
+def test_lsh_cap_retention_sweep_spans_clusters(spark, seed, cap):
+    """Property sweep generalizing the deterministic 60-clone pin: for
+    randomized clone-cluster sizes and caps, capped LSH retention must
+    (a) keep exactly the first-m member ids per cluster (m = the largest
+    m with C(m,2) <= cap, or the whole cluster if smaller), (b) emit
+    exactly C(min(size, m), 2) intra-cluster pairs, (c) never fabricate
+    cross-cluster pairs, and (d) — the production-order contract — the
+    composed graph of capped LSH pairs plus exact-dedup identity edges
+    reaches EVERY cluster member (truncation can drop LSH edges, never
+    collapse membership, because exact clones are recovered by text
+    identity)."""
+    import math
+    import random
+
+    from traceframe_spark.operators.graph import connected_components
+
+    rng = random.Random(seed)
+    sizes = [rng.randint(2, 30) for _ in range(rng.randint(2, 4))]
+    rows, clusters, nid = [], [], 0
+    for c, size in enumerate(sizes):
+        # cluster texts share NO 5-char substring (each token is digits
+        # flanked by a cluster-unique letter run), so cross-cluster
+        # jaccard is exactly 0 and any cross-cluster candidate pair is
+        # a real retention bug, not an expected LSH band collision
+        L = "abcdefghijklmnopqrstuvwxyz"[c]
+        base = " ".join(f"{L * 3}{j}{L * 3}" for j in range(40))
+        members = list(range(nid, nid + size))
+        rows += [(i, base) for i in members]
+        clusters.append(members)
+        nid += size
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = dedup.minhash_signatures(df, "doc_id", "text")
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, bands=16, max_pairs_per_bucket=cap
+    ).collect()
+
+    m_cap = int((1 + math.isqrt(1 + 8 * cap)) // 2)  # C(m,2) <= cap
+    by_cluster = {c: set() for c in range(len(clusters))}
+    cluster_of = {m: c for c, ms in enumerate(clusters) for m in ms}
+    for p in pairs:
+        ca, cb = cluster_of[p["id_a"]], cluster_of[p["id_b"]]
+        assert ca == cb, f"cross-cluster pair fabricated: {p}"  # (c)
+        by_cluster[ca].add((p["id_a"], p["id_b"]))
+    for c, members in enumerate(clusters):
+        m = min(len(members), m_cap)
+        assert len(by_cluster[c]) == m * (m - 1) // 2  # (b)
+        retained = {i for pr in by_cluster[c] for i in pr}
+        if m >= 2:
+            assert retained == set(members[:m])  # (a) first-m determinism
+
+    # (d) composed production order: LSH pairs + exact-identity edges
+    ident = (
+        df.select(dedup.content_key("text").alias("_k"), "doc_id")
+        .join(dedup.exact_canonical_ids(df, "doc_id", "text"), "_k")
+        .filter(F.col("doc_id") != F.col("_canon_id"))
+        .select(F.col("_canon_id").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    lsh_edges = spark.createDataFrame(
+        [(p["id_a"], p["id_b"]) for p in pairs] or [(clusters[0][0], clusters[0][0])],
+        ["id_a", "id_b"],
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(lsh_edges.unionByName(ident)).collect()
+    }
+    labels = []
+    for members in clusters:
+        got = {comp.get(mm, mm) for mm in members}
+        assert len(got) == 1, f"cluster split under cap={cap}"
+        labels.append(got.pop())
+    assert len(set(labels)) == len(clusters)  # clusters stay distinct

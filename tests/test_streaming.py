@@ -501,6 +501,84 @@ def test_stream_to_rollup_staged_worst_case_matches_batch(spark, tmp_path):
     assert got == expected
 
 
+def test_stream_to_rollup_auto_threshold_routes_by_shape(spark, tmp_path):
+    """late_stage_threshold="auto" re-derives the sizing rule per batch
+    (5x the all-late per-hour mean over the standing store's hours):
+    scattered all-late batches must go to STAGING (each hour's delta is
+    ~the mean, far below 5x), while a batch concentrating its rows in
+    one hour must MERGE immediately (its hour holds the whole batch,
+    above 5x the spread-out mean) — same command, no hand-sized number,
+    and the final compacted store is exact either way."""
+    from traceframe_spark.operators import rollup as R
+    from traceframe_spark.streaming.spans import (
+        _STAGING_DIR,
+        compact_rollup_store,
+        stream_to_rollup,
+    )
+
+    HOUR_US = 3_600_000_000
+    MIN_US = 60_000_000
+    scatter = lambda b: [
+        (1000 * b + h * 10 + i, BASE + h * HOUR_US + (b * 2 + i) * MIN_US,
+         "click", 1.0)
+        for h in range(24)
+        for i in range(2)
+    ]
+    hot = [
+        (9000 + i, BASE + i * MIN_US, "click", 1.0) for i in range(24)
+    ]  # one hour holds the entire batch
+    evs = [scatter(0), scatter(1), scatter(2), hot]
+    feed = tmp_path / "autofeed"
+    feed.mkdir()
+    cols = ["event_id", "ts_us", "event_type", "value"]
+    for i, batch in enumerate(evs):
+        (feed / f"b{i}.jsonl").write_text(
+            "\n".join(json.dumps(dict(zip(cols, e))) for e in batch)
+        )
+    schema = "event_id long, ts_us long, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+        .withColumn("ts", F.col("ts_us") * 1000)
+    )
+    store, ckpt = str(tmp_path / "autorollup"), str(tmp_path / "autockpt")
+    q = stream_to_rollup(
+        stream, store, ckpt, R.MINUTE_NS, ["event_type"], "value",
+        trigger_available_now=True,
+        late_stage_threshold="auto",
+        compact_every=100,  # never fires: isolates auto's routing
+    )
+    q.awaitTermination(180)
+
+    # scattered batches 1-2 staged (batch 0 created the store)...
+    assert (tmp_path / "autorollup" / _STAGING_DIR).exists()
+    # ...but the concentrated batch merged immediately: the raw store's
+    # first hour already counts batch 0's rows AND the whole hot batch
+    first_hour = BASE * 1000 // R.HOUR_NS * R.HOUR_NS
+    raw_first_hour = (
+        spark.read.parquet(store)
+        .filter(F.col("hour_ns") == first_hour)
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    assert raw_first_hour == 2 + len(hot)  # batch 0 put 2 rows in hour 0
+
+    all_events = spark.createDataFrame(
+        [e for b in evs for e in b], schema
+    ).withColumn("ts", F.col("ts_us") * 1000)
+    expected = {
+        (r["bucket_ns"], r["event_type"]): (r["n"], r["value_sum"])
+        for r in R.rollup_events(all_events, R.MINUTE_NS, ["event_type"], "value").collect()
+    }
+    assert compact_rollup_store(spark, store, ["event_type"])
+    got = {
+        (r["bucket_ns"], r["event_type"]): (r["n"], r["value_sum"])
+        for r in spark.read.parquet(store).collect()
+    }
+    assert got == expected
+
+
 def test_stream_to_hll_store_matches_batch_registers(spark, tmp_path):
     """Continuous distinct counting: after an availableNow drain over a
     SHUFFLED feed (late data everywhere), the standing HLL register
@@ -575,6 +653,47 @@ def test_stream_to_hll_store_matches_batch_registers(spark, tmp_path):
     assert set(est) == set(exact) and len(est) >= 3
     for day, n in exact.items():
         assert abs(est[day] - n) / n < 0.25  # tiny-set linear counting regime
+
+    # the register-merge headline, store-read edition: WEEKLY estimates
+    # folded from the STORED daily registers (union + grouped max —
+    # hll_merge's fold, grouped by week) must equal the estimate built
+    # from events directly (max is associative, so daily-then-weekly is
+    # register-exact), without touching the events table again
+    weekly_from_store = (
+        spark.read.parquet(store)
+        .withColumn("week", F.expr("(day + 3) div 7"))
+        .groupBy("week", "bucket")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )
+    bw, rw = sketch.hll_bucket_rho(F.col("user_id"), 10)
+    weekly_direct = (
+        all_events.select(
+            F.expr("(ts div 86400000000000 + 3) div 7").alias("week"),
+            bw.alias("bucket"),
+            rw.alias("rho"),
+        )
+        .groupBy("week", "bucket")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+    week_rows = lambda df: sorted(
+        (row["week"], row["bucket"], row["rho_max"]) for row in df.collect()
+    )
+    assert week_rows(weekly_from_store) == week_rows(weekly_direct)
+    west = {
+        row["week"]: row["est"]
+        for row in sketch.hll_estimate_by(weekly_from_store, ["week"], p=10).collect()
+    }
+    wexact = {
+        row["week"]: row["n"]
+        for row in all_events.groupBy(
+            F.expr("(ts div 86400000000000 + 3) div 7").alias("week")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(west) == set(wexact)
+    for week, n in wexact.items():
+        assert abs(west[week] - n) / n < 0.25
 
 
 def test_streaming_sessionize_matches_batch(spark, tmp_path):

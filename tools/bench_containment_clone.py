@@ -1,0 +1,87 @@
+"""Clone-stress for containment_pipeline — the SCALING.md evidence that
+its cost follows CANDIDATE MASS, not corpus²: on an exact-clone corpus
+(tools/make_scale_data.py --exact-clones; every text appears k times),
+the pipeline's stage-1 collapse removes the clone mass before the
+inverted index exists, so 10x/100x clone volume should cost ~the
+collapse scan, while the raw containment_pairs operator multiplies
+every posting list by k and emits k² pairs per content pair.
+
+Raw is measured at 1x and clone10 only — at clone100 its pair mass is
+10,000x the 1x run by construction (the m² blowup this pipeline
+exists to remove), not a number worth burning an hour to print.
+
+Usage:
+  SPARK_GRAFT_DRIVER_MEM=48g python tools/bench_containment_clone.py \
+      [--one /root/testdata/sf0.1] [--ten /tmp/sparktrace_clone10] \
+      [--hundred /tmp/sparktrace_clone100]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--one", default="/root/testdata/sf0.1")
+    ap.add_argument("--ten", default="/tmp/sparktrace_clone10")
+    ap.add_argument("--hundred", default="/tmp/sparktrace_clone100")
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--threshold", type=float, default=0.6)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from traceframe_spark.operators import dedup
+    from traceframe_spark.plans import load_table
+    from traceframe_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-containment-clone")
+    spark.range(1_000_000).select(F.sum("id")).collect()
+
+    def run(fn, sf_dir: str, repeats: int) -> float:
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.time()
+            docs = load_table(spark, sf_dir, "documents")
+            fn(docs).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    pipeline = lambda docs: dedup.containment_pipeline(
+        docs, "doc_id", "text", threshold=args.threshold
+    )
+    raw = lambda docs: dedup.containment_pairs(
+        docs, "doc_id", "text", threshold=args.threshold
+    )
+
+    out: dict[str, dict[str, float]] = {}
+    for label, sf_dir, with_raw in (
+        ("1x", args.one, True),
+        ("clone10", args.ten, True),
+        ("clone100", args.hundred, False),
+    ):
+        row = {"pipeline": run(pipeline, sf_dir, args.repeats)}
+        if with_raw:
+            row["raw_pairs"] = run(raw, sf_dir, 1)
+        out[label] = row
+        print(label, row, flush=True)
+    out["pipeline_100x_factor"] = round(
+        out["clone100"]["pipeline"] / out["1x"]["pipeline"], 2
+    )
+    out["raw_10x_factor"] = round(
+        out["clone10"]["raw_pairs"] / out["1x"]["raw_pairs"], 2
+    )
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

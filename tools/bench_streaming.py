@@ -46,12 +46,15 @@ def main() -> None:
     )
     ap.add_argument(
         "--stage-threshold",
-        type=int,
+        type=lambda s: s if s == "auto" else int(s),
         default=None,
         help="enable late-delta staging: hours whose per-batch delta has "
         "fewer partial rows than this are appended to staging and folded "
         "in bulk every --compact-every batches (plus a final compaction "
-        "after the drain) instead of re-merging the store every batch",
+        "after the drain) instead of re-merging the store every batch; "
+        "'auto' re-derives the measured sizing rule per batch (5x the "
+        "all-late per-hour mean) so the same command stays sized at any "
+        "volume",
     )
     ap.add_argument("--compact-every", type=int, default=8)
     ap.add_argument(

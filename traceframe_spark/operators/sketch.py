@@ -188,6 +188,15 @@ def bloom_probe_keep(
     )
 
 
+# NOTE (r08): a "dense" probe — bloom_collect()ing the packed words to
+# the driver and probing via a single array LITERAL with element_at —
+# was prototyped and measured UNUSABLE in PySpark: F.lit() on a
+# 524k-element list burns minutes of single-threaded driver/py4j time
+# before the first task runs. If a zero-join probe is ever needed, it
+# has to enter the plan as data (broadcast relation), not as a literal;
+# until then bloom_probe_keep's k broadcast equi-joins are the probe.
+
+
 def bloom_probe(
     bloom: DataFrame,
     keys: DataFrame,

@@ -257,10 +257,15 @@ def contamination(
     false positive merely adds join traffic the exact join then
     rejects — the answer is bit-identical with the filter on or off.
     The saving follows the corpus's novel mass (misses skip all
-    shuffles); the residual cost is one extra corpus scan (the
-    doc-size frame) plus k hash evaluations per gram. Past a few
-    billion distinct reference grams the sketch outgrows broadcast —
-    fall back to the plain hash join (scale-out) there.
+    shuffles); the cost is the Bloom build plus k word-indexed probe
+    joins per gram. MEASURED (SCALING.md r08): on local[32], where
+    shuffle is memory-speed, the probe overhead exceeds the shuffle
+    saved at every point tried — 0.32-0.48x the plain join at 1x and
+    100x corpus, at 6% AND 64% novel mass — so the knob stays DEFAULT
+    OFF; it is a bet on network-bound shuffle (a real multi-rack
+    cluster), not a locally demonstrable win. Past a few billion
+    distinct reference grams the sketch outgrows broadcast — the plain
+    hash join is the scale-out path there too.
     """
     bench_grams = (
         benchmark.select(
@@ -280,7 +285,16 @@ def contamination(
 
         # the same distinct-grams subtree feeds the bloom build AND the
         # exact join — identical subplans, so ReuseExchange shares the
-        # distinct's shuffle instead of scanning the reference twice
+        # distinct's shuffle instead of scanning the reference twice.
+        # MEASURED (r08, tools/bench_bloom_ab.py): this path LOSES at
+        # every locally measurable point — 0.32-0.48x the plain join at
+        # 1x and 100x, on both a low-novelty (6% novel mass) and a
+        # high-novelty (64%) split — because the k word-indexed probe
+        # joins cost more than the gram-key shuffle they skip while
+        # shuffle is memory-speed. It stays available for genuinely
+        # network-bound clusters, default OFF. (A dense driver-collected
+        # literal probe was tried and is unusable: a 524k-element array
+        # literal takes minutes to build/evaluate through py4j.)
         bg = bench_grams.select("g")
         bloom = sketch.bloom_build(bg, "g", bloom_hashes, bloom_bits, fast=True)
         grams = base.select(id_col, F.explode("gs").alias("g"))
@@ -357,14 +371,15 @@ def ngram_novelty(
     default is a plain hash join on the gram key (one shuffle each
     side); pass ``broadcast_reference=True`` only for small references.
     ``bloom_prefilter=True`` broadcasts a Bloom sketch of the reference
-    grams and lets the (typically dominant) definitely-novel gram mass
-    skip the join and the per-gram aggregation entirely — answers are
-    bit-identical (Bloom misses are guaranteed novel; false positives
-    are re-checked by the exact join); see :func:`contamination` for
-    sizing. This is the knob for the 100×-and-up regime where the
-    gram-key shuffle both sides dominates. Output: (id_col, n_grams,
-    n_novel, novelty); zero-gram docs (shorter than ``n`` words) report
-    novelty 0.0 — nothing new, nothing to keep.
+    grams and lets the definitely-novel gram mass skip the join and the
+    per-gram aggregation entirely — answers are bit-identical (Bloom
+    misses are guaranteed novel; false positives are re-checked by the
+    exact join); see :func:`contamination` for sizing AND for the
+    measured verdict: it is a net LOSS wherever shuffle is memory-speed
+    (0.32-0.48x at 1x/100x, 6%/64% novelty — SCALING.md r08), so it
+    stays default off as a network-bound-cluster bet. Output: (id_col,
+    n_grams, n_novel, novelty); zero-gram docs (shorter than ``n``
+    words) report novelty 0.0 — nothing new, nothing to keep.
     """
     hits = contamination(
         corpus,

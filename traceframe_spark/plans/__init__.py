@@ -11,23 +11,14 @@ from traceframe_spark.plans.tpch import TPCH_ORACLE_SQL, TPCH_QUERIES
 from traceframe_spark.plans.traceops import TRACEOPS_ORACLE_SQL, TRACEOPS_QUERIES
 
 
-# Round-7 head rotation, driven by `python tools/coverage_ledger.py`: the 7
-# queries below (all registered in round 6 *after* that round's head-50
-# rotation) are the only registry entries that have never had a
-# driver-recorded CORRECTNESS row, so they lead the registry this round.
-# Round-6's head (ann_ivf_recall ... percentiles_approx) was recorded in
-# CORRECTNESS_r06.json and returns to natural registry order.
-_R7_ROTATION_HEAD = [
-    "containment_pairs",
-    "ngram_novelty",
-    "hll_distinct",
-    "corpus_report",
-    "embed_drift",
-    "priority_sample",
-    "hll_daily_users",
-    # new in r07 — in the head from birth so they record the round they
-    # land instead of waiting a rotation (the r06 bookkeeping lesson)
-    "containment_pipeline",
+# Round-8 head rotation, driven by `python tools/coverage_ledger.py`
+# (run it BEFORE editing this list): after round 7 recorded the r06/r07
+# additions, the only never-recorded entry is the round-8 newcomer —
+# in the head from birth so it records the round it lands. The round-7
+# head (containment_pairs ... containment_pipeline) was recorded in
+# CORRECTNESS_r07.json and returns to natural registry order.
+_R8_ROTATION_HEAD = [
+    "hll_weekly_users",
 ]
 
 
@@ -39,9 +30,9 @@ def catalog_queries():
     temporal / traceops / events / lexical / advanced / core heads; round 5
     rotated the LLM-data-pipeline suites (PIPELINE + MLPREP) to the front;
     round 6 led with the 13 queries the gate had never recorded; round 7
-    leads with the 7 operators added late in round 6 (see
-    `_R7_ROTATION_HEAD` / tools/coverage_ledger.py) — once these record,
-    every registered query has a driver-green row at least once.  The
+    led with the 7 operators added late in round 6; round 8 leads with its
+    own newcomer (see `_R8_ROTATION_HEAD` / tools/coverage_ledger.py) so
+    every registered query keeps a driver-green row at least once.  The
     oracle-backed vs rows-only distinction is metadata, not ordering — see
     `catalog_meta()`; rows-only entries remain inside the head-50 so the
     external sample exercises both verification paths.
@@ -57,7 +48,7 @@ def catalog_queries():
         **TEMPORAL_QUERIES,
         **TPCH_QUERIES,
     }
-    head = {k: merged[k] for k in _R7_ROTATION_HEAD if k in merged}
+    head = {k: merged[k] for k in _R8_ROTATION_HEAD if k in merged}
     return {**head, **{k: v for k, v in merged.items() if k not in head}}
 
 

@@ -1920,10 +1920,14 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     ref = d.filter(F.col("doc_id") % 10 < 3)
     corpus = d.filter(F.col("doc_id") % 10 >= 3)
-    # bloom_prefilter: definitely-novel grams (the dominant mass here)
-    # skip the gram-key join — answers are bit-identical with it off,
-    # so the oracle is unchanged (r07; SCALING.md has the 100x factor)
-    out = text.ngram_novelty(corpus, ref, n=3, bloom_prefilter=True)
+    # bloom_prefilter stays OFF: this split is the re-crawl shape (ref
+    # and corpus share a distribution), where only ~6% of gram mass is
+    # novel — the prefilter can remove at most that 6% from the exact
+    # join while paying 7 probes per gram plus the Bloom build, and the
+    # measured A/B (SCALING.md r08, tools/bench_bloom_ab.py) has it
+    # 2.7x SLOWER at 1x AND 100x. The knob is for high-novelty ingest
+    # (cross-source split: ~64% novel mass), measured separately there.
+    out = text.ngram_novelty(corpus, ref, n=3)
     return out.select(
         "doc_id", "n_grams", "n_novel", qint(F.col("novelty"), 4).alias("novelty_q")
     )

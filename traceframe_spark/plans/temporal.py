@@ -689,6 +689,101 @@ FROM est e JOIN ex ON ex.day = e.day
 """
 
 
+def q_hll_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct users from STORED daily HLL registers — the
+    register-merge headline made a query: daily (day, bucket, rho_max)
+    registers are written to a parquet store (the exact shape
+    streaming/spans.stream_to_hll_store maintains continuously), read
+    BACK, and folded into Monday-aligned weeks with the same
+    union+grouped-max merge (operators/sketch.hll_merge's fold, grouped
+    by week) — the events table is never re-read for the weekly
+    estimate. Cost at any corpus size: ≤ 2^p rows per stored day.
+
+    Week id is pure integer arithmetic on the epoch-day number —
+    ``(day + 3) div 7`` (epoch day 0 is a Thursday, so +3 aligns weeks
+    to Mondays) — identical in Spark and DuckDB, no date-function
+    semantics to diverge on. The oracle rebuilds the registers grouped
+    by (week, bucket) directly: max is associative, so daily-then-weekly
+    equals weekly-direct REGISTER-exactly, and the dyadic 2^-rho sum
+    makes the estimate itself engine-exact (see hll_estimate).
+
+    The exact per-week distinct count rides along as the accuracy
+    column, read from events ONCE (the same scan that built the daily
+    store; a production pipeline already has it)."""
+    import tempfile
+
+    from traceframe_spark.operators import sketch
+
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr("ts div 86400000000000").alias("day")
+    b, r = sketch.hll_bucket_rho(F.col("user_id"), p=10)
+    daily = (
+        e.select(day, b.alias("bucket"), r.alias("rho"))
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+    # the store roundtrip is the point of the query: weekly estimates
+    # must derive from PERSISTED daily registers, not the events scan
+    store = tempfile.mkdtemp(prefix="hll_daily_store_") + "/regs"
+    daily.repartition("day").write.mode("overwrite").partitionBy("day").parquet(store)
+    stored = spark.read.parquet(store)
+    weekly = (
+        stored.withColumn("week", F.expr("(day + 3) div 7"))
+        .groupBy("week", "bucket")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )
+    est = sketch.hll_estimate_by(weekly, ["week"], p=10)
+    exact = e.groupBy(
+        F.expr("(ts div 86400000000000 + 3) div 7").alias("week")
+    ).agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    return est.join(exact, "week").select(
+        "week",
+        "n_nonempty",
+        "n_empty",
+        qint(F.col("est"), 2).alias("est_q"),
+        "exact_distinct",
+    )
+
+
+SQL_HLL_WEEKLY_USERS = """
+WITH keyed AS (
+    SELECT CAST(floor((floor(epoch(ts) / 86400) + 3) / 7) AS BIGINT) AS week,
+           CAST(user_id AS VARCHAR) AS k
+    FROM events
+),
+regs AS (
+    SELECT week, ('0x' || substr(md5(k), 1, 8))::BIGINT % 1024 AS bucket,
+           max(CASE WHEN v = 0 THEN 41 ELSE 41 - length(bin(v)) END) AS rho_max
+    FROM (SELECT week, k,
+                 ('0x' || substr(md5('rho' || '#' || k), 1, 10))::BIGINT AS v
+          FROM keyed)
+    GROUP BY 1, 2
+),
+agg AS (
+    SELECT week, CAST(count(*) AS BIGINT) AS n_nonempty,
+           sum(power(2.0, -rho_max)) AS inv_sum
+    FROM regs GROUP BY week
+),
+est AS (
+    SELECT week, n_nonempty, CAST(1024 - n_nonempty AS BIGINT) AS n_empty,
+           (0.7213 / (1.0 + 1.079 / 1024)) * 1024.0 * 1024.0
+               / (inv_sum + (1024 - n_nonempty)) AS raw
+    FROM agg
+),
+ex AS (
+    SELECT CAST(floor((floor(epoch(ts) / 86400) + 3) / 7) AS BIGINT) AS week,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+    FROM events GROUP BY 1
+)
+SELECT e.week, e.n_nonempty, e.n_empty,
+       CAST(floor(CASE WHEN e.raw <= 2560.0 AND e.n_empty > 0
+                       THEN 1024.0 * ln(1024.0 / e.n_empty)
+                       ELSE e.raw END * 100 + 0.5) AS BIGINT) AS est_q,
+       ex.exact_distinct
+FROM est e JOIN ex ON ex.week = e.week
+"""
+
+
 def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement
     (operators/sampling.priority_sample): top-100 documents by
@@ -773,6 +868,7 @@ TEMPORAL_QUERIES = {
     "temperature_mix": q_temperature_mix,
     "priority_sample": q_priority_sample,
     "hll_daily_users": q_hll_daily_users,
+    "hll_weekly_users": q_hll_weekly_users,
     "p95_from_rollup": q_p95_from_rollup,
 }
 
@@ -795,5 +891,6 @@ TEMPORAL_ORACLE_SQL = {
     "temperature_mix": SQL_TEMPERATURE_MIX,
     "priority_sample": SQL_PRIORITY_SAMPLE,
     "hll_daily_users": SQL_HLL_DAILY_USERS,
+    "hll_weekly_users": SQL_HLL_WEEKLY_USERS,
     "p95_from_rollup": SQL_P95_FROM_ROLLUP,
 }

@@ -164,6 +164,22 @@ def _store_exists(spark, path: str) -> bool:
     return False
 
 
+def _store_hour_count(spark, path: str) -> int:
+    """Number of hour partitions in a standing rollup store — one FS
+    directory listing (the ``hour_ns=`` partition dirs), no data read.
+    Feeds the ``late_stage_threshold="auto"`` sizing rule."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return 0
+    return sum(
+        1
+        for status in fs.listStatus(p)
+        if status.isDirectory() and status.getPath().getName().startswith("hour_ns=")
+    )
+
+
 def stream_to_span_store(
     spans: DataFrame, path: str, checkpoint: str, trigger_available_now: bool = False
 ):
@@ -364,7 +380,7 @@ def stream_to_rollup(
     value_col: str,
     ts_col: str = "ts",
     trigger_available_now: bool = False,
-    late_stage_threshold: int | None = None,
+    late_stage_threshold: int | str | None = None,
     compact_every: int = 8,
     max_hot_hours: int | None = None,
 ):
@@ -396,6 +412,23 @@ def stream_to_rollup(
     exact; staged straggler hours are eventually-consistent between
     compactions, bounded by ``compact_every`` batches of staleness.
     Default None keeps today's always-exact immediate merge.
+
+    ``late_stage_threshold="auto"`` re-derives the measured sizing rule
+    per batch instead of hand-carrying a number across volume changes:
+    the rule that tamed the all-late worst case at BOTH 1× and 10×
+    (SCALING.md) is "a few × above ``batch_partial_rows /
+    store_hours``", so auto computes ``ceil(5 × batch_partial_rows /
+    standing_store_hour_count)`` from the batch's own delta and one FS
+    directory listing. An all-late batch spreads its rows ≈ uniformly
+    over every store hour, so each hour sits well BELOW 5× the mean and
+    stages; a time-ordered batch concentrates ~all rows in its own
+    slice, far ABOVE the all-late mean, and merges immediately. The
+    same command therefore stays correctly sized as volume scales —
+    the hand-tuned 1× threshold that degraded 4× at 10× volume is the
+    failure mode this removes. While the store is YOUNG (few hour
+    partitions), auto is conservative — early batches stage more and
+    rely on compaction; freshness catches up as the store reaches its
+    steady hour count.
 
     ``max_hot_hours`` is the size-free form of the same knob: merge at
     most that many hours per batch — the ones carrying the LARGEST
@@ -434,11 +467,17 @@ def stream_to_rollup(
                 hour_counts = (
                     delta.groupBy("hour_ns").count().collect()
                 )  # bounded: one row per touched hour
+                threshold = late_stage_threshold
+                if threshold == "auto":
+                    # the SCALING.md sizing rule, re-derived per batch:
+                    # few-x above the all-late per-hour mean (batch
+                    # partial rows spread over every standing hour)
+                    total = sum(r["count"] for r in hour_counts)
+                    threshold = -(-5 * total // max(_store_hour_count(spark, path), 1))
                 hot_rows = [
                     r
                     for r in hour_counts
-                    if late_stage_threshold is None
-                    or r["count"] >= late_stage_threshold
+                    if threshold is None or r["count"] >= threshold
                 ]
                 if max_hot_hours is not None and len(hot_rows) > max_hot_hours:
                     # keep the heaviest hours; hour_ns tie-break for
