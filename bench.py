@@ -104,6 +104,8 @@ HEADLINE = [
     # r08 additions
     "containment_pipeline",
     "hll_weekly_users",
+    "dedup_index_exact",
+    "dedup_index_delta",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans

@@ -1,0 +1,125 @@
+"""Persistent dedup index (operators/dedup_index): layer-kill
+semantics, append incrementality, and parameter portability."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from traceframe_spark.operators import dedup_index as di
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the band plays "
+    "a long and winding tune about shingled documents and dedup stores"
+)
+
+
+@pytest.fixture()
+def corpus(spark):
+    # 10 indexed docs with disjoint-ish bodies (distinct suffix block
+    # per doc so no accidental near-dups across ids)
+    rows = [(i, f"{BASE} variant {i} " + f"tail-{i} " * 20) for i in range(10)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def test_layer_kill_semantics(spark, corpus, tmp_path):
+    path = str(tmp_path / "idx")
+    di.write_dedup_index(corpus, path, n_hashes=32, bands=8)
+    delta = spark.createDataFrame(
+        [
+            # exact clone of doc 3 (case/whitespace-normalized match)
+            (103, "  " + (BASE + " variant 3 " + "tail-3 " * 20).upper()),
+            # near clone of doc 4: tiny appended suffix, jaccard ~0.97
+            (104, BASE + " variant 4 " + "tail-4 " * 20 + "zzz"),
+            # genuinely novel
+            (105, "completely different content " + "nowhere-else " * 30),
+        ],
+        "doc_id long, text string",
+    )
+    # exact layer only: the clone dies, the near-clone survives
+    exact_only = di.dedup_against_index(delta, path, near_dup=False)
+    assert _ids(exact_only) == [104, 105]
+    # full probe: clone dies in layer 1, near-clone in layer 2
+    full = di.dedup_against_index(delta, path, threshold=0.9)
+    assert _ids(full) == [105]
+
+
+def test_append_makes_reprobe_empty(spark, corpus, tmp_path):
+    path = str(tmp_path / "idx")
+    di.write_dedup_index(corpus, path, n_hashes=32, bands=8)
+    delta = spark.createDataFrame(
+        [(200 + i, f"fresh body {i} " + f"block-{i} " * 25) for i in range(5)],
+        "doc_id long, text string",
+    )
+    surv = di.dedup_against_index(delta, path, threshold=0.9)
+    assert _ids(surv) == [200, 201, 202, 203, 204]
+    di.append_dedup_index(surv, path)
+    # the daily loop's invariant: once appended, the same delta is
+    # fully absorbed (every doc exact-hits its own stored key)
+    again = di.dedup_against_index(delta, path, threshold=0.9)
+    assert again.count() == 0
+    # and the original corpus is still absorbed too (append, not clobber)
+    assert di.dedup_against_index(corpus, path, threshold=0.9).count() == 0
+
+
+def test_probe_uses_stored_params_not_defaults(spark, corpus, tmp_path):
+    # build with NON-default hashing; the probe takes no hash params at
+    # all — it must read (n_hashes, bands, shingle_size) from meta, or
+    # every band hash would mismatch and near-dups would sail through
+    path = str(tmp_path / "idx")
+    di.write_dedup_index(corpus, path, n_hashes=48, bands=12, shingle_size=4)
+    assert di.read_index_meta(spark, path) == (48, 12, 4)
+    near = spark.createDataFrame(
+        [(300, BASE + " variant 7 " + "tail-7 " * 20 + "q")],
+        "doc_id long, text string",
+    )
+    assert di.dedup_against_index(near, path, threshold=0.9).count() == 0
+    # append must also hash with stored params: append a doc, then its
+    # own near-clone must be caught via the appended band entries
+    novel = spark.createDataFrame(
+        [(301, "append-only body " + "chunk " * 40)], "doc_id long, text string"
+    )
+    di.append_dedup_index(novel, path)
+    near2 = spark.createDataFrame(
+        [(302, "append-only body " + "chunk " * 40 + "y")],
+        "doc_id long, text string",
+    )
+    assert di.dedup_against_index(near2, path, threshold=0.9).count() == 0
+
+
+def test_index_stores_no_text(spark, corpus, tmp_path):
+    # the point of the index: document bytes never land in the store
+    path = str(tmp_path / "idx")
+    di.write_dedup_index(corpus, path, n_hashes=32, bands=8)
+    for layer, cols in (
+        ("exact", {"ckey", "id"}),
+        ("sigs", {"id", "sig"}),
+        ("bands", {"band", "bh", "id"}),
+    ):
+        got = set(spark.read.parquet(f"{path}/{layer}").columns)
+        assert got == cols, layer
+
+
+def test_registry_twin_consistency(spark, tmp_path):
+    # the registered delta query's survivors are a subset of the exact
+    # twin's (the LSH layer only ever removes more), and both keep
+    # every genuinely-novel doc
+    from traceframe_spark.plans.pipeline import (
+        q_dedup_index_delta,
+        q_dedup_index_exact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = set(_ids(q_dedup_index_exact(spark, sf)))
+    full = set(_ids(q_dedup_index_delta(spark, sf)))
+    assert full <= exact
+    # the seeded exact clones (+100000) died in both
+    assert not any(100000 <= i < 200000 for i in exact)
+    # the seeded near-clones (+200000) survive exact but die in full
+    assert any(200000 <= i < 300000 for i in exact)
+    assert not any(200000 <= i < 300000 for i in full)

@@ -1,0 +1,235 @@
+"""Persistent dedup index: probe daily deltas without re-reading the corpus.
+
+Every dedup/decontamination operator in :mod:`.dedup` prices a FULL pass
+over the reference side — :func:`~.dedup.cross_near_dup_subtract`
+re-shingles and re-hashes the entire curated snapshot on every call. At
+100 TB the reference scan IS the cost: a 1 TB daily delta against a
+100 TB snapshot should cost ~1 TB of work, not ~101 TB. This module
+persists the snapshot's dedup state ONCE — exact content keys, MinHash
+signatures, and LSH band buckets, all narrow rows — and every
+subsequent delta probes the stored layers:
+
+- **exact layer** ``{path}/exact``: ``(ckey, id)`` keyed by
+  :func:`~.dedup.content_key` (md5 of normalized text). Byte-identical
+  re-crawls die here in one narrow anti-join.
+- **band layer** ``{path}/bands``: ``(band, bh, id)`` — the LSH bucket
+  entries a fresh run of :func:`~.dedup.cross_near_dup_subtract` would
+  have computed for the reference side. The probe joins the delta's
+  bucket entries against this, so candidate generation never touches
+  reference text.
+- **signature layer** ``{path}/sigs``: ``(id, sig)`` for verification.
+  Candidates are confirmed by MinHash-estimated Jaccard (the fraction
+  of agreeing signature positions), NOT exact shingle Jaccard — the
+  index deliberately does not store shingle arrays (they are the same
+  order of magnitude as the text itself, which would defeat the point).
+  The estimate's standard error is ~sqrt(t(1-t)/k); at k=128 and
+  t=0.9 that is ±2.7%, the accepted trade for never re-reading the
+  snapshot. Exact-verification consumers run the in-memory
+  :func:`~.dedup.cross_near_dup_subtract` instead.
+- ``{path}/meta``: one JSON row pinning ``n_hashes/bands/shingle_size``.
+  Probes ALWAYS hash with the stored parameters — a probe hashed with
+  different parameters would silently miss everything, so the API reads
+  them from the store rather than trusting call-site defaults.
+
+Parity: the reference engine's dedup helpers (reference
+``traceframe/traceframe.py`` has no incremental form — its eager
+pandas frames recompute per call); this is the scale path the
+reference's API shape implies but cannot express. Literature: the
+persisted-bands form of Broder's MinHash/LSH (STOC'98) as deployed in
+crawl pipelines (Lee et al., "Deduplicating Training Data Makes
+Language Models Better", ACL'22 — their suffix/MinHash indexes are
+likewise built once and probed per shard).
+
+Single-writer contract like the rollup store: ``write``/``append`` from
+one writer at a time; readers see a consistent index because appends
+are parquet-atomic per layer and the layers only ADD rows (a doc
+present in ``bands`` but not yet ``sigs`` can produce a candidate that
+verification then drops — appends write ``sigs`` before ``bands`` so
+the race resolves to a false candidate, never a missed duplicate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .dedup import content_key, minhash_signatures, spread
+
+__all__ = [
+    "write_dedup_index",
+    "append_dedup_index",
+    "dedup_against_index",
+    "read_index_meta",
+]
+
+
+def _band_entries(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, sig) → one (band, bh, id) row per band, same hashing as
+    :func:`~.dedup.cross_near_dup_subtract` so a stored index and an
+    on-the-fly run bucket identically."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("id", F.explode(entries).alias("e")).select(
+        F.col("e.band").alias("band"), F.col("e.bh").alias("bh"), "id"
+    )
+
+
+def _layers(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    bands: int,
+    shingle_size: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One corpus scan → (exact, sigs, bands) layer frames."""
+    rows_per_band = max(n_hashes // bands, 1)
+    exact = spread(docs, id_col).select(
+        content_key(text_col).alias("ckey"), F.col(id_col).alias("id")
+    )
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_size).select(
+        "id", "sig"
+    )
+    return exact, sig, _band_entries(sig, bands, rows_per_band)
+
+
+def write_dedup_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+) -> None:
+    """Build the index from scratch at ``path`` (overwrites).
+
+    One scan of ``docs`` feeds all three layers; the signature frame is
+    persisted so the shingle+hash pass — the expensive part — runs once
+    even though it feeds both ``sigs`` and ``bands``. Layer rows are
+    narrow (≤ id + 8·n_hashes bytes); the written index is a small
+    multiple of ``n_docs``, independent of document length.
+    """
+    spark = docs.sparkSession
+    exact, sig, band = _layers(docs, id_col, text_col, n_hashes, bands, shingle_size)
+    sig = sig.persist()
+    try:
+        exact.write.mode("overwrite").parquet(f"{path}/exact")
+        sig.write.mode("overwrite").parquet(f"{path}/sigs")
+        band.write.mode("overwrite").parquet(f"{path}/bands")
+        meta = spark.createDataFrame(
+            [(int(n_hashes), int(bands), int(shingle_size))],
+            "n_hashes int, bands int, shingle_size int",
+        )
+        meta.coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+    finally:
+        sig.unpersist()
+
+
+def read_index_meta(spark: SparkSession, path: str) -> tuple[int, int, int]:
+    """→ (n_hashes, bands, shingle_size) as pinned at build time."""
+    row = spark.read.json(f"{path}/meta").collect()[0]
+    return int(row["n_hashes"]), int(row["bands"]), int(row["shingle_size"])
+
+
+def append_dedup_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Fold new (already-deduped) docs into the index — the daily loop is
+    ``survivors = dedup_against_index(delta); append_dedup_index(survivors)``.
+
+    Hashing parameters come from the stored meta, never the call site.
+    ``sigs`` is appended BEFORE ``bands`` (see the module docstring's
+    race note). Single writer, like the rollup store.
+    """
+    spark = docs.sparkSession
+    n_hashes, bands, shingle_size = read_index_meta(spark, path)
+    rows_per_band = max(n_hashes // bands, 1)
+    exact, sig, band = _layers(docs, id_col, text_col, n_hashes, bands, shingle_size)
+    sig = sig.persist()
+    try:
+        exact.write.mode("append").parquet(f"{path}/exact")
+        sig.write.mode("append").parquet(f"{path}/sigs")
+        band.write.mode("append").parquet(f"{path}/bands")
+    finally:
+        sig.unpersist()
+
+
+def dedup_against_index(
+    delta: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    near_dup: bool = True,
+) -> DataFrame:
+    """Surviving ``delta`` rows: exact layer first, then (optionally)
+    the LSH layer with MinHash-estimated Jaccard ≥ ``threshold``.
+
+    Cost shape at 100 TB: the delta is shingled/hashed once; the index
+    side contributes only narrow stored rows (ckey/band/sig scans —
+    never reference text). Both joins shuffle ``O(|delta| + index
+    rows)`` narrow keys; reference DOCUMENT BYTES are untouched, which
+    is the entire point versus :func:`~.dedup.cross_near_dup_subtract`.
+    With ``near_dup=False`` only the exact layer runs (the oracle-exact
+    twin of the registry's rows-only probe query).
+    """
+    spark = delta.sparkSession
+    n_hashes, bands, shingle_size = read_index_meta(spark, path)
+    rows_per_band = max(n_hashes // bands, 1)
+
+    ids = spread(delta, id_col).select(
+        F.col(id_col).alias("_pid"), content_key(text_col).alias("ckey")
+    )
+    exact_hits = (
+        ids.join(spark.read.parquet(f"{path}/exact"), "ckey", "left_semi")
+        .select("_pid")
+        .distinct()
+    )
+    survivors = delta.join(
+        exact_hits, delta[id_col] == exact_hits["_pid"], "left_anti"
+    )
+    if not near_dup:
+        return survivors
+
+    sig_d = minhash_signatures(
+        survivors, id_col, text_col, n_hashes, shingle_size
+    ).select("id", "sig").persist()
+    cand = (
+        _band_entries(sig_d, bands, rows_per_band).alias("d")
+        .join(spark.read.parquet(f"{path}/bands").alias("r"), ["band", "bh"])
+        .select(F.col("d.id").alias("id_d"), F.col("r.id").alias("id_r"))
+        .distinct()
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_d", "sig_r", lambda a, b: a == b), lambda x: x)
+    ) / F.lit(float(n_hashes))
+    near_hits = (
+        cand.join(sig_d.select(F.col("id").alias("id_d"), F.col("sig").alias("sig_d")), "id_d")
+        .join(
+            spark.read.parquet(f"{path}/sigs").select(
+                F.col("id").alias("id_r"), F.col("sig").alias("sig_r")
+            ),
+            "id_r",
+        )
+        .filter(est >= F.lit(threshold))
+        .select(F.col("id_d").alias("_pid"))
+        .distinct()
+    )
+    out = survivors.join(
+        near_hits, survivors[id_col] == near_hits["_pid"], "left_anti"
+    )
+    from .dedup import _unpersist_with
+
+    return _unpersist_with(out, sig_d)

@@ -19,6 +19,8 @@ from traceframe_spark.plans.traceops import TRACEOPS_ORACLE_SQL, TRACEOPS_QUERIE
 # CORRECTNESS_r07.json and returns to natural registry order.
 _R8_ROTATION_HEAD = [
     "hll_weekly_users",
+    "dedup_index_exact",
+    "dedup_index_delta",
 ]
 
 

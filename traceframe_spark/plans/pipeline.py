@@ -1964,6 +1964,87 @@ WHERE d.doc_id % 10 >= 3
 """
 
 
+def _index_split(spark: SparkSession, sf_dir: str):
+    """The shared corpus split for the dedup-index queries: even docs
+    are yesterday's indexed snapshot; today's delta is the odd docs
+    PLUS an exact clone and a near-clone (8 appended chars) of the
+    first 25 indexed docs — so the exact layer and the LSH layer each
+    have a guaranteed, deterministic kill set."""
+    d = load_table(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") % 2 == 0)
+    seeded = ref.filter(F.col("doc_id") < 50)
+    delta = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .unionByName(
+            seeded.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        )
+        .unionByName(
+            seeded.select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" the end")).alias("text"),
+            )
+        )
+    )
+    return ref, delta
+
+
+def q_dedup_index_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact layer of the persistent dedup index
+    (operators/dedup_index): the snapshot's content keys are WRITTEN to
+    a store, and the delta probe anti-joins the STORED keys — the
+    snapshot text is never re-read. The exact clones in the delta must
+    die; the near-clones and genuinely-new odd docs must survive.
+    Oracle: the md5 content-key anti-join is plain SQL, so this query
+    is the oracle-green exact twin of the rows-only full probe
+    (``dedup_index_delta``)."""
+    import tempfile
+
+    from traceframe_spark.operators import dedup_index as di
+
+    ref, delta = _index_split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="dedup_index_") + "/idx"
+    di.write_dedup_index(ref, path)
+    return di.dedup_against_index(delta, path, near_dup=False).select("doc_id")
+
+
+SQL_DEDUP_INDEX_EXACT = """
+WITH ref AS (
+    SELECT DISTINCT md5(lower(trim(text))) AS k
+    FROM documents WHERE doc_id % 2 = 0
+),
+delta AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT doc_id + 100000, text
+    FROM documents WHERE doc_id % 2 = 0 AND doc_id < 50
+    UNION ALL
+    SELECT doc_id + 200000, text || ' the end'
+    FROM documents WHERE doc_id % 2 = 0 AND doc_id < 50
+)
+SELECT d.doc_id FROM delta d
+WHERE md5(lower(trim(d.text))) NOT IN (SELECT k FROM ref)
+"""
+
+
+def q_dedup_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full persistent-index probe: exact content keys, then the STORED
+    LSH band buckets + MinHash-estimated Jaccard ≥ 0.9 — the daily-delta
+    dedup that costs O(delta), never O(snapshot). Rows-only (the
+    estimate depends on Spark's xxhash64 families); its exact twin
+    ``dedup_index_exact`` is oracle-backed, and the layer-kill semantics
+    (clones die in layer 1, near-clones in layer 2, odd docs survive)
+    are pinned in tests/test_dedup_index.py."""
+    import tempfile
+
+    from traceframe_spark.operators import dedup_index as di
+
+    ref, delta = _index_split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="dedup_index_") + "/idx"
+    di.write_dedup_index(ref, path)
+    return di.dedup_against_index(delta, path, threshold=0.9).select("doc_id")
+
+
 PIPELINE_QUERIES = {
     "quality_resample": q_quality_resample,
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -2014,6 +2095,9 @@ PIPELINE_QUERIES = {
     # r07 additions — placed into the registry head by _R7_ROTATION_HEAD
     # so they get driver-recorded the round they land (the r06 lesson)
     "containment_pipeline": q_containment_pipeline,
+    # r08 additions — rotated into the head by _R8_ROTATION_HEAD
+    "dedup_index_exact": q_dedup_index_exact,
+    "dedup_index_delta": q_dedup_index_delta,
 }
 
 PIPELINE_ORACLE_SQL = {
@@ -2060,4 +2144,5 @@ PIPELINE_ORACLE_SQL = {
     "hll_distinct": SQL_HLL_DISTINCT,
     "corpus_report": SQL_CORPUS_REPORT,
     "containment_pipeline": SQL_CONTAINMENT_PIPELINE,
+    "dedup_index_exact": SQL_DEDUP_INDEX_EXACT,
 }
