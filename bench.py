@@ -106,6 +106,8 @@ HEADLINE = [
     "hll_weekly_users",
     "dedup_index_exact",
     "dedup_index_delta",
+    "line_dedup",
+    "dsir_importance",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans

@@ -242,3 +242,93 @@ def priority_sample(
     if k <= RANKED_TOPK_MAX:
         return ranked_topk(keyed, order, k, rank_col="rank")
     return partitioned_topk(keyed, order, k, rank_col="rank")
+
+
+def _md5_bucket(col: F.Column, buckets: int) -> F.Column:
+    """Engine-portable feature hash: first 8 md5 hex digits mod
+    ``buckets``. DuckDB mirror: ``('0x' || substr(md5(g),1,8))::BIGINT
+    % buckets`` — bit-identical, unlike xxhash64 (not in DuckDB) or
+    murmur (seed-mismatched across engines)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"), F.lit(buckets)
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    is_target,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2302.03169 "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed n-gram profile is, so a raw
+    100 TB crawl can be resampled toward a small high-quality target
+    distribution without training a classifier.
+
+    Features are unigrams + bigrams of lowercased whitespace tokens,
+    hashed into ``buckets`` counts (the paper's hashed n-gram feature
+    space). Bucket unigram models are fit by counting over the target
+    rows (``is_target`` boolean Column) and over ALL rows (the raw
+    distribution), each add-one smoothed over the bucket vocabulary.
+    A document's log importance weight is::
+
+        log w(d) = sum_{g in grams(d)} [ log p_target(b(g)) - log p_raw(b(g)) ]
+
+    Output: ``(id, n_grams, logweight)`` for every input row (target
+    rows score too — useful for sanity: their mean logweight must
+    exceed the non-targets'). Resample by composing with
+    :func:`priority_sample` / top-k on ``logweight``.
+
+    Scale shape (100 TB): grams explode once and immediately collapse
+    to ``(id, bucket, count)`` — one map-side-combinable groupBy whose
+    width is bounded by ``buckets`` per doc, not gram count. The two
+    bucket models reduce from that same narrow relation (a second tiny
+    aggregate), and the scoring join is ``(id,bucket)``-vs-``bucket``
+    against a ``buckets``-row table — broadcast, no shuffle of the
+    corpus-sized side beyond the first groupBy. Nothing driver-side,
+    nothing text-keyed.
+    """
+    from traceframe_spark.operators.text import word_ngrams
+
+    # strict 1- and 2-grams via the shared shifted-slice builder (the
+    # naive zip_with form null-pads the tail, minting a phantom unigram
+    # of every doc's last token; word_ngrams documents the quadratic
+    # pitfall its zip form also avoids)
+    grams = F.filter(
+        F.concat(word_ngrams(F.col(text_col), 1), word_ngrams(F.col(text_col), 2)),
+        lambda g: g != F.lit(""),
+    )
+    exploded = df.select(
+        F.col(id_col),
+        is_target.alias("_tgt"),
+        F.explode(grams).alias("_g"),
+    ).select(id_col, "_tgt", _md5_bucket(F.col("_g"), buckets).alias("_b"))
+    per_doc = exploded.groupBy(id_col, "_tgt", "_b").agg(F.count("*").alias("_c"))
+    model = per_doc.groupBy("_b").agg(
+        F.sum("_c").alias("_raw"),
+        F.sum(F.when(F.col("_tgt"), F.col("_c")).otherwise(F.lit(0))).alias("_t"),
+    )
+    totals = model.agg(
+        F.sum("_raw").alias("_rtot"), F.sum("_t").alias("_ttot")
+    )
+    # log-ratio per bucket; buckets-row table, broadcast into the scoring join
+    lam = (
+        model.crossJoin(F.broadcast(totals))
+        .select(
+            "_b",
+            (
+                F.log((F.col("_t") + 1).cast("double") / (F.col("_ttot") + buckets).cast("double"))
+                - F.log((F.col("_raw") + 1).cast("double") / (F.col("_rtot") + buckets).cast("double"))
+            ).alias("_lam"),
+        )
+    )
+    return (
+        per_doc.join(F.broadcast(lam), "_b")
+        .groupBy(F.col(id_col))
+        .agg(
+            F.sum("_c").alias("n_grams"),
+            F.sum(F.col("_c") * F.col("_lam")).alias("logweight"),
+        )
+    )

@@ -709,3 +709,80 @@ def token_kl_drift(
         "n_b",
         F.floor(kl * 10000000 + F.lit(0.5)).cast("long").alias("kl_q"),
     )
+
+
+def dedup_lines(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "line_no",
+    line_col: str = "line",
+    min_occurrences: int = 2,
+    scope_col: str | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """Corpus-level line deduplication (the C4 / CCNet curation step:
+    Raffel et al. 1910.10683 §2.2 "three-sentence span" dedup, CCNet
+    1911.00359 §3 paragraph-hash dedup): any normalized line occurring
+    ``min_occurrences``-or-more times across the corpus is kept ONLY at
+    its canonical first occurrence (lowest ``(id, pos)``) and dropped
+    everywhere else — boilerplate (nav bars, cookie banners, license
+    headers) dies corpus-wide while its first sighting survives.
+
+    Input is the exploded ``(id, pos, line)`` shape — from
+    ``F.posexplode(F.split(text, '\\n'))`` on real corpora, or from
+    :func:`chunk_documents` when the "line" is a fixed token window.
+    This keeps the splitting policy (newline / sentence / chunk) out of
+    the dedup kernel. Output: the input rows that SURVIVE, plus
+    ``n_occurrences`` (corpus-wide count of the line's key) and
+    ``is_canonical`` (true on the first occurrence of a repeated line).
+
+    Scale shape (100 TB): lines shuffle by a 64-bit xxhash64 key, never
+    by the line string — the aggregate that computes ``(count,
+    first-occurrence)`` per key is one map-side-combinable groupBy, and
+    survivors come back via one hash-hash equi-join on the same key, so
+    the corpus text crosses the wire once in each direction and nothing
+    is quadratic. ``scope_col`` (e.g. per-source dedup) simply widens
+    the key. Collisions: two DIFFERENT lines sharing an xxhash64 value
+    inside one scope would merge their counts (~2e-10 at 1 B distinct
+    lines/scope); acceptable for curation, same trade as
+    :func:`duplicated_window_spans`.
+    """
+    if min_occurrences < 2:
+        raise ValueError("min_occurrences must be >= 2 (1 would drop every line)")
+    key_src = F.lower(F.trim(F.col(line_col))) if normalize else F.col(line_col)
+    scope = [F.col(scope_col)] if scope_col else []
+    keyed = lines.withColumn("_lk", F.xxhash64(key_src, *scope))
+    occ = keyed.groupBy("_lk").agg(
+        F.count("*").alias("n_occurrences"),
+        F.min(F.struct(F.col(id_col), F.col(pos_col))).alias("_canon"),
+    )
+    joined = keyed.join(occ, "_lk")
+    is_canon = (F.col("_canon")[id_col] == F.col(id_col)) & (
+        F.col("_canon")[pos_col] == F.col(pos_col)
+    )
+    return (
+        joined.filter((F.col("n_occurrences") < min_occurrences) | is_canon)
+        .withColumn("is_canonical", (F.col("n_occurrences") >= min_occurrences) & is_canon)
+        .drop("_lk", "_canon")
+    )
+
+
+def reassemble_lines(
+    kept: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "line_no",
+    line_col: str = "line",
+    sep: str = "\n",
+) -> DataFrame:
+    """Rebuild one text per document from surviving lines, in original
+    line order: ``(id, text, n_lines)``. One groupBy on the doc id
+    (bounded by per-document line count); ordering is restored by
+    sorting the collected ``(pos, line)`` structs, not by a window, so
+    the plan is a single aggregate."""
+    packed = F.array_sort(
+        F.collect_list(F.struct(F.col(pos_col).alias("p"), F.col(line_col).alias("l")))
+    )
+    return kept.groupBy(F.col(id_col)).agg(
+        F.concat_ws(sep, F.transform(packed, lambda s: s["l"])).alias("text"),
+        F.count("*").alias("n_lines"),
+    )

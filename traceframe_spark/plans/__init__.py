@@ -21,6 +21,8 @@ _R8_ROTATION_HEAD = [
     "hll_weekly_users",
     "dedup_index_exact",
     "dedup_index_delta",
+    "line_dedup",
+    "dsir_importance",
 ]
 
 

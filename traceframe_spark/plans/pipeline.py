@@ -2045,6 +2045,112 @@ def q_dedup_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return di.dedup_against_index(delta, path, threshold=0.9).select("doc_id")
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (C4 1910.10683 §2.2 / CCNet 1911.00359 §3
+    via operators/text.py::dedup_lines): lines occurring ≥2 times across
+    the corpus survive only at their first occurrence, then documents
+    are reassembled from the surviving lines. The synthetic docs are
+    single-line, so "lines" here are fixed 8-token chunks
+    (chunk_documents, overlap=0) — the splitting policy is an input, the
+    dedup kernel is what's under test. The engine keys lines by
+    xxhash64; the oracle groups the literal strings — identical answers
+    barring a 64-bit collision inside 400 docs (~1e-13). ``text_md5``
+    pins the reassembled text (order + separator) exactly."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    lines = text.chunk_documents(d, chunk_tokens=8, overlap=0).select(
+        "doc_id",
+        F.col("chunk_id").alias("line_no"),
+        F.col("chunk_text").alias("line"),
+    )
+    kept = text.dedup_lines(lines, min_occurrences=2)
+    docs = text.reassemble_lines(kept)
+    return docs.select("doc_id", "n_lines", F.md5("text").alias("text_md5"))
+
+
+SQL_LINE_DEDUP = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+    FROM documents WHERE doc_id < 400
+),
+lines AS (
+    SELECT doc_id, u.i AS line_no,
+           array_to_string(
+               list_slice(t, CAST(u.i * 8 + 1 AS INT), CAST(u.i * 8 + 8 AS INT)),
+               ' ') AS line
+    FROM toks,
+         unnest(range(0, greatest(CAST(ceil(len(t) / 8.0) AS BIGINT), 1))) AS u(i)
+),
+marked AS (
+    SELECT doc_id, line_no, line,
+           count(*) OVER (PARTITION BY line) AS n_occ,
+           row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+    FROM lines
+)
+SELECT doc_id, count(*) AS n_lines,
+       md5(string_agg(line, chr(10) ORDER BY line_no)) AS text_md5
+FROM marked
+WHERE n_occ < 2 OR rn = 1
+GROUP BY doc_id
+"""
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2302.03169 via
+    operators/sampling.py::dsir_importance): hashed 1+2-gram bucket
+    models (md5 buckets, engine-portable), target = lang='en', raw =
+    the whole bounded corpus; per-doc log importance weight quantized
+    at 1e-4 (sum of ln ratios; both engines' libm agree far below
+    that — same contract as doc_bigram_logprob)."""
+    from traceframe_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    w = sampling.dsir_importance(
+        d, is_target=F.col("lang") == "en", buckets=4096
+    )
+    return w.select(
+        "doc_id", "n_grams", qint(F.col("logweight"), 4).alias("logweight_q")
+    )
+
+
+SQL_DSIR_IMPORTANCE = r"""
+WITH toks AS (
+    SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+    FROM documents WHERE doc_id < 400
+),
+grams AS (
+    SELECT doc_id, lang, t[CAST(u.i AS INT)] AS g
+    FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+    UNION ALL
+    SELECT doc_id, lang,
+           t[CAST(u.i AS INT)] || ' ' || t[CAST(u.i AS INT) + 1] AS g
+    FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)
+),
+bucketed AS (
+    SELECT doc_id, lang = 'en' AS tgt,
+           ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS b
+    FROM grams WHERE g <> ''
+),
+per_doc AS (
+    SELECT doc_id, tgt, b, count(*) AS c FROM bucketed GROUP BY 1, 2, 3
+),
+model AS (
+    SELECT b, sum(c) AS raw, coalesce(sum(c) FILTER (WHERE tgt), 0) AS tc
+    FROM per_doc GROUP BY b
+),
+totals AS (SELECT sum(raw) AS r_tot, sum(tc) AS t_tot FROM model),
+lam AS (
+    SELECT b,
+           ln((tc + 1)::DOUBLE / (t_tot + 4096)::DOUBLE)
+         - ln((raw + 1)::DOUBLE / (r_tot + 4096)::DOUBLE) AS lam
+    FROM model CROSS JOIN totals
+)
+SELECT p.doc_id, CAST(sum(p.c) AS BIGINT) AS n_grams,
+       CAST(floor(sum(p.c * l.lam) * 10000 + 0.5) AS BIGINT) AS logweight_q
+FROM per_doc p JOIN lam l USING (b)
+GROUP BY p.doc_id
+"""
+
+
 PIPELINE_QUERIES = {
     "quality_resample": q_quality_resample,
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -2098,6 +2204,8 @@ PIPELINE_QUERIES = {
     # r08 additions — rotated into the head by _R8_ROTATION_HEAD
     "dedup_index_exact": q_dedup_index_exact,
     "dedup_index_delta": q_dedup_index_delta,
+    "line_dedup": q_line_dedup,
+    "dsir_importance": q_dsir_importance,
 }
 
 PIPELINE_ORACLE_SQL = {
@@ -2145,4 +2253,6 @@ PIPELINE_ORACLE_SQL = {
     "corpus_report": SQL_CORPUS_REPORT,
     "containment_pipeline": SQL_CONTAINMENT_PIPELINE,
     "dedup_index_exact": SQL_DEDUP_INDEX_EXACT,
+    "line_dedup": SQL_LINE_DEDUP,
+    "dsir_importance": SQL_DSIR_IMPORTANCE,
 }
