@@ -1,0 +1,198 @@
+"""Round-8 volume oracle sweep: the bounded-doc registry queries,
+re-bounded for the 100x copy so the VOLUME is real.
+
+The registry pins `doc_id < cap` subsets for oracle tractability at
+sf0.01; at the 100x copy (`tools/make_scale_data.py`, copies shifted by
+1e9) that literal bound selects only copy 0 — no volume. This sweep
+swaps the bound for `doc_id % 1e9 < cap` (every copy of the first
+`cap` base docs: 100x the rows, WITH the clone/near-copy structure the
+scale-up builds), runs the same operator on Spark and the same
+adapted SQL on DuckDB, and compares exactly like tools/check_oracle.py.
+
+containment caps drop to 30 base docs: near-copy structure multiplies
+posting lists by 100, so the DuckDB self-join side grows ~10^4x — 30
+base docs keeps the ORACLE inside minutes while the volume (3 000
+docs, 100-deep clone clusters) still stresses the engine's hash/FP
+arithmetic at a scale sf0.01 never reaches.
+
+Usage: SPARK_GRAFT_DRIVER_MEM=48g python tools/oracle_volume_r08.py \
+    [--sf /tmp/sparktrace_scale100] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from traceframe_spark.plans.catalog import TABLES  # noqa: E402
+
+MOD = 1_000_000_000
+
+
+def _mod_filter(cap: int):
+    from pyspark.sql import functions as F
+
+    return (F.col("doc_id") % MOD) < cap
+
+
+def build_queries():
+    """(name → spark fn, name → sql): mod-bounded volume twins of the
+    four bounded registry queries, SQL adapted from the registry
+    constants by swapping the WHERE bound (the computation itself is
+    byte-identical to the driver-green sf0.01 oracles)."""
+    from pyspark.sql import functions as F
+
+    from traceframe_spark.operators import dedup, sampling, text
+    from traceframe_spark.plans import pipeline as P
+    from traceframe_spark.plans.catalog import load_table, qint
+
+    def swap(sql: str, old: str, new: str) -> str:
+        assert old in sql, f"bound {old!r} not found in oracle SQL"
+        return sql.replace(old, new)
+
+    def q_containment_pairs_vol(spark, sf_dir):
+        d = load_table(spark, sf_dir, "documents").filter(_mod_filter(30))
+        pairs = dedup.containment_pairs(d, "doc_id", "text", threshold=0.6)
+        return pairs.select(
+            "id_sub", "id_super", qint(F.col("containment"), 4).alias("containment_q")
+        )
+
+    def q_containment_pipeline_vol(spark, sf_dir):
+        d = load_table(spark, sf_dir, "documents").filter(_mod_filter(30))
+        doubled = d.unionByName(
+            d.withColumn("doc_id", F.col("doc_id") + 500_000_000)
+        )
+        pairs = dedup.containment_pipeline(doubled, "doc_id", "text", threshold=0.6)
+        return pairs.select(
+            "id_sub", "id_super", qint(F.col("containment"), 4).alias("containment_q")
+        )
+
+    def q_line_dedup_vol(spark, sf_dir):
+        d = load_table(spark, sf_dir, "documents").filter(_mod_filter(400))
+        lines = text.chunk_documents(d, chunk_tokens=8, overlap=0).select(
+            "doc_id",
+            F.col("chunk_id").alias("line_no"),
+            F.col("chunk_text").alias("line"),
+        )
+        kept = text.dedup_lines(lines, min_occurrences=2)
+        docs = text.reassemble_lines(kept)
+        return docs.select("doc_id", "n_lines", F.md5("text").alias("text_md5"))
+
+    def q_dsir_importance_vol(spark, sf_dir):
+        d = load_table(spark, sf_dir, "documents").filter(_mod_filter(400))
+        w = sampling.dsir_importance(
+            d, is_target=F.col("lang") == "en", buckets=4096
+        )
+        return w.select(
+            "doc_id", "n_grams", qint(F.col("logweight"), 4).alias("logweight_q")
+        )
+
+    qs = {
+        "containment_pairs_vol": q_containment_pairs_vol,
+        "containment_pipeline_vol": q_containment_pipeline_vol,
+        "line_dedup_vol": q_line_dedup_vol,
+        "dsir_importance_vol": q_dsir_importance_vol,
+    }
+    sql = {
+        "containment_pairs_vol": swap(
+            P.SQL_CONTAINMENT_PAIRS, "doc_id < 150", f"doc_id % {MOD} < 30"
+        ),
+        # one swap covers all three bound occurrences (canon UNION x2 +
+        # docs join filter); the clone shift moves clear of the 100-copy
+        # id space (copies live at doc_id + i*1e9, bases < 1e9)
+        "containment_pipeline_vol": swap(
+            P.SQL_CONTAINMENT_PIPELINE.replace("doc_id + 100000", "doc_id + 500000000"),
+            "doc_id < 150",
+            f"doc_id % {MOD} < 30",
+        ),
+        "line_dedup_vol": swap(
+            P.SQL_LINE_DEDUP, "doc_id < 400", f"doc_id % {MOD} < 400"
+        ),
+        "dsir_importance_vol": swap(
+            P.SQL_DSIR_IMPORTANCE, "doc_id < 400", f"doc_id % {MOD} < 400"
+        ),
+    }
+    return qs, sql
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/tmp/sparktrace_scale100")
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    from tools.check_oracle import _canon  # same comparison semantics
+
+    from traceframe_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle-volume-r08", master="local[16]", shuffle_partitions=64)
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{args.sf}/{t}.parquet"
+        if os.path.isdir(path):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}/*.parquet'")
+        elif os.path.exists(path):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+    qs, sql = build_queries()
+    names = args.queries or list(qs)
+    failures = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name:28s} FAIL spark error: {type(exc).__name__}: {str(exc)[:200]}")
+            failures.append(name)
+            continue
+        try:
+            ddf = con.sql(sql[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name:28s} FAIL oracle error: {type(exc).__name__}: {str(exc)[:200]}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(sdf) != len(ddf):
+            problems.append(f"rowcount spark={len(sdf)} duck={len(ddf)}")
+        if sorted(sdf.columns) != sorted(ddf.columns):
+            problems.append(f"columns {sorted(sdf.columns)} vs {sorted(ddf.columns)}")
+        else:
+            bad = [
+                f"{c}: spark={sdf[c].dtype} duck={ddf[c].dtype}"
+                for c in sorted(sdf.columns)
+                if str(sdf[c].dtype) != str(ddf[c].dtype)
+            ]
+            if bad:
+                problems.append("dtype mismatch " + "; ".join(bad))
+        if not problems and _canon(sdf) != _canon(ddf):
+            sc, dc = _canon(sdf), _canon(ddf)
+            diff = next((i for i, (a, b) in enumerate(zip(sc, dc)) if a != b), None)
+            problems.append(
+                f"values differ (first diff at sorted row {diff}: "
+                f"spark={sc[diff] if diff is not None else None} "
+                f"duck={dc[diff] if diff is not None else None})"
+            )
+        dt = time.time() - t0
+        if problems:
+            print(f"{name:28s} {len(sdf)} rows ({dt:.1f}s)  FAIL " + "; ".join(problems))
+            failures.append(name)
+        else:
+            print(f"{name:28s} {len(sdf)} rows ({dt:.1f}s)  PASS")
+    spark.stop()
+    if failures:
+        print(f"FAILED: {failures}")
+        return 1
+    print("volume sweep: all queries match the oracle")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

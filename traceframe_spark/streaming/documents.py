@@ -1,0 +1,131 @@
+"""Streaming document ingest with incremental dedup.
+
+The batch loop the persistent index enables (``operators/dedup_index``:
+probe a delta in O(delta + narrow index rows), never O(snapshot)) has a
+streaming form: a document feed arrives in micro-batches, each batch is
+deduped against everything ever accepted — exact layer, then LSH
+near-dup layer — and only the survivors land in the curated corpus and
+fold back into the index. This is the continuous version of the daily
+``survivors = dedup_against_index(delta); append_dedup_index(survivors)``
+loop, so a 100 TB corpus never gets re-read no matter how long the
+stream runs: each batch pays its own size plus the narrow index rows.
+
+Crash-safety (foreachBatch is at-least-once, and this sink is
+multi-step):
+
+- Each batch's survivors land at ``{out}/ingest_batch=<id>`` with
+  per-directory overwrite, so re-writing the same batch is idempotent.
+- A marker (``_applied_batches/``, lineage-namespaced like the rollup
+  store's) is written AFTER the corpus write and BEFORE the index
+  append. On replay, a marked batch re-reads its survivors from its own
+  corpus directory instead of re-probing — the re-probe would find the
+  batch's docs already in the index (if the append had completed) and
+  compute an EMPTY survivor set, and an unguarded overwrite would then
+  erase the batch's data. Reading back the landed rows makes the replay
+  immune to the index's state.
+- The index append itself may run twice (crash between append and the
+  stream's checkpoint commit). Duplicate index rows are semantically
+  harmless by construction: the exact layer feeds an anti-join, and the
+  candidate/verify joins end in ``distinct()`` — a duplicated ``ckey``/
+  ``band``/``sig`` row changes storage, never answers.
+
+Within-batch duplicates (the index only knows PREVIOUS batches) are
+collapsed exact-first per batch via ``exact_canonical_ids``; near-dup
+pairs *inside* one micro-batch are left to the batch pipeline
+(``dedup_pipeline``) by the same production-order argument as the LSH
+cap — a micro-batch is delta-sized, so running the full pipeline over
+it upstream is cheap if intra-batch near-dups matter.
+
+Single writer, like the rollup and HLL stores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from traceframe_spark.operators.dedup import exact_canonical_ids
+from traceframe_spark.operators import dedup_index as di
+from traceframe_spark.streaming.spans import (
+    _batch_already_applied,
+    _mark_batch_applied,
+)
+
+__all__ = ["stream_dedup_ingest", "read_ingested"]
+
+
+def _dedup_within_batch(batch: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Collapse exact duplicates inside one micro-batch (keep the
+    minimum id per content key) — narrow shuffle of (id, md5) pairs."""
+    canon = exact_canonical_ids(batch, id_col, text_col).select(
+        F.col("_canon_id").alias("_keep_id")
+    )
+    return batch.join(
+        canon, batch[id_col] == canon["_keep_id"], "left_semi"
+    )
+
+
+def stream_dedup_ingest(
+    docs: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    near_dup: bool = True,
+    trigger_available_now: bool = False,
+):
+    """Run a streaming document feed through the persistent dedup index:
+    per micro-batch, drop exact and (``near_dup=True``) LSH near-dup
+    matches against everything previously accepted, land survivors at
+    ``{out_path}/ingest_batch=<id>``, and fold them into the index at
+    ``index_path`` (which must already exist — build the snapshot index
+    with ``write_dedup_index`` first; an empty corpus snapshot is fine).
+
+    Returns the started StreamingQuery. Read the curated corpus back
+    with :func:`read_ingested`.
+    """
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_dir = f"{out_path}/ingest_batch={batch_id}"
+        if _batch_already_applied(spark, out_path, checkpoint, batch_id):
+            # corpus write is durable; only the index append may be
+            # missing. Re-append from the landed rows (duplicate index
+            # rows are harmless — see module docstring).
+            survivors = spark.read.parquet(batch_dir)
+            if survivors.isEmpty():
+                return
+            di.append_dedup_index(survivors, index_path, id_col, text_col)
+            return
+        deduped = _dedup_within_batch(batch_df, id_col, text_col)
+        survivors = di.dedup_against_index(
+            deduped,
+            index_path,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+            near_dup=near_dup,
+        ).persist()
+        try:
+            survivors.write.mode("overwrite").parquet(batch_dir)
+            _mark_batch_applied(spark, out_path, checkpoint, batch_id)
+            if not survivors.isEmpty():
+                di.append_dedup_index(survivors, index_path, id_col, text_col)
+        finally:
+            survivors.unpersist()
+
+    writer = docs.writeStream.foreachBatch(ingest_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_ingested(spark: SparkSession, out_path: str) -> DataFrame:
+    """The curated corpus the stream has landed so far: all surviving
+    documents plus the ``ingest_batch`` partition column (which batch
+    accepted each doc). Plain partitioned parquet — partition pruning
+    on ``ingest_batch`` works for incremental consumers."""
+    return spark.read.parquet(out_path)
