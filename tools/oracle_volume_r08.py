@@ -1,5 +1,8 @@
-"""Round-8 volume oracle sweep: the bounded-doc registry queries,
-re-bounded for the 100x copy so the VOLUME is real.
+"""Round-8 volume oracle sweep: the r06-r08 operators with fresh
+float/hash arithmetic, run at the 100x copy so the VOLUME is real —
+bounded registry queries re-bounded to keep the DuckDB side tractable,
+unbounded ones (ngram_novelty, embed_drift, hll_distinct,
+hll_daily_users, priority_sample, corpus_report) verbatim.
 
 The registry pins `doc_id < cap` subsets for oracle tractability at
 sf0.01; at the 100x copy (`tools/make_scale_data.py`, copies shifted by
@@ -100,6 +103,25 @@ def build_queries():
         "line_dedup_vol": q_line_dedup_vol,
         "dsir_importance_vol": q_dsir_importance_vol,
     }
+
+    # The other r06/r07 operators with fresh float/hash arithmetic
+    # (ngram_novelty, embed_drift, hll_distinct, hll_daily_users,
+    # priority_sample, corpus_report) are UNBOUNDED over their tables,
+    # so their volume twins are the registry entries verbatim against
+    # the 100x dir — no bound swap needed; the sweep just points both
+    # engines at the scaled parquet.
+    from traceframe_spark.plans import catalog_oracle_sql, catalog_queries
+
+    reg_q, reg_sql = catalog_queries(), catalog_oracle_sql()
+    for reg_name in (
+        "ngram_novelty",
+        "embed_drift",
+        "hll_distinct",
+        "hll_daily_users",
+        "priority_sample",
+        "corpus_report",
+    ):
+        qs[f"{reg_name}_vol"] = reg_q[reg_name]
     sql = {
         "containment_pairs_vol": swap(
             P.SQL_CONTAINMENT_PAIRS, "doc_id < 150", f"doc_id % {MOD} < 30"
@@ -119,6 +141,15 @@ def build_queries():
             P.SQL_DSIR_IMPORTANCE, "doc_id < 400", f"doc_id % {MOD} < 400"
         ),
     }
+    for reg_name in (
+        "ngram_novelty",
+        "embed_drift",
+        "hll_distinct",
+        "hll_daily_users",
+        "priority_sample",
+        "corpus_report",
+    ):
+        sql[f"{reg_name}_vol"] = reg_sql[reg_name]
     return qs, sql
 
 
