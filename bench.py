@@ -108,6 +108,7 @@ HEADLINE = [
     "dedup_index_delta",
     "line_dedup",
     "dsir_importance",
+    "index_novelty",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans

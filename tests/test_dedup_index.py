@@ -105,6 +105,65 @@ def test_index_stores_no_text(spark, corpus, tmp_path):
         assert got == cols, layer
 
 
+def test_gram_layer_matches_batch_operator(spark, tmp_path):
+    # the stored-layer probe must land on the BATCH operator's exact
+    # answer: same split, same gram semantics, reference side read from
+    # the store instead of re-grammed text
+    from traceframe_spark.operators import text
+    from traceframe_spark.plans.catalog import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    ref = d.filter(F.col("doc_id") % 10 < 3)
+    corpus = d.filter(F.col("doc_id") % 10 >= 3)
+    path = str(tmp_path / "gidx")
+    di.write_gram_layer(ref, path, n=3)
+    assert di.read_gram_meta(spark, path) == 3
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], round(r["novelty"], 9))
+        for r in di.novelty_against_index(corpus, path).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], round(r["novelty"], 9))
+        for r in text.ngram_novelty(corpus, ref, n=3).collect()
+    }
+    assert got == want
+
+
+def test_gram_layer_append_absorbs_and_zero_gram(spark, tmp_path):
+    path = str(tmp_path / "gidx")
+    snap = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    di.write_gram_layer(snap, path, n=3)
+    delta = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),        # fully seen: 2 grams, 0 novel
+            (2, "one two three four five"),        # fully novel: 3 grams
+            (3, "so short"),                       # < n words: zero grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in di.novelty_against_index(delta, path).collect()}
+    assert (out[1]["n_grams"], out[1]["n_novel"], out[1]["novelty"]) == (2, 0, 0.0)
+    assert (out[2]["n_grams"], out[2]["n_novel"], out[2]["novelty"]) == (3, 3, 1.0)
+    # zero-gram docs report novelty 0.0 — the batch operator's contract
+    assert (out[3]["n_grams"], out[3]["n_novel"], out[3]["novelty"]) == (0, 0, 0.0)
+
+    # fold doc 2 in; its grams are no longer novel, and the layer stayed
+    # a distinct set (append anti-joins stored keys)
+    di.append_gram_layer(delta.filter(F.col("doc_id") == 2), path)
+    again = {r["doc_id"]: r for r in di.novelty_against_index(delta, path).collect()}
+    assert again[2]["n_novel"] == 0
+    grams = spark.read.parquet(f"{path}/grams")
+    assert grams.count() == grams.distinct().count()
+    # re-appending the same doc adds nothing
+    before = grams.count()
+    di.append_gram_layer(delta.filter(F.col("doc_id") == 2), path)
+    assert spark.read.parquet(f"{path}/grams").count() == before
+
+
 def test_registry_twin_consistency(spark, tmp_path):
     # the registered delta query's survivors are a subset of the exact
     # twin's (the LSH layer only ever removes more), and both keep

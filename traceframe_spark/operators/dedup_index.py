@@ -59,6 +59,10 @@ __all__ = [
     "append_dedup_index",
     "dedup_against_index",
     "read_index_meta",
+    "write_gram_layer",
+    "append_gram_layer",
+    "read_gram_meta",
+    "novelty_against_index",
 ]
 
 
@@ -233,3 +237,126 @@ def dedup_against_index(
     from .dedup import _unpersist_with
 
     return _unpersist_with(out, sig_d)
+
+
+# ---------------------------------------------------------------------------
+# gram layer: incremental n-gram novelty without re-reading the snapshot
+# ---------------------------------------------------------------------------
+
+
+def _gram_keys(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gk) — one row per DISTINCT word n-gram of each doc, keyed by
+    the full 128-bit md5 of the gram text (16-byte binary): narrow
+    enough to store corpus-scale (16 bytes vs the gram's ~3 words),
+    collision-negligible at 2^128, and engine-portable (md5 is md5 in
+    DuckDB too, so an oracle reading the stored layer lands on the
+    identical keys). Gram semantics are :func:`~.text.word_ngrams`'s —
+    the one definition contamination/ngram_novelty already share."""
+    from .text import word_ngrams
+
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g"),
+    ).select("id", F.unhex(F.md5("g")).alias("gk"))
+
+
+def write_gram_layer(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> None:
+    """Add (or rebuild) the snapshot's n-gram membership layer at
+    ``{path}/grams``: the distinct gram keys of the whole corpus, the
+    state :func:`novelty_against_index` probes so daily novelty triage
+    (``operators/text.ngram_novelty``'s answer) never re-reads snapshot
+    text. One corpus scan → explode → one distinct shuffle of 16-byte
+    keys; the stored layer is O(distinct grams), independent of
+    document count or length. ``n`` is pinned in ``{path}/gram_meta``
+    exactly like the MinHash parameters — probes always gram with the
+    stored ``n``."""
+    spark = docs.sparkSession
+    grams = _gram_keys(docs, id_col, text_col, n).select("gk").distinct()
+    grams.write.mode("overwrite").parquet(f"{path}/grams")
+    meta = spark.createDataFrame([(int(n),)], "n int")
+    meta.coalesce(1).write.mode("overwrite").json(f"{path}/gram_meta")
+
+
+def read_gram_meta(spark: SparkSession, path: str) -> int:
+    """→ n (gram order) as pinned at gram-layer build time."""
+    return int(spark.read.json(f"{path}/gram_meta").collect()[0]["n"])
+
+
+def append_gram_layer(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Fold accepted docs' grams into the layer — the daily loop's last
+    step alongside :func:`append_dedup_index`. Appends only the keys
+    the store does not already hold (one anti-join against the narrow
+    stored layer), so the layer stays a distinct set and its growth
+    follows the corpus's NOVEL gram mass, not the feed volume."""
+    spark = docs.sparkSession
+    n = read_gram_meta(spark, path)
+    fresh = (
+        _gram_keys(docs, id_col, text_col, n)
+        .select("gk")
+        .distinct()
+        .join(spark.read.parquet(f"{path}/grams"), "gk", "left_anti")
+    )
+    fresh.write.mode("append").parquet(f"{path}/grams")
+
+
+def novelty_against_index(
+    delta: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-delta-doc n-gram novelty against the STORED gram layer —
+    ``operators/text.ngram_novelty``'s exact answer (id, n_grams,
+    n_novel, novelty) with the reference side read from ``{path}/grams``
+    instead of re-gramming reference text. Zero-gram docs report
+    novelty 0.0, same contract as the batch operator.
+
+    Cost shape at 100 TB: the delta is grammed once (one scan + one
+    explode); the snapshot contributes only its stored 16-byte keys.
+    The membership probe is a LEFT SEMI join, so duplicate stored keys
+    (the benign append race) can never double-count a hit. Both sides
+    shuffle narrow keys; snapshot TEXT is never touched — same argument
+    as :func:`dedup_against_index`, applied to the novelty triage that
+    decides what enters the curation pass at all."""
+    spark = delta.sparkSession
+    n = read_gram_meta(spark, path)
+    ids = spread(delta, id_col)
+    grams = _gram_keys(ids, id_col, text_col, n)
+    totals = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        grams.join(spark.read.parquet(f"{path}/grams"), "gk", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    base = ids.select(F.col(id_col).alias("id"))
+    return (
+        base.join(totals, "id", "left")
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            (
+                F.coalesce(F.col("n_grams"), F.lit(0))
+                - F.coalesce(F.col("n_hit"), F.lit(0))
+            ).cast("long").alias("n_novel"),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                1.0
+                - F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_grams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("novelty"),
+        )
+    )

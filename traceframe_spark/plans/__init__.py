@@ -23,6 +23,7 @@ _R8_ROTATION_HEAD = [
     "dedup_index_delta",
     "line_dedup",
     "dsir_importance",
+    "index_novelty",
 ]
 
 

@@ -2045,6 +2045,33 @@ def q_dedup_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return di.dedup_against_index(delta, path, threshold=0.9).select("doc_id")
 
 
+def q_index_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram novelty from the STORED gram layer
+    (operators/dedup_index.novelty_against_index): the snapshot docs
+    (``doc_id % 10 < 3``, the same split as ``ngram_novelty``) have
+    their distinct 3-gram md5 keys written to the index ONCE; the
+    corpus side is then scored against the STORED keys — snapshot text
+    is never re-grammed. Same answer as the batch operator, so the
+    oracle is ``SQL_NGRAM_NOVELTY`` verbatim: the gram key is the full
+    128-bit md5 (collision-negligible), and membership via LEFT SEMI
+    join cannot double-count a hit. This is the triage half of the
+    daily incremental loop; ``dedup_index_exact``/``_delta`` are the
+    dedup half."""
+    import tempfile
+
+    from traceframe_spark.operators import dedup_index as di
+
+    d = load_table(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") % 10 < 3)
+    corpus = d.filter(F.col("doc_id") % 10 >= 3)
+    path = tempfile.mkdtemp(prefix="gram_index_") + "/idx"
+    di.write_gram_layer(ref, path, n=3)
+    out = di.novelty_against_index(corpus, path)
+    return out.select(
+        "doc_id", "n_grams", "n_novel", qint(F.col("novelty"), 4).alias("novelty_q")
+    )
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level line dedup (C4 1910.10683 §2.2 / CCNet 1911.00359 §3
     via operators/text.py::dedup_lines): lines occurring ≥2 times across
@@ -2206,6 +2233,7 @@ PIPELINE_QUERIES = {
     "dedup_index_delta": q_dedup_index_delta,
     "line_dedup": q_line_dedup,
     "dsir_importance": q_dsir_importance,
+    "index_novelty": q_index_novelty,
 }
 
 PIPELINE_ORACLE_SQL = {
@@ -2255,4 +2283,8 @@ PIPELINE_ORACLE_SQL = {
     "dedup_index_exact": SQL_DEDUP_INDEX_EXACT,
     "line_dedup": SQL_LINE_DEDUP,
     "dsir_importance": SQL_DSIR_IMPORTANCE,
+    # same split, same gram semantics, same output shape — the stored
+    # gram layer changes WHERE the reference grams come from, not the
+    # answer, so the batch operator's oracle applies verbatim
+    "index_novelty": SQL_NGRAM_NOVELTY,
 }
