@@ -42,6 +42,16 @@ def main() -> None:
         "id-prefix perturbation that makes NEAR-copies: the stress shape "
         "for dedup_pipeline's exact stage (crawl snapshots / mirrors)",
     )
+    ap.add_argument(
+        "--unique-text",
+        action="store_true",
+        help="suffix every WORD of copies 1..k-1 with the copy index so "
+        "no shingle survives across copies: k-times the DISTINCT content "
+        "(copy 0 unchanged). The shape for measuring reference-side scan "
+        "cost (an already-DEDUPED 100x snapshot — the dedup-index loop "
+        "invariant) without the near-dup candidate blowup the default "
+        "perturbation manufactures",
+    )
     args = ap.parse_args()
 
     from traceframe_spark.session import get_spark
@@ -83,15 +93,26 @@ def main() -> None:
     multiply("orders", {"o_orderkey": "key"})
     multiply("lineitem", {"l_orderkey": "key"})
     multiply("events", {"event_id": "key", "user_id": "user"})
-    multiply(
-        "documents",
-        {"doc_id": "key"},
-        perturb=None
-        if args.exact_clones
-        else lambda d, i: d.withColumn(
+    if args.exact_clones:
+        doc_perturb = None
+    elif args.unique_text:
+        doc_perturb = lambda d, i: d.withColumn(
+            "text",
+            F.col("text")
+            if i == 0
+            else F.array_join(
+                F.transform(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda w: F.concat(w, F.lit(f"_{i}")),
+                ),
+                " ",
+            ),
+        )
+    else:
+        doc_perturb = lambda d, i: d.withColumn(
             "text", F.concat(F.lit(f"copy{i} edition {i} "), F.col("text"))
-        ),
-    )
+        )
+    multiply("documents", {"doc_id": "key"}, perturb=doc_perturb)
     multiply(
         "embeddings",
         {"vec_id": "key"},
