@@ -109,6 +109,7 @@ HEADLINE = [
     "line_dedup",
     "dsir_importance",
     "index_novelty",
+    "index_contamination",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans

@@ -130,6 +130,29 @@ def test_gram_layer_matches_batch_operator(spark, tmp_path):
     assert got == want
 
 
+def test_gram_layer_contamination_matches_batch_operator(spark, tmp_path):
+    # decontamination from the stored layer = the batch operator's
+    # answer with the benchmark grams read from the store
+    from traceframe_spark.operators import text
+    from traceframe_spark.plans.catalog import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    path = str(tmp_path / "gidx")
+    di.write_gram_layer(bench, path, n=3)
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"], round(r["overlap"], 9))
+        for r in di.contamination_against_index(corpus, path).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"], round(r["overlap"], 9))
+        for r in text.contamination(corpus, bench, n=3).collect()
+    }
+    assert got == want
+
+
 def test_gram_layer_append_absorbs_and_zero_gram(spark, tmp_path):
     path = str(tmp_path / "gidx")
     snap = spark.createDataFrame(

@@ -63,6 +63,7 @@ __all__ = [
     "append_gram_layer",
     "read_gram_meta",
     "novelty_against_index",
+    "contamination_against_index",
 ]
 
 
@@ -310,25 +311,17 @@ def append_gram_layer(
     fresh.write.mode("append").parquet(f"{path}/grams")
 
 
-def novelty_against_index(
-    delta: DataFrame,
-    path: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def _gram_probe(
+    delta: DataFrame, path: str, id_col: str, text_col: str
 ) -> DataFrame:
-    """Per-delta-doc n-gram novelty against the STORED gram layer —
-    ``operators/text.ngram_novelty``'s exact answer (id, n_grams,
-    n_novel, novelty) with the reference side read from ``{path}/grams``
-    instead of re-gramming reference text. Zero-gram docs report
-    novelty 0.0, same contract as the batch operator.
+    """(id, n_grams, n_hit) per delta doc against the stored gram layer.
 
     Cost shape at 100 TB: the delta is grammed once (one scan + one
     explode); the snapshot contributes only its stored 16-byte keys.
     The membership probe is a LEFT SEMI join, so duplicate stored keys
     (the benign append race) can never double-count a hit. Both sides
     shuffle narrow keys; snapshot TEXT is never touched — same argument
-    as :func:`dedup_against_index`, applied to the novelty triage that
-    decides what enters the curation pass at all."""
+    as :func:`dedup_against_index`."""
     spark = delta.sparkSession
     n = read_gram_meta(spark, path)
     ids = spread(delta, id_col)
@@ -346,17 +339,61 @@ def novelty_against_index(
         .select(
             F.col("id").alias(id_col),
             F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
-            (
-                F.coalesce(F.col("n_grams"), F.lit(0))
-                - F.coalesce(F.col("n_hit"), F.lit(0))
-            ).cast("long").alias("n_novel"),
-            F.when(
-                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
-                1.0
-                - F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
-                / F.col("n_grams"),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("novelty"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
         )
+    )
+
+
+def novelty_against_index(
+    delta: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-delta-doc n-gram novelty against the STORED gram layer —
+    ``operators/text.ngram_novelty``'s exact answer (id, n_grams,
+    n_novel, novelty) with the reference side read from ``{path}/grams``
+    instead of re-gramming reference text. Zero-gram docs report
+    novelty 0.0, same contract as the batch operator. The triage half of
+    the daily incremental loop (see :func:`_gram_probe` for the cost
+    shape)."""
+    out = _gram_probe(delta, path, id_col, text_col)
+    return out.select(
+        id_col,
+        "n_grams",
+        (F.col("n_grams") - F.col("n_hit")).cast("long").alias("n_novel"),
+        F.when(
+            F.col("n_grams") > 0,
+            1.0 - F.col("n_hit").cast("double") / F.col("n_grams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("novelty"),
+    )
+
+
+def contamination_against_index(
+    delta: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination against a STORED gram layer —
+    ``operators/text.contamination``'s exact answer (id, n_grams,
+    n_hit, overlap) with the benchmark suite's distinct grams written
+    once (:func:`write_gram_layer` over the eval set) and every delta
+    probed against the stored keys. The same probe as
+    :func:`novelty_against_index` read from the opposite direction:
+    high overlap = test-set leakage, drop before training. Zero-gram
+    docs report overlap 0.0, same contract as the batch operator."""
+    out = _gram_probe(delta, path, id_col, text_col)
+    return out.select(
+        id_col,
+        "n_grams",
+        "n_hit",
+        F.when(
+            F.col("n_grams") > 0,
+            F.col("n_hit").cast("double") / F.col("n_grams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("overlap"),
     )

@@ -24,6 +24,7 @@ _R8_ROTATION_HEAD = [
     "line_dedup",
     "dsir_importance",
     "index_novelty",
+    "index_contamination",
 ]
 
 

@@ -2072,6 +2072,33 @@ def q_index_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_index_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination from a STORED gram layer
+    (operators/dedup_index.contamination_against_index): the benchmark
+    suite (``doc_id % 20 == 0``, the same split as ``contamination``)
+    has its distinct 3-gram md5 keys written once; the corpus is scored
+    against the stored keys — the eval set is never re-grammed, and at
+    100 TB neither is yesterday's already-scored corpus (only the new
+    delta probes). Same answer as the batch operator, so the oracle is
+    ``SQL_CONTAMINATION`` verbatim."""
+    import tempfile
+
+    from traceframe_spark.operators import dedup_index as di
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    path = tempfile.mkdtemp(prefix="gram_index_") + "/idx"
+    di.write_gram_layer(bench, path, n=3)
+    out = di.contamination_against_index(corpus, path)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        qint(F.col("overlap"), 6).alias("overlap_q"),
+    )
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level line dedup (C4 1910.10683 §2.2 / CCNet 1911.00359 §3
     via operators/text.py::dedup_lines): lines occurring ≥2 times across
@@ -2234,6 +2261,7 @@ PIPELINE_QUERIES = {
     "line_dedup": q_line_dedup,
     "dsir_importance": q_dsir_importance,
     "index_novelty": q_index_novelty,
+    "index_contamination": q_index_contamination,
 }
 
 PIPELINE_ORACLE_SQL = {
@@ -2287,4 +2315,5 @@ PIPELINE_ORACLE_SQL = {
     # gram layer changes WHERE the reference grams come from, not the
     # answer, so the batch operator's oracle applies verbatim
     "index_novelty": SQL_NGRAM_NOVELTY,
+    "index_contamination": SQL_CONTAMINATION,
 }
