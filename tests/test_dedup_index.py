@@ -105,6 +105,33 @@ def test_index_stores_no_text(spark, corpus, tmp_path):
         assert got == cols, layer
 
 
+def test_exact_only_store(spark, corpus, tmp_path):
+    # with_near=False writes the content-key registry shape: no MinHash
+    # layers on disk, exact probes and appends work, near probes fail
+    # loudly instead of silently missing everything
+    import os
+
+    path = str(tmp_path / "idx")
+    di.write_dedup_index(corpus, path, with_near=False)
+    assert not os.path.exists(f"{path}/sigs")
+    assert not os.path.exists(f"{path}/bands")
+    delta = spark.createDataFrame(
+        [
+            (103, "  " + (BASE + " variant 3 " + "tail-3 " * 20).upper()),
+            (105, "completely different content " + "nowhere-else " * 30),
+        ],
+        "doc_id long, text string",
+    )
+    assert _ids(di.dedup_against_index(delta, path, near_dup=False)) == [105]
+    with pytest.raises(ValueError, match="exact-only"):
+        di.dedup_against_index(delta, path, threshold=0.9)
+    # append stays exact-only and absorbs the appended docs
+    surv = di.dedup_against_index(delta, path, near_dup=False)
+    di.append_dedup_index(surv, path)
+    assert not os.path.exists(f"{path}/sigs")
+    assert di.dedup_against_index(delta, path, near_dup=False).count() == 0
+
+
 def test_gram_layer_matches_batch_operator(spark, tmp_path):
     # the stored-layer probe must land on the BATCH operator's exact
     # answer: same split, same gram semantics, reference side read from

@@ -120,6 +120,8 @@ def build_queries():
         "hll_daily_users",
         "priority_sample",
         "corpus_report",
+        "index_novelty",
+        "index_contamination",
     ):
         qs[f"{reg_name}_vol"] = reg_q[reg_name]
     sql = {
@@ -148,6 +150,8 @@ def build_queries():
         "hll_daily_users",
         "priority_sample",
         "corpus_report",
+        "index_novelty",
+        "index_contamination",
     ):
         sql[f"{reg_name}_vol"] = reg_sql[reg_name]
     return qs, sql

@@ -114,6 +114,7 @@ def write_dedup_index(
     n_hashes: int = 64,
     bands: int = 16,
     shingle_size: int = 5,
+    with_near: bool = True,
 ) -> None:
     """Build the index from scratch at ``path`` (overwrites).
 
@@ -122,8 +123,24 @@ def write_dedup_index(
     even though it feeds both ``sigs`` and ``bands``. Layer rows are
     narrow (≤ id + 8·n_hashes bytes); the written index is a small
     multiple of ``n_docs``, independent of document length.
+
+    ``with_near=False`` writes the exact layer only — the content-key
+    registry shape (re-crawl/mirror blocklists) — skipping the MinHash
+    pass entirely; probes must then use ``near_dup=False`` (the near
+    probe fails loudly on an exact-only store).
     """
     spark = docs.sparkSession
+    if not with_near:
+        exact = spread(docs, id_col).select(
+            content_key(text_col).alias("ckey"), F.col(id_col).alias("id")
+        )
+        exact.write.mode("overwrite").parquet(f"{path}/exact")
+        meta = spark.createDataFrame(
+            [(int(n_hashes), int(bands), int(shingle_size), False)],
+            "n_hashes int, bands int, shingle_size int, near boolean",
+        )
+        meta.coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+        return
     exact, sig, band = _layers(docs, id_col, text_col, n_hashes, bands, shingle_size)
     sig = sig.persist()
     try:
@@ -131,8 +148,8 @@ def write_dedup_index(
         sig.write.mode("overwrite").parquet(f"{path}/sigs")
         band.write.mode("overwrite").parquet(f"{path}/bands")
         meta = spark.createDataFrame(
-            [(int(n_hashes), int(bands), int(shingle_size))],
-            "n_hashes int, bands int, shingle_size int",
+            [(int(n_hashes), int(bands), int(shingle_size), True)],
+            "n_hashes int, bands int, shingle_size int, near boolean",
         )
         meta.coalesce(1).write.mode("overwrite").json(f"{path}/meta")
     finally:
@@ -143,6 +160,17 @@ def read_index_meta(spark: SparkSession, path: str) -> tuple[int, int, int]:
     """→ (n_hashes, bands, shingle_size) as pinned at build time."""
     row = spark.read.json(f"{path}/meta").collect()[0]
     return int(row["n_hashes"]), int(row["bands"]), int(row["shingle_size"])
+
+
+def _index_has_near(spark: SparkSession, path: str) -> bool:
+    """Whether the store carries the MinHash layers (pre-``near`` metas
+    — every store written before the flag existed — always do)."""
+    row = spark.read.json(f"{path}/meta").collect()[0]
+    try:
+        near = row["near"]
+    except (KeyError, ValueError):
+        return True
+    return True if near is None else bool(near)
 
 
 def append_dedup_index(
@@ -160,6 +188,11 @@ def append_dedup_index(
     """
     spark = docs.sparkSession
     n_hashes, bands, shingle_size = read_index_meta(spark, path)
+    if not _index_has_near(spark, path):
+        spread(docs, id_col).select(
+            content_key(text_col).alias("ckey"), F.col(id_col).alias("id")
+        ).write.mode("append").parquet(f"{path}/exact")
+        return
     rows_per_band = max(n_hashes // bands, 1)
     exact, sig, band = _layers(docs, id_col, text_col, n_hashes, bands, shingle_size)
     sig = sig.persist()
@@ -207,6 +240,12 @@ def dedup_against_index(
     )
     if not near_dup:
         return survivors
+    if not _index_has_near(spark, path):
+        raise ValueError(
+            f"dedup index at {path!r} was built exact-only "
+            "(with_near=False); probe with near_dup=False or rebuild "
+            "with the MinHash layers"
+        )
 
     sig_d = minhash_signatures(
         survivors, id_col, text_col, n_hashes, shingle_size

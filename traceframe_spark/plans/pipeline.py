@@ -2004,7 +2004,9 @@ def q_dedup_index_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ref, delta = _index_split(spark, sf_dir)
     path = tempfile.mkdtemp(prefix="dedup_index_") + "/idx"
-    di.write_dedup_index(ref, path)
+    # exact-only store (with_near=False): the content-key registry
+    # shape — no MinHash pass is built or paid for an exact-layer probe
+    di.write_dedup_index(ref, path, with_near=False)
     return di.dedup_against_index(delta, path, near_dup=False).select("doc_id")
 
 
