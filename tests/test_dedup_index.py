@@ -105,6 +105,43 @@ def test_index_stores_no_text(spark, corpus, tmp_path):
         assert got == cols, layer
 
 
+def test_portable_store_layer_kill_and_append(spark, corpus, tmp_path):
+    # the md5-affine portable families must make the same layer-kill
+    # decisions as the xxhash64 default on clear-cut cases, and the
+    # portable flag must be pinned in meta so appends/probes hash the
+    # stored way (a mixed-family store would silently miss everything)
+    path = str(tmp_path / "idx")
+    di.write_dedup_index(corpus, path, n_hashes=32, bands=8, portable=True)
+    assert di._index_is_portable(spark, path)
+    delta = spark.createDataFrame(
+        [
+            (103, "  " + (BASE + " variant 3 " + "tail-3 " * 20).upper()),
+            (104, BASE + " variant 4 " + "tail-4 " * 20 + "zzz"),
+            (105, "completely different content " + "nowhere-else " * 30),
+        ],
+        "doc_id long, text string",
+    )
+    assert _ids(di.dedup_against_index(delta, path, threshold=0.9)) == [105]
+    # band keys are portable strings, signature values < 2^31
+    bh = spark.read.parquet(f"{path}/bands").select("bh").first()["bh"]
+    assert isinstance(bh, str) and "-" in bh
+    mx = spark.read.parquet(f"{path}/sigs").select(
+        F.max(F.array_max("sig")).alias("m")
+    ).first()["m"]
+    assert mx < (1 << 31)
+    # append hashes with the stored (portable) families: an appended
+    # doc's near-clone must be caught via the appended band entries
+    novel = spark.createDataFrame(
+        [(301, "append-only body " + "chunk " * 40)], "doc_id long, text string"
+    )
+    di.append_dedup_index(novel, path)
+    near2 = spark.createDataFrame(
+        [(302, "append-only body " + "chunk " * 40 + "y")],
+        "doc_id long, text string",
+    )
+    assert di.dedup_against_index(near2, path, threshold=0.9).count() == 0
+
+
 def test_exact_only_store(spark, corpus, tmp_path):
     # with_near=False writes the content-key registry shape: no MinHash
     # layers on disk, exact probes and appends work, near probes fail
@@ -229,6 +266,39 @@ def test_registry_twin_consistency(spark, tmp_path):
     assert full <= exact
     # the seeded exact clones (+100000) died in both
     assert not any(100000 <= i < 200000 for i in exact)
-    # the seeded near-clones (+200000) survive exact but die in full
-    assert any(200000 <= i < 300000 for i in exact)
-    assert not any(200000 <= i < 300000 for i in full)
+    # the seeded near-clones (+200000) survive exact and die in full —
+    # except possibly estimator-boundary pairs: with k=64 the MinHash
+    # estimate of a pair sitting just above threshold 0.9 can land
+    # either side (sigma ~ 1/8 of a position count), so a survivor is
+    # acceptable ONLY if its exact shingle jaccard is in the boundary
+    # zone; anything comfortably above threshold must die
+    near_seeded = {i for i in exact if 200000 <= i < 300000}
+    assert near_seeded  # exact layer cannot kill a suffix-edited doc
+    survivors = {i for i in full if 200000 <= i < 300000}
+    assert len(survivors) <= max(1, len(near_seeded) // 5)
+    if survivors:
+        from traceframe_spark.operators.dedup import char_shingles
+        from traceframe_spark.plans.pipeline import _index_split
+
+        ref, delta = _index_split(spark, sf)
+        d = delta.filter(F.col("doc_id").isin(list(survivors))).select(
+            F.col("doc_id").alias("k"),
+            char_shingles(F.lower(F.trim("text"))).alias("sh_d"),
+        )
+        r = ref.filter(
+            F.col("doc_id").isin([i - 200000 for i in survivors])
+        ).select(
+            (F.col("doc_id") + 200000).alias("k"),
+            char_shingles(F.lower(F.trim("text"))).alias("sh_r"),
+        )
+        jac = (
+            d.join(r, "k")
+            .select(
+                (
+                    F.size(F.array_intersect("sh_d", "sh_r"))
+                    / F.size(F.array_union("sh_d", "sh_r"))
+                ).alias("j")
+            )
+            .collect()
+        )
+        assert all(row["j"] < 0.95 for row in jac), jac

@@ -157,17 +157,43 @@ def exact_canonical_ids(
     )
 
 
+#: modulus of the PORTABLE MinHash hash families: the Mersenne prime
+#: 2^31 − 1. Keeping base hash and multipliers below 2^31 bounds every
+#: intermediate product under 2^62, so the same affine arithmetic is
+#: exact 64-bit in Spark AND DuckDB — no overflow divergence.
+PORTABLE_P = (1 << 31) - 1
+
+
+def portable_family(i: int) -> tuple[int, int]:
+    """(a_i, b_i) of the i-th affine family ``(a·h + b) mod P`` — pure
+    integer arithmetic on the family index, so an oracle derives the
+    identical constants from ``i`` instead of pasting literals."""
+    a = ((2 * i + 1) * 1103515245) % PORTABLE_P
+    b = (i * 104729 + 12345) % PORTABLE_P
+    assert a != 0, f"degenerate multiplier at family {i}"
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n_hashes: int = 64,
     shingle_size: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
-    """Per-row MinHash signature: ``sig[i] = min(xxhash64(shingle, i))``.
+    """Per-row MinHash signature: ``sig[i] = min(h_i(shingle))``.
 
-    Output: (id, shingles array<string>, sig array<bigint>). The k hash
-    families are xxhash64 salted by the family index.
+    Output: (id, shingles array<string>, sig array<bigint>). Default
+    hash families are xxhash64 salted by the family index — the fast
+    JVM path. ``portable=True`` switches to md5-based affine families
+    (``h = md5-prefix mod P``; ``h_i = (a_i·h + b_i) mod P`` with
+    :func:`portable_family` constants, P = 2^31−1): ~the HLL trick —
+    every value is reproducible in ANSI SQL, so signatures, band
+    buckets, and the estimated-Jaccard verify can all be value-checked
+    by an external oracle. One md5 per shingle (the families are cheap
+    affine transforms of the single base hash), so the portable path
+    costs one extra transform, not k hashes.
 
     Shape: ONE higher-order fold over the shingle array updates all k
     running minima per row — no shuffle, shingling evaluated once (the
@@ -177,9 +203,26 @@ def minhash_signatures(
     partitions first; a single-file scan would otherwise hash the whole
     corpus on one core.
     """
-    max_long = (1 << 63) - 1
     sh = char_shingles(F.lower(F.trim(F.col(text_col))), shingle_size)
     base = spread(df, id_col).select(F.col(id_col).alias("id"), sh.alias("shingles"))
+    if portable:
+        p = F.lit(PORTABLE_P)
+        fams = [portable_family(i) for i in range(n_hashes)]
+        hs = F.transform(
+            F.col("shingles"),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % p,
+        )
+        sig = F.aggregate(
+            hs,
+            F.array(*[F.lit(PORTABLE_P).cast("long") for _ in range(n_hashes)]),
+            lambda acc, h: F.zip_with(
+                acc,
+                F.array(*[(F.lit(a) * h + F.lit(b)) % p for a, b in fams]),
+                lambda x, y: F.least(x, y),
+            ),
+        )
+        return base.select("id", "shingles", sig.alias("sig"))
+    max_long = (1 << 63) - 1
     sig = F.aggregate(
         F.col("shingles"),
         F.array(*[F.lit(max_long).cast("long") for _ in range(n_hashes)]),

@@ -67,18 +67,30 @@ __all__ = [
 ]
 
 
-def _band_entries(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+def _band_entries(
+    sig: DataFrame, bands: int, rows_per_band: int, portable: bool = False
+) -> DataFrame:
     """(id, sig) → one (band, bh, id) row per band, same hashing as
     :func:`~.dedup.cross_near_dup_subtract` so a stored index and an
-    on-the-fly run bucket identically."""
+    on-the-fly run bucket identically. ``portable=True`` keys buckets by
+    the dash-joined slice VALUES (a string) instead of Spark's murmur
+    ``F.hash`` — equality-preserving either way, but the portable key is
+    reproducible in ANSI SQL for oracle replay."""
+    if portable:
+        bh = lambda b: F.array_join(
+            F.transform(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+            "-",
+        )
+    else:
+        bh = lambda b: F.hash(
+            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        )
     entries = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.hash(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                ).alias("bh"),
-            )
+            F.struct(F.lit(b).alias("band"), bh(b).alias("bh"))
             for b in range(bands)
         ]
     )
@@ -94,16 +106,17 @@ def _layers(
     n_hashes: int,
     bands: int,
     shingle_size: int,
+    portable: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One corpus scan → (exact, sigs, bands) layer frames."""
     rows_per_band = max(n_hashes // bands, 1)
     exact = spread(docs, id_col).select(
         content_key(text_col).alias("ckey"), F.col(id_col).alias("id")
     )
-    sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_size).select(
-        "id", "sig"
-    )
-    return exact, sig, _band_entries(sig, bands, rows_per_band)
+    sig = minhash_signatures(
+        docs, id_col, text_col, n_hashes, shingle_size, portable=portable
+    ).select("id", "sig")
+    return exact, sig, _band_entries(sig, bands, rows_per_band, portable)
 
 
 def write_dedup_index(
@@ -115,6 +128,7 @@ def write_dedup_index(
     bands: int = 16,
     shingle_size: int = 5,
     with_near: bool = True,
+    portable: bool = False,
 ) -> None:
     """Build the index from scratch at ``path`` (overwrites).
 
@@ -128,30 +142,38 @@ def write_dedup_index(
     registry shape (re-crawl/mirror blocklists) — skipping the MinHash
     pass entirely; probes must then use ``near_dup=False`` (the near
     probe fails loudly on an exact-only store).
+
+    ``portable=True`` builds the MinHash layers with the md5-affine
+    hash families (see :func:`~.dedup.minhash_signatures`) and keys
+    band buckets by slice values — every stored value reproducible in
+    ANSI SQL. The flag is pinned in meta like the hash parameters;
+    probes always hash the stored way.
     """
     spark = docs.sparkSession
+
+    def _meta(near: bool) -> None:
+        meta = spark.createDataFrame(
+            [(int(n_hashes), int(bands), int(shingle_size), near, bool(portable))],
+            "n_hashes int, bands int, shingle_size int, near boolean, portable boolean",
+        )
+        meta.coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+
     if not with_near:
         exact = spread(docs, id_col).select(
             content_key(text_col).alias("ckey"), F.col(id_col).alias("id")
         )
         exact.write.mode("overwrite").parquet(f"{path}/exact")
-        meta = spark.createDataFrame(
-            [(int(n_hashes), int(bands), int(shingle_size), False)],
-            "n_hashes int, bands int, shingle_size int, near boolean",
-        )
-        meta.coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+        _meta(False)
         return
-    exact, sig, band = _layers(docs, id_col, text_col, n_hashes, bands, shingle_size)
+    exact, sig, band = _layers(
+        docs, id_col, text_col, n_hashes, bands, shingle_size, portable
+    )
     sig = sig.persist()
     try:
         exact.write.mode("overwrite").parquet(f"{path}/exact")
         sig.write.mode("overwrite").parquet(f"{path}/sigs")
         band.write.mode("overwrite").parquet(f"{path}/bands")
-        meta = spark.createDataFrame(
-            [(int(n_hashes), int(bands), int(shingle_size), True)],
-            "n_hashes int, bands int, shingle_size int, near boolean",
-        )
-        meta.coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+        _meta(True)
     finally:
         sig.unpersist()
 
@@ -162,15 +184,25 @@ def read_index_meta(spark: SparkSession, path: str) -> tuple[int, int, int]:
     return int(row["n_hashes"]), int(row["bands"]), int(row["shingle_size"])
 
 
-def _index_has_near(spark: SparkSession, path: str) -> bool:
-    """Whether the store carries the MinHash layers (pre-``near`` metas
-    — every store written before the flag existed — always do)."""
+def _meta_flag(spark: SparkSession, path: str, name: str, default: bool) -> bool:
+    """Optional boolean from meta; stores written before the flag
+    existed read as ``default``."""
     row = spark.read.json(f"{path}/meta").collect()[0]
     try:
-        near = row["near"]
+        v = row[name]
     except (KeyError, ValueError):
-        return True
-    return True if near is None else bool(near)
+        return default
+    return default if v is None else bool(v)
+
+
+def _index_has_near(spark: SparkSession, path: str) -> bool:
+    """Whether the store carries the MinHash layers."""
+    return _meta_flag(spark, path, "near", True)
+
+
+def _index_is_portable(spark: SparkSession, path: str) -> bool:
+    """Whether the MinHash layers use the md5-affine portable families."""
+    return _meta_flag(spark, path, "portable", False)
 
 
 def append_dedup_index(
@@ -194,7 +226,10 @@ def append_dedup_index(
         ).write.mode("append").parquet(f"{path}/exact")
         return
     rows_per_band = max(n_hashes // bands, 1)
-    exact, sig, band = _layers(docs, id_col, text_col, n_hashes, bands, shingle_size)
+    exact, sig, band = _layers(
+        docs, id_col, text_col, n_hashes, bands, shingle_size,
+        portable=_index_is_portable(spark, path),
+    )
     sig = sig.persist()
     try:
         exact.write.mode("append").parquet(f"{path}/exact")
@@ -247,11 +282,12 @@ def dedup_against_index(
             "with the MinHash layers"
         )
 
+    portable = _index_is_portable(spark, path)
     sig_d = minhash_signatures(
-        survivors, id_col, text_col, n_hashes, shingle_size
+        survivors, id_col, text_col, n_hashes, shingle_size, portable=portable
     ).select("id", "sig").persist()
     cand = (
-        _band_entries(sig_d, bands, rows_per_band).alias("d")
+        _band_entries(sig_d, bands, rows_per_band, portable).alias("d")
         .join(spark.read.parquet(f"{path}/bands").alias("r"), ["band", "bh"])
         .select(F.col("d.id").alias("id_d"), F.col("r.id").alias("id_r"))
         .distinct()

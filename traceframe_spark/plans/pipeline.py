@@ -2032,19 +2032,101 @@ WHERE md5(lower(trim(d.text))) NOT IN (SELECT k FROM ref)
 def q_dedup_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full persistent-index probe: exact content keys, then the STORED
     LSH band buckets + MinHash-estimated Jaccard ≥ 0.9 — the daily-delta
-    dedup that costs O(delta), never O(snapshot). Rows-only (the
-    estimate depends on Spark's xxhash64 families); its exact twin
-    ``dedup_index_exact`` is oracle-backed, and the layer-kill semantics
-    (clones die in layer 1, near-clones in layer 2, odd docs survive)
-    are pinned in tests/test_dedup_index.py."""
+    dedup that costs O(delta), never O(snapshot). Built with
+    ``portable=True`` (md5-affine hash families, P = 2^31−1, value-keyed
+    band buckets — operators/dedup.minhash_signatures), so the ORACLE
+    replays the entire probe in SQL: shingles → base md5 hash → 64
+    affine minima → band keys → bucket join → agreeing-position
+    estimate ≥ 0.9 → anti-join. The LSH machinery itself is
+    value-verified, not just rows-counted (the xxhash64 production
+    default stays the fast path; layer-kill semantics for it are pinned
+    in tests/test_dedup_index.py)."""
     import tempfile
 
     from traceframe_spark.operators import dedup_index as di
 
     ref, delta = _index_split(spark, sf_dir)
     path = tempfile.mkdtemp(prefix="dedup_index_") + "/idx"
-    di.write_dedup_index(ref, path)
+    di.write_dedup_index(ref, path, portable=True)
     return di.dedup_against_index(delta, path, threshold=0.9).select("doc_id")
+
+
+# Replays the stored-index probe end to end: the same affine family
+# constants are DERIVED from the family index i (portable_family), the
+# empty-shingle doc folds to the init value P on both engines, and the
+# est comparison n_eq/64 >= 0.9 is exact dyadic arithmetic — no float
+# divergence surface anywhere in the chain.
+SQL_DEDUP_INDEX_DELTA = r"""
+WITH ref AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+),
+delta AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT doc_id + 100000, text
+    FROM documents WHERE doc_id % 2 = 0 AND doc_id < 50
+    UNION ALL
+    SELECT doc_id + 200000, text || ' the end'
+    FROM documents WHERE doc_id % 2 = 0 AND doc_id < 50
+),
+surv AS (
+    SELECT d.doc_id, d.text FROM delta d
+    WHERE md5(lower(trim(d.text))) NOT IN
+          (SELECT md5(lower(trim(text))) FROM ref)
+),
+fam AS (
+    SELECT i,
+           ((2 * i + 1) * 1103515245) % 2147483647 AS a,
+           (i * 104729 + 12345) % 2147483647 AS b
+    FROM range(0, 64) t(i)
+),
+dsh AS (
+    SELECT DISTINCT doc_id,
+           ('0x' || substr(md5(substr(t, g::INT, 5)), 1, 8))::BIGINT
+               % 2147483647 AS h
+    FROM (SELECT doc_id, lower(trim(text)) AS t FROM surv),
+         unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS u(g)
+),
+rsh AS (
+    SELECT DISTINCT doc_id,
+           ('0x' || substr(md5(substr(t, g::INT, 5)), 1, 8))::BIGINT
+               % 2147483647 AS h
+    FROM (SELECT doc_id, lower(trim(text)) AS t FROM ref),
+         unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS u(g)
+),
+dsig AS (
+    SELECT s.doc_id, f.i, min((f.a * s.h + f.b) % 2147483647) AS v
+    FROM dsh s CROSS JOIN fam f GROUP BY s.doc_id, f.i
+),
+rsig AS (
+    SELECT s.doc_id, f.i, min((f.a * s.h + f.b) % 2147483647) AS v
+    FROM rsh s CROSS JOIN fam f GROUP BY s.doc_id, f.i
+),
+dband AS (
+    SELECT doc_id, i // 4 AS band,
+           string_agg(v::VARCHAR, '-' ORDER BY i) AS bh
+    FROM dsig GROUP BY doc_id, i // 4
+),
+rband AS (
+    SELECT doc_id, i // 4 AS band,
+           string_agg(v::VARCHAR, '-' ORDER BY i) AS bh
+    FROM rsig GROUP BY doc_id, i // 4
+),
+cand AS (
+    SELECT DISTINCT d.doc_id AS id_d, r.doc_id AS id_r
+    FROM dband d JOIN rband r USING (band, bh)
+),
+near AS (
+    SELECT DISTINCT c.id_d
+    FROM cand c
+    JOIN dsig ds ON ds.doc_id = c.id_d
+    JOIN rsig rs ON rs.doc_id = c.id_r AND rs.i = ds.i
+    GROUP BY c.id_d, c.id_r
+    HAVING (count(*) FILTER (WHERE ds.v = rs.v))::DOUBLE / 64.0 >= 0.9
+)
+SELECT s.doc_id FROM surv s
+WHERE s.doc_id NOT IN (SELECT id_d FROM near)
+"""
 
 
 def q_index_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2311,6 +2393,7 @@ PIPELINE_ORACLE_SQL = {
     "corpus_report": SQL_CORPUS_REPORT,
     "containment_pipeline": SQL_CONTAINMENT_PIPELINE,
     "dedup_index_exact": SQL_DEDUP_INDEX_EXACT,
+    "dedup_index_delta": SQL_DEDUP_INDEX_DELTA,
     "line_dedup": SQL_LINE_DEDUP,
     "dsir_importance": SQL_DSIR_IMPORTANCE,
     # same split, same gram semantics, same output shape — the stored
