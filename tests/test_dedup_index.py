@@ -49,6 +49,45 @@ def test_layer_kill_semantics(spark, corpus, tmp_path):
     assert _ids(full) == [105]
 
 
+def test_append_from_index_derived_frame_grows_near_layers(spark, corpus, tmp_path):
+    # REGRESSION (r08): the canonical daily loop appends survivors whose
+    # lineage READS this index. Appending to {path}/exact triggers
+    # Spark's recacheByPath, which re-evaluates that lineage against the
+    # UPDATED store — to empty — so the sig/band appends that follow
+    # would silently write nothing and near-clones of accepted docs
+    # would sail through forever. append_dedup_index localCheckpoints
+    # the input to pin the rows first.
+    path = str(tmp_path / "idx")
+    di.write_dedup_index(corpus, path, n_hashes=32, bands=8)
+    sig0 = spark.read.parquet(f"{path}/sigs").count()
+    delta = spark.createDataFrame(
+        [(700, "entirely new material " + "brick " * 40)],
+        "doc_id long, text string",
+    )
+    surv = di.dedup_against_index(delta, path, threshold=0.9)  # index-derived
+    di.append_dedup_index(surv, path)
+    assert spark.read.parquet(f"{path}/sigs").count() == sig0 + 1
+    # and the near layer actually knows the accepted doc now
+    near = spark.createDataFrame(
+        [(701, "entirely new material " + "brick " * 40 + "x")],
+        "doc_id long, text string",
+    )
+    assert di.dedup_against_index(near, path, threshold=0.9).count() == 0
+    # same for the gram layer: append of an index-derived frame adds keys
+    di.write_gram_layer(corpus, path, n=3)
+    g0 = spark.read.parquet(f"{path}/grams").count()
+    surv2 = di.dedup_against_index(
+        spark.createDataFrame(
+            [(702, "unseen prose entirely " + "plank " * 30)],
+            "doc_id long, text string",
+        ),
+        path,
+        threshold=0.9,
+    )
+    di.append_gram_layer(surv2, path)
+    assert spark.read.parquet(f"{path}/grams").count() > g0
+
+
 def test_append_makes_reprobe_empty(spark, corpus, tmp_path):
     path = str(tmp_path / "idx")
     di.write_dedup_index(corpus, path, n_hashes=32, bands=8)

@@ -90,3 +90,45 @@ def test_stream_dedup_exact_only(spark, tmp_path, corpus_feed):
     got = {r.doc_id for r in read_ingested(spark, out).collect()}
     # with the LSH layer off, the near-clone 202 SURVIVES
     assert got == {101, 200, 202, 301}
+
+
+def test_stream_near_layer_knows_batch_survivors(spark, tmp_path, corpus_feed):
+    # REGRESSION (r08): the fold-back must append REAL sig/band rows for
+    # batch survivors (the recacheByPath empty-append bug) — a NEAR-clone
+    # of a doc accepted mid-stream must die on a later probe, not just
+    # its exact copy
+    idx, feed = corpus_feed
+    out, ckpt = str(tmp_path / "out4"), str(tmp_path / "ckpt4")
+    sig0 = spark.read.parquet(f"{idx}/sigs").count()
+    _run_stream(spark, idx, feed, out, ckpt)
+    # three survivors folded back -> three new signature rows
+    assert spark.read.parquet(f"{idx}/sigs").count() == sig0 + 3
+    near_of_survivor = _docs(spark, [(950, _uniq(50) + " y")])
+    assert di.dedup_against_index(near_of_survivor, idx, threshold=0.9).count() == 0
+
+
+def test_stream_dedup_novelty_annotation(spark, tmp_path, corpus_feed):
+    idx, feed = corpus_feed
+    # gram layer over the same snapshot the index was built from
+    snap = _docs(spark, [(i, _uniq(i)) for i in range(3)])
+    di.write_gram_layer(snap, idx, n=3)
+    out, ckpt = str(tmp_path / "out3"), str(tmp_path / "ckpt3")
+    _run_stream(spark, idx, feed, out, ckpt, annotate_novelty=True)
+    rows = {r.doc_id: r for r in read_ingested(spark, out).collect()}
+    assert set(rows) == {101, 200, 301}
+    # survivors are annotated, fresh content scores fully novel against
+    # the snapshot + earlier batches
+    for r in rows.values():
+        assert r.n_grams > 0 and 0.0 <= r.novelty <= 1.0
+    assert rows[101].novelty == 1.0   # nothing shares its grams
+    assert rows[200].novelty == 1.0
+    # fold-back includes grams: a delta repeating an ACCEPTED doc's text
+    # scores novelty 0 afterwards
+    again = _docs(spark, [(900, _uniq(50))])
+    nov = di.novelty_against_index(again, idx).first()
+    assert nov["novelty"] == 0.0
+    # replay on the same checkpoint: idempotent, annotation preserved
+    _run_stream(spark, idx, feed, out, ckpt, annotate_novelty=True)
+    again_rows = {r.doc_id: r for r in read_ingested(spark, out).collect()}
+    assert set(again_rows) == {101, 200, 301}
+    assert again_rows[101].novelty == 1.0

@@ -217,7 +217,18 @@ def append_dedup_index(
     Hashing parameters come from the stored meta, never the call site.
     ``sigs`` is appended BEFORE ``bands`` (see the module docstring's
     race note). Single writer, like the rollup store.
+
+    The input is localCheckpoint-ed first: in the canonical loop the
+    caller's frame DERIVES from this very index
+    (``survivors = dedup_against_index(delta, path)``), and Spark's
+    recacheByPath invalidates-and-recomputes any plan reading a path
+    that was just written — so appending to ``{path}/exact`` would
+    silently re-evaluate ``docs`` against the UPDATED store (now empty,
+    its own keys absorbed) and the sig/band appends that follow would
+    write nothing. Materializing the rows up front pins what "the
+    delta's survivors" meant at call time.
     """
+    docs = docs.localCheckpoint()
     spark = docs.sparkSession
     n_hashes, bands, shingle_size = read_index_meta(spark, path)
     if not _index_has_near(spark, path):
@@ -374,7 +385,14 @@ def append_gram_layer(
     step alongside :func:`append_dedup_index`. Appends only the keys
     the store does not already hold (one anti-join against the narrow
     stored layer), so the layer stays a distinct set and its growth
-    follows the corpus's NOVEL gram mass, not the feed volume."""
+    follows the corpus's NOVEL gram mass, not the feed volume.
+
+    localCheckpoint-ed first for the same reason as
+    :func:`append_dedup_index`: the caller's frame typically derives
+    from this index (the daily loop appends the index layers right
+    before this call), and those writes would otherwise invalidate and
+    re-evaluate ``docs`` against the updated store — to empty."""
+    docs = docs.localCheckpoint()
     spark = docs.sparkSession
     n = read_gram_meta(spark, path)
     fresh = (

@@ -73,6 +73,7 @@ def stream_dedup_ingest(
     text_col: str = "text",
     threshold: float = 0.9,
     near_dup: bool = True,
+    annotate_novelty: bool = False,
     trigger_available_now: bool = False,
 ):
     """Run a streaming document feed through the persistent dedup index:
@@ -82,9 +83,24 @@ def stream_dedup_ingest(
     ``index_path`` (which must already exist — build the snapshot index
     with ``write_dedup_index`` first; an empty corpus snapshot is fine).
 
+    ``annotate_novelty=True`` additionally scores each surviving doc
+    against the index's STORED gram layer (``write_gram_layer`` must
+    have been run on the snapshot) and lands it with ``n_grams``/
+    ``n_novel``/``novelty`` columns — the triage signal downstream
+    consumers use to prioritise the curation pass — then folds the
+    survivors' grams back so later batches are scored against
+    everything accepted so far. Replays are safe: the landed rows carry
+    their annotation, and both the index append and the gram append are
+    idempotent (anti-joined / distinct-consumed).
+
     Returns the started StreamingQuery. Read the curated corpus back
     with :func:`read_ingested`.
     """
+
+    def _fold_back(survivors: DataFrame) -> None:
+        di.append_dedup_index(survivors, index_path, id_col, text_col)
+        if annotate_novelty:
+            di.append_gram_layer(survivors, index_path, id_col, text_col)
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -96,7 +112,7 @@ def stream_dedup_ingest(
             survivors = spark.read.parquet(batch_dir)
             if survivors.isEmpty():
                 return
-            di.append_dedup_index(survivors, index_path, id_col, text_col)
+            _fold_back(survivors)
             return
         deduped = _dedup_within_batch(batch_df, id_col, text_col)
         survivors = di.dedup_against_index(
@@ -106,12 +122,20 @@ def stream_dedup_ingest(
             text_col=text_col,
             threshold=threshold,
             near_dup=near_dup,
-        ).persist()
+        )
+        if annotate_novelty:
+            # score BEFORE the fold-back below so a doc is never "not
+            # novel" because of its own grams
+            nov = di.novelty_against_index(
+                survivors, index_path, id_col, text_col
+            )
+            survivors = survivors.join(nov, id_col)
+        survivors = survivors.persist()
         try:
             survivors.write.mode("overwrite").parquet(batch_dir)
             _mark_batch_applied(spark, out_path, checkpoint, batch_id)
             if not survivors.isEmpty():
-                di.append_dedup_index(survivors, index_path, id_col, text_col)
+                _fold_back(survivors)
         finally:
             survivors.unpersist()
 
