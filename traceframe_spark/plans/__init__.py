@@ -70,8 +70,10 @@ def catalog_meta():
 
 def catalog_oracle_sql():
     """Snapshot of the oracle-SQL registry (name → DuckDB SQL). Queries
-    absent here (minhash/simhash/LSH/media) are rows-only by design:
-    their values depend on engine-specific hash functions."""
+    absent here (minhash/simhash/LSH) are rows-only by design: their
+    values depend on engine-specific hash functions. (dedup_index_delta
+    is NOT among them: its probe uses the md5-affine portable MinHash
+    families, so its oracle replays the whole LSH chain.)"""
     return {
         **PIPELINE_ORACLE_SQL,
         **MLPREP_ORACLE_SQL,
