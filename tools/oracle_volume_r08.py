@@ -97,11 +97,43 @@ def build_queries():
             "doc_id", "n_grams", qint(F.col("logweight"), 4).alias("logweight_q")
         )
 
+    def q_dedup_index_delta_vol(spark, sf_dir):
+        # the portable-MinHash probe at clone volume: ref = even docs of
+        # the first 200 base ids across ALL 100 copies (20k docs with
+        # the near-copy structure), delta = the odd ones + seeded exact
+        # clones and suffix edits of the first 50 base evens — the
+        # registry split's shape with real volume behind it
+        import tempfile
+
+        from traceframe_spark.operators import dedup_index as di
+
+        d = load_table(spark, sf_dir, "documents")
+        base = F.col("doc_id") % MOD
+        ref = d.filter((F.col("doc_id") % 2 == 0) & (base < 200))
+        seeds = ref.filter(base < 50)
+        delta = (
+            d.filter((F.col("doc_id") % 2 == 1) & (base < 200))
+            .select("doc_id", "text")
+            .unionByName(
+                seeds.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+            )
+            .unionByName(
+                seeds.select(
+                    (F.col("doc_id") + 200000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" the end")).alias("text"),
+                )
+            )
+        )
+        path = tempfile.mkdtemp(prefix="dedup_index_vol_") + "/idx"
+        di.write_dedup_index(ref, path, portable=True)
+        return di.dedup_against_index(delta, path, threshold=0.9).select("doc_id")
+
     qs = {
         "containment_pairs_vol": q_containment_pairs_vol,
         "containment_pipeline_vol": q_containment_pipeline_vol,
         "line_dedup_vol": q_line_dedup_vol,
         "dsir_importance_vol": q_dsir_importance_vol,
+        "dedup_index_delta_vol": q_dedup_index_delta_vol,
     }
 
     # The other r06/r07 operators with fresh float/hash arithmetic
@@ -142,6 +174,18 @@ def build_queries():
         "dsir_importance_vol": swap(
             P.SQL_DSIR_IMPORTANCE, "doc_id < 400", f"doc_id % {MOD} < 400"
         ),
+        # both % 2 splits gain the base-id bound (the seed arms pick it
+        # up via the even split, then their own bound swaps to mod form
+        # — even AND base<200 AND base<50 ≡ even AND base<50)
+        "dedup_index_delta_vol": swap(
+            swap(
+                P.SQL_DEDUP_INDEX_DELTA,
+                "doc_id % 2 = 0",
+                f"doc_id % 2 = 0 AND doc_id % {MOD} < 200",
+            ),
+            "doc_id % 2 = 1",
+            f"doc_id % 2 = 1 AND doc_id % {MOD} < 200",
+        ).replace("AND doc_id < 50", f"AND doc_id % {MOD} < 50"),
     }
     for reg_name in (
         "ngram_novelty",
