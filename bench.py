@@ -110,6 +110,7 @@ HEADLINE = [
     "dsir_importance",
     "index_novelty",
     "index_contamination",
+    "minhash_portable_pairs",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans

@@ -25,6 +25,7 @@ _R8_ROTATION_HEAD = [
     "dsir_importance",
     "index_novelty",
     "index_contamination",
+    "minhash_portable_pairs",
 ]
 
 

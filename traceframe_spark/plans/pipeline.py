@@ -175,6 +175,73 @@ def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MINHASH_VERIFIED = _sql_exact_jaccard(0.9, 250)
 
 
+def q_minhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw MinHash-LSH pairs with the md5-affine PORTABLE families
+    (operators/dedup.minhash_signatures(portable=True) + value-keyed
+    band buckets): unlike ``minhash_verified`` — which asserts equality
+    with the exact pair set only where LSH recall is 1 — this query's
+    oracle replays the ACTUAL LSH candidate generation (signatures →
+    band keys → bucket self-join), so the answer is the raw operator's
+    answer INCLUDING any recall loss, value-verified. Verification stays
+    exact shingle Jaccard, same as the production operator."""
+    from traceframe_spark.operators.dedup_index import _band_entries
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    sigs = dedup.minhash_signatures(d, "doc_id", "text", portable=True).persist()
+    be = _band_entries(sigs.select("id", "sig"), 16, 4, portable=True)
+    cand = (
+        be.alias("a")
+        .join(be.alias("b"), ["band", "bh"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    pairs = dedup.jaccard_verify(cand, sigs, 0.9)
+    out = pairs.select(
+        "id_a", "id_b", qint(F.col("jaccard"), 4).alias("jaccard_q")
+    )
+    from traceframe_spark.operators.dedup import _unpersist_with
+
+    return _unpersist_with(out, sigs)
+
+
+SQL_MINHASH_PORTABLE_PAIRS = f"""
+WITH {_sql_jaccard_pair_ctes(0.9, 250)},
+fam AS (
+    SELECT i,
+           ((2 * i + 1) * 1103515245) % 2147483647 AS a,
+           (i * 104729 + 12345) % 2147483647 AS b
+    FROM range(0, 64) t(i)
+),
+hashed AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(sh), 1, 8))::BIGINT % 2147483647 AS h
+    FROM shingled
+),
+sig AS (
+    SELECT s.doc_id, f.i, min((f.a * s.h + f.b) % 2147483647) AS v
+    FROM hashed s CROSS JOIN fam f GROUP BY s.doc_id, f.i
+),
+band AS (
+    SELECT doc_id, i // 4 AS band,
+           string_agg(v::VARCHAR, '-' ORDER BY i) AS bh
+    FROM sig GROUP BY doc_id, i // 4
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM band a JOIN band b USING (band, bh)
+    WHERE a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(floor(cm.n_common::DOUBLE / (sa.n_sh + sb.n_sh - cm.n_common) * 10000 + 0.5) AS BIGINT) AS jaccard_q
+FROM cand c
+JOIN common cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE cm.n_common::DOUBLE / (sa.n_sh + sb.n_sh - cm.n_common) >= 0.9
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → canonical clusters: distributed connected
     components (large-star/small-star, operators/graph.py) over the
@@ -2346,6 +2413,7 @@ PIPELINE_QUERIES = {
     "dsir_importance": q_dsir_importance,
     "index_novelty": q_index_novelty,
     "index_contamination": q_index_contamination,
+    "minhash_portable_pairs": q_minhash_portable_pairs,
 }
 
 PIPELINE_ORACLE_SQL = {
@@ -2401,4 +2469,5 @@ PIPELINE_ORACLE_SQL = {
     # answer, so the batch operator's oracle applies verbatim
     "index_novelty": SQL_NGRAM_NOVELTY,
     "index_contamination": SQL_CONTAMINATION,
+    "minhash_portable_pairs": SQL_MINHASH_PORTABLE_PAIRS,
 }
