@@ -128,12 +128,65 @@ def build_queries():
         di.write_dedup_index(ref, path, portable=True)
         return di.dedup_against_index(delta, path, threshold=0.9).select("doc_id")
 
+    def q_dedup_index_exact_vol(spark, sf_dir):
+        import tempfile
+
+        from traceframe_spark.operators import dedup_index as di
+
+        d = load_table(spark, sf_dir, "documents")
+        base = F.col("doc_id") % MOD
+        ref = d.filter((F.col("doc_id") % 2 == 0) & (base < 200))
+        seeds = ref.filter(base < 50)
+        delta = (
+            d.filter((F.col("doc_id") % 2 == 1) & (base < 200))
+            .select("doc_id", "text")
+            .unionByName(
+                seeds.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+            )
+            .unionByName(
+                seeds.select(
+                    (F.col("doc_id") + 200000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" the end")).alias("text"),
+                )
+            )
+        )
+        path = tempfile.mkdtemp(prefix="dedup_index_vol_") + "/idx"
+        di.write_dedup_index(ref, path, with_near=False)
+        return di.dedup_against_index(delta, path, near_dup=False).select("doc_id")
+
+    def q_minhash_portable_pairs_vol(spark, sf_dir):
+        from traceframe_spark.operators.dedup_index import _band_entries
+        from traceframe_spark.operators import dedup
+        from traceframe_spark.plans.catalog import qint
+
+        d = load_table(spark, sf_dir, "documents").filter(_mod_filter(50))
+        sigs = dedup.minhash_signatures(
+            d, "doc_id", "text", portable=True
+        ).persist()
+        be = _band_entries(sigs.select("id", "sig"), 16, 4, portable=True)
+        cand = (
+            be.alias("a")
+            .join(be.alias("b"), ["band", "bh"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        pairs = dedup.jaccard_verify(cand, sigs, 0.9)
+        out = pairs.select(
+            "id_a", "id_b", qint(F.col("jaccard"), 4).alias("jaccard_q")
+        )
+        from traceframe_spark.operators.dedup import _unpersist_with
+
+        return _unpersist_with(out, sigs)
+
     qs = {
         "containment_pairs_vol": q_containment_pairs_vol,
         "containment_pipeline_vol": q_containment_pipeline_vol,
         "line_dedup_vol": q_line_dedup_vol,
         "dsir_importance_vol": q_dsir_importance_vol,
         "dedup_index_delta_vol": q_dedup_index_delta_vol,
+        "dedup_index_exact_vol": q_dedup_index_exact_vol,
+        "minhash_portable_pairs_vol": q_minhash_portable_pairs_vol,
     }
 
     # The other r06/r07 operators with fresh float/hash arithmetic
@@ -154,6 +207,7 @@ def build_queries():
         "corpus_report",
         "index_novelty",
         "index_contamination",
+        "hll_weekly_users",
     ):
         qs[f"{reg_name}_vol"] = reg_q[reg_name]
     sql = {
@@ -186,6 +240,20 @@ def build_queries():
             "doc_id % 2 = 1",
             f"doc_id % 2 = 1 AND doc_id % {MOD} < 200",
         ).replace("AND doc_id < 50", f"AND doc_id % {MOD} < 50"),
+        "dedup_index_exact_vol": swap(
+            swap(
+                P.SQL_DEDUP_INDEX_EXACT,
+                "doc_id % 2 = 0",
+                f"doc_id % 2 = 0 AND doc_id % {MOD} < 200",
+            ),
+            "doc_id % 2 = 1",
+            f"doc_id % 2 = 1 AND doc_id % {MOD} < 200",
+        ).replace("AND doc_id < 50", f"AND doc_id % {MOD} < 50"),
+        "minhash_portable_pairs_vol": swap(
+            P.SQL_MINHASH_PORTABLE_PAIRS,
+            "doc_id < 250",
+            f"doc_id % {MOD} < 50",
+        ),
     }
     for reg_name in (
         "ngram_novelty",
@@ -196,6 +264,7 @@ def build_queries():
         "corpus_report",
         "index_novelty",
         "index_contamination",
+        "hll_weekly_users",
     ):
         sql[f"{reg_name}_vol"] = reg_sql[reg_name]
     return qs, sql
