@@ -170,7 +170,7 @@ def test_otlp_span_stream(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "streaming query timed out after 600s"
     rows = {r["spanID"]: r for r in spark.sql("SELECT * FROM otlp_stream_spans").collect()}
     assert set(rows) == {"aa00000000000001", "bb00000000000002", "cc00000000000003"}
     assert rows["aa00000000000001"]["tags"]["error"] == "true"

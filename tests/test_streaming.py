@@ -70,7 +70,7 @@ def test_windowed_service_stats(spark, feed_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "streaming query timed out after 600s"
     # append mode only emits closed windows; with availableNow the final
     # watermark closes all but the newest — check what materialized.
     rows = spark.sql("SELECT * FROM svc_stats ORDER BY window_start, service").collect()
@@ -121,7 +121,7 @@ def test_stream_to_span_store(spark, feed_dir, tmp_path):
         str(tmp_path / "ck3"),
         trigger_available_now=True,
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "streaming query timed out after 600s"
     back = sinks.read_spans(spark, str(tmp_path / "store"))
     assert back.count() == 5
     # partition layout on disk
@@ -169,7 +169,7 @@ def test_jaeger_stream_to_assembly_and_store_end_to_end(spark, tmp_path):
         .start()
     )
     try:
-        q_store.awaitTermination(600)
+        assert q_store.awaitTermination(600), "streaming query timed out after 600s"
         # batch API reads the store the stream landed: window [base,
         # base+35s) covers trace offsets 0..30s -> 7 single-span traces
         back = sinks.read_spans(spark, store)
@@ -221,7 +221,7 @@ def test_jaeger_stream_reader(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "streaming query timed out after 600s"
     got = spark.sql("SELECT traceID FROM jaeger_stream_test").collect()
     # window [base, base+140s) covers offsets 0..139s -> 28 traces (step 5s)
     assert len(got) == 28, len(got)
@@ -261,7 +261,7 @@ def test_streaming_dedup(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "streaming query timed out after 600s"
     rows = spark.sql("SELECT spanID, count(*) AS n FROM dedup_stream GROUP BY spanID").collect()
     got = {r["spanID"]: r["n"] for r in rows}
     assert got == {"s1": 1, "s2": 1, "s3": 1}
@@ -282,7 +282,7 @@ def test_compact_span_store(spark, feed_dir, tmp_path):
         str(tmp_path / "ck_c"),
         trigger_available_now=True,
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "streaming query timed out after 600s"
     before = {r["spanID"]: r["service"] for r in sinks.read_spans(spark, store).collect()}
     n_files_before = len(glob.glob(f"{store}/span_date=*/trace_bucket=*/*.parquet"))
 
@@ -334,7 +334,7 @@ def test_stream_parent_enrich_stream_stream_join(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "streaming query timed out after 600s"
     rows = {
         r["spanID"]: (r["parent_service"], r["parent_operation"])
         for r in spark.sql("select * from enriched").collect()
@@ -377,7 +377,7 @@ def test_stream_to_rollup_maintains_continuous_aggregate(spark, tmp_path):
         stream, store, ckpt, R.MINUTE_NS, ["event_type"], "value",
         trigger_available_now=True,
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "streaming query timed out after 600s"
 
     all_events = spark.createDataFrame(
         [e for b in evs for e in b], schema
@@ -445,7 +445,7 @@ def test_stream_to_rollup_staged_worst_case_matches_batch(spark, tmp_path):
         late_stage_threshold=1000,  # everything is "cold": pure staging path
         compact_every=3,            # one mid-stream compaction fires (batch 2)
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "streaming query timed out after 600s"
 
     all_events = spark.createDataFrame(
         [e for b in evs for e in b], schema
@@ -487,7 +487,7 @@ def test_stream_to_rollup_staged_worst_case_matches_batch(spark, tmp_path):
         max_hot_hours=2,   # each batch merges only its 2 heaviest hours
         compact_every=4,
     )
-    q2.awaitTermination(600)
+    assert q2.awaitTermination(600), "streaming query timed out after 600s"
     compact_rollup_store(spark, store2, ["event_type"])
     got2 = {
         (r["bucket_ns"], r["event_type"]): (r["n"], r["value_sum"], r["value_min"], r["value_max"])
@@ -549,7 +549,7 @@ def test_stream_to_rollup_auto_threshold_routes_by_shape(spark, tmp_path):
         late_stage_threshold="auto",
         compact_every=100,  # never fires: isolates auto's routing
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "streaming query timed out after 600s"
 
     # scattered batches 1-2 staged (batch 0 created the store)...
     assert (tmp_path / "autorollup" / _STAGING_DIR).exists()
@@ -618,7 +618,7 @@ def test_stream_to_hll_store_matches_batch_registers(spark, tmp_path):
     q = stream_to_hll_store(
         stream, store, ckpt, "user_id", trigger_available_now=True
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "streaming query timed out after 600s"
 
     all_events = spark.createDataFrame(
         [e for b in evs for e in b], schema
@@ -733,7 +733,7 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "streaming query timed out after 600s"
 
     batch_df = spark.createDataFrame(
         [e for b in evs for e in b], schema
@@ -853,7 +853,7 @@ def test_stream_to_rollup_recovers_from_checkpoint(spark, tmp_path):
             stream, store, ckpt, R.MINUTE_NS, ["event_type"], "value",
             trigger_available_now=True,
         )
-        q.awaitTermination(600)
+        assert q.awaitTermination(600), "streaming query timed out after 600s"
 
     (feed / "b0.jsonl").write_text(
         "\n".join(json.dumps(dict(zip(cols, e))) for e in evs[0])
@@ -943,7 +943,7 @@ def test_streaming_cms_merges_to_batch_sketch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "streaming query timed out after 600s"
 
     all_docs = spark.createDataFrame(
         [(t,) for b in batches for t in b], "text string"

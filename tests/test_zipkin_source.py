@@ -215,7 +215,7 @@ def test_zipkin_span_stream(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "streaming query timed out after 600s"
     got = spark.sql("select * from zipkin_stream_test").collect()
     assert len(got) == 3
     assert {r["service"] for r in got} == {"frontend", "payments", "unknown"}

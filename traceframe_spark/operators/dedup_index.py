@@ -178,31 +178,43 @@ def write_dedup_index(
         sig.unpersist()
 
 
+def _meta_all(spark: SparkSession, path: str) -> tuple[int, int, int, bool, bool]:
+    """ONE driver job for the whole pinned-parameter row:
+    (n_hashes, bands, shingle_size, near, portable). Every probe/append
+    needs several of these at once, and each separate accessor used to
+    cost its own ``spark.read.json().collect()`` round trip."""
+    row = spark.read.json(f"{path}/meta").collect()[0]
+
+    def flag(name: str, default: bool) -> bool:
+        # stores written before a flag existed read as its default
+        try:
+            v = row[name]
+        except (KeyError, ValueError):
+            return default
+        return default if v is None else bool(v)
+
+    return (
+        int(row["n_hashes"]),
+        int(row["bands"]),
+        int(row["shingle_size"]),
+        flag("near", True),
+        flag("portable", False),
+    )
+
+
 def read_index_meta(spark: SparkSession, path: str) -> tuple[int, int, int]:
     """→ (n_hashes, bands, shingle_size) as pinned at build time."""
-    row = spark.read.json(f"{path}/meta").collect()[0]
-    return int(row["n_hashes"]), int(row["bands"]), int(row["shingle_size"])
-
-
-def _meta_flag(spark: SparkSession, path: str, name: str, default: bool) -> bool:
-    """Optional boolean from meta; stores written before the flag
-    existed read as ``default``."""
-    row = spark.read.json(f"{path}/meta").collect()[0]
-    try:
-        v = row[name]
-    except (KeyError, ValueError):
-        return default
-    return default if v is None else bool(v)
+    return _meta_all(spark, path)[:3]
 
 
 def _index_has_near(spark: SparkSession, path: str) -> bool:
     """Whether the store carries the MinHash layers."""
-    return _meta_flag(spark, path, "near", True)
+    return _meta_all(spark, path)[3]
 
 
 def _index_is_portable(spark: SparkSession, path: str) -> bool:
     """Whether the MinHash layers use the md5-affine portable families."""
-    return _meta_flag(spark, path, "portable", False)
+    return _meta_all(spark, path)[4]
 
 
 def append_dedup_index(
@@ -226,20 +238,25 @@ def append_dedup_index(
     silently re-evaluate ``docs`` against the UPDATED store (now empty,
     its own keys absorbed) and the sig/band appends that follow would
     write nothing. Materializing the rows up front pins what "the
-    delta's survivors" meant at call time.
+    delta's survivors" meant at call time. COST: the checkpoint
+    materializes the FULL input rows, document text included, even when
+    the caller's frame does not derive from this index — a deliberate
+    trade (one delta-sized spill, bounded by the daily feed) for an
+    append that can never be emptied by its own writes; callers with
+    very large non-index-derived deltas can pre-project to
+    ``(id, text)`` to shrink what gets pinned.
     """
     docs = docs.localCheckpoint()
     spark = docs.sparkSession
-    n_hashes, bands, shingle_size = read_index_meta(spark, path)
-    if not _index_has_near(spark, path):
+    n_hashes, bands, shingle_size, has_near, portable = _meta_all(spark, path)
+    if not has_near:
         spread(docs, id_col).select(
             content_key(text_col).alias("ckey"), F.col(id_col).alias("id")
         ).write.mode("append").parquet(f"{path}/exact")
         return
     rows_per_band = max(n_hashes // bands, 1)
     exact, sig, band = _layers(
-        docs, id_col, text_col, n_hashes, bands, shingle_size,
-        portable=_index_is_portable(spark, path),
+        docs, id_col, text_col, n_hashes, bands, shingle_size, portable=portable
     )
     sig = sig.persist()
     try:
@@ -270,7 +287,7 @@ def dedup_against_index(
     twin of the registry's rows-only probe query).
     """
     spark = delta.sparkSession
-    n_hashes, bands, shingle_size = read_index_meta(spark, path)
+    n_hashes, bands, shingle_size, has_near, portable = _meta_all(spark, path)
     rows_per_band = max(n_hashes // bands, 1)
 
     ids = spread(delta, id_col).select(
@@ -286,14 +303,13 @@ def dedup_against_index(
     )
     if not near_dup:
         return survivors
-    if not _index_has_near(spark, path):
+    if not has_near:
         raise ValueError(
             f"dedup index at {path!r} was built exact-only "
             "(with_near=False); probe with near_dup=False or rebuild "
             "with the MinHash layers"
         )
 
-    portable = _index_is_portable(spark, path)
     sig_d = minhash_signatures(
         survivors, id_col, text_col, n_hashes, shingle_size, portable=portable
     ).select("id", "sig").persist()
@@ -391,7 +407,8 @@ def append_gram_layer(
     :func:`append_dedup_index`: the caller's frame typically derives
     from this index (the daily loop appends the index layers right
     before this call), and those writes would otherwise invalidate and
-    re-evaluate ``docs`` against the updated store — to empty."""
+    re-evaluate ``docs`` against the updated store — to empty. Same
+    full-row materialization cost as that append (see its docstring)."""
     docs = docs.localCheckpoint()
     spark = docs.sparkSession
     n = read_gram_meta(spark, path)

@@ -89,6 +89,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_TMP_STORE_ROOT: list[str] = []
+
+
+def tmp_store(prefix: str) -> str:
+    """A scratch directory for the store-backed registry queries
+    (``dedup_index_*`` / ``gram_index_*`` / ``hll_daily_store_*``),
+    created under ONE process-scoped root that is removed at
+    interpreter exit — a full oracle + bench run leaves zero orphan
+    store directories behind (each bare ``tempfile.mkdtemp`` used to
+    leak ~a dozen per run)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _TMP_STORE_ROOT:
+        root = tempfile.mkdtemp(prefix="traceframe_stores_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _TMP_STORE_ROOT.append(root)
+    return tempfile.mkdtemp(prefix=prefix, dir=_TMP_STORE_ROOT[0])
+
+
 def qint(col, scale: int):
     """Quantize a double to an integer at 10^-scale precision:
     ``floor(x * 10^scale + 0.5)`` — round-half-up computed purely on the

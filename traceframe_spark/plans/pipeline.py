@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 
 from traceframe_spark.functions import ranked_topk
 from traceframe_spark.operators import dedup, graph, multimodal, similarity, text
-from traceframe_spark.plans.catalog import SQL_ANN_COSINE_TOPK, load_table, qint
+from traceframe_spark.plans.catalog import SQL_ANN_COSINE_TOPK, load_table, qint, tmp_store
 
 
 # --------------------------------------------------------- oracle-backed
@@ -2065,12 +2065,10 @@ def q_dedup_index_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the md5 content-key anti-join is plain SQL, so this query
     is the oracle-green exact twin of the rows-only full probe
     (``dedup_index_delta``)."""
-    import tempfile
-
     from traceframe_spark.operators import dedup_index as di
 
     ref, delta = _index_split(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="dedup_index_") + "/idx"
+    path = tmp_store("dedup_index_") + "/idx"
     # exact-only store (with_near=False): the content-key registry
     # shape — no MinHash pass is built or paid for an exact-layer probe
     di.write_dedup_index(ref, path, with_near=False)
@@ -2108,12 +2106,10 @@ def q_dedup_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-verified, not just rows-counted (the xxhash64 production
     default stays the fast path; layer-kill semantics for it are pinned
     in tests/test_dedup_index.py)."""
-    import tempfile
-
     from traceframe_spark.operators import dedup_index as di
 
     ref, delta = _index_split(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="dedup_index_") + "/idx"
+    path = tmp_store("dedup_index_") + "/idx"
     di.write_dedup_index(ref, path, portable=True)
     return di.dedup_against_index(delta, path, threshold=0.9).select("doc_id")
 
@@ -2208,14 +2204,12 @@ def q_index_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     join cannot double-count a hit. This is the triage half of the
     daily incremental loop; ``dedup_index_exact``/``_delta`` are the
     dedup half."""
-    import tempfile
-
     from traceframe_spark.operators import dedup_index as di
 
     d = load_table(spark, sf_dir, "documents")
     ref = d.filter(F.col("doc_id") % 10 < 3)
     corpus = d.filter(F.col("doc_id") % 10 >= 3)
-    path = tempfile.mkdtemp(prefix="gram_index_") + "/idx"
+    path = tmp_store("gram_index_") + "/idx"
     di.write_gram_layer(ref, path, n=3)
     out = di.novelty_against_index(corpus, path)
     return out.select(
@@ -2232,14 +2226,12 @@ def q_index_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB neither is yesterday's already-scored corpus (only the new
     delta probes). Same answer as the batch operator, so the oracle is
     ``SQL_CONTAMINATION`` verbatim."""
-    import tempfile
-
     from traceframe_spark.operators import dedup_index as di
 
     d = load_table(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 20 == 0)
     corpus = d.filter(F.col("doc_id") % 20 != 0)
-    path = tempfile.mkdtemp(prefix="gram_index_") + "/idx"
+    path = tmp_store("gram_index_") + "/idx"
     di.write_gram_layer(bench, path, n=3)
     out = di.contamination_against_index(corpus, path)
     return out.select(

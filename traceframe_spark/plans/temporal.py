@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from traceframe_spark import api
-from traceframe_spark.plans.catalog import load_table, qint
+from traceframe_spark.plans.catalog import load_table, qint, tmp_store
 
 NS_PER_US = 1_000
 NS_PER_DAY = 86_400 * 1_000_000_000
@@ -710,8 +710,6 @@ def q_hll_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact per-week distinct count rides along as the accuracy
     column, read from events ONCE (the same scan that built the daily
     store; a production pipeline already has it)."""
-    import tempfile
-
     from traceframe_spark.operators import sketch
 
     e = load_table(spark, sf_dir, "events")
@@ -724,7 +722,7 @@ def q_hll_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the store roundtrip is the point of the query: weekly estimates
     # must derive from PERSISTED daily registers, not the events scan
-    store = tempfile.mkdtemp(prefix="hll_daily_store_") + "/regs"
+    store = tmp_store("hll_daily_store_") + "/regs"
     daily.repartition("day").write.mode("overwrite").partitionBy("day").parquet(store)
     stored = spark.read.parquet(store)
     weekly = (

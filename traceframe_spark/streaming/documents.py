@@ -96,6 +96,17 @@ def stream_dedup_ingest(
     Returns the started StreamingQuery. Read the curated corpus back
     with :func:`read_ingested`.
     """
+    if annotate_novelty:
+        # fail fast, before any batch commits: without this, a missing
+        # gram layer surfaces MID-STREAM inside foreachBatch as a raw
+        # missing-path error, possibly after earlier batches landed
+        try:
+            di.read_gram_meta(docs.sparkSession, index_path)
+        except Exception as exc:  # noqa: BLE001 — any read failure means no layer
+            raise ValueError(
+                f"annotate_novelty=True but the index at {index_path!r} has "
+                "no gram layer; run write_gram_layer on the snapshot first"
+            ) from exc
 
     def _fold_back(survivors: DataFrame) -> None:
         di.append_dedup_index(survivors, index_path, id_col, text_col)
