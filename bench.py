@@ -111,6 +111,9 @@ HEADLINE = [
     "index_novelty",
     "index_contamination",
     "minhash_portable_pairs",
+    # r09 additions
+    "simhash_portable_pairs",
+    "ann_lsh_portable",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans
@@ -268,6 +271,47 @@ def main() -> None:
     finally:
         shutil.rmtree(store, ignore_errors=True)
         shutil.rmtree(os.path.dirname(idx), ignore_errors=True)
+
+    # dedup-index build vs probe SPLIT rows: the registry queries
+    # (`dedup_index_delta` etc.) rebuild the store inside the timed
+    # region because the roundtrip is their correctness point, but that
+    # hides the steady-state number a regression tracker needs — the
+    # per-delta probe against a STANDING store, the thing the module
+    # exists for. Build is one-shot (it happens once per snapshot in
+    # production); probes are best-of-N like every other row.
+    dedup_idx_root = tempfile.mkdtemp(prefix="bench_dedup_idx_")
+    try:
+        from traceframe_spark.operators import dedup_index as di
+        from traceframe_spark.plans.pipeline import _index_split
+
+        ref, delta = _index_split(spark, sf_dir)
+        dpath = dedup_idx_root + "/near"
+        try:
+            t0 = time.time()
+            di.write_dedup_index(ref, dpath)
+            timings["dedup_index_build"] = round(time.time() - t0, 3)
+            timed(
+                "dedup_index_probe",
+                lambda: di.dedup_against_index(delta, dpath, threshold=0.9),
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["dedup_index_probe"] = f"{type(exc).__name__}: {exc}"[:300]
+            timings["dedup_index_probe"] = None
+
+        gpath = dedup_idx_root + "/gram"
+        try:
+            t0 = time.time()
+            di.write_gram_layer(ref, gpath, n=3)
+            timings["gram_layer_build"] = round(time.time() - t0, 3)
+            timed(
+                "gram_index_probe",
+                lambda: di.novelty_against_index(delta, gpath),
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["gram_index_probe"] = f"{type(exc).__name__}: {exc}"[:300]
+            timings["gram_index_probe"] = None
+    finally:
+        shutil.rmtree(dedup_idx_root, ignore_errors=True)
 
     ok = {k: v for k, v in timings.items() if v is not None}
     total = round(sum(ok.values()), 3)

@@ -195,6 +195,24 @@ def test_simhash_near_dups(near_dup_docs):
     assert hm[(1, 2)] == 0
 
 
+def test_simhash_portable_matches_semantics(near_dup_docs):
+    """The md5-derived portable bit families are a different hash, same
+    semantics: identical text still fingerprints identically (hamming
+    0), near-copies still land within a small radius, and the portable
+    flag changes the fingerprints themselves (different hash family)."""
+    plain = dedup.simhash_fingerprints(near_dup_docs, "doc_id", "text")
+    port = dedup.simhash_fingerprints(near_dup_docs, "doc_id", "text", portable=True)
+    fp_plain = {r["id"]: r["fp"] for r in plain.collect()}
+    fp_port = {r["id"]: r["fp"] for r in port.collect()}
+    assert fp_port[1] == fp_port[2]  # identical text, identical fp
+    assert fp_plain != fp_port  # genuinely different family
+    pairs = dedup.simhash_near_dup_pairs(
+        near_dup_docs, "doc_id", "text", max_hamming=8, portable=True
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+
+
 def test_ngram_jaccard_exact_pairs(near_dup_docs):
     pairs = dedup.ngram_jaccard_pairs(near_dup_docs, "doc_id", "text", threshold=0.5)
     found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
@@ -231,6 +249,33 @@ def test_lsh_topk_recall_vs_bruteforce(spark, embeddings):
     a = {(r["qid"], r["cid"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_lsh_topk_portable_recall_vs_bruteforce(spark, embeddings):
+    """The md5-derived ±1 portable planes must keep LSH usable at the
+    registry's operating point (6 bands of 4 bits — see
+    q_ann_lsh_portable for why the single fixed family gets two extra
+    probes): same recall floor as the Gaussian default (Rademacher
+    projections carry the same sign-LSH guarantee)."""
+    q = embeddings.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(embeddings, q, "vec_id", "embedding", k=5)
+    approx = similarity.hyperplane_lsh_topk(
+        embeddings, q, "vec_id", "embedding", k=5, dim=64, n_planes=24,
+        bands=6, portable=True,
+    )
+    e = {(r["qid"], r["cid"]) for r in exact.collect()}
+    a = {(r["qid"], r["cid"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"portable LSH recall too low: {recall}"
+
+
+def test_portable_hyperplane_weights_deterministic():
+    """Same md5 derivation on every call; ±1 only; plane diversity."""
+    w1 = similarity.portable_hyperplane_weights(16, 64)
+    w2 = similarity.portable_hyperplane_weights(16, 64)
+    assert w1 == w2
+    assert {v for row in w1 for v in row} == {-1, 1}
+    assert len({tuple(r) for r in w1}) == 16  # no duplicate planes
 
 
 def test_ivf_topk_recall_vs_bruteforce(spark, embeddings):

@@ -524,19 +524,58 @@ def simhash64(col: Column, shingle_size: int = 4) -> Column:
 
 
 def simhash_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, shingle_size: int = 4
+    df: DataFrame, id_col: str, text_col: str, shingle_size: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, fp) SimHash fingerprints via explode + 64 conditional-sum
     aggregates — map-side combinable, small generated methods (the
     one-expression :func:`simhash64` is semantically identical but pays
-    ~10 s of whole-stage codegen compilation on first use)."""
+    ~10 s of whole-stage codegen compilation on first use).
+
+    ``portable=True`` draws the 64 vote bits from the first 16 hex
+    chars of md5(shingle) (two 32-bit halves) instead of xxhash64 —
+    the same trick as the portable MinHash families: every vote, the
+    fingerprint, the block keys, and the hamming verify become exactly
+    replayable in ANSI SQL, so the raw SimHash near-dup pair set
+    (recall effects included) can be value-checked by an external
+    oracle. Cost: one md5 per distinct shingle instead of one xxhash64
+    (same shape, marginally slower hash)."""
     sh = char_shingles(F.lower(F.trim(F.col(text_col))), shingle_size)
     # hash hoisted into a projection: runtime subexpression elimination
     # would dedup the 64 copies anyway, but one shared column keeps the
     # generated aggregate code small (3x faster first-run compile)
-    exploded = spread(df, id_col).select(
+    base = spread(df, id_col).select(
         F.col(id_col).alias("id"), F.explode(sh).alias("sh")
-    ).select("id", F.xxhash64(F.col("sh")).alias("h"))
+    )
+    if portable:
+        # bit i of the vote vector: i < 32 from h1 (md5 hex chars 1-8),
+        # else from h2 (chars 9-16). Both halves < 2^32, so every shift
+        # and mask is identical signed-64 arithmetic in Spark and DuckDB.
+        exploded = base.select(
+            "id",
+            F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(F.md5("sh"), 9, 8), 16, 10).cast("long").alias("h2"),
+        )
+        votes = exploded.groupBy("id").agg(
+            *[
+                F.sum(
+                    F.shiftright(
+                        F.col("h1") if i < 32 else F.col("h2"),
+                        i if i < 32 else i - 32,
+                    ).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
+                ).alias(f"_v{i}")
+                for i in range(64)
+            ]
+        )
+        fp = F.lit(0).cast("long")
+        for i in range(64):
+            fp = fp.bitwiseOR(
+                F.when(
+                    F.col(f"_v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        return votes.select("id", fp.alias("fp"))
+    exploded = base.select("id", F.xxhash64(F.col("sh")).alias("h"))
     h = F.col("h")
     votes = exploded.groupBy("id").agg(
         *[
@@ -560,15 +599,20 @@ def simhash_near_dup_pairs(
     text_col: str,
     max_hamming: int = 3,
     shingle_size: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share at least one of 4
     16-bit blocks (pigeonhole guarantees recall for hamming ≤ 3), then
-    exact hamming distance filters.
+    exact hamming distance filters. ``portable=True`` switches the
+    fingerprints to the md5-derived SQL-replayable bit families (see
+    :func:`simhash_fingerprints`).
 
     Fingerprints persist for the plan's lifetime: the self-join's two
     sides would otherwise each recompute the full shingle explode +
     64-way aggregation (no exchange reuse across a broadcast build)."""
-    fp = simhash_fingerprints(df, id_col, text_col, shingle_size).persist()
+    fp = simhash_fingerprints(
+        df, id_col, text_col, shingle_size, portable=portable
+    ).persist()
     blocks = F.array(
         *[
             F.struct(

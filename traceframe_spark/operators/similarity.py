@@ -396,6 +396,59 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def portable_hyperplane_weights(n_planes: int, dim: int) -> list[list[int]]:
+    """±1 hyperplane weights derived from ``md5(f"{i}_{j}")`` bit 0 —
+    the ANN counterpart of the portable MinHash families: any engine
+    with md5() derives the identical matrix, so bucket assignment
+    becomes value-replayable in ANSI SQL. Rademacher (±1) hyperplanes
+    preserve the SimHash/sign-LSH guarantee (Achlioptas 2001 shows
+    ±1 projections satisfy the same JL-style bounds as Gaussians)."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[:8], 16) & 1 else -1
+            for j in range(dim)
+        ]
+        for i in range(n_planes)
+    ]
+
+
+def portable_hyperplane_signature(
+    vec: Column, weights: list[list[int]], scale: int = 6
+) -> Column:
+    """Sign-bit signature against the md5-derived ±1 hyperplanes, on the
+    10^-``scale`` round-half-up quantized embedding — every dot product
+    is exact 64-bit integer arithmetic (|q| ≤ 10^scale·max|e|, dim ≤ 64
+    → sums far below 2^63), so the signature is bit-identical in Spark
+    and any SQL oracle, immune to float summation-order divergence.
+    Each plane's expression re-inlines the quantization after Catalyst
+    collapses projections — a bounded 2× constant (quantize costs one
+    multiply+floor per multiply+add of the unavoidable dot product)."""
+    q = F.transform(
+        vec,
+        lambda x: F.floor(x.cast("double") * F.lit(float(10**scale)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(q, F.array(*[F.lit(w) for w in plane]), lambda x, w: x * w),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        for i, plane in enumerate(weights)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit signature of a vector against fixed random hyperplanes,
     packed into a long. Pure JVM expression."""
@@ -496,20 +549,33 @@ def hyperplane_lsh_topk(
     n_planes: int = 16,
     bands: int = 4,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate top-k cosine: candidates share ≥1 of ``bands`` blocks
     of the hyperplane signature; exact cosine re-ranks the candidates.
 
     Recall rises with bands (more probes) and falls with n_planes/bands
     (stricter blocks). Defaults: 4 blocks of 4 bits — cheap and ~high
-    recall on clustered data.
+    recall on clustered data. ``portable=True`` switches to the
+    md5-derived ±1 integer hyperplanes (``seed`` ignored): bucket
+    assignment — and therefore the whole answer, given the exact
+    re-rank — becomes value-replayable in ANSI SQL.
     """
-    planes = _hyperplanes(dim, n_planes, seed)
+    planes = (
+        portable_hyperplane_weights(n_planes, dim)
+        if portable
+        else _hyperplanes(dim, n_planes, seed)
+    )
     per_band = n_planes // bands
     mask = (1 << per_band) - 1
 
     def banded(df: DataFrame, side: str) -> DataFrame:
-        sig = hyperplane_signature(_dim_checked(F.col(vec_col), dim), planes)
+        checked = _dim_checked(F.col(vec_col), dim)
+        sig = (
+            portable_hyperplane_signature(checked, planes)
+            if portable
+            else hyperplane_signature(checked, planes)
+        )
         blocks = F.array(
             *[
                 F.struct(

@@ -11,21 +11,15 @@ from traceframe_spark.plans.tpch import TPCH_ORACLE_SQL, TPCH_QUERIES
 from traceframe_spark.plans.traceops import TRACEOPS_ORACLE_SQL, TRACEOPS_QUERIES
 
 
-# Round-8 head rotation, driven by `python tools/coverage_ledger.py`
-# (run it BEFORE editing this list): after round 7 recorded the r06/r07
-# additions, the only never-recorded entry is the round-8 newcomer —
-# in the head from birth so it records the round it lands. The round-7
-# head (containment_pairs ... containment_pipeline) was recorded in
-# CORRECTNESS_r07.json and returns to natural registry order.
-_R8_ROTATION_HEAD = [
-    "hll_weekly_users",
-    "dedup_index_exact",
-    "dedup_index_delta",
-    "line_dedup",
-    "dsir_importance",
-    "index_novelty",
-    "index_contamination",
-    "minhash_portable_pairs",
+# Round-9 head rotation, driven by `python tools/coverage_ledger.py`
+# (run it BEFORE editing this list): the round-8 head was recorded in
+# CORRECTNESS_r08.json and returns to natural registry order; the head
+# now leads with the round-9 newcomers (portable SimHash / hyperplane
+# LSH — the value-verified twins that shrink the rows-only set) so
+# each records a driver-green row the round it lands.
+_R9_ROTATION_HEAD = [
+    "simhash_portable_pairs",
+    "ann_lsh_portable",
 ]
 
 
@@ -37,9 +31,10 @@ def catalog_queries():
     temporal / traceops / events / lexical / advanced / core heads; round 5
     rotated the LLM-data-pipeline suites (PIPELINE + MLPREP) to the front;
     round 6 led with the 13 queries the gate had never recorded; round 7
-    led with the 7 operators added late in round 6; round 8 leads with its
-    own newcomer (see `_R8_ROTATION_HEAD` / tools/coverage_ledger.py) so
-    every registered query keeps a driver-green row at least once.  The
+    led with the 7 operators added late in round 6; round 8 led with its own
+    newcomers; round 9 leads with the portable-twin pair (see
+    `_R9_ROTATION_HEAD` / tools/coverage_ledger.py) so every registered
+    query keeps a driver-green row at least once.  The
     oracle-backed vs rows-only distinction is metadata, not ordering — see
     `catalog_meta()`; rows-only entries remain inside the head-50 so the
     external sample exercises both verification paths.
@@ -55,7 +50,7 @@ def catalog_queries():
         **TEMPORAL_QUERIES,
         **TPCH_QUERIES,
     }
-    head = {k: merged[k] for k in _R8_ROTATION_HEAD if k in merged}
+    head = {k: merged[k] for k in _R9_ROTATION_HEAD if k in merged}
     return {**head, **{k: v for k, v in merged.items() if k not in head}}
 
 

@@ -789,10 +789,165 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=14)
 
 
+def q_simhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw SimHash near-dup pairs with the md5-derived PORTABLE bit
+    families (operators/dedup.simhash_near_dup_pairs(portable=True)):
+    the oracle replays the ACTUAL chain — per-shingle vote bits from
+    md5 halves → 64 vote sums → sign fingerprint → 4×16-bit pigeonhole
+    block keys → bucket self-join → exact hamming ≤ cutoff — so the
+    answer is the raw operator's answer INCLUDING any recall loss,
+    value-verified (closes the last rows-only dedup path; the xxhash64
+    default stays the production fast path, recall-pinned in
+    tests/test_dedup.py)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    return dedup.simhash_near_dup_pairs(
+        d, "doc_id", "text", max_hamming=14, portable=True
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+# Bit 63's place value is MIN_LONG: DuckDB's `<<` raises on 1<<63, so
+# the signed value is spelled literally; everything else is plain
+# shift/mask arithmetic identical in both engines (h1/h2 < 2^32).
+SQL_SIMHASH_PORTABLE_PAIRS = """
+WITH docs AS (
+    SELECT doc_id, lower(trim(text)) AS t FROM documents WHERE doc_id < 250
+),
+shingled AS (
+    SELECT DISTINCT doc_id, substr(t, CAST(g AS INT), 4) AS sh
+    FROM (SELECT doc_id, t,
+                 unnest(range(1, greatest(len(t) - 3, 1) + 1)) AS g
+          FROM docs)
+),
+hashed AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h1,
+           ('0x' || substr(md5(sh), 9, 8))::BIGINT AS h2
+    FROM shingled
+),
+votes AS (
+    SELECT doc_id, i,
+           sum(((CASE WHEN i < 32 THEN h1 >> i
+                      ELSE h2 >> (i - 32) END) & 1) * 2 - 1) AS v
+    FROM hashed CROSS JOIN range(0, 64) t(i)
+    GROUP BY doc_id, i
+),
+fp AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v <= 0 THEN 0
+                         WHEN i = 63 THEN -9223372036854775808
+                         ELSE 1::BIGINT << CAST(i AS INT) END) AS BIGINT) AS fp
+    FROM votes GROUP BY doc_id
+),
+keyed AS (
+    SELECT doc_id, fp, b AS block,
+           (fp >> (16 * CAST(b AS INT))) & 65535 AS key
+    FROM fp CROSS JOIN range(0, 4) t(b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.fp AS fa, b.fp AS fb
+    FROM keyed a JOIN keyed b USING (block, key)
+    WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(fa, fb)) <= 14
+"""
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return similarity.hyperplane_lsh_topk(e, q, "vec_id", "embedding", k=5, dim=64)
+
+
+def q_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH top-k with the md5-derived ±1 PORTABLE planes
+    (operators/similarity.hyperplane_lsh_topk(portable=True)): the
+    oracle replays the ACTUAL approximate chain — 10^-6 quantized
+    embeddings → 16 integer sign dots → 4×4-bit band keys → bucket
+    join → exact quantized-cosine re-rank with the cid tie-break — so
+    the answer is the raw LSH operator's answer INCLUDING any recall
+    loss, value-verified (the Gaussian-plane default ``ann_lsh_topk``
+    stays rows-only + recall-tested, twinned by this query). Operating
+    point: 6 bands of 4 bits — the same band width as the default's
+    4×4, with two extra probes because a SINGLE ±1 family has higher
+    recall variance than a resampleable Gaussian one (measured 0.32 at
+    16 planes vs 0.52 at 24 on the weakly-clustered synthetic corpus;
+    a production corpus with real cluster structure needs fewer)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.hyperplane_lsh_topk(
+        e, q, "vec_id", "embedding", k=5, dim=64, n_planes=24, bands=6,
+        portable=True,
+    )
+
+
+# The integer dot products make the sign decision exact in both engines;
+# the re-rank reuses SQL_ANN_COSINE_TOPK's quantized-cosine shape
+# restricted to the LSH candidate set.
+SQL_ANN_LSH_PORTABLE = """
+WITH w AS (
+    SELECT i, j,
+           CASE WHEN ('0x' || substr(md5(i::VARCHAR || '_' || j::VARCHAR), 1, 8))::BIGINT & 1 = 1
+                THEN 1 ELSE -1 END AS wt
+    FROM range(0, 24) a(i) CROSS JOIN range(0, 64) b(j)
+),
+q AS (
+    SELECT vec_id, j,
+           CAST(floor(CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv
+    FROM embeddings CROSS JOIN range(0, 64) t(j)
+),
+dots AS (
+    SELECT q.vec_id, w.i, sum(q.qv * w.wt) AS dot
+    FROM q JOIN w ON w.j = q.j
+    GROUP BY 1, 2
+),
+sig AS (
+    SELECT vec_id,
+           CAST(sum(CASE WHEN dot > 0 THEN 1::BIGINT << CAST(i AS INT) ELSE 0 END) AS BIGINT) AS sig
+    FROM dots GROUP BY vec_id
+),
+keyed AS (
+    SELECT vec_id, b AS band, (sig >> (4 * CAST(b AS INT))) & 15 AS key
+    FROM sig CROSS JOIN range(0, 6) t(b)
+),
+cand AS (
+    SELECT DISTINCT kq.vec_id AS qid, kc.vec_id AS cid
+    FROM keyed kq JOIN keyed kc USING (band, key)
+    WHERE kq.vec_id < 10 AND kc.vec_id <> kq.vec_id
+),
+norms AS (
+    SELECT vec_id, sqrt(sum(v * v)) AS nrm
+    FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
+    GROUP BY vec_id
+),
+pairdots AS (
+    SELECT qid, cid, sum(qv * cv) AS dot
+    FROM (
+        SELECT cand.qid, cand.cid,
+               CAST(unnest(eq.embedding) AS DOUBLE) AS qv,
+               CAST(unnest(ec.embedding) AS DOUBLE) AS cv
+        FROM cand
+        JOIN embeddings eq ON eq.vec_id = cand.qid
+        JOIN embeddings ec ON ec.vec_id = cand.cid
+    )
+    GROUP BY qid, cid
+),
+scored AS (
+    SELECT d.qid, d.cid,
+           CAST(floor(d.dot / (nq.nrm * nc.nrm) * 10000 + 0.5) AS BIGINT) AS cos
+    FROM pairdots d
+    JOIN norms nq ON nq.vec_id = d.qid
+    JOIN norms nc ON nc.vec_id = d.cid
+)
+SELECT qid, cid, cos, rn
+FROM (
+    SELECT qid, cid, cos,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
+    FROM scored
+) WHERE rn <= 5
+"""
 
 
 # Training is deterministic per (table, params), so the IVF queries share
@@ -2406,6 +2561,8 @@ PIPELINE_QUERIES = {
     "index_novelty": q_index_novelty,
     "index_contamination": q_index_contamination,
     "minhash_portable_pairs": q_minhash_portable_pairs,
+    "simhash_portable_pairs": q_simhash_portable_pairs,
+    "ann_lsh_portable": q_ann_lsh_portable,
 }
 
 PIPELINE_ORACLE_SQL = {
@@ -2462,4 +2619,6 @@ PIPELINE_ORACLE_SQL = {
     "index_novelty": SQL_NGRAM_NOVELTY,
     "index_contamination": SQL_CONTAMINATION,
     "minhash_portable_pairs": SQL_MINHASH_PORTABLE_PAIRS,
+    "simhash_portable_pairs": SQL_SIMHASH_PORTABLE_PAIRS,
+    "ann_lsh_portable": SQL_ANN_LSH_PORTABLE,
 }
