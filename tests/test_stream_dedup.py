@@ -107,6 +107,49 @@ def test_stream_near_layer_knows_batch_survivors(spark, tmp_path, corpus_feed):
     assert di.dedup_against_index(near_of_survivor, idx, threshold=0.9).count() == 0
 
 
+def test_stream_within_batch_near_collapses_burst(spark, tmp_path):
+    """A burst of near-copies arriving in ONE micro-batch: the exact
+    within-batch collapse passes them (different bytes) and the index
+    probe passes them (previous batches only), so without
+    within_batch_near they ALL land; with it, the in-batch pipeline
+    collapses the burst to its min-id canonical. Replay-idempotent.
+    Each arm gets its OWN index: the stream folds survivors back, so a
+    shared index would let the control run poison the treatment run."""
+    snap = _docs(spark, [(i, _uniq(i)) for i in range(3)])
+    idx0, idx = str(tmp_path / "idx_ctl"), str(tmp_path / "idx_wb")
+    di.write_dedup_index(snap, idx0, n_hashes=64, bands=16)
+    di.write_dedup_index(snap, idx, n_hashes=64, bands=16)
+    base = _uniq(80)
+    burst = [
+        (400, base),
+        (401, base.replace("word2", "edit2", 1)),   # near-copy of 400
+        (402, base.replace("word5", "edit5", 1)),   # near-copy of 400
+        (403, _uniq(90)),                           # fresh
+    ]
+    import json
+
+    feed = tmp_path / "burst_feed"
+    feed.mkdir()
+    with open(feed / "b0.jsonl", "w") as f:
+        for doc_id, text_ in burst:
+            f.write(json.dumps({"doc_id": doc_id, "text": text_}) + "\n")
+
+    # control: near-copies of each other all land without the flag
+    out0, ckpt0 = str(tmp_path / "outc"), str(tmp_path / "ckptc")
+    _run_stream(spark, idx0, str(feed), out0, ckpt0)
+    assert {r.doc_id for r in read_ingested(spark, out0).collect()} == {
+        400, 401, 402, 403,
+    }
+
+    out, ckpt = str(tmp_path / "outw"), str(tmp_path / "ckptw")
+    _run_stream(spark, idx, str(feed), out, ckpt, within_batch_near=True)
+    got = {r.doc_id for r in read_ingested(spark, out).collect()}
+    assert got == {400, 403}  # burst collapsed to its canonical
+    # replay on the same checkpoint: idempotent
+    _run_stream(spark, idx, str(feed), out, ckpt, within_batch_near=True)
+    assert {r.doc_id for r in read_ingested(spark, out).collect()} == {400, 403}
+
+
 def test_stream_dedup_novelty_annotation(spark, tmp_path, corpus_feed):
     idx, feed = corpus_feed
     # gram layer over the same snapshot the index was built from

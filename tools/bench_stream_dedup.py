@@ -9,6 +9,11 @@ the accepted corpus text — so the same command at 10x the feed volume
 should hold its per-doc cost (docs/s rises ~linearly with batch size,
 as the rollup store's events/s does).
 
+Also prices the ``within_batch_near=True`` arm (the in-batch LSH
+collapse for bursts of near-copies arriving in one batch) against the
+default, so the per-batch overhead of the extra pipeline stages is a
+measured number, not a guess.
+
 Usage: python tools/bench_stream_dedup.py [--sf DIR] [--batches 16]
 Prints one JSON line.
 """
@@ -60,28 +65,47 @@ def main() -> None:
         di.write_dedup_index(tenth, idx)
         d.repartition(args.batches).write.parquet(feed)
 
-        stream = (
-            spark.readStream.schema("doc_id long, text string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(feed)
-        )
-        t0 = time.time()
-        q = stream_dedup_ingest(
-            stream, idx, out, ckpt,
-            threshold=args.threshold, trigger_available_now=True,
-        )
-        q.awaitTermination()
-        dt = time.time() - t0
-        survivors = read_ingested(spark, out).count()
+        arms = {}
+        for arm, kw in (
+            ("default", {}),
+            ("within_batch_near", {"within_batch_near": True}),
+        ):
+            arm_idx = os.path.join(work, f"idx_{arm}")
+            shutil.copytree(idx, arm_idx)
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(feed)
+            )
+            t0 = time.time()
+            q = stream_dedup_ingest(
+                stream, arm_idx, os.path.join(work, f"out_{arm}"),
+                os.path.join(work, f"ckpt_{arm}"),
+                threshold=args.threshold, trigger_available_now=True, **kw,
+            )
+            assert q.awaitTermination(3600), "stream timed out"
+            dt = time.time() - t0
+            survivors = read_ingested(
+                spark, os.path.join(work, f"out_{arm}")
+            ).count()
+            arms[arm] = {
+                "survivors": survivors,
+                "seconds": round(dt, 2),
+                "docs_per_sec": int(n_docs / dt),
+            }
+            print(arm, arms[arm], flush=True)
         print(
             json.dumps(
                 {
                     "sf_dir": args.sf,
                     "docs": n_docs,
-                    "survivors": survivors,
-                    "seconds": round(dt, 2),
-                    "docs_per_sec": int(n_docs / dt),
                     "batches": args.batches,
+                    **{f"{a}_{k}": v for a, row in arms.items() for k, v in row.items()},
+                    "within_batch_overhead": round(
+                        arms["within_batch_near"]["seconds"]
+                        / arms["default"]["seconds"],
+                        2,
+                    ),
                 }
             )
         )

@@ -30,11 +30,14 @@ multi-step):
   ``band``/``sig`` row changes storage, never answers.
 
 Within-batch duplicates (the index only knows PREVIOUS batches) are
-collapsed exact-first per batch via ``exact_canonical_ids``; near-dup
-pairs *inside* one micro-batch are left to the batch pipeline
-(``dedup_pipeline``) by the same production-order argument as the LSH
-cap — a micro-batch is delta-sized, so running the full pipeline over
-it upstream is cheap if intra-batch near-dups matter.
+collapsed exact-first per batch via ``exact_canonical_ids``;
+``within_batch_near=True`` additionally runs the full batch near-dup
+pipeline (``dedup_pipeline`` — LSH + connected components + keep-one,
+with the index's own pinned parameters) INSIDE each micro-batch, so a
+burst of near-copies arriving in ONE batch cannot all land. Off by
+default: a micro-batch is delta-sized, so the extra pipeline stages
+are cheap where intra-batch near-dups matter, but feeds that already
+dedup upstream shouldn't pay them per batch.
 
 Single writer, like the rollup and HLL stores.
 """
@@ -43,7 +46,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from traceframe_spark.operators.dedup import exact_canonical_ids
+from traceframe_spark.operators.dedup import dedup_pipeline, exact_canonical_ids
 from traceframe_spark.operators import dedup_index as di
 from traceframe_spark.streaming.spans import (
     _batch_already_applied,
@@ -73,6 +76,7 @@ def stream_dedup_ingest(
     text_col: str = "text",
     threshold: float = 0.9,
     near_dup: bool = True,
+    within_batch_near: bool = False,
     annotate_novelty: bool = False,
     trigger_available_now: bool = False,
 ):
@@ -82,6 +86,17 @@ def stream_dedup_ingest(
     ``{out_path}/ingest_batch=<id>``, and fold them into the index at
     ``index_path`` (which must already exist — build the snapshot index
     with ``write_dedup_index`` first; an empty corpus snapshot is fine).
+
+    ``within_batch_near=True`` closes the one gap the index probe
+    can't: near-copies of EACH OTHER arriving in the same micro-batch
+    (the index only knows previous batches, and the exact-only
+    within-batch collapse passes near-copies through). It runs the
+    batch near-dup pipeline inside each micro-batch — with the same
+    n_hashes/bands/shingle_size the index pinned at build time, so
+    in-batch and cross-batch dedup agree on what "near" means — before
+    the index probe. Cost is per-batch and batch-sized (the pipeline's
+    exact stage has already run, so LSH sees only distinct-content
+    residuals).
 
     ``annotate_novelty=True`` additionally scores each surviving doc
     against the index's STORED gram layer (``write_gram_layer`` must
@@ -107,6 +122,13 @@ def stream_dedup_ingest(
                 f"annotate_novelty=True but the index at {index_path!r} has "
                 "no gram layer; run write_gram_layer on the snapshot first"
             ) from exc
+    # pinned once at stream start (also fails fast on a missing index):
+    # the within-batch pipeline must hash exactly like the index probe
+    wb_params = (
+        di.read_index_meta(docs.sparkSession, index_path)
+        if within_batch_near
+        else None
+    )
 
     def _fold_back(survivors: DataFrame) -> None:
         di.append_dedup_index(survivors, index_path, id_col, text_col)
@@ -126,6 +148,17 @@ def stream_dedup_ingest(
             _fold_back(survivors)
             return
         deduped = _dedup_within_batch(batch_df, id_col, text_col)
+        if wb_params is not None:
+            n_hashes, bands, shingle_size = wb_params
+            deduped = dedup_pipeline(
+                deduped,
+                id_col,
+                text_col,
+                threshold=threshold,
+                n_hashes=n_hashes,
+                bands=bands,
+                shingle_size=shingle_size,
+            )
         survivors = di.dedup_against_index(
             deduped,
             index_path,
