@@ -535,6 +535,10 @@ def test_stream_to_rollup_auto_threshold_routes_by_shape(spark, tmp_path):
         (feed / f"b{i}.jsonl").write_text(
             "\n".join(json.dumps(dict(zip(cols, e))) for e in batch)
         )
+        # FileStreamSource orders by modification time: pin distinct
+        # mtimes or same-ms writes make the batch order (which the
+        # mid-stream routing assertions below depend on) a coin flip
+        os.utime(feed / f"b{i}.jsonl", (1_700_000_000 + i, 1_700_000_000 + i))
     schema = "event_id long, ts_us long, event_type string, value double"
     stream = (
         spark.readStream.schema(schema)
@@ -1075,3 +1079,161 @@ def test_compact_rollup_store_folds_tombstone_leftover(spark, tmp_path):
         for r in read_rollup_store(spark, store, ["event_type"]).collect()
     }
     assert got == expected
+
+
+def test_hour_swap_recovery_rolls_back_interrupted_swap(spark, tmp_path):
+    """The per-hour prepare-then-rename rewrite can crash in two states;
+    _recover_hour_swaps must roll BACK, never forward (the caller's
+    at-least-once replay re-merges the delta, so completing the swap
+    would double-count it): (A) crash between the two renames — live
+    hour missing, old data in the tombstone, new in staging → old data
+    restored, staging dropped; (B) crash after the swap, before the
+    tombstone delete — live hour holds new data → tombstone dropped,
+    new data kept."""
+    import shutil
+
+    from traceframe_spark.operators import rollup as R
+    from traceframe_spark.streaming.spans import (
+        _HOUR_SWAP_NEW,
+        _HOUR_SWAP_OLD,
+        _recover_hour_swaps,
+        _write_merged_hours,
+    )
+
+    HOUR_US = 3_600_000_000
+    schema = "event_id long, ts_us long, event_type string, value double"
+
+    def rolled(rows):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts_us") * 1000
+        )
+        return R.rollup_events(df, R.MINUTE_NS, ["event_type"], "value").withColumn(
+            "hour_ns", R.time_bucket(F.col("bucket_ns"), R.HOUR_NS)
+        )
+
+    store = str(tmp_path / "swapstore")
+    old_rows = [(i, BASE + (i % 2) * HOUR_US + i * 1_000_000, "click", 1.0) for i in range(8)]
+    _write_merged_hours(rolled(old_rows), store)
+    hours = sorted(
+        d.name for d in (tmp_path / "swapstore").iterdir() if d.name.startswith("hour_ns=")
+    )
+    assert len(hours) == 2
+    h_a, h_b = hours
+    old_totals = {
+        r["hour_ns"]: (r["n"], r["v"])
+        for r in spark.read.parquet(store)
+        .groupBy("hour_ns").agg(F.sum("n").alias("n"), F.sum("value_sum").alias("v"))
+        .collect()
+    }
+
+    # state A on h_a: live -> tombstone, fake new data left in staging
+    (tmp_path / "swapstore" / _HOUR_SWAP_OLD).mkdir()
+    shutil.move(
+        str(tmp_path / "swapstore" / h_a),
+        str(tmp_path / "swapstore" / _HOUR_SWAP_OLD / h_a),
+    )
+    (tmp_path / "swapstore" / _HOUR_SWAP_NEW / h_a).mkdir(parents=True)
+    # state B on h_b: tombstone copy left behind, live (new) data in place
+    shutil.copytree(
+        str(tmp_path / "swapstore" / h_b),
+        str(tmp_path / "swapstore" / _HOUR_SWAP_OLD / h_b),
+    )
+
+    _recover_hour_swaps(spark, store)
+    assert not (tmp_path / "swapstore" / _HOUR_SWAP_OLD).exists()
+    assert not (tmp_path / "swapstore" / _HOUR_SWAP_NEW).exists()
+    got = {
+        r["hour_ns"]: (r["n"], r["v"])
+        for r in spark.read.parquet(store)
+        .groupBy("hour_ns").agg(F.sum("n").alias("n"), F.sum("value_sum").alias("v"))
+        .collect()
+    }
+    assert got == old_totals  # h_a restored, h_b kept, nothing lost
+
+
+def test_hour_swap_racing_reader_never_sees_partial_hour(spark, tmp_path):
+    """Read the store in a loop WHILE a compaction rewrites every hour:
+    each successfully-read hour must show either its complete OLD
+    totals or its complete NEW totals — never a mix (the pre-swap
+    in-place overwrite exposed readers to partially rewritten hours for
+    the whole data write). Transient FileNotFound/empty-hour reads are
+    the documented loud-retry window between the two renames and are
+    retried, not failed."""
+    import threading
+
+    from traceframe_spark.operators import rollup as R
+    from traceframe_spark.streaming.spans import (
+        _STAGING_DIR,
+        compact_rollup_store,
+    )
+
+    HOUR_US = 3_600_000_000
+    N_HOURS = 4
+    schema = "event_id long, ts_us long, event_type string, value double"
+
+    def rolled(rows):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts_us") * 1000
+        )
+        return R.rollup_events(df, R.MINUTE_NS, ["event_type"], "value").withColumn(
+            "hour_ns", R.time_bucket(F.col("bucket_ns"), R.HOUR_NS)
+        )
+
+    store = str(tmp_path / "racestore")
+    base_rows = [
+        (h * 100 + i, BASE + h * HOUR_US + i * 1_000_000, "click", 1.0)
+        for h in range(N_HOURS)
+        for i in range(10)
+    ]
+    from traceframe_spark.streaming.spans import _write_merged_hours
+
+    _write_merged_hours(rolled(base_rows), store)
+
+    def totals(df):
+        return {
+            r["hour_ns"]: (r["n"], r["v"])
+            for r in df.groupBy("hour_ns")
+            .agg(F.sum("n").alias("n"), F.sum("value_sum").alias("v"))
+            .collect()
+        }
+
+    old_t = totals(spark.read.parquet(store))
+    # a staged delta touching EVERY hour -> the compaction rewrites all
+    delta_rows = [
+        (10_000 + h * 100 + i, BASE + h * HOUR_US + i * 1_000_000, "click", 1.0)
+        for h in range(N_HOURS)
+        for i in range(5)
+    ]
+    rolled(delta_rows).coalesce(1).write.mode("append").parquet(
+        f"{store}/{_STAGING_DIR}"
+    )
+    new_t = {h: (n + 5, v + 5.0) for h, (n, v) in old_t.items()}
+
+    err: list[BaseException] = []
+
+    def compact():
+        try:
+            compact_rollup_store(spark, store, ["event_type"])
+        except BaseException as exc:  # noqa: BLE001 — surfaced in the main thread
+            err.append(exc)
+
+    t = threading.Thread(target=compact)
+    t.start()
+    reads = partials = retries = 0
+    while t.is_alive() or reads == 0:
+        try:
+            got = totals(spark.read.parquet(store))
+        except Exception:  # noqa: BLE001 — listed-then-swapped: loud retry window
+            retries += 1
+            continue
+        reads += 1
+        for h, nv in got.items():
+            if h not in old_t:
+                continue  # staging dir rows never leak; ignore unknown
+            if nv != old_t[h] and nv != new_t[h]:
+                partials += 1
+    t.join()
+    assert not err, err
+    assert partials == 0, f"{partials} partial-hour observations in {reads} reads"
+    assert reads > 0
+    assert totals(spark.read.parquet(store)) == new_t

@@ -164,20 +164,26 @@ def _store_exists(spark, path: str) -> bool:
     return False
 
 
-def _store_hour_count(spark, path: str) -> int:
-    """Number of hour partitions in a standing rollup store — one FS
-    directory listing (the ``hour_ns=`` partition dirs), no data read.
-    Feeds the ``late_stage_threshold="auto"`` sizing rule."""
+def _store_hours(spark, path: str) -> set[int]:
+    """The store's standing hour partitions — ONE driver-side FS
+    directory listing (a single RPC), no data read and no Spark job.
+    Feeds the ``late_stage_threshold="auto"`` sizing rule and the
+    touched-hours-only standing read in :func:`_merge_into_store`."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(p):
-        return 0
-    return sum(
-        1
+        return set()
+    return {
+        int(status.getPath().getName().split("=", 1)[1])
         for status in fs.listStatus(p)
         if status.isDirectory() and status.getPath().getName().startswith("hour_ns=")
-    )
+    }
+
+
+def _store_hour_count(spark, path: str) -> int:
+    """Number of hour partitions in a standing rollup store."""
+    return len(_store_hours(spark, path))
 
 
 def stream_to_span_store(
@@ -223,39 +229,133 @@ store and in staging (transient double-count). Also ``_``-prefixed, so
 plain store readers skip it."""
 
 
+_HOUR_SWAP_NEW = "_hour_swap_new"
+"""Rewrite staging area under the store root: a batch's rewritten hour
+partitions are fully written HERE first, then swapped into place with
+per-hour atomic renames. ``_``-prefixed so store readers skip it."""
+
+_HOUR_SWAP_OLD = "_hour_swap_old"
+"""Per-hour tombstones during a swap: the live ``hour_ns=H`` directory
+is renamed here an instant before the rewritten one is renamed in, so
+an interrupted swap can be rolled back (see
+:func:`_recover_hour_swaps`). ``_``-prefixed like the staging dir."""
+
+
+def _recover_hour_swaps(spark, path: str) -> None:
+    """Roll back any swap a previous process died in the middle of.
+
+    For each hour tombstone: if the live hour EXISTS the swap completed
+    (only the tombstone delete was lost) — drop the tombstone; if the
+    live hour is MISSING the crash hit between the two renames — rename
+    the old data back into place. Rolling BACK (never forward) is what
+    keeps replay semantics unchanged: the caller's at-least-once
+    machinery (batch markers / staging tombstone) re-merges the delta
+    after a crash, so completing the swap here would double-count it.
+    Leftover staging is deleted for the same reason: its content is a
+    merge the replay will redo."""
+    fs, tomb = _fs_path(spark, f"{path}/{_HOUR_SWAP_OLD}")
+    if fs.exists(tomb):
+        for status in fs.listStatus(tomb):
+            name = status.getPath().getName()
+            if not name.startswith("hour_ns="):
+                continue
+            _, live = _fs_path(spark, f"{path}/{name}")
+            if fs.exists(live):
+                if not fs.delete(status.getPath(), True):
+                    raise IOError(f"rollup store: failed to drop tombstone {name}")
+            elif not fs.rename(status.getPath(), live):
+                raise IOError(f"rollup store: failed to restore {name} from tombstone")
+        fs.delete(tomb, True)
+    _, staging = _fs_path(spark, f"{path}/{_HOUR_SWAP_NEW}")
+    if fs.exists(staging) and not fs.delete(staging, True):
+        raise IOError(f"rollup store: failed to clear stale rewrite staging under {path}")
+
+
 def _write_merged_hours(merged: DataFrame, path: str) -> None:
+    """Land rewritten hour partitions old-or-new, never partial.
+
+    The rewrite is PREPARED off to the side (full parquet write into
+    ``_hour_swap_new``, invisible to readers) and then swapped in with
+    two metadata-only renames per hour — so a reader racing the rewrite
+    sees each hour's old file or its new file, and the only other state
+    is a missing hour for the microseconds between the renames (a
+    LISTED-then-swapped file surfaces as a loud FileNotFoundException
+    retry, never silently partial data). The previous in-place dynamic
+    partition overwrite kept readers exposed for the whole data write
+    and could interleave deleted-but-not-yet-replaced hours across the
+    touched set. Cost delta: the parquet bytes are identical (written
+    to staging instead of in place); the swap adds 2-3 FS metadata ops
+    per touched hour — measured noise at sf0.1 (see SCALING.md).
+
+    Each touched hour still lands as exactly ONE file (repartition by
+    the partition column: one task per hour), which is both the right
+    physical shape — a rollup hour is a few thousand rows — and what
+    makes the per-hour swap a single-file replace."""
+    spark = merged.sparkSession
+    _recover_hour_swaps(spark, path)
+    staging = f"{path}/{_HOUR_SWAP_NEW}"
     (
-        # repartition by the partition column first: each touched hour
-        # then lands in exactly ONE task and writes exactly ONE file.
-        # Without this every shuffle task writes a file into every
-        # hour directory it holds rows for, so the store accumulates
-        # O(batches x shuffle_partitions) files per hour and the
-        # standing-store re-read cost creeps up every batch (measured:
-        # 720-task scan stages per micro-batch by batch 16 at sf0.1).
-        # A rollup hour is a few thousand rows at most — one file is
-        # the right physical shape at any scale.
         merged.repartition("hour_ns")
         .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("hour_ns")
-        .parquet(path)
+        .parquet(staging)
     )
+    fs, stg = _fs_path(spark, staging)
+    _, tomb = _fs_path(spark, f"{path}/{_HOUR_SWAP_OLD}")
+    fs.mkdirs(tomb)
+    for status in fs.listStatus(stg):
+        name = status.getPath().getName()
+        if not name.startswith("hour_ns="):
+            continue  # _SUCCESS etc.
+        _, live = _fs_path(spark, f"{path}/{name}")
+        _, tomb_h = _fs_path(spark, f"{path}/{_HOUR_SWAP_OLD}/{name}")
+        if fs.exists(live) and not fs.rename(live, tomb_h):
+            raise IOError(f"rollup store: failed to tombstone live hour {name}")
+        if not fs.rename(status.getPath(), live):
+            raise IOError(f"rollup store: failed to swap in rewritten hour {name}")
+        fs.delete(tomb_h, True)
+    fs.delete(tomb, True)
+    if not fs.delete(stg, True):
+        raise IOError(f"rollup store: failed to clear rewrite staging under {path}")
 
 
 def _merge_into_store(spark, delta: DataFrame, path: str, keys: list[str]) -> None:
     """Fold a (bucket_ns, *keys, n, sums, hour_ns) partial frame into the
-    standing store, rewriting only the touched hour partitions."""
+    standing store, rewriting only the touched hour partitions.
+
+    The standing read opens ONLY the touched hour directories
+    (``basePath`` keeps the partition column): ``spark.read.parquet(
+    store_root)`` would launch a distributed file-LISTING job over
+    every hour in the store on each batch once the store passes
+    ``spark.sql.sources.parallelPartitionDiscovery.threshold`` (32
+    dirs) — measured as per-batch scan-stage task counts growing
+     275 → 720 with store age at sf0.1, i.e. per-batch cost creeping
+    with HISTORY, the exact failure mode this store's delta-cost model
+    exists to avoid (on an object store that listing is also the
+    dominant metadata bill). Which touched hours exist comes from one
+    driver-side root listing (a single FS RPC), so the per-batch cost
+    is O(delta + touched hours) again at any store age."""
     from traceframe_spark.operators import rollup as R
 
-    standing = spark.read.parquet(path)
     touched = [r["hour_ns"] for r in delta.select("hour_ns").distinct().collect()]
-    # localCheckpoint cuts the file-source lineage: Spark refuses
-    # to overwrite a path that is also being read from otherwise
-    standing = standing.filter(F.col("hour_ns").isin(touched)).localCheckpoint()
-    merged = R.merge_rollups(
-        standing.drop("hour_ns"), delta.drop("hour_ns"), keys
-    ).withColumn("hour_ns", R.time_bucket(F.col("bucket_ns"), R.HOUR_NS))
-    _write_merged_hours(merged, path)
+    existing = sorted(_store_hours(spark, path) & set(touched))
+    if existing:
+        # localCheckpoint pins the standing rows before the swap below
+        # deletes the old hour files from under the lazy plan
+        standing = (
+            spark.read.option("basePath", path)
+            .parquet(*[f"{path}/hour_ns={h}" for h in existing])
+            .localCheckpoint()
+        )
+        merged = R.merge_rollups(standing.drop("hour_ns"), delta.drop("hour_ns"), keys)
+    else:  # every touched hour is new: nothing standing to fold
+        merged = R.merge_rollups(
+            delta.drop("hour_ns"), delta.drop("hour_ns").limit(0), keys
+        )
+    _write_merged_hours(
+        merged.withColumn("hour_ns", R.time_bucket(F.col("bucket_ns"), R.HOUR_NS)),
+        path,
+    )
 
 
 def read_rollup_store(spark, path: str, keys: list[str]) -> DataFrame:
@@ -278,12 +378,16 @@ def read_rollup_store(spark, path: str, keys: list[str]) -> DataFrame:
     exact-on-read: the mid-compaction read may transiently MISS the
     in-flight deltas (the same bounded staleness the standing store has
     between compactions, resolved by the next read), and the standing-
-    store rewrite itself (dynamic partition overwrite of touched hours)
-    is NOT atomic — a reader racing the rewrite can observe a partially
-    rewritten hour or hit deleted files; closing that needs the
-    documented transactional-table-format upgrade. The store assumes a
-    single writer (the one streaming query / compactor), as all the
-    stores here do."""
+    store rewrite — though each touched hour now swaps in atomically
+    (prepare-then-rename, :func:`_write_merged_hours`: a racing reader
+    sees an hour's old file or new file, or a loud retryable
+    FileNotFound in the microseconds between the two renames, never a
+    partially rewritten hour) — still lands hour-by-hour, so a read
+    spanning the swap can pair one hour's new data with another's old;
+    full multi-hour snapshot isolation needs the documented
+    transactional-table-format upgrade. The store assumes a single
+    writer (the one streaming query / compactor), as all the stores
+    here do."""
     from traceframe_spark.operators import rollup as R
 
     standing = spark.read.parquet(path)
