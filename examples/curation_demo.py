@@ -211,52 +211,84 @@ def main() -> None:
         f"per-label embedding drift min cos_q {min_cos} (10000 = stable)"
     )
 
-    # 11. day 2 (r08): the incremental loop — index today's snapshot
-    # ONCE (narrow ckey/band/sig/gram layers), then every daily delta
-    # probes the STORED state: exact re-crawls die in the exact layer,
-    # light edits in the LSH layer, novelty triage reads the gram layer;
-    # snapshot text is never re-read (SCALING.md r08: on-the-fly scales
-    # 13.1x with the snapshot, the probe 1.86x)
+    # 11. the day-N production loop (r08 index family, r09 loop): the
+    # full order a 100 TB daily pipeline runs —
+    #   day 0: dedup_pipeline survivors (NOT the raw corpus: indexing
+    #           pre-dedup text stores near-dup clusters and candidate
+    #           mass dominates every later probe — the measured caveat
+    #           in SCALING.md r08) → write_dedup_index + write_gram_layer
+    #   day N: probe the delta against the STORED layers (exact
+    #           re-crawls die in the ckey layer, light edits in the LSH
+    #           layer, clones of ANY prior day's accepts die because
+    #           fold-back appended them) → gram-layer novelty triage →
+    #           append survivors. Snapshot text is never re-read
+    #           (SCALING.md r08: on-the-fly scales 13.1x with the
+    #           snapshot, the probe 1.86x).
     from traceframe_spark.operators import dedup_index as di
 
     idx = tempfile.mkdtemp(prefix="curation_idx_") + "/idx"
-    di.write_dedup_index(docs, idx)
-    di.write_gram_layer(docs, idx, n=3)
-    seeds = docs.filter(F.col("doc_id") < 60)
-    delta = (
-        seeds.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
-        .unionByName(
-            seeds.select(
-                (F.col("doc_id") + 20_000).alias("doc_id"),
-                F.concat(F.col("text"), F.lit(" re-crawl edition")).alias("text"),
-            )
+    day0 = clean.select("doc_id", "text")  # the pipeline's survivors
+    di.write_dedup_index(day0, idx)
+    di.write_gram_layer(day0, idx, n=3)
+    # longest docs as seeds: the "light edit" below appends a fixed
+    # 17-char suffix, which only stays jaccard >= 0.9 of the original
+    # when the original is long (on a 47-char doc the suffix IS a big
+    # edit — correctly not a near-dup)
+    seeds = day0.orderBy(F.length("text").desc(), "doc_id").limit(30)
+
+    def fresh(day: int):
+        # unique text per (day, seed): survives every layer, and its
+        # hex-token grams make next day's clones die + score stale
+        return seeds.select(
+            (F.col("doc_id") + 100_000 * day + 40_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.lit(f"day {day} fresh dispatch exclusive:"),
+                F.md5(F.concat(F.col("text"), F.lit(f"salt{day}a"))),
+                F.md5(F.concat(F.col("text"), F.lit(f"salt{day}b"))),
+                F.md5(F.concat(F.col("text"), F.lit(f"salt{day}c"))),
+            ).alias("text"),
         )
-        .unionByName(
-            seeds.select(
-                (F.col("doc_id") + 30_000).alias("doc_id"),
-                F.concat_ws(
-                    " ",
-                    F.lit("fresh reporting entirely unseen today:"),
-                    F.reverse(F.split(F.col("text"), " "))[0],
-                    F.md5("text"),
-                ).alias("text"),
+
+    for day in (1, 2, 3):
+        delta = (
+            # exact re-crawls of the indexed snapshot -> ckey layer kills
+            seeds.select((F.col("doc_id") + 100_000 * day + 10_000).alias("doc_id"), "text")
+            .unionByName(
+                # light edits of snapshot docs -> LSH layer kills
+                seeds.select(
+                    (F.col("doc_id") + 100_000 * day + 20_000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" re-crawl edition")).alias("text"),
+                )
             )
+            .unionByName(fresh(day))
         )
-    )
-    n_delta = delta.count()
-    surv = di.dedup_against_index(delta, idx, threshold=0.9)
-    n_surv = surv.count()
-    nov2 = di.novelty_against_index(surv, idx)
-    n_novel = nov2.filter(F.col("novelty") > 0.7).count()
-    di.append_dedup_index(surv, idx)
-    di.append_gram_layer(surv, idx)
-    absorbed = di.dedup_against_index(delta, idx, threshold=0.9).count()
-    print(
-        f"day 2: {n_delta}-doc delta probed against the stored index -> "
-        f"{n_surv} survive (exact re-crawls + near-copies die in the "
-        f"stored layers), {n_novel} of them high-novelty by the gram "
-        f"layer; after fold-back the same delta re-probes to {absorbed}"
-    )
+        if day > 1:
+            # clones of YESTERDAY'S accepted docs: only the fold-back
+            # appends can kill these — the incremental proof
+            delta = delta.unionByName(
+                fresh(day - 1).select(
+                    (F.col("doc_id") + 5_000).alias("doc_id"), "text"
+                )
+            )
+        n_delta = delta.count()
+        surv = di.dedup_against_index(delta, idx, threshold=0.9)
+        n_surv = surv.count()
+        assert n_surv == 30, f"day {day}: expected the 30 fresh docs, got {n_surv}"
+        nov = di.novelty_against_index(surv, idx)
+        n_novel = nov.filter(F.col("novelty") > 0.7).count()
+        assert n_novel == 30, f"day {day}: all fresh docs must triage novel, got {n_novel}"
+        di.append_dedup_index(surv, idx)
+        di.append_gram_layer(surv, idx)
+        absorbed = di.dedup_against_index(delta, idx, threshold=0.9).count()
+        assert absorbed == 0, f"day {day}: fold-back must absorb the whole delta"
+        print(
+            f"day {day}: {n_delta}-doc delta -> {n_surv} survive "
+            f"(re-crawls die in the stored exact layer, edits in the LSH "
+            f"layer{', yesterday-clones in the fold-back appends' if day > 1 else ''}), "
+            f"{n_novel} high-novelty by the gram layer; re-probe after "
+            f"fold-back = {absorbed}"
+        )
     spark.stop()
 
 

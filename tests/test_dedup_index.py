@@ -341,3 +341,71 @@ def test_registry_twin_consistency(spark, tmp_path):
             .collect()
         )
         assert all(row["j"] < 0.95 for row in jac), jac
+
+
+def test_day_n_production_loop(spark, tmp_path):
+    """The full production order the curation demo runs (r09 stage 11):
+    dedup_pipeline survivors -> write index + gram layer once -> daily
+    probe / novelty triage / append. Day 2's clones of day 1's ACCEPTED
+    docs must die purely because of the fold-back appends — the
+    incremental property the index family exists for."""
+    from traceframe_spark.operators.dedup import dedup_pipeline
+
+    raw = spark.createDataFrame(
+        [(i, f"{BASE} variant {i} " + f"tail-{i} " * 20) for i in range(8)]
+        # near-dup cluster the pipeline must collapse BEFORE indexing
+        + [(100 + j, f"{BASE} clustered copy " + "tail-x " * 20 + f" tweak{j}")
+           for j in range(3)],
+        "doc_id long, text string",
+    )
+    day0 = dedup_pipeline(raw, "doc_id", "text", threshold=0.9)
+    assert day0.count() == 9  # 8 distinct + 1 cluster canonical
+    idx = str(tmp_path / "idx")
+    di.write_dedup_index(day0, idx)
+    di.write_gram_layer(day0, idx, n=3)
+
+    def fresh(day):
+        return spark.createDataFrame(
+            [
+                (1000 * day + k,
+                 f"day {day} dispatch {k} "
+                 + " ".join(f"uniq{day}x{k}w{j}token" for j in range(30)))
+                for k in range(3)
+            ],
+            "doc_id long, text string",
+        )
+
+    # day 1: re-crawl of indexed doc + edit of indexed doc + fresh
+    d1 = spark.createDataFrame(
+        [(501, f"{BASE} variant 1 " + "tail-1 " * 20),
+         (502, f"{BASE} variant 2 " + "tail-2 " * 20 + " edited")],
+        "doc_id long, text string",
+    ).unionByName(fresh(1))
+    s1 = di.dedup_against_index(d1, idx, threshold=0.9)
+    assert _ids(s1) == [1000, 1001, 1002]
+    nov1 = di.novelty_against_index(s1, idx)
+    assert nov1.filter(F.col("novelty") > 0.7).count() == 3
+    di.append_dedup_index(s1, idx)
+    di.append_gram_layer(s1, idx)
+    assert di.dedup_against_index(d1, idx, threshold=0.9).count() == 0
+
+    # day 2: clones + near-edits of day 1's ACCEPTS, plus fresh
+    d2 = (
+        fresh(1).select((F.col("doc_id") + 50).alias("doc_id"), "text")
+        .unionByName(
+            fresh(1).select(
+                (F.col("doc_id") + 60).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" edited")).alias("text"),
+            )
+        )
+        .unionByName(fresh(2))
+    )
+    s2 = di.dedup_against_index(d2, idx, threshold=0.9)
+    assert _ids(s2) == [2000, 2001, 2002]  # day-1 clones AND edits die
+    # day-2 fresh docs stay novel; a re-probe of day 1's text is stale
+    nov2 = di.novelty_against_index(s2, idx)
+    assert nov2.filter(F.col("novelty") > 0.7).count() == 3
+    stale = di.novelty_against_index(
+        fresh(1).select((F.col("doc_id") + 70).alias("doc_id"), "text"), idx
+    )
+    assert stale.agg(F.max("novelty")).first()[0] == 0.0
