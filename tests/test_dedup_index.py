@@ -409,3 +409,39 @@ def test_day_n_production_loop(spark, tmp_path):
         fresh(1).select((F.col("doc_id") + 70).alias("doc_id"), "text"), idx
     )
     assert stale.agg(F.max("novelty")).first()[0] == 0.0
+
+
+def test_append_sequence_pins_callers_frame(spark, tmp_path):
+    """REGRESSION (r09): the canonical two-append sequence on one lazy
+    index-derived frame — append_dedup_index(surv) then
+    append_gram_layer(surv) — must fold the SAME survivor rows into
+    both stores. The first append's full-row localCheckpoint pins the
+    caller's shared RDD; an r09 attempt to checkpoint only the derived
+    narrow layers (cheaper) lost that pin, and the gram append silently
+    re-probed the updated store — to empty. Note surv.count() AFTER the
+    first append legitimately reads 0 (count() builds a fresh plan that
+    sees the updated index); the gram append must NOT behave like
+    count()."""
+    snap = spark.createDataFrame(
+        [(i, f"{BASE} variant {i} " + f"tail-{i} " * 20) for i in range(4)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    di.write_dedup_index(snap, idx)
+    di.write_gram_layer(snap, idx, n=3)
+    delta = spark.createDataFrame(
+        [(900 + k, f"fresh item {k} " + " ".join(f"zz{k}w{j}gram" for j in range(20)))
+         for k in range(3)],
+        "doc_id long, text string",
+    )
+    surv = di.dedup_against_index(delta, idx, threshold=0.9)  # lazy, index-derived
+    g0 = spark.read.parquet(f"{idx}/grams").count()
+    di.append_dedup_index(surv, idx)
+    di.append_gram_layer(surv, idx)
+    # all three survivors' sigs landed AND their grams landed
+    assert spark.read.parquet(f"{idx}/sigs").count() == 4 + 3
+    assert spark.read.parquet(f"{idx}/grams").count() > g0
+    stale = di.novelty_against_index(
+        delta.select((F.col("doc_id") + 50).alias("doc_id"), "text"), idx
+    )
+    assert stale.agg(F.max("novelty")).first()[0] == 0.0

@@ -230,21 +230,27 @@ def append_dedup_index(
     ``sigs`` is appended BEFORE ``bands`` (see the module docstring's
     race note). Single writer, like the rollup store.
 
-    The input is localCheckpoint-ed first: in the canonical loop the
-    caller's frame DERIVES from this very index
-    (``survivors = dedup_against_index(delta, path)``), and Spark's
-    recacheByPath invalidates-and-recomputes any plan reading a path
-    that was just written — so appending to ``{path}/exact`` would
-    silently re-evaluate ``docs`` against the UPDATED store (now empty,
-    its own keys absorbed) and the sig/band appends that follow would
-    write nothing. Materializing the rows up front pins what "the
-    delta's survivors" meant at call time. COST: the checkpoint
-    materializes the FULL input rows, document text included, even when
-    the caller's frame does not derive from this index — a deliberate
-    trade (one delta-sized spill, bounded by the daily feed) for an
-    append that can never be emptied by its own writes; callers with
-    very large non-index-derived deltas can pre-project to
-    ``(id, text)`` to shrink what gets pinned.
+    The input is localCheckpoint-ed first, ON THE CALLER'S FRAME: in
+    the canonical loop the caller's frame DERIVES from this very index
+    (``survivors = dedup_against_index(delta, path)``), and a plan that
+    reads a path this function just wrote re-evaluates against the
+    UPDATED store — to empty (its own keys absorbed). The full-row
+    checkpoint does double duty and both halves are load-bearing:
+    (1) it pins what "the delta's survivors" meant at call time for the
+    layer writes below, and (2) because ``Dataset.localCheckpoint``
+    checkpoints the SHARED QueryExecution's RDD in place, it also pins
+    the caller's own DataFrame object — which the canonical
+    ``append_dedup_index(surv); append_gram_layer(surv)`` sequence
+    depends on (the second call re-checkpoints the same, already-pinned
+    RDD instead of re-probing the now-updated store). Checkpointing
+    only the derived NARROW layers was tried (r09) and is measurably
+    cheaper but WRONG: it loses (2), and the gram append that follows
+    silently writes nothing — pinned by
+    ``tests/test_dedup_index.py::test_day_n_production_loop`` and
+    ``test_append_sequence_pins_callers_frame``. COST: the checkpoint
+    materializes the FULL input rows, document text included — a
+    delta-sized spill, bounded by the daily feed; callers with very
+    large non-index-derived deltas can pre-project to ``(id, text)``.
     """
     docs = docs.localCheckpoint()
     spark = docs.sparkSession
@@ -254,7 +260,6 @@ def append_dedup_index(
             content_key(text_col).alias("ckey"), F.col(id_col).alias("id")
         ).write.mode("append").parquet(f"{path}/exact")
         return
-    rows_per_band = max(n_hashes // bands, 1)
     exact, sig, band = _layers(
         docs, id_col, text_col, n_hashes, bands, shingle_size, portable=portable
     )
@@ -403,12 +408,16 @@ def append_gram_layer(
     stored layer), so the layer stays a distinct set and its growth
     follows the corpus's NOVEL gram mass, not the feed volume.
 
-    localCheckpoint-ed first for the same reason as
-    :func:`append_dedup_index`: the caller's frame typically derives
-    from this index (the daily loop appends the index layers right
-    before this call), and those writes would otherwise invalidate and
-    re-evaluate ``docs`` against the updated store — to empty. Same
-    full-row materialization cost as that append (see its docstring)."""
+    localCheckpoint-ed first, ON THE CALLER'S FRAME, for the same
+    two-part reason as :func:`append_dedup_index` (see its docstring):
+    the caller's frame typically derives from this index (the daily
+    loop appends the index layers right before this call), and this
+    checkpoint both re-pins the shared RDD that call already
+    checkpointed — so the grams come from the delta as of PROBE time,
+    not a re-probe of the updated store (which would be empty) — and
+    protects this function's own write. Checkpointing only the derived
+    narrow keys was tried (r09) and breaks the sequence; same
+    regression tests as the index append."""
     docs = docs.localCheckpoint()
     spark = docs.sparkSession
     n = read_gram_meta(spark, path)

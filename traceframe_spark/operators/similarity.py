@@ -422,31 +422,46 @@ def portable_hyperplane_signature(
     is exact 64-bit integer arithmetic (|q| ≤ 10^scale·max|e|, dim ≤ 64
     → sums far below 2^63), so the signature is bit-identical in Spark
     and any SQL oracle, immune to float summation-order divergence.
-    Each plane's expression re-inlines the quantization after Catalyst
-    collapses projections — a bounded 2× constant (quantize costs one
-    multiply+floor per multiply+add of the unavoidable dot product)."""
+
+    Shape: ONE fold over the vector updates all n_planes running dots
+    per row (zip the quantized vector with the TRANSPOSED weight
+    matrix, accumulate elementwise) — the same trick as
+    :func:`~.dedup.minhash_signatures`. The per-plane-aggregate form
+    looks equivalent but Catalyst re-inlines the quantization into
+    every plane's expression and the tree grows O(n_planes·dim):
+    measured 8.1 s → ~1 s for the 24-plane registry query at sf0.1,
+    almost all of it plan/codegen weight, not arithmetic."""
+    n_planes = len(weights)
     q = F.transform(
         vec,
         lambda x: F.floor(x.cast("double") * F.lit(float(10**scale)) + F.lit(0.5)).cast(
             "long"
         ),
     )
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(q, F.array(*[F.lit(w) for w in plane]), lambda x, w: x * w),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            F.shiftleft(F.lit(1).cast("long"), i),
-        ).otherwise(F.lit(0).cast("long"))
-        for i, plane in enumerate(weights)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    # W^T as a literal array<array<long>>: entry j holds every plane's
+    # weight for vector position j, so zip_with(q, W_T) pairs each
+    # quantized element with its column of the weight matrix
+    w_t = F.array(
+        *[
+            F.array(*[F.lit(weights[i][j]) for i in range(n_planes)])
+            for j in range(len(weights[0]))
+        ]
+    )
+    dots = F.aggregate(
+        F.zip_with(q, w_t, lambda x, ws: F.transform(ws, lambda w: w * x)),
+        F.array(*[F.lit(0).cast("long") for _ in range(n_planes)]),
+        lambda acc, contrib: F.zip_with(acc, contrib, lambda a, c: a + c),
+    )
+    pow2 = F.array(*[F.shiftleft(F.lit(1).cast("long"), i) for i in range(n_planes)])
+    return F.aggregate(
+        F.zip_with(
+            dots,
+            pow2,
+            lambda d, p: F.when(d > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
 
 
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
