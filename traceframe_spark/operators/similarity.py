@@ -466,27 +466,36 @@ def portable_hyperplane_signature(
 
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit signature of a vector against fixed random hyperplanes,
-    packed into a long. Pure JVM expression."""
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(float(w)) for w in plane]),
-                    lambda x, w: x.cast("double") * w,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            F.shiftleft(F.lit(1).cast("long"), i),
-        ).otherwise(F.lit(0).cast("long"))
-        for i, plane in enumerate(planes)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    packed into a long. Pure JVM expression.
+
+    Same single-fold shape as :func:`portable_hyperplane_signature`
+    (one pass over the vector updates every plane's running dot via the
+    transposed literal weight matrix): the per-plane-aggregate form
+    grows the expression tree O(n_planes·dim) and the per-plane fold
+    order is preserved (position 0,1,2,… per plane), so the float sums
+    — and therefore every signature bit — are unchanged."""
+    n_planes = len(planes)
+    w_t = F.array(
+        *[
+            F.array(*[F.lit(float(planes[i][j])) for i in range(n_planes)])
+            for j in range(len(planes[0]))
+        ]
+    )
+    dots = F.aggregate(
+        F.zip_with(vec, w_t, lambda x, ws: F.transform(ws, lambda w: w * x.cast("double"))),
+        F.array(*[F.lit(0.0) for _ in range(n_planes)]),
+        lambda acc, contrib: F.zip_with(acc, contrib, lambda a, c: a + c),
+    )
+    pow2 = F.array(*[F.shiftleft(F.lit(1).cast("long"), i) for i in range(n_planes)])
+    return F.aggregate(
+        F.zip_with(
+            dots,
+            pow2,
+            lambda d, p: F.when(d > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
 
 
 def embedding_near_dup_pairs(
