@@ -1094,11 +1094,14 @@ def test_hour_swap_recovery_rolls_back_interrupted_swap(spark, tmp_path):
 
     from traceframe_spark.operators import rollup as R
     from traceframe_spark.streaming.spans import (
-        _HOUR_SWAP_NEW,
-        _HOUR_SWAP_OLD,
-        _recover_hour_swaps,
+        _PART_SWAP_NEW as _HOUR_SWAP_NEW,
+        _PART_SWAP_OLD as _HOUR_SWAP_OLD,
         _write_merged_hours,
     )
+    from traceframe_spark.streaming.spans import _recover_part_swaps
+
+    def _recover_hour_swaps(spark, path):
+        _recover_part_swaps(spark, path, "hour_ns")
 
     HOUR_US = 3_600_000_000
     schema = "event_id long, ts_us long, event_type string, value double"

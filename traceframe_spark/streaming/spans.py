@@ -164,11 +164,12 @@ def _store_exists(spark, path: str) -> bool:
     return False
 
 
-def _store_hours(spark, path: str) -> set[int]:
-    """The store's standing hour partitions — ONE driver-side FS
-    directory listing (a single RPC), no data read and no Spark job.
-    Feeds the ``late_stage_threshold="auto"`` sizing rule and the
-    touched-hours-only standing read in :func:`_merge_into_store`."""
+def _store_parts(spark, path: str, part_col: str) -> set[int]:
+    """A store's standing partition values for ``part_col`` — ONE
+    driver-side FS directory listing (a single RPC), no data read and
+    no Spark job. Feeds the ``late_stage_threshold="auto"`` sizing rule
+    and the touched-partitions-only standing reads (rollup hours, HLL
+    days)."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -177,8 +178,13 @@ def _store_hours(spark, path: str) -> set[int]:
     return {
         int(status.getPath().getName().split("=", 1)[1])
         for status in fs.listStatus(p)
-        if status.isDirectory() and status.getPath().getName().startswith("hour_ns=")
+        if status.isDirectory()
+        and status.getPath().getName().startswith(f"{part_col}=")
     }
+
+
+def _store_hours(spark, path: str) -> set[int]:
+    return _store_parts(spark, path, "hour_ns")
 
 
 def _store_hour_count(spark, path: str) -> int:
@@ -229,50 +235,54 @@ store and in staging (transient double-count). Also ``_``-prefixed, so
 plain store readers skip it."""
 
 
-_HOUR_SWAP_NEW = "_hour_swap_new"
-"""Rewrite staging area under the store root: a batch's rewritten hour
-partitions are fully written HERE first, then swapped into place with
-per-hour atomic renames. ``_``-prefixed so store readers skip it."""
+_PART_SWAP_NEW = "_part_swap_new"
+"""Rewrite staging area under a partitioned store root: a batch's
+rewritten partitions (rollup hours, HLL days) are fully written HERE
+first, then swapped into place with per-partition atomic renames.
+``_``-prefixed so store readers skip it."""
 
-_HOUR_SWAP_OLD = "_hour_swap_old"
-"""Per-hour tombstones during a swap: the live ``hour_ns=H`` directory
+_PART_SWAP_OLD = "_part_swap_old"
+"""Per-partition tombstones during a swap: the live partition directory
 is renamed here an instant before the rewritten one is renamed in, so
 an interrupted swap can be rolled back (see
-:func:`_recover_hour_swaps`). ``_``-prefixed like the staging dir."""
+:func:`_recover_part_swaps`). ``_``-prefixed like the staging dir."""
 
 
-def _recover_hour_swaps(spark, path: str) -> None:
+def _recover_part_swaps(spark, path: str, part_col: str) -> None:
     """Roll back any swap a previous process died in the middle of.
 
-    For each hour tombstone: if the live hour EXISTS the swap completed
-    (only the tombstone delete was lost) — drop the tombstone; if the
-    live hour is MISSING the crash hit between the two renames — rename
-    the old data back into place. Rolling BACK (never forward) is what
-    keeps replay semantics unchanged: the caller's at-least-once
-    machinery (batch markers / staging tombstone) re-merges the delta
-    after a crash, so completing the swap here would double-count it.
-    Leftover staging is deleted for the same reason: its content is a
-    merge the replay will redo."""
-    fs, tomb = _fs_path(spark, f"{path}/{_HOUR_SWAP_OLD}")
+    For each partition tombstone: if the live partition EXISTS the swap
+    completed (only the tombstone delete was lost) — drop the
+    tombstone; if the live partition is MISSING the crash hit between
+    the two renames — rename the old data back into place. Rolling BACK
+    (never forward) is what keeps replay semantics unchanged: the
+    caller's at-least-once machinery (batch markers / staging
+    tombstone / idempotent register max) re-merges the delta after a
+    crash, so completing the swap here would double-count it. Leftover
+    staging is deleted for the same reason: its content is a merge the
+    replay will redo."""
+    prefix = f"{part_col}="
+    fs, tomb = _fs_path(spark, f"{path}/{_PART_SWAP_OLD}")
     if fs.exists(tomb):
         for status in fs.listStatus(tomb):
             name = status.getPath().getName()
-            if not name.startswith("hour_ns="):
+            if not name.startswith(prefix):
                 continue
             _, live = _fs_path(spark, f"{path}/{name}")
             if fs.exists(live):
                 if not fs.delete(status.getPath(), True):
-                    raise IOError(f"rollup store: failed to drop tombstone {name}")
+                    raise IOError(f"partitioned store: failed to drop tombstone {name}")
             elif not fs.rename(status.getPath(), live):
-                raise IOError(f"rollup store: failed to restore {name} from tombstone")
+                raise IOError(f"partitioned store: failed to restore {name} from tombstone")
         fs.delete(tomb, True)
-    _, staging = _fs_path(spark, f"{path}/{_HOUR_SWAP_NEW}")
+    _, staging = _fs_path(spark, f"{path}/{_PART_SWAP_NEW}")
     if fs.exists(staging) and not fs.delete(staging, True):
-        raise IOError(f"rollup store: failed to clear stale rewrite staging under {path}")
+        raise IOError(f"partitioned store: failed to clear stale rewrite staging under {path}")
 
 
-def _write_merged_hours(merged: DataFrame, path: str) -> None:
-    """Land rewritten hour partitions old-or-new, never partial.
+def _write_merged_parts(merged: DataFrame, path: str, part_col: str) -> None:
+    """Land rewritten partitions (rollup hours, HLL days) old-or-new,
+    never partial.
 
     The rewrite is PREPARED off to the side (full parquet write into
     ``_hour_swap_new``, invisible to readers) and then swapped in with
@@ -292,31 +302,36 @@ def _write_merged_hours(merged: DataFrame, path: str) -> None:
     physical shape — a rollup hour is a few thousand rows — and what
     makes the per-hour swap a single-file replace."""
     spark = merged.sparkSession
-    _recover_hour_swaps(spark, path)
-    staging = f"{path}/{_HOUR_SWAP_NEW}"
+    _recover_part_swaps(spark, path, part_col)
+    staging = f"{path}/{_PART_SWAP_NEW}"
     (
-        merged.repartition("hour_ns")
+        merged.repartition(part_col)
         .write.mode("overwrite")
-        .partitionBy("hour_ns")
+        .partitionBy(part_col)
         .parquet(staging)
     )
     fs, stg = _fs_path(spark, staging)
-    _, tomb = _fs_path(spark, f"{path}/{_HOUR_SWAP_OLD}")
+    _, tomb = _fs_path(spark, f"{path}/{_PART_SWAP_OLD}")
     fs.mkdirs(tomb)
+    prefix = f"{part_col}="
     for status in fs.listStatus(stg):
         name = status.getPath().getName()
-        if not name.startswith("hour_ns="):
+        if not name.startswith(prefix):
             continue  # _SUCCESS etc.
         _, live = _fs_path(spark, f"{path}/{name}")
-        _, tomb_h = _fs_path(spark, f"{path}/{_HOUR_SWAP_OLD}/{name}")
+        _, tomb_h = _fs_path(spark, f"{path}/{_PART_SWAP_OLD}/{name}")
         if fs.exists(live) and not fs.rename(live, tomb_h):
-            raise IOError(f"rollup store: failed to tombstone live hour {name}")
+            raise IOError(f"partitioned store: failed to tombstone live partition {name}")
         if not fs.rename(status.getPath(), live):
-            raise IOError(f"rollup store: failed to swap in rewritten hour {name}")
+            raise IOError(f"partitioned store: failed to swap in rewritten partition {name}")
         fs.delete(tomb_h, True)
     fs.delete(tomb, True)
     if not fs.delete(stg, True):
-        raise IOError(f"rollup store: failed to clear rewrite staging under {path}")
+        raise IOError(f"partitioned store: failed to clear rewrite staging under {path}")
+
+
+def _write_merged_hours(merged: DataFrame, path: str) -> None:
+    _write_merged_parts(merged, path, "hour_ns")
 
 
 def _merge_into_store(spark, delta: DataFrame, path: str, keys: list[str]) -> None:
@@ -667,11 +682,18 @@ def stream_to_hll_store(
             .agg(F.max("rho").alias("rho_max"))
             .localCheckpoint()
         )
-        if _store_exists(spark, path):
-            touched = [row["day"] for row in delta.select("day").distinct().collect()]
+        # touched-days-only standing read + atomic per-day swap: same
+        # two fixes as the sum rollup (_merge_into_store docstring) —
+        # reading the store ROOT launches a distributed listing job over
+        # every day dir past 32 dirs (a year-old store = 365 listings
+        # per batch), and the in-place dynamic overwrite exposed racing
+        # readers to partially rewritten days for the whole data write
+        touched = [row["day"] for row in delta.select("day").distinct().collect()]
+        existing = sorted(_store_parts(spark, path, "day") & set(touched))
+        if existing:
             standing = (
-                spark.read.parquet(path)
-                .filter(F.col("day").isin(touched))
+                spark.read.option("basePath", path)
+                .parquet(*[f"{path}/day={d}" for d in existing])
                 .localCheckpoint()
             )
             merged = (
@@ -681,13 +703,7 @@ def stream_to_hll_store(
             )
         else:
             merged = delta
-        (
-            merged.repartition("day")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("day")
-            .parquet(path)
-        )
+        _write_merged_parts(merged, path, "day")
         _mark_batch_applied(spark, path, checkpoint, batch_id)
 
     writer = (
