@@ -114,6 +114,7 @@ HEADLINE = [
     # r09 additions
     "simhash_portable_pairs",
     "ann_lsh_portable",
+    "bitext_mine",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans

@@ -278,6 +278,32 @@ def test_portable_hyperplane_weights_deterministic():
     assert len({tuple(r) for r in w1}) == 16  # no duplicate planes
 
 
+def test_bitext_mine_recovers_parallel_pairs(spark, embeddings):
+    """Plant true "translations": tgt = each src vector scaled by 2
+    (cosine exactly 1) under shifted ids, plus unrelated distractors.
+    The ratio margin must mine every (x, x+1000) pair as the best
+    candidate, with margin > 1 (the planted pair beats its
+    neighborhood mean) — the hubness-robust behavior raw cosine top-1
+    cannot guarantee in general."""
+    src = embeddings.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    copies = src.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    distractors = embeddings.filter(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 240)
+    ).select((F.col("vec_id") + 2000).alias("vec_id"), "embedding")
+    tgt = copies.unionByName(distractors)
+    out = {
+        r["src_id"]: (r["tgt_id"], r["margin_q"])
+        for r in similarity.bitext_mine_best(src, tgt, "vec_id", "embedding", k=4).collect()
+    }
+    assert set(out) == set(range(10))
+    for x, (y, m) in out.items():
+        assert y == x + 1000, f"src {x} mined {y}, expected its planted copy"
+        assert m > 10000  # margin > 1.0 on the 1e-4 grid
+
+
 def test_ivf_topk_recall_vs_bruteforce(spark, embeddings):
     """IVF top-5 with 8 lists / 4 probes must recover most of the exact
     top-5. The synthetic embeddings are only weakly clustered (recall

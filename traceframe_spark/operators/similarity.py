@@ -151,6 +151,66 @@ def cosine_topk(
     )
 
 
+def bitext_mine_best(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    quantize: int = 4,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk, arXiv:1811.01136
+    §3, the "ratio" margin): for each src vector, the tgt candidate
+    maximizing ``margin(x, y) = cos(x, y) / ((mean kNN-cos of x in tgt
+    + mean kNN-cos of y in src) / 2)`` — the standard parallel-pair
+    miner for multilingual training data, where raw cosine fails
+    because hub vectors are everyone's nearest neighbor and the margin
+    normalizes each side's neighborhood density away.
+
+    Output: (src_id, tgt_id, margin_q) — one row per src vector,
+    deterministic tie-breaks; thresholding (the usual final mining
+    step, margin ≥ ~1.06 in the paper) composes on top. Cosines are
+    quantized on the shared 10^-quantize grid BEFORE the margin
+    arithmetic, so margins — and therefore the mined pairs — are
+    engine-reproducible (means are exact sums of longs / k).
+
+    Scale shape: both directions ride :func:`cosine_topk` (broadcast
+    queries — exact, the verification baseline). At 100 TB both sides
+    are large: swap each direction for the ANN tiers
+    (:func:`ivf_topk_over_index` per side) — the margin algebra below
+    is agnostic to where the top-k frames came from. Cosine symmetry
+    means the backward direction reuses the same pair scores, so the
+    mining pass costs one cross scoring + two cheap grouped means."""
+    fwd = cosine_topk(tgt, src, id_col, vec_col, k=k, quantize=quantize)
+    bwd = cosine_topk(src, tgt, id_col, vec_col, k=k, quantize=quantize)
+    mean_fwd = fwd.groupBy("qid").agg(F.avg("cos").alias("mf"))
+    mean_bwd = (
+        bwd.groupBy("qid").agg(F.avg("cos").alias("mb"))
+        .withColumnRenamed("qid", "cid")
+    )
+    scored = (
+        fwd.join(mean_fwd, "qid")
+        .join(mean_bwd, "cid")
+        .select(
+            "qid",
+            "cid",
+            (F.lit(2.0) * F.col("cos") / (F.col("mf") + F.col("mb"))).alias("margin"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("margin").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("qid").alias("src_id"),
+            F.col("cid").alias("tgt_id"),
+            F.floor(F.col("margin") * (10**quantize) + F.lit(0.5))
+            .cast("long")
+            .alias("margin_q"),
+        )
+    )
+
+
 def cosine_topk_blas(
     corpus: DataFrame,
     queries: DataFrame,

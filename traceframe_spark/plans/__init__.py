@@ -20,6 +20,7 @@ from traceframe_spark.plans.traceops import TRACEOPS_ORACLE_SQL, TRACEOPS_QUERIE
 _R9_ROTATION_HEAD = [
     "simhash_portable_pairs",
     "ann_lsh_portable",
+    "bitext_mine",
 ]
 
 

@@ -883,6 +883,74 @@ def q_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (operators/similarity.bitext_mine_best,
+    Artetxe & Schwenk arXiv:1811.01136 ratio margin) between two
+    disjoint embedding slices standing in for two languages' sentence
+    embeddings: per src vector, the argmax-margin tgt candidate. The
+    oracle replays the whole chain — quantized cross cosines, both
+    directions' top-k means (cosine symmetry lets one scored-pair table
+    serve both), the margin ratio, and the deterministic argmax."""
+    e = load_table(spark, sf_dir, "embeddings")
+    src = e.filter(F.col("vec_id") < 25)
+    tgt = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 125))
+    return similarity.bitext_mine_best(src, tgt, "vec_id", "embedding", k=4)
+
+
+SQL_BITEXT_MINE = """
+WITH norms AS (
+    SELECT vec_id, sqrt(sum(v * v)) AS nrm
+    FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
+    GROUP BY vec_id
+),
+dots AS (
+    SELECT qid, cid, sum(qv * cv) AS dot
+    FROM (
+        SELECT s.vec_id AS qid, t.vec_id AS cid,
+               CAST(unnest(s.embedding) AS DOUBLE) AS qv,
+               CAST(unnest(t.embedding) AS DOUBLE) AS cv
+        FROM embeddings s, embeddings t
+        WHERE s.vec_id < 25 AND t.vec_id >= 100 AND t.vec_id < 125
+    )
+    GROUP BY qid, cid
+),
+cosq AS (
+    SELECT d.qid, d.cid,
+           CAST(floor(d.dot / (nq.nrm * nc.nrm) * 10000 + 0.5) AS BIGINT) AS cos
+    FROM dots d
+    JOIN norms nq ON nq.vec_id = d.qid
+    JOIN norms nc ON nc.vec_id = d.cid
+),
+ftop AS (
+    SELECT * FROM (
+        SELECT qid, cid, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
+        FROM cosq
+    ) WHERE rn <= 4
+),
+btop AS (
+    SELECT * FROM (
+        SELECT qid, cid, cos,
+               row_number() OVER (PARTITION BY cid ORDER BY cos DESC, qid ASC) AS rn
+        FROM cosq
+    ) WHERE rn <= 4
+),
+mf AS (SELECT qid, avg(cos) AS mf FROM ftop GROUP BY qid),
+mb AS (SELECT cid, avg(cos) AS mb FROM btop GROUP BY cid),
+scored AS (
+    SELECT f.qid, f.cid, 2.0 * f.cos / (mf.mf + mb.mb) AS margin
+    FROM ftop f JOIN mf ON mf.qid = f.qid JOIN mb ON mb.cid = f.cid
+)
+SELECT qid AS src_id, cid AS tgt_id,
+       CAST(floor(margin * 10000 + 0.5) AS BIGINT) AS margin_q
+FROM (
+    SELECT qid, cid, margin,
+           row_number() OVER (PARTITION BY qid ORDER BY margin DESC, cid ASC) AS rn
+    FROM scored
+) WHERE rn = 1
+"""
+
+
 # The integer dot products make the sign decision exact in both engines;
 # the re-rank reuses SQL_ANN_COSINE_TOPK's quantized-cosine shape
 # restricted to the LSH candidate set.
@@ -2563,6 +2631,7 @@ PIPELINE_QUERIES = {
     "minhash_portable_pairs": q_minhash_portable_pairs,
     "simhash_portable_pairs": q_simhash_portable_pairs,
     "ann_lsh_portable": q_ann_lsh_portable,
+    "bitext_mine": q_bitext_mine,
 }
 
 PIPELINE_ORACLE_SQL = {
@@ -2621,4 +2690,5 @@ PIPELINE_ORACLE_SQL = {
     "minhash_portable_pairs": SQL_MINHASH_PORTABLE_PAIRS,
     "simhash_portable_pairs": SQL_SIMHASH_PORTABLE_PAIRS,
     "ann_lsh_portable": SQL_ANN_LSH_PORTABLE,
+    "bitext_mine": SQL_BITEXT_MINE,
 }
