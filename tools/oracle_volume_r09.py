@@ -13,6 +13,12 @@ and the r08 sweep.
   is 200 000 vectors there (100x), so the integer sign-dot signatures,
   band bucket join, and quantized-cosine re-rank are exercised at
   volume with no bound surgery at all.
+- ``bitext_mine_vol``: the registry bounds swap to ``vec_id % 1e9``
+  over the first 8 src / 8 tgt base ids — 800 x 800 vectors across
+  every copy (near-parallel scaled clones: the worst hubness case, a
+  dense block of cosine ~1.0 neighbors), so the margin normalization,
+  quantized means, and argmax tie-breaks are value-checked exactly
+  where raw cosine ranking would be most degenerate.
 
 Usage: SPARK_GRAFT_DRIVER_MEM=48g python tools/oracle_volume_r09.py \
     [--sf /tmp/sparktrace_scale100] [query ...]
@@ -55,16 +61,31 @@ def build_queries():
             d, "doc_id", "text", max_hamming=14, portable=True
         ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
+    def q_bitext_mine_vol(spark, sf_dir):
+        from traceframe_spark.operators import similarity
+
+        e = load_table(spark, sf_dir, "embeddings")
+        base = F.col("vec_id") % MOD
+        src = e.filter(base < 8)
+        tgt = e.filter((base >= 100) & (base < 108))
+        return similarity.bitext_mine_best(src, tgt, "vec_id", "embedding", k=4)
+
     reg_q, reg_sql = catalog_queries(), catalog_oracle_sql()
     qs = {
         "simhash_portable_pairs_vol": q_simhash_portable_pairs_vol,
         "ann_lsh_portable_vol": reg_q["ann_lsh_portable"],
+        "bitext_mine_vol": q_bitext_mine_vol,
     }
     sql = {
         "simhash_portable_pairs_vol": swap(
             P.SQL_SIMHASH_PORTABLE_PAIRS, "doc_id < 250", f"doc_id % {MOD} < 30"
         ),
         "ann_lsh_portable_vol": reg_sql["ann_lsh_portable"],
+        "bitext_mine_vol": swap(
+            swap(P.SQL_BITEXT_MINE, "s.vec_id < 25", f"s.vec_id % {MOD} < 8"),
+            "t.vec_id >= 100 AND t.vec_id < 125",
+            f"t.vec_id % {MOD} >= 100 AND t.vec_id % {MOD} < 108",
+        ),
     }
     return qs, sql
 
