@@ -175,12 +175,20 @@ def _store_parts(spark, path: str, part_col: str) -> set[int]:
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(p):
         return set()
-    return {
-        int(status.getPath().getName().split("=", 1)[1])
-        for status in fs.listStatus(p)
-        if status.isDirectory()
-        and status.getPath().getName().startswith(f"{part_col}=")
-    }
+    out: set[int] = set()
+    for status in fs.listStatus(p):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith(f"{part_col}=")):
+            continue
+        try:
+            out.add(int(name.split("=", 1)[1]))
+        except ValueError:
+            # e.g. __HIVE_DEFAULT_PARTITION__ from a null partition
+            # value: never the target of an integer-keyed delta, and a
+            # store meant to run forever must not start crashing every
+            # batch because one malformed dir appeared once
+            continue
+    return out
 
 
 def _store_hours(spark, path: str) -> set[int]:
