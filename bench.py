@@ -115,6 +115,7 @@ HEADLINE = [
     "simhash_portable_pairs",
     "ann_lsh_portable",
     "bitext_mine",
+    "ann_lsh_multiprobe",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans

@@ -269,6 +269,32 @@ def test_lsh_topk_portable_recall_vs_bruteforce(spark, embeddings):
     assert recall >= 0.5, f"portable LSH recall too low: {recall}"
 
 
+def test_lsh_multiprobe_beats_plain_at_same_planes(spark, embeddings):
+    """Multi-probe (1-bit band perturbations, query side only) must
+    recover a strict superset of the plain probe's answer quality at
+    the SAME plane count: measured 0.32 -> 0.86 portable / 0.52 -> 0.94
+    Gaussian on this corpus; the floor pins the order, not the values."""
+    q = embeddings.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["qid"], r["cid"])
+        for r in similarity.cosine_topk(embeddings, q, "vec_id", "embedding", k=5).collect()
+    }
+
+    def recall(**kw):
+        got = {
+            (r["qid"], r["cid"])
+            for r in similarity.hyperplane_lsh_topk(
+                embeddings, q, "vec_id", "embedding", k=5, dim=64,
+                n_planes=16, bands=4, portable=True, **kw,
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    plain, multi = recall(), recall(multiprobe=True)
+    assert multi >= plain
+    assert multi >= 0.7, f"multiprobe recall {multi}"
+
+
 def test_portable_hyperplane_weights_deterministic():
     """Same md5 derivation on every call; ±1 only; plane diversity."""
     w1 = similarity.portable_hyperplane_weights(16, 64)

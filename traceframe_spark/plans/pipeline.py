@@ -883,6 +883,93 @@ def q_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane LSH (Lv et al. VLDB'07) on the portable
+    planes: per band, the query also probes every bucket one sign-flip
+    away — query-side-only expansion, measured recall 0.32 → 0.86 at
+    16 planes/4 bands (operators/similarity.hyperplane_lsh_topk
+    docstring). The oracle replays the probe expansion (exact band keys
+    UNION their 1-bit xor perturbations) plus the whole portable chain,
+    so the recall improvement itself is value-verified, not asserted."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.hyperplane_lsh_topk(
+        e, q, "vec_id", "embedding", k=5, dim=64, n_planes=16, bands=4,
+        portable=True, multiprobe=True,
+    )
+
+
+SQL_ANN_LSH_MULTIPROBE = """
+WITH w AS (
+    SELECT i, j,
+           CASE WHEN ('0x' || substr(md5(i::VARCHAR || '_' || j::VARCHAR), 1, 8))::BIGINT & 1 = 1
+                THEN 1 ELSE -1 END AS wt
+    FROM range(0, 16) a(i) CROSS JOIN range(0, 64) b(j)
+),
+q AS (
+    SELECT vec_id, j,
+           CAST(floor(CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv
+    FROM embeddings CROSS JOIN range(0, 64) t(j)
+),
+dots AS (
+    SELECT q.vec_id, w.i, sum(q.qv * w.wt) AS dot
+    FROM q JOIN w ON w.j = q.j
+    GROUP BY 1, 2
+),
+sig AS (
+    SELECT vec_id,
+           CAST(sum(CASE WHEN dot > 0 THEN 1::BIGINT << CAST(i AS INT) ELSE 0 END) AS BIGINT) AS sig
+    FROM dots GROUP BY vec_id
+),
+keyed AS (
+    SELECT vec_id, b AS band, (sig >> (4 * CAST(b AS INT))) & 15 AS key
+    FROM sig CROSS JOIN range(0, 4) t(b)
+),
+qkeys AS (
+    SELECT vec_id, band, key FROM keyed WHERE vec_id < 10
+    UNION
+    SELECT vec_id, band, xor(key, 1::BIGINT << CAST(j AS INT)) AS key
+    FROM keyed CROSS JOIN range(0, 4) r(j)
+    WHERE vec_id < 10
+),
+cand AS (
+    SELECT DISTINCT qk.vec_id AS qid, kc.vec_id AS cid
+    FROM qkeys qk JOIN keyed kc USING (band, key)
+    WHERE kc.vec_id <> qk.vec_id
+),
+norms AS (
+    SELECT vec_id, sqrt(sum(v * v)) AS nrm
+    FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
+    GROUP BY vec_id
+),
+pairdots AS (
+    SELECT qid, cid, sum(qv * cv) AS dot
+    FROM (
+        SELECT cand.qid, cand.cid,
+               CAST(unnest(eq.embedding) AS DOUBLE) AS qv,
+               CAST(unnest(ec.embedding) AS DOUBLE) AS cv
+        FROM cand
+        JOIN embeddings eq ON eq.vec_id = cand.qid
+        JOIN embeddings ec ON ec.vec_id = cand.cid
+    )
+    GROUP BY qid, cid
+),
+scored AS (
+    SELECT d.qid, d.cid,
+           CAST(floor(d.dot / (nq.nrm * nc.nrm) * 10000 + 0.5) AS BIGINT) AS cos
+    FROM pairdots d
+    JOIN norms nq ON nq.vec_id = d.qid
+    JOIN norms nc ON nc.vec_id = d.cid
+)
+SELECT qid, cid, cos, rn
+FROM (
+    SELECT qid, cid, cos,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
+    FROM scored
+) WHERE rn <= 5
+"""
+
+
 def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext mining (operators/similarity.bitext_mine_best,
     Artetxe & Schwenk arXiv:1811.01136 ratio margin) between two
@@ -2632,6 +2719,7 @@ PIPELINE_QUERIES = {
     "simhash_portable_pairs": q_simhash_portable_pairs,
     "ann_lsh_portable": q_ann_lsh_portable,
     "bitext_mine": q_bitext_mine,
+    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
 }
 
 PIPELINE_ORACLE_SQL = {
@@ -2691,4 +2779,5 @@ PIPELINE_ORACLE_SQL = {
     "simhash_portable_pairs": SQL_SIMHASH_PORTABLE_PAIRS,
     "ann_lsh_portable": SQL_ANN_LSH_PORTABLE,
     "bitext_mine": SQL_BITEXT_MINE,
+    "ann_lsh_multiprobe": SQL_ANN_LSH_MULTIPROBE,
 }
