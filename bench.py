@@ -116,6 +116,7 @@ HEADLINE = [
     "ann_lsh_portable",
     "bitext_mine",
     "ann_lsh_multiprobe",
+    "lm_store_score",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans

@@ -1243,6 +1243,52 @@ def test_bigram_logprob_matches_naive(spark):
         assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i])
 
 
+def test_stored_lm_scores_delta_with_smoothing(spark, tmp_path):
+    """The persisted bigram LM: (1) scoring the training corpus equals
+    the self-trained batch scorer exactly; (2) a DELTA with unseen
+    bigrams/prefixes takes the documented add-one floors — unseen
+    bigram of a known prefix ln(1/(c1+V)), fully novel prefix ln(1/V) —
+    computed against the STORED counts, no reference re-read."""
+    import math
+
+    rows = [
+        (0, "alpha beta alpha beta gamma"),
+        (1, "beta gamma beta gamma alpha"),
+        (2, "gamma alpha gamma alpha beta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    path = str(tmp_path / "lm")
+    text.write_bigram_lm(df, path)
+    stored = {
+        r["id"]: r["avg_logprob"]
+        for r in text.score_against_lm(df, path).collect()
+    }
+    batch = {
+        r["id"]: r["avg_logprob"]
+        for r in text.bigram_logprob_scores(df, "doc_id", "text").collect()
+    }
+    assert set(stored) == set(batch)
+    for i in batch:
+        assert abs(stored[i] - batch[i]) < 1e-12
+
+    # delta: "alpha zzz" = known prefix, unseen bigram; "qqq www" = fully
+    # novel prefix. V = 3 (alpha/beta/gamma as second tokens);
+    # c1(alpha) = 4 (alpha->beta x2, alpha->gamma, alpha->beta ... count
+    # from the corpus); read c1 from the store to avoid hand-miscounts
+    c1_alpha = (
+        spark.read.parquet(f"{path}/prefix").filter(F.col("w1") == "alpha").first()["c1"]
+    )
+    delta = spark.createDataFrame(
+        [(10, "alpha zzz"), (11, "qqq www")], ["doc_id", "text"]
+    )
+    got = {r["id"]: r["avg_logprob"] for r in text.score_against_lm(delta, path).collect()}
+    assert abs(got[10] - math.log(1.0 / (c1_alpha + 3))) < 1e-12
+    assert abs(got[11] - math.log(1.0 / 3)) < 1e-12
+    # fewer-than-2-token docs emit no row, same contract as the batch scorer
+    empty = spark.createDataFrame([(20, "single")], ["doc_id", "text"])
+    assert text.score_against_lm(empty, path).count() == 0
+
+
 def test_substring_dedup_short_docs_and_case_and_id_name(spark):
     """Three regressions from review: (1) docs shorter than the window
     must contribute zero windows, not crash (F.sequence(1,0) is the

@@ -64,6 +64,23 @@ def build_queries():
             d, "doc_id", "text", max_hamming=14, portable=True
         ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
+    def q_lm_store_score_vol(spark, sf_dir):
+        import tempfile
+
+        from traceframe_spark.operators import text as T
+        from traceframe_spark.plans.catalog import qint, tmp_store
+
+        d = load_table(spark, sf_dir, "documents").filter(
+            (F.col("doc_id") % MOD) < 300
+        )
+        path = tmp_store("bigram_lm_vol_") + "/lm"
+        T.write_bigram_lm(d, path)
+        out = T.score_against_lm(d, path)
+        return out.select(
+            F.col("id").alias("doc_id"),
+            qint(F.col("avg_logprob"), 4).alias("logprob_q"),
+        )
+
     def q_bitext_mine_vol(spark, sf_dir):
         from traceframe_spark.operators import similarity
 
@@ -79,6 +96,7 @@ def build_queries():
         "ann_lsh_portable_vol": reg_q["ann_lsh_portable"],
         "ann_lsh_multiprobe_vol": reg_q["ann_lsh_multiprobe"],
         "bitext_mine_vol": q_bitext_mine_vol,
+        "lm_store_score_vol": q_lm_store_score_vol,
     }
     sql = {
         "simhash_portable_pairs_vol": swap(
@@ -86,6 +104,9 @@ def build_queries():
         ),
         "ann_lsh_portable_vol": reg_sql["ann_lsh_portable"],
         "ann_lsh_multiprobe_vol": reg_sql["ann_lsh_multiprobe"],
+        "lm_store_score_vol": swap(
+            P.SQL_DOC_BIGRAM_LOGPROB, "doc_id < 300", f"doc_id % {MOD} < 300"
+        ),
         "bitext_mine_vol": swap(
             swap(P.SQL_BITEXT_MINE, "s.vec_id < 25", f"s.vec_id % {MOD} < 8"),
             "t.vec_id >= 100 AND t.vec_id < 125",

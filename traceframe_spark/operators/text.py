@@ -543,6 +543,82 @@ def pack_sequences(
     )
 
 
+def _bigram_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per bigram occurrence. THE bigram
+    definition, shared by the self-trained scorer, the stored-LM
+    builder, and the stored-LM scorer so all three cannot drift."""
+    toks = tokens(F.col(text_col))
+    k = F.size(toks) - 1
+    z = F.arrays_zip(F.slice(toks, 1, k), F.slice(toks, 2, k))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(z).alias("p"))
+        .select("id", F.col("p")["0"].alias("w1"), F.col("p")["1"].alias("w2"))
+    )
+
+
+def write_bigram_lm(
+    docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Persist the add-one-smoothed bigram LM estimated from ``docs``:
+    (w1, w2, c12) bigram counts at ``{path}/bigrams``, (w1, c1) prefix
+    counts at ``{path}/prefix``, and the second-token vocabulary size
+    in ``{path}/lm_meta`` — the CCNet quality-filter shape
+    (1911.00359 §4.3: the LM is trained ONCE on a frozen reference
+    corpus, then every crawl snapshot is scored against it). Stored
+    layers are narrow token rows, independent of document count or
+    length; the reference corpus text is never re-read at scoring
+    time — same incremental contract as the dedup index's layers."""
+    spark = docs.sparkSession
+    bi = _bigram_pairs(docs, id_col, text_col).groupBy("w1", "w2").agg(
+        F.count("*").alias("c12")
+    )
+    bi = bi.persist()
+    try:
+        bi.write.mode("overwrite").parquet(f"{path}/bigrams")
+        bi.groupBy("w1").agg(F.sum("c12").alias("c1")).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/prefix")
+        v = bi.agg(F.count_distinct("w2")).first()[0]
+        spark.createDataFrame([(int(v),)], "v long").coalesce(1).write.mode(
+            "overwrite"
+        ).json(f"{path}/lm_meta")
+    finally:
+        bi.unpersist()
+
+
+def score_against_lm(
+    delta: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, avg_logprob) for ``delta`` documents under the STORED LM —
+    :func:`bigram_logprob_scores`'s answer without re-training: when
+    the delta IS the training corpus the two are identical (the oracle
+    twin), and on a genuinely new delta unseen bigrams take the add-one
+    floor ``ln(1 / (c1 + |V|))`` and unseen prefixes ``ln(1 / |V|)``
+    (LEFT joins + coalesce — the batch scorer never needs this branch
+    because in-corpus pairs always exist in their own model).
+
+    Cost shape at 100 TB: the delta is tokenized once; the model side
+    contributes only stored narrow count rows joined BY KEY (bigram and
+    prefix joins shuffle O(|delta bigrams| + model rows)); reference
+    corpus text is untouched. Same docstring contract as the batch
+    scorer: documents with fewer than 2 tokens emit no row."""
+    spark = delta.sparkSession
+    bi = spark.read.parquet(f"{path}/bigrams")
+    uni = spark.read.parquet(f"{path}/prefix")
+    v = int(spark.read.json(f"{path}/lm_meta").collect()[0]["v"])
+    pairs = _bigram_pairs(delta, id_col, text_col)
+    lp = F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1.0))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(v)))
+    )
+    return (
+        pairs.join(bi, ["w1", "w2"], "left")
+        .join(uni, ["w1"], "left")
+        .groupBy("id")
+        .agg(F.avg(lp).alias("avg_logprob"))
+    )
+
+
 def bigram_logprob_scores(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -566,13 +642,7 @@ def bigram_logprob_scores(
     therefore NO output row (their log-probability is undefined, not
     zero) — left-join the scores back if passthrough is needed.
     """
-    toks = tokens(F.col(text_col))
-    k = F.size(toks) - 1
-    z = F.arrays_zip(F.slice(toks, 1, k), F.slice(toks, 2, k))
-    pairs = (
-        df.select(F.col(id_col).alias("id"), F.explode(z).alias("p"))
-        .select("id", F.col("p")["0"].alias("w1"), F.col("p")["1"].alias("w2"))
-    )
+    pairs = _bigram_pairs(df, id_col, text_col)
     bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     uni = bi.groupBy("w1").agg(F.sum("c12").alias("c1"))
     voc = bi.agg(F.count_distinct("w2").alias("v"))

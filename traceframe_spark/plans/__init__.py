@@ -22,6 +22,7 @@ _R9_ROTATION_HEAD = [
     "ann_lsh_portable",
     "bitext_mine",
     "ann_lsh_multiprobe",
+    "lm_store_score",
 ]
 
 

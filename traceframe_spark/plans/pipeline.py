@@ -156,6 +156,29 @@ GROUP BY doc_id
 """
 
 
+def q_lm_store_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring against a PERSISTED bigram LM
+    (operators/text.write_bigram_lm / score_against_lm — the CCNet
+    shape: train the LM once on a frozen reference corpus, score every
+    crawl snapshot against the stored counts without re-reading
+    reference text). The store roundtrip is the point of the query;
+    scoring the training corpus itself makes the answer equal the
+    self-trained batch scorer, so the oracle is
+    ``SQL_DOC_BIGRAM_LOGPROB`` verbatim — the same
+    stored-state-equals-batch-operator pattern as ``index_novelty``.
+    Unseen-delta smoothing (the branch this query can't exercise) is
+    pinned in tests/test_pipeline_ops.py."""
+    from traceframe_spark.operators import text as T
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    path = tmp_store("bigram_lm_") + "/lm"
+    T.write_bigram_lm(d, path)
+    out = T.score_against_lm(d, path)
+    return out.select(
+        F.col("id").alias("doc_id"), qint(F.col("avg_logprob"), 4).alias("logprob_q")
+    )
+
+
 def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The verified layer of MinHash-LSH dedup, oracle-checked: banded
     candidate generation is xxhash64-dependent, but the OUTPUT (exact
@@ -2673,6 +2696,7 @@ PIPELINE_QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "dup_windows": q_dup_windows,
     "doc_bigram_logprob": q_doc_bigram_logprob,
+    "lm_store_score": q_lm_store_score,
     "minhash_verified": q_minhash_verified,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_canonical": q_dedup_keep_canonical,
@@ -2731,6 +2755,7 @@ PIPELINE_ORACLE_SQL = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dup_windows": SQL_DUP_WINDOWS,
     "doc_bigram_logprob": SQL_DOC_BIGRAM_LOGPROB,
+    "lm_store_score": SQL_DOC_BIGRAM_LOGPROB,
     "minhash_verified": SQL_MINHASH_VERIFIED,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_keep_canonical": SQL_DEDUP_KEEP_CANONICAL,
