@@ -230,6 +230,11 @@ def main() -> None:
     day0 = clean.select("doc_id", "text")  # the pipeline's survivors
     di.write_dedup_index(day0, idx)
     di.write_gram_layer(day0, idx, n=3)
+    # the third stored layer of the daily loop: a frozen quality LM
+    # (CCNet shape — trained ONCE on the curated day-0 corpus, deltas
+    # scored against the persisted counts, day-0 text never re-read)
+    lm = tempfile.mkdtemp(prefix="curation_lm_") + "/lm"
+    text.write_bigram_lm(day0, lm)
     # longest docs as seeds: the "light edit" below appends a fixed
     # 17-char suffix, which only stays jaccard >= 0.9 of the original
     # when the original is long (on a 47-char doc the suffix IS a big
@@ -272,6 +277,28 @@ def main() -> None:
                 )
             )
         n_delta = delta.count()
+        # perplexity triage against the STORED LM: re-crawls are
+        # in-distribution, the fresh hex dispatches are OOD gibberish
+        # (unseen bigrams take the add-one floor) — the signal a
+        # quality gate thresholds on. NOTE the gap is small on THIS
+        # corpus: synthetic word salad pairs common prefixes with
+        # near-unique successors, so even in-distribution bigrams score
+        # ~ln(2/(c1+V)), barely above the unseen floor ln(1/V); real
+        # prose separates by whole nats (the smoothing floors
+        # themselves are pinned exactly in tests/test_pipeline_ops.py)
+        lp = text.score_against_lm(delta, lm)
+        lp_recrawl = (
+            lp.filter(
+                (F.col("id") >= 100_000 * day + 10_000)
+                & (F.col("id") < 100_000 * day + 20_000)
+            )
+            .agg(F.avg("avg_logprob")).first()[0]
+        )
+        lp_fresh = (
+            lp.filter(F.col("id") >= 100_000 * day + 40_000)
+            .agg(F.avg("avg_logprob")).first()[0]
+        )
+        assert lp_recrawl > lp_fresh, (lp_recrawl, lp_fresh)
         surv = di.dedup_against_index(delta, idx, threshold=0.9)
         n_surv = surv.count()
         assert n_surv == 30, f"day {day}: expected the 30 fresh docs, got {n_surv}"
@@ -286,8 +313,9 @@ def main() -> None:
             f"day {day}: {n_delta}-doc delta -> {n_surv} survive "
             f"(re-crawls die in the stored exact layer, edits in the LSH "
             f"layer{', yesterday-clones in the fold-back appends' if day > 1 else ''}), "
-            f"{n_novel} high-novelty by the gram layer; re-probe after "
-            f"fold-back = {absorbed}"
+            f"{n_novel} high-novelty by the gram layer; stored-LM triage "
+            f"logprob re-crawls {lp_recrawl:.2f} vs fresh {lp_fresh:.2f}; "
+            f"re-probe after fold-back = {absorbed}"
         )
     spark.stop()
 
