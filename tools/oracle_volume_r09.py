@@ -65,8 +65,6 @@ def build_queries():
         ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
     def q_lm_store_score_vol(spark, sf_dir):
-        import tempfile
-
         from traceframe_spark.operators import text as T
         from traceframe_spark.plans.catalog import qint, tmp_store
 

@@ -293,22 +293,24 @@ def _write_merged_parts(merged: DataFrame, path: str, part_col: str) -> None:
     never partial.
 
     The rewrite is PREPARED off to the side (full parquet write into
-    ``_hour_swap_new``, invisible to readers) and then swapped in with
-    two metadata-only renames per hour — so a reader racing the rewrite
-    sees each hour's old file or its new file, and the only other state
-    is a missing hour for the microseconds between the renames (a
-    LISTED-then-swapped file surfaces as a loud FileNotFoundException
-    retry, never silently partial data). The previous in-place dynamic
-    partition overwrite kept readers exposed for the whole data write
-    and could interleave deleted-but-not-yet-replaced hours across the
-    touched set. Cost delta: the parquet bytes are identical (written
-    to staging instead of in place); the swap adds 2-3 FS metadata ops
-    per touched hour — measured noise at sf0.1 (see SCALING.md).
+    ``_part_swap_new``, invisible to readers) and then swapped in with
+    two metadata-only renames per partition — so a reader racing the
+    rewrite sees each partition's old file or its new file, and the
+    only other state is a missing partition for the microseconds
+    between the renames (a LISTED-then-swapped file surfaces as a loud
+    FileNotFoundException retry, never silently partial data). The
+    previous in-place dynamic partition overwrite kept readers exposed
+    for the whole data write and could interleave
+    deleted-but-not-yet-replaced partitions across the touched set.
+    Cost delta: the parquet bytes are identical (written to staging
+    instead of in place); the swap adds 2-3 FS metadata ops per touched
+    partition — measured 1.03× at sf0.1 (see SCALING.md r09).
 
-    Each touched hour still lands as exactly ONE file (repartition by
-    the partition column: one task per hour), which is both the right
-    physical shape — a rollup hour is a few thousand rows — and what
-    makes the per-hour swap a single-file replace."""
+    Each touched partition still lands as exactly ONE file (repartition
+    by the partition column: one task per partition), which is both the
+    right physical shape — a rollup hour / HLL day is a few thousand
+    rows at most — and what makes the per-partition swap a single-file
+    replace."""
     spark = merged.sparkSession
     _recover_part_swaps(spark, path, part_col)
     staging = f"{path}/{_PART_SWAP_NEW}"
