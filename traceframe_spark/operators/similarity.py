@@ -174,6 +174,11 @@ def bitext_mine_best(
     arithmetic, so margins — and therefore the mined pairs — are
     engine-reproducible (means are exact sums of longs / k).
 
+    CONTRACT: ``src`` and ``tgt`` ids must come from disjoint
+    namespaces — the underlying top-k excludes self-pairs by id, so an
+    id shared across the two tables would silently drop that candidate
+    (shift one side's ids if the corpora are numbered independently).
+
     Scale shape: both directions ride :func:`cosine_topk` (broadcast
     queries — exact, the verification baseline). At 100 TB both sides
     are large: swap each direction for the ANN tiers
