@@ -175,3 +175,42 @@ def test_stream_dedup_novelty_annotation(spark, tmp_path, corpus_feed):
     again_rows = {r.doc_id: r for r in read_ingested(spark, out).collect()}
     assert set(again_rows) == {101, 200, 301}
     assert again_rows[101].novelty == 1.0
+
+
+def test_stream_dedup_lm_quality_annotation(spark, tmp_path, corpus_feed):
+    """lm_path: survivors land with an avg_logprob column scored against
+    the FROZEN stored LM (trained once on the snapshot, never folded
+    back), matching the batch scorer's answer for the same rows;
+    replay-idempotent; a missing LM fails fast at stream start."""
+    from traceframe_spark.operators.text import score_against_lm, write_bigram_lm
+
+    idx, feed = corpus_feed
+    snap = _docs(spark, [(i, _uniq(i)) for i in range(3)])
+    lm = str(tmp_path / "lm")
+    write_bigram_lm(snap, lm)
+    out, ckpt = str(tmp_path / "out_lm"), str(tmp_path / "ckpt_lm")
+    _run_stream(spark, idx, feed, out, ckpt, lm_path=lm)
+    rows = {r.doc_id: r for r in read_ingested(spark, out).collect()}
+    assert set(rows) == {101, 200, 301}
+    landed = {i: rows[i].avg_logprob for i in rows}
+    # batch twin on the same surviving texts against the same store
+    survivors = _docs(spark, [(i, rows[i].text) for i in rows])
+    want = {
+        r["id"]: r["avg_logprob"]
+        for r in score_against_lm(survivors, lm).collect()
+    }
+    assert set(want) == set(landed)
+    for i in want:
+        assert abs(landed[i] - want[i]) < 1e-12
+    # replay: idempotent, annotation preserved
+    _run_stream(spark, idx, feed, out, ckpt, lm_path=lm)
+    again = {r.doc_id: r.avg_logprob for r in read_ingested(spark, out).collect()}
+    assert again == landed
+    # fail-fast on a missing LM, before any batch commits
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no stored bigram LM"):
+        _run_stream(
+            spark, idx, feed, str(tmp_path / "out_bad"),
+            str(tmp_path / "ckpt_bad"), lm_path=str(tmp_path / "nope"),
+        )

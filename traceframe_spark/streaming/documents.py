@@ -78,6 +78,7 @@ def stream_dedup_ingest(
     near_dup: bool = True,
     within_batch_near: bool = False,
     annotate_novelty: bool = False,
+    lm_path: str | None = None,
     trigger_available_now: bool = False,
 ):
     """Run a streaming document feed through the persistent dedup index:
@@ -108,6 +109,17 @@ def stream_dedup_ingest(
     their annotation, and both the index append and the gram append are
     idempotent (anti-joined / distinct-consumed).
 
+    ``lm_path`` (optional) additionally scores each surviving doc
+    against a FROZEN stored bigram LM
+    (:func:`~traceframe_spark.operators.text.write_bigram_lm` — the
+    CCNet contract: the quality model is trained once on a reference
+    corpus and deliberately NOT folded back, unlike the dedup/gram
+    layers, so scores stay comparable across the stream's lifetime) and
+    lands it with an ``avg_logprob`` column — the perplexity-style
+    quality signal downstream gates threshold on. Documents with fewer
+    than 2 tokens land with a null score (the batch scorer's
+    no-row contract, surfaced here as a LEFT join).
+
     Returns the started StreamingQuery. Read the curated corpus back
     with :func:`read_ingested`.
     """
@@ -129,6 +141,15 @@ def stream_dedup_ingest(
         if within_batch_near
         else None
     )
+    if lm_path is not None:
+        # same fail-fast rationale as the gram layer above
+        try:
+            docs.sparkSession.read.json(f"{lm_path}/lm_meta").collect()
+        except Exception as exc:  # noqa: BLE001 — any read failure means no LM
+            raise ValueError(
+                f"lm_path={lm_path!r} has no stored bigram LM; run "
+                "write_bigram_lm on the reference corpus first"
+            ) from exc
 
     def _fold_back(survivors: DataFrame) -> None:
         di.append_dedup_index(survivors, index_path, id_col, text_col)
@@ -174,6 +195,13 @@ def stream_dedup_ingest(
                 survivors, index_path, id_col, text_col
             )
             survivors = survivors.join(nov, id_col)
+        if lm_path is not None:
+            from traceframe_spark.operators.text import score_against_lm
+
+            lp = score_against_lm(survivors, lm_path, id_col, text_col)
+            survivors = survivors.join(
+                lp.withColumnRenamed("id", id_col), id_col, "left"
+            )
         survivors = survivors.persist()
         try:
             survivors.write.mode("overwrite").parquet(batch_dir)
