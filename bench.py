@@ -117,6 +117,8 @@ HEADLINE = [
     "bitext_mine",
     "ann_lsh_multiprobe",
     "lm_store_score",
+    # r10 additions
+    "bitext_mine_ann",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans
@@ -313,6 +315,24 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors["gram_index_probe"] = f"{type(exc).__name__}: {exc}"[:300]
             timings["gram_index_probe"] = None
+
+        # lm build vs score SPLIT rows, same recipe as the index split
+        # above (the r09 lm_store_score row conflated one-time training
+        # with per-delta scoring — the registry query keeps the roundtrip
+        # because that is its correctness point; the regression tracker
+        # needs the steady state: a delta scored against a STANDING
+        # frozen model, best-of-N).
+        lm_path = dedup_idx_root + "/lm"
+        try:
+            from traceframe_spark.operators import text as T
+
+            t0 = time.time()
+            T.write_bigram_lm(ref, lm_path)
+            timings["lm_build"] = round(time.time() - t0, 3)
+            timed("lm_score", lambda: T.score_against_lm(delta, lm_path))
+        except Exception as exc:  # noqa: BLE001
+            errors["lm_score"] = f"{type(exc).__name__}: {exc}"[:300]
+            timings["lm_score"] = None
     finally:
         shutil.rmtree(dedup_idx_root, ignore_errors=True)
 

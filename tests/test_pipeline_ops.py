@@ -330,6 +330,89 @@ def test_bitext_mine_recovers_parallel_pairs(spark, embeddings):
         assert m > 10000  # margin > 1.0 on the 1e-4 grid
 
 
+def test_bitext_disjoint_id_guard(spark, embeddings):
+    """The disjoint-id CONTRACT is enforced, not just documented: a
+    shared id across src and tgt raises (it would silently drop that
+    candidate from one direction's top-k); check_disjoint=False skips
+    the probe for callers that already shifted ids."""
+    import pytest as _pytest
+
+    src = embeddings.filter(F.col("vec_id") < 10)
+    tgt = embeddings.filter(F.col("vec_id") < 20)  # ids 0-9 overlap
+    with _pytest.raises(ValueError, match="disjoint"):
+        similarity.bitext_mine_best(src, tgt, "vec_id", "embedding", k=4)
+    with _pytest.raises(ValueError, match="disjoint"):
+        similarity.bitext_mine_ann(src, tgt, "vec_id", "embedding", k=4)
+    # disjoint slices pass the guard and mine one row per src
+    tgt_ok = embeddings.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+    assert similarity.bitext_mine_best(
+        src, tgt_ok, "vec_id", "embedding", k=4
+    ).count() == 10
+
+
+def test_bitext_mine_ann_lsh_recovers_planted_pairs(spark, embeddings):
+    """The ANN-tier composition end-to-end on the LSH tier: a scaled
+    copy keeps every signature bit (sign dots are scale-invariant), so
+    it collides with its source in every band — the planted pair is
+    always retrieved, and the margin argmax must mine it, same as the
+    exact tier."""
+    src = embeddings.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    copies = src.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    distractors = embeddings.filter(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 240)
+    ).select((F.col("vec_id") + 2000).alias("vec_id"), "embedding")
+    tgt = copies.unionByName(distractors)
+    out = {
+        r["src_id"]: (r["tgt_id"], r["margin_q"])
+        for r in similarity.bitext_mine_ann(
+            src, tgt, "vec_id", "embedding", k=4,
+            tier="lsh", portable=True, multiprobe=True,
+        ).collect()
+    }
+    assert set(out) == set(range(10))
+    for x, (y, m) in out.items():
+        assert y == x + 1000, f"src {x} mined {y}, expected its planted copy"
+        assert m > 10000
+
+
+def test_bitext_mine_ann_ivf_tier_full_probe_matches_exact(spark, embeddings, tmp_path):
+    """The persisted-IVF tier with nprobe == n_centroids retrieves the
+    full corpus per direction, so its top-k frames — and therefore the
+    mined pairs AND margins — must equal the exact tier's exactly
+    (same 1e-4 cosine grid, same tie-breaks). This pins that the
+    composition plumbing (two indexes, two probe directions, shared
+    margin algebra) introduces no drift beyond retrieval recall;
+    bitext_ann_agreement must read 1.0 at this operating point."""
+    src = embeddings.filter(F.col("vec_id") < 10)
+    tgt = embeddings.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 140))
+    src_idx, tgt_idx = str(tmp_path / "src_idx"), str(tmp_path / "tgt_idx")
+    similarity.write_ivf_index(src, src_idx, "vec_id", "embedding", n_centroids=4)
+    similarity.write_ivf_index(tgt, tgt_idx, "vec_id", "embedding", n_centroids=4)
+    ann = {
+        (r["src_id"], r["tgt_id"], r["margin_q"])
+        for r in similarity.bitext_mine_ann(
+            src, tgt, "vec_id", "embedding", k=4, tier="ivf_index",
+            src_index_path=src_idx, tgt_index_path=tgt_idx, nprobe=4,
+        ).collect()
+    }
+    exact = {
+        (r["src_id"], r["tgt_id"], r["margin_q"])
+        for r in similarity.bitext_mine_best(
+            src, tgt, "vec_id", "embedding", k=4
+        ).collect()
+    }
+    assert ann == exact and len(ann) == 10
+    agree = similarity.bitext_ann_agreement(
+        src, tgt, "vec_id", "embedding", k=4, tier="ivf_index",
+        src_index_path=src_idx, tgt_index_path=tgt_idx, nprobe=4,
+    ).collect()
+    assert len(agree) == 10
+    assert all(r["agree"] == 1 for r in agree)
+
+
 def test_ivf_topk_recall_vs_bruteforce(spark, embeddings):
     """IVF top-5 with 8 lists / 4 probes must recover most of the exact
     top-5. The synthetic embeddings are only weakly clustered (recall

@@ -1088,8 +1088,11 @@ def test_hour_swap_recovery_rolls_back_interrupted_swap(spark, tmp_path):
     would double-count it): (A) crash between the two renames — live
     hour missing, old data in the tombstone, new in staging → old data
     restored, staging dropped; (B) crash after the swap, before the
-    tombstone delete — live hour holds new data → tombstone dropped,
-    new data kept."""
+    tombstone delete — live hour holds NEW (already-merged) data but
+    the batch marker was never written, so the replay will re-merge the
+    same delta: keeping the new data would double-count it. The OLD
+    data must be restored (new live dir dropped, tombstone renamed
+    back)."""
     import shutil
 
     from traceframe_spark.operators import rollup as R
@@ -1136,11 +1139,17 @@ def test_hour_swap_recovery_rolls_back_interrupted_swap(spark, tmp_path):
         str(tmp_path / "swapstore" / _HOUR_SWAP_OLD / h_a),
     )
     (tmp_path / "swapstore" / _HOUR_SWAP_NEW / h_a).mkdir(parents=True)
-    # state B on h_b: tombstone copy left behind, live (new) data in place
+    # state B on h_b: old data in the tombstone, live dir holds NEW
+    # (merged) data that differs from it — fake "new" by doubling the
+    # live hour's file so roll-forward and roll-back give different
+    # totals (the pre-r10 test used identical copies and couldn't tell)
     shutil.copytree(
         str(tmp_path / "swapstore" / h_b),
         str(tmp_path / "swapstore" / _HOUR_SWAP_OLD / h_b),
     )
+    live_b = tmp_path / "swapstore" / h_b
+    for f in list(live_b.glob("*.parquet")):
+        shutil.copy(str(f), str(live_b / f"doubled_{f.name}"))
 
     _recover_hour_swaps(spark, store)
     assert not (tmp_path / "swapstore" / _HOUR_SWAP_OLD).exists()
@@ -1151,7 +1160,63 @@ def test_hour_swap_recovery_rolls_back_interrupted_swap(spark, tmp_path):
         .groupBy("hour_ns").agg(F.sum("n").alias("n"), F.sum("value_sum").alias("v"))
         .collect()
     }
-    assert got == old_totals  # h_a restored, h_b kept, nothing lost
+    # h_a restored from tombstone; h_b's half-swapped NEW data dropped
+    # and the OLD data restored (roll-back, not forward) — nothing lost,
+    # nothing double-counted
+    assert got == old_totals
+
+
+def test_merge_replay_after_mid_swap_crash_keeps_standing_rows(spark, tmp_path):
+    """The replay-path hazard behind the recovery-ordering fix: a prior
+    run crashed BETWEEN the two swap renames (live hour gone, old data
+    in the tombstone), then the replaying batch runs a FULL merge. The
+    merge's standing listing must see the tombstoned hour (recovery
+    runs before the listing) — otherwise it merges delta-only and the
+    subsequent swap overwrites the just-recovered old data, silently
+    and permanently losing the hour's standing rows. Exercises
+    _merge_into_store end-to-end, not _recover_part_swaps directly."""
+    import shutil
+
+    from traceframe_spark.operators import rollup as R
+    from traceframe_spark.streaming.spans import (
+        _PART_SWAP_OLD as _HOUR_SWAP_OLD,
+        _merge_into_store,
+        _write_merged_hours,
+    )
+
+    schema = "event_id long, ts_us long, event_type string, value double"
+
+    def rolled(rows):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts_us") * 1000
+        )
+        return R.rollup_events(df, R.MINUTE_NS, ["event_type"], "value").withColumn(
+            "hour_ns", R.time_bucket(F.col("bucket_ns"), R.HOUR_NS)
+        )
+
+    store = str(tmp_path / "replaystore")
+    old_rows = [(i, BASE + i * 1_000_000, "click", 1.0) for i in range(8)]
+    _write_merged_hours(rolled(old_rows), store)
+    (h_dir,) = [
+        d.name
+        for d in (tmp_path / "replaystore").iterdir()
+        if d.name.startswith("hour_ns=")
+    ]
+    # crash between the two renames: live hour gone, old data tombstoned
+    (tmp_path / "replaystore" / _HOUR_SWAP_OLD).mkdir()
+    shutil.move(
+        str(tmp_path / "replaystore" / h_dir),
+        str(tmp_path / "replaystore" / _HOUR_SWAP_OLD / h_dir),
+    )
+    # the replaying batch's delta touches the same hour
+    delta_rows = [(100 + i, BASE + i * 1_000_000, "click", 10.0) for i in range(4)]
+    _merge_into_store(spark, rolled(delta_rows).localCheckpoint(), store, ["event_type"])
+    got = spark.read.parquet(store).agg(
+        F.sum("n").alias("n"), F.sum("value_sum").alias("v")
+    ).collect()[0]
+    # standing rows survived AND the delta landed: 8 old events (value
+    # 1.0 each) + 4 replayed events (value 10.0 each)
+    assert (got["n"], got["v"]) == (12, 8 * 1.0 + 4 * 10.0)
 
 
 def test_hour_swap_racing_reader_never_sees_partial_hour(spark, tmp_path):

@@ -151,43 +151,46 @@ def cosine_topk(
     )
 
 
-def bitext_mine_best(
-    src: DataFrame,
-    tgt: DataFrame,
-    id_col: str,
-    vec_col: str,
-    k: int = 4,
-    quantize: int = 4,
-) -> DataFrame:
-    """Margin-based bitext mining (Artetxe & Schwenk, arXiv:1811.01136
-    §3, the "ratio" margin): for each src vector, the tgt candidate
-    maximizing ``margin(x, y) = cos(x, y) / ((mean kNN-cos of x in tgt
-    + mean kNN-cos of y in src) / 2)`` — the standard parallel-pair
-    miner for multilingual training data, where raw cosine fails
-    because hub vectors are everyone's nearest neighbor and the margin
-    normalizes each side's neighborhood density away.
+def _check_disjoint_ids(src: DataFrame, tgt: DataFrame, id_col: str) -> None:
+    """Enforce the bitext-mining CONTRACT that ``src`` and ``tgt`` ids
+    come from disjoint namespaces: the underlying top-k excludes
+    self-pairs by id, so a shared id would SILENTLY drop that candidate
+    from one direction. One bounded semi-join probe (limit 1 — stops at
+    the first clash, never materializes the overlap); callers that have
+    already shifted one side's ids can pass ``check_disjoint=False`` to
+    skip the job."""
+    clash = (
+        src.select(F.col(id_col).alias("_id"))
+        .join(tgt.select(F.col(id_col).alias("_id")), "_id", "left_semi")
+        .limit(1)
+        .collect()
+    )
+    if clash:
+        raise ValueError(
+            f"bitext mining: src and tgt share id {clash[0]['_id']} — the "
+            "two tables must use disjoint id namespaces (shift one side's "
+            "ids, e.g. tgt_id + offset, before mining)"
+        )
 
-    Output: (src_id, tgt_id, margin_q) — one row per src vector,
-    deterministic tie-breaks; thresholding (the usual final mining
-    step, margin ≥ ~1.06 in the paper) composes on top. Cosines are
-    quantized on the shared 10^-quantize grid BEFORE the margin
-    arithmetic, so margins — and therefore the mined pairs — are
-    engine-reproducible (means are exact sums of longs / k).
 
-    CONTRACT: ``src`` and ``tgt`` ids must come from disjoint
-    namespaces — the underlying top-k excludes self-pairs by id, so an
-    id shared across the two tables would silently drop that candidate
-    (shift one side's ids if the corpora are numbered independently).
+def bitext_margin_from_topk(fwd: DataFrame, bwd: DataFrame, quantize: int = 4) -> DataFrame:
+    """The margin algebra of Artetxe & Schwenk mining, agnostic to where
+    the two top-k frames came from (exact :func:`cosine_topk`, the LSH
+    tier, or a persisted IVF index — all score on the shared 1e-4
+    cosine grid).
 
-    Scale shape: both directions ride :func:`cosine_topk` (broadcast
-    queries — exact, the verification baseline). At 100 TB both sides
-    are large: swap each direction for the ANN tiers
-    (:func:`ivf_topk_over_index` per side) — the margin algebra below
-    is agnostic to where the top-k frames came from. Cosine symmetry
-    means the backward direction reuses the same pair scores, so the
-    mining pass costs one cross scoring + two cheap grouped means."""
-    fwd = cosine_topk(tgt, src, id_col, vec_col, k=k, quantize=quantize)
-    bwd = cosine_topk(src, tgt, id_col, vec_col, k=k, quantize=quantize)
+    ``fwd``: (qid=src_id, cid=tgt_id, cos) — each src's top-k in tgt.
+    ``bwd``: (qid=tgt_id, cid=src_id, cos) — each tgt's top-k in src.
+    Output: (src_id, tgt_id, margin_q) — per src, the argmax-margin tgt
+    among its fwd candidates, ``margin = 2·cos / (mean fwd-kNN cos of
+    src + mean bwd-kNN cos of tgt)``, deterministic tie-breaks.
+
+    With APPROXIMATE top-k frames two honest drop modes exist (both are
+    recall effects, instrumented by :func:`bitext_ann_agreement`): a
+    src with zero retrieved candidates mines nothing, and a fwd
+    candidate whose tgt retrieved nothing in the bwd direction has no
+    kNN mean — the inner join drops it rather than fake a
+    neighborhood-density estimate."""
     mean_fwd = fwd.groupBy("qid").agg(F.avg("cos").alias("mf"))
     mean_bwd = (
         bwd.groupBy("qid").agg(F.avg("cos").alias("mb"))
@@ -213,6 +216,192 @@ def bitext_mine_best(
             .cast("long")
             .alias("margin_q"),
         )
+    )
+
+
+def bitext_mine_best(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    quantize: int = 4,
+    check_disjoint: bool = True,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk, arXiv:1811.01136
+    §3, the "ratio" margin): for each src vector, the tgt candidate
+    maximizing ``margin(x, y) = cos(x, y) / ((mean kNN-cos of x in tgt
+    + mean kNN-cos of y in src) / 2)`` — the standard parallel-pair
+    miner for multilingual training data, where raw cosine fails
+    because hub vectors are everyone's nearest neighbor and the margin
+    normalizes each side's neighborhood density away.
+
+    Output: (src_id, tgt_id, margin_q) — one row per src vector,
+    deterministic tie-breaks; thresholding (the usual final mining
+    step, margin ≥ ~1.06 in the paper) composes on top. Cosines are
+    quantized on the shared 10^-quantize grid BEFORE the margin
+    arithmetic, so margins — and therefore the mined pairs — are
+    engine-reproducible (means are exact sums of longs / k).
+
+    CONTRACT: ``src`` and ``tgt`` ids must come from disjoint
+    namespaces — enforced by a bounded semi-join probe (raises on the
+    first shared id; ``check_disjoint=False`` skips the job if the
+    caller already shifted one side's ids).
+
+    Scale shape: ``src`` broadcasts and every (src, tgt) pair is scored
+    exactly ONCE — cos(x, y) = cos(y, x), so one persisted scored-pair
+    table feeds both directions' top-k windows (the fwd window
+    partitions by src_id, the bwd by tgt_id: two shuffles of the pair
+    table, one cross scoring). Exact — the verification baseline. When
+    BOTH sides are large (two languages' crawl snapshots), use
+    :func:`bitext_mine_ann`: same margin algebra
+    (:func:`bitext_margin_from_topk`) over the ANN tiers' top-k frames
+    instead of the broadcast cross scoring."""
+    if check_disjoint:
+        _check_disjoint_ids(src, tgt, id_col)
+    s = src.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_nrm"),
+    )
+    t = tgt.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_nrm"),
+    )
+    cos = dot_f64(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm"))
+    cos = F.floor(cos * (10**quantize) + F.lit(0.5)).cast("long")
+    # persist: both directions' windows consume this frame — without it
+    # the expensive part (the dim-length dot products) runs twice
+    pairs = t.crossJoin(F.broadcast(s)).select("qid", "cid", cos.alias("cos")).persist()
+    w_f = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    fwd = (
+        pairs.withColumn("rn", F.row_number().over(w_f))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", "cos")
+    )
+    w_b = Window.partitionBy("cid").orderBy(F.col("cos").desc(), F.col("qid").asc())
+    bwd = (
+        pairs.withColumn("rn", F.row_number().over(w_b))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("cid").alias("qid"), F.col("qid").alias("cid"), "cos"
+        )  # (tgt, src) orientation, as cosine_topk(src, tgt) would emit
+    )
+    return bitext_margin_from_topk(fwd, bwd, quantize)
+
+
+def bitext_mine_ann(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    quantize: int = 4,
+    tier: str = "lsh",
+    src_index_path: str | None = None,
+    tgt_index_path: str | None = None,
+    nprobe: int = 4,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    portable: bool = False,
+    multiprobe: bool = True,
+    check_disjoint: bool = True,
+) -> DataFrame:
+    """Corpus×corpus bitext mining: the Artetxe & Schwenk margin over
+    ANN top-k frames instead of the exact broadcast cross scoring —
+    the composition :func:`bitext_mine_best` is NOT (its exact tier
+    broadcasts src and scores |src|×|tgt| pairs; mining two languages'
+    crawl snapshots against each other needs both directions
+    sub-quadratic).
+
+    ``tier="lsh"``: each direction rides :func:`hyperplane_lsh_topk`
+    (bucket join + bounded re-rank; ``portable=True`` makes the whole
+    mining chain — buckets, re-rank, margins — value-replayable in
+    ANSI SQL, ``multiprobe=True`` is the measured query-side recall
+    lever, 0.32→0.86 portable). ``tier="ivf_index"``: each direction
+    probes that side's PERSISTED IVF index
+    (:func:`ivf_topk_over_index`; ``src_index_path`` indexes the src
+    vectors — probed by tgt queries — and ``tgt_index_path`` the tgt
+    vectors), so neither corpus is rescanned per mining run and the
+    probe filter partition-prunes unprobed inverted lists.
+
+    Both tiers emit cosines on the same 1e-4 grid as the exact tier, so
+    margins are comparable across tiers and
+    :func:`bitext_ann_agreement` measures the recall cost apples to
+    apples. Approximate top-k means approximate neighborhood-density
+    means: a mined pair can differ from the exact answer even when the
+    true argmax WAS retrieved — agreement, not retrieval recall, is
+    the honest instrument. Output: (src_id, tgt_id, margin_q); src rows
+    with zero retrieved candidates mine nothing (see
+    :func:`bitext_margin_from_topk` for the drop modes)."""
+    if check_disjoint:
+        _check_disjoint_ids(src, tgt, id_col)
+    if tier == "ivf_index":
+        if not (src_index_path and tgt_index_path):
+            raise ValueError(
+                "bitext_mine_ann(tier='ivf_index') needs src_index_path and "
+                "tgt_index_path (write_ivf_index per side)"
+            )
+        spark = src.sparkSession
+        fwd = ivf_topk_over_index(
+            spark, tgt_index_path, src, id_col, vec_col, k=k, nprobe=nprobe
+        )
+        bwd = ivf_topk_over_index(
+            spark, src_index_path, tgt, id_col, vec_col, k=k, nprobe=nprobe
+        )
+    elif tier == "lsh":
+        fwd = hyperplane_lsh_topk(
+            tgt, src, id_col, vec_col, k=k, dim=dim, n_planes=n_planes,
+            bands=bands, seed=seed, portable=portable, multiprobe=multiprobe,
+        )
+        bwd = hyperplane_lsh_topk(
+            src, tgt, id_col, vec_col, k=k, dim=dim, n_planes=n_planes,
+            bands=bands, seed=seed, portable=portable, multiprobe=multiprobe,
+        )
+    else:
+        raise ValueError(f"bitext_mine_ann: unknown tier {tier!r} (lsh | ivf_index)")
+    sel = ["qid", "cid", "cos"]
+    return bitext_margin_from_topk(fwd.select(*sel), bwd.select(*sel), quantize)
+
+
+def bitext_ann_agreement(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    quantize: int = 4,
+    **ann_kwargs,
+) -> DataFrame:
+    """Instrument the ANN-tier mining against the exact-tier answer —
+    the :func:`ivf_recall_at_k` analogue for bitext: per src vector,
+    did :func:`bitext_mine_ann` mine the SAME tgt as
+    :func:`bitext_mine_best`?
+
+    Output: one row per src vector — (src_id, tgt_exact, tgt_ann,
+    agree) with ``tgt_ann`` null when the ANN tier mined nothing for
+    that src and ``agree`` ∈ {0, 1}. Aggregate agreement =
+    avg(agree); run on a src SAMPLE before fixing the tier's knobs
+    (the sample, not the corpora, bounds the exact side's broadcast
+    cross scoring — same affordability argument as ivf_recall_at_k)."""
+    exact = bitext_mine_best(
+        src, tgt, id_col, vec_col, k=k, quantize=quantize, check_disjoint=True
+    ).select(F.col("src_id"), F.col("tgt_id").alias("tgt_exact"))
+    ann = bitext_mine_ann(
+        src, tgt, id_col, vec_col, k=k, quantize=quantize,
+        check_disjoint=False, **ann_kwargs,
+    ).select(F.col("src_id"), F.col("tgt_id").alias("tgt_ann"))
+    return exact.join(ann, "src_id", "left").select(
+        "src_id",
+        "tgt_exact",
+        "tgt_ann",
+        F.when(F.col("tgt_ann") == F.col("tgt_exact"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("agree"),
     )
 
 

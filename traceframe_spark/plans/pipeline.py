@@ -1061,6 +1061,144 @@ FROM (
 """
 
 
+def q_bitext_mine_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus×corpus bitext mining over the ANN tier
+    (operators/similarity.bitext_mine_ann): both directions' top-k come
+    from portable multi-probe hyperplane LSH — bucket join + bounded
+    re-rank per side, no broadcast cross scoring — and the margin
+    algebra (bitext_margin_from_topk) is unchanged from the exact tier.
+    This is the 100 TB mining composition (two languages' crawl
+    snapshots, both sides large); ``bitext_mine`` stays the exact
+    verification baseline. The oracle replays the ENTIRE approximate
+    chain — md5 ±1 planes, integer sign dots, band keys, the 1-bit
+    multiprobe expansion per direction, quantized-cosine re-rank, kNN
+    means, margin argmax — so the mined pairs are value-verified
+    INCLUDING every recall effect of the ANN tier."""
+    e = load_table(spark, sf_dir, "embeddings")
+    src = e.filter(F.col("vec_id") < 25)
+    tgt = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 125))
+    return similarity.bitext_mine_ann(
+        src, tgt, "vec_id", "embedding", k=4, tier="lsh",
+        n_planes=16, bands=4, portable=True, multiprobe=True,
+    )
+
+
+# Replays bitext_mine_ann's actual chain: the portable-LSH candidate
+# generation PER DIRECTION (probe expansion is query-side only, so the
+# fwd and bwd candidate sets are NOT transposes of each other), cosines
+# computed once per unordered pair (cos symmetry), then the exact-tier
+# margin algebra over the two approximate top-k frames.
+SQL_BITEXT_MINE_ANN = """
+WITH w AS (
+    SELECT i, j,
+           CASE WHEN ('0x' || substr(md5(i::VARCHAR || '_' || j::VARCHAR), 1, 8))::BIGINT & 1 = 1
+                THEN 1 ELSE -1 END AS wt
+    FROM range(0, 16) a(i) CROSS JOIN range(0, 64) b(j)
+),
+vecs AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE vec_id < 25 OR (vec_id >= 100 AND vec_id < 125)
+),
+q AS (
+    SELECT vec_id, j,
+           CAST(floor(CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv
+    FROM vecs CROSS JOIN range(0, 64) t(j)
+),
+dots AS (
+    SELECT q.vec_id, w.i, sum(q.qv * w.wt) AS dot
+    FROM q JOIN w ON w.j = q.j
+    GROUP BY 1, 2
+),
+sig AS (
+    SELECT vec_id,
+           CAST(sum(CASE WHEN dot > 0 THEN 1::BIGINT << CAST(i AS INT) ELSE 0 END) AS BIGINT) AS sig
+    FROM dots GROUP BY vec_id
+),
+keyed AS (
+    SELECT vec_id, b AS band, (sig >> (4 * CAST(b AS INT))) & 15 AS key
+    FROM sig CROSS JOIN range(0, 4) t(b)
+),
+skeys AS (
+    SELECT vec_id, band, key FROM keyed WHERE vec_id < 25
+    UNION
+    SELECT vec_id, band, xor(key, 1::BIGINT << CAST(j AS INT)) AS key
+    FROM keyed CROSS JOIN range(0, 4) r(j)
+    WHERE vec_id < 25
+),
+tkeys AS (
+    SELECT vec_id, band, key FROM keyed WHERE vec_id >= 100
+    UNION
+    SELECT vec_id, band, xor(key, 1::BIGINT << CAST(j AS INT)) AS key
+    FROM keyed CROSS JOIN range(0, 4) r(j)
+    WHERE vec_id >= 100
+),
+cand_f AS (
+    SELECT DISTINCT sk.vec_id AS sid, kc.vec_id AS tid
+    FROM skeys sk JOIN keyed kc USING (band, key)
+    WHERE kc.vec_id >= 100
+),
+cand_b AS (
+    SELECT DISTINCT tk.vec_id AS tid, kc.vec_id AS sid
+    FROM tkeys tk JOIN keyed kc USING (band, key)
+    WHERE kc.vec_id < 25
+),
+pairs AS (
+    SELECT sid, tid FROM cand_f UNION SELECT sid, tid FROM cand_b
+),
+norms AS (
+    SELECT vec_id, sqrt(sum(v * v)) AS nrm
+    FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM vecs)
+    GROUP BY vec_id
+),
+pairdots AS (
+    SELECT sid, tid, sum(sv * tv) AS dot
+    FROM (
+        SELECT pairs.sid, pairs.tid,
+               CAST(unnest(es.embedding) AS DOUBLE) AS sv,
+               CAST(unnest(et.embedding) AS DOUBLE) AS tv
+        FROM pairs
+        JOIN vecs es ON es.vec_id = pairs.sid
+        JOIN vecs et ON et.vec_id = pairs.tid
+    )
+    GROUP BY sid, tid
+),
+cosq AS (
+    SELECT d.sid, d.tid,
+           CAST(floor(d.dot / (ns.nrm * nt.nrm) * 10000 + 0.5) AS BIGINT) AS cos
+    FROM pairdots d
+    JOIN norms ns ON ns.vec_id = d.sid
+    JOIN norms nt ON nt.vec_id = d.tid
+),
+ftop AS (
+    SELECT * FROM (
+        SELECT c.sid, c.tid, cq.cos,
+               row_number() OVER (PARTITION BY c.sid ORDER BY cq.cos DESC, c.tid ASC) AS rn
+        FROM cand_f c JOIN cosq cq ON cq.sid = c.sid AND cq.tid = c.tid
+    ) WHERE rn <= 4
+),
+btop AS (
+    SELECT * FROM (
+        SELECT c.tid, c.sid, cq.cos,
+               row_number() OVER (PARTITION BY c.tid ORDER BY cq.cos DESC, c.sid ASC) AS rn
+        FROM cand_b c JOIN cosq cq ON cq.sid = c.sid AND cq.tid = c.tid
+    ) WHERE rn <= 4
+),
+mf AS (SELECT sid, avg(cos) AS mf FROM ftop GROUP BY sid),
+mb AS (SELECT tid, avg(cos) AS mb FROM btop GROUP BY tid),
+scored AS (
+    SELECT f.sid, f.tid, 2.0 * f.cos / (mf.mf + mb.mb) AS margin
+    FROM ftop f JOIN mf ON mf.sid = f.sid JOIN mb ON mb.tid = f.tid
+)
+SELECT sid AS src_id, tid AS tgt_id,
+       CAST(floor(margin * 10000 + 0.5) AS BIGINT) AS margin_q
+FROM (
+    SELECT sid, tid, margin,
+           row_number() OVER (PARTITION BY sid ORDER BY margin DESC, tid ASC) AS rn
+    FROM scored
+) WHERE rn = 1
+"""
+
+
 # The integer dot products make the sign decision exact in both engines;
 # the re-rank reuses SQL_ANN_COSINE_TOPK's quantized-cosine shape
 # restricted to the LSH candidate set.
@@ -2744,6 +2882,8 @@ PIPELINE_QUERIES = {
     "ann_lsh_portable": q_ann_lsh_portable,
     "bitext_mine": q_bitext_mine,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+    # r10 additions — rotated into the head by _R10_ROTATION_HEAD
+    "bitext_mine_ann": q_bitext_mine_ann,
 }
 
 PIPELINE_ORACLE_SQL = {
@@ -2804,5 +2944,6 @@ PIPELINE_ORACLE_SQL = {
     "simhash_portable_pairs": SQL_SIMHASH_PORTABLE_PAIRS,
     "ann_lsh_portable": SQL_ANN_LSH_PORTABLE,
     "bitext_mine": SQL_BITEXT_MINE,
+    "bitext_mine_ann": SQL_BITEXT_MINE_ANN,
     "ann_lsh_multiprobe": SQL_ANN_LSH_MULTIPROBE,
 }

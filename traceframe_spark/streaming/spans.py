@@ -259,16 +259,31 @@ an interrupted swap can be rolled back (see
 def _recover_part_swaps(spark, path: str, part_col: str) -> None:
     """Roll back any swap a previous process died in the middle of.
 
-    For each partition tombstone: if the live partition EXISTS the swap
-    completed (only the tombstone delete was lost) — drop the
-    tombstone; if the live partition is MISSING the crash hit between
-    the two renames — rename the old data back into place. Rolling BACK
-    (never forward) is what keeps replay semantics unchanged: the
-    caller's at-least-once machinery (batch markers / staging
-    tombstone / idempotent register max) re-merges the delta after a
-    crash, so completing the swap here would double-count it. Leftover
-    staging is deleted for the same reason: its content is a merge the
-    replay will redo."""
+    Every partition with a tombstone is restored FROM the tombstone:
+    if the live partition is missing the crash hit between the two
+    renames (rename the old data back); if the live partition EXISTS
+    the crash hit between the swap-in and the tombstone delete — the
+    rewritten data landed but the caller's batch marker was never
+    written, so the at-least-once replay WILL re-merge the same delta.
+    Keeping the new data (rolling forward) would therefore double-count
+    sum rollups; the old data is restored instead (delete the new live
+    dir, rename the tombstone back). Rolling BACK — never forward — is
+    what keeps replay semantics unchanged everywhere. Leftover staging
+    is deleted for the same reason: its content is a merge the replay
+    will redo.
+
+    MUST run before the caller lists standing partitions
+    (:func:`_store_parts` / :func:`_store_exists`): a listing taken
+    while a partition sits in the tombstone would miss it, merge
+    delta-only, and the subsequent swap would overwrite the recovered
+    old data — silently dropping the partition's standing rows. Every
+    single-writer batch path calls this first for that reason.
+
+    Residual window (documented, not closable without a transactional
+    table format): a partition whose per-partition tombstone delete
+    completed before the crash has no tombstone left, stays rolled
+    forward, and the replay double-counts that one partition's delta
+    (harmless for the HLL store — register max is idempotent)."""
     prefix = f"{part_col}="
     fs, tomb = _fs_path(spark, f"{path}/{_PART_SWAP_OLD}")
     if fs.exists(tomb):
@@ -277,10 +292,11 @@ def _recover_part_swaps(spark, path: str, part_col: str) -> None:
             if not name.startswith(prefix):
                 continue
             _, live = _fs_path(spark, f"{path}/{name}")
-            if fs.exists(live):
-                if not fs.delete(status.getPath(), True):
-                    raise IOError(f"partitioned store: failed to drop tombstone {name}")
-            elif not fs.rename(status.getPath(), live):
+            if fs.exists(live) and not fs.delete(live, True):
+                raise IOError(
+                    f"partitioned store: failed to drop half-swapped partition {name}"
+                )
+            if not fs.rename(status.getPath(), live):
                 raise IOError(f"partitioned store: failed to restore {name} from tombstone")
         fs.delete(tomb, True)
     _, staging = _fs_path(spark, f"{path}/{_PART_SWAP_NEW}")
@@ -362,6 +378,11 @@ def _merge_into_store(spark, delta: DataFrame, path: str, keys: list[str]) -> No
     is O(delta + touched hours) again at any store age."""
     from traceframe_spark.operators import rollup as R
 
+    # BEFORE the standing listing: a partition a prior crash left in the
+    # swap tombstone would otherwise be missing from _store_hours, the
+    # merge would be delta-only, and the swap below would overwrite the
+    # just-recovered old data — silent loss of that hour's standing rows
+    _recover_part_swaps(spark, path, "hour_ns")
     touched = [r["hour_ns"] for r in delta.select("hour_ns").distinct().collect()]
     existing = sorted(_store_hours(spark, path) & set(touched))
     if existing:
@@ -437,6 +458,10 @@ def _fold_staged_into_store(spark, staged_path: str, path: str, keys: list[str])
     # rewrite, cutting the file-source lineage (Spark refuses to
     # overwrite a path it is also reading from)
     staged = spark.read.parquet(staged_path).localCheckpoint()
+    # recover BEFORE the existence probe: if a crash tombstoned the
+    # store's only hour, _store_exists would say False and the else
+    # branch would swap a staged-only rewrite over the recovered data
+    _recover_part_swaps(spark, path, "hour_ns")
     if _store_exists(spark, path):
         _merge_into_store(spark, staged, path, keys)
     else:
@@ -577,6 +602,11 @@ def stream_to_rollup(
         # delta would permanently double-count every touched bucket
         if _batch_already_applied(spark, path, checkpoint, batch_id):
             return
+        # recover interrupted swaps BEFORE any listing this batch takes
+        # (_store_exists, _store_hour_count, the merge's _store_hours):
+        # a tombstoned partition invisible to those listings would be
+        # merged delta-only and overwritten — standing rows lost
+        _recover_part_swaps(spark, path, "hour_ns")
         delta = R.rollup_events(batch_df, bucket_ns, keys, value_col, ts_col)
         # localCheckpoint: the touched-hours collect AND the final write
         # both consume delta — without it each recomputes the batch's
@@ -681,6 +711,11 @@ def stream_to_hll_store(
         spark = batch_df.sparkSession
         if _batch_already_applied(spark, path, checkpoint, batch_id):
             return
+        # recover interrupted swaps BEFORE the _store_parts listing: a
+        # day sitting in the swap tombstone would be merged delta-only
+        # and then overwritten (harmless for MAX registers only if the
+        # delta covers every standing bucket — it usually doesn't)
+        _recover_part_swaps(spark, path, "day")
         b, r = sketch.hll_bucket_rho(F.col(key_col), p)
         delta = (
             batch_df.select(
