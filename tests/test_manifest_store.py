@@ -1,0 +1,298 @@
+"""Manifest-pointer committed store (streaming/manifest_store.py): the
+object-store-safe commit protocol — immutable data dirs + one atomic
+manifest publish per commit. Covers the four properties the module
+sells: correct incremental folds, whole-store SNAPSHOT isolation,
+crash-invisibility of un-manifested data, and exactly-once replay via
+the batch watermark committed atomically with the data pointers."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from traceframe_spark.operators import rollup as R
+from traceframe_spark.streaming.manifest_store import (
+    _latest_manifest,
+    commit_merged_parts,
+    manifest_last_batch,
+    merge_into_manifest_store,
+    read_manifest_store,
+    stream_to_rollup_manifest,
+    vacuum_manifest_store,
+)
+
+BASE = 1_700_000_000_000_000  # µs
+HOUR_US = 3_600_000_000
+SCHEMA = "event_id long, ts_us long, event_type string, value double"
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA).withColumn(
+        "ts", F.col("ts_us") * 1000
+    )
+
+
+def _delta(spark, rows):
+    return R.rollup_events(
+        _events(spark, rows), R.MINUTE_NS, ["event_type"], "value"
+    ).withColumn("hour_ns", R.time_bucket(F.col("bucket_ns"), R.HOUR_NS))
+
+
+def _totals(df):
+    return {
+        (r["bucket_ns"], r["event_type"]): (r["n"], r["value_sum"])
+        for r in df.collect()
+    }
+
+
+def test_manifest_fold_matches_batch_rollup(spark, tmp_path):
+    """Three deltas folded (incl. late data re-touching the first hour)
+    equal the one-shot batch rollup of all events; only touched hours
+    are repointed per commit, untouched partitions carry forward."""
+    store = str(tmp_path / "mstore")
+    b0 = [(i, BASE + i * 1_000_000, "click", float(i)) for i in range(6)]
+    b1 = [(10 + i, BASE + HOUR_US + i * 1_000_000, "view", 2.0 * i) for i in range(6)]
+    b2 = [(20 + i, BASE + i * 1_000_000, "click", 3.0 * i) for i in range(4)]  # late
+    for rows in (b0, b1, b2):
+        merge_into_manifest_store(
+            spark, _delta(spark, rows).localCheckpoint(), store, ["event_type"]
+        )
+    want = _totals(
+        R.rollup_events(_events(spark, b0 + b1 + b2), R.MINUTE_NS, ["event_type"], "value")
+    )
+    got = _totals(read_manifest_store(spark, store).drop("hour_ns"))
+    assert got == want
+    # commit 3 (late data) touched only hour 0: hour 1 still points at
+    # its commit-2 directory
+    man = _latest_manifest(spark, store)
+    assert man["n"] == 3
+    dirs = {v: d.split("/")[1] for v, d in man["parts"].items()}
+    assert len(set(dirs.values())) == 2  # two live commit dirs
+
+
+def test_manifest_reader_sees_snapshots_only(spark, tmp_path):
+    """Snapshot isolation — stronger than the rename swap's per-
+    partition old-or-new: every successful read taken WHILE commits
+    land must equal exactly one committed version of the WHOLE store
+    (never a mix of hour A from version i and hour B from version j).
+    Both hours are rewritten in every commit to maximize the mixing
+    opportunity."""
+    store = str(tmp_path / "race")
+    both_hours = [(0, BASE, "click", 1.0), (1, BASE + HOUR_US, "click", 1.0)]
+    merge_into_manifest_store(
+        spark, _delta(spark, both_hours).localCheckpoint(), store, ["event_type"]
+    )
+    versions = [_totals(read_manifest_store(spark, store).drop("hour_ns"))]
+    stop, seen, errs = threading.Event(), [], []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                seen.append(_totals(read_manifest_store(spark, store).drop("hour_ns")))
+            except Exception as exc:  # noqa: BLE001
+                errs.append(repr(exc))
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for k in range(1, 6):
+            rows = [
+                (100 * k, BASE + 1_000_000, "click", float(k)),
+                (100 * k + 1, BASE + HOUR_US + 1_000_000, "click", float(k)),
+            ]
+            merge_into_manifest_store(
+                spark, _delta(spark, rows).localCheckpoint(), store, ["event_type"]
+            )
+            versions.append(_totals(read_manifest_store(spark, store).drop("hour_ns")))
+    finally:
+        stop.set()
+        t.join()
+    assert not errs, errs[:3]
+    assert len(seen) >= 3
+    committed = [json.dumps(sorted((str(k), v) for k, v in ver.items())) for ver in versions]
+    for got in seen:
+        key = json.dumps(sorted((str(k), v) for k, v in got.items()))
+        assert key in committed, "read a state that was never a committed snapshot"
+
+
+def test_unpublished_commit_dir_is_invisible_and_replay_merges(spark, tmp_path):
+    """Crash before the manifest publish: the commit directory exists on
+    disk but no reader resolves it, and the replaying merge produces the
+    exact totals — no loss, no double count, no recovery step."""
+    store = str(tmp_path / "crash")
+    b0 = [(i, BASE + i * 1_000_000, "click", 1.0) for i in range(5)]
+    merge_into_manifest_store(spark, _delta(spark, b0).localCheckpoint(), store, ["event_type"])
+    before = _totals(read_manifest_store(spark, store).drop("hour_ns"))
+
+    # simulate the crash: write the data directory a commit WOULD have
+    # written, but never publish a manifest for it
+    orphan = _delta(spark, [(99, BASE + 2_000_000, "click", 50.0)])
+    (
+        orphan.repartition("hour_ns")
+        .write.mode("errorifexists")
+        .partitionBy("hour_ns")
+        .parquet(f"{store}/data/c-000000000002-deadbeef")
+    )
+    assert _totals(read_manifest_store(spark, store).drop("hour_ns")) == before
+
+    # the replayed batch now merges for real
+    b1 = [(99, BASE + 2_000_000, "click", 50.0)]
+    merge_into_manifest_store(spark, _delta(spark, b1).localCheckpoint(), store, ["event_type"])
+    want = _totals(
+        R.rollup_events(_events(spark, b0 + b1), R.MINUTE_NS, ["event_type"], "value")
+    )
+    assert _totals(read_manifest_store(spark, store).drop("hour_ns")) == want
+    # vacuum reclaims the orphan (numbered <= newest kept commit)
+    removed = vacuum_manifest_store(spark, store, keep_manifests=2)
+    assert removed >= 1
+    assert not os.path.exists(f"{store}/data/c-000000000002-deadbeef")
+    assert _totals(read_manifest_store(spark, store).drop("hour_ns")) == want
+
+
+def test_stream_rollup_manifest_exactly_once_and_restart(spark, tmp_path):
+    """The streaming twin end-to-end: availableNow drain folds every
+    micro-batch; totals match the batch rollup; a restart on the same
+    checkpoint (replay) changes nothing — the batch watermark rides the
+    manifest, so there is no write-then-mark window at all."""
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    all_rows = []
+    for b in range(3):
+        rows = [
+            (100 * b + i, BASE + b * HOUR_US + i * 60_000_000, "click", float(i))
+            for i in range(5)
+        ]
+        all_rows += rows
+        with open(feed / f"b{b}.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(dict(zip(
+                    ("event_id", "ts_us", "event_type", "value"), r))) + "\n")
+        os.utime(feed / f"b{b}.jsonl", (time.time() + b, time.time() + b))
+
+    store, ckpt = str(tmp_path / "mstream"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+        .withColumn("ts", F.col("ts_us") * 1000)
+    )
+
+    def run():
+        q = stream_to_rollup_manifest(
+            stream, store, ckpt, R.MINUTE_NS, ["event_type"], "value",
+            trigger_available_now=True,
+        )
+        assert q.awaitTermination(600)
+
+    run()
+    want = _totals(
+        R.rollup_events(_events(spark, all_rows), R.MINUTE_NS, ["event_type"], "value")
+    )
+    assert _totals(read_manifest_store(spark, store).drop("hour_ns")) == want
+    n_before = _latest_manifest(spark, store)["n"]
+    assert manifest_last_batch(spark, store, ckpt) is not None
+    run()  # restart, same checkpoint: no new commits, same totals
+    assert _latest_manifest(spark, store)["n"] == n_before
+    assert _totals(read_manifest_store(spark, store).drop("hour_ns")) == want
+    # direct double-apply of an old batch id: skipped by the watermark
+    last = manifest_last_batch(spark, store, ckpt)
+    assert last is not None and last >= 0
+
+
+def test_stream_hll_manifest_counts_distinct_and_replays(spark, tmp_path):
+    """The HLL twin over the same commit primitive (part_col="day"):
+    per-day distinct estimates from the manifest store match the batch
+    sketch over all replayed events, late registers fold by MAX, and a
+    restart on the same checkpoint is a no-op (watermark rides the
+    manifest)."""
+    from traceframe_spark.operators import sketch
+    from traceframe_spark.streaming.manifest_store import stream_to_hll_manifest
+
+    DAY_US = 86_400_000_000
+    feed = tmp_path / "hllfeed"
+    feed.mkdir()
+    all_rows = []
+    for b in range(3):
+        rows = [
+            (i, BASE + (i % 2) * DAY_US + b * 60_000_000, "u", float(i))
+            for i in range(50 * b, 50 * b + 40)
+        ]
+        all_rows += rows
+        with open(feed / f"b{b}.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(dict(zip(
+                    ("event_id", "ts_us", "event_type", "value"), r))) + "\n")
+        os.utime(feed / f"b{b}.jsonl", (time.time() + b, time.time() + b))
+
+    store, ckpt = str(tmp_path / "hllm"), str(tmp_path / "hllckpt")
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+        .withColumn("ts", F.col("ts_us") * 1000)
+    )
+
+    def run():
+        q = stream_to_hll_manifest(
+            stream, store, ckpt, "event_id", trigger_available_now=True
+        )
+        assert q.awaitTermination(600)
+
+    run()
+    got = {
+        r["day"]: r["est"]
+        for r in sketch.hll_estimate_by(
+            read_manifest_store(spark, store), ["day"]
+        ).collect()
+    }
+    batch = _events(spark, all_rows).select(
+        F.expr("ts div 86400000000000").alias("day"),
+        *[F.col(c) for c in ("event_id",)],
+    )
+    want = {
+        r["day"]: r["est"]
+        for r in sketch.hll_estimate_by(
+            batch.select(
+                "day",
+                sketch.hll_bucket_rho(F.col("event_id"), 10)[0].alias("bucket"),
+                sketch.hll_bucket_rho(F.col("event_id"), 10)[1].alias("rho"),
+            )
+            .groupBy("day", "bucket")
+            .agg(F.max("rho").alias("rho_max")),
+            ["day"],
+        ).collect()
+    }
+    assert got == want and len(got) == 2
+    n_before = _latest_manifest(spark, store)["n"]
+    run()  # replay: no new commits
+    assert _latest_manifest(spark, store)["n"] == n_before
+
+
+def test_vacuum_keeps_grace_versions(spark, tmp_path):
+    """vacuum keeps the newest K manifests and every directory they
+    reference; older manifests and unreferenced dirs go; the store
+    reads the same after."""
+    store = str(tmp_path / "vac")
+    for k in range(4):
+        merge_into_manifest_store(
+            spark,
+            _delta(spark, [(k, BASE + k * 1_000_000, "click", float(k))]).localCheckpoint(),
+            store,
+            ["event_type"],
+        )
+    want = _totals(read_manifest_store(spark, store).drop("hour_ns"))
+    removed = vacuum_manifest_store(spark, store, keep_manifests=2)
+    assert removed >= 1
+    manifests = sorted(
+        n for n in os.listdir(f"{store}/_manifests")
+        if n.startswith("m-") and n.endswith(".json")  # skip local-FS .crc sidecars
+    )
+    assert len(manifests) == 2
+    assert _totals(read_manifest_store(spark, store).drop("hour_ns")) == want
+    with pytest.raises(ValueError):
+        vacuum_manifest_store(spark, store, keep_manifests=0)

@@ -181,3 +181,46 @@ def test_queries_run_on_bare_session(spark):
     for name in subset:
         n = qs[name](bare, sf).count()
         assert n >= 0, name
+
+
+def test_tmp_store_sweeps_stale_roots_and_scopes_by_pid():
+    """The one-orphan-per-gate-day leak (r09 judge finding): a process
+    killed by signal never runs its atexit cleanup. Roots are now
+    PID-stamped; the next root creation sweeps roots whose pid is dead
+    and legacy unstamped roots >6h old, and leaves live-pid roots alone."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from traceframe_spark.plans import catalog as C
+
+    tmpdir = tempfile.gettempdir()
+    dead = os.path.join(tmpdir, "traceframe_stores_999999999_x")
+    os.makedirs(dead, exist_ok=True)
+    legacy_old = os.path.join(tmpdir, "traceframe_stores_legacyfmt")
+    os.makedirs(legacy_old, exist_ok=True)
+    os.utime(legacy_old, (0, 0))
+    live = os.path.join(tmpdir, f"traceframe_stores_{os.getpid()}_live")
+    os.makedirs(live, exist_ok=True)
+    try:
+        # force a fresh root creation (which triggers the sweep)
+        saved = list(C._TMP_STORE_ROOT)
+        C._TMP_STORE_ROOT.clear()
+        try:
+            p = C.tmp_store("unit_")
+            root = os.path.dirname(p)
+            assert re.match(rf"traceframe_stores_{os.getpid()}_", os.path.basename(root))
+            assert not os.path.exists(dead)
+            assert not os.path.exists(legacy_old)
+            assert os.path.exists(live)  # same-pid root: never swept
+            # same process: the root is reused, no second root created
+            assert os.path.dirname(C.tmp_store("unit_")) == root
+        finally:
+            created = [r for _, r in C._TMP_STORE_ROOT]
+            C._TMP_STORE_ROOT.clear()
+            C._TMP_STORE_ROOT.extend(saved)
+            for r in created:
+                shutil.rmtree(r, ignore_errors=True)
+    finally:
+        shutil.rmtree(live, ignore_errors=True)

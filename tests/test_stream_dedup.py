@@ -214,3 +214,96 @@ def test_stream_dedup_lm_quality_annotation(spark, tmp_path, corpus_feed):
             spark, idx, feed, str(tmp_path / "out_bad"),
             str(tmp_path / "ckpt_bad"), lm_path=str(tmp_path / "nope"),
         )
+
+
+def test_within_batch_near_signs_each_batch_once(spark, tmp_path, monkeypatch):
+    """within_batch_near=True used to shingle + MinHash-sign every
+    micro-batch TWICE with identical pinned params (once in
+    dedup_pipeline, once in dedup_against_index). The batch is now
+    signed exactly once and the shared persisted frame feeds both
+    stages — pinned by counting minhash_signatures calls across a
+    1-batch run (every import site patched). Answers unchanged
+    (test_stream_within_batch_near_collapses_burst covers semantics)."""
+    import json
+
+    import traceframe_spark.operators.dedup as D
+    import traceframe_spark.operators.dedup_index as DI
+    import traceframe_spark.streaming.documents as SD
+
+    calls = []
+    real = D.minhash_signatures
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(D, "minhash_signatures", counting)
+    monkeypatch.setattr(DI, "minhash_signatures", counting)
+    monkeypatch.setattr(SD, "minhash_signatures", counting)
+
+    snap = _docs(spark, [(i, _uniq(i)) for i in range(3)])
+    idx = str(tmp_path / "idx_once")
+    di.write_dedup_index(snap, idx, n_hashes=64, bands=16)
+    calls.clear()  # ignore any signing during the index build
+    feed = tmp_path / "feed_once"
+    feed.mkdir()
+    base = _uniq(80)
+    with open(feed / "b0.jsonl", "w") as f:
+        for doc_id, text_ in [(500, base), (501, base.replace("word2", "e2", 1))]:
+            f.write(json.dumps({"doc_id": doc_id, "text": text_}) + "\n")
+    out, ckpt = str(tmp_path / "out_once"), str(tmp_path / "ckpt_once")
+    _run_stream(spark, idx, str(feed), out, ckpt, within_batch_near=True)
+    # exactly 2: the ONE shared probe-side signing (pipeline + index
+    # probe both consume it; pre-r10 each signed separately = 3 total)
+    # plus the fold-back append's storage signing of the survivors
+    assert sum(calls) == 2, f"signed {sum(calls)} times, expected 2"
+    assert {r.doc_id for r in read_ingested(spark, out).collect()} == {500}
+
+
+def test_stream_lm_is_pinned_once_per_stream(spark, tmp_path, corpus_feed):
+    """The frozen LM is read + localCheckpoint-PINNED at stream start,
+    not re-read per micro-batch: (a) scoring against pinned frames
+    survives the model path being DELETED (the frames are materialized
+    executor blocks with cut lineage — if any per-batch read remained,
+    every score after the delete would throw); (b) end-to-end, a stream
+    whose model directory vanishes right after start still lands every
+    batch with correct scores."""
+    import shutil
+
+    from traceframe_spark.operators.text import (
+        load_lm_frames,
+        score_against_lm,
+        write_bigram_lm,
+    )
+
+    idx, feed = corpus_feed
+    snap = _docs(spark, [(i, _uniq(i)) for i in range(3)])
+    lm = str(tmp_path / "lm_pin")
+    write_bigram_lm(snap, lm)
+    # (a) direct: pin, delete the store, score — values match the
+    # pre-delete path-based scorer
+    probe = _docs(spark, [(7, _uniq(1))])
+    want = {r["id"]: r["avg_logprob"] for r in score_against_lm(probe, lm).collect()}
+    frames = load_lm_frames(spark, lm)
+    shutil.rmtree(lm)
+    got = {
+        r["id"]: r["avg_logprob"]
+        for r in score_against_lm(probe, frames=frames).collect()
+    }
+    assert got == want
+    # (b) end-to-end: the stream pins before start(); deleting the model
+    # directory immediately after start must not fail any batch
+    lm2 = str(tmp_path / "lm_pin2")
+    write_bigram_lm(snap, lm2)
+    out, ckpt = str(tmp_path / "out_pin"), str(tmp_path / "ckpt_pin")
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(feed)
+    q = stream_dedup_ingest(
+        stream, idx, out, ckpt, trigger_available_now=True, lm_path=lm2
+    )
+    shutil.rmtree(lm2)
+    assert q.awaitTermination(600)
+    rows = {r.doc_id: r.avg_logprob for r in read_ingested(spark, out).collect()}
+    assert set(rows) == {101, 200, 301}
+    assert all(v is not None and v < 0 for v in rows.values())

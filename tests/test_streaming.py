@@ -1166,6 +1166,36 @@ def test_hour_swap_recovery_rolls_back_interrupted_swap(spark, tmp_path):
     assert got == old_totals
 
 
+def test_swap_discipline_refuses_non_atomic_rename_schemes(spark):
+    """The prepare-then-rename swap is only old-or-new where directory
+    rename is ATOMIC; on S3-class stores rename is copy+delete, which
+    silently voids the guarantee AND the metadata-only cost claim. The
+    writer must refuse loudly (naming the manifest-pointer alternative)
+    rather than sell atomicity the store cannot deliver; HDFS/ABFS/
+    local/viewfs schemes pass."""
+    from traceframe_spark.streaming.spans import _require_atomic_rename
+
+    class _FakeUri:
+        def __init__(self, scheme):
+            self._s = scheme
+
+        def getScheme(self):
+            return self._s
+
+    class _FakeFs:
+        def __init__(self, scheme):
+            self._u = _FakeUri(scheme)
+
+        def getUri(self):
+            return self._u
+
+    for bad in ("s3a", "s3", "gs", "wasb", "S3A"):
+        with pytest.raises(IOError, match="copy\\+delete"):
+            _require_atomic_rename(_FakeFs(bad), "/store")
+    for ok in ("hdfs", "abfs", "abfss", "file", "viewfs", None):
+        _require_atomic_rename(_FakeFs(ok), "/store")
+
+
 def test_merge_replay_after_mid_swap_crash_keeps_standing_rows(spark, tmp_path):
     """The replay-path hazard behind the recovery-ordering fix: a prior
     run crashed BETWEEN the two swap renames (live hour gone, old data

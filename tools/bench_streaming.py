@@ -73,6 +73,14 @@ def main() -> None:
         "hours per batch, stage the rest -- no row-threshold re-sizing "
         "needed when batch volume changes",
     )
+    ap.add_argument(
+        "--manifest",
+        action="store_true",
+        help="use the manifest-pointer committed store "
+        "(stream_to_rollup_manifest) instead of the rename-swap store: "
+        "same fold semantics, object-store-safe commits + snapshot "
+        "isolation -- this flag prices the protocol difference",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -145,33 +153,48 @@ def main() -> None:
                 )
             )
             return
-        q = stream_to_rollup(
-            stream,
-            store,
-            ckpt,
-            R.MINUTE_NS,
-            ["event_type"],
-            "value",
-            trigger_available_now=True,
-            late_stage_threshold=args.stage_threshold,
-            compact_every=args.compact_every,
-            max_hot_hours=args.max_hot_hours,
-        )
-        q.awaitTermination()
-        if args.stage_threshold is not None or args.max_hot_hours is not None:
-            # final compaction makes the store exact after the drain; its
-            # cost belongs in the measured wall time
-            compact_rollup_store(spark, store, ["event_type"])
-        dt = time.time() - t0
+        if args.manifest:
+            from traceframe_spark.streaming.manifest_store import (
+                read_manifest_store,
+                stream_to_rollup_manifest,
+            )
+
+            q = stream_to_rollup_manifest(
+                stream, store, ckpt, R.MINUTE_NS, ["event_type"], "value",
+                trigger_available_now=True,
+            )
+            q.awaitTermination()
+            dt = time.time() - t0
+            total = read_manifest_store(spark, store).agg(F.sum("n")).first()[0]
+        else:
+            q = stream_to_rollup(
+                stream,
+                store,
+                ckpt,
+                R.MINUTE_NS,
+                ["event_type"],
+                "value",
+                trigger_available_now=True,
+                late_stage_threshold=args.stage_threshold,
+                compact_every=args.compact_every,
+                max_hot_hours=args.max_hot_hours,
+            )
+            q.awaitTermination()
+            if args.stage_threshold is not None or args.max_hot_hours is not None:
+                # final compaction makes the store exact after the drain; its
+                # cost belongs in the measured wall time
+                compact_rollup_store(spark, store, ["event_type"])
+            dt = time.time() - t0
+            total = spark.read.parquet(store).agg(F.sum("n")).first()[0]
 
         # sanity: the maintained rollup accounts for every replayed event
-        total = spark.read.parquet(store).agg(F.sum("n")).first()[0]
         assert total == n_events, (total, n_events)
 
         print(
             json.dumps(
                 {
                     "sf_dir": args.sf,
+                    "commit": "manifest" if args.manifest else "rename_swap",
                     "events": n_events,
                     "seconds": round(dt, 2),
                     "events_per_sec": int(n_events / dt),

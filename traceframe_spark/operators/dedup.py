@@ -463,6 +463,7 @@ def minhash_dedup_pairs(
     bands: int | None = None,
     shingle_size: int = 5,
     max_pairs_per_bucket: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-duplicate pairs: signatures → banded
     candidates → exact-Jaccard verification at ``threshold``.
@@ -478,14 +479,25 @@ def minhash_dedup_pairs(
     :func:`lsh_candidate_pairs` for the truncation semantics and the
     logged report. Prefer :func:`dedup_pipeline` in production; this
     cap makes the RAW operator survivable on adversarial corpora.
+
+    ``sigs`` (optional) supplies a PRECOMPUTED :func:`minhash_signatures`
+    frame covering exactly ``df``'s rows — the sharing seam for callers
+    that need the same signatures again downstream (the streaming ingest
+    signs each micro-batch once and feeds both the within-batch pipeline
+    and the index probe). Caller contract: same id/text normalization,
+    ``n_hashes`` and ``shingle_size`` as this call's arguments, and the
+    caller owns the frame's persist/unpersist lifecycle.
     """
     if bands is None:
         bands = bands_for_threshold(threshold, n_hashes)
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_size).persist()
+    own_sigs = sigs is None
+    if own_sigs:
+        sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_size).persist()
     cands = lsh_candidate_pairs(
         sigs, bands, n_hashes=n_hashes, max_pairs_per_bucket=max_pairs_per_bucket
     )
-    return _unpersist_with(jaccard_verify(cands, sigs, threshold), sigs)
+    verified = jaccard_verify(cands, sigs, threshold)
+    return _unpersist_with(verified, sigs) if own_sigs else verified
 
 
 def simhash64(col: Column, shingle_size: int = 4) -> Column:
@@ -875,10 +887,19 @@ def dedup_pipeline(
     n_hashes: int = 64,
     bands: int | None = None,
     shingle_size: int = 5,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """The production dedup composition: exact dedup → MinHash-LSH on
     the residual → connected-component clustering → keep-one-per-
     cluster. Returns the surviving rows of ``df`` unchanged in shape.
+
+    ``sigs`` (optional): a precomputed :func:`minhash_signatures` frame
+    covering ``df``'s rows (superset is fine — it is filtered to the
+    exact-stage residual here, so foreign ids can never become cluster
+    canonicals). Same caller contract as
+    :func:`minhash_dedup_pairs(sigs=...)`: matching params and
+    caller-owned persistence. This is how the streaming ingest avoids
+    signing each micro-batch twice (once here, once in the index probe).
 
     This IS the 100 TB answer to clone-heavy corpora (crawl snapshots,
     mirrored docs): raw MinHash-LSH output is quadratic in clone-cluster
@@ -907,8 +928,14 @@ def dedup_pipeline(
     residual = df.join(
         keep, df[id_col] == keep["_canon_id"], "left_semi"
     ).persist()
+    if sigs is not None:
+        # restrict to the residual: a foreign id surviving in the shared
+        # frame would otherwise enter the candidate pairs and could be
+        # elected a cluster canonical, dropping every real member
+        sigs = sigs.join(keep, sigs["id"] == keep["_canon_id"], "left_semi")
     pairs = minhash_dedup_pairs(
-        residual, id_col, text_col, threshold, n_hashes, bands, shingle_size
+        residual, id_col, text_col, threshold, n_hashes, bands, shingle_size,
+        sigs=sigs,
     )
     comp = connected_components(pairs, "id_a", "id_b")
     out = keep_canonical(residual, id_col, comp)

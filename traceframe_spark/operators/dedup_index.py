@@ -279,6 +279,7 @@ def dedup_against_index(
     text_col: str = "text",
     threshold: float = 0.9,
     near_dup: bool = True,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Surviving ``delta`` rows: exact layer first, then (optionally)
     the LSH layer with MinHash-estimated Jaccard ≥ ``threshold``.
@@ -290,6 +291,16 @@ def dedup_against_index(
     is the entire point versus :func:`~.dedup.cross_near_dup_subtract`.
     With ``near_dup=False`` only the exact layer runs (the oracle-exact
     twin of the registry's rows-only probe query).
+
+    ``sigs`` (optional): a precomputed
+    :func:`~.dedup.minhash_signatures` frame covering ``delta``'s rows
+    (superset fine — filtered to the exact-layer survivors here).
+    CALLER CONTRACT: it must be computed with THIS index's pinned meta
+    — same n_hashes/shingle_size AND the same hash family (the
+    ``portable`` flag), or the band join compares apples to oranges
+    against the stored band hashes. The streaming ingest uses this to
+    sign each micro-batch once for both the within-batch pipeline and
+    this probe; caller owns the frame's persistence.
     """
     spark = delta.sparkSession
     n_hashes, bands, shingle_size, has_near, portable = _meta_all(spark, path)
@@ -315,9 +326,13 @@ def dedup_against_index(
             "with the MinHash layers"
         )
 
-    sig_d = minhash_signatures(
-        survivors, id_col, text_col, n_hashes, shingle_size, portable=portable
-    ).select("id", "sig").persist()
+    if sigs is not None:
+        surv_ids = survivors.select(F.col(id_col).alias("id"))
+        sig_d = sigs.select("id", "sig").join(surv_ids, "id", "left_semi").persist()
+    else:
+        sig_d = minhash_signatures(
+            survivors, id_col, text_col, n_hashes, shingle_size, portable=portable
+        ).select("id", "sig").persist()
     cand = (
         _band_entries(sig_d, bands, rows_per_band, portable).alias("d")
         .join(spark.read.parquet(f"{path}/bands").alias("r"), ["band", "bh"])

@@ -586,8 +586,27 @@ def write_bigram_lm(
         bi.unpersist()
 
 
+def load_lm_frames(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
+    """Read a stored bigram LM (:func:`write_bigram_lm`) ONCE and pin it
+    in executor storage: (bigrams, prefix, |V|) with both count frames
+    ``localCheckpoint``-ed — eager, lineage-cut, so later scoring never
+    re-lists or re-reads the store (and survives the store path being
+    deleted or swapped mid-run). This is the per-stream hoist for
+    :func:`score_against_lm` inside ``foreachBatch``: the model is
+    FROZEN by contract, so reading it per micro-batch bought nothing
+    but a per-batch store listing + meta job."""
+    bi = spark.read.parquet(f"{path}/bigrams").localCheckpoint()
+    uni = spark.read.parquet(f"{path}/prefix").localCheckpoint()
+    v = int(spark.read.json(f"{path}/lm_meta").collect()[0]["v"])
+    return bi, uni, v
+
+
 def score_against_lm(
-    delta: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+    delta: DataFrame,
+    path: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    frames: tuple[DataFrame, DataFrame, int] | None = None,
 ) -> DataFrame:
     """(id, avg_logprob) for ``delta`` documents under the STORED LM —
     :func:`bigram_logprob_scores`'s answer without re-training: when
@@ -601,11 +620,21 @@ def score_against_lm(
     contributes only stored narrow count rows joined BY KEY (bigram and
     prefix joins shuffle O(|delta bigrams| + model rows)); reference
     corpus text is untouched. Same docstring contract as the batch
-    scorer: documents with fewer than 2 tokens emit no row."""
-    spark = delta.sparkSession
-    bi = spark.read.parquet(f"{path}/bigrams")
-    uni = spark.read.parquet(f"{path}/prefix")
-    v = int(spark.read.json(f"{path}/lm_meta").collect()[0]["v"])
+    scorer: documents with fewer than 2 tokens emit no row.
+
+    ``frames`` (from :func:`load_lm_frames`) scores against an
+    already-pinned model instead of reading ``path`` — repeated callers
+    (a stream's every micro-batch) pay the store listing once, not per
+    call."""
+    if frames is not None:
+        bi, uni, v = frames
+    else:
+        if path is None:
+            raise ValueError("score_against_lm needs `path` or `frames`")
+        spark = delta.sparkSession
+        bi = spark.read.parquet(f"{path}/bigrams")
+        uni = spark.read.parquet(f"{path}/prefix")
+        v = int(spark.read.json(f"{path}/lm_meta").collect()[0]["v"])
     pairs = _bigram_pairs(delta, id_col, text_col)
     lp = F.log(
         (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1.0))

@@ -89,7 +89,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-_TMP_STORE_ROOT: list[str] = []
+_TMP_STORE_ROOT: list[tuple[int, str]] = []  # (creating pid, root path)
+
+
+def _sweep_stale_store_roots(tmpdir: str) -> None:
+    """Remove roots whose creating process died WITHOUT running atexit
+    (killed by signal — the one-orphan-per-gate-day leak): the pid is
+    stamped into the root name, so ownership is checkable with a
+    0-signal probe. Legacy unstamped roots (pre-r10 format) are swept
+    once they are >6h old. Runs only at root creation (once per
+    process), so the next tool in a gate day cleans up after any
+    signal-killed predecessor."""
+    import glob
+    import os
+    import re
+    import shutil
+    import time
+
+    now = time.time()
+    for root in glob.glob(os.path.join(tmpdir, "traceframe_stores_*")):
+        m = re.match(r"traceframe_stores_(\d+)_", os.path.basename(root))
+        stale = False
+        if m:
+            try:
+                os.kill(int(m.group(1)), 0)
+            except ProcessLookupError:
+                stale = True
+            except OSError:
+                pass  # alive under another user / unknowable: leave it
+        else:
+            try:
+                stale = now - os.path.getmtime(root) > 6 * 3600
+            except OSError:
+                pass
+        if stale:
+            shutil.rmtree(root, ignore_errors=True)
 
 
 def tmp_store(prefix: str) -> str:
@@ -98,16 +132,25 @@ def tmp_store(prefix: str) -> str:
     created under ONE process-scoped root that is removed at
     interpreter exit — a full oracle + bench run leaves zero orphan
     store directories behind (each bare ``tempfile.mkdtemp`` used to
-    leak ~a dozen per run)."""
+    leak ~a dozen per run). The root is PID-STAMPED and stale roots of
+    dead processes are swept at the next root creation, closing the
+    atexit gap (a process killed by signal never runs its cleanup —
+    observed as exactly one orphan root per full gate day in r09); a
+    FORKED child (pyspark worker/daemon) gets its own root rather than
+    writing into — and racing the atexit removal of — its parent's."""
     import atexit
+    import os
     import shutil
     import tempfile
 
-    if not _TMP_STORE_ROOT:
-        root = tempfile.mkdtemp(prefix="traceframe_stores_")
+    pid = os.getpid()
+    if not _TMP_STORE_ROOT or _TMP_STORE_ROOT[-1][0] != pid:
+        tmpdir = tempfile.gettempdir()
+        _sweep_stale_store_roots(tmpdir)
+        root = tempfile.mkdtemp(prefix=f"traceframe_stores_{pid}_", dir=tmpdir)
         atexit.register(shutil.rmtree, root, ignore_errors=True)
-        _TMP_STORE_ROOT.append(root)
-    return tempfile.mkdtemp(prefix=prefix, dir=_TMP_STORE_ROOT[0])
+        _TMP_STORE_ROOT.append((pid, root))
+    return tempfile.mkdtemp(prefix=prefix, dir=_TMP_STORE_ROOT[-1][1])
 
 
 def qint(col, scale: int):

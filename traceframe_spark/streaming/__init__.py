@@ -15,6 +15,12 @@ unbounded table with
   time timeout), mirroring the batch traces table incrementally.
 """
 
+from traceframe_spark.streaming.manifest_store import (
+    read_manifest_store,
+    stream_to_hll_manifest,
+    stream_to_rollup_manifest,
+    vacuum_manifest_store,
+)
 from traceframe_spark.streaming.spans import (
     open_trace_assembly,
     read_span_stream,
@@ -29,4 +35,8 @@ __all__ = [
     "open_trace_assembly",
     "stream_to_span_store",
     "streaming_dedup",
+    "stream_to_rollup_manifest",
+    "stream_to_hll_manifest",
+    "read_manifest_store",
+    "vacuum_manifest_store",
 ]

@@ -46,7 +46,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from traceframe_spark.operators.dedup import dedup_pipeline, exact_canonical_ids
+from traceframe_spark.operators.dedup import (
+    dedup_pipeline,
+    exact_canonical_ids,
+    minhash_signatures,
+)
 from traceframe_spark.operators import dedup_index as di
 from traceframe_spark.streaming.spans import (
     _batch_already_applied,
@@ -97,7 +101,10 @@ def stream_dedup_ingest(
     in-batch and cross-batch dedup agree on what "near" means — before
     the index probe. Cost is per-batch and batch-sized (the pipeline's
     exact stage has already run, so LSH sees only distinct-content
-    residuals).
+    residuals), and the batch is shingled + MinHash-signed exactly ONCE:
+    the same persisted signature frame feeds the pipeline's candidate/
+    verify stages and the index probe's band join (both hash with the
+    index's pinned meta, family included).
 
     ``annotate_novelty=True`` additionally scores each surviving doc
     against the index's STORED gram layer (``write_gram_layer`` must
@@ -135,16 +142,27 @@ def stream_dedup_ingest(
                 "no gram layer; run write_gram_layer on the snapshot first"
             ) from exc
     # pinned once at stream start (also fails fast on a missing index):
-    # the within-batch pipeline must hash exactly like the index probe
+    # the within-batch pipeline must hash exactly like the index probe —
+    # including the hash FAMILY (portable flag), because the batch is
+    # signed ONCE and the shared frame feeds both the pipeline and the
+    # index probe's band join against stored band hashes
     wb_params = (
-        di.read_index_meta(docs.sparkSession, index_path)
+        di._meta_all(docs.sparkSession, index_path)
         if within_batch_near
         else None
     )
+    lm_frames = None
     if lm_path is not None:
-        # same fail-fast rationale as the gram layer above
+        # read + PIN the frozen model once per stream (fails fast on a
+        # missing LM, same rationale as the gram layer above): scoring
+        # inside foreachBatch against per-batch reads re-listed the
+        # store and re-ran the meta job every micro-batch for a model
+        # that is frozen by contract. localCheckpoint-ed frames also
+        # survive the model path being deleted mid-stream.
+        from traceframe_spark.operators.text import load_lm_frames
+
         try:
-            docs.sparkSession.read.json(f"{lm_path}/lm_meta").collect()
+            lm_frames = load_lm_frames(docs.sparkSession, lm_path)
         except Exception as exc:  # noqa: BLE001 — any read failure means no LM
             raise ValueError(
                 f"lm_path={lm_path!r} has no stored bigram LM; run "
@@ -169,8 +187,17 @@ def stream_dedup_ingest(
             _fold_back(survivors)
             return
         deduped = _dedup_within_batch(batch_df, id_col, text_col)
+        shared_sigs = None
         if wb_params is not None:
-            n_hashes, bands, shingle_size = wb_params
+            n_hashes, bands, shingle_size, _has_near, portable = wb_params
+            # sign the batch ONCE with the index's pinned meta (family
+            # included) and feed BOTH stages — the pipeline and the
+            # index probe previously each re-shingled + re-signed the
+            # same rows with identical parameters
+            shared_sigs = minhash_signatures(
+                deduped, id_col, text_col, n_hashes, shingle_size,
+                portable=portable,
+            ).persist()
             deduped = dedup_pipeline(
                 deduped,
                 id_col,
@@ -179,6 +206,7 @@ def stream_dedup_ingest(
                 n_hashes=n_hashes,
                 bands=bands,
                 shingle_size=shingle_size,
+                sigs=shared_sigs,
             )
         survivors = di.dedup_against_index(
             deduped,
@@ -187,6 +215,7 @@ def stream_dedup_ingest(
             text_col=text_col,
             threshold=threshold,
             near_dup=near_dup,
+            sigs=shared_sigs,
         )
         if annotate_novelty:
             # score BEFORE the fold-back below so a doc is never "not
@@ -195,10 +224,12 @@ def stream_dedup_ingest(
                 survivors, index_path, id_col, text_col
             )
             survivors = survivors.join(nov, id_col)
-        if lm_path is not None:
+        if lm_frames is not None:
             from traceframe_spark.operators.text import score_against_lm
 
-            lp = score_against_lm(survivors, lm_path, id_col, text_col)
+            lp = score_against_lm(
+                survivors, id_col=id_col, text_col=text_col, frames=lm_frames
+            )
             survivors = survivors.join(
                 lp.withColumnRenamed("id", id_col), id_col, "left"
             )
@@ -210,6 +241,8 @@ def stream_dedup_ingest(
                 _fold_back(survivors)
         finally:
             survivors.unpersist()
+            if shared_sigs is not None:
+                shared_sigs.unpersist()
 
     writer = docs.writeStream.foreachBatch(ingest_batch).option(
         "checkpointLocation", checkpoint

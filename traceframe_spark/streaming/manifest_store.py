@@ -1,0 +1,422 @@
+"""Manifest-pointer committed partitioned store — the object-store-safe
+commit protocol the rename-swap discipline cannot provide.
+
+``streaming/spans.py``'s prepare-then-rename swap requires ATOMIC
+directory rename (HDFS/ABFS/local) and is refused on S3-class schemes
+(`_require_atomic_rename`), where "rename" is copy+delete: non-atomic
+and data-sized. This module is the documented alternative, built: data
+directories are IMMUTABLE and uniquely named, and the only commit
+primitive is publishing one small manifest object that maps each
+partition value to its live data directory. A small-object write is
+atomic on every major store (a PUT either fully exists or doesn't), so:
+
+- **old-or-new becomes whole-store SNAPSHOT isolation** — a reader
+  resolves ONE manifest and sees one consistent version of EVERY
+  partition, strictly stronger than the rename swap (which was
+  old-or-new per partition but could pair one hour's new data with
+  another's old across a multi-partition rewrite);
+- **commits are metadata-sized** — one JSON object per commit,
+  regardless of how many partition bytes were rewritten;
+- **exactly-once is structural, not marker-dependent** — the last
+  applied ``batch_id`` (per checkpoint lineage) is a FIELD of the
+  manifest, so the data pointers and the replay marker commit in the
+  same atomic write. The write-then-mark crash window the rename-based
+  stores document (and bound with roll-back recovery) does not exist
+  here: a crash before the manifest write leaves only invisible
+  garbage directories and the replay re-merges; a crash after it is a
+  completed commit whose replay is skipped by the recorded batch_id.
+
+Layout::
+
+    store/
+      _manifests/m-000000000042.json     one per commit; readers take max
+      data/c-000000000042-<8hex>/        one immutable dir per commit
+        <part_col>=<val>/part-*.parquet  the partitions THIS commit rewrote
+
+The manifest names, per partition value, the commit directory holding
+its live data; untouched partitions keep pointing at older commit
+directories. Reads group live partitions by commit directory and union
+one partition-pruned scan per group, so reader plan size follows LIVE
+COMMIT DIRS (bounded by the partition count, shrunk by every rewrite
+that touches many partitions and by :func:`vacuum_manifest_store`),
+never store history.
+
+Durability notes: the manifest is written to a ``.tmp`` name and then
+file-renamed into place — a FILE rename (atomic visibility on
+POSIX/HDFS; on S3 Hadoop implements it as a server-side copy of the
+complete small object + delete, which is also safe here because readers
+never look at ``.tmp`` names and the final name appears with complete
+content or not at all). Spark's own task-commit renames inside a data
+directory don't matter either: a data directory is invisible until a
+manifest names it. Single writer assumed, as all stores here.
+
+No reference analogue (the reference has no incremental store at all);
+the protocol is the classic manifest/snapshot design transactional
+table formats (Iceberg-style) build on, re-implemented minimally for
+this engine's rollup/HLL stores.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import uuid
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "read_manifest_store",
+    "stream_to_rollup_manifest",
+    "stream_to_hll_manifest",
+    "vacuum_manifest_store",
+    "manifest_last_batch",
+    "merge_into_manifest_store",
+]
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+def _fs_path(spark, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _lineage(checkpoint: str) -> str:
+    # same namespacing rationale as spans._batch_marker_fs: batch ids
+    # restart at 0 on a fresh checkpoint, so the applied-batch watermark
+    # is scoped to the checkpoint lineage
+    return hashlib.sha256(checkpoint.encode()).hexdigest()[:12]
+
+
+def _manifest_names(spark, path: str) -> list[str]:
+    fs, d = _fs_path(spark, f"{path}/{_MANIFEST_DIR}")
+    if not fs.exists(d):
+        return []
+    out = []
+    for status in fs.listStatus(d):
+        name = status.getPath().getName()
+        if name.startswith("m-") and name.endswith(".json"):
+            out.append(name)
+    return sorted(out)  # zero-padded counters: lexicographic == numeric
+
+
+def _read_manifest(spark, path: str, name: str) -> dict:
+    fs, p = _fs_path(spark, f"{path}/{_MANIFEST_DIR}/{name}")
+    stream = fs.open(p)
+    try:
+        jvm = spark._jvm
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines = []
+        while True:
+            line = reader.readLine()
+            if line is None:
+                break
+            lines.append(line)
+    finally:
+        stream.close()
+    return json.loads("\n".join(lines))
+
+
+def _latest_manifest(spark, path: str) -> dict | None:
+    names = _manifest_names(spark, path)
+    return _read_manifest(spark, path, names[-1]) if names else None
+
+
+def _write_manifest(spark, path: str, man: dict) -> None:
+    """Publish one commit: write the complete JSON to a ``.tmp`` name,
+    then file-rename to the final zero-padded name. Readers list only
+    ``m-*.json``, so the commit becomes visible atomically with
+    complete content."""
+    n = man["n"]
+    final = f"{path}/{_MANIFEST_DIR}/m-{n:012d}.json"
+    tmp = final + ".tmp"
+    fs, tmp_p = _fs_path(spark, tmp)
+    _, final_p = _fs_path(spark, final)
+    out = fs.create(tmp_p, True)
+    try:
+        out.write(bytearray(json.dumps(man, sort_keys=True).encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(final_p):
+        raise IOError(
+            f"manifest store at {path!r}: commit {n} already exists — "
+            "second writer detected (single-writer store)"
+        )
+    if not fs.rename(tmp_p, final_p):
+        raise IOError(f"manifest store: failed to publish commit {n} at {final}")
+
+
+def commit_merged_parts(
+    merged: DataFrame,
+    path: str,
+    part_col: str,
+    checkpoint: str | None = None,
+    batch_id: int | None = None,
+) -> int:
+    """Write ``merged``'s partitions to a fresh immutable commit
+    directory and publish a manifest pointing every LIVE partition at
+    its current directory (touched ones repointed here, untouched ones
+    carried forward). Returns the commit counter. A crash anywhere
+    before the manifest publish leaves only unreferenced directories —
+    invisible to every reader and reclaimed by
+    :func:`vacuum_manifest_store`."""
+    spark = merged.sparkSession
+    prev = _latest_manifest(spark, path)
+    n = (prev["n"] + 1) if prev else 1
+    cdir = f"{_DATA_DIR}/c-{n:012d}-{uuid.uuid4().hex[:8]}"
+    (
+        merged.repartition(part_col)
+        .write.mode("errorifexists")
+        .partitionBy(part_col)
+        .parquet(f"{path}/{cdir}")
+    )
+    fs, cpath = _fs_path(spark, f"{path}/{cdir}")
+    prefix = f"{part_col}="
+    parts = dict(prev["parts"]) if prev else {}
+    for status in fs.listStatus(cpath):
+        name = status.getPath().getName()
+        if name.startswith(prefix):
+            parts[name[len(prefix):]] = f"{cdir}/{name}"
+    lineage = dict(prev.get("lineage", {})) if prev else {}
+    if checkpoint is not None and batch_id is not None:
+        lineage[_lineage(checkpoint)] = int(batch_id)
+    man = {"n": n, "part_col": part_col, "parts": parts, "lineage": lineage}
+    _write_manifest(spark, path, man)
+    return n
+
+
+def manifest_last_batch(spark, path: str, checkpoint: str) -> int | None:
+    """The last batch_id committed for this checkpoint lineage, or None.
+    This IS the replay guard: it commits atomically with the data
+    pointers, so there is no write-then-mark window to recover from."""
+    man = _latest_manifest(spark, path)
+    if man is None:
+        return None
+    v = man.get("lineage", {}).get(_lineage(checkpoint))
+    return int(v) if v is not None else None
+
+
+def _read_parts(spark, path: str, man: dict, vals: list[str]) -> DataFrame | None:
+    """Union of one partition-pruned scan per live commit directory for
+    the requested partition values (partition column reconstructed by
+    Spark's directory inference via basePath). None if no value is live."""
+    by_cdir: dict[str, list[str]] = {}
+    for v in vals:
+        d = man["parts"].get(v)
+        if d is not None:
+            cdir = d.rsplit("/", 1)[0]
+            by_cdir.setdefault(cdir, []).append(d)
+    out = None
+    for cdir, dirs in sorted(by_cdir.items()):
+        df = (
+            spark.read.option("basePath", f"{path}/{cdir}")
+            .parquet(*[f"{path}/{d}" for d in sorted(dirs)])
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def read_manifest_store(spark, path: str) -> DataFrame:
+    """Snapshot read: resolve the latest manifest once and scan exactly
+    the directories it names — every partition from ONE store version,
+    even while a writer is mid-commit (strictly stronger than the
+    rename-swap store's per-partition old-or-new). Raises if the store
+    has no committed manifest yet."""
+    man = _latest_manifest(spark, path)
+    if man is None:
+        raise FileNotFoundError(f"manifest store at {path!r} has no commits")
+    df = _read_parts(spark, path, man, list(man["parts"]))
+    if df is None:  # a manifest with zero parts: commit of an empty frame
+        raise FileNotFoundError(f"manifest store at {path!r} has no live partitions")
+    return df
+
+
+def merge_into_manifest_store(
+    spark,
+    delta: DataFrame,
+    path: str,
+    keys: list[str],
+    checkpoint: str | None = None,
+    batch_id: int | None = None,
+) -> int:
+    """Fold a (bucket_ns, *keys, n, sums, hour_ns) partial frame into the
+    store: standing read of ONLY the touched hours (straight from the
+    manifest — no directory listing job at any store age, the same
+    O(touched) property the rename store gets from its driver-side
+    root listing), lossless merge, one commit. No crash recovery step
+    exists because none is needed: un-manifested directories are
+    invisible."""
+    from traceframe_spark.operators import rollup as R
+
+    touched = [
+        str(r["hour_ns"]) for r in delta.select("hour_ns").distinct().collect()
+    ]
+    man = _latest_manifest(spark, path)
+    standing = _read_parts(spark, path, man, touched) if man else None
+    if standing is not None:
+        # localCheckpoint: immutable dirs are never deleted under the
+        # plan, but the merged write re-reads the standing side and
+        # vacuum may reclaim it between plan and action in exotic
+        # orchestrations — pinning is cheap at touched-partition size
+        standing = standing.localCheckpoint()
+        merged = R.merge_rollups(standing.drop("hour_ns"), delta.drop("hour_ns"), keys)
+    else:
+        merged = R.merge_rollups(
+            delta.drop("hour_ns"), delta.drop("hour_ns").limit(0), keys
+        )
+    merged = merged.withColumn(
+        "hour_ns", R.time_bucket(F.col("bucket_ns"), R.HOUR_NS)
+    )
+    return commit_merged_parts(
+        merged, path, "hour_ns", checkpoint=checkpoint, batch_id=batch_id
+    )
+
+
+def stream_to_rollup_manifest(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    bucket_ns: int,
+    keys: list[str],
+    value_col: str,
+    ts_col: str = "ts",
+    trigger_available_now: bool = False,
+):
+    """The manifest-committed twin of ``stream_to_rollup``: same
+    continuous-aggregate semantics (each micro-batch folds its delta
+    and rewrites only touched hours), but commits via the manifest
+    protocol — safe on S3-class object stores where the rename-swap
+    store refuses to run, with whole-store snapshot isolation for
+    readers and the replay marker folded into the atomic commit
+    (exactly-once without a write-then-mark window). Read back with
+    :func:`read_manifest_store`."""
+    from traceframe_spark.operators import rollup as R
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        last = manifest_last_batch(spark, path, checkpoint)
+        if last is not None and batch_id <= last:
+            return  # committed atomically with the data: replay skips
+        delta = R.rollup_events(batch_df, bucket_ns, keys, value_col, ts_col)
+        delta = delta.withColumn(
+            "hour_ns", R.time_bucket(F.col("bucket_ns"), R.HOUR_NS)
+        ).localCheckpoint()
+        merge_into_manifest_store(
+            spark, delta, path, keys, checkpoint=checkpoint, batch_id=batch_id
+        )
+
+    writer = (
+        events.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_to_hll_manifest(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_col: str,
+    day_from_ts: str = "ts",
+    p: int = 10,
+    trigger_available_now: bool = False,
+):
+    """The manifest-committed twin of ``stream_to_hll_store``
+    (continuous per-day distinct counting via HyperLogLog registers):
+    same union + per-(day, bucket) register-MAX fold, committed through
+    the manifest protocol — which also demonstrates the commit
+    primitive is partition-column generic (``day`` here, ``hour_ns``
+    for the rollup twin). The HLL fold is idempotent by itself, so the
+    atomic batch watermark is belt-and-braces here; what the manifest
+    buys this store on S3-class backends is the legal commit path and
+    snapshot reads. Read back with :func:`read_manifest_store` +
+    ``sketch.hll_estimate_by(..., ["day"])``."""
+    from traceframe_spark.operators import sketch
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        last = manifest_last_batch(spark, path, checkpoint)
+        if last is not None and batch_id <= last:
+            return
+        b, r = sketch.hll_bucket_rho(F.col(key_col), p)
+        delta = (
+            batch_df.select(
+                F.expr(f"{day_from_ts} div 86400000000000").alias("day"),
+                b.alias("bucket"),
+                r.alias("rho"),
+            )
+            .groupBy("day", "bucket")
+            .agg(F.max("rho").alias("rho_max"))
+            .localCheckpoint()
+        )
+        touched = [str(row["day"]) for row in delta.select("day").distinct().collect()]
+        man = _latest_manifest(spark, path)
+        standing = _read_parts(spark, path, man, touched) if man else None
+        if standing is not None:
+            merged = (
+                standing.localCheckpoint()
+                .unionByName(delta)
+                .groupBy("day", "bucket")
+                .agg(F.max("rho_max").alias("rho_max"))
+            )
+        else:
+            merged = delta
+        commit_merged_parts(
+            merged, path, "day", checkpoint=checkpoint, batch_id=batch_id
+        )
+
+    writer = (
+        events.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def vacuum_manifest_store(spark, path: str, keep_manifests: int = 2) -> int:
+    """Reclaim commit directories referenced by NO kept manifest and
+    drop manifests older than the newest ``keep_manifests``. Returns the
+    number of directories removed. ``keep_manifests >= 2`` leaves a
+    grace version for readers that resolved the previous manifest just
+    before a commit; raise it to widen the read-grace window (the
+    trade-off every snapshot store has). Also sweeps orphan ``c-*``
+    directories no manifest ever referenced (crash leftovers) — but
+    only those NUMBERED at or below the newest kept commit, so an
+    in-flight writer's not-yet-published directory is never reclaimed."""
+    if keep_manifests < 1:
+        raise ValueError("keep_manifests must be >= 1")
+    names = _manifest_names(spark, path)
+    if not names:
+        return 0
+    kept, dropped = names[-keep_manifests:], names[:-keep_manifests]
+    live: set[str] = set()
+    for name in kept:
+        man = _read_manifest(spark, path, name)
+        live.update(d.split("/")[1] for d in man["parts"].values())
+    newest_n = int(kept[-1].split("-")[1].split(".")[0])
+    fs, data = _fs_path(spark, f"{path}/{_DATA_DIR}")
+    removed = 0
+    if fs.exists(data):
+        for status in fs.listStatus(data):
+            name = status.getPath().getName()
+            if not name.startswith("c-") or name in live:
+                continue
+            try:
+                n = int(name.split("-")[1])
+            except (IndexError, ValueError):
+                continue
+            if n > newest_n:
+                continue  # a writer may be about to publish this commit
+            fs.delete(status.getPath(), True)
+            removed += 1
+    for name in dropped:
+        fs2, p = _fs_path(spark, f"{path}/{_MANIFEST_DIR}/{name}")
+        fs2.delete(p, False)
+    return removed

@@ -304,9 +304,51 @@ def _recover_part_swaps(spark, path: str, part_col: str) -> None:
         raise IOError(f"partitioned store: failed to clear stale rewrite staging under {path}")
 
 
+_NON_ATOMIC_RENAME_SCHEMES = frozenset(
+    {"s3", "s3a", "s3n", "gs", "oss", "cos", "cosn", "swift", "wasb", "wasbs"}
+)
+"""Filesystem schemes whose directory "rename" is COPY + DELETE —
+non-atomic AND data-sized, not metadata-sized — which silently voids
+both guarantees the swap discipline sells (readers see old-or-new per
+partition; the swap costs 2-3 metadata ops). HDFS, local, ABFS
+(``abfs``/``abfss`` — real hierarchical-namespace renames), and
+``viewfs`` over those are fine."""
+
+
+def _require_atomic_rename(fs, path: str) -> None:
+    """Refuse to run the prepare-then-rename swap on an object store
+    whose rename is copy+delete: a crash mid-"rename" there leaves a
+    PARTIAL partition (the exact state the discipline exists to
+    prevent), recovery's rename-back has the same hole, and every swap
+    pays a data-sized copy bill. Failing loudly at the first write
+    beats silently selling atomicity that the store cannot deliver.
+    S3-class stores use the manifest-pointer commit instead — BUILT as
+    ``streaming/manifest_store.py`` (``stream_to_rollup_manifest``):
+    immutable uniquely-named data directories, commits published by one
+    atomic small-object manifest write, whole-store snapshot isolation
+    for readers, the replay watermark committed atomically with the
+    data pointers, and async garbage collection via
+    ``vacuum_manifest_store``."""
+    scheme = (fs.getUri().getScheme() or "file").lower()
+    if scheme in _NON_ATOMIC_RENAME_SCHEMES:
+        raise IOError(
+            f"partitioned store at {path!r}: filesystem scheme {scheme!r} "
+            "renames by copy+delete (non-atomic, data-sized), which voids "
+            "the old-or-new swap guarantee and its metadata-only cost "
+            "model. Use HDFS/ABFS/local-class storage for this store, or "
+            "implement the manifest-pointer commit documented in "
+            "SCALING.md for S3-class object stores."
+        )
+
+
 def _write_merged_parts(merged: DataFrame, path: str, part_col: str) -> None:
     """Land rewritten partitions (rollup hours, HLL days) old-or-new,
     never partial.
+
+    FILESYSTEM CONTRACT: requires atomic directory rename (HDFS, ABFS
+    with hierarchical namespace, local, viewfs over those) — enforced
+    by :func:`_require_atomic_rename`, which refuses S3-class schemes
+    where rename is copy+delete (non-atomic and data-sized).
 
     The rewrite is PREPARED off to the side (full parquet write into
     ``_part_swap_new``, invisible to readers) and then swapped in with
@@ -328,6 +370,8 @@ def _write_merged_parts(merged: DataFrame, path: str, part_col: str) -> None:
     rows at most — and what makes the per-partition swap a single-file
     replace."""
     spark = merged.sparkSession
+    fs0, _ = _fs_path(spark, path)
+    _require_atomic_rename(fs0, path)
     _recover_part_swaps(spark, path, part_col)
     staging = f"{path}/{_PART_SWAP_NEW}"
     (
