@@ -119,6 +119,7 @@ HEADLINE = [
     "lm_store_score",
     # r10 additions
     "bitext_mine_ann",
+    "bitext_ann_agree",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans

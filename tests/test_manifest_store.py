@@ -73,6 +73,22 @@ def test_manifest_fold_matches_batch_rollup(spark, tmp_path):
     assert man["n"] == 3
     dirs = {v: d.split("/")[1] for v, d in man["parts"].items()}
     assert len(set(dirs.values())) == 2  # two live commit dirs
+    # compaction folds every live partition into ONE commit dir (the
+    # reader-plan-size lever), totals unchanged; vacuum then reclaims
+    # the superseded dirs
+    from traceframe_spark.streaming.manifest_store import compact_manifest_store
+
+    n4 = compact_manifest_store(spark, store)
+    assert n4 == 4
+    man2 = _latest_manifest(spark, store)
+    assert len({d.split("/")[1] for d in man2["parts"].values()}) == 1
+    assert _totals(read_manifest_store(spark, store).drop("hour_ns")) == want
+    vacuum_manifest_store(spark, store, keep_manifests=1)
+    data_dirs = [
+        d for d in os.listdir(f"{store}/data") if d.startswith("c-")
+    ]
+    assert len(data_dirs) == 1
+    assert _totals(read_manifest_store(spark, store).drop("hour_ns")) == want
 
 
 def test_manifest_reader_sees_snapshots_only(spark, tmp_path):

@@ -58,18 +58,37 @@ def build_queries():
             n_planes=16, bands=4, portable=True, multiprobe=True,
         )
 
-    qs = {"bitext_mine_ann_vol": q_bitext_mine_ann_vol}
-    # order matters: the compound tgt bound contains the bare `vec_id
-    # >= 100` substring, so it swaps first; the remaining bare
-    # occurrences (tkeys/cand_f) swap after
-    sql_ann = swap(
-        P.SQL_BITEXT_MINE_ANN,
-        "vec_id >= 100 AND vec_id < 125",
-        f"(vec_id % {MOD}) >= 100 AND (vec_id % {MOD}) < 108",
-    )
-    sql_ann = swap(sql_ann, "vec_id < 25", f"vec_id % {MOD} < 8")
-    sql_ann = swap(sql_ann, "vec_id >= 100", f"vec_id % {MOD} >= 100")
-    sql = {"bitext_mine_ann_vol": sql_ann}
+    def q_bitext_ann_agree_vol(spark, sf_dir):
+        e = load_table(spark, sf_dir, "embeddings")
+        base = F.col("vec_id") % MOD
+        src = e.filter(base < 8)
+        tgt = e.filter((base >= 100) & (base < 108))
+        return similarity.bitext_ann_agreement(
+            src, tgt, "vec_id", "embedding", k=4, tier="lsh",
+            n_planes=16, bands=4, portable=True, multiprobe=True,
+        )
+
+    qs = {
+        "bitext_mine_ann_vol": q_bitext_mine_ann_vol,
+        "bitext_ann_agree_vol": q_bitext_ann_agree_vol,
+    }
+
+    def swap_bounds(sql: str) -> str:
+        # order matters: the compound tgt bound contains the bare
+        # `vec_id >= 100` substring, so it swaps first; the remaining
+        # bare occurrences (tkeys/cand_f/e_pairs) swap after
+        sql = swap(
+            sql,
+            "vec_id >= 100 AND vec_id < 125",
+            f"(vec_id % {MOD}) >= 100 AND (vec_id % {MOD}) < 108",
+        )
+        sql = swap(sql, "vec_id < 25", f"vec_id % {MOD} < 8")
+        return swap(sql, "vec_id >= 100", f"vec_id % {MOD} >= 100")
+
+    sql = {
+        "bitext_mine_ann_vol": swap_bounds(P.SQL_BITEXT_MINE_ANN),
+        "bitext_ann_agree_vol": swap_bounds(P.SQL_BITEXT_ANN_AGREE),
+    }
     return qs, sql
 
 

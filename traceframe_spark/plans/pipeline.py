@@ -1199,6 +1199,177 @@ FROM (
 """
 
 
+def q_bitext_ann_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bitext recall instrument itself, value-verified
+    (operators/similarity.bitext_ann_agreement): per src vector, did
+    the ANN tier (portable multi-probe LSH) mine the SAME tgt as the
+    exact tier? Output (src_id, tgt_exact, tgt_ann, agree). The oracle
+    runs BOTH chains — the exact broadcast cross scoring and the full
+    approximate LSH chain — off ONE shared scored-pair table (the ANN
+    candidate pairs are a subset of the exact cross product, and both
+    tiers re-rank on the same raw-embedding 1e-4 cosine grid), then
+    left-joins the two argmaxes. So the agreement numbers in
+    SCALING.md's lever table are a value-checked property, not a
+    sampled estimate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    src = e.filter(F.col("vec_id") < 25)
+    tgt = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 125))
+    return similarity.bitext_ann_agreement(
+        src, tgt, "vec_id", "embedding", k=4, tier="lsh",
+        n_planes=16, bands=4, portable=True, multiprobe=True,
+    )
+
+
+# Both tiers' argmaxes from ONE scored-pair table: the ANN candidates
+# are a subset of the exact src x tgt cross product and both re-rank on
+# the same quantized-cosine grid, so cosq is computed once and each
+# chain's top-k just filters it (exact: no filter; ANN: its per-
+# direction candidate sets, probe expansion included).
+SQL_BITEXT_ANN_AGREE = """
+WITH w AS (
+    SELECT i, j,
+           CASE WHEN ('0x' || substr(md5(i::VARCHAR || '_' || j::VARCHAR), 1, 8))::BIGINT & 1 = 1
+                THEN 1 ELSE -1 END AS wt
+    FROM range(0, 16) a(i) CROSS JOIN range(0, 64) b(j)
+),
+vecs AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE vec_id < 25 OR (vec_id >= 100 AND vec_id < 125)
+),
+q AS (
+    SELECT vec_id, j,
+           CAST(floor(CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv
+    FROM vecs CROSS JOIN range(0, 64) t(j)
+),
+dots AS (
+    SELECT q.vec_id, w.i, sum(q.qv * w.wt) AS dot
+    FROM q JOIN w ON w.j = q.j
+    GROUP BY 1, 2
+),
+sig AS (
+    SELECT vec_id,
+           CAST(sum(CASE WHEN dot > 0 THEN 1::BIGINT << CAST(i AS INT) ELSE 0 END) AS BIGINT) AS sig
+    FROM dots GROUP BY vec_id
+),
+keyed AS (
+    SELECT vec_id, b AS band, (sig >> (4 * CAST(b AS INT))) & 15 AS key
+    FROM sig CROSS JOIN range(0, 4) t(b)
+),
+skeys AS (
+    SELECT vec_id, band, key FROM keyed WHERE vec_id < 25
+    UNION
+    SELECT vec_id, band, xor(key, 1::BIGINT << CAST(j AS INT)) AS key
+    FROM keyed CROSS JOIN range(0, 4) r(j)
+    WHERE vec_id < 25
+),
+tkeys AS (
+    SELECT vec_id, band, key FROM keyed WHERE vec_id >= 100
+    UNION
+    SELECT vec_id, band, xor(key, 1::BIGINT << CAST(j AS INT)) AS key
+    FROM keyed CROSS JOIN range(0, 4) r(j)
+    WHERE vec_id >= 100
+),
+cand_f AS (
+    SELECT DISTINCT sk.vec_id AS sid, kc.vec_id AS tid
+    FROM skeys sk JOIN keyed kc USING (band, key)
+    WHERE kc.vec_id >= 100
+),
+cand_b AS (
+    SELECT DISTINCT tk.vec_id AS tid, kc.vec_id AS sid
+    FROM tkeys tk JOIN keyed kc USING (band, key)
+    WHERE kc.vec_id < 25
+),
+e_pairs AS (
+    SELECT s.vec_id AS sid, t.vec_id AS tid
+    FROM vecs s, vecs t
+    WHERE s.vec_id < 25 AND t.vec_id >= 100
+),
+norms AS (
+    SELECT vec_id, sqrt(sum(v * v)) AS nrm
+    FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM vecs)
+    GROUP BY vec_id
+),
+pairdots AS (
+    SELECT sid, tid, sum(sv * tv) AS dot
+    FROM (
+        SELECT e_pairs.sid, e_pairs.tid,
+               CAST(unnest(es.embedding) AS DOUBLE) AS sv,
+               CAST(unnest(et.embedding) AS DOUBLE) AS tv
+        FROM e_pairs
+        JOIN vecs es ON es.vec_id = e_pairs.sid
+        JOIN vecs et ON et.vec_id = e_pairs.tid
+    )
+    GROUP BY sid, tid
+),
+cosq AS (
+    SELECT d.sid, d.tid,
+           CAST(floor(d.dot / (ns.nrm * nt.nrm) * 10000 + 0.5) AS BIGINT) AS cos
+    FROM pairdots d
+    JOIN norms ns ON ns.vec_id = d.sid
+    JOIN norms nt ON nt.vec_id = d.tid
+),
+e_ftop AS (
+    SELECT * FROM (
+        SELECT sid, tid, cos,
+               row_number() OVER (PARTITION BY sid ORDER BY cos DESC, tid ASC) AS rn
+        FROM cosq
+    ) WHERE rn <= 4
+),
+e_btop AS (
+    SELECT * FROM (
+        SELECT sid, tid, cos,
+               row_number() OVER (PARTITION BY tid ORDER BY cos DESC, sid ASC) AS rn
+        FROM cosq
+    ) WHERE rn <= 4
+),
+e_mf AS (SELECT sid, avg(cos) AS mf FROM e_ftop GROUP BY sid),
+e_mb AS (SELECT tid, avg(cos) AS mb FROM e_btop GROUP BY tid),
+e_scored AS (
+    SELECT f.sid, f.tid, 2.0 * f.cos / (mf.mf + mb.mb) AS margin
+    FROM e_ftop f JOIN e_mf mf ON mf.sid = f.sid JOIN e_mb mb ON mb.tid = f.tid
+),
+e_best AS (
+    SELECT sid AS src_id, tid AS tgt_exact
+    FROM (
+        SELECT sid, tid,
+               row_number() OVER (PARTITION BY sid ORDER BY margin DESC, tid ASC) AS rn
+        FROM e_scored
+    ) WHERE rn = 1
+),
+a_ftop AS (
+    SELECT * FROM (
+        SELECT c.sid, c.tid, cq.cos,
+               row_number() OVER (PARTITION BY c.sid ORDER BY cq.cos DESC, c.tid ASC) AS rn
+        FROM cand_f c JOIN cosq cq ON cq.sid = c.sid AND cq.tid = c.tid
+    ) WHERE rn <= 4
+),
+a_btop AS (
+    SELECT * FROM (
+        SELECT c.tid, c.sid, cq.cos,
+               row_number() OVER (PARTITION BY c.tid ORDER BY cq.cos DESC, c.sid ASC) AS rn
+        FROM cand_b c JOIN cosq cq ON cq.sid = c.sid AND cq.tid = c.tid
+    ) WHERE rn <= 4
+),
+a_mf AS (SELECT sid, avg(cos) AS mf FROM a_ftop GROUP BY sid),
+a_mb AS (SELECT tid, avg(cos) AS mb FROM a_btop GROUP BY tid),
+a_scored AS (
+    SELECT f.sid, f.tid, 2.0 * f.cos / (mf.mf + mb.mb) AS margin
+    FROM a_ftop f JOIN a_mf mf ON mf.sid = f.sid JOIN a_mb mb ON mb.tid = f.tid
+),
+a_best AS (
+    SELECT sid AS src_id, tid AS tgt_ann
+    FROM (
+        SELECT sid, tid,
+               row_number() OVER (PARTITION BY sid ORDER BY margin DESC, tid ASC) AS rn
+        FROM a_scored
+    ) WHERE rn = 1
+)
+SELECT e.src_id, e.tgt_exact, a.tgt_ann,
+       CAST(CASE WHEN a.tgt_ann = e.tgt_exact THEN 1 ELSE 0 END AS BIGINT) AS agree
+FROM e_best e LEFT JOIN a_best a USING (src_id)
+"""
+
+
 # The integer dot products make the sign decision exact in both engines;
 # the re-rank reuses SQL_ANN_COSINE_TOPK's quantized-cosine shape
 # restricted to the LSH candidate set.
@@ -2884,6 +3055,7 @@ PIPELINE_QUERIES = {
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     # r10 additions — rotated into the head by _R10_ROTATION_HEAD
     "bitext_mine_ann": q_bitext_mine_ann,
+    "bitext_ann_agree": q_bitext_ann_agree,
 }
 
 PIPELINE_ORACLE_SQL = {
@@ -2945,5 +3117,6 @@ PIPELINE_ORACLE_SQL = {
     "ann_lsh_portable": SQL_ANN_LSH_PORTABLE,
     "bitext_mine": SQL_BITEXT_MINE,
     "bitext_mine_ann": SQL_BITEXT_MINE_ANN,
+    "bitext_ann_agree": SQL_BITEXT_ANN_AGREE,
     "ann_lsh_multiprobe": SQL_ANN_LSH_MULTIPROBE,
 }

@@ -68,6 +68,7 @@ __all__ = [
     "read_manifest_store",
     "stream_to_rollup_manifest",
     "stream_to_hll_manifest",
+    "compact_manifest_store",
     "vacuum_manifest_store",
     "manifest_last_batch",
     "merge_into_manifest_store",
@@ -378,6 +379,26 @@ def stream_to_hll_manifest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_manifest_store(spark, path: str) -> int:
+    """Rewrite every live partition into ONE fresh commit directory and
+    publish it — the reader-plan-size lever: read cost follows LIVE
+    commit directories (one pruned scan per dir), which ordinary
+    operation bounds by the partition count but never shrinks; after a
+    compaction the whole store is a single directory again. Runs as a
+    normal commit, so racing readers keep full snapshot isolation, and
+    the superseded directories are reclaimed by the next
+    :func:`vacuum_manifest_store`. Returns the new commit counter.
+    Cost: one full-store read + write (data-sized — schedule it like
+    any compaction); the COMMIT is still one manifest object."""
+    man = _latest_manifest(spark, path)
+    if man is None:
+        raise FileNotFoundError(f"manifest store at {path!r} has no commits")
+    df = _read_parts(spark, path, man, list(man["parts"]))
+    if df is None:
+        raise FileNotFoundError(f"manifest store at {path!r} has no live partitions")
+    return commit_merged_parts(df.localCheckpoint(), path, man["part_col"])
 
 
 def vacuum_manifest_store(spark, path: str, keep_manifests: int = 2) -> int:
