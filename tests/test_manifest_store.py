@@ -289,6 +289,28 @@ def test_stream_hll_manifest_counts_distinct_and_replays(spark, tmp_path):
     assert _latest_manifest(spark, store)["n"] == n_before
 
 
+def test_second_writer_commit_collision_fails_loudly(spark, tmp_path):
+    """Single-writer store: if a racing writer published commit n
+    between this writer's manifest read and its publish, the publish
+    must raise (its .tmp never becomes the live manifest) rather than
+    silently clobber or interleave pointers. Simulated at the publish
+    primitive: two publishes of the same counter."""
+    from traceframe_spark.streaming.manifest_store import _write_manifest
+
+    store = str(tmp_path / "twowriter")
+    merge_into_manifest_store(
+        spark, _delta(spark, [(0, BASE, "click", 1.0)]).localCheckpoint(),
+        store, ["event_type"],
+    )
+    man = dict(_latest_manifest(spark, store))
+    man["n"] = 2
+    _write_manifest(spark, store, man)  # the racing writer wins commit 2
+    with pytest.raises(IOError, match="second writer"):
+        _write_manifest(spark, store, man)  # this writer must fail loudly
+    # the store still reads as the racing writer's committed state
+    assert _latest_manifest(spark, store)["n"] == 2
+
+
 def test_vacuum_keeps_grace_versions(spark, tmp_path):
     """vacuum keeps the newest K manifests and every directory they
     reference; older manifests and unreferenced dirs go; the store
