@@ -289,6 +289,69 @@ def test_stream_hll_manifest_counts_distinct_and_replays(spark, tmp_path):
     assert _latest_manifest(spark, store)["n"] == n_before
 
 
+def test_manifest_randomized_crash_replay_equivalence(spark, tmp_path, monkeypatch):
+    """Adversarial robustness pin: a seeded random schedule of folds
+    where any batch may CRASH before its manifest publish (data
+    directory written, commit invisible) and any published batch may be
+    REPLAYED (at-least-once). After draining with the fold-loop's
+    watermark discipline, the store must equal the one-shot batch
+    rollup of every event — no loss from crashes, no double count from
+    replays — across multiple random schedules."""
+    import random
+
+    from traceframe_spark.streaming import manifest_store as M
+
+    real_publish = M._write_manifest
+
+    for trial in range(3):
+        rng = random.Random(100 + trial)
+        store = str(tmp_path / f"rc{trial}")
+        ckpt = f"ckpt-rc-{trial}"
+        all_rows, batches = [], []
+        eid = 0
+        for b in range(6):
+            rows = []
+            for _ in range(rng.randint(1, 5)):
+                rows.append(
+                    (eid, BASE + rng.randint(0, 2) * HOUR_US + rng.randint(0, 59) * 60_000_000,
+                     rng.choice(["click", "view"]), float(rng.randint(1, 9)))
+                )
+                eid += 1
+            batches.append(rows)
+            all_rows += rows
+
+        def fold(bid, rows):
+            last = manifest_last_batch(spark, store, ckpt)
+            if last is not None and bid <= last:
+                return  # the stream fn's watermark skip
+            merge_into_manifest_store(
+                spark, _delta(spark, rows).localCheckpoint(), store,
+                ["event_type"], checkpoint=ckpt, batch_id=bid,
+            )
+
+        for bid, rows in enumerate(batches):
+            if rng.random() < 0.4:
+                # crash BEFORE the publish: data lands, commit doesn't
+                def boom(*a, **kw):
+                    raise IOError("injected crash before manifest publish")
+
+                monkeypatch.setattr(M, "_write_manifest", boom)
+                try:
+                    with pytest.raises(IOError, match="injected crash"):
+                        fold(bid, rows)
+                finally:
+                    monkeypatch.setattr(M, "_write_manifest", real_publish)
+            fold(bid, rows)  # the replay (or the first clean apply)
+            if rng.random() < 0.4:
+                fold(bid, rows)  # at-least-once replay of a SUCCESSFUL batch
+
+        want = _totals(
+            R.rollup_events(_events(spark, all_rows), R.MINUTE_NS, ["event_type"], "value")
+        )
+        got = _totals(read_manifest_store(spark, store).drop("hour_ns"))
+        assert got == want, f"trial {trial}"
+
+
 def test_second_writer_commit_collision_fails_loudly(spark, tmp_path):
     """Single-writer store: if a racing writer published commit n
     between this writer's manifest read and its publish, the publish

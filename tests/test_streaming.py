@@ -1249,6 +1249,111 @@ def test_merge_replay_after_mid_swap_crash_keeps_standing_rows(spark, tmp_path):
     assert (got["n"], got["v"]) == (12, 8 * 1.0 + 4 * 10.0)
 
 
+def test_rename_store_randomized_crash_replay_equivalence(spark, tmp_path):
+    """Adversarial schedule pin for the r10 recovery fixes: a seeded
+    random fold sequence where, after any single-hour batch, the store
+    may be left in either mid-swap crash state — (A) live hour gone,
+    old data tombstoned, junk staging; (B) new data live, old data
+    tombstoned (marker never written) — followed by the at-least-once
+    replay of that batch. The replaying merge must see the recovered
+    standing rows (recovery runs BEFORE its listing) and totals must
+    equal the one-shot batch rollup exactly: no loss (the pre-fix
+    failure), no double count (the pre-fix roll-forward failure).
+    Batches are single-hour so every crash state is within the
+    discipline's exactness window (multi-hour crashes after a
+    partition's tombstone delete are the DOCUMENTED residual)."""
+    import random
+    import shutil
+
+    from traceframe_spark.operators import rollup as R
+    from traceframe_spark.streaming.spans import (
+        _PART_SWAP_NEW,
+        _PART_SWAP_OLD,
+        _merge_into_store,
+    )
+
+    HOUR_US = 3_600_000_000
+    # hour-align so a batch's minutes stay inside ONE wall-clock hour
+    H0 = (BASE // HOUR_US) * HOUR_US
+    schema = "event_id long, ts_us long, event_type string, value double"
+
+    def delta_for(rows):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts_us") * 1000
+        )
+        return R.rollup_events(df, R.MINUTE_NS, ["event_type"], "value").withColumn(
+            "hour_ns", R.time_bucket(F.col("bucket_ns"), R.HOUR_NS)
+        )
+
+    for trial in range(2):
+        rng = random.Random(200 + trial)
+        root = tmp_path / f"rn{trial}"
+        store = str(root)
+        all_rows, eid = [], 0
+        for _b in range(6):
+            hour = rng.randint(0, 2)
+            rows = [
+                (
+                    eid + i,
+                    H0 + hour * HOUR_US + rng.randint(0, 58) * 60_000_000,
+                    rng.choice(["click", "view"]),
+                    float(rng.randint(1, 9)),
+                )
+                for i in range(rng.randint(1, 5))
+            ]
+            eid += len(rows)
+            all_rows += rows
+            delta = delta_for(rows).localCheckpoint()
+            (h_ns,) = {r["hour_ns"] for r in delta.select("hour_ns").collect()}
+            hdir = f"hour_ns={h_ns}"
+            pre = None
+            if (root / hdir).exists():
+                pre = root / f"_pre_{_b}"
+                shutil.copytree(str(root / hdir), str(pre))
+            _merge_into_store(spark, delta, store, ["event_type"])
+            mode = rng.choice(["clean", "A", "B"])
+            if mode != "clean" and pre is not None:
+                (root / _PART_SWAP_OLD).mkdir(exist_ok=True)
+                if mode == "A":
+                    # crash between the two renames: live gone, old
+                    # tombstoned, half-written staging left behind
+                    shutil.rmtree(str(root / hdir))
+                    shutil.move(str(pre), str(root / _PART_SWAP_OLD / hdir))
+                    (root / _PART_SWAP_NEW / hdir).mkdir(parents=True)
+                else:
+                    # crash after swap-in, before the tombstone delete:
+                    # NEW data live, OLD data tombstoned, marker unwritten
+                    shutil.move(str(pre), str(root / _PART_SWAP_OLD / hdir))
+                pre = None
+                # the at-least-once replay of the SAME batch
+                _merge_into_store(spark, delta, store, ["event_type"])
+            elif mode == "A" and pre is None:
+                # brand-new hour: crash between renames means the live
+                # dir vanishes and only staging junk remains
+                shutil.rmtree(str(root / hdir))
+                (root / _PART_SWAP_NEW / hdir).mkdir(parents=True)
+                _merge_into_store(spark, delta, store, ["event_type"])
+            if pre is not None:
+                shutil.rmtree(str(pre), ignore_errors=True)
+
+        want = {
+            (r["bucket_ns"], r["event_type"]): (r["n"], r["value_sum"])
+            for r in R.rollup_events(
+                spark.createDataFrame(all_rows, schema).withColumn(
+                    "ts", F.col("ts_us") * 1000
+                ),
+                R.MINUTE_NS,
+                ["event_type"],
+                "value",
+            ).collect()
+        }
+        got = {
+            (r["bucket_ns"], r["event_type"]): (r["n"], r["value_sum"])
+            for r in spark.read.parquet(store).drop("hour_ns").collect()
+        }
+        assert got == want, f"trial {trial}"
+
+
 def test_hour_swap_racing_reader_never_sees_partial_hour(spark, tmp_path):
     """Read the store in a loop WHILE a compaction rewrites every hour:
     each successfully-read hour must show either its complete OLD
