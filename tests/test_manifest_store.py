@@ -289,6 +289,31 @@ def test_stream_hll_manifest_counts_distinct_and_replays(spark, tmp_path):
     assert _latest_manifest(spark, store)["n"] == n_before
 
 
+def test_time_travel_reads_pin_past_versions(spark, tmp_path):
+    """read_manifest_store(version=n) reproduces commit n exactly while
+    the store keeps ingesting — immutable data dirs make every
+    surviving manifest a full consistent snapshot. Vacuumed versions
+    fail loudly with the grace-window hint; surviving ones still read."""
+    store = str(tmp_path / "tt")
+    seen = {}
+    for k in range(1, 5):
+        merge_into_manifest_store(
+            spark,
+            _delta(spark, [(k, BASE + k * 1_000_000, "click", float(k))]).localCheckpoint(),
+            store,
+            ["event_type"],
+        )
+        seen[k] = _totals(read_manifest_store(spark, store).drop("hour_ns"))
+    for k in range(1, 5):  # every version still reads back exactly
+        assert _totals(read_manifest_store(spark, store, version=k).drop("hour_ns")) == seen[k]
+    assert seen[1] != seen[4]  # the store really did change under the pins
+    vacuum_manifest_store(spark, store, keep_manifests=2)
+    assert _totals(read_manifest_store(spark, store, version=4).drop("hour_ns")) == seen[4]
+    assert _totals(read_manifest_store(spark, store, version=3).drop("hour_ns")) == seen[3]
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        read_manifest_store(spark, store, version=1)
+
+
 def test_manifest_randomized_crash_replay_equivalence(spark, tmp_path, monkeypatch):
     """Adversarial robustness pin: a seeded random schedule of folds
     where any batch may CRASH before its manifest publish (data

@@ -221,15 +221,31 @@ def _read_parts(spark, path: str, man: dict, vals: list[str]) -> DataFrame | Non
     return out
 
 
-def read_manifest_store(spark, path: str) -> DataFrame:
-    """Snapshot read: resolve the latest manifest once and scan exactly
-    the directories it names — every partition from ONE store version,
+def read_manifest_store(spark, path: str, version: int | None = None) -> DataFrame:
+    """Snapshot read: resolve ONE manifest and scan exactly the
+    directories it names — every partition from a single store version,
     even while a writer is mid-commit (strictly stronger than the
-    rename-swap store's per-partition old-or-new). Raises if the store
-    has no committed manifest yet."""
-    man = _latest_manifest(spark, path)
-    if man is None:
-        raise FileNotFoundError(f"manifest store at {path!r} has no commits")
+    rename-swap store's per-partition old-or-new). ``version`` pins a
+    PAST commit (time travel): any version whose manifest survives
+    (the newest ``keep_manifests`` after a vacuum) reads back exactly,
+    which is what makes a training run reproducible against a store
+    that keeps ingesting — record ``store@n`` with the run, raise the
+    vacuum grace window to taste. Default reads the latest commit.
+    Raises if the store has no commits / the pinned version's manifest
+    has been vacuumed."""
+    if version is None:
+        man = _latest_manifest(spark, path)
+        if man is None:
+            raise FileNotFoundError(f"manifest store at {path!r} has no commits")
+    else:
+        name = f"m-{int(version):012d}.json"
+        if name not in _manifest_names(spark, path):
+            raise FileNotFoundError(
+                f"manifest store at {path!r}: version {version} is absent "
+                "(never committed, or vacuumed — raise keep_manifests to "
+                "widen the time-travel window)"
+            )
+        man = _read_manifest(spark, path, name)
     df = _read_parts(spark, path, man, list(man["parts"]))
     if df is None:  # a manifest with zero parts: commit of an empty frame
         raise FileNotFoundError(f"manifest store at {path!r} has no live partitions")
