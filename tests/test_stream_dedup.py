@@ -261,13 +261,15 @@ def test_within_batch_near_signs_each_batch_once(spark, tmp_path, monkeypatch):
 
 
 def test_stream_lm_is_pinned_once_per_stream(spark, tmp_path, corpus_feed):
-    """The frozen LM is read + localCheckpoint-PINNED at stream start,
-    not re-read per micro-batch: (a) scoring against pinned frames
-    survives the model path being DELETED (the frames are materialized
-    executor blocks with cut lineage — if any per-batch read remained,
-    every score after the delete would throw); (b) end-to-end, a stream
-    whose model directory vanishes right after start still lands every
-    batch with correct scores."""
+    """The frozen LM is read + persist-PINNED (eagerly materialized,
+    lineage retained) at stream start, not re-read per micro-batch:
+    (a) scoring against pinned frames survives the model path being
+    DELETED while the blocks stay cached — if any per-batch read
+    remained, every score after the delete would throw; (b) end-to-end,
+    a stream whose model directory vanishes right after start still
+    lands every batch with correct scores. (Lineage is deliberately
+    retained so executor loss recomputes from the store — see
+    load_lm_frames.)"""
     import shutil
 
     from traceframe_spark.operators.text import (

@@ -154,6 +154,12 @@ def main() -> None:
             )
             return
         if args.manifest:
+            if args.stage_threshold is not None or args.max_hot_hours is not None:
+                raise SystemExit(
+                    "--manifest does not implement late-delta staging; "
+                    "drop --stage-threshold/--max-hot-hours (a row printed "
+                    "with those knobs would mislabel the measurement)"
+                )
             from traceframe_spark.streaming.manifest_store import (
                 read_manifest_store,
                 stream_to_rollup_manifest,

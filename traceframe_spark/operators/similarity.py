@@ -272,7 +272,10 @@ def bitext_mine_best(
     cos = dot_f64(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm"))
     cos = F.floor(cos * (10**quantize) + F.lit(0.5)).cast("long")
     # persist: both directions' windows consume this frame — without it
-    # the expensive part (the dim-length dot products) runs twice
+    # the expensive part (the dim-length dot products) runs twice. The
+    # cache's lifetime is tied to the returned plan (see
+    # dedup._unpersist_with) so long-lived sessions don't leak one pair
+    # table per call.
     pairs = t.crossJoin(F.broadcast(s)).select("qid", "cid", cos.alias("cos")).persist()
     w_f = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
     fwd = (
@@ -288,7 +291,9 @@ def bitext_mine_best(
             F.col("cid").alias("qid"), F.col("qid").alias("cid"), "cos"
         )  # (tgt, src) orientation, as cosine_topk(src, tgt) would emit
     )
-    return bitext_margin_from_topk(fwd, bwd, quantize)
+    from traceframe_spark.operators.dedup import _unpersist_with
+
+    return _unpersist_with(bitext_margin_from_topk(fwd, bwd, quantize), pairs)
 
 
 def bitext_mine_ann(
@@ -339,6 +344,15 @@ def bitext_mine_ann(
     :func:`bitext_margin_from_topk` for the drop modes)."""
     if check_disjoint:
         _check_disjoint_ids(src, tgt, id_col)
+    if quantize != 4:
+        # the ANN tiers' candidate re-rank (_rerank_topk) scores on the
+        # FIXED 1e-4 grid; honoring another quantize only in the margin
+        # arithmetic would mix grids and silently skew agreement against
+        # the exact tier
+        raise ValueError(
+            "bitext_mine_ann: the ANN tiers score on the fixed 1e-4 cosine "
+            "grid; quantize must be 4 (use bitext_mine_best for other grids)"
+        )
     if tier == "ivf_index":
         if not (src_index_path and tgt_index_path):
             raise ValueError(
@@ -360,7 +374,13 @@ def bitext_mine_ann(
     else:
         raise ValueError(f"bitext_mine_ann: unknown tier {tier!r} (lsh | ivf_index)")
     sel = ["qid", "cid", "cos"]
-    return bitext_margin_from_topk(fwd.select(*sel), bwd.select(*sel), quantize)
+    from traceframe_spark.operators.dedup import carry_cache
+
+    return carry_cache(
+        bitext_margin_from_topk(fwd.select(*sel), bwd.select(*sel), quantize),
+        fwd,
+        bwd,
+    )
 
 
 def bitext_ann_agreement(
@@ -382,9 +402,12 @@ def bitext_ann_agreement(
     that src and ``agree`` ∈ {0, 1}. Aggregate agreement =
     avg(agree); run on a src SAMPLE before fixing the tier's knobs
     (the sample, not the corpora, bounds the exact side's broadcast
-    cross scoring — same affordability argument as ivf_recall_at_k)."""
+    cross scoring — same affordability argument as ivf_recall_at_k).
+    ``check_disjoint`` in ``ann_kwargs`` controls the guard once for
+    the whole comparison (default True; the ANN side never re-probes)."""
+    check = ann_kwargs.pop("check_disjoint", True)
     exact = bitext_mine_best(
-        src, tgt, id_col, vec_col, k=k, quantize=quantize, check_disjoint=True
+        src, tgt, id_col, vec_col, k=k, quantize=quantize, check_disjoint=check
     ).select(F.col("src_id"), F.col("tgt_id").alias("tgt_exact"))
     ann = bitext_mine_ann(
         src, tgt, id_col, vec_col, k=k, quantize=quantize,
@@ -813,6 +836,28 @@ def embedding_near_dup_pairs(
     )
 
 
+def _band_key_entries(sig: Column, bands: int, per_band: int, probe: bool) -> list[Column]:
+    """Per-band (band, key) structs for a packed signature — the ONE
+    definition of band-key derivation and the 1-bit multiprobe
+    expansion, shared by :func:`hyperplane_lsh_topk` and
+    :func:`_lsh_topk_bidirectional` so the bidirectional miner can never
+    silently desynchronize from the single-direction operator."""
+    mask = (1 << per_band) - 1
+    entries: list[Column] = []
+    for b in range(bands):
+        key = F.shiftright(sig, b * per_band).bitwiseAND(F.lit(mask))
+        entries.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+        if probe:
+            entries.extend(
+                F.struct(
+                    F.lit(b).alias("band"),
+                    key.bitwiseXOR(F.lit(1 << j)).alias("key"),
+                )
+                for j in range(per_band)
+            )
+    return entries
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -855,7 +900,6 @@ def hyperplane_lsh_topk(
         else _hyperplanes(dim, n_planes, seed)
     )
     per_band = n_planes // bands
-    mask = (1 << per_band) - 1
 
     def banded(df: DataFrame, side: str) -> DataFrame:
         checked = _dim_checked(F.col(vec_col), dim)
@@ -864,18 +908,7 @@ def hyperplane_lsh_topk(
             if portable
             else hyperplane_signature(checked, planes)
         )
-        entries = []
-        for b in range(bands):
-            key = F.shiftright(sig, b * per_band).bitwiseAND(F.lit(mask))
-            entries.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
-            if multiprobe and side == "q":
-                entries.extend(
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        key.bitwiseXOR(F.lit(1 << j)).alias("key"),
-                    )
-                    for j in range(per_band)
-                )
+        entries = _band_key_entries(sig, bands, per_band, multiprobe and side == "q")
         return df.select(
             F.col(id_col).alias(f"{side}id"),
             F.col(vec_col).alias(f"{side}_vec"),
@@ -924,13 +957,14 @@ def _lsh_topk_bidirectional(
     signature function, key derivation, multiprobe expansion
     (query-side only, per direction), self-pair filter, candidate
     dedup, and exact quantized re-rank."""
+    from traceframe_spark.operators.dedup import _unpersist_with
+
     planes = (
         portable_hyperplane_weights(n_planes, dim)
         if portable
         else _hyperplanes(dim, n_planes, seed)
     )
     per_band = n_planes // bands
-    mask = (1 << per_band) - 1
 
     def signed(df: DataFrame) -> DataFrame:
         checked = _dim_checked(F.col(vec_col), dim)
@@ -949,18 +983,7 @@ def _lsh_topk_bidirectional(
     s_signed, t_signed = signed(src), signed(tgt)
 
     def keyed(df: DataFrame, side: str, probe: bool) -> DataFrame:
-        entries = []
-        for b in range(bands):
-            key = F.shiftright(F.col("sig"), b * per_band).bitwiseAND(F.lit(mask))
-            entries.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
-            if probe:
-                entries.extend(
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        key.bitwiseXOR(F.lit(1 << j)).alias("key"),
-                    )
-                    for j in range(per_band)
-                )
+        entries = _band_key_entries(F.col("sig"), bands, per_band, probe)
         return df.select(
             F.col("id").alias(f"{side}id"),
             F.col("vec").alias(f"{side}_vec"),
@@ -978,7 +1001,11 @@ def _lsh_topk_bidirectional(
         )
         return _rerank_topk(cands, k)
 
-    return direction(s_signed, t_signed), direction(t_signed, s_signed)
+    # the signed frames' cache lives as long as either direction's plan
+    # (released by GC when both are dropped — no per-call cache leak)
+    fwd = _unpersist_with(direction(s_signed, t_signed), s_signed, t_signed)
+    bwd = _unpersist_with(direction(t_signed, s_signed), s_signed, t_signed)
+    return fwd, bwd
 
 
 # ---------------------------------------------------------------------------

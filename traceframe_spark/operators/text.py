@@ -589,14 +589,27 @@ def write_bigram_lm(
 def load_lm_frames(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
     """Read a stored bigram LM (:func:`write_bigram_lm`) ONCE and pin it
     in executor storage: (bigrams, prefix, |V|) with both count frames
-    ``localCheckpoint``-ed — eager, lineage-cut, so later scoring never
-    re-lists or re-reads the store (and survives the store path being
-    deleted or swapped mid-run). This is the per-stream hoist for
-    :func:`score_against_lm` inside ``foreachBatch``: the model is
-    FROZEN by contract, so reading it per micro-batch bought nothing
-    but a per-batch store listing + meta job."""
-    bi = spark.read.parquet(f"{path}/bigrams").localCheckpoint()
-    uni = spark.read.parquet(f"{path}/prefix").localCheckpoint()
+    persisted (MEMORY_AND_DISK) and eagerly materialized — later
+    scoring reads cached blocks, never re-listing the store per call.
+    This is the per-stream hoist for :func:`score_against_lm` inside
+    ``foreachBatch``: the model is FROZEN by contract, so reading it
+    per micro-batch bought nothing but a per-batch store listing +
+    meta job.
+
+    Deliberately persist-with-LINEAGE, not ``localCheckpoint``: losing
+    an executor that held cached blocks is ROUTINE on a real cluster,
+    and retained lineage recomputes the lost blocks from the store
+    (whose file listing was captured once at read time) — a
+    lineage-cut pin would instead kill every later micro-batch of a
+    long-lived stream. The trade: deleting the store path mid-stream is
+    survivable only while the cached blocks live; that is an operator
+    error against a frozen model, not a failure mode to optimize for."""
+    bi = spark.read.parquet(f"{path}/bigrams").persist()
+    uni = spark.read.parquet(f"{path}/prefix").persist()
+    # materialize NOW: the pin must be populated (and the store path
+    # validated) at load time, not on the first batch's scoring job
+    bi.count()
+    uni.count()
     v = int(spark.read.json(f"{path}/lm_meta").collect()[0]["v"])
     return bi, uni, v
 

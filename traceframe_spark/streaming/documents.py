@@ -157,8 +157,8 @@ def stream_dedup_ingest(
         # missing LM, same rationale as the gram layer above): scoring
         # inside foreachBatch against per-batch reads re-listed the
         # store and re-ran the meta job every micro-batch for a model
-        # that is frozen by contract. localCheckpoint-ed frames also
-        # survive the model path being deleted mid-stream.
+        # that is frozen by contract. Persisted WITH lineage: executor
+        # loss recomputes from the store (see load_lm_frames).
         from traceframe_spark.operators.text import load_lm_frames
 
         try:

@@ -77,11 +77,7 @@ __all__ = [
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 
-
-def _fs_path(spark, path: str):
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+from traceframe_spark.streaming.spans import _fs_path  # noqa: E402 — shared helper
 
 
 def _lineage(checkpoint: str) -> str:
@@ -123,32 +119,53 @@ def _read_manifest(spark, path: str, name: str) -> dict:
 
 
 def _latest_manifest(spark, path: str) -> dict | None:
+    """Newest PARSEABLE manifest, or None. A writer that crashed mid-
+    publish can leave a partially-written newest file; readers skip it
+    (the previous commit is the last complete snapshot) rather than
+    fail — the next commit numbers PAST it (:func:`_next_commit_n`), so
+    the partial never blocks the store."""
+    for name in reversed(_manifest_names(spark, path)):
+        try:
+            return _read_manifest(spark, path, name)
+        except (ValueError, IOError):  # partial/corrupt: skip to previous
+            continue
+    return None
+
+
+def _next_commit_n(spark, path: str) -> int:
+    """Next commit counter from the manifest NAMES (parseable or not):
+    numbering past a crashed partial publish keeps the exclusive-create
+    guard from colliding with its leftover forever."""
     names = _manifest_names(spark, path)
-    return _read_manifest(spark, path, names[-1]) if names else None
+    return (int(names[-1].split("-")[1].split(".")[0]) + 1) if names else 1
 
 
 def _write_manifest(spark, path: str, man: dict) -> None:
-    """Publish one commit: write the complete JSON to a ``.tmp`` name,
-    then file-rename to the final zero-padded name. Readers list only
-    ``m-*.json``, so the commit becomes visible atomically with
-    complete content."""
+    """Publish one commit: exclusive-create the final zero-padded name
+    and write the complete JSON. ``create(overwrite=False)`` is the
+    atomic commit-if-absent primitive where one exists (HDFS arbitrates
+    at the namenode) and a narrow best-effort check elsewhere — the
+    earlier tmp+rename form was WORSE on POSIX, where rename(2)
+    silently REPLACES an existing destination, so a racing writer's
+    publish overwrote the first commit instead of failing. Readers
+    tolerate a torn write of the newest file (:func:`_latest_manifest`
+    falls back; :func:`_next_commit_n` numbers past it), so
+    single-object visibility is not load-bearing for correctness —
+    single writer remains the store's contract and this guard is its
+    loud tripwire."""
     n = man["n"]
-    final = f"{path}/{_MANIFEST_DIR}/m-{n:012d}.json"
-    tmp = final + ".tmp"
-    fs, tmp_p = _fs_path(spark, tmp)
-    _, final_p = _fs_path(spark, final)
-    out = fs.create(tmp_p, True)
+    fs, final_p = _fs_path(spark, f"{path}/{_MANIFEST_DIR}/m-{n:012d}.json")
+    try:
+        out = fs.create(final_p, False)
+    except Exception as exc:  # noqa: BLE001 — FileAlreadyExists et al.
+        raise IOError(
+            f"manifest store at {path!r}: commit {n} already exists — "
+            "second writer detected (single-writer store)"
+        ) from exc
     try:
         out.write(bytearray(json.dumps(man, sort_keys=True).encode("utf-8")))
     finally:
         out.close()
-    if fs.exists(final_p):
-        raise IOError(
-            f"manifest store at {path!r}: commit {n} already exists — "
-            "second writer detected (single-writer store)"
-        )
-    if not fs.rename(tmp_p, final_p):
-        raise IOError(f"manifest store: failed to publish commit {n} at {final}")
 
 
 def commit_merged_parts(
@@ -157,6 +174,7 @@ def commit_merged_parts(
     part_col: str,
     checkpoint: str | None = None,
     batch_id: int | None = None,
+    prev: dict | None = None,
 ) -> int:
     """Write ``merged``'s partitions to a fresh immutable commit
     directory and publish a manifest pointing every LIVE partition at
@@ -164,10 +182,14 @@ def commit_merged_parts(
     carried forward). Returns the commit counter. A crash anywhere
     before the manifest publish leaves only unreferenced directories —
     invisible to every reader and reclaimed by
-    :func:`vacuum_manifest_store`."""
+    :func:`vacuum_manifest_store`. ``prev`` passes an already-resolved
+    latest manifest so a fold loop reads the store's metadata once per
+    batch, not once per helper (the listings/GETs are the per-commit
+    bill on an object store)."""
     spark = merged.sparkSession
-    prev = _latest_manifest(spark, path)
-    n = (prev["n"] + 1) if prev else 1
+    if prev is None:
+        prev = _latest_manifest(spark, path)
+    n = _next_commit_n(spark, path)
     cdir = f"{_DATA_DIR}/c-{n:012d}-{uuid.uuid4().hex[:8]}"
     (
         merged.repartition(part_col)
@@ -259,6 +281,7 @@ def merge_into_manifest_store(
     keys: list[str],
     checkpoint: str | None = None,
     batch_id: int | None = None,
+    man: dict | None = None,
 ) -> int:
     """Fold a (bucket_ns, *keys, n, sums, hour_ns) partial frame into the
     store: standing read of ONLY the touched hours (straight from the
@@ -266,13 +289,15 @@ def merge_into_manifest_store(
     O(touched) property the rename store gets from its driver-side
     root listing), lossless merge, one commit. No crash recovery step
     exists because none is needed: un-manifested directories are
-    invisible."""
+    invisible. ``man`` passes a pre-resolved latest manifest (see
+    :func:`commit_merged_parts`)."""
     from traceframe_spark.operators import rollup as R
 
     touched = [
         str(r["hour_ns"]) for r in delta.select("hour_ns").distinct().collect()
     ]
-    man = _latest_manifest(spark, path)
+    if man is None:
+        man = _latest_manifest(spark, path)
     standing = _read_parts(spark, path, man, touched) if man else None
     if standing is not None:
         # localCheckpoint: immutable dirs are never deleted under the
@@ -289,7 +314,7 @@ def merge_into_manifest_store(
         "hour_ns", R.time_bucket(F.col("bucket_ns"), R.HOUR_NS)
     )
     return commit_merged_parts(
-        merged, path, "hour_ns", checkpoint=checkpoint, batch_id=batch_id
+        merged, path, "hour_ns", checkpoint=checkpoint, batch_id=batch_id, prev=man
     )
 
 
@@ -315,15 +340,19 @@ def stream_to_rollup_manifest(
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        last = manifest_last_batch(spark, path, checkpoint)
-        if last is not None and batch_id <= last:
+        # ONE manifest resolution per batch: the watermark check, the
+        # standing read, and the commit all consume this snapshot
+        man = _latest_manifest(spark, path)
+        last = man.get("lineage", {}).get(_lineage(checkpoint)) if man else None
+        if last is not None and batch_id <= int(last):
             return  # committed atomically with the data: replay skips
         delta = R.rollup_events(batch_df, bucket_ns, keys, value_col, ts_col)
         delta = delta.withColumn(
             "hour_ns", R.time_bucket(F.col("bucket_ns"), R.HOUR_NS)
         ).localCheckpoint()
         merge_into_manifest_store(
-            spark, delta, path, keys, checkpoint=checkpoint, batch_id=batch_id
+            spark, delta, path, keys, checkpoint=checkpoint, batch_id=batch_id,
+            man=man,
         )
 
     writer = (
@@ -358,8 +387,11 @@ def stream_to_hll_manifest(
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        last = manifest_last_batch(spark, path, checkpoint)
-        if last is not None and batch_id <= last:
+        # ONE manifest resolution per batch (watermark + standing read
+        # + commit), same as the rollup twin
+        man = _latest_manifest(spark, path)
+        last = man.get("lineage", {}).get(_lineage(checkpoint)) if man else None
+        if last is not None and batch_id <= int(last):
             return
         b, r = sketch.hll_bucket_rho(F.col(key_col), p)
         delta = (
@@ -373,7 +405,6 @@ def stream_to_hll_manifest(
             .localCheckpoint()
         )
         touched = [str(row["day"]) for row in delta.select("day").distinct().collect()]
-        man = _latest_manifest(spark, path)
         standing = _read_parts(spark, path, man, touched) if man else None
         if standing is not None:
             merged = (
@@ -385,7 +416,7 @@ def stream_to_hll_manifest(
         else:
             merged = delta
         commit_merged_parts(
-            merged, path, "day", checkpoint=checkpoint, batch_id=batch_id
+            merged, path, "day", checkpoint=checkpoint, batch_id=batch_id, prev=man
         )
 
     writer = (
@@ -435,7 +466,10 @@ def vacuum_manifest_store(spark, path: str, keep_manifests: int = 2) -> int:
     kept, dropped = names[-keep_manifests:], names[:-keep_manifests]
     live: set[str] = set()
     for name in kept:
-        man = _read_manifest(spark, path, name)
+        try:
+            man = _read_manifest(spark, path, name)
+        except (ValueError, IOError):
+            continue  # torn publish leftover: references nothing
         live.update(d.split("/")[1] for d in man["parts"].values())
     newest_n = int(kept[-1].split("-")[1].split(".")[0])
     fs, data = _fs_path(spark, f"{path}/{_DATA_DIR}")
