@@ -68,9 +68,38 @@ def build_queries():
             n_planes=16, bands=4, portable=True, multiprobe=True,
         )
 
+    def q_bitext_mine_ann_ivf_vol(spark, sf_dir):
+        """The persisted-IVF tier at 100x, full-probe: with nprobe ==
+        n_centroids every inverted list is probed, so retrieval is
+        complete and the mined pairs must equal the EXACT tier's — the
+        exact-tier SQL therefore value-verifies the whole IVF
+        composition plumbing (two index writes, two probe directions,
+        partition-pruned candidate joins, shared margin algebra) at
+        volume. The recall-lossy operating points are instrumented by
+        bitext_ann_agreement (SCALING.md lever table), not this row."""
+        import shutil
+
+        from traceframe_spark.plans.catalog import tmp_store
+
+        e = load_table(spark, sf_dir, "embeddings")
+        base = F.col("vec_id") % MOD
+        src = e.filter(base < 8)
+        tgt = e.filter((base >= 100) & (base < 108))
+        root = tmp_store("bitext_ivf_vol_")
+        si, ti = f"{root}/src", f"{root}/tgt"
+        similarity.write_ivf_index(src, si, "vec_id", "embedding", n_centroids=4)
+        similarity.write_ivf_index(tgt, ti, "vec_id", "embedding", n_centroids=4)
+        out = similarity.bitext_mine_ann(
+            src, tgt, "vec_id", "embedding", k=4, tier="ivf_index",
+            src_index_path=si, tgt_index_path=ti, nprobe=4,
+        ).localCheckpoint()  # pin before the tmp indexes are reclaimed
+        shutil.rmtree(root, ignore_errors=True)
+        return out
+
     qs = {
         "bitext_mine_ann_vol": q_bitext_mine_ann_vol,
         "bitext_ann_agree_vol": q_bitext_ann_agree_vol,
+        "bitext_mine_ann_ivf_vol": q_bitext_mine_ann_ivf_vol,
     }
 
     def swap_bounds(sql: str) -> str:
@@ -85,9 +114,16 @@ def build_queries():
         sql = swap(sql, "vec_id < 25", f"vec_id % {MOD} < 8")
         return swap(sql, "vec_id >= 100", f"vec_id % {MOD} >= 100")
 
+    sql_exact = swap(
+        swap(P.SQL_BITEXT_MINE, "s.vec_id < 25", f"s.vec_id % {MOD} < 8"),
+        "t.vec_id >= 100 AND t.vec_id < 125",
+        f"t.vec_id % {MOD} >= 100 AND t.vec_id % {MOD} < 108",
+    )
     sql = {
         "bitext_mine_ann_vol": swap_bounds(P.SQL_BITEXT_MINE_ANN),
         "bitext_ann_agree_vol": swap_bounds(P.SQL_BITEXT_ANN_AGREE),
+        # full probe == complete retrieval == the exact tier's answer
+        "bitext_mine_ann_ivf_vol": sql_exact,
     }
     return qs, sql
 
