@@ -188,59 +188,67 @@ def stream_dedup_ingest(
             return
         deduped = _dedup_within_batch(batch_df, id_col, text_col)
         shared_sigs = None
-        if wb_params is not None:
-            n_hashes, bands, shingle_size, _has_near, portable = wb_params
-            # sign the batch ONCE with the index's pinned meta (family
-            # included) and feed BOTH stages — the pipeline and the
-            # index probe previously each re-shingled + re-signed the
-            # same rows with identical parameters
-            shared_sigs = minhash_signatures(
-                deduped, id_col, text_col, n_hashes, shingle_size,
-                portable=portable,
-            ).persist()
-            deduped = dedup_pipeline(
+        survivors = None
+        # ONE try/finally spans signing through fold-back: an exception
+        # in any stage (pipeline, probe, novelty, LM scoring, the write)
+        # must still unpersist whatever was pinned, or each failed batch
+        # attempt leaks a persisted frame in the JVM CacheManager for
+        # the life of the session. unpersist() on a never-persisted
+        # frame is a no-op, so the finally is unconditional-safe.
+        try:
+            if wb_params is not None:
+                n_hashes, bands, shingle_size, _has_near, portable = wb_params
+                # sign the batch ONCE with the index's pinned meta
+                # (family included) and feed BOTH stages — the pipeline
+                # and the index probe previously each re-shingled +
+                # re-signed the same rows with identical parameters
+                shared_sigs = minhash_signatures(
+                    deduped, id_col, text_col, n_hashes, shingle_size,
+                    portable=portable,
+                ).persist()
+                deduped = dedup_pipeline(
+                    deduped,
+                    id_col,
+                    text_col,
+                    threshold=threshold,
+                    n_hashes=n_hashes,
+                    bands=bands,
+                    shingle_size=shingle_size,
+                    sigs=shared_sigs,
+                )
+            survivors = di.dedup_against_index(
                 deduped,
-                id_col,
-                text_col,
+                index_path,
+                id_col=id_col,
+                text_col=text_col,
                 threshold=threshold,
-                n_hashes=n_hashes,
-                bands=bands,
-                shingle_size=shingle_size,
+                near_dup=near_dup,
                 sigs=shared_sigs,
             )
-        survivors = di.dedup_against_index(
-            deduped,
-            index_path,
-            id_col=id_col,
-            text_col=text_col,
-            threshold=threshold,
-            near_dup=near_dup,
-            sigs=shared_sigs,
-        )
-        if annotate_novelty:
-            # score BEFORE the fold-back below so a doc is never "not
-            # novel" because of its own grams
-            nov = di.novelty_against_index(
-                survivors, index_path, id_col, text_col
-            )
-            survivors = survivors.join(nov, id_col)
-        if lm_frames is not None:
-            from traceframe_spark.operators.text import score_against_lm
+            if annotate_novelty:
+                # score BEFORE the fold-back below so a doc is never
+                # "not novel" because of its own grams
+                nov = di.novelty_against_index(
+                    survivors, index_path, id_col, text_col
+                )
+                survivors = survivors.join(nov, id_col)
+            if lm_frames is not None:
+                from traceframe_spark.operators.text import score_against_lm
 
-            lp = score_against_lm(
-                survivors, id_col=id_col, text_col=text_col, frames=lm_frames
-            )
-            survivors = survivors.join(
-                lp.withColumnRenamed("id", id_col), id_col, "left"
-            )
-        survivors = survivors.persist()
-        try:
+                lp = score_against_lm(
+                    survivors, id_col=id_col, text_col=text_col, frames=lm_frames
+                )
+                survivors = survivors.join(
+                    lp.withColumnRenamed("id", id_col), id_col, "left"
+                )
+            survivors = survivors.persist()
             survivors.write.mode("overwrite").parquet(batch_dir)
             _mark_batch_applied(spark, out_path, checkpoint, batch_id)
             if not survivors.isEmpty():
                 _fold_back(survivors)
         finally:
-            survivors.unpersist()
+            if survivors is not None:
+                survivors.unpersist()
             if shared_sigs is not None:
                 shared_sigs.unpersist()
 

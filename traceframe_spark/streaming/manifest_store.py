@@ -41,14 +41,18 @@ COMMIT DIRS (bounded by the partition count, shrunk by every rewrite
 that touches many partitions and by :func:`vacuum_manifest_store`),
 never store history.
 
-Durability notes: the manifest is written to a ``.tmp`` name and then
-file-renamed into place — a FILE rename (atomic visibility on
-POSIX/HDFS; on S3 Hadoop implements it as a server-side copy of the
-complete small object + delete, which is also safe here because readers
-never look at ``.tmp`` names and the final name appears with complete
-content or not at all). Spark's own task-commit renames inside a data
-directory don't matter either: a data directory is invisible until a
-manifest names it. Single writer assumed, as all stores here.
+Durability notes: the manifest is published by EXCLUSIVE-CREATING the
+final zero-padded name (``fs.create(path, overwrite=False)``) and
+writing the complete JSON — commit-if-absent where the filesystem can
+arbitrate it (HDFS: atomic at the namenode; S3A: a HEAD-then-PUT
+best-effort check — see `_write_manifest` for the per-scheme strength).
+A crash mid-write can leave a TORN newest file; readers tolerate it
+(:func:`_latest_manifest` falls back to the previous complete snapshot)
+and the next commit numbers past it (:func:`_next_commit_n`), so
+single-object write visibility is not load-bearing for reader
+correctness. Spark's own task-commit renames inside a data directory
+don't matter either: a data directory is invisible until a manifest
+names it. Single writer assumed, as all stores here.
 
 No reference analogue (the reference has no incremental store at all);
 the protocol is the classic manifest/snapshot design transactional
@@ -100,21 +104,32 @@ def _manifest_names(spark, path: str) -> list[str]:
 
 
 def _read_manifest(spark, path: str, name: str) -> dict:
+    # the JVM read is wrapped narrowly so transport-level failures
+    # (Py4JJavaError from fs.open/readLine — e.g. a GET failure on an
+    # object store, or a file deleted between list and open) surface as
+    # IOError: every caller's torn-manifest fallback catches IOError,
+    # and a raw Py4JJavaError would bypass it and crash the reader
+    # instead of falling back to the previous complete snapshot
     fs, p = _fs_path(spark, f"{path}/{_MANIFEST_DIR}/{name}")
-    stream = fs.open(p)
     try:
-        jvm = spark._jvm
-        reader = jvm.java.io.BufferedReader(
-            jvm.java.io.InputStreamReader(stream, "UTF-8")
-        )
-        lines = []
-        while True:
-            line = reader.readLine()
-            if line is None:
-                break
-            lines.append(line)
-    finally:
-        stream.close()
+        stream = fs.open(p)
+        try:
+            jvm = spark._jvm
+            reader = jvm.java.io.BufferedReader(
+                jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            lines = []
+            while True:
+                line = reader.readLine()
+                if line is None:
+                    break
+                lines.append(line)
+        finally:
+            stream.close()
+    except Exception as exc:
+        if isinstance(exc, (ValueError, IOError)):
+            raise
+        raise IOError(f"manifest read failed: {path}/{_MANIFEST_DIR}/{name}") from exc
     return json.loads("\n".join(lines))
 
 
@@ -130,6 +145,17 @@ def _latest_manifest(spark, path: str) -> dict | None:
         except (ValueError, IOError):  # partial/corrupt: skip to previous
             continue
     return None
+
+
+def _manifest_dirs(man: dict) -> list[str]:
+    """Every data directory a manifest references: partitioned stores
+    map partition value → dir under ``parts``; layer stores map layer
+    name → list of dirs under ``layers`` (a manifest may carry either
+    or both — vacuum treats them uniformly)."""
+    out = list(man.get("parts", {}).values())
+    for dirs in man.get("layers", {}).values():
+        out.extend(dirs)
+    return out
 
 
 def _next_commit_n(spark, path: str) -> int:
@@ -463,14 +489,27 @@ def vacuum_manifest_store(spark, path: str, keep_manifests: int = 2) -> int:
     names = _manifest_names(spark, path)
     if not names:
         return 0
-    kept, dropped = names[-keep_manifests:], names[:-keep_manifests]
+    # the kept window counts PARSEABLE manifests only: a torn-publish
+    # leftover references nothing, so letting it consume a grace slot
+    # would silently shrink the reader grace window to keep_manifests-1.
+    # Torn names older than the kept window are still deleted; torn
+    # names inside/after it are left alone (the next commit numbers
+    # past them) and never counted.
+    manifests: dict[str, dict | None] = {}
+    for name in names:
+        try:
+            manifests[name] = _read_manifest(spark, path, name)
+        except (ValueError, IOError):
+            manifests[name] = None  # torn publish leftover
+    parseable = [n for n in names if manifests[n] is not None]
+    kept = parseable[-keep_manifests:] if parseable else names[-keep_manifests:]
+    dropped = [n for n in names if n < kept[0]]
     live: set[str] = set()
     for name in kept:
-        try:
-            man = _read_manifest(spark, path, name)
-        except (ValueError, IOError):
-            continue  # torn publish leftover: references nothing
-        live.update(d.split("/")[1] for d in man["parts"].values())
+        man = manifests.get(name)
+        if man is None:
+            continue  # all-torn fallback window: references nothing
+        live.update(d.split("/")[1] for d in _manifest_dirs(man))
     newest_n = int(kept[-1].split("-")[1].split(".")[0])
     fs, data = _fs_path(spark, f"{path}/{_DATA_DIR}")
     removed = 0
