@@ -46,6 +46,30 @@ are parquet-atomic per layer and the layers only ADD rows (a doc
 present in ``bands`` but not yet ``sigs`` can produce a candidate that
 verification then drops — appends write ``sigs`` before ``bands`` so
 the race resolves to a false candidate, never a missed duplicate).
+
+Two commit protocols, chosen at build time and auto-detected ever
+after (probes and appends read the store's own shape — callers never
+pass a protocol flag after ``write_dedup_index``):
+
+- ``protocol="append"`` (default): each layer is a plain parquet
+  directory, appends add files in place. Simple, but appends are only
+  per-layer atomic (the benign races above), replay protection needs
+  external markers, and object-store append behavior is whatever
+  ``parquet append`` does there.
+- ``protocol="manifest"``: the index is a LAYER-manifest store
+  (:mod:`~traceframe_spark.streaming.manifest_store`): every layer's
+  live data is a list of immutable directories and a multi-layer
+  append (exact + sigs + bands + grams) publishes ONE manifest — all
+  layers advance atomically, probes are whole-index SNAPSHOT reads
+  (a probe resolves one manifest and every layer join sees the same
+  store version, even under a concurrent fold-back), the pinned
+  parameters live IN the manifest (meta reads are a driver-side JSON
+  field, not a Spark job), and a streaming fold-back commits the
+  replay watermark atomically with the data
+  (:func:`append_curation_layers`) — the write-then-mark window and
+  the "index append may run twice" residual are structurally gone.
+  This is the object-store-safe shape; S3-class schemes get the same
+  guarantees the rollup/HLL manifest stores document.
 """
 
 from __future__ import annotations
@@ -57,6 +81,7 @@ from .dedup import content_key, minhash_signatures, spread
 __all__ = [
     "write_dedup_index",
     "append_dedup_index",
+    "append_curation_layers",
     "dedup_against_index",
     "read_index_meta",
     "write_gram_layer",
@@ -65,6 +90,36 @@ __all__ = [
     "novelty_against_index",
     "contamination_against_index",
 ]
+
+
+def _manifest_of(spark: SparkSession, path: str) -> dict | None:
+    """The store's latest manifest if ``path`` is a manifest-protocol
+    index, else None (append-protocol). The one detection seam every
+    probe/append funnels through — resolved ONCE per operation and
+    passed down, so all of an operation's layer reads come from the
+    same snapshot."""
+    from traceframe_spark.streaming import manifest_store as MS
+
+    if not MS.is_manifest_store(spark, path):
+        return None
+    man = MS._latest_manifest(spark, path)
+    if man is None:
+        raise FileNotFoundError(
+            f"manifest-protocol dedup index at {path!r} has no commits"
+        )
+    return man
+
+
+def _layer_df(
+    spark: SparkSession, path: str, layer: str, man: dict | None
+) -> DataFrame:
+    """One stored layer, protocol-appropriately: a snapshot read of the
+    manifest's directory list, or the plain parquet directory."""
+    if man is not None:
+        from traceframe_spark.streaming import manifest_store as MS
+
+        return MS.read_manifest_layer(spark, path, layer, man=man)
+    return spark.read.parquet(f"{path}/{layer}")
 
 
 def _band_entries(
@@ -129,6 +184,7 @@ def write_dedup_index(
     shingle_size: int = 5,
     with_near: bool = True,
     portable: bool = False,
+    protocol: str = "append",
 ) -> None:
     """Build the index from scratch at ``path`` (overwrites).
 
@@ -148,12 +204,30 @@ def write_dedup_index(
     band buckets by slice values — every stored value reproducible in
     ANSI SQL. The flag is pinned in meta like the hash parameters;
     probes always hash the stored way.
-    """
-    spark = docs.sparkSession
 
-    def _meta(near: bool) -> None:
+    ``protocol="manifest"`` builds a layer-manifest store instead of
+    plain parquet directories (see the module docstring's protocol
+    comparison); the build is ONE atomic commit carrying every layer
+    plus the pinned meta — a crashed build leaves no torn store, and a
+    REBUILD over an existing manifest index is itself a commit (the
+    prior version stays time-travel-readable until vacuumed). The
+    protocol is a property of the store, auto-detected by every later
+    probe/append.
+    """
+    if protocol not in ("append", "manifest"):
+        raise ValueError(f"unknown index protocol {protocol!r}")
+    spark = docs.sparkSession
+    meta_row = {
+        "n_hashes": int(n_hashes),
+        "bands": int(bands),
+        "shingle_size": int(shingle_size),
+        "near": bool(with_near),
+        "portable": bool(portable),
+    }
+
+    def _meta_json() -> None:
         meta = spark.createDataFrame(
-            [(int(n_hashes), int(bands), int(shingle_size), near, bool(portable))],
+            [(int(n_hashes), int(bands), int(shingle_size), bool(with_near), bool(portable))],
             "n_hashes int, bands int, shingle_size int, near boolean, portable boolean",
         )
         meta.coalesce(1).write.mode("overwrite").json(f"{path}/meta")
@@ -162,27 +236,69 @@ def write_dedup_index(
         exact = spread(docs, id_col).select(
             content_key(text_col).alias("ckey"), F.col(id_col).alias("id")
         )
-        exact.write.mode("overwrite").parquet(f"{path}/exact")
-        _meta(False)
+        if protocol == "manifest":
+            from traceframe_spark.streaming import manifest_store as MS
+
+            MS.commit_layer_frames(
+                spark, path, {"exact": exact}, replace=True, meta=meta_row
+            )
+        else:
+            exact.write.mode("overwrite").parquet(f"{path}/exact")
+            _meta_json()
         return
     exact, sig, band = _layers(
         docs, id_col, text_col, n_hashes, bands, shingle_size, portable
     )
     sig = sig.persist()
     try:
-        exact.write.mode("overwrite").parquet(f"{path}/exact")
-        sig.write.mode("overwrite").parquet(f"{path}/sigs")
-        band.write.mode("overwrite").parquet(f"{path}/bands")
-        _meta(True)
+        if protocol == "manifest":
+            from traceframe_spark.streaming import manifest_store as MS
+
+            MS.commit_layer_frames(
+                spark,
+                path,
+                {"exact": exact, "sigs": sig, "bands": band},
+                replace=True,
+                meta=meta_row,
+            )
+        else:
+            exact.write.mode("overwrite").parquet(f"{path}/exact")
+            sig.write.mode("overwrite").parquet(f"{path}/sigs")
+            band.write.mode("overwrite").parquet(f"{path}/bands")
+            _meta_json()
     finally:
         sig.unpersist()
 
 
-def _meta_all(spark: SparkSession, path: str) -> tuple[int, int, int, bool, bool]:
-    """ONE driver job for the whole pinned-parameter row:
+_UNRESOLVED = object()  # sentinel: "detect the protocol yourself"
+
+
+def _meta_all(
+    spark: SparkSession, path: str, man: dict | None = _UNRESOLVED
+) -> tuple[int, int, int, bool, bool]:
+    """ONE driver read for the whole pinned-parameter row:
     (n_hashes, bands, shingle_size, near, portable). Every probe/append
     needs several of these at once, and each separate accessor used to
-    cost its own ``spark.read.json().collect()`` round trip."""
+    cost its own ``spark.read.json().collect()`` round trip. On a
+    manifest-protocol store the row is a field of the manifest — a
+    driver-side JSON read, no Spark job at all; pass a pre-resolved
+    ``man`` (None meaning "append protocol") to skip re-detection."""
+    if man is _UNRESOLVED:
+        man = _manifest_of(spark, path)
+    if man is not None:
+        m = man.get("meta", {})
+        if "n_hashes" not in m:
+            raise ValueError(
+                f"manifest store at {path!r} carries no dedup-index meta "
+                "(not built by write_dedup_index?)"
+            )
+        return (
+            int(m["n_hashes"]),
+            int(m["bands"]),
+            int(m["shingle_size"]),
+            bool(m.get("near", True)),
+            bool(m.get("portable", False)),
+        )
     row = spark.read.json(f"{path}/meta").collect()[0]
 
     def flag(name: str, default: bool) -> bool:
@@ -251,10 +367,24 @@ def append_dedup_index(
     materializes the FULL input rows, document text included — a
     delta-sized spill, bounded by the daily feed; callers with very
     large non-index-derived deltas can pre-project to ``(id, text)``.
+    (On a MANIFEST-protocol store the self-read hazard is structurally
+    absent — the probe's plan names immutable snapshot directories that
+    survive the append — but the checkpoint is kept there too: it still
+    pins cost (the fold-back would otherwise re-run the probe joins)
+    and keeps the call's semantics protocol-independent.)
+
+    On a manifest-protocol store the append is ONE atomic commit of all
+    index layers; streaming callers that also need the replay watermark
+    (or the gram layer in the same commit) use
+    :func:`append_curation_layers` instead.
     """
     docs = docs.localCheckpoint()
     spark = docs.sparkSession
-    n_hashes, bands, shingle_size, has_near, portable = _meta_all(spark, path)
+    man = _manifest_of(spark, path)
+    if man is not None:
+        _commit_curation_append(docs, path, id_col, text_col, man, grams=False)
+        return
+    n_hashes, bands, shingle_size, has_near, portable = _meta_all(spark, path, man)
     if not has_near:
         spread(docs, id_col).select(
             content_key(text_col).alias("ckey"), F.col(id_col).alias("id")
@@ -270,6 +400,109 @@ def append_dedup_index(
         band.write.mode("append").parquet(f"{path}/bands")
     finally:
         sig.unpersist()
+
+
+def _gram_n_of(spark: SparkSession, path: str, man: dict | None) -> int:
+    """Pinned gram order, protocol-appropriately: the manifest's
+    ``gram_n`` meta field, or the ``gram_meta`` JSON directory. Raises
+    if the store has no gram layer."""
+    if man is not None:
+        n = man.get("meta", {}).get("gram_n")
+        if n is None:
+            raise ValueError(
+                f"manifest index at {path!r} has no gram layer; run "
+                "write_gram_layer on it first"
+            )
+        return int(n)
+    return int(spark.read.json(f"{path}/gram_meta").collect()[0]["n"])
+
+
+def _commit_curation_append(
+    docs: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    man: dict,
+    grams: bool,
+    checkpoint: str | None = None,
+    batch_id: int | None = None,
+) -> int:
+    """Shared body of the manifest-protocol fold-back: compute the
+    index layers (and optionally the fresh gram keys) from ``docs`` and
+    publish them in ONE commit, with the replay watermark folded in
+    when a stream passes (checkpoint, batch_id). ``docs`` must already
+    be pinned (localCheckpoint/persist) by the caller."""
+    from traceframe_spark.streaming import manifest_store as MS
+
+    spark = docs.sparkSession
+    n_hashes, bands, shingle_size, has_near, portable = _meta_all(spark, path, man)
+    frames: dict[str, DataFrame] = {}
+    sig = None
+    if has_near:
+        frames["exact"], sig, frames["bands"] = _layers(
+            docs, id_col, text_col, n_hashes, bands, shingle_size, portable=portable
+        )
+        sig = sig.persist()
+        frames["sigs"] = sig
+    else:
+        frames["exact"] = spread(docs, id_col).select(
+            content_key(text_col).alias("ckey"), F.col(id_col).alias("id")
+        )
+    if grams:
+        n = _gram_n_of(spark, path, man)
+        frames["grams"] = (
+            _gram_keys(docs, id_col, text_col, n)
+            .select("gk")
+            .distinct()
+            .join(_layer_df(spark, path, "grams", man), "gk", "left_anti")
+        )
+    try:
+        return MS.commit_layer_frames(
+            spark, path, frames, checkpoint=checkpoint, batch_id=batch_id, prev=man
+        )
+    finally:
+        if sig is not None:
+            sig.unpersist()
+
+
+def append_curation_layers(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    grams: bool = False,
+    checkpoint: str | None = None,
+    batch_id: int | None = None,
+) -> int:
+    """Manifest-protocol fold-back as ONE atomic commit: the index
+    layers (exact + sigs + bands), optionally the gram layer
+    (``grams=True``), and — when a stream passes (checkpoint,
+    batch_id) — the replay watermark, all published in a single
+    manifest write. This is what makes the streaming curation loop's
+    fold-back exactly-once WITHOUT external markers: a crash anywhere
+    before the publish leaves only invisible directories and the
+    replay re-runs cleanly; a crash after it is a completed commit
+    whose replay is skipped via :func:`manifest_last_batch
+    <traceframe_spark.streaming.manifest_store.manifest_last_batch>`.
+    The append-protocol residual ("the index append may run twice —
+    duplicate rows absorbed by dedup semantics") does not exist here.
+
+    Requires a manifest-protocol index
+    (``write_dedup_index(..., protocol="manifest")``); raises on an
+    append-protocol store. Returns the commit counter."""
+    spark = docs.sparkSession
+    man = _manifest_of(spark, path)
+    if man is None:
+        raise ValueError(
+            f"append_curation_layers needs a manifest-protocol index; "
+            f"{path!r} is an append-protocol store (use append_dedup_index/"
+            "append_gram_layer, or rebuild with protocol='manifest')"
+        )
+    docs = docs.localCheckpoint()
+    return _commit_curation_append(
+        docs, path, id_col, text_col, man, grams=grams,
+        checkpoint=checkpoint, batch_id=batch_id,
+    )
 
 
 def dedup_against_index(
@@ -301,16 +534,23 @@ def dedup_against_index(
     against the stored band hashes. The streaming ingest uses this to
     sign each micro-batch once for both the within-batch pipeline and
     this probe; caller owns the frame's persistence.
+
+    On a manifest-protocol index the probe is a whole-index SNAPSHOT:
+    one manifest resolve up front, and the exact/bands/sigs joins all
+    read the same store version — consistent even under a concurrent
+    fold-back, and the plan survives that fold-back unchanged (it
+    names immutable directories).
     """
     spark = delta.sparkSession
-    n_hashes, bands, shingle_size, has_near, portable = _meta_all(spark, path)
+    man = _manifest_of(spark, path)
+    n_hashes, bands, shingle_size, has_near, portable = _meta_all(spark, path, man)
     rows_per_band = max(n_hashes // bands, 1)
 
     ids = spread(delta, id_col).select(
         F.col(id_col).alias("_pid"), content_key(text_col).alias("ckey")
     )
     exact_hits = (
-        ids.join(spark.read.parquet(f"{path}/exact"), "ckey", "left_semi")
+        ids.join(_layer_df(spark, path, "exact", man), "ckey", "left_semi")
         .select("_pid")
         .distinct()
     )
@@ -335,7 +575,7 @@ def dedup_against_index(
         ).select("id", "sig").persist()
     cand = (
         _band_entries(sig_d, bands, rows_per_band, portable).alias("d")
-        .join(spark.read.parquet(f"{path}/bands").alias("r"), ["band", "bh"])
+        .join(_layer_df(spark, path, "bands", man).alias("r"), ["band", "bh"])
         .select(F.col("d.id").alias("id_d"), F.col("r.id").alias("id_r"))
         .distinct()
     )
@@ -345,7 +585,7 @@ def dedup_against_index(
     near_hits = (
         cand.join(sig_d.select(F.col("id").alias("id_d"), F.col("sig").alias("sig_d")), "id_d")
         .join(
-            spark.read.parquet(f"{path}/sigs").select(
+            _layer_df(spark, path, "sigs", man).select(
                 F.col("id").alias("id_r"), F.col("sig").alias("sig_r")
             ),
             "id_r",
@@ -398,9 +638,23 @@ def write_gram_layer(
     keys; the stored layer is O(distinct grams), independent of
     document count or length. ``n`` is pinned in ``{path}/gram_meta``
     exactly like the MinHash parameters — probes always gram with the
-    stored ``n``."""
+    stored ``n``.
+
+    Protocol auto-detected from the index at ``path``: on a
+    manifest-protocol store the layer and its pinned ``n`` publish as
+    ONE commit (``gram_n`` in the manifest meta) — a crashed rebuild
+    can never leave a layer/meta mismatch."""
     spark = docs.sparkSession
+    man = _manifest_of(spark, path)
     grams = _gram_keys(docs, id_col, text_col, n).select("gk").distinct()
+    if man is not None:
+        from traceframe_spark.streaming import manifest_store as MS
+
+        MS.commit_layer_frames(
+            spark, path, {"grams": grams}, replace=True,
+            meta={"gram_n": int(n)}, prev=man,
+        )
+        return
     grams.write.mode("overwrite").parquet(f"{path}/grams")
     meta = spark.createDataFrame([(int(n),)], "n int")
     meta.coalesce(1).write.mode("overwrite").json(f"{path}/gram_meta")
@@ -408,7 +662,7 @@ def write_gram_layer(
 
 def read_gram_meta(spark: SparkSession, path: str) -> int:
     """→ n (gram order) as pinned at gram-layer build time."""
-    return int(spark.read.json(f"{path}/gram_meta").collect()[0]["n"])
+    return _gram_n_of(spark, path, _manifest_of(spark, path))
 
 
 def append_gram_layer(
@@ -432,16 +686,27 @@ def append_gram_layer(
     not a re-probe of the updated store (which would be empty) — and
     protects this function's own write. Checkpointing only the derived
     narrow keys was tried (r09) and breaks the sequence; same
-    regression tests as the index append."""
+    regression tests as the index append.
+
+    On a manifest-protocol store the fresh keys publish as one commit;
+    streams that want the gram append atomic WITH the index append use
+    :func:`append_curation_layers(grams=True) <append_curation_layers>`
+    instead of this two-call sequence."""
     docs = docs.localCheckpoint()
     spark = docs.sparkSession
-    n = read_gram_meta(spark, path)
+    man = _manifest_of(spark, path)
+    n = _gram_n_of(spark, path, man)
     fresh = (
         _gram_keys(docs, id_col, text_col, n)
         .select("gk")
         .distinct()
-        .join(spark.read.parquet(f"{path}/grams"), "gk", "left_anti")
+        .join(_layer_df(spark, path, "grams", man), "gk", "left_anti")
     )
+    if man is not None:
+        from traceframe_spark.streaming import manifest_store as MS
+
+        MS.commit_layer_frames(spark, path, {"grams": fresh}, prev=man)
+        return
     fresh.write.mode("append").parquet(f"{path}/grams")
 
 
@@ -457,12 +722,13 @@ def _gram_probe(
     shuffle narrow keys; snapshot TEXT is never touched — same argument
     as :func:`dedup_against_index`."""
     spark = delta.sparkSession
-    n = read_gram_meta(spark, path)
+    man = _manifest_of(spark, path)
+    n = _gram_n_of(spark, path, man)
     ids = spread(delta, id_col)
     grams = _gram_keys(ids, id_col, text_col, n)
     totals = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
     hits = (
-        grams.join(spark.read.parquet(f"{path}/grams"), "gk", "left_semi")
+        grams.join(_layer_df(spark, path, "grams", man), "gk", "left_semi")
         .groupBy("id")
         .agg(F.count("*").alias("n_hit"))
     )

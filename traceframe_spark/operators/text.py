@@ -557,7 +557,11 @@ def _bigram_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def write_bigram_lm(
-    docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    protocol: str = "append",
 ) -> None:
     """Persist the add-one-smoothed bigram LM estimated from ``docs``:
     (w1, w2, c12) bigram counts at ``{path}/bigrams``, (w1, c1) prefix
@@ -567,23 +571,71 @@ def write_bigram_lm(
     corpus, then every crawl snapshot is scored against it). Stored
     layers are narrow token rows, independent of document count or
     length; the reference corpus text is never re-read at scoring
-    time — same incremental contract as the dedup index's layers."""
+    time — same incremental contract as the dedup index's layers.
+
+    ``protocol="manifest"`` commits both count layers AND the vocab
+    size in ONE atomic manifest publish (layer-manifest store, see
+    :mod:`~traceframe_spark.streaming.manifest_store`) instead of the
+    three-step overwrite sequence — a crashed build can never leave a
+    bigrams/prefix/meta mismatch, a RETRAIN over an existing store is
+    a commit (prior model time-travel-readable until vacuumed), and
+    the store is object-store-legal. Readers auto-detect the
+    protocol."""
+    if protocol not in ("append", "manifest"):
+        raise ValueError(f"unknown LM store protocol {protocol!r}")
     spark = docs.sparkSession
     bi = _bigram_pairs(docs, id_col, text_col).groupBy("w1", "w2").agg(
         F.count("*").alias("c12")
     )
     bi = bi.persist()
     try:
+        uni = bi.groupBy("w1").agg(F.sum("c12").alias("c1"))
+        if protocol == "manifest":
+            from traceframe_spark.streaming import manifest_store as MS
+
+            v = bi.agg(F.count_distinct("w2")).first()[0]
+            MS.commit_layer_frames(
+                spark, path, {"bigrams": bi, "prefix": uni},
+                replace=True, meta={"v": int(v)},
+            )
+            return
         bi.write.mode("overwrite").parquet(f"{path}/bigrams")
-        bi.groupBy("w1").agg(F.sum("c12").alias("c1")).write.mode(
-            "overwrite"
-        ).parquet(f"{path}/prefix")
+        uni.write.mode("overwrite").parquet(f"{path}/prefix")
         v = bi.agg(F.count_distinct("w2")).first()[0]
         spark.createDataFrame([(int(v),)], "v long").coalesce(1).write.mode(
             "overwrite"
         ).json(f"{path}/lm_meta")
     finally:
         bi.unpersist()
+
+
+def _read_lm_store(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
+    """(bigrams, prefix, |V|) from a stored LM, protocol auto-detected:
+    a manifest-protocol store resolves ONE manifest (snapshot-consistent
+    layers; |V| is a driver-side JSON field, no Spark job), an
+    append-protocol store reads the plain directories + meta JSON."""
+    from traceframe_spark.streaming import manifest_store as MS
+
+    if MS.is_manifest_store(spark, path):
+        man = MS._latest_manifest(spark, path)
+        if man is None:
+            raise FileNotFoundError(f"LM manifest store at {path!r} has no commits")
+        meta_v = man.get("meta", {}).get("v")
+        if meta_v is None:
+            raise ValueError(
+                f"manifest store at {path!r} carries no LM meta "
+                "(not built by write_bigram_lm?)"
+            )
+        return (
+            MS.read_manifest_layer(spark, path, "bigrams", man=man),
+            MS.read_manifest_layer(spark, path, "prefix", man=man),
+            int(meta_v),
+        )
+    return (
+        spark.read.parquet(f"{path}/bigrams"),
+        spark.read.parquet(f"{path}/prefix"),
+        int(spark.read.json(f"{path}/lm_meta").collect()[0]["v"]),
+    )
 
 
 def load_lm_frames(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
@@ -604,13 +656,13 @@ def load_lm_frames(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
     long-lived stream. The trade: deleting the store path mid-stream is
     survivable only while the cached blocks live; that is an operator
     error against a frozen model, not a failure mode to optimize for."""
-    bi = spark.read.parquet(f"{path}/bigrams").persist()
-    uni = spark.read.parquet(f"{path}/prefix").persist()
+    bi, uni, v = _read_lm_store(spark, path)
+    bi = bi.persist()
+    uni = uni.persist()
     # materialize NOW: the pin must be populated (and the store path
     # validated) at load time, not on the first batch's scoring job
     bi.count()
     uni.count()
-    v = int(spark.read.json(f"{path}/lm_meta").collect()[0]["v"])
     return bi, uni, v
 
 
@@ -644,10 +696,7 @@ def score_against_lm(
     else:
         if path is None:
             raise ValueError("score_against_lm needs `path` or `frames`")
-        spark = delta.sparkSession
-        bi = spark.read.parquet(f"{path}/bigrams")
-        uni = spark.read.parquet(f"{path}/prefix")
-        v = int(spark.read.json(f"{path}/lm_meta").collect()[0]["v"])
+        bi, uni, v = _read_lm_store(delta.sparkSession, path)
     pairs = _bigram_pairs(delta, id_col, text_col)
     lp = F.log(
         (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1.0))

@@ -29,6 +29,29 @@ multi-step):
   candidate/verify joins end in ``distinct()`` — a duplicated ``ckey``/
   ``band``/``sig`` row changes storage, never answers.
 
+All of the above describes ``store_protocol="markers"`` (the default,
+and the only legal shape for an APPEND-protocol index). With a
+MANIFEST-protocol index (``write_dedup_index(protocol="manifest")``)
+pass ``store_protocol="manifest"`` and the crash story gets strictly
+stronger — and simpler:
+
+- The fold-back (index layers + gram layer) is ONE atomic manifest
+  commit carrying the batch watermark
+  (:func:`~traceframe_spark.operators.dedup_index.append_curation_layers`),
+  so "the index append may run twice" is structurally impossible — no
+  markers, no write-then-mark window, no read-back-from-landed-rows
+  replay path. A replayed batch either sees its watermark (committed
+  atomically with the layers — skip everything) or recomputes from the
+  SAME index snapshot (immutable directories — the probe is
+  deterministic, so the rerun lands identical survivors).
+- The curated corpus lands through its own manifest store at
+  ``out_path`` (one commit per batch, partitioned by ``ingest_batch``),
+  so corpus readers get snapshot isolation too and a replayed landing
+  REPLACES the batch's pointer instead of overwriting files in place.
+  Read it back with :func:`read_ingested` (protocol auto-detected).
+- Both stores are object-store-safe: every publish is one small-object
+  write; nothing relies on rename atomicity or in-place overwrite.
+
 Within-batch duplicates (the index only knows PREVIOUS batches) are
 collapsed exact-first per batch via ``exact_canonical_ids``;
 ``within_batch_near=True`` additionally runs the full batch near-dup
@@ -52,6 +75,7 @@ from traceframe_spark.operators.dedup import (
     minhash_signatures,
 )
 from traceframe_spark.operators import dedup_index as di
+from traceframe_spark.streaming import manifest_store as MS
 from traceframe_spark.streaming.spans import (
     _batch_already_applied,
     _mark_batch_applied,
@@ -83,6 +107,7 @@ def stream_dedup_ingest(
     within_batch_near: bool = False,
     annotate_novelty: bool = False,
     lm_path: str | None = None,
+    store_protocol: str = "markers",
     trigger_available_now: bool = False,
 ):
     """Run a streaming document feed through the persistent dedup index:
@@ -127,9 +152,25 @@ def stream_dedup_ingest(
     than 2 tokens land with a null score (the batch scorer's
     no-row contract, surfaced here as a LEFT join).
 
+    ``store_protocol="manifest"`` (requires a MANIFEST-protocol index)
+    replaces the write-then-mark crash discipline with atomic manifest
+    commits for both the fold-back (watermark committed WITH the index
+    layers — exactly-once without markers) and the corpus landing
+    (snapshot-isolated, object-store-safe); see the module docstring's
+    protocol comparison.
+
     Returns the started StreamingQuery. Read the curated corpus back
     with :func:`read_ingested`.
     """
+    if store_protocol not in ("markers", "manifest"):
+        raise ValueError(f"unknown store_protocol {store_protocol!r}")
+    manifest_proto = store_protocol == "manifest"
+    if manifest_proto and di._manifest_of(docs.sparkSession, index_path) is None:
+        raise ValueError(
+            f"store_protocol='manifest' needs a manifest-protocol dedup "
+            f"index, but {index_path!r} is an append-protocol store — "
+            "build it with write_dedup_index(..., protocol='manifest')"
+        )
     if annotate_novelty:
         # fail fast, before any batch commits: without this, a missing
         # gram layer surfaces MID-STREAM inside foreachBatch as a raw
@@ -177,7 +218,18 @@ def stream_dedup_ingest(
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_dir = f"{out_path}/ingest_batch={batch_id}"
-        if _batch_already_applied(spark, out_path, checkpoint, batch_id):
+        if manifest_proto:
+            # the watermark commits ATOMICALLY with the fold-back, so a
+            # recorded batch is a COMPLETELY applied batch — no partial
+            # states to patch up, unlike the markers branch below. An
+            # unrecorded replay recomputes against the same immutable
+            # index snapshot (the fold-back that would have changed it
+            # didn't commit), lands identical survivors, and re-commits
+            # the corpus pointer idempotently.
+            last = MS.manifest_last_batch(spark, index_path, checkpoint)
+            if last is not None and batch_id <= int(last):
+                return
+        elif _batch_already_applied(spark, out_path, checkpoint, batch_id):
             # corpus write is durable; only the index append may be
             # missing. Re-append from the landed rows (duplicate index
             # rows are harmless — see module docstring).
@@ -242,10 +294,37 @@ def stream_dedup_ingest(
                     lp.withColumnRenamed("id", id_col), id_col, "left"
                 )
             survivors = survivors.persist()
-            survivors.write.mode("overwrite").parquet(batch_dir)
-            _mark_batch_applied(spark, out_path, checkpoint, batch_id)
-            if not survivors.isEmpty():
-                _fold_back(survivors)
+            if manifest_proto:
+                if survivors.isEmpty():
+                    # record "this batch produced nothing" exactly-once:
+                    # a metadata-only commit carrying just the watermark
+                    MS.commit_layer_frames(
+                        spark, index_path, {},
+                        checkpoint=checkpoint, batch_id=batch_id,
+                    )
+                else:
+                    # corpus FIRST, fold-back (with watermark) SECOND: a
+                    # crash between them replays into an identical
+                    # recompute whose corpus commit REPLACES this
+                    # batch's pointer (the orphaned directory is
+                    # vacuum-reclaimable); once the fold-back commits,
+                    # the watermark skips the whole batch. shuffle=False:
+                    # the commit touches one partition value, so the
+                    # repartition would funnel the batch through 1 task.
+                    MS.commit_merged_parts(
+                        survivors.withColumn("ingest_batch", F.lit(batch_id)),
+                        out_path, "ingest_batch", shuffle=False,
+                    )
+                    di.append_curation_layers(
+                        survivors, index_path, id_col, text_col,
+                        grams=annotate_novelty,
+                        checkpoint=checkpoint, batch_id=batch_id,
+                    )
+            else:
+                survivors.write.mode("overwrite").parquet(batch_dir)
+                _mark_batch_applied(spark, out_path, checkpoint, batch_id)
+                if not survivors.isEmpty():
+                    _fold_back(survivors)
         finally:
             if survivors is not None:
                 survivors.unpersist()
@@ -263,6 +342,11 @@ def stream_dedup_ingest(
 def read_ingested(spark: SparkSession, out_path: str) -> DataFrame:
     """The curated corpus the stream has landed so far: all surviving
     documents plus the ``ingest_batch`` partition column (which batch
-    accepted each doc). Plain partitioned parquet — partition pruning
-    on ``ingest_batch`` works for incremental consumers."""
+    accepted each doc). Protocol auto-detected: a manifest-protocol
+    corpus resolves one manifest (whole-corpus snapshot, even mid-
+    commit); a markers-protocol corpus is plain partitioned parquet.
+    Partition pruning on ``ingest_batch`` works for incremental
+    consumers either way."""
+    if MS.is_manifest_store(spark, out_path):
+        return MS.read_manifest_store(spark, out_path)
     return spark.read.parquet(out_path)

@@ -76,6 +76,10 @@ __all__ = [
     "vacuum_manifest_store",
     "manifest_last_batch",
     "merge_into_manifest_store",
+    "is_manifest_store",
+    "commit_layer_frames",
+    "read_manifest_layer",
+    "compact_manifest_layers",
 ]
 
 _MANIFEST_DIR = "_manifests"
@@ -194,6 +198,14 @@ def _write_manifest(spark, path: str, man: dict) -> None:
         out.close()
 
 
+def is_manifest_store(spark, path: str) -> bool:
+    """Whether ``path`` is a manifest-protocol store (has a
+    ``_manifests/`` directory) — the seam store-agnostic readers use to
+    pick between a manifest resolve and a plain parquet scan."""
+    fs, d = _fs_path(spark, f"{path}/{_MANIFEST_DIR}")
+    return bool(fs.exists(d))
+
+
 def commit_merged_parts(
     merged: DataFrame,
     path: str,
@@ -201,6 +213,7 @@ def commit_merged_parts(
     checkpoint: str | None = None,
     batch_id: int | None = None,
     prev: dict | None = None,
+    shuffle: bool = True,
 ) -> int:
     """Write ``merged``'s partitions to a fresh immutable commit
     directory and publish a manifest pointing every LIVE partition at
@@ -211,15 +224,20 @@ def commit_merged_parts(
     :func:`vacuum_manifest_store`. ``prev`` passes an already-resolved
     latest manifest so a fold loop reads the store's metadata once per
     batch, not once per helper (the listings/GETs are the per-commit
-    bill on an object store)."""
+    bill on an object store). ``shuffle=False`` skips the
+    ``repartition(part_col)`` file-count hygiene pass — right when the
+    commit touches ONE partition value (e.g. a per-batch corpus
+    landing), where the shuffle would funnel every batch byte through a
+    single task for no layout benefit."""
     spark = merged.sparkSession
     if prev is None:
         prev = _latest_manifest(spark, path)
     n = _next_commit_n(spark, path)
     cdir = f"{_DATA_DIR}/c-{n:012d}-{uuid.uuid4().hex[:8]}"
+    if shuffle:
+        merged = merged.repartition(part_col)
     (
-        merged.repartition(part_col)
-        .write.mode("errorifexists")
+        merged.write.mode("errorifexists")
         .partitionBy(part_col)
         .parquet(f"{path}/{cdir}")
     )
@@ -230,12 +248,138 @@ def commit_merged_parts(
         name = status.getPath().getName()
         if name.startswith(prefix):
             parts[name[len(prefix):]] = f"{cdir}/{name}"
-    lineage = dict(prev.get("lineage", {})) if prev else {}
-    if checkpoint is not None and batch_id is not None:
-        lineage[_lineage(checkpoint)] = int(batch_id)
-    man = {"n": n, "part_col": part_col, "parts": parts, "lineage": lineage}
+    man = _next_manifest(prev, n, checkpoint, batch_id)
+    man["part_col"] = part_col
+    man["parts"] = parts
     _write_manifest(spark, path, man)
     return n
+
+
+def _next_manifest(
+    prev: dict | None, n: int, checkpoint: str | None, batch_id: int | None
+) -> dict:
+    """Skeleton of commit ``n``'s manifest: every section of ``prev``
+    (parts, layers, meta, lineage) carried forward verbatim so a commit
+    that touches one section can never drop another, with the replay
+    watermark folded in when the caller runs under a stream."""
+    man = {
+        "n": n,
+        "parts": dict(prev.get("parts", {})) if prev else {},
+        "layers": {k: list(v) for k, v in prev.get("layers", {}).items()}
+        if prev
+        else {},
+        "meta": dict(prev.get("meta", {})) if prev else {},
+        "lineage": dict(prev.get("lineage", {})) if prev else {},
+    }
+    if prev and "part_col" in prev:
+        man["part_col"] = prev["part_col"]
+    if checkpoint is not None and batch_id is not None:
+        man["lineage"][_lineage(checkpoint)] = int(batch_id)
+    return man
+
+
+def commit_layer_frames(
+    spark,
+    path: str,
+    frames: dict[str, DataFrame],
+    replace: bool = False,
+    meta: dict | None = None,
+    checkpoint: str | None = None,
+    batch_id: int | None = None,
+    prev: dict | None = None,
+) -> int:
+    """Commit named LAYER frames — the manifest shape for append-mostly
+    multi-layer stores (the dedup index's exact/sigs/bands/grams
+    layers, the stored LM's bigrams/prefix) where data is keyed by
+    LAYER, not by a partition column. Each layer's live data is a LIST
+    of immutable directories; an append adds one directory to the list,
+    ``replace=True`` repoints the listed layers at their fresh
+    directory alone (build/rebuild/compaction). All frames land under
+    ONE commit directory and publish in ONE manifest, so a multi-layer
+    append (sigs + bands + grams) is atomic: readers see every layer
+    advance together or none — the property the plain parquet-append
+    protocol fundamentally lacks (its cross-layer races are merely
+    benign, not absent).
+
+    ``meta`` merges the given keys into the store's carried-forward
+    metadata dict — pinned parameters (hash counts, gram order, vocab
+    size) commit atomically with the data they describe, and reading
+    them back is a driver-side JSON field, not a Spark job.
+
+    ``frames`` may be EMPTY: the commit then publishes a metadata-only
+    manifest (carried-forward pointers + lineage watermark) — how a
+    stream records "this batch produced nothing" exactly-once. Returns
+    the commit counter."""
+    if prev is None:
+        prev = _latest_manifest(spark, path)
+    n = _next_commit_n(spark, path)
+    man = _next_manifest(prev, n, checkpoint, batch_id)
+    if meta:
+        man["meta"].update(meta)
+    if frames:
+        cdir = f"{_DATA_DIR}/c-{n:012d}-{uuid.uuid4().hex[:8]}"
+        for layer in sorted(frames):
+            d = f"{cdir}/{layer}"
+            frames[layer].write.mode("errorifexists").parquet(f"{path}/{d}")
+            if replace:
+                man["layers"][layer] = [d]
+            else:
+                man["layers"].setdefault(layer, []).append(d)
+    _write_manifest(spark, path, man)
+    return n
+
+
+def read_manifest_layer(
+    spark, path: str, layer: str, version: int | None = None, man: dict | None = None
+) -> DataFrame:
+    """Snapshot read of one layer: resolve ONE manifest (latest, a
+    pinned past ``version``, or a pre-resolved ``man``) and scan exactly
+    the directories it lists for ``layer`` — a single multi-path scan,
+    no union of plans, and plan size follows the layer's LIVE directory
+    count (one per append since the last replace/compaction), never
+    store history. Raises if the store/layer is absent."""
+    if man is None:
+        if version is None:
+            man = _latest_manifest(spark, path)
+            if man is None:
+                raise FileNotFoundError(
+                    f"manifest store at {path!r} has no commits"
+                )
+        else:
+            name = f"m-{int(version):012d}.json"
+            if name not in _manifest_names(spark, path):
+                raise FileNotFoundError(
+                    f"manifest store at {path!r}: version {version} is absent"
+                )
+            man = _read_manifest(spark, path, name)
+    dirs = man.get("layers", {}).get(layer)
+    if not dirs:
+        raise FileNotFoundError(
+            f"manifest store at {path!r} has no layer {layer!r}"
+        )
+    return spark.read.parquet(*[f"{path}/{d}" for d in dirs])
+
+
+def compact_manifest_layers(spark, path: str) -> int:
+    """Rewrite every layer's directory list into ONE fresh directory
+    each and publish — the layer-store twin of
+    :func:`compact_manifest_store`: appends grow a layer's directory
+    list (and so its scan's file-listing cost) linearly with commit
+    count, and compaction resets it to one. Snapshot isolation holds
+    throughout (normal commit); superseded directories are reclaimed by
+    the next :func:`vacuum_manifest_store`. Returns the new commit
+    counter."""
+    man = _latest_manifest(spark, path)
+    if man is None:
+        raise FileNotFoundError(f"manifest store at {path!r} has no commits")
+    layers = man.get("layers", {})
+    if not layers:
+        raise FileNotFoundError(f"manifest store at {path!r} has no layers")
+    frames = {
+        layer: read_manifest_layer(spark, path, layer, man=man).localCheckpoint()
+        for layer in layers
+    }
+    return commit_layer_frames(spark, path, frames, replace=True, prev=man)
 
 
 def manifest_last_batch(spark, path: str, checkpoint: str) -> int | None:
