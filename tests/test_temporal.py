@@ -226,3 +226,34 @@ def test_percentiles_approx_twin_tracks_exact(spark):
         a = approx[flag]
         for col in ("p50_qty", "p90_qty", "p50_price"):
             assert abs(a[col] - e[col]) <= max(0.02 * abs(e[col]), 1), (flag, col, e[col], a[col])
+
+
+def test_percentiles_sampled_twin_tracks_exact(spark):
+    """q_percentiles_sampled (the PORTABLE bounded-memory quantile twin,
+    r11: md5 bottom-k sample + exact interpolation) in both regimes:
+    at sf0.001 every group is under the k=4096 sample size, so the
+    sample IS the group and the answer must equal q_percentiles
+    EXACTLY; at sf0.01 groups exceed k, real sampling kicks in, and
+    the estimate must track exact within the sample's rank-error bound
+    (~1/sqrt(k) of rank → 5% relative on these distributions)."""
+    from traceframe_spark.plans.advanced import q_percentiles, q_percentiles_sampled
+
+    cols = ("p50_qty", "p90_qty", "p50_price")
+    # degenerate regime: sample == group -> exact equality
+    sf = "/root/testdata/sf0.001"
+    exact = {r["l_returnflag"]: r for r in q_percentiles(spark, sf).collect()}
+    samp = {r["l_returnflag"]: r for r in q_percentiles_sampled(spark, sf).collect()}
+    assert set(exact) == set(samp)
+    for flag, e in exact.items():
+        for col in cols:
+            assert samp[flag][col] == e[col], (flag, col)
+    # sampling regime: groups > k, estimate tracks exact
+    sf = "/root/testdata/sf0.01"
+    exact = {r["l_returnflag"]: r for r in q_percentiles(spark, sf).collect()}
+    samp = {r["l_returnflag"]: r for r in q_percentiles_sampled(spark, sf).collect()}
+    assert set(exact) == set(samp)
+    for flag, e in exact.items():
+        for col in cols:
+            assert abs(samp[flag][col] - e[col]) <= max(0.05 * abs(e[col]), 1), (
+                flag, col, e[col], samp[flag][col],
+            )

@@ -12,7 +12,11 @@ as the rollup store's events/s does).
 Also prices the ``within_batch_near=True`` arm (the in-batch LSH
 collapse for bursts of near-copies arriving in one batch) against the
 default, so the per-batch overhead of the extra pipeline stages is a
-measured number, not a guess.
+measured number, not a guess — and the ``store_protocol="manifest"``
+arm (r11: atomic manifest commits for the fold-back + corpus landing
+instead of parquet appends + marker files), so the protocol's
+per-batch bill is a measured ratio too. Survivor counts are asserted
+equal across arms: the protocol must change commits, never answers.
 
 Usage: python tools/bench_stream_dedup.py [--sf DIR] [--batches 16]
 Prints one JSON line.
@@ -69,9 +73,15 @@ def main() -> None:
         for arm, kw in (
             ("default", {}),
             ("within_batch_near", {"within_batch_near": True}),
+            ("manifest", {"store_protocol": "manifest"}),
         ):
             arm_idx = os.path.join(work, f"idx_{arm}")
-            shutil.copytree(idx, arm_idx)
+            if arm == "manifest":
+                # same snapshot content, manifest-protocol store (the
+                # build is setup, not timed — matching the other arms)
+                di.write_dedup_index(tenth, arm_idx, protocol="manifest")
+            else:
+                shutil.copytree(idx, arm_idx)
             stream = (
                 spark.readStream.schema("doc_id long, text string")
                 .option("maxFilesPerTrigger", 1)
@@ -94,6 +104,9 @@ def main() -> None:
                 "docs_per_sec": int(n_docs / dt),
             }
             print(arm, arms[arm], flush=True)
+        assert arms["manifest"]["survivors"] == arms["default"]["survivors"], (
+            "commit protocol changed the survivor set"
+        )
         print(
             json.dumps(
                 {
@@ -103,6 +116,11 @@ def main() -> None:
                     **{f"{a}_{k}": v for a, row in arms.items() for k, v in row.items()},
                     "within_batch_overhead": round(
                         arms["within_batch_near"]["seconds"]
+                        / arms["default"]["seconds"],
+                        2,
+                    ),
+                    "manifest_vs_default": round(
+                        arms["manifest"]["seconds"]
                         / arms["default"]["seconds"],
                         2,
                     ),

@@ -11,15 +11,17 @@ from traceframe_spark.plans.tpch import TPCH_ORACLE_SQL, TPCH_QUERIES
 from traceframe_spark.plans.traceops import TRACEOPS_ORACLE_SQL, TRACEOPS_QUERIES
 
 
-# Round-10 head rotation, driven by `python tools/coverage_ledger.py`
-# (run it BEFORE editing this list): the round-9 head was recorded in
-# CORRECTNESS_r09.json and returns to natural registry order; the head
-# now leads with the round-10 newcomers (the ANN-tier bitext miner and
-# its value-verified agreement instrument) so each records a
-# driver-green row the round it lands.
-_R10_ROTATION_HEAD = [
-    "bitext_mine_ann",
-    "bitext_ann_agree",
+# Round-11 head rotation, driven by `python tools/coverage_ledger.py`
+# (run it BEFORE editing this list): the round-10 head was recorded in
+# CORRECTNESS_r10.json and returns to natural registry order; the head
+# now leads with the round-11 newcomers (the manifest-protocol twins of
+# the dedup-index probe and the stored-LM scorer — the
+# protocol-preserves-values pins) so each records a driver-green row
+# the round it lands.
+_R11_ROTATION_HEAD = [
+    "dedup_index_manifest",
+    "lm_manifest_score",
+    "percentiles_sampled",
 ]
 
 
@@ -32,10 +34,10 @@ def catalog_queries():
     rotated the LLM-data-pipeline suites (PIPELINE + MLPREP) to the front;
     round 6 led with the 13 queries the gate had never recorded; round 7
     led with the 7 operators added late in round 6; round 8 led with its own
-    newcomers; round 9 led with the portable-twin pair; round 10 leads
-    with the ANN-tier bitext pair (see `_R10_ROTATION_HEAD` /
-    tools/coverage_ledger.py) so every registered query keeps a
-    driver-green row at least once.  The
+    newcomers; round 9 led with the portable-twin pair; round 10 led with
+    the ANN-tier bitext pair; round 11 leads with the manifest-protocol
+    store twins (see `_R11_ROTATION_HEAD` / tools/coverage_ledger.py) so
+    every registered query keeps a driver-green row at least once.  The
     oracle-backed vs rows-only distinction is metadata, not ordering — see
     `catalog_meta()`; rows-only entries remain inside the head-50 so the
     external sample exercises both verification paths.
@@ -51,7 +53,7 @@ def catalog_queries():
         **TEMPORAL_QUERIES,
         **TPCH_QUERIES,
     }
-    head = {k: merged[k] for k in _R10_ROTATION_HEAD if k in merged}
+    head = {k: merged[k] for k in _R11_ROTATION_HEAD if k in merged}
     return {**head, **{k: v for k, v in merged.items() if k not in head}}
 
 

@@ -113,6 +113,72 @@ GROUP BY l_returnflag
 """
 
 
+def q_percentiles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PORTABLE bounded-memory quantile twin — closing the one gap
+    in the portable-twin program (``percentiles_approx`` stayed
+    rows-only through r10): Spark's ``approx_percentile`` sketch
+    (QuantileSummaries) is ORDER-SENSITIVE — its compress/merge steps
+    depend on insertion order and the partition merge tree — so unlike
+    minhash/simhash/LSH (order-independent min/xor/sign folds) its
+    exact chain fundamentally cannot be replayed in set-oriented SQL.
+    The portable twin therefore pins a quantile estimator of the same
+    OPERATIONAL shape (bounded memory per group, mergeable,
+    deterministic) that IS order-independent: a deterministic uniform
+    sample via md5 bottom-k — each row keyed by
+    ``md5('pq|orderkey|linenumber')``, the k=4096 lexicographically
+    smallest keys per group selected (a min-k fold: order-independent,
+    mergeable exactly like MinHash), and the exact interpolated
+    percentile computed over the sample (rank error O(1/sqrt(k)) with
+    high probability — Vitter-style hash sampling). The oracle replays
+    the ENTIRE chain: same md5 keys, same bottom-k, same
+    ``quantile_cont`` interpolation (already pinned engine-equal by
+    ``percentiles``), so sampling effects are value-verified, not
+    assumed. ``approx_percentile`` remains the production fast path
+    (same fast/portable split as minhash_pairs/minhash_portable_pairs);
+    agreement between the two estimators is pinned in pytest.
+
+    100 TB shape: the window bottom-k shuffles narrow (flag, key,
+    2 values) rows; with a handful of groups the per-group sort is the
+    bottleneck at extreme scale — the two-pass threshold refinement
+    (select by a coarse key prefix first) is the documented upgrade,
+    same machinery as ``priority_sample``'s partitioned_topk path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = F.md5(
+        F.concat_ws("|", F.lit("pq"), F.col("l_orderkey"), F.col("l_linenumber"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("h")
+    samp = (
+        li.select("l_returnflag", "l_quantity", "l_extendedprice", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4096)
+    )
+    return samp.groupBy("l_returnflag").agg(
+        qint(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        qint(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+        qint(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50_price"),
+    )
+
+
+SQL_PERCENTILES_SAMPLED = """
+WITH ranked AS (
+    SELECT l_returnflag, l_quantity, l_extendedprice,
+           row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY md5('pq|' || l_orderkey::VARCHAR || '|'
+                            || l_linenumber::VARCHAR)
+           ) AS rn
+    FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(floor(quantile_cont(l_quantity, 0.5) * 10000 + 0.5) AS BIGINT) AS p50_qty,
+       CAST(floor(quantile_cont(l_quantity, 0.9) * 10000 + 0.5) AS BIGINT) AS p90_qty,
+       CAST(floor(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5) AS BIGINT) AS p50_price
+FROM ranked
+WHERE rn <= 4096
+GROUP BY l_returnflag
+"""
+
+
 def q_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE-WHEN value bucketing + grouped counts."""
     o = load_table(spark, sf_dir, "orders")
@@ -658,6 +724,7 @@ ADVANCED_QUERIES = {
     # rows-only: sketch interpolation is engine-specific; value-pinned
     # against the exact twin in tests/test_temporal.py
     "percentiles_approx": q_percentiles_approx,
+    "percentiles_sampled": q_percentiles_sampled,
 }
 
 ADVANCED_ORACLE_SQL = {
@@ -673,6 +740,7 @@ ADVANCED_ORACLE_SQL = {
     "set_except": SQL_EXCEPT,
     "cube_agg": SQL_CUBE_AGG,
     "percentiles": SQL_PERCENTILES,
+    "percentiles_sampled": SQL_PERCENTILES_SAMPLED,
     "case_bucketing": SQL_CASE_BUCKETING,
     "having_filter": SQL_HAVING_FILTER,
     "in_subquery": SQL_IN_SUBQUERY,

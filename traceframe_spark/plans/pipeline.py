@@ -179,6 +179,25 @@ def q_lm_store_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_manifest_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``lm_store_score`` against a MANIFEST-protocol LM store
+    (operators/text.write_bigram_lm(protocol="manifest"): both count
+    layers and |V| published in ONE atomic commit). The protocol must
+    not change a single stored count, so the oracle is
+    ``SQL_DOC_BIGRAM_LOGPROB`` verbatim — the same
+    protocol-preserves-values pin as ``dedup_index_manifest``, for the
+    second curation store the manifest commit covers."""
+    from traceframe_spark.operators import text as T
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    path = tmp_store("bigram_lm_man_") + "/lm"
+    T.write_bigram_lm(d, path, protocol="manifest")
+    out = T.score_against_lm(d, path)
+    return out.select(
+        F.col("id").alias("doc_id"), qint(F.col("avg_logprob"), 4).alias("logprob_q")
+    )
+
+
 def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The verified layer of MinHash-LSH dedup, oracle-checked: banded
     candidate generation is xxhash64-dependent, but the OUTPUT (exact
@@ -2834,6 +2853,30 @@ WHERE s.doc_id NOT IN (SELECT id_d FROM near)
 """
 
 
+def q_dedup_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full persistent-index probe of ``dedup_index_delta`` run
+    against a MANIFEST-protocol store
+    (operators/dedup_index.write_dedup_index(protocol="manifest") —
+    immutable layer directories + one atomic manifest publish, the
+    object-store-safe commit the streaming curation loop uses). The
+    commit protocol changes how layers land and how probes resolve
+    them (snapshot read of manifest-listed directories, meta from the
+    manifest), and must change NOTHING about the stored values — so
+    the oracle is ``SQL_DEDUP_INDEX_DELTA`` verbatim: the entire
+    portable LSH chain (shingles → md5-affine minima → band keys →
+    bucket join → agreement estimate ≥ 0.9 → anti-join) replayed in
+    SQL against what the manifest store served back. Atomicity,
+    snapshot isolation, and crash replay are pinned in
+    tests/test_manifest_curation.py; THIS query value-pins the storage
+    roundtrip itself."""
+    from traceframe_spark.operators import dedup_index as di
+
+    ref, delta = _index_split(spark, sf_dir)
+    path = tmp_store("dedup_index_man_") + "/idx"
+    di.write_dedup_index(ref, path, portable=True, protocol="manifest")
+    return di.dedup_against_index(delta, path, threshold=0.9).select("doc_id")
+
+
 def q_index_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram novelty from the STORED gram layer
     (operators/dedup_index.novelty_against_index): the snapshot docs
@@ -3056,6 +3099,9 @@ PIPELINE_QUERIES = {
     # r10 additions — rotated into the head by _R10_ROTATION_HEAD
     "bitext_mine_ann": q_bitext_mine_ann,
     "bitext_ann_agree": q_bitext_ann_agree,
+    # r11 additions — rotated into the head by _R11_ROTATION_HEAD
+    "dedup_index_manifest": q_dedup_index_manifest,
+    "lm_manifest_score": q_lm_manifest_score,
 }
 
 PIPELINE_ORACLE_SQL = {
@@ -3118,5 +3164,9 @@ PIPELINE_ORACLE_SQL = {
     "bitext_mine": SQL_BITEXT_MINE,
     "bitext_mine_ann": SQL_BITEXT_MINE_ANN,
     "bitext_ann_agree": SQL_BITEXT_ANN_AGREE,
+    # the commit protocol changes how layers land, never their values:
+    # the append-protocol oracles apply verbatim to the manifest twins
+    "dedup_index_manifest": SQL_DEDUP_INDEX_DELTA,
+    "lm_manifest_score": SQL_DOC_BIGRAM_LOGPROB,
     "ann_lsh_multiprobe": SQL_ANN_LSH_MULTIPROBE,
 }

@@ -182,7 +182,13 @@ def _write_manifest(spark, path: str, man: dict) -> None:
     falls back; :func:`_next_commit_n` numbers past it), so
     single-object visibility is not load-bearing for correctness —
     single writer remains the store's contract and this guard is its
-    loud tripwire."""
+    loud tripwire. Per-scheme strength: HDFS namenode-atomic; local
+    POSIX O_EXCL-atomic; S3A a HEAD-then-PUT race (best-effort). The
+    S3-native upgrade is a conditional PUT (``If-None-Match: *``, which
+    S3 supports); Hadoop's S3A ``create(overwrite=false)`` does not yet
+    surface it — until it does, single-writer is a DEPLOYMENT
+    REQUIREMENT on S3-class schemes, not merely a convention (see
+    SCALING.md's guard table)."""
     n = man["n"]
     fs, final_p = _fs_path(spark, f"{path}/{_MANIFEST_DIR}/m-{n:012d}.json")
     try:
@@ -505,7 +511,15 @@ def stream_to_rollup_manifest(
     store refuses to run, with whole-store snapshot isolation for
     readers and the replay marker folded into the atomic commit
     (exactly-once without a write-then-mark window). Read back with
-    :func:`read_manifest_store`."""
+    :func:`read_manifest_store`.
+
+    CONTRACT: one writer per store — this stream must be the only
+    process committing to ``path``. The exclusive-create publish is a
+    loud tripwire where the filesystem can arbitrate it (HDFS/local);
+    on S3A it is best-effort (HEAD-then-PUT) — see SCALING.md's
+    per-scheme guard table. Readers are safe either way (torn newest
+    manifests are skipped), but two concurrent writers can drop each
+    other's commits."""
     from traceframe_spark.operators import rollup as R
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -552,7 +566,10 @@ def stream_to_hll_manifest(
     atomic batch watermark is belt-and-braces here; what the manifest
     buys this store on S3-class backends is the legal commit path and
     snapshot reads. Read back with :func:`read_manifest_store` +
-    ``sketch.hll_estimate_by(..., ["day"])``."""
+    ``sketch.hll_estimate_by(..., ["day"])``.
+
+    Same single-writer contract (and per-scheme tripwire strength) as
+    :func:`stream_to_rollup_manifest`."""
     from traceframe_spark.operators import sketch
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
