@@ -338,6 +338,22 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors["lm_score"] = f"{type(exc).__name__}: {exc}"[:300]
             timings["lm_score"] = None
+
+        # NB classifier, same build-vs-score split: training is one
+        # groupBy over the hashed feature relation (one-shot per frozen
+        # labeled set), scoring a delta is the steady state a quality
+        # filter runs per snapshot — broadcast model join + per-doc agg.
+        nb_path = dedup_idx_root + "/nb"
+        try:
+            from traceframe_spark.operators import classifier as CL
+
+            t0 = time.time()
+            CL.write_nb_classifier(ref, nb_path, "lang")
+            timings["nb_train"] = round(time.time() - t0, 3)
+            timed("nb_score", lambda: CL.score_against_nb(delta, nb_path))
+        except Exception as exc:  # noqa: BLE001
+            errors["nb_score"] = f"{type(exc).__name__}: {exc}"[:300]
+            timings["nb_score"] = None
     finally:
         shutil.rmtree(dedup_idx_root, ignore_errors=True)
 

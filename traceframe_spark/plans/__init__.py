@@ -22,6 +22,10 @@ _R11_ROTATION_HEAD = [
     "dedup_index_manifest",
     "lm_manifest_score",
     "percentiles_sampled",
+    "nb_predict",
+    "nb_store_predict",
+    "nb_manifest_predict",
+    "nb_quality_filter",
 ]
 
 

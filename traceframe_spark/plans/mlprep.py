@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from traceframe_spark.operators import vectorprep
+from traceframe_spark.operators.sampling import md5_uniform
 from traceframe_spark.plans.catalog import SQL_ANN_COSINE_TOPK, load_table, qint
 from traceframe_spark.plans.lexical import _tokens
 
@@ -684,7 +685,256 @@ JOIN nb USING (label)
 """
 
 
+# ---------------------------------------------------------------------------
+# hashed n-gram Naive Bayes classifier (operators/classifier.py)
+# ---------------------------------------------------------------------------
+
+_NB_BUCKETS = 4096
+
+
+def q_nb_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-n-gram multinomial Naive Bayes (operators/classifier):
+    train on the even-doc_id half with the ``lang`` label, predict the
+    odd half — the fastText/CCNet trained-filter shape as pure
+    relational dataflow (one groupBy trains; broadcast join + one
+    per-doc aggregation scores). The oracle replays the ENTIRE chain —
+    md5 feature hashing, add-one smoothing, unseen-bucket floors, log-
+    posterior sums, argmax with deterministic tie-breaks, top1−top2
+    margin — so the answer is value-verified end to end."""
+    from traceframe_spark.operators import classifier as C
+
+    d = load_table(spark, sf_dir, "documents")
+    w, cs = C.train_nb(d.filter(F.col("doc_id") % 2 == 0), "lang", n_buckets=_NB_BUCKETS)
+    pred = C.nb_predict(d.filter(F.col("doc_id") % 2 == 1), w, cs, n_buckets=_NB_BUCKETS)
+    return pred.select(
+        F.col("id").alias("doc_id"),
+        "pred_label",
+        qint(F.col("score"), 4).alias("score_q"),
+        qint(F.col("margin"), 4).alias("margin_q"),
+    )
+
+
+SQL_NB_PREDICT = r"""
+WITH toksf AS (
+    SELECT doc_id, lang,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                       w -> w <> '') AS t
+    FROM documents
+),
+uni AS (
+    SELECT doc_id, lang, 'u:' || t[CAST(u.i AS INT)] AS f
+    FROM toksf, unnest(range(1, len(t) + 1)) AS u(i)
+),
+bi AS (
+    SELECT doc_id, lang,
+           'b:' || t[CAST(u.i AS INT)] || ' ' || t[CAST(u.i AS INT) + 1] AS f
+    FROM toksf, unnest(range(1, greatest(len(t), 1))) AS u(i)
+),
+feats AS (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS bucket
+    FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+w AS (
+    SELECT lang AS label, bucket, count(*) AS c
+    FROM feats WHERE doc_id % 2 = 0 GROUP BY 1, 2
+),
+tot AS (SELECT label, sum(c) AS tot_c FROM w GROUP BY 1),
+pri AS (
+    SELECT lang AS label, count(*) AS n_docs
+    FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+),
+n AS (SELECT sum(n_docs) AS n_total FROM pri),
+sfeats AS (
+    SELECT doc_id, bucket, count(*) AS cnt
+    FROM feats WHERE doc_id % 2 = 1 GROUP BY 1, 2
+),
+scored AS (
+    SELECT s.doc_id, p.label,
+           any_value(ln(p.n_docs * 1.0 / n.n_total))
+           + sum(s.cnt * ln((coalesce(w.c, 0) + 1.0) / (t.tot_c + 4096.0))) AS score
+    FROM sfeats s
+    CROSS JOIN pri p
+    CROSS JOIN n
+    JOIN tot t ON t.label = p.label
+    LEFT JOIN w ON w.label = p.label AND w.bucket = s.bucket
+    GROUP BY s.doc_id, p.label
+),
+ranked AS (
+    SELECT doc_id, label, score,
+           score - lead(score) OVER
+               (PARTITION BY doc_id ORDER BY score DESC, label) AS margin,
+           row_number() OVER
+               (PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+    FROM scored
+)
+SELECT doc_id, label AS pred_label,
+       CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_q,
+       CAST(floor(margin * 10000 + 0.5) AS BIGINT) AS margin_q
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_nb_store_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``nb_predict`` against a PERSISTED classifier
+    (operators/classifier.write_nb_classifier / score_against_nb — the
+    CCNet shape: train the filter once on a frozen labeled set, score
+    snapshots against the stored counts without re-reading labeled
+    text). The store roundtrip is the point; the stored model equals
+    the in-memory one, so the oracle is ``SQL_NB_PREDICT`` verbatim —
+    the stored-state-equals-batch-operator pattern of
+    ``lm_store_score``."""
+    from traceframe_spark.operators import classifier as C
+    from traceframe_spark.plans.catalog import tmp_store
+
+    d = load_table(spark, sf_dir, "documents")
+    path = tmp_store("nb_clf_") + "/nb"
+    C.write_nb_classifier(
+        d.filter(F.col("doc_id") % 2 == 0), path, "lang", n_buckets=_NB_BUCKETS
+    )
+    pred = C.score_against_nb(d.filter(F.col("doc_id") % 2 == 1), path)
+    return pred.select(
+        F.col("id").alias("doc_id"),
+        "pred_label",
+        qint(F.col("score"), 4).alias("score_q"),
+        qint(F.col("margin"), 4).alias("margin_q"),
+    )
+
+
+def q_nb_manifest_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``nb_store_predict`` against a MANIFEST-protocol classifier
+    store (both count layers + n_buckets published in ONE atomic
+    commit). The protocol must not change a single stored count, so the
+    oracle is ``SQL_NB_PREDICT`` verbatim — the protocol-preserves-
+    values pin, for the fourth curation store the manifest commit
+    covers (dedup index, gram layer, bigram LM, NB classifier)."""
+    from traceframe_spark.operators import classifier as C
+    from traceframe_spark.plans.catalog import tmp_store
+
+    d = load_table(spark, sf_dir, "documents")
+    path = tmp_store("nb_clf_man_") + "/nb"
+    C.write_nb_classifier(
+        d.filter(F.col("doc_id") % 2 == 0), path, "lang",
+        n_buckets=_NB_BUCKETS, protocol="manifest",
+    )
+    pred = C.score_against_nb(d.filter(F.col("doc_id") % 2 == 1), path)
+    return pred.select(
+        F.col("id").alias("doc_id"),
+        "pred_label",
+        qint(F.col("score"), 4).alias("score_q"),
+        qint(F.col("margin"), 4).alias("margin_q"),
+    )
+
+
+def q_nb_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GPT-3 quality-filter composition (arXiv:2005.14165 App. A):
+    a binary classifier trained to separate a 'curated' source set from
+    the rest (labels derived from the ``source`` column), every
+    document scored with hi−lo log-odds, and kept by a stochastic
+    score-based acceptance — a deterministic md5 uniform draw against
+    sigmoid(logodds), so low-scoring docs survive with proportionally
+    small probability (tail diversity) instead of a hard cut. The
+    sigmoid runs on the 1e-4-QUANTIZED logodds so both engines compare
+    the draw against a bit-identical probability."""
+    from traceframe_spark.operators import classifier as C
+
+    d = load_table(spark, sf_dir, "documents")
+    hi = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    labeled = d.withColumn("qlabel", F.when(hi, "hi").otherwise("lo"))
+    w, cs = C.train_nb(
+        labeled.filter(F.col("doc_id") % 2 == 0), "qlabel", n_buckets=_NB_BUCKETS
+    )
+    scored = C.nb_scores(
+        labeled.filter(F.col("doc_id") % 2 == 1), w, cs, n_buckets=_NB_BUCKETS
+    )
+    lo = scored.groupBy("id").agg(
+        (
+            F.max(F.when(F.col("label") == "hi", F.col("score")))
+            - F.max(F.when(F.col("label") == "lo", F.col("score")))
+        ).alias("logodds")
+    )
+    lo = lo.select("id", qint(F.col("logodds"), 4).alias("logodds_q"))
+    u = md5_uniform(F.col("id")) / F.lit(float(1 << 32))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logodds_q") / F.lit(10000.0)))
+    return lo.select(
+        F.col("id").alias("doc_id"), "logodds_q", (u < p).alias("keep")
+    )
+
+
+SQL_NB_QUALITY_FILTER = r"""
+WITH labeled AS (
+    SELECT doc_id,
+           CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                THEN 'hi' ELSE 'lo' END AS qlabel,
+           text
+    FROM documents
+),
+toksf AS (
+    SELECT doc_id, qlabel,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                       w -> w <> '') AS t
+    FROM labeled
+),
+uni AS (
+    SELECT doc_id, qlabel, 'u:' || t[CAST(u.i AS INT)] AS f
+    FROM toksf, unnest(range(1, len(t) + 1)) AS u(i)
+),
+bi AS (
+    SELECT doc_id, qlabel,
+           'b:' || t[CAST(u.i AS INT)] || ' ' || t[CAST(u.i AS INT) + 1] AS f
+    FROM toksf, unnest(range(1, greatest(len(t), 1))) AS u(i)
+),
+feats AS (
+    SELECT doc_id, qlabel,
+           ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS bucket
+    FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+w AS (
+    SELECT qlabel AS label, bucket, count(*) AS c
+    FROM feats WHERE doc_id % 2 = 0 GROUP BY 1, 2
+),
+tot AS (SELECT label, sum(c) AS tot_c FROM w GROUP BY 1),
+pri AS (
+    SELECT qlabel AS label, count(*) AS n_docs
+    FROM labeled WHERE doc_id % 2 = 0 GROUP BY 1
+),
+n AS (SELECT sum(n_docs) AS n_total FROM pri),
+sfeats AS (
+    SELECT doc_id, bucket, count(*) AS cnt
+    FROM feats WHERE doc_id % 2 = 1 GROUP BY 1, 2
+),
+scored AS (
+    SELECT s.doc_id, p.label,
+           any_value(ln(p.n_docs * 1.0 / n.n_total))
+           + sum(s.cnt * ln((coalesce(w.c, 0) + 1.0) / (t.tot_c + 4096.0))) AS score
+    FROM sfeats s
+    CROSS JOIN pri p
+    CROSS JOIN n
+    JOIN tot t ON t.label = p.label
+    LEFT JOIN w ON w.label = p.label AND w.bucket = s.bucket
+    GROUP BY s.doc_id, p.label
+),
+odds AS (
+    SELECT doc_id,
+           CAST(floor(
+               (max(CASE WHEN label = 'hi' THEN score END)
+                - max(CASE WHEN label = 'lo' THEN score END)) * 10000 + 0.5
+           ) AS BIGINT) AS logodds_q
+    FROM scored GROUP BY doc_id
+)
+SELECT doc_id, logodds_q,
+       (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            / 4294967296.0)
+       < (1.0 / (1.0 + exp(-(logodds_q / 10000.0)))) AS keep
+FROM odds
+"""
+
+
 MLPREP_QUERIES = {
+    "nb_predict": q_nb_predict,
+    "nb_store_predict": q_nb_store_predict,
+    "nb_manifest_predict": q_nb_manifest_predict,
+    "nb_quality_filter": q_nb_quality_filter,
     "hard_negatives": q_hard_negatives,
     "embed_quantize": q_embed_quantize,
     "ann_cosine_blas": q_ann_cosine_blas,
@@ -700,6 +950,10 @@ MLPREP_QUERIES = {
 }
 
 MLPREP_ORACLE_SQL = {
+    "nb_predict": SQL_NB_PREDICT,
+    "nb_store_predict": SQL_NB_PREDICT,
+    "nb_manifest_predict": SQL_NB_PREDICT,
+    "nb_quality_filter": SQL_NB_QUALITY_FILTER,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "embed_quantize": SQL_EMBED_QUANTIZE,
     "ann_cosine_blas": SQL_ANN_COSINE_TOPK,
