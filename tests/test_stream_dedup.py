@@ -216,6 +216,56 @@ def test_stream_dedup_lm_quality_annotation(spark, tmp_path, corpus_feed):
         )
 
 
+def test_stream_dedup_nb_classifier_annotation(spark, tmp_path, corpus_feed):
+    """nb_path: survivors land with pred_label/nb_score/nb_margin from
+    the FROZEN stored classifier (same frozen-model contract as
+    lm_path), matching the batch scorer's answer for the same rows;
+    replay-idempotent; a missing model fails fast at stream start."""
+    from traceframe_spark.operators.classifier import (
+        score_against_nb,
+        write_nb_classifier,
+    )
+
+    idx, feed = corpus_feed
+    labeled = _docs(spark, [(i, _uniq(i)) for i in range(4)]).withColumn(
+        "lab", F.when(F.col("doc_id") % 2 == 0, "even").otherwise("odd")
+    )
+    nb = str(tmp_path / "nb")
+    write_nb_classifier(labeled, nb, "lab", n_buckets=512)
+    out, ckpt = str(tmp_path / "out_nb"), str(tmp_path / "ckpt_nb")
+    _run_stream(spark, idx, feed, out, ckpt, nb_path=nb)
+    rows = {r.doc_id: r for r in read_ingested(spark, out).collect()}
+    assert set(rows) == {101, 200, 301}
+    landed = {
+        i: (rows[i].pred_label, rows[i].nb_score, rows[i].nb_margin) for i in rows
+    }
+    survivors = _docs(spark, [(i, rows[i].text) for i in rows])
+    want = {
+        r["id"]: (r["pred_label"], r["score"], r["margin"])
+        for r in score_against_nb(survivors, nb).collect()
+    }
+    assert set(want) == set(landed)
+    for i in want:
+        assert landed[i][0] == want[i][0]
+        assert abs(landed[i][1] - want[i][1]) < 1e-12
+        assert abs(landed[i][2] - want[i][2]) < 1e-12
+    # replay: idempotent, annotation preserved
+    _run_stream(spark, idx, feed, out, ckpt, nb_path=nb)
+    again = {
+        r.doc_id: (r.pred_label, r.nb_score, r.nb_margin)
+        for r in read_ingested(spark, out).collect()
+    }
+    assert again == landed
+    # fail-fast on a missing model, before any batch commits
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no stored NB classifier"):
+        _run_stream(
+            spark, idx, feed, str(tmp_path / "out_nbbad"),
+            str(tmp_path / "ckpt_nbbad"), nb_path=str(tmp_path / "nope_nb"),
+        )
+
+
 def test_within_batch_near_signs_each_batch_once(spark, tmp_path, monkeypatch):
     """within_batch_near=True used to shingle + MinHash-sign every
     micro-batch TWICE with identical pinned params (once in

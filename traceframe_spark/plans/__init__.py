@@ -26,6 +26,7 @@ _R11_ROTATION_HEAD = [
     "nb_store_predict",
     "nb_manifest_predict",
     "nb_quality_filter",
+    "dup_span_removal",
 ]
 
 

@@ -94,6 +94,75 @@ def q_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring REMOVAL (Lee et al. 2107.06499 — the cut,
+    not just the count): every token covered by a non-canonical
+    duplicated 8-token window is dropped and the survivors rejoin with
+    single spaces, original case preserved. The oracle replays the
+    whole chain — windows, corpus-wide canonical election, per-token
+    coverage, reassembly — keyed by literal window strings where the
+    operator uses xxhash64 (identical answers modulo a ~1e-13 64-bit
+    collision, same caveat as ``dup_windows``)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = dedup.remove_duplicated_substrings(d, "doc_id", "text", window_tokens=8)
+    return out.select(
+        "doc_id",
+        F.col("text_dedup"),
+        F.size(
+            F.filter(F.split(F.trim("text_dedup"), r"\s+"), lambda t: t != F.lit(""))
+        ).cast("long").alias("n_kept"),
+    )
+
+
+SQL_DUP_SPAN_REMOVAL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                       x -> x <> '') AS t,
+           list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       x -> x <> '') AS t_raw
+    FROM documents WHERE doc_id < 300
+),
+wins AS (
+    SELECT doc_id, u.i AS pos,
+           array_to_string(list_slice(t, u.i, u.i + 7), chr(31)) AS win
+    FROM toks, unnest(range(1, greatest(len(t) - 6, 1))) AS u(i)
+),
+marked AS (
+    SELECT doc_id, pos,
+           count(*) OVER (PARTITION BY win) AS n_occ,
+           row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+    FROM wins
+),
+dupstarts AS (
+    SELECT doc_id, pos FROM marked WHERE n_occ >= 2 AND rn > 1
+),
+postoks AS (
+    SELECT doc_id, u.i AS pos, t_raw[CAST(u.i AS INT)] AS tok
+    FROM toks, unnest(range(1, len(t_raw) + 1)) AS u(i)
+),
+kept AS (
+    SELECT p.doc_id, p.pos, p.tok
+    FROM postoks p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM dupstarts s
+        WHERE s.doc_id = p.doc_id
+          AND p.pos BETWEEN s.pos AND s.pos + 7
+    )
+)
+SELECT t.doc_id,
+       coalesce(k.text_dedup, '') AS text_dedup,
+       coalesce(k.n_kept, 0) AS n_kept
+FROM toks t
+LEFT JOIN (
+    SELECT doc_id,
+           string_agg(tok, ' ' ORDER BY pos) AS text_dedup,
+           count(*) AS n_kept
+    FROM kept GROUP BY doc_id
+) k USING (doc_id)
+"""
+
+
 SQL_DUP_WINDOWS = r"""
 WITH toks AS (
     SELECT doc_id,
@@ -3047,6 +3116,7 @@ PIPELINE_QUERIES = {
     "bloom_prefilter": q_bloom_prefilter,
     "ngram_jaccard": q_ngram_jaccard,
     "dup_windows": q_dup_windows,
+    "dup_span_removal": q_dup_span_removal,
     "doc_bigram_logprob": q_doc_bigram_logprob,
     "lm_store_score": q_lm_store_score,
     "minhash_verified": q_minhash_verified,
@@ -3112,6 +3182,7 @@ PIPELINE_ORACLE_SQL = {
     "bpe_encode_lens": SQL_BPE_ENCODE_LENS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dup_windows": SQL_DUP_WINDOWS,
+    "dup_span_removal": SQL_DUP_SPAN_REMOVAL,
     "doc_bigram_logprob": SQL_DOC_BIGRAM_LOGPROB,
     "lm_store_score": SQL_DOC_BIGRAM_LOGPROB,
     "minhash_verified": SQL_MINHASH_VERIFIED,

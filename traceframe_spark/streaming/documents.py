@@ -107,6 +107,7 @@ def stream_dedup_ingest(
     within_batch_near: bool = False,
     annotate_novelty: bool = False,
     lm_path: str | None = None,
+    nb_path: str | None = None,
     store_protocol: str = "markers",
     trigger_available_now: bool = False,
 ):
@@ -151,6 +152,18 @@ def stream_dedup_ingest(
     quality signal downstream gates threshold on. Documents with fewer
     than 2 tokens land with a null score (the batch scorer's
     no-row contract, surfaced here as a LEFT join).
+
+    ``nb_path`` (optional) additionally classifies each surviving doc
+    with a FROZEN stored Naive Bayes classifier
+    (:func:`~traceframe_spark.operators.classifier.write_nb_classifier`
+    — same frozen-model contract as ``lm_path``: trained once on a
+    labeled reference set, deliberately never folded back, so labels
+    and margins stay comparable across the stream's lifetime) and
+    lands it with ``pred_label``/``nb_score``/``nb_margin`` columns —
+    the trained-filter signal (language routing, quality gating)
+    downstream consumers threshold on. Documents with no tokens land
+    with null columns (the scorer's no-row contract, surfaced here as
+    a LEFT join). The model is read + pinned ONCE at stream start.
 
     ``store_protocol="manifest"`` (requires a MANIFEST-protocol index)
     replaces the write-then-mark crash discipline with atomic manifest
@@ -208,6 +221,18 @@ def stream_dedup_ingest(
             raise ValueError(
                 f"lm_path={lm_path!r} has no stored bigram LM; run "
                 "write_bigram_lm on the reference corpus first"
+            ) from exc
+    nb_frames = None
+    if nb_path is not None:
+        # same read-once + pin discipline as the LM above
+        from traceframe_spark.operators.classifier import load_nb_frames
+
+        try:
+            nb_frames = load_nb_frames(docs.sparkSession, nb_path)
+        except Exception as exc:  # noqa: BLE001 — any read failure means no model
+            raise ValueError(
+                f"nb_path={nb_path!r} has no stored NB classifier; run "
+                "write_nb_classifier on the labeled reference set first"
             ) from exc
 
     def _fold_back(survivors: DataFrame) -> None:
@@ -293,6 +318,18 @@ def stream_dedup_ingest(
                 survivors = survivors.join(
                     lp.withColumnRenamed("id", id_col), id_col, "left"
                 )
+            if nb_frames is not None:
+                from traceframe_spark.operators.classifier import score_against_nb
+
+                nb = score_against_nb(
+                    survivors, id_col=id_col, text_col=text_col, frames=nb_frames
+                ).select(
+                    F.col("id").alias(id_col),
+                    "pred_label",
+                    F.col("score").alias("nb_score"),
+                    F.col("margin").alias("nb_margin"),
+                )
+                survivors = survivors.join(nb, id_col, "left")
             survivors = survivors.persist()
             if manifest_proto:
                 if survivors.isEmpty():
