@@ -278,6 +278,33 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors["ann_ivf_indexed"] = f"{type(exc).__name__}: {exc}"[:300]
             timings["ann_ivf_indexed"] = None
+
+        # manifest-protocol IVF twin, build vs probe split (the
+        # object-store-safe store the streaming embed ingest folds
+        # into): probe cost must track the sidecar row above — the
+        # protocol changes how lists land and resolve, not the
+        # candidate join
+        midx = tempfile.mkdtemp(prefix="bench_ivf_man_") + "/idx"
+        try:
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            t0 = time.time()
+            similarity.write_ivf_index(
+                emb, midx, "vec_id", "embedding", n_centroids=8,
+                protocol="manifest",
+            )
+            timings["ivf_manifest_build"] = round(time.time() - t0, 3)
+            q = emb.filter(F.col("vec_id") < 10)
+            timed(
+                "ann_ivf_manifest_probe",
+                lambda: similarity.ivf_topk_over_index(
+                    spark, midx, q, "vec_id", "embedding", k=5, nprobe=4
+                ),
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["ann_ivf_manifest_probe"] = f"{type(exc).__name__}: {exc}"[:300]
+            timings["ann_ivf_manifest_probe"] = None
+        finally:
+            shutil.rmtree(os.path.dirname(midx), ignore_errors=True)
     finally:
         shutil.rmtree(store, ignore_errors=True)
         shutil.rmtree(os.path.dirname(idx), ignore_errors=True)

@@ -1,0 +1,224 @@
+"""Manifest-protocol IVF index (similarity.write_ivf_index(
+protocol="manifest") over manifest_store.append_parts_layer) and the
+streaming embedding ingest (streaming/embeddings.py): protocol
+answer-equivalence, snapshot-isolated probes under concurrent appends,
+atomic replay watermark, end-to-end stream + restart idempotence,
+vacuum/compaction safety for partitioned layer lists."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from traceframe_spark.operators import similarity as sim
+from traceframe_spark.streaming import manifest_store as MS
+from traceframe_spark.streaming.embeddings import (
+    read_indexed_vectors,
+    stream_embed_ingest,
+)
+
+DIM = 8
+
+
+def _vec(i: int) -> list[float]:
+    # deterministic pseudo-random vectors: md5-derived so distinct ids
+    # give genuinely uncorrelated directions (an affine i*K+j*L pattern
+    # makes some pairs near-collinear — measured cos 0.99990 — which
+    # trips the near-dup filter on vectors meant to be fresh; the
+    # md5 set's max pairwise cosine over every id used here is 0.933)
+    return [
+        float(int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[:8], 16) % 1999 - 999)
+        for j in range(DIM)
+    ]
+
+
+def _vecs(spark, ids):
+    return spark.createDataFrame(
+        [(i, _vec(i)) for i in ids], f"vec_id long, embedding array<float>"
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return _vecs(spark, range(60))
+
+
+def test_manifest_protocol_preserves_probe_answers(spark, corpus, tmp_path):
+    """Same centroids, both protocols: every probe answer identical —
+    the commit protocol changes how lists land, never what they hold."""
+    cents = sim.train_ivf_centroids(corpus, "vec_id", "embedding", n_centroids=4)
+    side = str(tmp_path / "side")
+    mani = str(tmp_path / "mani")
+    sim.write_ivf_index(corpus, side, "vec_id", "embedding", centroids=cents)
+    sim.write_ivf_index(
+        corpus, mani, "vec_id", "embedding", centroids=cents, protocol="manifest"
+    )
+    q = _vecs(spark, range(5))
+    for nprobe in (1, 2, 4):
+        a = sorted(
+            map(tuple, sim.ivf_topk_over_index(
+                spark, side, q, "vec_id", "embedding", k=3, nprobe=nprobe
+            ).collect())
+        )
+        b = sorted(
+            map(tuple, sim.ivf_topk_over_index(
+                spark, mani, q, "vec_id", "embedding", k=3, nprobe=nprobe
+            ).collect())
+        )
+        assert a == b, nprobe
+    # centroids committed atomically with the lists, no sidecar file
+    got_c, man = sim._ivf_resolve(spark, mani)
+    assert got_c == cents and man is not None
+    # list stats agree across protocols
+    sa = {r["list_id"]: r["n_vectors"] for r in sim.ivf_list_stats(spark, side).collect()}
+    sb = {r["list_id"]: r["n_vectors"] for r in sim.ivf_list_stats(spark, mani).collect()}
+    assert sa == sb
+
+
+def test_manifest_append_accumulates_and_probe_snapshot_survives(
+    spark, corpus, tmp_path
+):
+    mani = str(tmp_path / "mani_app")
+    sim.write_ivf_index(
+        corpus, mani, "vec_id", "embedding", n_centroids=4, protocol="manifest"
+    )
+    before = read_indexed_vectors(spark, mani).count()
+    # build a LAZY probe plan against the current snapshot
+    q = _vecs(spark, [1000])
+    plan = sim.ivf_topk_over_index(
+        spark, mani, q, "vec_id", "embedding", k=60, nprobe=4
+    )
+    # concurrent append lands AFTER the plan resolved its manifest
+    sim.append_to_ivf_index(_vecs(spark, range(200, 230)), mani, "vec_id", "embedding")
+    assert read_indexed_vectors(spark, mani).count() == before + 30
+    # the lazy plan still answers from its resolved snapshot: none of
+    # the appended ids appear (immutable commit dirs)
+    got_ids = {r["cid"] for r in plan.collect()}
+    assert got_ids and all(i < 200 for i in got_ids)
+    # a fresh probe sees the appended vectors
+    fresh = sim.ivf_topk_over_index(
+        spark, mani, q, "vec_id", "embedding", k=200, nprobe=4
+    )
+    assert any(r["cid"] >= 200 for r in fresh.collect())
+
+
+def test_append_watermark_commits_atomically(spark, corpus, tmp_path):
+    mani = str(tmp_path / "mani_wm")
+    sim.write_ivf_index(
+        corpus, mani, "vec_id", "embedding", n_centroids=4, protocol="manifest"
+    )
+    ckpt = str(tmp_path / "wm_ckpt")
+    assert MS.manifest_last_batch(spark, mani, ckpt) is None
+    sim.append_to_ivf_index(
+        _vecs(spark, range(300, 310)), mani, "vec_id", "embedding",
+        checkpoint=ckpt, batch_id=0,
+    )
+    assert MS.manifest_last_batch(spark, mani, ckpt) == 0
+    # a watermark on the sidecar protocol is refused loudly
+    side = str(tmp_path / "side_wm")
+    sim.write_ivf_index(corpus, side, "vec_id", "embedding", n_centroids=4)
+    with pytest.raises(ValueError, match="manifest-protocol"):
+        sim.append_to_ivf_index(
+            _vecs(spark, range(310, 312)), side, "vec_id", "embedding",
+            checkpoint=ckpt, batch_id=1,
+        )
+
+
+def _feed(tmp_path, name, batches):
+    feed = tmp_path / name
+    feed.mkdir()
+    for i, ids in enumerate(batches):
+        with open(feed / f"b{i}.jsonl", "w") as f:
+            for vid in ids:
+                f.write(json.dumps({"vec_id": vid, "embedding": _vec(vid)}) + "\n")
+    return str(feed)
+
+
+def _run_embed_stream(spark, feed, idx, ckpt, **kw):
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(feed)
+    )
+    q = stream_embed_ingest(stream, idx, ckpt, trigger_available_now=True, **kw)
+    q.awaitTermination()
+
+
+def test_stream_embed_ingest_end_to_end_and_restart(spark, corpus, tmp_path):
+    """Exact-content dup within a batch collapses to min id; a vector
+    re-sent in a later batch with near_threshold dies against the
+    standing index (cosine 1.0); restart on the same checkpoint changes
+    NOTHING (exact row counts — duplicates structurally impossible)."""
+    mani = str(tmp_path / "mani_stream")
+    sim.write_ivf_index(
+        corpus, mani, "vec_id", "embedding", n_centroids=4, protocol="manifest"
+    )
+    # batch 0: 400 fresh, 401 same CONTENT as 400 (different id);
+    # batch 1: 500 with the same content as 400 again (cross-batch), 501 fresh
+    feed_dir = tmp_path / "efeed"
+    feed_dir.mkdir()
+    with open(feed_dir / "b0.jsonl", "w") as f:
+        f.write(json.dumps({"vec_id": 400, "embedding": _vec(400)}) + "\n")
+        f.write(json.dumps({"vec_id": 401, "embedding": _vec(400)}) + "\n")
+    with open(feed_dir / "b1.jsonl", "w") as f:
+        f.write(json.dumps({"vec_id": 500, "embedding": _vec(400)}) + "\n")
+        f.write(json.dumps({"vec_id": 501, "embedding": _vec(501)}) + "\n")
+    ckpt = str(tmp_path / "e_ckpt")
+    _run_embed_stream(
+        spark, str(feed_dir), mani, ckpt, near_threshold=0.9999, nprobe=4
+    )
+    landed = {
+        r["cid"] for r in read_indexed_vectors(spark, mani).collect() if r["cid"] >= 400
+    }
+    assert landed == {400, 501}  # 401 in-batch exact; 500 cross-batch near
+    total = read_indexed_vectors(spark, mani).count()
+    # restart on the same checkpoint: idempotent, exact counts
+    _run_embed_stream(
+        spark, str(feed_dir), mani, ckpt, near_threshold=0.9999, nprobe=4
+    )
+    assert read_indexed_vectors(spark, mani).count() == total
+    # a non-manifest index is refused at stream start
+    side = str(tmp_path / "side_stream")
+    sim.write_ivf_index(corpus, side, "vec_id", "embedding", n_centroids=4)
+    with pytest.raises(ValueError, match="manifest-protocol"):
+        _run_embed_stream(spark, str(feed_dir), side, str(tmp_path / "bad_ckpt"))
+
+
+def test_vacuum_and_compaction_keep_partitioned_layers_live(
+    spark, corpus, tmp_path
+):
+    """Vacuum must treat every listed list directory as live data, and
+    compaction must reset each list to one directory without changing
+    a single row."""
+    mani = str(tmp_path / "mani_vac")
+    sim.write_ivf_index(
+        corpus, mani, "vec_id", "embedding", n_centroids=4, protocol="manifest"
+    )
+    sim.append_to_ivf_index(_vecs(spark, range(600, 620)), mani, "vec_id", "embedding")
+    sim.append_to_ivf_index(_vecs(spark, range(620, 640)), mani, "vec_id", "embedding")
+    want = sorted(
+        (r["cid"], r["list_id"]) for r in read_indexed_vectors(spark, mani).collect()
+    )
+    # vacuum with the tightest grace: all three commits' dirs stay live
+    MS.vacuum_manifest_store(spark, mani, keep_manifests=1)
+    assert sorted(
+        (r["cid"], r["list_id"]) for r in read_indexed_vectors(spark, mani).collect()
+    ) == want
+    # compaction: every list back to ONE directory, rows identical
+    man_before = MS._latest_manifest(spark, mani)
+    assert any(len(d) > 1 for d in man_before["layers"].values())
+    MS.compact_manifest_layers(spark, mani)
+    man_after = MS._latest_manifest(spark, mani)
+    assert all(len(d) == 1 for d in man_after["layers"].values())
+    assert sorted(
+        (r["cid"], r["list_id"]) for r in read_indexed_vectors(spark, mani).collect()
+    ) == want
+    # vacuum reclaims the superseded pre-compaction directories
+    removed = MS.vacuum_manifest_store(spark, mani, keep_manifests=1)
+    assert removed >= 1
+    assert sorted(
+        (r["cid"], r["list_id"]) for r in read_indexed_vectors(spark, mani).collect()
+    ) == want

@@ -73,6 +73,31 @@ def _sidecar_read(spark, index_path: str) -> list[list[float]]:
     return json.loads(data)
 
 
+def _ivf_resolve(spark, index_path: str) -> tuple[list[list[float]], dict | None]:
+    """(centroids, manifest-or-None) for a persisted IVF index,
+    protocol auto-detected: a manifest-protocol index resolves ONE
+    manifest — the centroids ride in its meta, committed atomically
+    with the inverted lists they describe, and the SAME manifest serves
+    every subsequent list read (whole-index snapshot consistency under
+    a concurrent append); a sidecar index reads the JSON sidecar."""
+    from traceframe_spark.streaming import manifest_store as MS
+
+    if MS.is_manifest_store(spark, index_path):
+        man = MS._latest_manifest(spark, index_path)
+        if man is None:
+            raise FileNotFoundError(
+                f"IVF manifest store at {index_path!r} has no commits"
+            )
+        cents = man.get("meta", {}).get("ivf_centroids")
+        if cents is None:
+            raise ValueError(
+                f"manifest store at {index_path!r} carries no IVF centroids "
+                "(not built by write_ivf_index?)"
+            )
+        return cents, man
+    return _sidecar_read(spark, index_path), None
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
@@ -1100,6 +1125,7 @@ def write_ivf_index(
     centroids: list[list[float]] | None = None,
     mode: str = "error",
     seed: int = 42,
+    protocol: str = "sidecar",
 ) -> list[list[float]]:
     """Build and persist an IVF index: the corpus lands in parquet
     PARTITIONED BY its inverted-list id, centroids ride along as a tiny
@@ -1107,10 +1133,20 @@ def write_ivf_index(
     directory partitions, a query's ``nprobe`` probes become *partition
     pruning* at scan time: the unprobed ``(n_centroids - nprobe) /
     n_centroids`` of a 100 TB corpus is never read, not merely filtered.
-    Returns the centroids."""
-    import json
-    import os
+    Returns the centroids.
 
+    ``protocol="manifest"`` commits the inverted lists AND the
+    centroids in ONE atomic manifest publish
+    (:func:`~traceframe_spark.streaming.manifest_store.append_parts_layer`
+    with ``replace=True``): a crashed build can never leave lists
+    without their quantizer (the sidecar protocol's two-step residual),
+    a REBUILD retires the old lists atomically, probes are whole-index
+    snapshot reads under concurrent appends, and the store is
+    object-store-legal. Readers auto-detect the protocol; the probe's
+    partition pruning survives — unprobed lists are never even listed
+    (the manifest names each list's directories)."""
+    if protocol not in ("sidecar", "manifest"):
+        raise ValueError(f"unknown IVF store protocol {protocol!r}")
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, id_col, vec_col, n_centroids=n_centroids, seed=seed
@@ -1121,6 +1157,15 @@ def write_ivf_index(
         l2_norm(F.col(vec_col)).alias("c_nrm"),
         ivf_assign(F.col(vec_col), centroids).alias("list_id"),
     )
+    if protocol == "manifest":
+        from traceframe_spark.streaming import manifest_store as MS
+
+        MS.append_parts_layer(
+            corpus.sparkSession, path,
+            assigned.repartition("list_id"), "list_id",
+            replace=True, meta={"ivf_centroids": centroids},
+        )
+        return centroids
     (
         assigned.repartition("list_id")
         .write.mode(mode)
@@ -1136,6 +1181,8 @@ def append_to_ivf_index(
     path: str,
     id_col: str,
     vec_col: str,
+    checkpoint: str | None = None,
+    batch_id: int | None = None,
 ) -> None:
     """Incrementally maintain a persisted IVF index: assign new vectors
     to the EXISTING centroids (read from the sidecar) and append them to
@@ -1146,15 +1193,35 @@ def append_to_ivf_index(
 
     At scale this is one narrow scan + a partitioned append of only the
     delta; existing list partitions are untouched (dynamic append writes
-    new files into the probed directories only).
+    new files into the probed directories only). On a MANIFEST-protocol
+    index (``write_ivf_index(protocol="manifest")``) the append is one
+    atomic commit: existing list directories are immutable, the delta
+    lands in a fresh commit directory, and readers mid-probe keep their
+    resolved snapshot. ``checkpoint``/``batch_id`` fold a streaming
+    replay watermark into the same commit (see
+    :func:`~traceframe_spark.streaming.embeddings.stream_embed_ingest`).
     """
-    centroids = _sidecar_read(new_rows.sparkSession, path)
+    spark = new_rows.sparkSession
+    centroids, man = _ivf_resolve(spark, path)
     assigned = new_rows.select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("c_vec"),
         l2_norm(F.col(vec_col)).alias("c_nrm"),
         ivf_assign(F.col(vec_col), centroids).alias("list_id"),
     )
+    if man is not None:
+        from traceframe_spark.streaming import manifest_store as MS
+
+        MS.append_parts_layer(
+            spark, path, assigned.repartition("list_id"), "list_id",
+            checkpoint=checkpoint, batch_id=batch_id, prev=man,
+        )
+        return
+    if checkpoint is not None or batch_id is not None:
+        raise ValueError(
+            "replay watermarks need a manifest-protocol IVF index "
+            "(write_ivf_index(protocol='manifest'))"
+        )
     (
         assigned.repartition("list_id")
         .write.mode("append")
@@ -1167,12 +1234,15 @@ def ivf_list_stats(spark, path: str) -> DataFrame:
     """Per-inverted-list row counts of a persisted IVF index — the
     health metric incremental maintenance watches. One aggregate over
     the partition column; parquet count pushdown answers it from file
-    metadata without materializing vectors."""
-    return (
-        spark.read.parquet(path)
-        .groupBy("list_id")
-        .agg(F.count("*").alias("n_vectors"))
-    )
+    metadata without materializing vectors. Protocol auto-detected (a
+    manifest index counts over one resolved snapshot)."""
+    from traceframe_spark.streaming import manifest_store as MS
+
+    if MS.is_manifest_store(spark, path):
+        df = MS.read_parts_layers(spark, path)
+    else:
+        df = spark.read.parquet(path)
+    return df.groupBy("list_id").agg(F.count("*").alias("n_vectors"))
 
 
 def ivf_rebuild_due(
@@ -1230,10 +1300,14 @@ def ivf_topk_over_index(
     The probe filter is an IN over the (tiny) union of every query's
     ``nprobe`` list ids, evaluated on the driver — so it lands in the
     scan's PartitionFilters and unprobed list directories are skipped
-    entirely. Candidate re-rank matches :func:`ivf_topk`.
+    entirely. Candidate re-rank matches :func:`ivf_topk`. Protocol
+    auto-detected: on a manifest index the centroids AND every probed
+    list come from ONE resolved manifest (whole-index snapshot — a
+    concurrent append can never serve a probe centroids from one
+    version and lists from another), and unprobed lists are never even
+    listed (the manifest names each list's directories).
     """
-    centroids = _sidecar_read(spark, path)
-    corpus = spark.read.parquet(path)
+    centroids, man = _ivf_resolve(spark, path)
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("q_vec"),
@@ -1241,7 +1315,22 @@ def ivf_topk_over_index(
         F.explode(ivf_probe_lists(F.col(vec_col), centroids, nprobe)).alias("list_id"),
     )
     probed = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})
-    pruned = corpus.filter(F.col("list_id").isin(probed))
+    if man is not None:
+        from traceframe_spark.streaming import manifest_store as MS
+
+        live = {
+            k.split("=", 1)[1] for k in man["layers"] if k.startswith("list_id=")
+        }
+        vals = [str(v) for v in probed if str(v) in live]
+        if vals:
+            pruned = MS.read_parts_layers(spark, path, vals=vals, man=man)
+        else:
+            # every probed list is empty (no vectors ever landed there):
+            # zero candidates, schema from any live list
+            pruned = MS.read_parts_layers(spark, path, man=man).filter(F.lit(False))
+    else:
+        corpus = spark.read.parquet(path)
+        pruned = corpus.filter(F.col("list_id").isin(probed))
     cands = q.join(pruned, "list_id").filter(F.col("qid") != F.col("cid"))
     return _rerank_topk(cands, k)
 

@@ -27,6 +27,7 @@ _R11_ROTATION_HEAD = [
     "nb_manifest_predict",
     "nb_quality_filter",
     "dup_span_removal",
+    "ann_ivf_manifest",
 ]
 
 

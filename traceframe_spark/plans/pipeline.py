@@ -879,6 +879,30 @@ def q_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_ivf_exhaustive`` through a PERSISTED MANIFEST-protocol IVF
+    index (write_ivf_index(protocol="manifest"): inverted lists AND
+    centroids in ONE atomic commit; probes resolve one manifest and
+    read only the probed lists' directories). nprobe = n_centroids, so
+    the answer must EQUAL brute force — the oracle is the same DuckDB
+    brute-force SQL, which pins BOTH the protocol (store roundtrip
+    preserves every vector) and the hash-free IVF machinery, for the
+    fifth store the manifest commit covers (rollup/HLL, dedup index,
+    gram layer, LM, IVF)."""
+    from traceframe_spark.plans.catalog import tmp_store
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    path = tmp_store("ivf_man_") + "/ivf"
+    similarity.write_ivf_index(
+        e, path, "vec_id", "embedding",
+        centroids=_ivf_centroids(spark, sf_dir, 8), protocol="manifest",
+    )
+    return similarity.ivf_topk_over_index(
+        spark, path, q, "vec_id", "embedding", k=5, nprobe=8
+    )
+
+
 SQL_EMBED_NEAR_DUP = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        CAST(floor(list_cosine_similarity(a.embedding, b.embedding) * 10000 + 0.5) AS BIGINT) AS cosine_q
@@ -3138,6 +3162,7 @@ PIPELINE_QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
+    "ann_ivf_manifest": q_ann_ivf_manifest,
     "embed_near_dup": q_embed_near_dup,
     "media_features": q_media_features,
     "quality_gate": q_quality_gate,
@@ -3195,6 +3220,7 @@ PIPELINE_ORACLE_SQL = {
     "doc_entropy": SQL_DOC_ENTROPY,
     "doc_chunks": SQL_DOC_CHUNKS,
     "ann_ivf_exhaustive": SQL_ANN_COSINE_TOPK,
+    "ann_ivf_manifest": SQL_ANN_COSINE_TOPK,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "doc_repetition": SQL_DOC_REPETITION,
     "doc_pii": SQL_DOC_PII,

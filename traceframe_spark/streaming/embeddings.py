@@ -1,0 +1,149 @@
+"""Streaming embedding ingest into a manifest-committed IVF index —
+the vector twin of :mod:`~traceframe_spark.streaming.documents`'
+curation loop: per micro-batch, drop exact-duplicate and
+(optionally) near-duplicate vectors against everything previously
+accepted, then fold the survivors into the standing inverted lists
+with the replay watermark committed ATOMICALLY alongside — so a
+replayed batch can never double-insert vectors, the failure mode a
+plain ``parquet append`` index cannot exclude.
+
+No reference analogue (the reference has no vector operators); this
+completes the incremental-curation story across modalities: text flows
+through ``stream_dedup_ingest`` into the dedup-index/gram/LM stores,
+embeddings flow through ``stream_embed_ingest`` into the IVF store,
+and all five stores share one commit protocol (immutable commit dirs +
+one atomic manifest publish; see
+:mod:`~traceframe_spark.streaming.manifest_store`).
+
+Scale shape per micro-batch: the exact stage is one aggregation of
+(id, vector-md5) pairs over the BATCH only; the near stage probes the
+standing index partition-pruned (``nprobe/n_centroids`` of the corpus,
+via the manifest's per-list directory lists — unprobed lists are never
+listed); the fold is one partitioned write job + one manifest object.
+Nothing rescans the standing corpus, nothing collects vectors to the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from traceframe_spark.operators import similarity as sim
+from traceframe_spark.streaming import manifest_store as MS
+
+
+def _dedup_exact_vectors(batch: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """One survivor per distinct vector CONTENT within the batch (min
+    id wins — deterministic under replay), after collapsing duplicate
+    ids. The key is md5 over the comma-joined float repr: content
+    equality for bit-identical vectors, which is what 'the same
+    embedding arrived twice' means upstream (re-sent rows, not
+    approximately-equal recomputations — those are the NEAR stage's
+    job)."""
+    key = F.md5(F.concat_ws(",", F.col(vec_col).cast("array<string>")))
+    w = Window.partitionBy("_ck").orderBy(F.col(id_col).asc())
+    return (
+        batch.dropDuplicates([id_col])
+        .withColumn("_ck", key)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_ck", "_rn")
+    )
+
+
+def stream_embed_ingest(
+    vecs: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    near_threshold: float | None = None,
+    nprobe: int = 4,
+    trigger_available_now: bool = False,
+):
+    """Run a streaming embedding feed into the persistent IVF index at
+    ``index_path`` (which must be a MANIFEST-protocol index — build the
+    snapshot with ``write_ivf_index(..., protocol="manifest")`` first;
+    an empty corpus snapshot is fine). Per micro-batch:
+
+    1. exact dedup within the batch (one survivor per distinct vector
+       content, min id wins);
+    2. ``near_threshold`` set: drop batch vectors whose best cosine
+       against the STANDING index is ≥ the threshold (the embedding
+       twin of ``dedup_against_index`` — a near-copy of anything
+       previously accepted never lands; an exact re-send is the
+       cosine-1.0 special case). The probe is partition-pruned top-1
+       over ``nprobe`` lists, so its recall is the IVF tier's — a
+       near-dup whose nearest neighbour hides in an unprobed list
+       survives; pick ``nprobe`` with the agreement instrument
+       (``bitext_ann_agreement`` methodology) if that matters. Batch
+       and index ids must be disjoint (the probe's self-exclusion is
+       id-based).
+    3. fold survivors into their inverted lists with the replay
+       watermark in the SAME manifest commit — a recorded batch is a
+       completely applied batch; an unrecorded replay recomputes
+       against the identical index snapshot (the commit that would
+       have changed it didn't happen) and lands identical rows. A
+       batch with zero survivors publishes a metadata-only commit so
+       the watermark still advances exactly-once.
+
+    Returns the started StreamingQuery. Read the index back with
+    ``ivf_topk_over_index`` / ``read_parts_layers``; watch
+    ``ivf_rebuild_due`` for frozen-quantizer drift.
+    """
+    spark0 = vecs.sparkSession
+    if not MS.is_manifest_store(spark0, index_path):
+        raise ValueError(
+            f"stream_embed_ingest needs a manifest-protocol IVF index, but "
+            f"{index_path!r} is not one — build it with "
+            "write_ivf_index(..., protocol='manifest')"
+        )
+    # fail fast at stream start on a store without centroids
+    sim._ivf_resolve(spark0, index_path)
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        last = MS.manifest_last_batch(spark, index_path, checkpoint)
+        if last is not None and batch_id <= int(last):
+            return
+        survivors = _dedup_exact_vectors(batch_df, id_col, vec_col)
+        if near_threshold is not None:
+            best = sim.ivf_topk_over_index(
+                spark, index_path, survivors, id_col, vec_col,
+                k=1, nprobe=nprobe,
+            ).filter(F.col("cos") >= int(round(near_threshold * 10000)))
+            survivors = survivors.join(
+                best.select(F.col("qid").alias(id_col)), id_col, "left_anti"
+            )
+        survivors = survivors.persist()
+        try:
+            if survivors.isEmpty():
+                MS.commit_layer_frames(
+                    spark, index_path, {},
+                    checkpoint=checkpoint, batch_id=batch_id,
+                )
+            else:
+                sim.append_to_ivf_index(
+                    survivors, index_path, id_col, vec_col,
+                    checkpoint=checkpoint, batch_id=batch_id,
+                )
+        finally:
+            survivors.unpersist()
+
+    writer = vecs.writeStream.foreachBatch(ingest_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_indexed_vectors(spark: SparkSession, index_path: str) -> DataFrame:
+    """Everything the index holds (cid, c_vec, c_nrm, list_id) as one
+    snapshot-consistent scan — the corpus-read twin of
+    ``read_ingested``. Protocol auto-detected."""
+    if MS.is_manifest_store(spark, index_path):
+        return MS.read_parts_layers(spark, index_path)
+    return spark.read.parquet(index_path)

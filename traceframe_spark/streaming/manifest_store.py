@@ -335,6 +335,117 @@ def commit_layer_frames(
     return n
 
 
+def append_parts_layer(
+    spark,
+    path: str,
+    df: DataFrame,
+    part_col: str,
+    replace: bool = False,
+    meta: dict | None = None,
+    checkpoint: str | None = None,
+    batch_id: int | None = None,
+    prev: dict | None = None,
+) -> int:
+    """Commit an APPEND-ACCUMULATING partitioned layer store: ``df``
+    lands partitioned by ``part_col`` under ONE immutable commit
+    directory in ONE write job, and each written ``part_col=val``
+    subdirectory is appended to the manifest's layer list keyed by that
+    literal directory name — so a partition value's live data is a
+    growing LIST of immutable directories (the shape
+    :func:`commit_merged_parts` deliberately isn't: its parts section
+    REPOINTS a value, the rollup merge semantics; this accumulates, the
+    inverted-list/append-log semantics). ``replace=True`` first drops
+    every existing ``{part_col}=`` layer — a rebuild commits the new
+    data AND retires the old lists atomically.
+
+    Keying layers by the literal ``part_col=val`` directory name buys
+    three properties for free: vacuum and carry-forward already treat
+    layer dirs as live data; :func:`compact_manifest_layers` rewrites
+    each list to one directory whose name is STILL a partition
+    directory; and :func:`read_parts_layers` can reconstruct the
+    partition column by directory inference. ``meta`` (e.g. pinned
+    centroids) and the replay watermark commit atomically with the
+    data pointers. Returns the commit counter."""
+    if prev is None:
+        prev = _latest_manifest(spark, path)
+    n = _next_commit_n(spark, path)
+    man = _next_manifest(prev, n, checkpoint, batch_id)
+    if meta:
+        man["meta"].update(meta)
+    prefix = f"{part_col}="
+    if replace:
+        for k in [k for k in man["layers"] if k.startswith(prefix)]:
+            del man["layers"][k]
+    cdir = f"{_DATA_DIR}/c-{n:012d}-{uuid.uuid4().hex[:8]}"
+    df.write.mode("errorifexists").partitionBy(part_col).parquet(f"{path}/{cdir}")
+    fs, cpath = _fs_path(spark, f"{path}/{cdir}")
+    for status in fs.listStatus(cpath):
+        name = status.getPath().getName()
+        if name.startswith(prefix):
+            man["layers"].setdefault(name, []).append(f"{cdir}/{name}")
+    man["part_col"] = part_col
+    _write_manifest(spark, path, man)
+    return n
+
+
+def read_parts_layers(
+    spark,
+    path: str,
+    vals: list[str] | None = None,
+    version: int | None = None,
+    man: dict | None = None,
+) -> DataFrame:
+    """Snapshot read of an :func:`append_parts_layer` store, PRUNED to
+    the requested partition values (all live values when ``vals`` is
+    None): resolve ONE manifest, collect the listed directories of only
+    the requested ``part_col=val`` layers, group them by commit
+    directory and scan each group with ``basePath`` so the partition
+    column is reconstructed — unrequested values are never even LISTED,
+    a stronger prune than a scan-time PartitionFilter. Plan size
+    follows live directories of the requested values (appends grow it;
+    :func:`compact_manifest_layers` resets each value to one)."""
+    if man is None:
+        if version is None:
+            man = _latest_manifest(spark, path)
+            if man is None:
+                raise FileNotFoundError(f"manifest store at {path!r} has no commits")
+        else:
+            name = f"m-{int(version):012d}.json"
+            if name not in _manifest_names(spark, path):
+                raise FileNotFoundError(
+                    f"manifest store at {path!r}: version {version} is absent"
+                )
+            man = _read_manifest(spark, path, name)
+    part_col = man.get("part_col")
+    if part_col is None:
+        raise FileNotFoundError(
+            f"manifest store at {path!r} has no partitioned layers"
+        )
+    prefix = f"{part_col}="
+    want = (
+        None if vals is None else {f"{prefix}{v}" for v in vals}
+    )
+    by_cdir: dict[str, list[str]] = {}
+    for layer, dirs in man.get("layers", {}).items():
+        if not layer.startswith(prefix) or (want is not None and layer not in want):
+            continue
+        for d in dirs:
+            by_cdir.setdefault(d.rsplit("/", 1)[0], []).append(d)
+    out = None
+    for cdir, dirs in sorted(by_cdir.items()):
+        df = (
+            spark.read.option("basePath", f"{path}/{cdir}")
+            .parquet(*[f"{path}/{d}" for d in sorted(dirs)])
+        )
+        out = df if out is None else out.unionByName(df)
+    if out is None:
+        raise FileNotFoundError(
+            f"manifest store at {path!r} has no live partitioned layers "
+            f"for the requested values"
+        )
+    return out
+
+
 def read_manifest_layer(
     spark, path: str, layer: str, version: int | None = None, man: dict | None = None
 ) -> DataFrame:
