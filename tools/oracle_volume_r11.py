@@ -24,6 +24,23 @@ tools/check_oracle.py and the r08-r10 sweeps.
   memory no matter the group size), and the oracle replays the exact
   same keys, bottom-k, and interpolation.
 
+Late-r11 additions (the round's second wave of operators):
+
+- ``nb_predict_vol``: the NB classifier registry entry VERBATIM — train
+  on the even half of all 500k documents, predict the odd 250k; the
+  model stays ``buckets × classes`` rows no matter the corpus (the
+  scale claim), and the oracle replays hashing/smoothing/floors/argmax/
+  margins over the full volume.
+- ``ann_ivf_manifest_vol``: the manifest-protocol IVF registry entry
+  VERBATIM — the stored index holds all 200k vectors, full-probe top-k
+  must equal DuckDB brute force (protocol + machinery pinned by value
+  at volume).
+- ``dup_span_removal_vol``: duplicated-substring REMOVAL over 3 base
+  ids × ~100 near-copies — nearly every 8-token window is
+  corpus-duplicated, so the cut must remove almost everything except
+  the canonical occurrences (worst-case duplication mass), and the
+  oracle replays election/coverage/reassembly string-for-string.
+
 Usage: SPARK_GRAFT_DRIVER_MEM=48g python tools/oracle_volume_r11.py \
     [--sf /tmp/sparktrace_scale100] [query ...]
 """
@@ -50,6 +67,7 @@ def build_queries():
 
     from traceframe_spark.plans import advanced as A
     from traceframe_spark.plans import pipeline as P
+    from traceframe_spark.plans import catalog as C
     from traceframe_spark.plans.catalog import load_table, qint, tmp_store
 
     def swap(sql: str, old: str, new: str) -> str:
@@ -95,11 +113,42 @@ def build_queries():
             qint(F.col("avg_logprob"), 4).alias("logprob_q"),
         )
 
+    def q_dup_span_removal_vol(spark, sf_dir):
+        from traceframe_spark.operators import dedup as D
+
+        d = load_table(spark, sf_dir, "documents").filter(
+            (F.col("doc_id") % MOD) < 3
+        )
+        out = D.remove_duplicated_substrings(d, "doc_id", "text", window_tokens=8)
+        return out.select(
+            "doc_id",
+            F.col("text_dedup"),
+            F.size(
+                F.filter(
+                    F.split(F.trim("text_dedup"), r"\s+"), lambda t: t != F.lit("")
+                )
+            ).cast("long").alias("n_kept"),
+        )
+
+    from traceframe_spark.plans import mlprep as M
+
     qs = {
         "dedup_index_manifest_vol": q_dedup_index_manifest_vol,
         "lm_manifest_score_vol": q_lm_manifest_score_vol,
         # registry VERBATIM: the bounded-memory sample is the claim
         "percentiles_sampled_vol": A.q_percentiles_sampled,
+        # registry VERBATIM: no doc/vec bounds in the query — train on
+        # the even half of all 500k docs, predict the odd 250k; the
+        # model stays buckets x classes no matter the corpus (the claim)
+        "nb_predict_vol": M.q_nb_predict,
+        # registry VERBATIM: manifest-protocol IVF index over all 200k
+        # vectors, full-probe == brute force (protocol + machinery
+        # pinned at volume by the exact SQL)
+        "ann_ivf_manifest_vol": P.q_ann_ivf_manifest,
+        # 3 base ids x ~100 near-copies: nearly every 8-token window is
+        # corpus-duplicated, so removal must cut almost everything
+        # except the canonical occurrences — worst-case dup mass
+        "dup_span_removal_vol": q_dup_span_removal_vol,
     }
 
     # bound surgery on SQL_DEDUP_INDEX_DELTA, most-specific first (the
@@ -121,6 +170,11 @@ def build_queries():
             P.SQL_DOC_BIGRAM_LOGPROB, "doc_id < 300", f"doc_id % {MOD} < 300"
         ),
         "percentiles_sampled_vol": A.SQL_PERCENTILES_SAMPLED,
+        "nb_predict_vol": M.SQL_NB_PREDICT,
+        "ann_ivf_manifest_vol": C.SQL_ANN_COSINE_TOPK,
+        "dup_span_removal_vol": swap(
+            P.SQL_DUP_SPAN_REMOVAL, "doc_id < 300", f"doc_id % {MOD} < 3"
+        ),
     }
     return qs, sql
 
