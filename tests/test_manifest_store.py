@@ -422,3 +422,40 @@ def test_vacuum_keeps_grace_versions(spark, tmp_path):
     assert _totals(read_manifest_store(spark, store).drop("hour_ns")) == want
     with pytest.raises(ValueError):
         vacuum_manifest_store(spark, store, keep_manifests=0)
+
+
+def test_writer_lease_tripwire(spark, tmp_path):
+    """The best-effort lease: a second writer fails LOUDLY naming the
+    holder while the lease is live; an expired lease is reclaimed; a
+    released lease frees the store; release with a stale token is a
+    no-op that never unguards the current holder."""
+    from traceframe_spark.streaming.manifest_store import (
+        acquire_writer_lease,
+        release_writer_lease,
+        renew_writer_lease,
+    )
+
+    store = str(tmp_path / "leased")
+    os.makedirs(store)
+    tok = acquire_writer_lease(spark, store, owner="writer-a", ttl_s=900)
+    with pytest.raises(IOError, match="held by 'writer-a'"):
+        acquire_writer_lease(spark, store, owner="writer-b", ttl_s=900)
+    # renewal keeps the same token current
+    renew_writer_lease(spark, store, tok)
+    with pytest.raises(IOError, match="held by"):
+        acquire_writer_lease(spark, store, owner="writer-b", ttl_s=900)
+    # stale-token release is a no-op: the holder stays guarded
+    release_writer_lease(spark, store, "not-the-token")
+    with pytest.raises(IOError, match="held by"):
+        acquire_writer_lease(spark, store, owner="writer-b")
+    # real release frees the store
+    release_writer_lease(spark, store, tok)
+    tok_b = acquire_writer_lease(spark, store, owner="writer-b", ttl_s=1)
+    # the old holder's renew now fails loudly instead of writing on
+    with pytest.raises(IOError, match="no longer current"):
+        renew_writer_lease(spark, store, tok)
+    # expiry: ttl_s=1 lease is reclaimable after it lapses
+    time.sleep(1.2)
+    tok_c = acquire_writer_lease(spark, store, owner="writer-c", ttl_s=900)
+    assert tok_c != tok_b
+    release_writer_lease(spark, store, tok_c)

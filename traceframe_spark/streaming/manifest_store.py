@@ -204,6 +204,128 @@ def _write_manifest(spark, path: str, man: dict) -> None:
         out.close()
 
 
+def acquire_writer_lease(
+    spark, path: str, owner: str | None = None, ttl_s: int = 900
+) -> str:
+    """Best-effort writer lease for a manifest store — the EARLY
+    tripwire on schemes where the manifest publish's exclusive-create
+    is itself best-effort (S3A's HEAD-then-PUT; see
+    :func:`_write_manifest`'s per-scheme table). A second writer that
+    takes the lease BEFORE doing any work fails here, loudly, naming
+    the holder — instead of both writers racing a whole commit's worth
+    of data writes to a possibly-unguarded publish.
+
+    Semantics: exclusive-create of ``{path}/_lease.json`` carrying
+    ``{owner, pid, token, acquired, ttl_s}``. A live lease raises
+    IOError naming the holder. An EXPIRED lease (acquired + ttl_s in
+    the past — the holder crashed without releasing) is deleted and
+    re-acquired with one retry. Returns the lease token for
+    :func:`release_writer_lease` / :func:`renew_writer_lease`.
+
+    Honest limits, by construction: expiry compares driver wall
+    clocks, and delete-then-create is itself a race window on
+    non-atomic schemes — this is a TRIPWIRE that turns 'two writers
+    silently interleave commits' into 'the second writer almost always
+    fails fast', not a lock service. The hard guard remains the
+    exclusive-create publish where the filesystem provides one;
+    single-writer stays the deployment contract on S3-class schemes."""
+    import os
+    import time as _time
+
+    token = uuid.uuid4().hex
+    lease = {
+        "owner": owner or f"pid-{os.getpid()}",
+        "pid": os.getpid(),
+        "token": token,
+        "acquired": _time.time(),
+        "ttl_s": int(ttl_s),
+    }
+    fs, p = _fs_path(spark, f"{path}/_lease.json")
+    for attempt in (0, 1):
+        try:
+            out = fs.create(p, False)
+        except Exception:  # noqa: BLE001 — lease exists (or create raced)
+            try:
+                held = json.loads(_read_small(spark, f"{path}/_lease.json"))
+            except (ValueError, IOError):
+                held = None  # torn lease write: treat as expired
+            if (
+                held is not None
+                and _time.time() - float(held.get("acquired", 0))
+                < float(held.get("ttl_s", ttl_s))
+            ):
+                raise IOError(
+                    f"manifest store at {path!r}: writer lease held by "
+                    f"{held.get('owner')!r} (pid {held.get('pid')}, "
+                    f"{int(_time.time() - float(held.get('acquired', 0)))}s ago) "
+                    "— single-writer store, second writer refused"
+                ) from None
+            if attempt == 1:
+                raise IOError(
+                    f"manifest store at {path!r}: could not reclaim an "
+                    "expired/torn writer lease (create keeps failing)"
+                ) from None
+            fs.delete(p, False)  # expired or torn: reclaim and retry once
+            continue
+        try:
+            out.write(bytearray(json.dumps(lease).encode("utf-8")))
+        finally:
+            out.close()
+        return token
+    raise AssertionError("unreachable")
+
+
+def _read_small(spark, full_path: str) -> str:
+    """Read a small text object through the Hadoop FS (driver-side)."""
+    jvm = spark._jvm
+    fs, p = _fs_path(spark, full_path)
+    stream = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _lease_matches(spark, path: str, token: str) -> bool:
+    try:
+        held = json.loads(_read_small(spark, f"{path}/_lease.json"))
+    except (ValueError, IOError):
+        return False
+    return held.get("token") == token
+
+
+def renew_writer_lease(spark, path: str, token: str) -> None:
+    """Refresh the lease's acquired timestamp (long-lived streams renew
+    well inside ttl_s). Raises if the lease is no longer this token's —
+    the holder learns it lost the lease instead of writing on."""
+    import os
+    import time as _time
+
+    if not _lease_matches(spark, path, token):
+        raise IOError(
+            f"manifest store at {path!r}: lease token no longer current "
+            "(expired and reclaimed by another writer?)"
+        )
+    held = json.loads(_read_small(spark, f"{path}/_lease.json"))
+    held["acquired"] = _time.time()
+    fs, p = _fs_path(spark, f"{path}/_lease.json")
+    fs.delete(p, False)
+    out = fs.create(p, False)
+    try:
+        out.write(bytearray(json.dumps(held).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def release_writer_lease(spark, path: str, token: str) -> None:
+    """Release the lease if (and only if) ``token`` still holds it —
+    releasing someone else's reclaimed lease would unguard a live
+    writer. Releasing an already-lost lease is a no-op."""
+    if _lease_matches(spark, path, token):
+        fs, p = _fs_path(spark, f"{path}/_lease.json")
+        fs.delete(p, False)
+
+
 def is_manifest_store(spark, path: str) -> bool:
     """Whether ``path`` is a manifest-protocol store (has a
     ``_manifests/`` directory) — the seam store-agnostic readers use to
