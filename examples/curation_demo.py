@@ -317,6 +317,91 @@ def main() -> None:
             f"logprob re-crawls {lp_recrawl:.2f} vs fresh {lp_fresh:.2f}; "
             f"re-probe after fold-back = {absorbed}"
         )
+    # 12. the r11 trained-filter + vector-stream additions:
+    #   (a) hashed n-gram NB classifier (fastText/CCNet/GPT-3 shape) —
+    #       train = ONE groupBy, model <= buckets x classes rows, score
+    #       = broadcast join. The driver corpus's labels are
+    #       deliberately uncorrelated with its synthetic text
+    #       (SCALING.md r11 measures it), so the demo teaches on a
+    #       separable two-vocabulary set and must get every held-out
+    #       doc right.
+    #   (b) streaming embedding ingest into a MANIFEST-committed IVF
+    #       index: exact re-sends die against the standing index, the
+    #       fold commits inverted-list pointers + replay watermark in
+    #       ONE manifest publish.
+    from traceframe_spark.operators import classifier as clf
+    from traceframe_spark.operators import similarity as sim
+    from traceframe_spark.streaming import manifest_store as MS
+    from traceframe_spark.streaming.embeddings import (
+        read_indexed_vectors,
+        stream_embed_ingest,
+    )
+
+    a_words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    b_words = ["zeta", "eta", "theta", "iota", "kappa"]
+    teach = spark.createDataFrame(
+        [
+            (
+                i,
+                "A" if i % 2 == 0 else "B",
+                " ".join((a_words if i % 2 == 0 else b_words)[(i + j) % 5]
+                         for j in range(5 + i % 7)),
+            )
+            for i in range(100)
+        ],
+        ["doc_id", "label", "text"],
+    )
+    nb_store = tempfile.mkdtemp(prefix="curation_nb_") + "/nb"
+    clf.write_nb_classifier(
+        teach.filter("doc_id < 80"), nb_store, "label",
+        n_buckets=4096, protocol="manifest",
+    )
+    pred = clf.score_against_nb(teach.filter("doc_id >= 80"), nb_store)
+    hits = pred.join(
+        teach.select(F.col("doc_id").alias("id"), "label"), "id"
+    ).filter(F.col("pred_label") == F.col("label")).count()
+    assert hits == 20, f"separable held-out set must classify 20/20, got {hits}"
+    print(
+        f"classifier: NB trained on 80 labeled docs (manifest-committed store), "
+        f"held-out 20/20 correct, min margin "
+        f"{pred.agg(F.min('margin')).first()[0]:.1f} nats"
+    )
+
+    ivf = tempfile.mkdtemp(prefix="curation_ivf_") + "/ivf"
+    sim.write_ivf_index(
+        emb, ivf, "vec_id", "embedding", n_centroids=16, protocol="manifest"
+    )
+    n0 = read_indexed_vectors(spark, ivf).count()
+    feed = tempfile.mkdtemp(prefix="curation_ivf_feed_")
+    rows = emb.limit(150).collect()
+    import json as _json
+
+    with open(f"{feed}/b0.jsonl", "w") as f:
+        for r in rows[:100]:  # 100 fresh (value-shifted)
+            f.write(_json.dumps({
+                "vec_id": int(r["vec_id"]) + 5_000_000,
+                "embedding": [x + 0.91 for x in r["embedding"]],
+            }) + "\n")
+        for r in rows[100:150]:  # 50 exact re-sends of indexed vectors
+            f.write(_json.dumps({
+                "vec_id": int(r["vec_id"]) + 9_000_000,
+                "embedding": list(r["embedding"]),
+            }) + "\n")
+    q = stream_embed_ingest(
+        spark.readStream.schema("vec_id long, embedding array<float>").json(feed),
+        ivf, feed + "_ckpt", near_threshold=0.9999, nprobe=4,
+        trigger_available_now=True,
+    )
+    q.awaitTermination()
+    n1 = read_indexed_vectors(spark, ivf).count()
+    wm = MS.manifest_last_batch(spark, ivf, feed + "_ckpt")
+    assert n1 == n0 + 100, f"50 exact re-sends must die: {n0} -> {n1}"
+    print(
+        f"embed stream: {n0}-vector manifest IVF index, one micro-batch of "
+        f"150 (100 fresh + 50 exact re-sends) -> {n1 - n0} landed, re-sends "
+        f"died against the standing lists, replay watermark batch={wm} "
+        f"committed atomically with the fold"
+    )
     spark.stop()
 
 
