@@ -153,3 +153,33 @@ def test_quality_filter_keep_matches_sigmoid_draw(spark):
     kept_hi = sum(1 for r in out if r["id"] % 3 == 0 and r["keep"])
     kept_lo = sum(1 for r in out if r["id"] % 3 != 0 and r["keep"])
     assert kept_hi / 20 > kept_lo / 40
+
+
+def test_append_folds_counts_exactly(separable_docs, tmp_path):
+    """train(a+b) and train(a)+append(b) must produce IDENTICAL stored
+    state — the raw-counts design's whole point — on both protocols,
+    including a class absent from the initial snapshot."""
+    a = separable_docs.filter(F.col("doc_id") < 50)
+    b = separable_docs.filter(F.col("doc_id") >= 50).withColumn(
+        "label", F.when(F.col("doc_id") >= 90, "Cnew").otherwise(F.col("label"))
+    )
+    both = a.unionByName(b)
+    for protocol in ("append", "manifest"):
+        full = str(tmp_path / f"full_{protocol}")
+        inc = str(tmp_path / f"inc_{protocol}")
+        C.write_nb_classifier(both, full, "label", n_buckets=B, protocol=protocol)
+        C.write_nb_classifier(a, inc, "label", n_buckets=B, protocol=protocol)
+        C.append_nb_classifier(b, inc, "label")
+        for store_a, store_b in ((full, inc),):
+            wa, ca, ba = C._read_nb_store(a.sparkSession, store_a)
+            wb, cb, bb = C._read_nb_store(a.sparkSession, store_b)
+            assert ba == bb == B
+            assert sorted(map(tuple, wa.collect())) == sorted(map(tuple, wb.collect()))
+            assert sorted(map(tuple, ca.collect())) == sorted(map(tuple, cb.collect()))
+        # and therefore identical predictions
+        held = separable_docs.filter(F.col("doc_id") >= 80)
+        pf = sorted((r["id"], r["pred_label"], round(r["score"], 9))
+                    for r in C.score_against_nb(held, full).collect())
+        pi = sorted((r["id"], r["pred_label"], round(r["score"], 9))
+                    for r in C.score_against_nb(held, inc).collect())
+        assert pf == pi, protocol

@@ -222,3 +222,23 @@ def test_vacuum_and_compaction_keep_partitioned_layers_live(
     assert sorted(
         (r["cid"], r["list_id"]) for r in read_indexed_vectors(spark, mani).collect()
     ) == want
+
+
+def test_parts_layer_time_travel_pins_pre_append_state(spark, corpus, tmp_path):
+    """read_parts_layers(version=n) reads the index exactly as commit n
+    left it — an append after the pinned version is invisible, which is
+    what makes a training run reproducible against an index that keeps
+    ingesting."""
+    mani = str(tmp_path / "mani_tt")
+    sim.write_ivf_index(
+        corpus, mani, "vec_id", "embedding", n_centroids=4, protocol="manifest"
+    )
+    v0 = MS._latest_manifest(spark, mani)["n"]
+    want = sorted(r["cid"] for r in MS.read_parts_layers(spark, mani).collect())
+    sim.append_to_ivf_index(_vecs(spark, range(700, 720)), mani, "vec_id", "embedding")
+    pinned = sorted(
+        r["cid"] for r in MS.read_parts_layers(spark, mani, version=v0).collect()
+    )
+    assert pinned == want  # the append never happened at version v0
+    latest = sorted(r["cid"] for r in MS.read_parts_layers(spark, mani).collect())
+    assert len(latest) == len(want) + 20

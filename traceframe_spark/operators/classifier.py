@@ -223,6 +223,59 @@ def write_nb_classifier(
     ).write.mode("overwrite").json(f"{path}/nb_meta")
 
 
+def append_nb_classifier(
+    delta: DataFrame,
+    path: str,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Fold a LABELED delta into a stored classifier — the reason the
+    store keeps raw counts: the delta's (label, bucket, c) counts and
+    (label, n_docs, tot_c) totals SUM with the stored ones, so an
+    incremental retrain is one pass over the delta plus a
+    model-sized (≤ buckets × classes rows) merge — the corpus the
+    model was trained on is never re-read. ``n_buckets`` comes from
+    the store's pinned meta (the delta must hash like the snapshot
+    did). On a manifest-protocol store both merged layers publish in
+    ONE atomic commit (replace — the merged state supersedes);
+    on an append-protocol store the layers are overwritten in
+    sequence (localCheckpointed first, since the new state derives
+    from the files being replaced).
+
+    New classes fold in naturally (their rows union); scores shift
+    only as the counts dictate — ``train_nb(a ∪ b)`` and
+    ``train_nb(a)`` + ``append_nb_classifier(b)`` produce identical
+    stored state (pinned by test)."""
+    spark = delta.sparkSession
+    w0, cs0, b = _read_nb_store(spark, path)
+    w1, cs1 = train_nb(delta, label_col, id_col, text_col, n_buckets=b)
+    w = (
+        w0.unionByName(w1)
+        .groupBy("label", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    cs = (
+        cs0.unionByName(cs1)
+        .groupBy("label")
+        .agg(F.sum("n_docs").alias("n_docs"), F.sum("tot_c").alias("tot_c"))
+    )
+    from traceframe_spark.streaming import manifest_store as MS
+
+    if MS.is_manifest_store(spark, path):
+        MS.commit_layer_frames(
+            spark, path, {"weights": w, "class_stats": cs}, replace=True,
+        )
+        return
+    # derive-then-overwrite: the merged frames read the very files the
+    # writes replace — pin the merged state first or the overwrite
+    # truncates its own input mid-scan
+    w = w.localCheckpoint()
+    cs = cs.localCheckpoint()
+    w.write.mode("overwrite").parquet(f"{path}/weights")
+    cs.write.mode("overwrite").parquet(f"{path}/class_stats")
+
+
 def _read_nb_store(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
     """(weights, class_stats, n_buckets), protocol auto-detected — a
     manifest store resolves ONE manifest (snapshot-consistent layers;
