@@ -242,3 +242,55 @@ def test_parts_layer_time_travel_pins_pre_append_state(spark, corpus, tmp_path):
     assert pinned == want  # the append never happened at version v0
     latest = sorted(r["cid"] for r in MS.read_parts_layers(spark, mani).collect())
     assert len(latest) == len(want) + 20
+
+
+def test_stream_within_batch_near_collapses_burst(spark, corpus, tmp_path):
+    """A burst of near-copies OF EACH OTHER in one micro-batch: the
+    standing-index probe can't kill them (none are indexed yet); the
+    within_batch_near flag collapses the transitive chain to its min-id
+    canonical, exactly like the text loop's flag."""
+    mani = str(tmp_path / "mani_wbn")
+    sim.write_ivf_index(
+        corpus, mani, "vec_id", "embedding", n_centroids=4, protocol="manifest"
+    )
+    base = _vec(800)
+    feed = tmp_path / "wbn_feed"
+    feed.mkdir()
+    with open(feed / "b0.jsonl", "w") as f:
+        # chain: 800 ~ 801 ~ 802 (tiny perturbations), plus fresh 810
+        for vid, eps in ((800, 0.0), (801, 0.01), (802, 0.02)):
+            f.write(json.dumps(
+                {"vec_id": vid, "embedding": [x + eps for x in base]}
+            ) + "\n")
+        f.write(json.dumps({"vec_id": 810, "embedding": _vec(810)}) + "\n")
+
+    # control: without the flag, all three near-copies land
+    ctrl = str(tmp_path / "mani_wbn_ctrl")
+    sim.write_ivf_index(
+        corpus, ctrl, "vec_id", "embedding", n_centroids=4, protocol="manifest"
+    )
+    _run_embed_stream(
+        spark, str(feed), ctrl, str(tmp_path / "ckpt_ctrl"),
+        near_threshold=0.9999, nprobe=4,
+    )
+    got_ctrl = {
+        r["cid"] for r in read_indexed_vectors(spark, ctrl).collect()
+        if r["cid"] >= 800
+    }
+    assert got_ctrl == {800, 801, 802, 810}
+
+    _run_embed_stream(
+        spark, str(feed), mani, str(tmp_path / "ckpt_wbn"),
+        near_threshold=0.9999, nprobe=4, within_batch_near=True,
+    )
+    got = {
+        r["cid"] for r in read_indexed_vectors(spark, mani).collect()
+        if r["cid"] >= 800
+    }
+    assert got == {800, 810}  # chain collapsed to min id; fresh landed
+    # flag without threshold is refused
+    with pytest.raises(ValueError, match="needs near_threshold"):
+        _run_embed_stream(
+            spark, str(feed), mani, str(tmp_path / "ckpt_bad2"),
+            within_batch_near=True,
+        )

@@ -53,6 +53,49 @@ def _dedup_exact_vectors(batch: DataFrame, id_col: str, vec_col: str) -> DataFra
     )
 
 
+def _dedup_near_within_batch(
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float,
+) -> DataFrame:
+    """Collapse near-duplicates OF EACH OTHER within one micro-batch —
+    the gap the standing-index probe can't close (the index only knows
+    previous batches), mirroring the text loop's ``within_batch_near``.
+    Candidates come from a self-join WITHIN the frozen quantizer's
+    lists (two near-identical vectors assign to the same list, the same
+    determinism that catches exact re-sends at nprobe=1 — a near-pair
+    straddling a centroid boundary can slip through, the IVF tier's
+    usual recall contract), verified by exact cosine, collapsed to the
+    min-id canonical per connected component (transitive chains
+    A≈B≈C keep exactly one row). Cost is per-batch: candidate mass
+    follows within-list batch pairs, never the standing corpus."""
+    from traceframe_spark.operators.graph import connected_components, keep_canonical
+
+    assigned = batch.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        sim.l2_norm(F.col(vec_col)).alias("nrm"),
+        sim.ivf_assign(F.col(vec_col), centroids).alias("list_id"),
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cos = sim.dot_f64(F.col("a.vec"), F.col("b.vec")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    pairs = (
+        a.join(b, (F.col("a.list_id") == F.col("b.list_id"))
+               & (F.col("a.id") < F.col("b.id")))
+        .filter(cos >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    if pairs.isEmpty():
+        return batch
+    comp = connected_components(pairs, "id_a", "id_b")
+    return keep_canonical(batch, id_col, comp)
+
+
 def stream_embed_ingest(
     vecs: DataFrame,
     index_path: str,
@@ -61,6 +104,7 @@ def stream_embed_ingest(
     vec_col: str = "embedding",
     near_threshold: float | None = None,
     nprobe: int = 4,
+    within_batch_near: bool = False,
     trigger_available_now: bool = False,
 ):
     """Run a streaming embedding feed into the persistent IVF index at
@@ -81,6 +125,12 @@ def stream_embed_ingest(
        (``bitext_ann_agreement`` methodology) if that matters. Batch
        and index ids must be disjoint (the probe's self-exclusion is
        id-based).
+    2b. ``within_batch_near=True`` (requires ``near_threshold``):
+       additionally collapse near-duplicates OF EACH OTHER arriving in
+       the same micro-batch — candidates from a self-join within the
+       frozen quantizer's lists, exact-cosine verified, min-id
+       canonical per connected component (the vector twin of the text
+       loop's ``within_batch_near``).
     3. fold survivors into their inverted lists with the replay
        watermark in the SAME manifest commit — a recorded batch is a
        completely applied batch; an unrecorded replay recomputes
@@ -100,8 +150,12 @@ def stream_embed_ingest(
             f"{index_path!r} is not one — build it with "
             "write_ivf_index(..., protocol='manifest')"
         )
-    # fail fast at stream start on a store without centroids
-    sim._ivf_resolve(spark0, index_path)
+    if within_batch_near and near_threshold is None:
+        raise ValueError("within_batch_near=True needs near_threshold")
+    # fail fast at stream start on a store without centroids; the
+    # centroids are FROZEN (append never retrains), so pin them once
+    # for the within-batch assignment instead of re-resolving per batch
+    centroids0, _ = sim._ivf_resolve(spark0, index_path)
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -109,6 +163,10 @@ def stream_embed_ingest(
         if last is not None and batch_id <= int(last):
             return
         survivors = _dedup_exact_vectors(batch_df, id_col, vec_col)
+        if within_batch_near:
+            survivors = _dedup_near_within_batch(
+                survivors, id_col, vec_col, centroids0, near_threshold
+            )
         if near_threshold is not None:
             best = sim.ivf_topk_over_index(
                 spark, index_path, survivors, id_col, vec_col,
