@@ -183,3 +183,27 @@ def test_append_folds_counts_exactly(separable_docs, tmp_path):
         pi = sorted((r["id"], r["pred_label"], round(r["score"], 9))
                     for r in C.score_against_nb(held, inc).collect())
         assert pf == pi, protocol
+
+
+def test_featureless_class_keeps_its_stats_row(spark):
+    """A class whose every document is empty/whitespace must keep its
+    class_stats row (tot_c = 0; the smoothing floor handles scoring) —
+    an inner prior-totals join silently dropped it, skewing n_total and
+    making quality_filter emit NULL logodds/keep for every doc."""
+    docs = spark.createDataFrame(
+        [(0, "hi", "alpha beta gamma"), (1, "hi", "beta gamma delta"),
+         (2, "lo", "   "), (3, "lo", "")],
+        ["doc_id", "qlabel", "text"],
+    )
+    w, cs = C.train_nb(docs, "qlabel", n_buckets=B)
+    stats = {r["label"]: (r["n_docs"], r["tot_c"]) for r in cs.collect()}
+    assert stats["lo"] == (2, 0)  # present, zero feature mass
+    assert stats["hi"][0] == 2
+    out = C.quality_filter(docs, w, cs, n_buckets=B).collect()
+    scored = [r for r in out if r["logodds"] is not None]
+    # docs with tokens get real logodds and a boolean keep
+    assert {r["id"] for r in scored} == {0, 1}
+    assert all(isinstance(r["keep"], bool) for r in scored)
+    # and the hi class (the only one with feature mass) wins them
+    pred = C.nb_predict(docs.filter("doc_id < 2"), w, cs, n_buckets=B)
+    assert {r["pred_label"] for r in pred.collect()} == {"hi"}

@@ -294,3 +294,27 @@ def test_stream_within_batch_near_collapses_burst(spark, corpus, tmp_path):
             spark, str(feed), mani, str(tmp_path / "ckpt_bad2"),
             within_batch_near=True,
         )
+
+
+def test_empty_snapshot_bootstrap_probe_and_stream(spark, corpus, tmp_path):
+    """The docstring-blessed bootstrap: an index built from an EMPTY
+    snapshot must answer probes with zero candidates (not a read
+    error), and a near-filtered stream must start from it and land its
+    first batch."""
+    empty = _vecs(spark, []).filter(F.lit(False))
+    cents = sim.train_ivf_centroids(corpus, "vec_id", "embedding", n_centroids=4)
+    mani = str(tmp_path / "mani_empty")
+    sim.write_ivf_index(
+        empty, mani, "vec_id", "embedding", centroids=cents, protocol="manifest"
+    )
+    probe = sim.ivf_topk_over_index(
+        spark, mani, _vecs(spark, [900]), "vec_id", "embedding", k=3, nprobe=4
+    )
+    assert probe.count() == 0
+    assert sorted(probe.columns) == ["cid", "cos", "qid", "rn"]
+    feed = _feed(tmp_path, "empty_feed", [[901, 902]])
+    _run_embed_stream(
+        spark, feed, mani, str(tmp_path / "ckpt_empty"),
+        near_threshold=0.99, nprobe=4,
+    )
+    assert {r["cid"] for r in read_indexed_vectors(spark, mani).collect()} == {901, 902}

@@ -111,7 +111,13 @@ def train_nb(
         .agg(F.count("*").alias("n_docs"))
     )
     tot = w.groupBy("label").agg(F.sum("c").alias("tot_c"))
-    return w, prior.join(tot, "label")
+    # LEFT join + 0: a class whose documents produce no features (all
+    # empty/whitespace texts) must keep its class_stats row — an inner
+    # join silently dropped it, skewing n_total and turning
+    # quality_filter's hi−lo logodds NULL for every document (a
+    # downstream .filter('keep') then drops the whole corpus). With
+    # tot_c = 0 the smoothing floor ln(1/(0 + B)) handles it exactly.
+    return w, prior.join(tot, "label", "left").fillna({"tot_c": 0})
 
 
 def nb_scores(
@@ -208,19 +214,27 @@ def write_nb_classifier(
         raise ValueError(f"unknown NB store protocol {protocol!r}")
     spark = docs.sparkSession
     w, cs = train_nb(docs, label_col, id_col, text_col, n_buckets)
-    if protocol == "manifest":
-        from traceframe_spark.streaming import manifest_store as MS
+    # class_stats derives from the weights aggregation, and both layers
+    # are written: without the pin the hashed-features explode + groupBy
+    # re-runs over the whole training corpus per consumer (same guard —
+    # and comment — as write_bigram_lm's `bi`)
+    w = w.persist()
+    try:
+        if protocol == "manifest":
+            from traceframe_spark.streaming import manifest_store as MS
 
-        MS.commit_layer_frames(
-            spark, path, {"weights": w, "class_stats": cs},
-            replace=True, meta={"n_buckets": int(n_buckets)},
-        )
-        return
-    w.write.mode("overwrite").parquet(f"{path}/weights")
-    cs.write.mode("overwrite").parquet(f"{path}/class_stats")
-    spark.createDataFrame([(int(n_buckets),)], "n_buckets long").coalesce(
-        1
-    ).write.mode("overwrite").json(f"{path}/nb_meta")
+            MS.commit_layer_frames(
+                spark, path, {"weights": w, "class_stats": cs},
+                replace=True, meta={"n_buckets": int(n_buckets)},
+            )
+            return
+        w.write.mode("overwrite").parquet(f"{path}/weights")
+        cs.write.mode("overwrite").parquet(f"{path}/class_stats")
+        spark.createDataFrame([(int(n_buckets),)], "n_buckets long").coalesce(
+            1
+        ).write.mode("overwrite").json(f"{path}/nb_meta")
+    finally:
+        w.unpersist()
 
 
 def append_nb_classifier(
@@ -250,30 +264,37 @@ def append_nb_classifier(
     spark = delta.sparkSession
     w0, cs0, b = _read_nb_store(spark, path)
     w1, cs1 = train_nb(delta, label_col, id_col, text_col, n_buckets=b)
-    w = (
-        w0.unionByName(w1)
-        .groupBy("label", "bucket")
-        .agg(F.sum("c").alias("c"))
-    )
-    cs = (
-        cs0.unionByName(cs1)
-        .groupBy("label")
-        .agg(F.sum("n_docs").alias("n_docs"), F.sum("tot_c").alias("tot_c"))
-    )
-    from traceframe_spark.streaming import manifest_store as MS
-
-    if MS.is_manifest_store(spark, path):
-        MS.commit_layer_frames(
-            spark, path, {"weights": w, "class_stats": cs}, replace=True,
+    # cs1's totals derive from w1's aggregation: pin it or the delta's
+    # featurization re-runs once per written layer (write_bigram_lm's
+    # guard, same reason)
+    w1 = w1.persist()
+    try:
+        w = (
+            w0.unionByName(w1)
+            .groupBy("label", "bucket")
+            .agg(F.sum("c").alias("c"))
         )
-        return
-    # derive-then-overwrite: the merged frames read the very files the
-    # writes replace — pin the merged state first or the overwrite
-    # truncates its own input mid-scan
-    w = w.localCheckpoint()
-    cs = cs.localCheckpoint()
-    w.write.mode("overwrite").parquet(f"{path}/weights")
-    cs.write.mode("overwrite").parquet(f"{path}/class_stats")
+        cs = (
+            cs0.unionByName(cs1)
+            .groupBy("label")
+            .agg(F.sum("n_docs").alias("n_docs"), F.sum("tot_c").alias("tot_c"))
+        )
+        from traceframe_spark.streaming import manifest_store as MS
+
+        if MS.is_manifest_store(spark, path):
+            MS.commit_layer_frames(
+                spark, path, {"weights": w, "class_stats": cs}, replace=True,
+            )
+            return
+        # derive-then-overwrite: the merged frames read the very files
+        # the writes replace — pin the merged state first or the
+        # overwrite truncates its own input mid-scan
+        w = w.localCheckpoint()
+        cs = cs.localCheckpoint()
+        w.write.mode("overwrite").parquet(f"{path}/weights")
+        cs.write.mode("overwrite").parquet(f"{path}/class_stats")
+    finally:
+        w1.unpersist()
 
 
 def _read_nb_store(spark, path: str) -> tuple[DataFrame, DataFrame, int]:

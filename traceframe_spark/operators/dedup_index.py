@@ -473,6 +473,7 @@ def append_curation_layers(
     grams: bool = False,
     checkpoint: str | None = None,
     batch_id: int | None = None,
+    man: dict | None = _UNRESOLVED,
 ) -> int:
     """Manifest-protocol fold-back as ONE atomic commit: the index
     layers (exact + sigs + bands), optionally the gram layer
@@ -491,7 +492,8 @@ def append_curation_layers(
     (``write_dedup_index(..., protocol="manifest")``); raises on an
     append-protocol store. Returns the commit counter."""
     spark = docs.sparkSession
-    man = _manifest_of(spark, path)
+    if man is _UNRESOLVED:
+        man = _manifest_of(spark, path)
     if man is None:
         raise ValueError(
             f"append_curation_layers needs a manifest-protocol index; "
@@ -513,6 +515,7 @@ def dedup_against_index(
     threshold: float = 0.9,
     near_dup: bool = True,
     sigs: DataFrame | None = None,
+    man: dict | None = _UNRESOLVED,
 ) -> DataFrame:
     """Surviving ``delta`` rows: exact layer first, then (optionally)
     the LSH layer with MinHash-estimated Jaccard ≥ ``threshold``.
@@ -542,7 +545,8 @@ def dedup_against_index(
     names immutable directories).
     """
     spark = delta.sparkSession
-    man = _manifest_of(spark, path)
+    if man is _UNRESOLVED:
+        man = _manifest_of(spark, path)
     n_hashes, bands, shingle_size, has_near, portable = _meta_all(spark, path, man)
     rows_per_band = max(n_hashes // bands, 1)
 
@@ -711,7 +715,8 @@ def append_gram_layer(
 
 
 def _gram_probe(
-    delta: DataFrame, path: str, id_col: str, text_col: str
+    delta: DataFrame, path: str, id_col: str, text_col: str,
+    man: dict | None = _UNRESOLVED,
 ) -> DataFrame:
     """(id, n_grams, n_hit) per delta doc against the stored gram layer.
 
@@ -722,7 +727,8 @@ def _gram_probe(
     shuffle narrow keys; snapshot TEXT is never touched — same argument
     as :func:`dedup_against_index`."""
     spark = delta.sparkSession
-    man = _manifest_of(spark, path)
+    if man is _UNRESOLVED:
+        man = _manifest_of(spark, path)
     n = _gram_n_of(spark, path, man)
     ids = spread(delta, id_col)
     grams = _gram_keys(ids, id_col, text_col, n)
@@ -749,6 +755,7 @@ def novelty_against_index(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    man: dict | None = _UNRESOLVED,
 ) -> DataFrame:
     """Per-delta-doc n-gram novelty against the STORED gram layer —
     ``operators/text.ngram_novelty``'s exact answer (id, n_grams,
@@ -757,7 +764,7 @@ def novelty_against_index(
     novelty 0.0, same contract as the batch operator. The triage half of
     the daily incremental loop (see :func:`_gram_probe` for the cost
     shape)."""
-    out = _gram_probe(delta, path, id_col, text_col)
+    out = _gram_probe(delta, path, id_col, text_col, man=man)
     return out.select(
         id_col,
         "n_grams",

@@ -1183,6 +1183,7 @@ def append_to_ivf_index(
     vec_col: str,
     checkpoint: str | None = None,
     batch_id: int | None = None,
+    resolved: tuple[list[list[float]], dict | None] | None = None,
 ) -> None:
     """Incrementally maintain a persisted IVF index: assign new vectors
     to the EXISTING centroids (read from the sidecar) and append them to
@@ -1202,7 +1203,7 @@ def append_to_ivf_index(
     :func:`~traceframe_spark.streaming.embeddings.stream_embed_ingest`).
     """
     spark = new_rows.sparkSession
-    centroids, man = _ivf_resolve(spark, path)
+    centroids, man = resolved if resolved is not None else _ivf_resolve(spark, path)
     assigned = new_rows.select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("c_vec"),
@@ -1294,6 +1295,7 @@ def ivf_topk_over_index(
     vec_col: str,
     k: int = 5,
     nprobe: int = 4,
+    resolved: tuple[list[list[float]], dict | None] | None = None,
 ) -> DataFrame:
     """Top-k cosine against a persisted IVF index (:func:`write_ivf_index`).
 
@@ -1307,7 +1309,7 @@ def ivf_topk_over_index(
     version and lists from another), and unprobed lists are never even
     listed (the manifest names each list's directories).
     """
-    centroids, man = _ivf_resolve(spark, path)
+    centroids, man = resolved if resolved is not None else _ivf_resolve(spark, path)
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("q_vec"),
@@ -1322,6 +1324,21 @@ def ivf_topk_over_index(
             k.split("=", 1)[1] for k in man["layers"] if k.startswith("list_id=")
         }
         vals = [str(v) for v in probed if str(v) in live]
+        if not live:
+            # EMPTY index (the documented stream-bootstrap state: built
+            # from an empty snapshot, nothing folded yet): zero
+            # candidates, not a read error — there is no live list to
+            # borrow a schema from, so synthesize the re-rank output
+            # shape directly (cid shares the query ids' type domain)
+            return (
+                q.select("qid").limit(0)
+                .select(
+                    "qid",
+                    F.col("qid").alias("cid"),
+                    F.lit(None).cast("long").alias("cos"),
+                    F.lit(None).cast("long").alias("rn"),
+                )
+            )
         if vals:
             pruned = MS.read_parts_layers(spark, path, vals=vals, man=man)
         else:

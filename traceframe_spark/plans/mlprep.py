@@ -752,11 +752,12 @@ sfeats AS (
 scored AS (
     SELECT s.doc_id, p.label,
            any_value(ln(p.n_docs * 1.0 / n.n_total))
-           + sum(s.cnt * ln((coalesce(w.c, 0) + 1.0) / (t.tot_c + 4096.0))) AS score
+           + sum(s.cnt * ln((coalesce(w.c, 0) + 1.0)
+                            / (coalesce(t.tot_c, 0) + 4096.0))) AS score
     FROM sfeats s
     CROSS JOIN pri p
     CROSS JOIN n
-    JOIN tot t ON t.label = p.label
+    LEFT JOIN tot t ON t.label = p.label
     LEFT JOIN w ON w.label = p.label AND w.bucket = s.bucket
     GROUP BY s.doc_id, p.label
 ),
@@ -906,11 +907,12 @@ sfeats AS (
 scored AS (
     SELECT s.doc_id, p.label,
            any_value(ln(p.n_docs * 1.0 / n.n_total))
-           + sum(s.cnt * ln((coalesce(w.c, 0) + 1.0) / (t.tot_c + 4096.0))) AS score
+           + sum(s.cnt * ln((coalesce(w.c, 0) + 1.0)
+                            / (coalesce(t.tot_c, 0) + 4096.0))) AS score
     FROM sfeats s
     CROSS JOIN pri p
     CROSS JOIN n
-    JOIN tot t ON t.label = p.label
+    LEFT JOIN tot t ON t.label = p.label
     LEFT JOIN w ON w.label = p.label AND w.bucket = s.bucket
     GROUP BY s.doc_id, p.label
 ),

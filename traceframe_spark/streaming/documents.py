@@ -243,6 +243,13 @@ def stream_dedup_ingest(
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_dir = f"{out_path}/ingest_batch={batch_id}"
+        # resolve the index store's manifest ONCE per batch and thread
+        # it through every stage (watermark check, probe, novelty,
+        # fold-back): each _manifests/ listing + JSON read is driver
+        # metadata traffic — 'the per-commit bill on an object store' —
+        # and the stages must share one snapshot anyway. None = the
+        # append-protocol store, a valid resolved value downstream.
+        man0 = di._manifest_of(spark, index_path)
         if manifest_proto:
             # the watermark commits ATOMICALLY with the fold-back, so a
             # recorded batch is a COMPLETELY applied batch — no partial
@@ -251,7 +258,7 @@ def stream_dedup_ingest(
             # index snapshot (the fold-back that would have changed it
             # didn't commit), lands identical survivors, and re-commits
             # the corpus pointer idempotently.
-            last = MS.manifest_last_batch(spark, index_path, checkpoint)
+            last = (man0 or {}).get("lineage", {}).get(MS._lineage(checkpoint))
             if last is not None and batch_id <= int(last):
                 return
         elif _batch_already_applied(spark, out_path, checkpoint, batch_id):
@@ -301,12 +308,13 @@ def stream_dedup_ingest(
                 threshold=threshold,
                 near_dup=near_dup,
                 sigs=shared_sigs,
+                man=man0,
             )
             if annotate_novelty:
                 # score BEFORE the fold-back below so a doc is never
                 # "not novel" because of its own grams
                 nov = di.novelty_against_index(
-                    survivors, index_path, id_col, text_col
+                    survivors, index_path, id_col, text_col, man=man0
                 )
                 survivors = survivors.join(nov, id_col)
             if lm_frames is not None:
@@ -356,6 +364,7 @@ def stream_dedup_ingest(
                         survivors, index_path, id_col, text_col,
                         grams=annotate_novelty,
                         checkpoint=checkpoint, batch_id=batch_id,
+                        man=man0,
                     )
             else:
                 survivors.write.mode("overwrite").parquet(batch_dir)

@@ -159,7 +159,20 @@ def stream_embed_ingest(
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        last = MS.manifest_last_batch(spark, index_path, checkpoint)
+        # ONE manifest resolve per batch, shared by the watermark check,
+        # the near-dup probe, and the fold — each resolve is a
+        # _manifests/ listing + JSON read of driver metadata ('the
+        # per-commit bill on an object store'), and the stages must see
+        # one snapshot anyway. Must be PER BATCH, not per stream: prior
+        # batches' folds advance the lists (only the centroids are
+        # frozen).
+        man = MS._latest_manifest(spark, index_path)
+        if man is None:
+            raise IOError(
+                f"IVF manifest store at {index_path!r} lost its commits "
+                "mid-stream"
+            )
+        last = man.get("lineage", {}).get(MS._lineage(checkpoint))
         if last is not None and batch_id <= int(last):
             return
         survivors = _dedup_exact_vectors(batch_df, id_col, vec_col)
@@ -170,7 +183,7 @@ def stream_embed_ingest(
         if near_threshold is not None:
             best = sim.ivf_topk_over_index(
                 spark, index_path, survivors, id_col, vec_col,
-                k=1, nprobe=nprobe,
+                k=1, nprobe=nprobe, resolved=(centroids0, man),
             ).filter(F.col("cos") >= int(round(near_threshold * 10000)))
             survivors = survivors.join(
                 best.select(F.col("qid").alias(id_col)), id_col, "left_anti"
@@ -180,12 +193,13 @@ def stream_embed_ingest(
             if survivors.isEmpty():
                 MS.commit_layer_frames(
                     spark, index_path, {},
-                    checkpoint=checkpoint, batch_id=batch_id,
+                    checkpoint=checkpoint, batch_id=batch_id, prev=man,
                 )
             else:
                 sim.append_to_ivf_index(
                     survivors, index_path, id_col, vec_col,
                     checkpoint=checkpoint, batch_id=batch_id,
+                    resolved=(centroids0, man),
                 )
         finally:
             survivors.unpersist()
