@@ -304,15 +304,9 @@ def _read_nb_store(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
     from traceframe_spark.streaming import manifest_store as MS
 
     if MS.is_manifest_store(spark, path):
-        man = MS._latest_manifest(spark, path)
-        if man is None:
-            raise FileNotFoundError(f"NB manifest store at {path!r} has no commits")
-        meta_b = man.get("meta", {}).get("n_buckets")
-        if meta_b is None:
-            raise ValueError(
-                f"manifest store at {path!r} carries no NB meta "
-                "(not built by write_nb_classifier?)"
-            )
+        man, meta_b = MS.resolve_required_meta(
+            spark, path, "n_buckets", "write_nb_classifier"
+        )
         return (
             MS.read_manifest_layer(spark, path, "weights", man=man),
             MS.read_manifest_layer(spark, path, "class_stats", man=man),

@@ -83,17 +83,9 @@ def _ivf_resolve(spark, index_path: str) -> tuple[list[list[float]], dict | None
     from traceframe_spark.streaming import manifest_store as MS
 
     if MS.is_manifest_store(spark, index_path):
-        man = MS._latest_manifest(spark, index_path)
-        if man is None:
-            raise FileNotFoundError(
-                f"IVF manifest store at {index_path!r} has no commits"
-            )
-        cents = man.get("meta", {}).get("ivf_centroids")
-        if cents is None:
-            raise ValueError(
-                f"manifest store at {index_path!r} carries no IVF centroids "
-                "(not built by write_ivf_index?)"
-            )
+        man, cents = MS.resolve_required_meta(
+            spark, index_path, "ivf_centroids", "write_ivf_index"
+        )
         return cents, man
     return _sidecar_read(spark, index_path), None
 

@@ -617,15 +617,9 @@ def _read_lm_store(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
     from traceframe_spark.streaming import manifest_store as MS
 
     if MS.is_manifest_store(spark, path):
-        man = MS._latest_manifest(spark, path)
-        if man is None:
-            raise FileNotFoundError(f"LM manifest store at {path!r} has no commits")
-        meta_v = man.get("meta", {}).get("v")
-        if meta_v is None:
-            raise ValueError(
-                f"manifest store at {path!r} carries no LM meta "
-                "(not built by write_bigram_lm?)"
-            )
+        man, meta_v = MS.resolve_required_meta(
+            spark, path, "v", "write_bigram_lm"
+        )
         return (
             MS.read_manifest_layer(spark, path, "bigrams", man=man),
             MS.read_manifest_layer(spark, path, "prefix", man=man),

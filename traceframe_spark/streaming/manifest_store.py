@@ -204,6 +204,27 @@ def _write_manifest(spark, path: str, man: dict) -> None:
         out.close()
 
 
+def resolve_required_meta(spark, path: str, key: str, builder: str):
+    """(manifest, meta[key]) — the shared head of every
+    manifest-protocol model/index reader (stored LM, NB classifier, IVF
+    index): resolve the LATEST manifest once and fetch a REQUIRED meta
+    key, with the two failure modes every reader needs distinguished —
+    a store with no commits (FileNotFoundError) vs a manifest store
+    that was never built by the expected writer (ValueError naming
+    ``builder``). Callers read their layers from the RETURNED manifest
+    so the whole model/index is one snapshot."""
+    man = _latest_manifest(spark, path)
+    if man is None:
+        raise FileNotFoundError(f"manifest store at {path!r} has no commits")
+    val = man.get("meta", {}).get(key)
+    if val is None:
+        raise ValueError(
+            f"manifest store at {path!r} carries no {key!r} meta "
+            f"(not built by {builder}?)"
+        )
+    return man, val
+
+
 def acquire_writer_lease(
     spark, path: str, owner: str | None = None, ttl_s: int = 900
 ) -> str:
