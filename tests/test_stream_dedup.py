@@ -359,3 +359,49 @@ def test_stream_lm_is_pinned_once_per_stream(spark, tmp_path, corpus_feed):
     rows = {r.doc_id: r.avg_logprob for r in read_ingested(spark, out).collect()}
     assert set(rows) == {101, 200, 301}
     assert all(v is not None and v < 0 for v in rows.values())
+
+
+def test_manifest_loop_resolves_store_once_per_batch(spark, tmp_path, monkeypatch):
+    """store_protocol='manifest' used to resolve the index store's
+    latest manifest FOUR times per micro-batch (watermark check, probe,
+    novelty, fold-back) — each a _manifests/ listing + JSON read of
+    driver metadata, the documented per-commit bill on an object store.
+    The batch now resolves once and threads the manifest through every
+    stage — pinned by counting _latest_manifest calls on the INDEX path
+    across a 1-batch run (the corpus store at out_path legitimately
+    resolves during its own commit and is excluded)."""
+    import json
+
+    import traceframe_spark.streaming.manifest_store as MSm
+
+    snap = _docs(spark, [(i, _uniq(i)) for i in range(3)])
+    idx = str(tmp_path / "idx_res")
+    di.write_dedup_index(snap, idx, n_hashes=64, bands=16, protocol="manifest")
+    di.write_gram_layer(snap, idx, n=3)
+
+    calls = []
+    real = MSm._latest_manifest
+
+    def counting(spark_, path):
+        if path == idx:
+            calls.append(path)
+        return real(spark_, path)
+
+    monkeypatch.setattr(MSm, "_latest_manifest", counting)
+
+    feed = tmp_path / "feed_res"
+    feed.mkdir()
+    for b, did in enumerate((700, 701)):
+        with open(feed / f"b{b}.jsonl", "w") as f:
+            f.write(json.dumps({"doc_id": did, "text": _uniq(70 + b)}) + "\n")
+    out, ckpt = str(tmp_path / "out_res"), str(tmp_path / "ckpt_res")
+    _run_stream(
+        spark, idx, str(feed), out, ckpt,
+        annotate_novelty=True, store_protocol="manifest",
+    )
+    # 2 one-time stream-START validations (protocol check + gram
+    # fail-fast) + 1 per batch (threaded through watermark check,
+    # probe, novelty, AND the fold-back commit) = 4 for two batches.
+    # The pre-fix loop resolved 4x per batch (= 10 here).
+    assert len(calls) <= 4, f"index manifest resolved {len(calls)} times"
+    assert {r.doc_id for r in read_ingested(spark, out).collect()} == {700, 701}
