@@ -318,3 +318,32 @@ def test_empty_snapshot_bootstrap_probe_and_stream(spark, corpus, tmp_path):
         near_threshold=0.99, nprobe=4,
     )
     assert {r["cid"] for r in read_indexed_vectors(spark, mani).collect()} == {901, 902}
+
+
+def test_embed_loop_resolves_store_once_per_batch(spark, corpus, tmp_path, monkeypatch):
+    """The embed loop's twin of the text loop's resolve-count pin:
+    one _latest_manifest on the index path at stream start (centroid
+    pin) + one per micro-batch shared by the watermark check, the
+    near-dup probe, and the fold."""
+    mani = str(tmp_path / "mani_cnt")
+    sim.write_ivf_index(
+        corpus, mani, "vec_id", "embedding", n_centroids=4, protocol="manifest"
+    )
+    calls = []
+    real = MS._latest_manifest
+
+    def counting(spark_, path):
+        if path == mani:
+            calls.append(path)
+        return real(spark_, path)
+
+    monkeypatch.setattr(MS, "_latest_manifest", counting)
+    feed = _feed(tmp_path, "cnt_feed", [[950, 951], [960]])
+    _run_embed_stream(
+        spark, feed, mani, str(tmp_path / "ckpt_cnt"),
+        near_threshold=0.9999, nprobe=4,
+    )
+    # 1 stream-start centroid pin + 2 batches x 1 = 3 (pre-fix: 3/batch)
+    assert len(calls) <= 3, f"index manifest resolved {len(calls)} times"
+    got = {r["cid"] for r in read_indexed_vectors(spark, mani).collect() if r["cid"] >= 900}
+    assert got == {950, 951, 960}
