@@ -347,3 +347,115 @@ def test_embed_loop_resolves_store_once_per_batch(spark, corpus, tmp_path, monke
     assert len(calls) <= 3, f"index manifest resolved {len(calls)} times"
     got = {r["cid"] for r in read_indexed_vectors(spark, mani).collect() if r["cid"] >= 900}
     assert got == {950, 951, 960}
+
+
+def test_resend_with_original_id_caught_by_near_stage(spark, corpus, tmp_path):
+    """A later batch re-sending a row with its ORIGINAL id must not
+    double-insert: the ingest probe runs with exclude_self=False, so
+    the re-send matches its own standing copy at cosine 1.0 (pre-fix,
+    the search-style qid != cid exclusion made exactly this case
+    invisible and the row landed twice)."""
+    mani = str(tmp_path / "mani_resend")
+    sim.write_ivf_index(
+        corpus, mani, "vec_id", "embedding", n_centroids=4, protocol="manifest"
+    )
+    feed = _feed(tmp_path, "resend_feed", [[870], [870, 871]])
+    _run_embed_stream(
+        spark, feed, mani, str(tmp_path / "ckpt_resend"),
+        near_threshold=0.9999, nprobe=4,
+    )
+    rows = [
+        r["cid"] for r in read_indexed_vectors(spark, mani).collect()
+        if r["cid"] >= 870
+    ]
+    assert sorted(rows) == [870, 871]  # 870 exactly once, 871 fresh
+
+
+def test_write_ivf_index_manifest_honors_mode(spark, corpus, tmp_path):
+    """protocol='manifest' keeps parquet's don't-clobber contract: the
+    default mode='error' refuses to rebuild over live lists (pre-fix it
+    silently committed with replace semantics); mode='overwrite'
+    rebuilds atomically; other modes are refused up front."""
+    mani = str(tmp_path / "mani_mode")
+    sim.write_ivf_index(
+        corpus, mani, "vec_id", "embedding", n_centroids=4, protocol="manifest"
+    )
+    with pytest.raises(IOError, match="already has live lists"):
+        sim.write_ivf_index(
+            corpus, mani, "vec_id", "embedding", n_centroids=4, protocol="manifest"
+        )
+    smaller = _vecs(spark, range(10))
+    sim.write_ivf_index(
+        smaller, mani, "vec_id", "embedding", n_centroids=2,
+        protocol="manifest", mode="overwrite",
+    )
+    assert read_indexed_vectors(spark, mani).count() == 10
+    with pytest.raises(ValueError, match="append_to_ivf_index"):
+        sim.write_ivf_index(
+            corpus, mani, "vec_id", "embedding", protocol="manifest", mode="append"
+        )
+
+
+def test_all_probed_lists_empty_reads_one_layer_for_schema(
+    spark, tmp_path, monkeypatch
+):
+    """When every probed list is empty but the store has live lists,
+    the zero-candidate schema read must touch ONE live layer, not plan
+    over the whole store (pre-fix the fallback listed ALL live
+    directories, a cost that grew with store size)."""
+    # handmade centroids: corpus sits near c0/c1 only, query near c3
+    cents = [
+        [100.0] + [0.0] * (DIM - 1),
+        [-100.0] + [0.0] * (DIM - 1),
+        [0.0, 100.0] + [0.0] * (DIM - 2),
+        [0.0, -100.0] + [0.0] * (DIM - 2),
+    ]
+    rows = [(i, [90.0 + i, float(i % 3)] + [0.0] * (DIM - 2)) for i in range(6)]
+    rows += [(10 + i, [-90.0 - i, float(i % 3)] + [0.0] * (DIM - 2)) for i in range(6)]
+    c = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    mani = str(tmp_path / "mani_emptyprobe")
+    sim.write_ivf_index(
+        c, mani, "vec_id", "embedding", centroids=cents, protocol="manifest"
+    )
+    man = MS._latest_manifest(spark, mani)
+    live = {k for k in man["layers"] if k.startswith("list_id=")}
+    assert live == {"list_id=0", "list_id=1"}
+    seen_vals = []
+    real = MS.read_parts_layers
+
+    def recording(spark_, path, vals=None, version=None, man=None):
+        seen_vals.append(vals)
+        return real(spark_, path, vals=vals, version=version, man=man)
+
+    monkeypatch.setattr(MS, "read_parts_layers", recording)
+    q = spark.createDataFrame(
+        [(99, [0.0, -100.0] + [0.0] * (DIM - 2))], "vec_id long, embedding array<float>"
+    )
+    probe = sim.ivf_topk_over_index(
+        spark, mani, q, "vec_id", "embedding", k=3, nprobe=1
+    )
+    assert probe.count() == 0
+    assert sorted(probe.columns) == ["cid", "cos", "qid", "rn"]
+    assert seen_vals and all(v is not None and len(v) == 1 for v in seen_vals)
+
+
+def test_within_batch_near_shares_the_quantized_grid(spark, tmp_path):
+    """Both near stages must share ONE threshold boundary: a pair whose
+    raw cosine is just BELOW the threshold but equal on the 1e-4 grid
+    (the grid _rerank_topk scores the standing-index stage on) must be
+    collapsed by the within-batch stage too (pre-fix the self-join
+    compared raw doubles, so boundary pairs were classified differently
+    depending on which stage saw them)."""
+    from traceframe_spark.streaming.embeddings import _dedup_near_within_batch
+
+    c = 0.999915  # raw < threshold 0.99992, but both quantize to 9999
+    import math
+
+    v1 = [1.0, 0.0] + [0.0] * (DIM - 2)
+    v2 = [c, math.sqrt(1 - c * c)] + [0.0] * (DIM - 2)
+    batch = spark.createDataFrame(
+        [(1, v1), (2, v2)], "vec_id long, embedding array<double>"
+    )
+    cents = [[1.0, 0.0] + [0.0] * (DIM - 2)]
+    out = _dedup_near_within_batch(batch, "vec_id", "embedding", cents, 0.99992)
+    assert sorted(r["vec_id"] for r in out.collect()) == [1]

@@ -1136,9 +1136,21 @@ def write_ivf_index(
     snapshot reads under concurrent appends, and the store is
     object-store-legal. Readers auto-detect the protocol; the probe's
     partition pruning survives — unprobed lists are never even listed
-    (the manifest names each list's directories)."""
+    (the manifest names each list's directories). ``mode`` keeps the
+    sidecar path's semantics on the manifest path too: the default
+    ``"error"`` refuses to rebuild over an index that already has live
+    lists (same don't-clobber contract as ``parquet(mode="error")``),
+    ``"overwrite"`` rebuilds atomically (the commit retires the old
+    lists in the same publish); ``"append"`` is not a build mode —
+    use :func:`append_to_ivf_index`."""
     if protocol not in ("sidecar", "manifest"):
         raise ValueError(f"unknown IVF store protocol {protocol!r}")
+    if protocol == "manifest" and mode not in ("error", "errorifexists", "overwrite"):
+        raise ValueError(
+            f"write_ivf_index(protocol='manifest') supports mode='error'/"
+            f"'overwrite' only, got {mode!r} (incremental adds go through "
+            "append_to_ivf_index)"
+        )
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, id_col, vec_col, n_centroids=n_centroids, seed=seed
@@ -1152,10 +1164,23 @@ def write_ivf_index(
     if protocol == "manifest":
         from traceframe_spark.streaming import manifest_store as MS
 
+        prev = MS._latest_manifest(corpus.sparkSession, path)
+        if mode in ("error", "errorifexists") and prev is not None and any(
+            k.startswith("list_id=") for k in prev.get("layers", {})
+        ):
+            # mirror parquet's mode="error": a manifest build always
+            # commits with replace semantics (that's what makes a
+            # REBUILD atomic), so the don't-clobber contract has to be
+            # enforced here, before any data lands
+            raise IOError(
+                f"IVF manifest index at {path!r} already has live lists; "
+                "pass mode='overwrite' to rebuild (atomic), or use "
+                "append_to_ivf_index for incremental adds"
+            )
         MS.append_parts_layer(
             corpus.sparkSession, path,
             assigned.repartition("list_id"), "list_id",
-            replace=True, meta={"ivf_centroids": centroids},
+            replace=True, meta={"ivf_centroids": centroids}, prev=prev,
         )
         return centroids
     (
@@ -1288,6 +1313,7 @@ def ivf_topk_over_index(
     k: int = 5,
     nprobe: int = 4,
     resolved: tuple[list[list[float]], dict | None] | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Top-k cosine against a persisted IVF index (:func:`write_ivf_index`).
 
@@ -1300,6 +1326,12 @@ def ivf_topk_over_index(
     concurrent append can never serve a probe centroids from one
     version and lists from another), and unprobed lists are never even
     listed (the manifest names each list's directories).
+
+    ``exclude_self=True`` (the SEARCH default) drops ``qid == cid``
+    pairs — "your nearest neighbour is yourself" is noise when querying
+    an index you are part of. Pass ``False`` for ingest-style dedup
+    probes, where a re-sent row carrying its ORIGINAL id must match its
+    own standing copy (cosine 1.0) instead of being invisibly excluded.
     """
     centroids, man = resolved if resolved is not None else _ivf_resolve(spark, path)
     q = queries.select(
@@ -1335,12 +1367,20 @@ def ivf_topk_over_index(
             pruned = MS.read_parts_layers(spark, path, vals=vals, man=man)
         else:
             # every probed list is empty (no vectors ever landed there):
-            # zero candidates, schema from any live list
-            pruned = MS.read_parts_layers(spark, path, man=man).filter(F.lit(False))
+            # zero candidates — borrow the schema from ONE live list
+            # only (reading the whole store filter-false would build a
+            # plan over ALL live directories, paying a file listing
+            # that grows with store size just to learn a schema)
+            one = sorted(live)[0]
+            pruned = MS.read_parts_layers(
+                spark, path, vals=[one], man=man
+            ).filter(F.lit(False))
     else:
         corpus = spark.read.parquet(path)
         pruned = corpus.filter(F.col("list_id").isin(probed))
-    cands = q.join(pruned, "list_id").filter(F.col("qid") != F.col("cid"))
+    cands = q.join(pruned, "list_id")
+    if exclude_self:
+        cands = cands.filter(F.col("qid") != F.col("cid"))
     return _rerank_topk(cands, k)
 
 

@@ -1,11 +1,21 @@
 """Streaming embedding ingest into a manifest-committed IVF index —
 the vector twin of :mod:`~traceframe_spark.streaming.documents`'
-curation loop: per micro-batch, drop exact-duplicate and
-(optionally) near-duplicate vectors against everything previously
-accepted, then fold the survivors into the standing inverted lists
-with the replay watermark committed ATOMICALLY alongside — so a
-replayed batch can never double-insert vectors, the failure mode a
-plain ``parquet append`` index cannot exclude.
+curation loop: per micro-batch, drop exact duplicates WITHIN the batch
+and (optionally, ``near_threshold``) vectors near-duplicate to
+anything previously accepted, then fold the survivors into the
+standing inverted lists with the replay watermark committed ATOMICALLY
+alongside — so a replayed batch can never double-insert vectors, the
+failure mode a plain ``parquet append`` index cannot exclude.
+
+Cross-batch duplicate coverage, stated precisely: the exact stage is
+WITHIN-BATCH only (one aggregation over the batch — it never reads the
+standing corpus). A re-sent vector from an earlier batch is caught by
+the NEAR stage when ``near_threshold`` is set — the standing-index
+probe does not self-exclude (``exclude_self=False``), so a re-send
+carrying its ORIGINAL id matches its own standing copy at cosine 1.0
+and is dropped like any other near-dup. With ``near_threshold=None``
+there is no cross-batch guard at all: feed ids must then be
+exactly-once upstream (Kafka keys, file names) or re-sends land twice.
 
 No reference analogue (the reference has no vector operators); this
 completes the incremental-curation story across modalities: text flows
@@ -81,13 +91,19 @@ def _dedup_near_within_batch(
     )
     a = assigned.alias("a")
     b = assigned.alias("b")
-    cos = sim.dot_f64(F.col("a.vec"), F.col("b.vec")) / (
-        F.col("a.nrm") * F.col("b.nrm")
-    )
+    # SAME 1e-4 quantized grid as _rerank_topk: both near stages (this
+    # self-join and the standing-index probe) must share one threshold
+    # boundary, or a pair within ~5e-5 of it is classified differently
+    # depending on which stage happens to see it
+    cos_q = F.floor(
+        sim.dot_f64(F.col("a.vec"), F.col("b.vec"))
+        / (F.col("a.nrm") * F.col("b.nrm")) * 10000
+        + F.lit(0.5)
+    ).cast("long")
     pairs = (
         a.join(b, (F.col("a.list_id") == F.col("b.list_id"))
                & (F.col("a.id") < F.col("b.id")))
-        .filter(cos >= threshold)
+        .filter(cos_q >= int(round(threshold * 10000)))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
     if pairs.isEmpty():
@@ -118,13 +134,12 @@ def stream_embed_ingest(
        against the STANDING index is ≥ the threshold (the embedding
        twin of ``dedup_against_index`` — a near-copy of anything
        previously accepted never lands; an exact re-send is the
-       cosine-1.0 special case). The probe is partition-pruned top-1
-       over ``nprobe`` lists, so its recall is the IVF tier's — a
-       near-dup whose nearest neighbour hides in an unprobed list
-       survives; pick ``nprobe`` with the agreement instrument
-       (``bitext_ann_agreement`` methodology) if that matters. Batch
-       and index ids must be disjoint (the probe's self-exclusion is
-       id-based).
+       cosine-1.0 special case, caught even when it carries its
+       original id — the probe runs with ``exclude_self=False``). The
+       probe is partition-pruned top-1 over ``nprobe`` lists, so its
+       recall is the IVF tier's — a near-dup whose nearest neighbour
+       hides in an unprobed list survives; see the ``nprobe`` parameter
+       notes below for how to pick it.
     2b. ``within_batch_near=True`` (requires ``near_threshold``):
        additionally collapse near-duplicates OF EACH OTHER arriving in
        the same micro-batch — candidates from a self-join within the
@@ -181,9 +196,14 @@ def stream_embed_ingest(
                 survivors, id_col, vec_col, centroids0, near_threshold
             )
         if near_threshold is not None:
+            # exclude_self=False: an ingest probe must let a re-sent
+            # row match its OWN standing copy (cosine 1.0) — the
+            # search-style qid != cid exclusion would make exactly the
+            # re-send case invisible (see module docstring)
             best = sim.ivf_topk_over_index(
                 spark, index_path, survivors, id_col, vec_col,
                 k=1, nprobe=nprobe, resolved=(centroids0, man),
+                exclude_self=False,
             ).filter(F.col("cos") >= int(round(near_threshold * 10000)))
             survivors = survivors.join(
                 best.select(F.col("qid").alias(id_col)), id_col, "left_anti"
