@@ -306,3 +306,37 @@ def test_compact_manifest_layers_resets_dir_lists(spark, tmp_path):
     removed = MS.vacuum_manifest_store(spark, idx, keep_manifests=1)
     assert removed >= 4
     assert di.dedup_against_index(_docs(spark, [(99, _uniq(11))]), idx).count() == 0
+
+
+def test_stream_dedup_ingest_lease_wiring(spark, tmp_path, manifest_feed):
+    """lease=True on the text curation loop: refused while another
+    writer holds the index's lease; a leased run produces the same
+    curated corpus and releases on termination; lease=True without the
+    manifest protocol is refused up front (the lease lives in the
+    manifest store)."""
+    import time
+
+    from traceframe_spark.streaming import manifest_store as MS
+
+    idx, feed = manifest_feed
+    out, ckpt = str(tmp_path / "outL"), str(tmp_path / "ckptL")
+    held = MS.acquire_writer_lease(spark, idx, owner="other-writer")
+    with pytest.raises(IOError, match="held by 'other-writer'"):
+        _run_stream(spark, idx, feed, out, ckpt, lease=True)
+    MS.release_writer_lease(spark, idx, held)
+    _run_stream(spark, idx, feed, out, ckpt, lease=True)
+    assert {r.doc_id for r in read_ingested(spark, out).collect()} == {101, 200, 301}
+    for _ in range(60):
+        if not os.path.exists(f"{idx}/_lease.json"):
+            break
+        time.sleep(0.5)
+    assert not os.path.exists(f"{idx}/_lease.json")
+    # markers protocol has no manifest store to hold the lease
+    idx2 = str(tmp_path / "idx_markers")
+    di.write_dedup_index(_snap(spark), idx2, n_hashes=32, bands=8)
+    stream = spark.readStream.schema("doc_id long, text string").json(feed)
+    with pytest.raises(ValueError, match="store_protocol='manifest'"):
+        stream_dedup_ingest(
+            stream, idx2, str(tmp_path / "out2"), str(tmp_path / "ckpt2"),
+            lease=True,
+        )

@@ -459,3 +459,57 @@ def test_within_batch_near_shares_the_quantized_grid(spark, tmp_path):
     cents = [[1.0, 0.0] + [0.0] * (DIM - 2)]
     out = _dedup_near_within_batch(batch, "vec_id", "embedding", cents, 0.99992)
     assert sorted(r["vec_id"] for r in out.collect()) == [1]
+
+
+def test_stream_embed_ingest_lease_refuses_second_stream(spark, corpus, tmp_path):
+    """A REAL mid-stream collision: while a leased embed stream is
+    draining its feed, a second leased stream against the same index is
+    refused at start (the lease is acquired before any batch work);
+    after the first terminates, the lease is released and a new leased
+    stream starts cleanly. lease=True on a markers-free store is the
+    self-enforcing form of the documented single-writer contract."""
+    import os
+    import time
+
+    mani = str(tmp_path / "mani_lease")
+    sim.write_ivf_index(
+        corpus, mani, "vec_id", "embedding", n_centroids=4, protocol="manifest"
+    )
+    feed = _feed(tmp_path, "lease_feed", [[i] for i in range(1000, 1006)])
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(feed)
+    )
+    q1 = stream_embed_ingest(
+        stream, mani, str(tmp_path / "lease_ckpt1"),
+        lease=True, trigger_available_now=True,
+    )
+    try:
+        # q1 holds the lease while draining 6 one-file batches; a
+        # second leased stream must be refused AT START, loudly
+        with pytest.raises(IOError, match="single-writer store"):
+            stream_embed_ingest(
+                stream, mani, str(tmp_path / "lease_ckpt2"),
+                lease=True, trigger_available_now=True,
+            )
+    finally:
+        q1.awaitTermination(600)
+    assert {
+        r["cid"] for r in read_indexed_vectors(spark, mani).collect()
+        if r["cid"] >= 1000
+    } == set(range(1000, 1006))
+    # release on termination (listener fires async: poll briefly)
+    for _ in range(60):
+        if not os.path.exists(f"{mani}/_lease.json"):
+            break
+        time.sleep(0.5)
+    assert not os.path.exists(f"{mani}/_lease.json")
+    # the store is free again: a fresh leased stream starts and lands
+    feed2 = _feed(tmp_path, "lease_feed2", [[1010]])
+    _run_embed_stream(
+        spark, feed2, mani, str(tmp_path / "lease_ckpt3"), lease=True
+    )
+    assert any(
+        r["cid"] == 1010 for r in read_indexed_vectors(spark, mani).collect()
+    )

@@ -459,3 +459,123 @@ def test_writer_lease_tripwire(spark, tmp_path):
     tok_c = acquire_writer_lease(spark, store, owner="writer-c", ttl_s=900)
     assert tok_c != tok_b
     release_writer_lease(spark, store, tok_c)
+
+
+def test_acquire_readback_detects_lost_reclaim_race(spark, tmp_path, monkeypatch):
+    """After writing its lease, the acquirer re-reads the file and must
+    fail unless ITS token survived — the delete-after-create
+    interleaving (another writer's late delete destroys our fresh
+    lease, then its create replaces it) is detected at acquire time
+    instead of both writers proceeding. Simulated by making the
+    read-back see an intruder's lease."""
+    from traceframe_spark.streaming import manifest_store as MS
+
+    store = str(tmp_path / "leased_race")
+    os.makedirs(store)
+    real_read = MS._read_small
+
+    def intruded(spark_, full_path):
+        if full_path.endswith("_lease.json"):
+            return json.dumps(
+                {"token": "intruder", "owner": "writer-b",
+                 "acquired": time.time(), "ttl_s": 900}
+            )
+        return real_read(spark_, full_path)
+
+    monkeypatch.setattr(MS, "_read_small", intruded)
+    with pytest.raises(IOError, match="reclaim race"):
+        MS.acquire_writer_lease(spark, store, owner="writer-a")
+
+
+def test_renew_lost_create_window_raises_lease_lost(spark, tmp_path, monkeypatch):
+    """renew's delete-then-recreate window: if a concurrent acquire
+    lands between them, the re-create fails — and must surface as the
+    documented lease-lost IOError, not a raw JVM exception (pre-fix the
+    create failure propagated as Py4JJavaError). Simulated by making
+    the delete a no-op so the file 'reappears' for the create."""
+    from traceframe_spark.streaming import manifest_store as MS
+
+    store = str(tmp_path / "leased_window")
+    os.makedirs(store)
+    tok = MS.acquire_writer_lease(spark, store, owner="writer-a")
+    real_fs_path = MS._fs_path
+
+    class _NoDelete:
+        def __init__(self, fs):
+            self._fs = fs
+
+        def delete(self, p, recursive):
+            return True  # the window: the file survives our delete
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    def patched(spark_, full_path):
+        fs, p = real_fs_path(spark_, full_path)
+        if full_path.endswith("_lease.json"):
+            return _NoDelete(fs), p
+        return fs, p
+
+    monkeypatch.setattr(MS, "_fs_path", patched)
+    with pytest.raises(IOError, match="no longer current"):
+        MS.renew_writer_lease(spark, store, tok)
+    monkeypatch.setattr(MS, "_fs_path", real_fs_path)
+    MS.release_writer_lease(spark, store, tok)
+
+
+def test_stream_rollup_manifest_lease_contract(spark, tmp_path):
+    """lease=True self-enforces the single-writer contract on the
+    rollup twin: a stream against a store whose lease is held fails AT
+    START naming the holder; a normal run acquires, folds, and releases
+    on termination; an expired (crashed-holder) lease is reclaimed at
+    the next start."""
+    from traceframe_spark.streaming import manifest_store as MS
+
+    feed = tmp_path / "lease_feed"
+    feed.mkdir()
+    rows = [(i, BASE + i * 60_000_000, "click", float(i)) for i in range(5)]
+    with open(feed / "b0.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(dict(zip(
+                ("event_id", "ts_us", "event_type", "value"), r))) + "\n")
+    store, ckpt = str(tmp_path / "lease_store"), str(tmp_path / "lease_ckpt")
+    os.makedirs(store)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+        .withColumn("ts", F.col("ts_us") * 1000)
+    )
+
+    def run():
+        q = stream_to_rollup_manifest(
+            stream, store, ckpt, R.MINUTE_NS, ["event_type"], "value",
+            lease=True, trigger_available_now=True,
+        )
+        assert q.awaitTermination(600)
+
+    # a held lease refuses the stream AT START, naming the holder
+    held = MS.acquire_writer_lease(spark, store, owner="other-writer")
+    with pytest.raises(IOError, match="held by 'other-writer'"):
+        run()
+    MS.release_writer_lease(spark, store, held)
+
+    run()
+    assert read_manifest_store(spark, store).count() > 0
+    # released on termination (listener fires async: poll briefly)
+    for _ in range(60):
+        if not os.path.exists(f"{store}/_lease.json"):
+            break
+        time.sleep(0.5)
+    assert not os.path.exists(f"{store}/_lease.json")
+
+    # crashed holder: an EXPIRED lease on disk is reclaimed at start
+    with open(f"{store}/_lease.json", "w") as f:
+        json.dump({"owner": "crashed", "pid": 0, "token": "t0",
+                   "acquired": time.time() - 10_000, "ttl_s": 1}, f)
+    run()  # restart on the same checkpoint: reclaim + no-op replay
+    for _ in range(60):
+        if not os.path.exists(f"{store}/_lease.json"):
+            break
+        time.sleep(0.5)
+    assert not os.path.exists(f"{store}/_lease.json")

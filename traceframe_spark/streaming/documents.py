@@ -109,6 +109,8 @@ def stream_dedup_ingest(
     lm_path: str | None = None,
     nb_path: str | None = None,
     store_protocol: str = "markers",
+    lease: bool = False,
+    lease_ttl_s: int = 900,
     trigger_available_now: bool = False,
 ):
     """Run a streaming document feed through the persistent dedup index:
@@ -172,6 +174,16 @@ def stream_dedup_ingest(
     (snapshot-isolated, object-store-safe); see the module docstring's
     protocol comparison.
 
+    ``lease=True`` (manifest protocol only) makes the single-writer
+    contract on the INDEX store self-enforcing: the stream acquires the
+    store's writer lease before starting — a second stream against the
+    same index fails AT START, loudly, naming the holder — renews it
+    every batch (losing the lease mid-stream fails the query instead
+    of writing on), and releases it on termination; a crashed holder's
+    lease expires after ``lease_ttl_s`` (keep it ≫ the batch
+    interval). The corpus store at ``out_path`` rides the same guard:
+    one stream writes both.
+
     Returns the started StreamingQuery. Read the curated corpus back
     with :func:`read_ingested`.
     """
@@ -184,6 +196,19 @@ def stream_dedup_ingest(
             f"index, but {index_path!r} is an append-protocol store — "
             "build it with write_dedup_index(..., protocol='manifest')"
         )
+    if lease and not manifest_proto:
+        raise ValueError(
+            "lease=True needs store_protocol='manifest' (the writer "
+            "lease lives in the manifest store)"
+        )
+    lease_token = (
+        MS.acquire_writer_lease(
+            docs.sparkSession, index_path,
+            owner=f"dedup-ingest:{MS._lineage(checkpoint)}", ttl_s=lease_ttl_s,
+        )
+        if lease
+        else None
+    )
     if annotate_novelty:
         # fail fast, before any batch commits: without this, a missing
         # gram layer surfaces MID-STREAM inside foreachBatch as a raw
@@ -242,6 +267,8 @@ def stream_dedup_ingest(
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if lease_token is not None:
+            MS.renew_writer_lease(spark, index_path, lease_token)
         batch_dir = f"{out_path}/ingest_batch={batch_id}"
         # resolve the index store's manifest ONCE per batch and thread
         # it through every stage (watermark check, probe, novelty,
@@ -382,6 +409,10 @@ def stream_dedup_ingest(
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
+    if lease_token is not None:
+        return MS._start_leased_stream(
+            docs.sparkSession, writer, index_path, lease_token
+        )
     return writer.start()
 
 

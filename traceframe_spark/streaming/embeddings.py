@@ -121,6 +121,8 @@ def stream_embed_ingest(
     near_threshold: float | None = None,
     nprobe: int = 4,
     within_batch_near: bool = False,
+    lease: bool = False,
+    lease_ttl_s: int = 900,
     trigger_available_now: bool = False,
 ):
     """Run a streaming embedding feed into the persistent IVF index at
@@ -154,6 +156,12 @@ def stream_embed_ingest(
        batch with zero survivors publishes a metadata-only commit so
        the watermark still advances exactly-once.
 
+    ``lease=True`` makes the index's single-writer contract
+    self-enforcing: acquire the store's writer lease before starting
+    (a second stream against the same index fails AT START, loudly,
+    naming the holder), renew every batch, release on termination;
+    a crashed holder's lease expires after ``lease_ttl_s``.
+
     Returns the started StreamingQuery. Read the index back with
     ``ivf_topk_over_index`` / ``read_parts_layers``; watch
     ``ivf_rebuild_due`` for frozen-quantizer drift.
@@ -171,9 +179,19 @@ def stream_embed_ingest(
     # centroids are FROZEN (append never retrains), so pin them once
     # for the within-batch assignment instead of re-resolving per batch
     centroids0, _ = sim._ivf_resolve(spark0, index_path)
+    lease_token = (
+        MS.acquire_writer_lease(
+            spark0, index_path,
+            owner=f"embed-ingest:{MS._lineage(checkpoint)}", ttl_s=lease_ttl_s,
+        )
+        if lease
+        else None
+    )
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if lease_token is not None:
+            MS.renew_writer_lease(spark, index_path, lease_token)
         # ONE manifest resolve per batch, shared by the watermark check,
         # the near-dup probe, and the fold — each resolve is a
         # _manifests/ listing + JSON read of driver metadata ('the
@@ -229,6 +247,8 @@ def stream_embed_ingest(
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
+    if lease_token is not None:
+        return MS._start_leased_stream(spark0, writer, index_path, lease_token)
     return writer.start()
 
 

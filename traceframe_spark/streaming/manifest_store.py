@@ -80,6 +80,9 @@ __all__ = [
     "commit_layer_frames",
     "read_manifest_layer",
     "compact_manifest_layers",
+    "acquire_writer_lease",
+    "renew_writer_lease",
+    "release_writer_lease",
 ]
 
 _MANIFEST_DIR = "_manifests"
@@ -244,10 +247,16 @@ def acquire_writer_lease(
     :func:`release_writer_lease` / :func:`renew_writer_lease`.
 
     Honest limits, by construction: expiry compares driver wall
-    clocks, and delete-then-create is itself a race window on
-    non-atomic schemes — this is a TRIPWIRE that turns 'two writers
-    silently interleave commits' into 'the second writer almost always
-    fails fast', not a lock service. The hard guard remains the
+    clocks, and reclaiming an expired lease is delete-then-create — a
+    race window on non-atomic schemes, SHRUNK (not closed) by a
+    read-back verification: after writing its lease, the acquirer
+    re-reads the file and fails unless ITS token is what survived, so
+    the delete-after-create interleaving (writer B's late delete
+    destroys writer A's fresh lease, then B creates) is detected by A
+    at acquire time instead of silently leaving both writers convinced
+    they hold it. Still a TRIPWIRE that turns 'two writers silently
+    interleave commits' into 'the second writer almost always fails
+    fast', not a lock service. The hard guard remains the
     exclusive-create publish where the filesystem provides one;
     single-writer stays the deployment contract on S3-class schemes."""
     import os
@@ -292,6 +301,16 @@ def acquire_writer_lease(
             out.write(bytearray(json.dumps(lease).encode("utf-8")))
         finally:
             out.close()
+        # read-back verification: only the writer whose token SURVIVED
+        # on disk holds the lease — a racing reclaimer whose delete
+        # landed after our create (and whose own create then replaced
+        # the file) is caught here instead of both writers proceeding
+        if not _lease_matches(spark, path, token):
+            raise IOError(
+                f"manifest store at {path!r}: lost the writer-lease "
+                "reclaim race (another writer's lease survived the "
+                "read-back check) — single-writer store, refusing"
+            )
         return token
     raise AssertionError("unreachable")
 
@@ -317,25 +336,37 @@ def _lease_matches(spark, path: str, token: str) -> bool:
 
 def renew_writer_lease(spark, path: str, token: str) -> None:
     """Refresh the lease's acquired timestamp (long-lived streams renew
-    well inside ttl_s). Raises if the lease is no longer this token's —
-    the holder learns it lost the lease instead of writing on."""
+    well inside ttl_s). Raises the same lease-lost IOError on EVERY
+    losing path — token no longer current, the delete-to-recreate
+    window lost to a concurrent acquire (the re-create fails: wrapped,
+    not a raw JVM error), or another writer's lease survived the
+    read-back — so the holder always learns it lost the lease instead
+    of writing on."""
     import os
     import time as _time
 
-    if not _lease_matches(spark, path, token):
-        raise IOError(
+    def _lost() -> IOError:
+        return IOError(
             f"manifest store at {path!r}: lease token no longer current "
             "(expired and reclaimed by another writer?)"
         )
+
+    if not _lease_matches(spark, path, token):
+        raise _lost()
     held = json.loads(_read_small(spark, f"{path}/_lease.json"))
     held["acquired"] = _time.time()
     fs, p = _fs_path(spark, f"{path}/_lease.json")
     fs.delete(p, False)
-    out = fs.create(p, False)
+    try:
+        out = fs.create(p, False)
+    except Exception:  # noqa: BLE001 — a concurrent acquire won the window
+        raise _lost() from None
     try:
         out.write(bytearray(json.dumps(held).encode("utf-8")))
     finally:
         out.close()
+    if not _lease_matches(spark, path, token):
+        raise _lost()
 
 
 def release_writer_lease(spark, path: str, token: str) -> None:
@@ -345,6 +376,51 @@ def release_writer_lease(spark, path: str, token: str) -> None:
     if _lease_matches(spark, path, token):
         fs, p = _fs_path(spark, f"{path}/_lease.json")
         fs.delete(p, False)
+
+
+def _start_leased_stream(spark, writer, path: str, token: str):
+    """Start a stream writer whose store lease is already held and
+    attach the release half of its lifecycle: a StreamingQueryListener
+    scoped to this query's id releases the lease when the query
+    terminates (stop, availableNow completion, or failure) and then
+    deregisters itself. If the holder dies without the callback firing
+    (driver crash), TTL expiry reclaims — the lease's normal crash
+    story. If ``start()`` itself fails, the lease is released
+    immediately so a misconfigured writer doesn't poison the store for
+    a TTL."""
+    try:
+        query = writer.start()
+    except Exception:
+        release_writer_lease(spark, path, token)
+        raise
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    qid = str(query.id)
+
+    class _ReleaseOnTerminate(StreamingQueryListener):
+        def onQueryStarted(self, event):  # noqa: D102 — listener contract
+            pass
+
+        def onQueryProgress(self, event):  # noqa: D102
+            pass
+
+        def onQueryIdle(self, event):  # noqa: D102
+            pass
+
+        def onQueryTerminated(self, event):  # noqa: D102
+            if str(event.id) != qid:
+                return
+            try:
+                release_writer_lease(spark, path, token)
+            finally:
+                try:
+                    spark.streams.removeListener(listener)
+                except Exception:  # noqa: BLE001 — already removed
+                    pass
+
+    listener = _ReleaseOnTerminate()
+    spark.streams.addListener(listener)
+    return query
 
 
 def is_manifest_store(spark, path: str) -> bool:
@@ -756,6 +832,8 @@ def stream_to_rollup_manifest(
     keys: list[str],
     value_col: str,
     ts_col: str = "ts",
+    lease: bool = False,
+    lease_ttl_s: int = 900,
     trigger_available_now: bool = False,
 ):
     """The manifest-committed twin of ``stream_to_rollup``: same
@@ -773,11 +851,29 @@ def stream_to_rollup_manifest(
     on S3A it is best-effort (HEAD-then-PUT) — see SCALING.md's
     per-scheme guard table. Readers are safe either way (torn newest
     manifests are skipped), but two concurrent writers can drop each
-    other's commits."""
+    other's commits. ``lease=True`` makes the contract SELF-ENFORCING:
+    the stream acquires the store's writer lease before starting (a
+    second stream against the same store fails AT START, loudly,
+    naming the holder), renews it every batch (so losing the lease
+    mid-stream fails the query instead of writing on), and releases it
+    on termination; a crashed holder's lease expires after
+    ``lease_ttl_s`` (keep it ≫ the batch interval)."""
     from traceframe_spark.operators import rollup as R
+
+    spark0 = events.sparkSession
+    token = (
+        acquire_writer_lease(
+            spark0, path, owner=f"rollup-stream:{_lineage(checkpoint)}",
+            ttl_s=lease_ttl_s,
+        )
+        if lease
+        else None
+    )
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if token is not None:
+            renew_writer_lease(spark, path, token)
         # ONE manifest resolution per batch: the watermark check, the
         # standing read, and the commit all consume this snapshot
         man = _latest_manifest(spark, path)
@@ -799,6 +895,8 @@ def stream_to_rollup_manifest(
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
+    if token is not None:
+        return _start_leased_stream(spark0, writer, path, token)
     return writer.start()
 
 
@@ -809,6 +907,8 @@ def stream_to_hll_manifest(
     key_col: str,
     day_from_ts: str = "ts",
     p: int = 10,
+    lease: bool = False,
+    lease_ttl_s: int = 900,
     trigger_available_now: bool = False,
 ):
     """The manifest-committed twin of ``stream_to_hll_store``
@@ -823,11 +923,25 @@ def stream_to_hll_manifest(
     ``sketch.hll_estimate_by(..., ["day"])``.
 
     Same single-writer contract (and per-scheme tripwire strength) as
-    :func:`stream_to_rollup_manifest`."""
+    :func:`stream_to_rollup_manifest`; ``lease=True`` self-enforces it
+    the same way (acquire at start / renew per batch / release on
+    termination)."""
     from traceframe_spark.operators import sketch
+
+    spark0 = events.sparkSession
+    token = (
+        acquire_writer_lease(
+            spark0, path, owner=f"hll-stream:{_lineage(checkpoint)}",
+            ttl_s=lease_ttl_s,
+        )
+        if lease
+        else None
+    )
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if token is not None:
+            renew_writer_lease(spark, path, token)
         # ONE manifest resolution per batch (watermark + standing read
         # + commit), same as the rollup twin
         man = _latest_manifest(spark, path)
@@ -866,6 +980,8 @@ def stream_to_hll_manifest(
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
+    if token is not None:
+        return _start_leased_stream(spark0, writer, path, token)
     return writer.start()
 
 
