@@ -340,3 +340,52 @@ def test_stream_dedup_ingest_lease_wiring(spark, tmp_path, manifest_feed):
             stream, idx2, str(tmp_path / "out2"), str(tmp_path / "ckpt2"),
             lease=True,
         )
+
+
+def test_compaction_cadence_bounds_dedup_stream_layers(spark, tmp_path, manifest_feed):
+    """compact_every=N on the text curation loop: every fold-back
+    appends one directory per index layer, so the 4-batch feed leaves
+    4+ live dirs per layer uncompacted; with the cadence the lists stay
+    <= N while the curated corpus, the layer ROWS, and a post-stream
+    probe are identical to the uncompacted run."""
+    from traceframe_spark.streaming import manifest_store as MS
+
+    idx, feed = manifest_feed
+    out, ckpt = str(tmp_path / "outC"), str(tmp_path / "ckptC")
+    _run_stream(spark, idx, feed, out, ckpt, annotate_novelty=True)
+    man_ctrl = MS._latest_manifest(spark, idx)
+    ctrl_max = max(len(d) for d in man_ctrl["layers"].values())
+    assert ctrl_max >= 4  # snapshot + one append per surviving batch
+    ctrl_counts = _layer_counts(spark, idx)
+
+    # fresh index + same feed, cadence on
+    idx2 = str(tmp_path / "idxC")
+    di.write_dedup_index(
+        _snap(spark), idx2, n_hashes=64, bands=16, protocol="manifest"
+    )
+    di.write_gram_layer(_snap(spark), idx2, n=3)
+    out2, ckpt2 = str(tmp_path / "outC2"), str(tmp_path / "ckptC2")
+    _run_stream(
+        spark, idx2, feed, out2, ckpt2, annotate_novelty=True,
+        compact_every=2, vacuum_keep=2,
+    )
+    man_cad = MS._latest_manifest(spark, idx2)
+    assert max(len(d) for d in man_cad["layers"].values()) <= 2
+    assert _layer_counts(spark, idx2) == ctrl_counts
+    assert {r.doc_id for r in read_ingested(spark, out2).collect()} == {
+        r.doc_id for r in read_ingested(spark, out).collect()
+    }
+    # the compacted index still probes identically: a clone of an
+    # accepted survivor dies, a fresh doc passes
+    probe = _docs(spark, [(900, _uniq(50)), (901, _uniq(99))])
+    alive = {r.doc_id for r in di.dedup_against_index(probe, idx2).collect()}
+    assert alive == {901}
+    # knob without the manifest protocol is refused
+    idx3 = str(tmp_path / "idx_markers2")
+    di.write_dedup_index(_snap(spark), idx3, n_hashes=32, bands=8)
+    stream = spark.readStream.schema("doc_id long, text string").json(feed)
+    with pytest.raises(ValueError, match="compact_every"):
+        stream_dedup_ingest(
+            stream, idx3, str(tmp_path / "outC3"), str(tmp_path / "ckptC3"),
+            compact_every=2,
+        )

@@ -513,3 +513,65 @@ def test_stream_embed_ingest_lease_refuses_second_stream(spark, corpus, tmp_path
     assert any(
         r["cid"] == 1010 for r in read_indexed_vectors(spark, mani).collect()
     )
+
+
+def test_compaction_cadence_bounds_embed_stream_dir_lists(spark, corpus, tmp_path):
+    """compact_every=N keeps every list's live directory list bounded
+    while a long feed runs — pre-knob, probe plans listed one directory
+    per append forever — and the indexed rows stay identical to an
+    uncompacted control run. All batch vectors steer to one list so
+    the growth (and the bound) is deterministic."""
+    # handmade centroids; every batch vector lands in list 0
+    cents = [
+        [100.0] + [0.0] * (DIM - 1),
+        [-100.0] + [0.0] * (DIM - 1),
+        [0.0, 100.0] + [0.0] * (DIM - 2),
+        [0.0, -100.0] + [0.0] * (DIM - 2),
+    ]
+
+    def one_list_vec(i):
+        return [100.0 + i, float(i)] + [0.0] * (DIM - 2)
+
+    feed = tmp_path / "cadence_feed"
+    feed.mkdir()
+    for i in range(8):
+        with open(feed / f"b{i}.jsonl", "w") as f:
+            f.write(json.dumps(
+                {"vec_id": 2000 + i, "embedding": one_list_vec(i)}
+            ) + "\n")
+
+    def build(name):
+        p = str(tmp_path / name)
+        sim.write_ivf_index(
+            _vecs(spark, []).filter(F.lit(False)), p, "vec_id", "embedding",
+            centroids=cents, protocol="manifest",
+        )
+        return p
+
+    ctrl = build("cad_ctrl")
+    _run_embed_stream(spark, str(feed), ctrl, str(tmp_path / "cad_ckpt_ctrl"))
+    man_ctrl = MS._latest_manifest(spark, ctrl)
+    assert max(len(d) for d in man_ctrl["layers"].values()) == 8  # unbounded
+
+    cad = build("cad_on")
+    _run_embed_stream(
+        spark, str(feed), cad, str(tmp_path / "cad_ckpt"),
+        compact_every=3, vacuum_keep=2,
+    )
+    man_cad = MS._latest_manifest(spark, cad)
+    assert max(len(d) for d in man_cad["layers"].values()) <= 3
+    want = sorted(
+        (r["cid"], r["list_id"]) for r in read_indexed_vectors(spark, ctrl).collect()
+    )
+    got = sorted(
+        (r["cid"], r["list_id"]) for r in read_indexed_vectors(spark, cad).collect()
+    )
+    assert got == want
+    # vacuum_keep reclaimed superseded dirs: the store's data/ holds
+    # only directories some kept manifest references, yet every row
+    # above was read back — compaction + vacuum never lost data
+    with pytest.raises(ValueError, match="compact_every"):
+        stream_embed_ingest(
+            spark.readStream.schema("vec_id long, embedding array<float>").json(str(feed)),
+            cad, str(tmp_path / "cad_bad"), compact_every=0,
+        )

@@ -137,21 +137,46 @@ def q_percentiles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same fast/portable split as minhash_pairs/minhash_portable_pairs);
     agreement between the two estimators is pinned in pytest.
 
-    100 TB shape: the window bottom-k shuffles narrow (flag, key,
-    2 values) rows; with a handful of groups the per-group sort is the
-    bottleneck at extreme scale — the two-pass threshold refinement
-    (select by a coarse key prefix first) is the documented upgrade,
-    same machinery as ``priority_sample``'s partitioned_topk path."""
+    100 TB shape (r12): TWO-PASS threshold refinement — the r11 form
+    ran the bottom-k as a per-group global window sort, so with a
+    handful of groups three tasks sorted the entire table to keep 4096
+    rows each (148.9 s at the 60M-row volume corpus, the catalog's one
+    scale-killer). Pass 1 histograms the md5 keys by their first 4 hex
+    chars per group (a map-side-combining grouped count over at most
+    groups x 65536 narrow rows) and takes, per group, the smallest
+    prefix whose cumulative count reaches k. Lexicographic order makes
+    that prefix a sound bound: every one of the true bottom-k full
+    keys starts with a prefix <= it (if one didn't, the >= k keys at
+    or below the threshold prefix would all be strictly smaller —
+    contradiction). Pass 2 keeps only rows at or below the group's
+    threshold prefix (~k + one 1/65536 key-bucket of the group, via a
+    broadcast join of the <= groups-sized threshold table) and runs
+    the EXACT bottom-k window on that surviving sliver — identical
+    selection, identical values, so the oracle is unchanged, but the
+    per-group sort now touches ~4k rows instead of the whole group.
+    A group smaller than k has no threshold row (cum never reaches k):
+    the left join keeps all its rows, exactly the old behavior."""
     li = load_table(spark, sf_dir, "lineitem")
     h = F.md5(
         F.concat_ws("|", F.lit("pq"), F.col("l_orderkey"), F.col("l_linenumber"))
     )
-    w = Window.partitionBy("l_returnflag").orderBy("h")
-    samp = (
-        li.select("l_returnflag", "l_quantity", "l_extendedprice", h.alias("h"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 4096)
+    sel = li.select(
+        "l_returnflag", "l_quantity", "l_extendedprice", h.alias("h")
+    ).withColumn("hp", F.substring("h", 1, 4))
+    wc = Window.partitionBy("l_returnflag").orderBy("hp")
+    thr = (
+        sel.groupBy("l_returnflag", "hp")
+        .agg(F.count("*").alias("n"))
+        .withColumn("cum", F.sum("n").over(wc))
+        .filter(F.col("cum") >= 4096)
+        .groupBy("l_returnflag")
+        .agg(F.min("hp").alias("thr"))
     )
+    cand = sel.join(F.broadcast(thr), "l_returnflag", "left").filter(
+        F.col("thr").isNull() | (F.col("hp") <= F.col("thr"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("h")
+    samp = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 4096)
     return samp.groupBy("l_returnflag").agg(
         qint(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
         qint(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),

@@ -111,6 +111,8 @@ def stream_dedup_ingest(
     store_protocol: str = "markers",
     lease: bool = False,
     lease_ttl_s: int = 900,
+    compact_every: int | None = None,
+    vacuum_keep: int | None = None,
     trigger_available_now: bool = False,
 ):
     """Run a streaming document feed through the persistent dedup index:
@@ -184,6 +186,28 @@ def stream_dedup_ingest(
     interval). The corpus store at ``out_path`` rides the same guard:
     one stream writes both.
 
+    ``compact_every=N`` (manifest protocol only) schedules index-store
+    compaction INTO the loop: every fold-back appends one directory
+    per index layer, so a long-running stream's probe plans otherwise
+    list O(batches-since-compaction) directories per layer — forever.
+    With the knob set, whenever any layer's live directory list
+    reaches N the batch ends by rewriting every layer to ONE directory
+    (:func:`~traceframe_spark.streaming.manifest_store.compact_manifest_layers`
+    — a normal commit, so racing readers keep full snapshot
+    isolation), bounding every probe's listing cost at N directories
+    per layer while answers stay byte-identical. The cadence state is
+    the manifest itself (live-dir counts), so restarts need no memory.
+    Cost per trigger: one index-layer-sized read+write — narrow rows,
+    independent of corpus size. ``vacuum_keep=K`` additionally vacuums
+    superseded directories after each compaction with ``keep_manifests
+    =K`` reader grace (K >= 2 keeps a grace snapshot for readers that
+    resolved just before the compaction commit). The CORPUS store at
+    ``out_path`` is deliberately NOT on this cadence: its partitions
+    are append-only data (compacting means rewriting corpus bytes, not
+    narrow index rows) and its readers prune by ``ingest_batch``;
+    schedule :func:`~traceframe_spark.streaming.manifest_store.compact_manifest_store`
+    out-of-band like any data compaction if full-corpus scans matter.
+
     Returns the started StreamingQuery. Read the curated corpus back
     with :func:`read_ingested`.
     """
@@ -201,6 +225,13 @@ def stream_dedup_ingest(
             "lease=True needs store_protocol='manifest' (the writer "
             "lease lives in the manifest store)"
         )
+    if compact_every is not None and not manifest_proto:
+        raise ValueError(
+            "compact_every needs store_protocol='manifest' (layer-list "
+            "compaction is a manifest-store operation)"
+        )
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be >= 1")
     lease_token = (
         MS.acquire_writer_lease(
             docs.sparkSession, index_path,
@@ -393,6 +424,13 @@ def stream_dedup_ingest(
                         checkpoint=checkpoint, batch_id=batch_id,
                         man=man0,
                     )
+                # cadence check runs AFTER the watermarked fold-back:
+                # a crash between them replays into a watermark skip,
+                # and the still-over-bound dir counts re-trigger the
+                # compaction on the next live batch
+                MS.run_scheduled_compaction(
+                    spark, index_path, compact_every, vacuum_keep, man0
+                )
             else:
                 survivors.write.mode("overwrite").parquet(batch_dir)
                 _mark_batch_applied(spark, out_path, checkpoint, batch_id)

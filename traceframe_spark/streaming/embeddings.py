@@ -123,6 +123,8 @@ def stream_embed_ingest(
     within_batch_near: bool = False,
     lease: bool = False,
     lease_ttl_s: int = 900,
+    compact_every: int | None = None,
+    vacuum_keep: int | None = None,
     trigger_available_now: bool = False,
 ):
     """Run a streaming embedding feed into the persistent IVF index at
@@ -162,6 +164,18 @@ def stream_embed_ingest(
     naming the holder), renew every batch, release on termination;
     a crashed holder's lease expires after ``lease_ttl_s``.
 
+    ``compact_every=N`` schedules index compaction INTO the loop:
+    every fold appends one directory to each touched list's live
+    directory list, so a long-running stream's probe plans otherwise
+    list O(batches) directories per probed list. With the knob set,
+    whenever any list's live count reaches N the batch ends by
+    rewriting every list to ONE directory (a normal commit — racing
+    probes keep their resolved snapshot), bounding probe listing cost
+    at N directories per probed list while answers stay identical.
+    Cadence state is the manifest itself (restart-safe, no counters);
+    ``vacuum_keep=K`` reclaims superseded directories after each
+    compaction with K manifests of reader grace.
+
     Returns the started StreamingQuery. Read the index back with
     ``ivf_topk_over_index`` / ``read_parts_layers``; watch
     ``ivf_rebuild_due`` for frozen-quantizer drift.
@@ -175,6 +189,8 @@ def stream_embed_ingest(
         )
     if within_batch_near and near_threshold is None:
         raise ValueError("within_batch_near=True needs near_threshold")
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be >= 1")
     # fail fast at stream start on a store without centroids; the
     # centroids are FROZEN (append never retrains), so pin them once
     # for the within-batch assignment instead of re-resolving per batch
@@ -239,6 +255,12 @@ def stream_embed_ingest(
                     checkpoint=checkpoint, batch_id=batch_id,
                     resolved=(centroids0, man),
                 )
+            # AFTER the watermarked fold: a crash between them replays
+            # into a watermark skip and the over-bound dir counts
+            # re-trigger compaction on the next live batch
+            MS.run_scheduled_compaction(
+                spark, index_path, compact_every, vacuum_keep, man
+            )
         finally:
             survivors.unpersist()
 

@@ -718,6 +718,41 @@ def compact_manifest_layers(spark, path: str) -> int:
     return commit_layer_frames(spark, path, frames, replace=True, prev=man)
 
 
+def run_scheduled_compaction(
+    spark,
+    path: str,
+    compact_every: int | None,
+    vacuum_keep: int | None,
+    prev: dict | None,
+) -> bool:
+    """The streaming loops' compaction cadence, shared by
+    ``stream_dedup_ingest(store_protocol="manifest")`` and
+    ``stream_embed_ingest``: given the manifest the batch RESOLVED
+    (``prev`` — before its own append, which adds at most one
+    directory per layer), compact when any layer's live list is about
+    to reach ``compact_every`` directories. The cadence state is the
+    manifest itself — no counters to persist, so restarts and replays
+    need no special handling, and the bound holds from any starting
+    state (a store that accumulated dirs while the knob was off
+    compacts on the first batch after it's turned on). Compaction is a
+    normal commit (racing readers keep snapshot isolation); with
+    ``vacuum_keep`` set, superseded directories are reclaimed
+    immediately after, keeping ``keep_manifests=vacuum_keep`` grace
+    versions for readers that resolved just before the compaction.
+    Returns whether a compaction ran."""
+    if compact_every is None or prev is None:
+        return False
+    layers = prev.get("layers", {})
+    if not layers:
+        return False
+    if max(len(d) for d in layers.values()) + 1 < compact_every:
+        return False
+    compact_manifest_layers(spark, path)
+    if vacuum_keep is not None:
+        vacuum_manifest_store(spark, path, keep_manifests=vacuum_keep)
+    return True
+
+
 def manifest_last_batch(spark, path: str, checkpoint: str) -> int | None:
     """The last batch_id committed for this checkpoint lineage, or None.
     This IS the replay guard: it commits atomically with the data
