@@ -575,3 +575,89 @@ def test_compaction_cadence_bounds_embed_stream_dir_lists(spark, corpus, tmp_pat
             spark.readStream.schema("vec_id long, embedding array<float>").json(str(feed)),
             cad, str(tmp_path / "cad_bad"), compact_every=0,
         )
+
+
+def _clone_mass_index(spark, tmp_path, name):
+    """The r11 volume instrument's hazard in miniature: clone mass at
+    its own magnitude/location draws its own centroid (list 7 holds 50
+    clones of 10*u(20 deg)); the unit-magnitude query u(25 deg) is a
+    true near-dup of the clones (cos 5 deg ~ 0.996) but ranks ALL
+    SEVEN unit centroids nearer than the clone centroid, so small
+    probe counts never look in list 7."""
+    import math
+
+    def u(deg, scale=1.0):
+        r = math.radians(deg)
+        return [scale * math.cos(r), scale * math.sin(r)] + [0.0] * (DIM - 2)
+
+    cents = [u(45.0 * (k + 1)) for k in range(7)] + [u(20.0, 10.0)]
+    rows = [(i, u(20.0 + 0.001 * i, 10.0)) for i in range(50)]  # clone mass
+    rows += [(100 + k, u(45.0 * (k + 1) + 3.0)) for k in range(7)]  # sprinkle
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / name)
+    sim.write_ivf_index(
+        corpus, path, "vec_id", "embedding", centroids=cents, protocol="manifest"
+    )
+    return path, u(25.0)
+
+
+def test_clone_burst_nprobe4_misses_auto_catches(spark, tmp_path):
+    """The chosen default must catch what nprobe=4 demonstrably
+    misses: against a clone-heavy index (list-size skew ~7), a query
+    near-duplicate to the clone mass survives a 4-list probe (its
+    near-dup's list ranks 8th) and lands — nprobe='auto' derives 8
+    from the skew, probes every list, and drops it."""
+    import math
+
+    idx4, qvec = _clone_mass_index(spark, tmp_path, "clone_np4")
+    feed = tmp_path / "clone_feed"
+    feed.mkdir()
+    with open(feed / "b0.jsonl", "w") as f:
+        f.write(json.dumps({"vec_id": 999, "embedding": qvec}) + "\n")
+
+    def run(idx, ckpt, **kw):
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .json(str(feed))
+        )
+        q = stream_embed_ingest(
+            stream, idx, str(tmp_path / ckpt), near_threshold=0.99,
+            trigger_available_now=True, **kw,
+        )
+        q.awaitTermination()
+
+    run(idx4, "clone_ckpt4", nprobe=4)
+    assert any(
+        r["cid"] == 999 for r in read_indexed_vectors(spark, idx4).collect()
+    ), "nprobe=4 should MISS the cross-boundary near-dup (it lands)"
+
+    idx_auto, _ = _clone_mass_index(spark, tmp_path, "clone_auto")
+    run(idx_auto, "clone_ckpt_auto")  # default nprobe="auto"
+    assert not any(
+        r["cid"] == 999 for r in read_indexed_vectors(spark, idx_auto).collect()
+    ), "auto nprobe should catch the near-dup (query dropped)"
+    # bogus nprobe refused up front
+    with pytest.raises(ValueError, match="nprobe"):
+        run(idx_auto, "clone_ckpt_bad", nprobe="lots")
+
+
+def test_within_batch_cap_bounds_single_list_burst(spark, caplog):
+    """A burst landing an entire batch in ONE list: with the cap, only
+    each list's first cap members (by id) join pairwise — overflow
+    passes through uncollapsed (documented partial collapse) and the
+    truncation is logged loudly; uncapped, the whole chain collapses."""
+    from traceframe_spark.streaming.embeddings import _dedup_near_within_batch
+
+    base = [100.0, 1.0] + [0.0] * (DIM - 2)
+    rows = [(i, [x + 0.001 * i for x in base]) for i in range(10)]
+    batch = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[100.0] + [0.0] * (DIM - 1), [-100.0] + [0.0] * (DIM - 1)]
+    full = _dedup_near_within_batch(batch, "vec_id", "embedding", cents, 0.999)
+    assert sorted(r["vec_id"] for r in full.collect()) == [0]
+    with caplog.at_level("WARNING", logger="traceframe_spark.streaming.embeddings"):
+        capped = _dedup_near_within_batch(
+            batch, "vec_id", "embedding", cents, 0.999, cap=3
+        )
+        got = sorted(r["vec_id"] for r in capped.collect())
+    assert got == [0] + list(range(3, 10))  # 1,2 collapsed; overflow passes
+    assert any("truncated 1 list" in m for m in caplog.messages)

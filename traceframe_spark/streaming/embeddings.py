@@ -36,12 +36,16 @@ driver.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from traceframe_spark.operators import similarity as sim
 from traceframe_spark.streaming import manifest_store as MS
+
+_LOG = logging.getLogger("traceframe_spark.streaming.embeddings")
 
 
 def _dedup_exact_vectors(batch: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -69,6 +73,7 @@ def _dedup_near_within_batch(
     vec_col: str,
     centroids: list[list[float]],
     threshold: float,
+    cap: int | None = None,
 ) -> DataFrame:
     """Collapse near-duplicates OF EACH OTHER within one micro-batch —
     the gap the standing-index probe can't close (the index only knows
@@ -80,7 +85,18 @@ def _dedup_near_within_batch(
     usual recall contract), verified by exact cosine, collapsed to the
     min-id canonical per connected component (transitive chains
     A≈B≈C keep exactly one row). Cost is per-batch: candidate mass
-    follows within-list batch pairs, never the standing corpus."""
+    follows within-list batch pairs, never the standing corpus.
+
+    ``cap`` bounds the adversarial worst case — a burst that lands an
+    entire batch in ONE list makes the self-join O(batch²): only each
+    list's first ``cap`` members (by id — deterministic under replay)
+    participate in the pair join; rows beyond the cap pass through
+    UNCOLLAPSED (documented partial collapse, the minhash pair-cap
+    precedent) and the truncation is logged loudly with per-list
+    counts. The exact-dedup stage has already run, so capped overflow
+    is genuinely distinct content — near-copies among it reach the
+    standing index and are caught by the NEXT batch's index probe once
+    the retained canonicals have folded in."""
     from traceframe_spark.operators.graph import connected_components, keep_canonical
 
     assigned = batch.select(
@@ -89,6 +105,35 @@ def _dedup_near_within_batch(
         sim.l2_norm(F.col(vec_col)).alias("nrm"),
         sim.ivf_assign(F.col(vec_col), centroids).alias("list_id"),
     )
+    ranked = None
+    if cap is not None:
+        ranked = assigned.withColumn(
+            "_r", F.row_number().over(Window.partitionBy("list_id").orderBy("id"))
+        ).persist()
+        report = (
+            ranked.filter(F.col("_r") > cap)
+            .groupBy("list_id")
+            .agg(F.count("*").alias("dropped"), F.max("_r").alias("list_size"))
+            .agg(
+                F.count("*").alias("n_lists_truncated"),
+                F.coalesce(F.sum("dropped"), F.lit(0)).alias("n_rows_over_cap"),
+                F.coalesce(F.max("list_size"), F.lit(0)).alias("worst_list"),
+            )
+            .first()
+        )
+        if report["n_lists_truncated"]:
+            _LOG.warning(
+                "stream_embed_ingest within-batch near-dedup: cap=%d "
+                "truncated %d list(s) (%d rows beyond the cap pass through "
+                "UNCOLLAPSED this batch; largest list held %d batch rows). "
+                "Near-copies among the overflow are caught by later batches' "
+                "standing-index probes once the retained canonicals fold in.",
+                cap,
+                report["n_lists_truncated"],
+                report["n_rows_over_cap"],
+                report["worst_list"],
+            )
+        assigned = ranked.filter(F.col("_r") <= cap).drop("_r")
     a = assigned.alias("a")
     b = assigned.alias("b")
     # SAME 1e-4 quantized grid as _rerank_topk: both near stages (this
@@ -106,10 +151,14 @@ def _dedup_near_within_batch(
         .filter(cos_q >= int(round(threshold * 10000)))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
-    if pairs.isEmpty():
-        return batch
-    comp = connected_components(pairs, "id_a", "id_b")
-    return keep_canonical(batch, id_col, comp)
+    try:
+        if pairs.isEmpty():
+            return batch
+        comp = connected_components(pairs, "id_a", "id_b")
+        return keep_canonical(batch, id_col, comp)
+    finally:
+        if ranked is not None:
+            ranked.unpersist()
 
 
 def stream_embed_ingest(
@@ -119,8 +168,9 @@ def stream_embed_ingest(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     near_threshold: float | None = None,
-    nprobe: int = 4,
+    nprobe: int | str = "auto",
     within_batch_near: bool = False,
+    within_batch_cap: int | None = 4096,
     lease: bool = False,
     lease_ttl_s: int = 900,
     compact_every: int | None = None,
@@ -142,14 +192,38 @@ def stream_embed_ingest(
        original id — the probe runs with ``exclude_self=False``). The
        probe is partition-pruned top-1 over ``nprobe`` lists, so its
        recall is the IVF tier's — a near-dup whose nearest neighbour
-       hides in an unprobed list survives; see the ``nprobe`` parameter
-       notes below for how to pick it.
+       hides in an unprobed list survives.
+
+       **Picking nprobe — the clone-mass hazard**: near-dup feeds are
+       EXACTLY the data shape where small probe counts fail. The r11
+       volume instrument (100x corpus, clone-heavy — see SCALING.md)
+       measured IVF/brute-force agreement of only 0.56 at nprobe=8
+       over 64 lists, recovering to 0.84 at nprobe=32: clone mass
+       concentrates in few lists, so a query's near-dup often sits
+       just across a centroid boundary from the lists the query ranks
+       nearest. The default ``nprobe="auto"`` therefore derives a
+       probe count from the index's OWN list-size skew at stream start
+       (``ivf_list_stats``): probe at least 8 lists, widen linearly
+       with ``max_list/mean_list`` (the clone-mass signal), clamp at
+       full probe — ``min(n_lists, max(8, ceil(skew)))``. Derived
+       ONCE at stream start (the quantizer is frozen; restart to
+       re-derive as the index grows). An exact re-send is always
+       caught even at nprobe=1 (the frozen quantizer assigns the
+       clone to the original's list); only genuine near-dups need the
+       width. For a measured operating point on your own data, run
+       the agreement instrument (``bitext_ann_agreement``
+       methodology) against a brute-force sample.
     2b. ``within_batch_near=True`` (requires ``near_threshold``):
        additionally collapse near-duplicates OF EACH OTHER arriving in
        the same micro-batch — candidates from a self-join within the
        frozen quantizer's lists, exact-cosine verified, min-id
        canonical per connected component (the vector twin of the text
-       loop's ``within_batch_near``).
+       loop's ``within_batch_near``). ``within_batch_cap`` bounds the
+       adversarial single-list burst (the self-join is otherwise
+       O(batch²) within a list): each list's first ``cap`` batch
+       members by id participate; overflow passes through uncollapsed
+       with a loud log and is swept by later batches' index probes
+       (see :func:`_dedup_near_within_batch`). ``None`` uncaps.
     3. fold survivors into their inverted lists with the replay
        watermark in the SAME manifest commit — a recorded batch is a
        completely applied batch; an unrecorded replay recomputes
@@ -195,6 +269,27 @@ def stream_embed_ingest(
     # centroids are FROZEN (append never retrains), so pin them once
     # for the within-batch assignment instead of re-resolving per batch
     centroids0, _ = sim._ivf_resolve(spark0, index_path)
+    if nprobe == "auto":
+        if near_threshold is None:
+            nprobe = 8  # unused (no near stage); keep the type honest
+        else:
+            import math
+
+            # one bounded job at stream start: <= n_lists narrow rows
+            sizes = [
+                r["n_vectors"]
+                for r in sim.ivf_list_stats(spark0, index_path).collect()
+            ]
+            mean = (sum(sizes) / len(sizes)) if sizes else 0.0
+            skew = (max(sizes) / mean) if mean else 0.0
+            nprobe = min(len(centroids0), max(8, math.ceil(skew)))
+            _LOG.info(
+                "stream_embed_ingest: nprobe='auto' -> %d "
+                "(n_lists=%d, list-size skew=%.1f)",
+                nprobe, len(centroids0), skew,
+            )
+    elif not isinstance(nprobe, int):
+        raise ValueError(f"nprobe must be an int or 'auto', got {nprobe!r}")
     lease_token = (
         MS.acquire_writer_lease(
             spark0, index_path,
@@ -227,7 +322,8 @@ def stream_embed_ingest(
         survivors = _dedup_exact_vectors(batch_df, id_col, vec_col)
         if within_batch_near:
             survivors = _dedup_near_within_batch(
-                survivors, id_col, vec_col, centroids0, near_threshold
+                survivors, id_col, vec_col, centroids0, near_threshold,
+                cap=within_batch_cap,
             )
         if near_threshold is not None:
             # exclude_self=False: an ingest probe must let a re-sent
