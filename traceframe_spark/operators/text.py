@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Small high-frequency stopword lists per language (public knowledge).
 STOPWORDS: dict[str, list[str]] = {
@@ -940,4 +941,268 @@ def reassemble_lines(
     return kept.groupBy(F.col(id_col)).agg(
         F.concat_ws(sep, F.transform(packed, lambda s: s["l"])).alias("text"),
         F.count("*").alias("n_lines"),
+    )
+
+
+# Gopher rule-set stop words (Rae et al. 2112.11446, Table A1): a doc
+# must contain at least two of these to pass the quality filter.
+GOPHER_STOPWORDS: list[str] = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_repetition_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Gopher repetition signals (Rae et al. 2112.11446
+    Table A1, the "repetitious documents" family) as a DataFrame:
+
+    - ``n_lines``; ``dup_line_frac``: occurrences of a line beyond its
+      first over total lines (split on ``\\n``, trimmed, empties
+      dropped); ``dup_line_char_frac``: characters in those duplicate
+      occurrences over total line characters.
+    - ``top_2gram_char_frac``: word characters covered by occurrences
+      of the most frequent word 2-gram, over total word characters —
+      UNION coverage (overlapping occurrences never double-count a
+      character, so the fraction is <= 1). Top gram = highest count,
+      ties by larger count x length then lexicographically larger
+      gram — deterministic in both engines.
+    - ``dup_5gram_char_frac``: word characters covered by any word
+      5-gram occurring more than once — same union coverage (the span
+      semantics ``remove_duplicated_substrings`` cuts by).
+
+    Plan shape, deliberately RELATIONAL: tokens are exploded to
+    (id, pos, word) rows, n-grams come from ``lead`` windows, gram
+    occurrence counts from count-over-(id, gram) windows, the top gram
+    from a max-over-id window, and union coverage from a rolling
+    ``max(flag) over (rows n-1 preceding)`` window — every stage is
+    codegen'd window/aggregate machinery over narrow rows, linear in
+    document length. A pure array-expression form was tried first and
+    abandoned: Spark's higher-order functions (transform/filter/
+    aggregate) are CodegenFallback — interpreted, no subexpression
+    elimination — and Catalyst inlines array aliases into lambda
+    bodies, so the per-gram counting nested inside per-position
+    coverage re-evaluated whole arrays per element (measured ~200 ms
+    per 60-word doc; this plan does the same docs at ~1 ms). At 100 TB
+    the cost is one shuffle of (id, pos, word) rows — narrow, and
+    every window after the first reuses the id-hash partitioning.
+
+    Line signals stay as (cheap, single-level) array expressions and
+    join back on ``id_col``. Empty documents report zeros."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != F.lit(""),
+    )
+    n_lines = F.size(lines).cast("double")
+    nd_lines = F.size(F.array_distinct(lines)).cast("double")
+    line_chars = F.aggregate(
+        lines, F.lit(0.0), lambda acc, ln: acc + F.length(ln).cast("double")
+    )
+    dist_line_chars = F.aggregate(
+        F.array_distinct(lines),
+        F.lit(0.0),
+        lambda acc, ln: acc + F.length(ln).cast("double"),
+    )
+    z = F.lit(0.0)
+    line_stats = df.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.coalesce(
+            (n_lines - nd_lines) / F.greatest(n_lines, F.lit(1.0)), z
+        ).alias("dup_line_frac"),
+        F.coalesce(
+            (line_chars - dist_line_chars) / F.greatest(line_chars, F.lit(1.0)), z
+        ).alias("dup_line_char_frac"),
+    )
+
+    tok_rows = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("i", "w"),
+    )
+    win = Window.partitionBy("id").orderBy("i")
+    g2 = F.concat_ws(" ", F.col("w"), F.lead("w", 1).over(win))
+    g5 = F.concat_ws(
+        " ", F.col("w"),
+        *[F.lead("w", k).over(win) for k in (1, 2, 3, 4)],
+    )
+    # lead past the end -> null; concat_ws drops nulls, so a partial
+    # tail gram would alias a shorter real gram. Null the partials out
+    # (they have no full n-token window) to match the lead-based SQL.
+    last = F.max("i").over(Window.partitionBy("id"))
+    grams = tok_rows.select(
+        "id", "i", "w",
+        F.when(F.col("i") + 1 <= last, g2).alias("g2"),
+        F.when(F.col("i") + 4 <= last, g5).alias("g5"),
+    )
+    c2 = F.count("*").over(Window.partitionBy("id", "g2"))
+    c5 = F.count("*").over(Window.partitionBy("id", "g5"))
+    counted = grams.select(
+        "id", "i", "w",
+        F.when(F.col("g2").isNotNull(), c2).alias("c2"),
+        F.col("g2"),
+        (F.when(F.col("g5").isNotNull(), c5) > 1).alias("dup5"),
+    )
+    top2 = F.max(
+        F.when(
+            F.col("g2").isNotNull(),
+            F.struct(
+                F.col("c2").alias("c"),
+                (F.col("c2") * F.length("g2")).alias("cl"),
+                F.col("g2").alias("g"),
+            ),
+        )
+    ).over(Window.partitionBy("id"))
+    flagged = counted.select(
+        "id", "i", "w",
+        (F.col("g2") == top2["g"]).alias("top2f"),
+        "dup5",
+    )
+    # union coverage: token i is covered iff any gram window containing
+    # it is flagged -> rolling max over the n-1 preceding gram flags
+    cov2 = F.max(F.coalesce(F.col("top2f"), F.lit(False)).cast("int")).over(
+        win.rowsBetween(-1, 0)
+    )
+    cov5 = F.max(F.coalesce(F.col("dup5"), F.lit(False)).cast("int")).over(
+        win.rowsBetween(-4, 0)
+    )
+    covered = flagged.select(
+        "id", "w", cov2.alias("cov2"), cov5.alias("cov5")
+    )
+    gram_stats = covered.groupBy("id").agg(
+        F.sum(F.length("w")).cast("double").alias("total_wchars"),
+        F.sum(F.when(F.col("cov2") == 1, F.length("w")).otherwise(0))
+        .cast("double").alias("cov2_chars"),
+        F.sum(F.when(F.col("cov5") == 1, F.length("w")).otherwise(0))
+        .cast("double").alias("cov5_chars"),
+    )
+    return line_stats.join(gram_stats, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_lines",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        F.coalesce(
+            F.col("cov2_chars") / F.greatest(F.col("total_wchars"), F.lit(1.0)), z
+        ).alias("top_2gram_char_frac"),
+        F.coalesce(
+            F.col("cov5_chars") / F.greatest(F.col("total_wchars"), F.lit(1.0)), z
+        ).alias("dup_5gram_char_frac"),
+    )
+
+
+def gopher_quality_flags(col: Column) -> Column:
+    """Struct of the Gopher composition signals + the combined ``keep``
+    verdict (Rae et al. 2112.11446 Table A1, the "quality filtering"
+    family), as native expressions:
+
+    - ``n_words`` in [50, 100000]; ``mean_word_len`` in [3, 10]
+      (letter-character mean over whitespace words);
+    - ``symbol_word_ratio`` (occurrences of ``#`` or ``...`` per word)
+      <= 0.1;
+    - ``bullet_line_frac`` (lines starting with a bullet) <= 0.9 and
+      ``ellipsis_line_frac`` (lines ending with ``...``) <= 0.3;
+    - ``alpha_word_frac`` (words containing at least one alphabetic
+      character) >= 0.8;
+    - ``n_stopwords_present`` (distinct members of
+      :data:`GOPHER_STOPWORDS` appearing as words) >= 2.
+
+    ``keep`` is the conjunction — the published Gopher gate. Signals
+    ride along so downstream consumers can re-threshold without
+    recomputing."""
+    toks = F.filter(tokens(col), lambda t: t != F.lit(""))
+    n_words = F.size(toks).cast("long")
+    word_len_sum = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.length(F.regexp_replace(t, r"[^\p{L}]", "")).cast("double"),
+    )
+    mean_word_len = word_len_sum / F.greatest(n_words.cast("double"), F.lit(1.0))
+    raw = F.trim(col)
+    n_hash = F.size(F.split(raw, "#", -1)) - 1
+    n_ellipsis = F.size(F.split(raw, r"\.\.\.", -1)) - 1
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / F.greatest(
+        n_words.cast("double"), F.lit(1.0)
+    )
+    lines = F.filter(
+        F.transform(F.split(col, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != F.lit(""),
+    )
+    n_lines = F.greatest(F.size(lines).cast("double"), F.lit(1.0))
+    bullet_frac = (
+        F.size(
+            F.filter(lines, lambda ln: ln.rlike(r"^(\-|\*|•)"))
+        ).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda ln: ln.rlike(r"\.\.\.$"))).cast("double")
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike(r"\p{L}"))).cast("double")
+        / F.greatest(n_words.cast("double"), F.lit(1.0))
+    )
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]))
+    ).cast("long")
+    keep = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (n_stop >= 2)
+    )
+    return F.struct(
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_stopwords_present"),
+        keep.alias("keep"),
+    )
+
+
+# C4 page-level poison markers (Raffel et al. 1910.10683 §2.2): a page
+# containing any of these is dropped outright.
+C4_PAGE_MARKERS: list[str] = ["lorem ipsum", "{"]
+
+
+def c4_line_filter(col: Column, min_words: int = 5) -> Column:
+    """The C4 line-level cleaning rules (Raffel et al. 1910.10683
+    §2.2) as one native expression — struct of the cleaned text plus
+    audit counts:
+
+    - keep only lines ending in terminal punctuation (. ! ? or a
+      closing quote after one);
+    - drop lines with fewer than ``min_words`` whitespace words;
+    - drop lines containing the word "javascript" (case-insensitive);
+    - ``page_flagged``: the page-level poison verdict (contains
+      "lorem ipsum" or a curly brace, case-insensitive) — C4 drops
+      the whole page; surfaced as a flag so the caller chooses.
+
+    Returns struct (text_clean, n_lines, n_kept, page_flagged). The
+    kept lines are re-joined with ``\\n`` in original order."""
+    lines = F.filter(
+        F.transform(F.split(col, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != F.lit(""),
+    )
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike(r"[.!?][\"']?$")
+        & (F.size(F.split(ln, r"\s+")) >= min_words)
+        & ~F.lower(ln).contains("javascript"),
+    )
+    low = F.lower(col)
+    flagged = F.lit(False)
+    for m in C4_PAGE_MARKERS:
+        flagged = flagged | low.contains(m)
+    return F.struct(
+        F.concat_ws("\n", kept).alias("text_clean"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        flagged.alias("page_flagged"),
     )

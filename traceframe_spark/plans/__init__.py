@@ -6,6 +6,7 @@ from traceframe_spark.plans.events import EVENTS_ORACLE_SQL, EVENTS_QUERIES
 from traceframe_spark.plans.lexical import LEXICAL_ORACLE_SQL, LEXICAL_QUERIES
 from traceframe_spark.plans.mlprep import MLPREP_ORACLE_SQL, MLPREP_QUERIES
 from traceframe_spark.plans.pipeline import PIPELINE_ORACLE_SQL, PIPELINE_QUERIES
+from traceframe_spark.plans.quality import QUALITY_ORACLE_SQL, QUALITY_QUERIES
 from traceframe_spark.plans.temporal import TEMPORAL_ORACLE_SQL, TEMPORAL_QUERIES
 from traceframe_spark.plans.tpch import TPCH_ORACLE_SQL, TPCH_QUERIES
 from traceframe_spark.plans.traceops import TRACEOPS_ORACLE_SQL, TRACEOPS_QUERIES
@@ -51,6 +52,7 @@ def catalog_queries():
     merged = {
         **PIPELINE_QUERIES,
         **MLPREP_QUERIES,
+        **QUALITY_QUERIES,
         **QUERIES,
         **ADVANCED_QUERIES,
         **LEXICAL_QUERIES,
@@ -82,6 +84,7 @@ def catalog_oracle_sql():
     return {
         **PIPELINE_ORACLE_SQL,
         **MLPREP_ORACLE_SQL,
+        **QUALITY_ORACLE_SQL,
         **ORACLE_SQL,
         **ADVANCED_ORACLE_SQL,
         **LEXICAL_ORACLE_SQL,
