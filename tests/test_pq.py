@@ -1,0 +1,103 @@
+"""Product quantization + ADC (operators/similarity.py — Jégou et al.
+TPAMI 2011): portable sampled codebooks, per-subspace assignment, and
+asymmetric-distance top-k, value-pinned on hand-computable vectors;
+the full-corpus chain is oracle-checked via the pq_codes /
+pq_adc_topk registry entries."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from traceframe_spark.operators import similarity as sim
+
+DIM = 16  # m=8 subspaces of 2 dims
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_codebook_sampling_is_md5_bottom_k(spark):
+    rows = [(i, [float(i)] * DIM) for i in range(40)]
+    cb = sim.pq_sample_codebooks(_vecs(spark, rows), "vec_id", "embedding")
+    want_order = sorted(
+        range(40), key=lambda i: hashlib.md5(f"pq|{i}".encode()).hexdigest()
+    )[:16]
+    assert [v[0] for v in cb] == [float(i) for i in want_order]
+    with pytest.raises(ValueError, match="n_codes"):
+        sim.pq_sample_codebooks(
+            _vecs(spark, rows[:5]), "vec_id", "embedding"
+        )
+
+
+def test_encode_assigns_sampled_vectors_to_their_own_codeword(spark):
+    """A vector that IS a codeword has subspace distance 0 to itself in
+    every subspace, so it must encode to its own codeword index
+    everywhere (ties broken by smallest index — distinct vectors here,
+    so no ties)."""
+    rows = [(i, [float(i * 7 + j) for j in range(DIM)]) for i in range(20)]
+    df = _vecs(spark, rows)
+    cb = sim.pq_sample_codebooks(df, "vec_id", "embedding")
+    codes = {r["id"]: list(r["code"]) for r in
+             sim.pq_encode(df, "vec_id", "embedding", cb).collect()}
+    for c, vec in enumerate(cb):
+        vid = int(vec[0] // 7)
+        assert codes[vid] == [c] * 8, f"codeword {c} (vec {vid})"
+
+
+def test_adc_matches_hand_computation(spark):
+    """Tiny corpus where the ADC arithmetic is checkable by hand: the
+    approximate distance must equal the exact squared L2 between the
+    query and each vector's RECONSTRUCTION (its codewords), and the
+    ranking must follow it."""
+    rows = [(i, [float(i)] * DIM) for i in range(16)]  # 16 rows = the codebook
+    df = _vecs(spark, rows)
+    cb = sim.pq_sample_codebooks(df, "vec_id", "embedding")
+    codes = sim.pq_encode(df, "vec_id", "embedding", cb)
+    q = _vecs(spark, [(100, [2.5] * DIM)])
+    top = sim.pq_adc_topk(codes, q, "vec_id", "embedding", cb, k=3).collect()
+    # every vector reconstructs exactly (it is its own codeword), so
+    # ad2 = 16 * (i - 2.5)^2; nearest are i=2 and i=3 (tie on distance
+    # 0.25*16=4.0, cid ascending), then i=1/i=4 tie -> cid 1
+    got = [(r["cid"], r["ad2"], r["rn"]) for r in top]
+    assert got == [(2, 4.0, 1), (3, 4.0, 2), (1, 36.0, 3)]
+
+
+def test_adc_recall_beats_random_on_real_embeddings(spark):
+    """Sanity on the real table: ADC top-5 must overlap exact
+    squared-L2 top-5 well above chance. The synthetic embeddings are
+    near-iid uniform — PQ's adversarial case (no manifold structure
+    for 16 sample codewords to exploit; measured recall ~0.06 vs
+    chance 0.01) — so this pins a 3x-over-chance floor, not the high
+    recall real embedding manifolds give; the VALUES of the chain are
+    pinned exactly by the pq_codes/pq_adc_topk oracles regardless."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = sim.pq_sample_codebooks(e, "vec_id", "embedding")
+    codes = sim.pq_encode(e, "vec_id", "embedding", cb)
+    q = e.filter(F.col("vec_id") < 10)
+    adc = sim.pq_adc_topk(codes, q, "vec_id", "embedding", cb, k=5)
+    got = {}
+    for r in adc.collect():
+        got.setdefault(r["qid"], set()).add(r["cid"])
+    # exact squared-L2 top-5 via the generic machinery
+    c = e.selectExpr("vec_id AS cid", "embedding AS c_vec")
+    qq = q.selectExpr("vec_id AS qid", "embedding AS q_vec")
+    d2 = F.aggregate(
+        F.zip_with("q_vec", "c_vec", lambda a, b: (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    from pyspark.sql.window import Window
+
+    pairs = qq.crossJoin(c).filter(F.col("qid") != F.col("cid")).select(
+        "qid", "cid", d2.alias("d2")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    exact = {}
+    for r in pairs.withColumn("rn", F.row_number().over(w)).filter("rn <= 5").collect():
+        exact.setdefault(r["qid"], set()).add(r["cid"])
+    n = len(e.collect())
+    recall = sum(len(got[q0] & exact[q0]) for q0 in exact) / (5.0 * len(exact))
+    assert recall >= 3 * (5.0 / n), f"recall@5 {recall} (chance ~ {5.0 / n:.3f})"

@@ -1473,3 +1473,160 @@ def ivf_recall_at_k(
     )
     recall_q = F.floor(F.col("n_hit") / F.lit(float(k)) * 10000 + F.lit(0.5)).cast("long")
     return per_q.select("qid", "n_hit", recall_q.alias("recall_q"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric distance computation (ADC) —
+# Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011). The memory-side scale lever the IVF tier lacks:
+# a dim-64 float32 vector (256 bytes) compresses to m=8 one-byte codes
+# (32x), so a 100 TB embedding corpus's scan side fits where raw
+# vectors cannot, and query scoring is m table lookups per candidate
+# instead of a dim-length dot product. Codebooks here are PORTABLE by
+# construction: the n_codes corpus vectors with the smallest
+# md5(salt|id) keys become the codewords (random-sample codebooks are
+# the standard PQ baseline/init; the md5 bottom-k makes the sample
+# deterministic, order-independent, mergeable — the same discipline as
+# minhash_portable/percentiles_sampled), so the ENTIRE chain
+# (sampling -> per-subspace assignment -> ADC ranking) replays in
+# ANSI SQL and is value-verified by the oracle, not just recall-tested.
+# k-means-trained codebooks drop in through the same `samples` argument
+# (train_ivf_centroids-style) when reconstruction error matters more
+# than replayability. No reference analogue (the reference has no
+# vector operators).
+# ---------------------------------------------------------------------------
+
+
+def pq_sample_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_codes: int = 16,
+    salt: str = "pq",
+) -> list[list[float]]:
+    """The ``n_codes`` corpus vectors with the smallest
+    ``md5(salt|id)`` keys, in key order — codeword ``c`` of every
+    subspace is the c-th sample's subvector. One bounded
+    TakeOrderedAndProject (never a full sort); the collected sample is
+    n_codes x dim floats, centroid-sized driver state."""
+    rows = (
+        corpus.select(
+            F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))).alias(
+                "h"
+            ),
+            F.col(vec_col).alias("v"),
+        )
+        .orderBy("h")
+        .limit(n_codes)
+        .collect()
+    )
+    if len(rows) < n_codes:
+        raise ValueError(
+            f"pq_sample_codebooks: corpus has {len(rows)} rows < n_codes={n_codes}"
+        )
+    return [[float(x) for x in r["v"]] for r in rows]
+
+
+def _pq_subdist(vec: Column, sample: list[float], s: int, d: int) -> Column:
+    """Squared L2 between ``vec``'s subspace-s block and the sample's —
+    an EXPLICIT left-associated sum in dimension order, so Spark and
+    the SQL oracle round identically term by term (a sum() aggregate
+    would leave the addition order to the engine)."""
+    terms = []
+    for j in range(d):
+        e = F.element_at(vec, s * d + j + 1).cast("double") - F.lit(
+            float(sample[s * d + j])
+        )
+        terms.append(e * e)
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    samples: list[list[float]],
+    m: int = 8,
+) -> DataFrame:
+    """Encode vectors to PQ codes: for each of ``m`` subspaces, the
+    index of the codeword (``samples``' subvector) with the smallest
+    squared L2 distance, ties to the smallest index. Returns
+    (id, code: array<int> of length m). Pure projection — zero
+    shuffle; per-row work is m x n_codes x (dim/m) multiply-adds in
+    whole-stage codegen (the literal codebook rides in the plan,
+    exactly like ``ivf_assign``)."""
+    dim = len(samples[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    vec = _dim_checked(F.col(vec_col), dim)
+    code = F.array(
+        *[
+            F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            _pq_subdist(vec, w, s, d).alias("d2"),
+                            F.lit(c).alias("c"),
+                        )
+                        for c, w in enumerate(samples)
+                    ]
+                )
+            )["c"]
+            for s in range(m)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), code.alias("code"))
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    samples: list[list[float]],
+    k: int = 5,
+    m: int = 8,
+) -> DataFrame:
+    """Approximate top-k by ADC: each query precomputes its m x
+    n_codes lookup table of subspace distances ONCE (a projection on
+    the small query side), then every (query, code) pair scores with m
+    array lookups + m-1 adds — no vector arithmetic on the corpus
+    side, which is the whole point: the scan touches 1-byte codes, not
+    float vectors. Queries broadcast; ranking is
+    (approx_d2 asc, cid asc) per query. Returns
+    (qid, cid, ad2, rn). approx_d2 is bit-deterministic across engines
+    (explicit-order sums over exact float32-derived doubles), so the
+    oracle replays the ranking exactly."""
+    dim = len(samples[0])
+    d = dim // m
+    qvec = _dim_checked(F.col(vec_col), dim)
+    lut = F.array(
+        *[
+            F.array(*[_pq_subdist(qvec, w, s, d) for w in samples])
+            for s in range(m)
+        ]
+    )
+    q = queries.select(F.col(id_col).alias("qid"), lut.alias("lut"))
+    pairs = codes.withColumnRenamed("id", "cid").crossJoin(F.broadcast(q))
+    ad2_terms = [
+        F.element_at(
+            F.element_at(F.col("lut"), s + 1),
+            F.element_at(F.col("code"), s + 1) + 1,
+        )
+        for s in range(m)
+    ]
+    ad2 = ad2_terms[0]
+    for t in ad2_terms[1:]:
+        ad2 = ad2 + t
+    scored = pairs.filter(F.col("qid") != F.col("cid")).select(
+        "qid", "cid", ad2.alias("ad2")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("ad2").asc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )

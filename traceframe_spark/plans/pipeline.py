@@ -3126,6 +3126,127 @@ GROUP BY p.doc_id
 """
 
 
+
+
+def _pq_dim_sum(e_expr: str, c_expr: str) -> str:
+    """Explicit left-associated 8-term squared-L2 sum for one PQ
+    subspace (dims s*8+1 .. s*8+8) — the SQL twin of
+    operators/similarity._pq_subdist: same term order, so both engines
+    round identically and the ADC ranking replays bit-for-bit."""
+    terms = []
+    for j in range(1, 9):
+        a = f"(CAST({e_expr}[ss.s*8+{j}] AS DOUBLE) - CAST({c_expr}[ss.s*8+{j}] AS DOUBLE))"
+        terms.append(f"{a} * {a}")
+    return " + ".join(terms)
+
+
+_SQL_PQ_ASSIGN = f"""
+samp AS (
+    SELECT row_number() OVER (ORDER BY h) - 1 AS c, embedding
+    FROM (
+        SELECT md5('pq|' || CAST(vec_id AS VARCHAR)) AS h, embedding
+        FROM embeddings ORDER BY h LIMIT 16
+    )
+),
+ss AS (SELECT CAST(unnest(range(8)) AS INT) AS s),
+ad AS (
+    SELECT e.vec_id, ss.s, samp.c,
+           {_pq_dim_sum('e.embedding', 'samp.embedding')} AS d2
+    FROM embeddings e, ss, samp
+),
+codes AS (
+    SELECT vec_id, s, c FROM ad
+    QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, c ASC) = 1
+)"""
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding of the whole embeddings table with the PORTABLE
+    md5-bottom-16 sampled codebooks (similarity.pq_sample_codebooks /
+    pq_encode): per vector, the 8 one-byte subspace codewords, joined
+    to one string. The oracle replays sampling + per-subspace argmin
+    assignment exactly (same explicit-order float sums)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = _pq_codebooks(spark, sf_dir)
+    codes = similarity.pq_encode(e, "vec_id", "embedding", cb)
+    return codes.select(
+        F.col("id").alias("vec_id"),
+        F.concat_ws("-", F.col("code")).alias("code_str"),
+    )
+
+
+SQL_PQ_CODES = f"""
+WITH {_SQL_PQ_ASSIGN}
+SELECT vec_id, string_agg(CAST(c AS VARCHAR), '-' ORDER BY s) AS code_str
+FROM codes GROUP BY vec_id
+"""
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-5 per query over the PQ codes (similarity.pq_adc_topk):
+    each query's subspace lookup table is computed once, every
+    candidate scores with 8 lookups + 7 adds — the compressed-domain
+    scan that replaces float vectors with 1-byte codes at 100 TB. The
+    approximate distances are bit-deterministic across engines
+    (explicit-order sums over exact float32-derived doubles), so the
+    oracle replays the RANKING, not just row counts."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = _pq_codebooks(spark, sf_dir)
+    codes = similarity.pq_encode(e, "vec_id", "embedding", cb)
+    q = e.filter(F.col("vec_id") < 10)
+    top = similarity.pq_adc_topk(codes, q, "vec_id", "embedding", cb, k=5)
+    return top.select("qid", "cid", qint(F.col("ad2"), 4).alias("ad2_q"), "rn")
+
+
+SQL_PQ_ADC_TOPK = f"""
+WITH {_SQL_PQ_ASSIGN},
+cw AS (
+    SELECT vec_id,
+           max(CASE WHEN s = 0 THEN c END) AS k0,
+           max(CASE WHEN s = 1 THEN c END) AS k1,
+           max(CASE WHEN s = 2 THEN c END) AS k2,
+           max(CASE WHEN s = 3 THEN c END) AS k3,
+           max(CASE WHEN s = 4 THEN c END) AS k4,
+           max(CASE WHEN s = 5 THEN c END) AS k5,
+           max(CASE WHEN s = 6 THEN c END) AS k6,
+           max(CASE WHEN s = 7 THEN c END) AS k7
+    FROM codes GROUP BY vec_id
+),
+scored AS (
+    SELECT q.vec_id AS qid, v.vec_id AS cid,
+           l0.d2 + l1.d2 + l2.d2 + l3.d2 + l4.d2 + l5.d2 + l6.d2 + l7.d2 AS ad2
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+    JOIN cw v ON v.vec_id <> q.vec_id
+    JOIN ad l0 ON l0.vec_id = q.vec_id AND l0.s = 0 AND l0.c = v.k0
+    JOIN ad l1 ON l1.vec_id = q.vec_id AND l1.s = 1 AND l1.c = v.k1
+    JOIN ad l2 ON l2.vec_id = q.vec_id AND l2.s = 2 AND l2.c = v.k2
+    JOIN ad l3 ON l3.vec_id = q.vec_id AND l3.s = 3 AND l3.c = v.k3
+    JOIN ad l4 ON l4.vec_id = q.vec_id AND l4.s = 4 AND l4.c = v.k4
+    JOIN ad l5 ON l5.vec_id = q.vec_id AND l5.s = 5 AND l5.c = v.k5
+    JOIN ad l6 ON l6.vec_id = q.vec_id AND l6.s = 6 AND l6.c = v.k6
+    JOIN ad l7 ON l7.vec_id = q.vec_id AND l7.s = 7 AND l7.c = v.k7
+)
+SELECT qid, cid,
+       CAST(floor(ad2 * 10000 + 0.5) AS BIGINT) AS ad2_q,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY ad2 ASC, cid ASC) AS BIGINT) AS rn
+FROM scored
+QUALIFY rn <= 5
+"""
+
+
+_PQ_CODEBOOKS: dict = {}
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
+    key = sf_dir
+    if key not in _PQ_CODEBOOKS:
+        e = load_table(spark, sf_dir, "embeddings")
+        _PQ_CODEBOOKS[key] = similarity.pq_sample_codebooks(
+            e, "vec_id", "embedding"
+        )
+    return _PQ_CODEBOOKS[key]
+
+
 PIPELINE_QUERIES = {
     "quality_resample": q_quality_resample,
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -3163,6 +3284,8 @@ PIPELINE_QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
     "ann_ivf_manifest": q_ann_ivf_manifest,
+    "pq_codes": q_pq_codes,
+    "pq_adc_topk": q_pq_adc_topk,
     "embed_near_dup": q_embed_near_dup,
     "media_features": q_media_features,
     "quality_gate": q_quality_gate,
@@ -3221,6 +3344,8 @@ PIPELINE_ORACLE_SQL = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "ann_ivf_exhaustive": SQL_ANN_COSINE_TOPK,
     "ann_ivf_manifest": SQL_ANN_COSINE_TOPK,
+    "pq_codes": SQL_PQ_CODES,
+    "pq_adc_topk": SQL_PQ_ADC_TOPK,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "doc_repetition": SQL_DOC_REPETITION,
     "doc_pii": SQL_DOC_PII,
