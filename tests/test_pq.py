@@ -101,3 +101,69 @@ def test_adc_recall_beats_random_on_real_embeddings(spark):
     n = len(e.collect())
     recall = sum(len(got[q0] & exact[q0]) for q0 in exact) / (5.0 * len(exact))
     assert recall >= 3 * (5.0 / n), f"recall@5 {recall} (chance ~ {5.0 / n:.3f})"
+
+
+def test_ivfpq_index_roundtrip_append_and_pruned_probe(spark, tmp_path):
+    """IVF-PQ composition: codes + codebooks + centroids commit in one
+    manifest; appends encode with the same frozen codebooks; a pruned
+    probe's candidate read projects (cid, list_id, code) — the float
+    vector column never reaches the scan; full probe equals the
+    corpus-wide pq_adc_topk exactly."""
+    rows = [(i, [float((i * 13 + j * 7) % 100) for j in range(DIM)]) for i in range(60)]
+    corpus = _vecs(spark, rows)
+    cb = sim.pq_sample_codebooks(corpus, "vec_id", "embedding")
+    cents = sim.train_ivf_centroids(corpus, "vec_id", "embedding", n_centroids=4)
+    path = str(tmp_path / "ivfpq")
+    sim.write_ivf_index(
+        corpus, path, "vec_id", "embedding", centroids=cents,
+        protocol="manifest", pq_samples=cb,
+    )
+    q = _vecs(spark, [(200, [3.0] * DIM), (201, [55.0] * DIM)])
+    # full probe == corpus-wide ADC (the oracle-pin equivalence)
+    codes = sim.pq_encode(corpus, "vec_id", "embedding", cb)
+    want = sorted(
+        (r["qid"], r["cid"], r["rn"]) for r in
+        sim.pq_adc_topk(codes, q, "vec_id", "embedding", cb, k=3).collect()
+    )
+    got = sorted(
+        (r["qid"], r["cid"], r["rn"]) for r in
+        sim.ivf_adc_topk_over_index(
+            spark, path, q, "vec_id", "embedding", k=3, nprobe=4
+        ).collect()
+    )
+    assert got == want
+    # append: new rows carry codes from the SAME codebooks
+    sim.append_to_ivf_index(
+        _vecs(spark, [(300, [2.9] * DIM)]), path, "vec_id", "embedding"
+    )
+    from traceframe_spark.streaming.embeddings import read_indexed_vectors
+
+    row300 = [r for r in read_indexed_vectors(spark, path).collect() if r["cid"] == 300]
+    want_code = sim.pq_encode(
+        _vecs(spark, [(300, [2.9] * DIM)]), "vec_id", "embedding", cb
+    ).collect()[0]["code"]
+    assert list(row300[0]["code"]) == list(want_code)
+    # the appended near-duplicate of q=[3.0]*16 now tops its probe
+    top = sim.ivf_adc_topk_over_index(
+        spark, path, q.filter("vec_id = 200"), "vec_id", "embedding", k=1, nprobe=4
+    ).collect()
+    assert top[0]["cid"] == 300
+    # pruned probe never reads the float vector column
+    plan = sim.ivf_adc_topk_over_index(
+        spark, path, q, "vec_id", "embedding", k=3, nprobe=1
+    )._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "c_vec" in ln]
+    assert not scans, f"candidate scan reads the vector column:\n{plan[:2000]}"
+    # pq on a sidecar store is refused
+    with pytest.raises(ValueError, match="manifest"):
+        sim.write_ivf_index(
+            corpus, str(tmp_path / "side"), "vec_id", "embedding",
+            centroids=cents, pq_samples=cb,
+        )
+    # ADC probe on a PQ-less index is refused loudly
+    plain = str(tmp_path / "plain")
+    sim.write_ivf_index(
+        corpus, plain, "vec_id", "embedding", centroids=cents, protocol="manifest"
+    )
+    with pytest.raises(ValueError, match="no PQ codebooks"):
+        sim.ivf_adc_topk_over_index(spark, plain, q, "vec_id", "embedding")

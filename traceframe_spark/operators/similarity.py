@@ -1118,6 +1118,8 @@ def write_ivf_index(
     mode: str = "error",
     seed: int = 42,
     protocol: str = "sidecar",
+    pq_samples: list[list[float]] | None = None,
+    pq_m: int = 8,
 ) -> list[list[float]]:
     """Build and persist an IVF index: the corpus lands in parquet
     PARTITIONED BY its inverted-list id, centroids ride along as a tiny
@@ -1142,9 +1144,24 @@ def write_ivf_index(
     lists (same don't-clobber contract as ``parquet(mode="error")``),
     ``"overwrite"`` rebuilds atomically (the commit retires the old
     lists in the same publish); ``"append"`` is not a build mode —
-    use :func:`append_to_ivf_index`."""
+    use :func:`append_to_ivf_index`.
+
+    ``pq_samples`` (manifest protocol only) builds an IVF-PQ index —
+    the billion-scale composition (Jégou et al. TPAMI 2011): each
+    stored row additionally carries its PQ ``code``
+    (:func:`pq_encode` with these codebooks), and the codebooks commit
+    in the SAME manifest as centroids and lists, so a probe can score
+    candidates in the compressed domain
+    (:func:`ivf_adc_topk_over_index`) without touching float vectors —
+    the scan side of a probe reads m bytes per candidate instead of
+    dim x 4."""
     if protocol not in ("sidecar", "manifest"):
         raise ValueError(f"unknown IVF store protocol {protocol!r}")
+    if pq_samples is not None and protocol != "manifest":
+        raise ValueError(
+            "pq_samples needs protocol='manifest' (codebooks commit "
+            "atomically with the lists in the manifest meta)"
+        )
     if protocol == "manifest" and mode not in ("error", "errorifexists", "overwrite"):
         raise ValueError(
             f"write_ivf_index(protocol='manifest') supports mode='error'/"
@@ -1155,12 +1172,15 @@ def write_ivf_index(
         centroids = train_ivf_centroids(
             corpus, id_col, vec_col, n_centroids=n_centroids, seed=seed
         )
-    assigned = corpus.select(
+    cols = [
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("c_vec"),
         l2_norm(F.col(vec_col)).alias("c_nrm"),
         ivf_assign(F.col(vec_col), centroids).alias("list_id"),
-    )
+    ]
+    if pq_samples is not None:
+        cols.append(_pq_code_expr(vec_col, pq_samples, pq_m).alias("code"))
+    assigned = corpus.select(*cols)
     if protocol == "manifest":
         from traceframe_spark.streaming import manifest_store as MS
 
@@ -1177,10 +1197,14 @@ def write_ivf_index(
                 "pass mode='overwrite' to rebuild (atomic), or use "
                 "append_to_ivf_index for incremental adds"
             )
+        meta: dict = {"ivf_centroids": centroids}
+        if pq_samples is not None:
+            meta["pq_samples"] = [[float(x) for x in w] for w in pq_samples]
+            meta["pq_m"] = int(pq_m)
         MS.append_parts_layer(
             corpus.sparkSession, path,
             assigned.repartition("list_id"), "list_id",
-            replace=True, meta={"ivf_centroids": centroids}, prev=prev,
+            replace=True, meta=meta, prev=prev,
         )
         return centroids
     (
@@ -1221,12 +1245,23 @@ def append_to_ivf_index(
     """
     spark = new_rows.sparkSession
     centroids, man = resolved if resolved is not None else _ivf_resolve(spark, path)
-    assigned = new_rows.select(
+    cols = [
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("c_vec"),
         l2_norm(F.col(vec_col)).alias("c_nrm"),
         ivf_assign(F.col(vec_col), centroids).alias("list_id"),
-    )
+    ]
+    # an IVF-PQ index (pq codebooks in the manifest meta) encodes its
+    # appends with the SAME frozen codebooks, so old and new rows score
+    # identically in the compressed domain
+    pq = (man or {}).get("meta", {}).get("pq_samples")
+    if pq is not None:
+        cols.append(
+            _pq_code_expr(
+                vec_col, pq, int(man["meta"].get("pq_m", 8))
+            ).alias("code")
+        )
+    assigned = new_rows.select(*cols)
     if man is not None:
         from traceframe_spark.streaming import manifest_store as MS
 
@@ -1544,26 +1579,15 @@ def _pq_subdist(vec: Column, sample: list[float], s: int, d: int) -> Column:
     return out
 
 
-def pq_encode(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    samples: list[list[float]],
-    m: int = 8,
-) -> DataFrame:
-    """Encode vectors to PQ codes: for each of ``m`` subspaces, the
-    index of the codeword (``samples``' subvector) with the smallest
-    squared L2 distance, ties to the smallest index. Returns
-    (id, code: array<int> of length m). Pure projection — zero
-    shuffle; per-row work is m x n_codes x (dim/m) multiply-adds in
-    whole-stage codegen (the literal codebook rides in the plan,
-    exactly like ``ivf_assign``)."""
+def _pq_code_expr(vec_col_name: str, samples: list[list[float]], m: int) -> Column:
+    """The PQ code array expression over a vector column: per subspace,
+    argmin squared-L2 codeword index (ties to smallest index)."""
     dim = len(samples[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d = dim // m
-    vec = _dim_checked(F.col(vec_col), dim)
-    code = F.array(
+    vec = _dim_checked(F.col(vec_col_name), dim)
+    return F.array(
         *[
             F.array_min(
                 F.array(
@@ -1579,7 +1603,26 @@ def pq_encode(
             for s in range(m)
         ]
     )
-    return df.select(F.col(id_col).alias("id"), code.alias("code"))
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    samples: list[list[float]],
+    m: int = 8,
+) -> DataFrame:
+    """Encode vectors to PQ codes: for each of ``m`` subspaces, the
+    index of the codeword (``samples``' subvector) with the smallest
+    squared L2 distance, ties to the smallest index. Returns
+    (id, code: array<int> of length m). Pure projection — zero
+    shuffle; per-row work is m x n_codes x (dim/m) multiply-adds in
+    whole-stage codegen (the literal codebook rides in the plan,
+    exactly like ``ivf_assign``)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        _pq_code_expr(vec_col, samples, m).alias("code"),
+    )
 
 
 def pq_adc_topk(
@@ -1625,6 +1668,93 @@ def pq_adc_topk(
     scored = pairs.filter(F.col("qid") != F.col("cid")).select(
         "qid", "cid", ad2.alias("ad2")
     )
+    w = Window.partitionBy("qid").orderBy(F.col("ad2").asc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def ivf_adc_topk_over_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k by ADC over a persisted IVF-PQ index
+    (:func:`write_ivf_index` with ``pq_samples``) — the two-lever
+    composition that makes billion-scale ANN tractable: IVF partition
+    pruning bounds WHICH rows a probe touches (``nprobe/n_centroids``
+    of the corpus, unprobed list directories never even listed), and
+    PQ bounds what each touched row COSTS (m one-byte code lookups +
+    m-1 adds against the query's precomputed subspace table, instead
+    of a dim-length float dot product — the probe's scan can project
+    (cid, list_id, code) and skip the vector column entirely, which
+    parquet column pruning turns into ~32x less I/O on the candidate
+    read). Centroids, codebooks, and lists come from ONE resolved
+    manifest, so a concurrent append can never mix index versions.
+    Ranking is (approx_d2 asc, cid asc); at nprobe = n_centroids the
+    result equals :func:`pq_adc_topk` over the whole corpus exactly
+    (the registry's oracle pin). Re-rank the returned top-k against
+    the raw vectors (:func:`cosine_topk` on the k ids) when exactness
+    at the head matters — the standard IVFADC refinement step."""
+    from traceframe_spark.streaming import manifest_store as MS
+
+    centroids, man = _ivf_resolve(spark, path)
+    if man is None or man.get("meta", {}).get("pq_samples") is None:
+        raise ValueError(
+            f"IVF index at {path!r} carries no PQ codebooks — build it "
+            "with write_ivf_index(..., protocol='manifest', pq_samples=...)"
+        )
+    samples = man["meta"]["pq_samples"]
+    m = int(man["meta"].get("pq_m", 8))
+    dim = len(samples[0])
+    d = dim // m
+    qvec = _dim_checked(F.col(vec_col), dim)
+    lut = F.array(
+        *[
+            F.array(*[_pq_subdist(qvec, w, s, d) for w in samples])
+            for s in range(m)
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        lut.alias("lut"),
+        F.explode(ivf_probe_lists(F.col(vec_col), centroids, nprobe)).alias(
+            "list_id"
+        ),
+    )
+    probed = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})
+    live = {key.split("=", 1)[1] for key in man["layers"] if key.startswith("list_id=")}
+    vals = [str(v) for v in probed if str(v) in live]
+    if not live or not vals:
+        return q.select("qid").limit(0).select(
+            "qid",
+            F.col("qid").alias("cid"),
+            F.lit(None).cast("double").alias("ad2"),
+            F.lit(None).cast("long").alias("rn"),
+        )
+    pruned = MS.read_parts_layers(spark, path, vals=vals, man=man).select(
+        "cid", "list_id", "code"
+    )
+    pairs = q.join(pruned, "list_id")
+    if exclude_self:
+        pairs = pairs.filter(F.col("qid") != F.col("cid"))
+    terms = [
+        F.element_at(
+            F.element_at(F.col("lut"), s + 1),
+            F.element_at(F.col("code"), s + 1) + 1,
+        )
+        for s in range(m)
+    ]
+    ad2 = terms[0]
+    for t in terms[1:]:
+        ad2 = ad2 + t
+    scored = pairs.select("qid", "cid", ad2.alias("ad2"))
     w = Window.partitionBy("qid").orderBy(F.col("ad2").asc(), F.col("cid").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))

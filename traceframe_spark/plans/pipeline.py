@@ -3234,6 +3234,31 @@ QUALIFY rn <= 5
 """
 
 
+def q_ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-5 through a PERSISTED manifest IVF-PQ index
+    (write_ivf_index(pq_samples=...) + ivf_adc_topk_over_index) at
+    nprobe = n_centroids: full probe makes candidate generation the
+    whole corpus, so the result must EQUAL pq_adc_topk's — the same
+    DuckDB ADC oracle pins the store roundtrip (codes + codebooks +
+    centroids committed and served back in one snapshot) AND the
+    composed probe machinery, the same full-probe-equals-exhaustive
+    discipline ann_ivf_manifest uses for the float tier."""
+    from traceframe_spark.plans.catalog import tmp_store
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    path = tmp_store("ivfpq_") + "/ivfpq"
+    similarity.write_ivf_index(
+        e, path, "vec_id", "embedding",
+        centroids=_ivf_centroids(spark, sf_dir, 8), protocol="manifest",
+        pq_samples=_pq_codebooks(spark, sf_dir),
+    )
+    top = similarity.ivf_adc_topk_over_index(
+        spark, path, q, "vec_id", "embedding", k=5, nprobe=8
+    )
+    return top.select("qid", "cid", qint(F.col("ad2"), 4).alias("ad2_q"), "rn")
+
+
 _PQ_CODEBOOKS: dict = {}
 
 
@@ -3286,6 +3311,7 @@ PIPELINE_QUERIES = {
     "ann_ivf_manifest": q_ann_ivf_manifest,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
+    "ann_ivfpq_adc": q_ann_ivfpq_adc,
     "embed_near_dup": q_embed_near_dup,
     "media_features": q_media_features,
     "quality_gate": q_quality_gate,
@@ -3346,6 +3372,7 @@ PIPELINE_ORACLE_SQL = {
     "ann_ivf_manifest": SQL_ANN_COSINE_TOPK,
     "pq_codes": SQL_PQ_CODES,
     "pq_adc_topk": SQL_PQ_ADC_TOPK,
+    "ann_ivfpq_adc": SQL_PQ_ADC_TOPK,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "doc_repetition": SQL_DOC_REPETITION,
     "doc_pii": SQL_DOC_PII,
