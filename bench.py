@@ -124,6 +124,12 @@ HEADLINE = [
     "dedup_index_manifest",
     "lm_manifest_score",
     "percentiles_sampled",
+    # r12 additions
+    "gopher_quality",
+    "gopher_repetition",
+    "c4_filter",
+    "pq_codes",
+    "pq_adc_topk",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans
@@ -305,6 +311,36 @@ def main() -> None:
             timings["ann_ivf_manifest_probe"] = None
         finally:
             shutil.rmtree(os.path.dirname(midx), ignore_errors=True)
+
+        # IVF-PQ manifest twin, same build-vs-probe split: the registry
+        # row (`ann_ivfpq_adc`) rebuilds the index inside the timed
+        # region at full probe because exhaustive-equals-exact is its
+        # correctness point; the regression tracker needs the steady
+        # state — an ADC probe at production nprobe against a STANDING
+        # index, where candidates pay 8 one-byte lookups instead of a
+        # 64-float dot product and the scan skips the vector column.
+        pidx = tempfile.mkdtemp(prefix="bench_ivfpq_man_") + "/idx"
+        try:
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            cb = similarity.pq_sample_codebooks(emb, "vec_id", "embedding")
+            t0 = time.time()
+            similarity.write_ivf_index(
+                emb, pidx, "vec_id", "embedding", n_centroids=8,
+                protocol="manifest", pq_samples=cb,
+            )
+            timings["ivfpq_manifest_build"] = round(time.time() - t0, 3)
+            q = emb.filter(F.col("vec_id") < 10)
+            timed(
+                "ann_ivfpq_probe",
+                lambda: similarity.ivf_adc_topk_over_index(
+                    spark, pidx, q, "vec_id", "embedding", k=5, nprobe=4
+                ),
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["ann_ivfpq_probe"] = f"{type(exc).__name__}: {exc}"[:300]
+            timings["ann_ivfpq_probe"] = None
+        finally:
+            shutil.rmtree(os.path.dirname(pidx), ignore_errors=True)
     finally:
         shutil.rmtree(store, ignore_errors=True)
         shutil.rmtree(os.path.dirname(idx), ignore_errors=True)
