@@ -167,3 +167,60 @@ def test_ivfpq_index_roundtrip_append_and_pruned_probe(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no PQ codebooks"):
         sim.ivf_adc_topk_over_index(spark, plain, q, "vec_id", "embedding")
+
+
+def test_stream_ingest_into_ivfpq_matches_batch_build(spark, tmp_path):
+    """Streaming fold into an IVF-PQ index: every streamed vector gets
+    its code from the SAME frozen codebooks as the bootstrap build (the
+    append path reads pq_samples out of the resolved manifest meta), so
+    an ADC probe over the streamed index must EQUAL the probe over a
+    one-shot batch build of the identical corpus — the compressed
+    domain cannot tell how rows arrived."""
+    import json
+
+    from traceframe_spark.streaming.embeddings import stream_embed_ingest
+
+    rows = [(i, [float((i * 13 + j * 7) % 100) for j in range(DIM)]) for i in range(40)]
+    corpus = _vecs(spark, rows)
+    cb = sim.pq_sample_codebooks(corpus, "vec_id", "embedding")
+    cents = sim.train_ivf_centroids(corpus, "vec_id", "embedding", n_centroids=4)
+    streamed = str(tmp_path / "ivfpq_streamed")
+    sim.write_ivf_index(
+        corpus, streamed, "vec_id", "embedding", centroids=cents,
+        protocol="manifest", pq_samples=cb,
+    )
+    new_rows = [(100 + i, [float((i * 31 + j * 3) % 90) for j in range(DIM)])
+                for i in range(6)]
+    feed = tmp_path / "pq_feed"
+    feed.mkdir()
+    for b in range(2):
+        with open(feed / f"b{b}.jsonl", "w") as f:
+            for vid, v in new_rows[b * 3:(b + 1) * 3]:
+                f.write(json.dumps({"vec_id": vid, "embedding": v}) + "\n")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+    )
+    q = stream_embed_ingest(
+        stream, streamed, str(tmp_path / "pq_ckpt"), trigger_available_now=True
+    )
+    q.awaitTermination()
+    batch = str(tmp_path / "ivfpq_batch")
+    sim.write_ivf_index(
+        corpus.unionByName(_vecs(spark, new_rows)), batch, "vec_id", "embedding",
+        centroids=cents, protocol="manifest", pq_samples=cb,
+    )
+    queries = _vecs(spark, [(500, [2.0] * DIM), (501, [77.0] * DIM)])
+
+    def probe(path):
+        return sorted(
+            (r["qid"], r["cid"], r["ad2"], r["rn"]) for r in
+            sim.ivf_adc_topk_over_index(
+                spark, path, queries, "vec_id", "embedding", k=4, nprobe=4
+            ).collect()
+        )
+
+    got, want = probe(streamed), probe(batch)
+    assert got == want
+    assert any(cid >= 100 for _, cid, _, _ in got)  # streamed rows rank
