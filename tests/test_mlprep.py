@@ -241,6 +241,60 @@ def test_semdedup_pairs_hand_values(spark):
     assert all(k == (0, 10, 11) for k in got)
 
 
+def test_semdedup_keep_election_rules(spark):
+    """semdedup_keep on a hand-built duplicate chain: A~B~C transitively
+    grouped even though A,C never pair directly; keep='far' elects the
+    member with the LOWEST centroid cosine (the SemDeDup rule),
+    keep='near' the highest; singletons and the untouched cluster pass
+    through; bad keep is refused."""
+    import pytest
+
+    from traceframe_spark.operators.similarity import semdedup_keep
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),      # centroid 0
+        (1, [0.0, 1.0, 0.0]),      # centroid 1
+        # chain in cluster 0: 10~11 and 11~12 clear 0.999, 10~12 does not
+        (10, [1.0, 0.000, 0.0]),
+        (11, [1.0, 0.045, 0.0]),
+        (12, [1.0, 0.090, 0.0]),
+        (20, [0.1, 0.9, 0.0]),     # cluster-1 singleton
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    cent = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+
+    def kept_ids(keep):
+        return sorted(
+            r["vec_id"]
+            for r in semdedup_keep(
+                df, cent, "vec_id", "embedding", min_cos_q=9990, keep=keep
+            ).collect()
+        )
+
+    # corpus row 0 IS centroid 0's vector, so it pairs with 10 at cos
+    # 1.0 and the chain is {0,10,11,12}; id 12 sits farthest from the
+    # centroid (largest angle) -> keep='far' retains it alone, dropping
+    # 0/10/11 despite 0 being the min id
+    assert kept_ids("far") == [1, 12, 20]
+    # keep='near': 0 and 10 tie at cos 1.0 -> lowest id (0) retained
+    assert kept_ids("near") == [0, 1, 20]
+    with pytest.raises(ValueError, match="keep"):
+        semdedup_keep(df, cent, "vec_id", "embedding", keep="median")
+    # kept rows carry their assigned centroid
+    lab = {
+        r["vec_id"]: r["centroid_id"]
+        for r in semdedup_keep(
+            df, cent, "vec_id", "embedding", min_cos_q=9990
+        ).collect()
+    }
+    assert lab[20] == 1 and lab[12] == 0
+
+
 def test_semdedup_blocked_stripes_match_unblocked(spark):
     """The block-striped Gram sweep must be invisible: block=2 (many
     stripes per cluster) and block=10^6 (one stripe) emit identical

@@ -224,3 +224,60 @@ def test_stream_ingest_into_ivfpq_matches_batch_build(spark, tmp_path):
     got, want = probe(streamed), probe(batch)
     assert got == want
     assert any(cid >= 100 for _, cid, _, _ in got)  # streamed rows rank
+
+
+def test_residual_ivfpq_build_probe_append_parity(spark, tmp_path):
+    """Residual coding (Jégou et al. §IV): codebooks are sample
+    residuals to their nearest centroid; the meta flag rides the
+    manifest; an appended row encodes exactly as the same row built-in
+    (probe results identical index-wide); an exact clone of a stored
+    vector ranks first; pq_residual without pq_samples is refused."""
+    rows = [(i, [float((i * 13 + j * 7) % 100) for j in range(DIM)]) for i in range(40)]
+    corpus = _vecs(spark, rows)
+    cents = [rows[i][1] for i in range(4)]
+    cb = sim.pq_residual_codebooks(corpus, "vec_id", "embedding", cents)
+    # codebook = sample residual to its nearest centroid, sequential f64
+    samples = sim.pq_sample_codebooks(corpus, "vec_id", "embedding")
+    for v, r in zip(samples, cb):
+        d2s = [sum((x - y) ** 2 for x, y in zip(v, c)) for c in cents]
+        near = cents[d2s.index(min(d2s))]
+        assert r == [x - y for x, y in zip(v, near)]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="pq_samples"):
+        sim.write_ivf_index(
+            corpus, str(tmp_path / "nope"), "vec_id", "embedding",
+            centroids=cents, protocol="manifest", pq_residual=True,
+        )
+    built = str(tmp_path / "res_built")
+    sim.write_ivf_index(
+        corpus, built, "vec_id", "embedding", centroids=cents,
+        protocol="manifest", pq_samples=cb, pq_residual=True,
+    )
+    q = _vecs(spark, [(500, rows[25][1]), (501, [3.0] * DIM)])
+
+    def probe(path, k=3):
+        return sorted(
+            (r["qid"], r["cid"], r["ad2"], r["rn"]) for r in
+            sim.ivf_adc_topk_over_index(
+                spark, path, q, "vec_id", "embedding", k=k, nprobe=4
+            ).collect()
+        )
+
+    full = probe(built, k=40)
+    # q500 is an exact clone of stored row 25: its residual equals row
+    # 25's, so row 25's ADC distance is its own quantization error —
+    # minimal (other rows sharing the same code tie and the min id
+    # wins the rank; 25 itself must score the same minimal ad2)
+    q500 = [r for r in full if r[0] == 500]
+    top_ad2 = next(r[2] for r in q500 if r[3] == 1)
+    assert {r[2] for r in q500 if r[1] == 25} == {top_ad2}
+    # append-vs-built parity: index over rows[:35] + appended rows[35:]
+    # must probe identically to the all-at-once build
+    grown = str(tmp_path / "res_grown")
+    sim.write_ivf_index(
+        _vecs(spark, rows[:35]), grown, "vec_id", "embedding",
+        centroids=cents, protocol="manifest", pq_samples=cb, pq_residual=True,
+    )
+    sim.append_to_ivf_index(_vecs(spark, rows[35:]), grown, "vec_id", "embedding")
+    assert probe(grown, k=40) == full

@@ -681,6 +681,83 @@ def semdedup_pairs(
     )
 
 
+def semdedup_keep(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cos_q: int = 3000,
+    quantize: int = 4,
+    block: int = 1024,
+    keep: str = "far",
+) -> DataFrame:
+    """The full SemDeDup keep decision (Abbas et al. 2023,
+    arXiv:2303.09540 §2), end to end: cluster → within-cluster
+    semantic-duplicate pairs (:func:`semdedup_pairs`) → connected
+    components → elect ONE survivor per duplicate group → return the
+    kept corpus rows, each labeled with its assigned centroid.
+
+    The election is the paper's: within a duplicate group, keep the
+    member with the LOWEST cosine to its cluster centroid
+    (``keep="far"`` — boundary examples carry more information than
+    redundant prototypes), ties to the lowest id; ``keep="near"``
+    inverts the rule (prototype retention, the convention some
+    dedup-for-eval setups prefer). Both are deterministic on the
+    quantized ``10^-quantize`` grid, so the whole decision — argmax
+    assignment, pair threshold, transitive grouping, election —
+    replays in ANSI SQL and is value-verified by the
+    ``semdedup_keep`` oracle, not just recall-tested.
+
+    Scale shape: two no-shuffle corpus scans (one assignment scan
+    feeding the pair kernel inside :func:`semdedup_pairs`, one for the
+    election's per-member centroid cosine — the pair kernel does not
+    emit its members' assignment scores, and re-scoring k centroids
+    per row is cheaper at 100 TB than shuffling vectors twice), pair
+    cost bounded by cluster occupancy² exactly as SemDeDup prescribes,
+    then component resolution over the PAIR set only (duplicate mass,
+    not corpus mass) and one broadcast-able anti-join. Singletons —
+    the overwhelming majority at production thresholds — never enter
+    the component machinery at all.
+    """
+    if keep not in ("far", "near"):
+        raise ValueError(f"keep must be 'far' or 'near', got {keep!r}")
+    from traceframe_spark.operators.graph import connected_components
+
+    cids, cmat = collect_centroids(centroids, "centroid_id", vec_col)
+    pairs = semdedup_pairs(
+        corpus, centroids, id_col, vec_col,
+        min_cos_q=min_cos_q, quantize=quantize, block=block,
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    assigned = nearest_centroid_scan(
+        corpus, cids, cmat, id_col, vec_col, quantize=quantize
+    )
+    member = comp.join(
+        assigned.select(F.col("vec_id").alias("id"), F.col("cos_q").alias("_ac")),
+        "id",
+    )
+    order = (
+        [F.col("_ac").asc(), F.col("id").asc()]
+        if keep == "far"
+        else [F.col("_ac").desc(), F.col("id").asc()]
+    )
+    w = Window.partitionBy("component").orderBy(*order)
+    drop = (
+        member.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select("id")
+    )
+    kept = corpus.join(
+        drop, corpus[id_col] == drop["id"], "left_anti"
+    )
+    return kept.join(
+        assigned.select(
+            F.col("vec_id").alias(id_col), "centroid_id"
+        ),
+        id_col,
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
@@ -1120,6 +1197,7 @@ def write_ivf_index(
     protocol: str = "sidecar",
     pq_samples: list[list[float]] | None = None,
     pq_m: int = 8,
+    pq_residual: bool = False,
 ) -> list[list[float]]:
     """Build and persist an IVF index: the corpus lands in parquet
     PARTITIONED BY its inverted-list id, centroids ride along as a tiny
@@ -1154,7 +1232,18 @@ def write_ivf_index(
     candidates in the compressed domain
     (:func:`ivf_adc_topk_over_index`) without touching float vectors —
     the scan side of a probe reads m bytes per candidate instead of
-    dim x 4."""
+    dim x 4.
+
+    ``pq_residual=True`` codes each row's RESIDUAL to its assigned
+    coarse centroid instead of the raw vector — the full IVFADC
+    formulation (Jégou et al. TPAMI 2011 §IV): the product quantizer
+    only has to cover a centroid-sized cell, so the same code budget
+    buys a finer grid wherever the data actually sits. ``pq_samples``
+    must then be RESIDUAL-space codewords
+    (:func:`pq_residual_codebooks` with the same centroids); probes
+    build their lookup tables per probed list from ``q - c(list)``,
+    and appends keep encoding against the frozen centroids+codebooks
+    read from the manifest meta."""
     if protocol not in ("sidecar", "manifest"):
         raise ValueError(f"unknown IVF store protocol {protocol!r}")
     if pq_samples is not None and protocol != "manifest":
@@ -1168,6 +1257,8 @@ def write_ivf_index(
             f"'overwrite' only, got {mode!r} (incremental adds go through "
             "append_to_ivf_index)"
         )
+    if pq_residual and pq_samples is None:
+        raise ValueError("pq_residual=True needs pq_samples")
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, id_col, vec_col, n_centroids=n_centroids, seed=seed
@@ -1178,9 +1269,31 @@ def write_ivf_index(
         l2_norm(F.col(vec_col)).alias("c_nrm"),
         ivf_assign(F.col(vec_col), centroids).alias("list_id"),
     ]
-    if pq_samples is not None:
-        cols.append(_pq_code_expr(vec_col, pq_samples, pq_m).alias("code"))
-    assigned = corpus.select(*cols)
+    if pq_samples is not None and pq_residual:
+        # the residual must land as a NAMED column before the code
+        # expression references it: _pq_code_expr reads its input
+        # m x n_codes x (dim/m) times, and passing the zip_with tree
+        # directly would copy the centroid-matrix literal into every
+        # read (a plan large enough to OOM the driver); an attribute
+        # reference is one node, and CollapseProject keeps a non-cheap
+        # multiply-referenced alias un-inlined
+        assigned = (
+            corpus.select(*cols)
+            .withColumn(
+                "_rvec",
+                ivf_residual(
+                    _dim_checked(F.col("c_vec"), len(pq_samples[0])),
+                    centroids,
+                    F.col("list_id"),
+                ),
+            )
+            .withColumn("code", _pq_code_expr(F.col("_rvec"), pq_samples, pq_m))
+            .drop("_rvec")
+        )
+    else:
+        if pq_samples is not None:
+            cols.append(_pq_code_expr(vec_col, pq_samples, pq_m).alias("code"))
+        assigned = corpus.select(*cols)
     if protocol == "manifest":
         from traceframe_spark.streaming import manifest_store as MS
 
@@ -1201,6 +1314,7 @@ def write_ivf_index(
         if pq_samples is not None:
             meta["pq_samples"] = [[float(x) for x in w] for w in pq_samples]
             meta["pq_m"] = int(pq_m)
+            meta["pq_residual"] = bool(pq_residual)
         MS.append_parts_layer(
             corpus.sparkSession, path,
             assigned.repartition("list_id"), "list_id",
@@ -1252,16 +1366,39 @@ def append_to_ivf_index(
         ivf_assign(F.col(vec_col), centroids).alias("list_id"),
     ]
     # an IVF-PQ index (pq codebooks in the manifest meta) encodes its
-    # appends with the SAME frozen codebooks, so old and new rows score
-    # identically in the compressed domain
+    # appends with the SAME frozen codebooks — residual-coded indexes
+    # also subtract the same frozen centroids — so old and new rows
+    # score identically in the compressed domain
     pq = (man or {}).get("meta", {}).get("pq_samples")
-    if pq is not None:
-        cols.append(
-            _pq_code_expr(
-                vec_col, pq, int(man["meta"].get("pq_m", 8))
-            ).alias("code")
+    if pq is not None and man["meta"].get("pq_residual"):
+        # same named-column discipline as the build path: the residual
+        # lands once, the code expression references the attribute
+        assigned = (
+            new_rows.select(*cols)
+            .withColumn(
+                "_rvec",
+                ivf_residual(
+                    _dim_checked(F.col("c_vec"), len(pq[0])),
+                    centroids,
+                    F.col("list_id"),
+                ),
+            )
+            .withColumn(
+                "code",
+                _pq_code_expr(
+                    F.col("_rvec"), pq, int(man["meta"].get("pq_m", 8))
+                ),
+            )
+            .drop("_rvec")
         )
-    assigned = new_rows.select(*cols)
+    else:
+        if pq is not None:
+            cols.append(
+                _pq_code_expr(
+                    vec_col, pq, int(man["meta"].get("pq_m", 8))
+                ).alias("code")
+            )
+        assigned = new_rows.select(*cols)
     if man is not None:
         from traceframe_spark.streaming import manifest_store as MS
 
@@ -1562,31 +1699,93 @@ def pq_sample_codebooks(
     return [[float(x) for x in r["v"]] for r in rows]
 
 
-def _pq_subdist(vec: Column, sample: list[float], s: int, d: int) -> Column:
-    """Squared L2 between ``vec``'s subspace-s block and the sample's —
-    an EXPLICIT left-associated sum in dimension order, so Spark and
-    the SQL oracle round identically term by term (a sum() aggregate
-    would leave the addition order to the engine)."""
-    terms = []
-    for j in range(d):
-        e = F.element_at(vec, s * d + j + 1).cast("double") - F.lit(
-            float(sample[s * d + j])
-        )
-        terms.append(e * e)
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
+def ivf_residual(
+    vec: Column, centroids: list[list[float]], list_id: Column
+) -> Column:
+    """The vector's residual to its assigned coarse centroid,
+    ``r = x - c(list_id)``, as an ``array<double>`` expression — the
+    quantity residual PQ encodes (Jégou et al. TPAMI 2011 §IV: code
+    the residual, not the vector, so every codeword only has to cover
+    a centroid-sized cell instead of the whole space). The centroid
+    matrix rides as a plan literal (same discipline as
+    :func:`ivf_assign`); per-element arithmetic is float64."""
+    cmat = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    return F.zip_with(
+        vec,
+        F.element_at(cmat, list_id + F.lit(1)),
+        lambda x, c: x.cast("double") - c,
+    )
+
+
+def pq_residual_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    n_codes: int = 16,
+    salt: str = "pq",
+) -> list[list[float]]:
+    """Residual-space portable codebooks: the same md5-bottom-k sample
+    as :func:`pq_sample_codebooks`, with each sampled vector replaced
+    by its residual to its nearest coarse centroid. Assignment and
+    subtraction run driver-side in plain sequential float64 — term
+    order matches the engine's left-associated ``_dist2`` fold and the
+    SQL oracle's explicit chain, so the codebook derivation itself
+    replays bit-for-bit in ANSI SQL (ties to the lowest centroid id,
+    the :func:`ivf_assign` rule)."""
+    samples = pq_sample_codebooks(corpus, id_col, vec_col, n_codes, salt)
+    out = []
+    for v in samples:
+        best_i, best_d = 0, None
+        for i, c in enumerate(centroids):
+            d2 = 0.0
+            for x, y in zip(v, c):
+                e = float(x) - float(y)
+                d2 = d2 + e * e
+            if best_d is None or d2 < best_d:
+                best_i, best_d = i, d2
+        cent = centroids[best_i]
+        out.append([float(x) - float(y) for x, y in zip(v, cent)])
     return out
 
 
-def _pq_code_expr(vec_col_name: str, samples: list[list[float]], m: int) -> Column:
-    """The PQ code array expression over a vector column: per subspace,
-    argmin squared-L2 codeword index (ties to smallest index)."""
+def _pq_subdist(vec: Column, sample: list[float], s: int, d: int) -> Column:
+    """Squared L2 between ``vec``'s subspace-s block and the sample's,
+    as a LEFT-ASSOCIATED sequential fold in dimension order
+    (``ArrayAggregate`` applies its merge function element by element,
+    ``0.0 + t1 + t2 + ...``), so Spark and the SQL oracle's explicit
+    ``+``-chain round identically term by term — a ``sum()`` aggregate
+    would leave the addition order to the engine. The fold form (vs an
+    unrolled term chain) keeps the m x n_codes expression inside the
+    64 KB whole-stage-codegen method limit: codegen emits a loop, not
+    a page of adds per codeword."""
+    w = F.array(*[F.lit(float(sample[s * d + j])) for j in range(d)])
+    sub = F.slice(vec, s * d + 1, d)
+    return F.aggregate(
+        F.zip_with(
+            sub, w, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def _pq_code_expr(
+    vec_col_name: "str | Column", samples: list[list[float]], m: int
+) -> Column:
+    """The PQ code array expression over a vector column (name or an
+    already-built Column — e.g. a residual): per subspace, argmin
+    squared-L2 codeword index (ties to smallest index)."""
     dim = len(samples[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d = dim // m
-    vec = _dim_checked(F.col(vec_col_name), dim)
+    raw = (
+        F.col(vec_col_name) if isinstance(vec_col_name, str) else vec_col_name
+    )
+    vec = _dim_checked(raw, dim)
     return F.array(
         *[
             F.array_min(
@@ -1712,22 +1911,50 @@ def ivf_adc_topk_over_index(
         )
     samples = man["meta"]["pq_samples"]
     m = int(man["meta"].get("pq_m", 8))
+    residual = bool(man["meta"].get("pq_residual"))
     dim = len(samples[0])
     d = dim // m
     qvec = _dim_checked(F.col(vec_col), dim)
-    lut = F.array(
-        *[
-            F.array(*[_pq_subdist(qvec, w, s, d) for w in samples])
-            for s in range(m)
-        ]
-    )
-    q = queries.select(
-        F.col(id_col).alias("qid"),
-        lut.alias("lut"),
-        F.explode(ivf_probe_lists(F.col(vec_col), centroids, nprobe)).alias(
-            "list_id"
-        ),
-    )
+    if residual:
+        # residual coding: the lookup table is per (query, probed
+        # list) — subspace distances from (q - c(list)) to the
+        # residual codewords. The explode already keys rows by probed
+        # list, so the per-list tables cost nprobe x m x n_codes tiny
+        # doubles per query; the residual lands as a NAMED column so
+        # the m x n_codes x (dim/m) table reads reference one
+        # attribute instead of copying the centroid-matrix tree.
+        exploded = queries.select(
+            F.col(id_col).alias("qid"),
+            qvec.alias("_qv"),
+            F.explode(
+                ivf_probe_lists(F.col(vec_col), centroids, nprobe)
+            ).alias("list_id"),
+        ).withColumn(
+            "_rq", ivf_residual(F.col("_qv"), centroids, F.col("list_id"))
+        )
+        lut = F.array(
+            *[
+                F.array(
+                    *[_pq_subdist(F.col("_rq"), w, s, d) for w in samples]
+                )
+                for s in range(m)
+            ]
+        )
+        q = exploded.select("qid", lut.alias("lut"), "list_id")
+    else:
+        lut = F.array(
+            *[
+                F.array(*[_pq_subdist(qvec, w, s, d) for w in samples])
+                for s in range(m)
+            ]
+        )
+        q = queries.select(
+            F.col(id_col).alias("qid"),
+            lut.alias("lut"),
+            F.explode(
+                ivf_probe_lists(F.col(vec_col), centroids, nprobe)
+            ).alias("list_id"),
+        )
     probed = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})
     live = {key.split("=", 1)[1] for key in man["layers"] if key.startswith("list_id=")}
     vals = [str(v) for v in probed if str(v) in live]

@@ -545,6 +545,95 @@ GROUP BY centroid_id ORDER BY centroid_id
 """
 
 
+def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SemDeDup keep DECISION (similarity.semdedup_keep —
+    Abbas et al. 2303.09540): cluster, pair within clusters at
+    cos >= 0.30, group transitively, keep ONE survivor per duplicate
+    group — the member FARTHEST from its centroid (the paper's
+    keep-low-similarity election), ties to lowest id. Output is the
+    kept corpus itself, every row labeled with its assigned centroid;
+    the oracle replays argmax assignment, the pair threshold, a
+    recursive transitive closure, and the election — the entire
+    decision by value, not a pair-count summary."""
+    from traceframe_spark.operators.similarity import semdedup_keep
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    kept = semdedup_keep(e, centroids, "vec_id", "embedding", min_cos_q=3000)
+    return kept.select(
+        "vec_id", F.col("centroid_id").cast("long").alias("centroid_id")
+    )
+
+
+_SQL_COS_PAIR = """CAST(floor(
+               list_sum(list_transform(generate_series(1, 64),
+                   i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               * 10000 + 0.5) AS BIGINT)"""
+
+
+SQL_SEMDEDUP_KEEP = f"""
+WITH RECURSIVE
+cent AS (
+    SELECT vec_id AS centroid_id, embedding AS cvec,
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cnrm
+    FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+    SELECT e.vec_id, c.centroid_id,
+           CAST(floor(
+               list_sum(list_transform(generate_series(1, 64),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * c.cnrm)
+               * 10000 + 0.5) AS BIGINT) AS cos_q
+    FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+    SELECT vec_id, centroid_id, cos_q AS ac
+    FROM (SELECT vec_id, centroid_id, cos_q,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos_q DESC, centroid_id ASC) AS rn
+          FROM scored)
+    WHERE rn = 1
+),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM assigned a
+    JOIN assigned b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+    WHERE {_SQL_COS_PAIR} >= 3000
+),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+),
+reach AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v WHERE e.v <> r.u
+),
+comp AS (
+    SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u
+),
+dropped AS (
+    SELECT id FROM (
+        SELECT c.id,
+               row_number() OVER (
+                   PARTITION BY c.component ORDER BY a.ac ASC, c.id ASC
+               ) AS rn
+        FROM comp c JOIN assigned a ON a.vec_id = c.id
+    ) WHERE rn > 1
+)
+SELECT a.vec_id, CAST(a.centroid_id AS BIGINT) AS centroid_id
+FROM assigned a
+WHERE a.vec_id NOT IN (SELECT id FROM dropped)
+"""
+
+
 
 
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -944,6 +1033,7 @@ MLPREP_QUERIES = {
     "kmeans_assign": q_kmeans_assign,
     "kmeans_fit": q_kmeans_fit,
     "semantic_dedup": q_semantic_dedup,
+    "semdedup_keep": q_semdedup_keep,
     "label_outliers": q_label_outliers,
     "tfidf_topk": q_tfidf_topk,
     "pmi_bigrams": q_pmi_bigrams,
@@ -963,6 +1053,7 @@ MLPREP_ORACLE_SQL = {
     "kmeans_assign": SQL_KMEANS_ASSIGN,
     "kmeans_fit": SQL_KMEANS_FIT,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "semdedup_keep": SQL_SEMDEDUP_KEEP,
     "label_outliers": SQL_LABEL_OUTLIERS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "pmi_bigrams": SQL_PMI_BIGRAMS,

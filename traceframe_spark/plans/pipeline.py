@@ -3272,6 +3272,160 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
     return _PQ_CODEBOOKS[key]
 
 
+_IVFPQ_RES: dict = {}
+
+
+def _ivfpq_res_setup(spark: SparkSession, sf_dir: str) -> tuple:
+    """Data-derived centroids (embeddings vec_id < 8, list id ==
+    vec_id) + residual codebooks over them — residual codes depend on
+    the assignment, so unlike the raw-PQ oracle the quantizer itself
+    must be SQL-replayable; corpus-row centroids are, k-means-trained
+    ones are not."""
+    if sf_dir not in _IVFPQ_RES:
+        e = load_table(spark, sf_dir, "embeddings")
+        rows = e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        cents = [[float(x) for x in r["embedding"]] for r in rows]
+        cb = similarity.pq_residual_codebooks(
+            e, "vec_id", "embedding", cents
+        )
+        _IVFPQ_RES[sf_dir] = (cents, cb)
+    return _IVFPQ_RES[sf_dir]
+
+
+def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL-coded IVF-PQ — the full IVFADC formulation (Jégou et
+    al. TPAMI 2011 §IV): each stored row's code quantizes its residual
+    to its assigned coarse centroid, and a probe's lookup tables are
+    per (query, probed list) over q - c(list). Because the codes now
+    DEPEND on the coarse assignment, the oracle replays the entire
+    composition by value: centroid assignment (explicit left-assoc
+    squared-L2 chains, ties to lowest list), residual codebook
+    derivation (md5-bottom-16 sample, assigned and subtracted in SQL),
+    residual encoding, per-list query tables, ADC ranking. Full probe
+    == exhaustive residual ADC, the same discipline as
+    ann_ivfpq_adc — but here the quantizer is inside the pin."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents, cb = _ivfpq_res_setup(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 10)
+    path = tmp_store("ivfpq_res_") + "/ivfpq"
+    similarity.write_ivf_index(
+        e, path, "vec_id", "embedding", centroids=cents,
+        protocol="manifest", pq_samples=cb, pq_residual=True,
+    )
+    top = similarity.ivf_adc_topk_over_index(
+        spark, path, q, "vec_id", "embedding", k=5, nprobe=8
+    )
+    return top.select("qid", "cid", qint(F.col("ad2"), 4).alias("ad2_q"), "rn")
+
+
+def _sql_d2_full(e_expr: str, c_expr: str) -> str:
+    """Explicit left-associated 64-term squared-L2 chain — the SQL twin
+    of operators/similarity._dist2's fold (0.0 + t1 + t2 + ...): same
+    term order, so assignment argmins tie identically."""
+    terms = []
+    for i in range(1, 65):
+        a = f"(CAST({e_expr}[{i}] AS DOUBLE) - CAST({c_expr}[{i}] AS DOUBLE))"
+        terms.append(f"{a} * {a}")
+    return " + ".join(terms)
+
+
+SQL_ANN_IVFPQ_RESIDUAL = f"""
+WITH
+cent AS (
+    SELECT vec_id AS lid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+),
+assign AS MATERIALIZED (
+    SELECT vec_id, lid FROM (
+        SELECT e.vec_id, c.lid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_sql_d2_full('e.embedding', 'c.cvec')} ASC, c.lid ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+samp AS (
+    SELECT row_number() OVER (ORDER BY h) - 1 AS c, embedding
+    FROM (
+        SELECT md5('pq|' || CAST(vec_id AS VARCHAR)) AS h, embedding
+        FROM embeddings ORDER BY h LIMIT 16
+    )
+),
+samp_res AS MATERIALIZED (
+    SELECT c, rvec FROM (
+        SELECT s.c,
+               list_transform(generate_series(1, 64),
+                   i -> CAST(s.embedding[i] AS DOUBLE) - CAST(ct.cvec[i] AS DOUBLE)) AS rvec,
+               row_number() OVER (
+                   PARTITION BY s.c
+                   ORDER BY {_sql_d2_full('s.embedding', 'ct.cvec')} ASC, ct.lid ASC
+               ) AS rn
+        FROM samp s CROSS JOIN cent ct
+    ) WHERE rn = 1
+),
+vres AS MATERIALIZED (
+    SELECT e.vec_id, a.lid,
+           list_transform(generate_series(1, 64),
+               i -> CAST(e.embedding[i] AS DOUBLE) - CAST(ct.cvec[i] AS DOUBLE)) AS rv
+    FROM embeddings e
+    JOIN assign a ON a.vec_id = e.vec_id
+    JOIN cent ct ON ct.lid = a.lid
+),
+ss AS (SELECT CAST(unnest(range(8)) AS INT) AS s),
+ad AS MATERIALIZED (
+    SELECT v.vec_id, v.lid, ss.s, sa.c,
+           {_pq_dim_sum('v.rv', 'sa.rvec')} AS d2
+    FROM vres v, ss, samp_res sa
+),
+codes AS MATERIALIZED (
+    SELECT vec_id, lid, s, c FROM ad
+    QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, c ASC) = 1
+),
+cw AS MATERIALIZED (
+    SELECT vec_id, any_value(lid) AS lid,
+           max(CASE WHEN s = 0 THEN c END) AS k0,
+           max(CASE WHEN s = 1 THEN c END) AS k1,
+           max(CASE WHEN s = 2 THEN c END) AS k2,
+           max(CASE WHEN s = 3 THEN c END) AS k3,
+           max(CASE WHEN s = 4 THEN c END) AS k4,
+           max(CASE WHEN s = 5 THEN c END) AS k5,
+           max(CASE WHEN s = 6 THEN c END) AS k6,
+           max(CASE WHEN s = 7 THEN c END) AS k7
+    FROM codes GROUP BY vec_id
+),
+qres AS MATERIALIZED (
+    SELECT e.vec_id AS qid, ct.lid,
+           list_transform(generate_series(1, 64),
+               i -> CAST(e.embedding[i] AS DOUBLE) - CAST(ct.cvec[i] AS DOUBLE)) AS qr
+    FROM embeddings e CROSS JOIN cent ct WHERE e.vec_id < 10
+),
+qlut AS MATERIALIZED (
+    SELECT q.qid, q.lid, ss.s, sa.c,
+           {_pq_dim_sum('q.qr', 'sa.rvec')} AS d2
+    FROM qres q, ss, samp_res sa
+),
+scored AS (
+    SELECT q.qid, v.vec_id AS cid,
+           l0.d2 + l1.d2 + l2.d2 + l3.d2 + l4.d2 + l5.d2 + l6.d2 + l7.d2 AS ad2
+    FROM (SELECT DISTINCT qid FROM qres) q
+    JOIN cw v ON v.vec_id <> q.qid
+    JOIN qlut l0 ON l0.qid = q.qid AND l0.lid = v.lid AND l0.s = 0 AND l0.c = v.k0
+    JOIN qlut l1 ON l1.qid = q.qid AND l1.lid = v.lid AND l1.s = 1 AND l1.c = v.k1
+    JOIN qlut l2 ON l2.qid = q.qid AND l2.lid = v.lid AND l2.s = 2 AND l2.c = v.k2
+    JOIN qlut l3 ON l3.qid = q.qid AND l3.lid = v.lid AND l3.s = 3 AND l3.c = v.k3
+    JOIN qlut l4 ON l4.qid = q.qid AND l4.lid = v.lid AND l4.s = 4 AND l4.c = v.k4
+    JOIN qlut l5 ON l5.qid = q.qid AND l5.lid = v.lid AND l5.s = 5 AND l5.c = v.k5
+    JOIN qlut l6 ON l6.qid = q.qid AND l6.lid = v.lid AND l6.s = 6 AND l6.c = v.k6
+    JOIN qlut l7 ON l7.qid = q.qid AND l7.lid = v.lid AND l7.s = 7 AND l7.c = v.k7
+)
+SELECT qid, cid,
+       CAST(floor(ad2 * 10000 + 0.5) AS BIGINT) AS ad2_q,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY ad2 ASC, cid ASC) AS BIGINT) AS rn
+FROM scored
+QUALIFY rn <= 5
+"""
+
+
 PIPELINE_QUERIES = {
     "quality_resample": q_quality_resample,
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -3312,6 +3466,7 @@ PIPELINE_QUERIES = {
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ann_ivfpq_adc": q_ann_ivfpq_adc,
+    "ann_ivfpq_residual": q_ann_ivfpq_residual,
     "embed_near_dup": q_embed_near_dup,
     "media_features": q_media_features,
     "quality_gate": q_quality_gate,
@@ -3373,6 +3528,7 @@ PIPELINE_ORACLE_SQL = {
     "pq_codes": SQL_PQ_CODES,
     "pq_adc_topk": SQL_PQ_ADC_TOPK,
     "ann_ivfpq_adc": SQL_PQ_ADC_TOPK,
+    "ann_ivfpq_residual": SQL_ANN_IVFPQ_RESIDUAL,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "doc_repetition": SQL_DOC_REPETITION,
     "doc_pii": SQL_DOC_PII,
