@@ -281,3 +281,43 @@ def test_residual_ivfpq_build_probe_append_parity(spark, tmp_path):
     )
     sim.append_to_ivf_index(_vecs(spark, rows[35:]), grown, "vec_id", "embedding")
     assert probe(grown, k=40) == full
+
+
+def test_adc_rerank_refinement_tier(spark, tmp_path):
+    """rerank_k: the ADC shortlist re-scores with exact quantized
+    cosine and returns ivf_topk_over_index's (qid, cid, cos, rn) shape;
+    with a shortlist covering the corpus the result equals the exact
+    cosine_topk baseline (refinement recovers exactness when the
+    shortlist doesn't truncate); the empty-probe path returns the
+    re-rank shape."""
+    rows = [(i, [float((i * 13 + j * 7) % 100) for j in range(DIM)]) for i in range(40)]
+    corpus = _vecs(spark, rows)
+    cb = sim.pq_sample_codebooks(corpus, "vec_id", "embedding")
+    cents = sim.train_ivf_centroids(corpus, "vec_id", "embedding", n_centroids=4)
+    path = str(tmp_path / "rr")
+    sim.write_ivf_index(
+        corpus, path, "vec_id", "embedding", centroids=cents,
+        protocol="manifest", pq_samples=cb,
+    )
+    q = _vecs(spark, [(500, [2.0] * DIM), (501, [77.0] * DIM)])
+    got = sorted(
+        (r["qid"], r["cid"], r["cos"], r["rn"]) for r in
+        sim.ivf_adc_topk_over_index(
+            spark, path, q, "vec_id", "embedding", k=40, nprobe=4, rerank_k=3
+        ).collect()
+    )
+    want = sorted(
+        (r["qid"], r["cid"], r["cos"], r["rn"]) for r in
+        sim.cosine_topk(corpus, q, "vec_id", "embedding", k=3).collect()
+    )
+    assert got == want and len(got) == 6
+    # empty store -> empty frame in the re-rank shape
+    empty = str(tmp_path / "rr_empty")
+    sim.write_ivf_index(
+        corpus.filter("vec_id < 0"), empty, "vec_id", "embedding",
+        centroids=cents, protocol="manifest", pq_samples=cb,
+    )
+    out = sim.ivf_adc_topk_over_index(
+        spark, empty, q, "vec_id", "embedding", k=5, rerank_k=3
+    )
+    assert out.columns == ["qid", "cid", "cos", "rn"] and out.count() == 0

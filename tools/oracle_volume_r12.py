@@ -51,9 +51,34 @@ sys.path.insert(0, REPO)
 from traceframe_spark.plans.catalog import TABLES  # noqa: E402
 
 
+MOD = 1_000_000_000
+
+
 def build_queries():
+    from pyspark.sql import functions as F
+
+    from traceframe_spark.plans import mlprep as M
     from traceframe_spark.plans import pipeline as P
     from traceframe_spark.plans import quality as QR
+    from traceframe_spark.plans.catalog import load_table
+
+    def q_semdedup_keep_vol(spark, sf_dir):
+        """semdedup_keep over 20 base ids x ~100 near-copies (~2,000
+        vectors in heavy clone clusters — the shape the election
+        exists for: big transitive components per cluster), centroids
+        the copy-0 vec_id<8 rows as in the registry entry."""
+        from traceframe_spark.operators.similarity import semdedup_keep
+
+        e = load_table(spark, sf_dir, "embeddings").filter(
+            (F.col("vec_id") % MOD) < 20
+        )
+        centroids = e.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        kept = semdedup_keep(e, centroids, "vec_id", "embedding", min_cos_q=3000)
+        return kept.select(
+            "vec_id", F.col("centroid_id").cast("long").alias("centroid_id")
+        )
 
     qs = {
         # registry VERBATIM: no bounds anywhere in the r12 set
@@ -63,6 +88,13 @@ def build_queries():
         "pq_codes_vol": P.q_pq_codes,
         "pq_adc_topk_vol": P.q_pq_adc_topk,
         "ann_ivfpq_adc_vol": P.q_ann_ivfpq_adc,
+        # registry VERBATIM: the residual chain (assignment-dependent
+        # codes) replayed over all 200k vectors
+        "ann_ivfpq_residual_vol": P.q_ann_ivfpq_residual,
+        # clone-cluster bound: occupancy² pair cost is the operator's
+        # own documented contract, so the volume row stresses clone
+        # MASS (100-deep components), not raw corpus width
+        "semdedup_keep_vol": q_semdedup_keep_vol,
     }
     # The registry's ADC oracle joins the full `ad` assignment relation
     # (corpus x subspaces x codewords — 25.6M rows here) EIGHT times as
@@ -86,6 +118,15 @@ def build_queries():
         "pq_codes_vol": P.SQL_PQ_CODES,
         "pq_adc_topk_vol": adc,
         "ann_ivfpq_adc_vol": adc,
+        # the residual oracle's reused CTEs are MATERIALIZED in the
+        # registry SQL itself, so no lutq surgery is needed: qlut is
+        # already query-bounded and evaluated once
+        "ann_ivfpq_residual_vol": P.SQL_ANN_IVFPQ_RESIDUAL,
+        "semdedup_keep_vol": M.SQL_SEMDEDUP_KEEP.replace(
+            "FROM embeddings e CROSS JOIN cent c",
+            f"FROM (SELECT * FROM embeddings WHERE vec_id % {MOD} < 20) e "
+            "CROSS JOIN cent c",
+        ),
     }
     return qs, sql
 

@@ -1883,6 +1883,7 @@ def ivf_adc_topk_over_index(
     k: int = 5,
     nprobe: int = 4,
     exclude_self: bool = True,
+    rerank_k: int | None = None,
 ) -> DataFrame:
     """Top-k by ADC over a persisted IVF-PQ index
     (:func:`write_ivf_index` with ``pq_samples``) — the two-lever
@@ -1898,9 +1899,22 @@ def ivf_adc_topk_over_index(
     manifest, so a concurrent append can never mix index versions.
     Ranking is (approx_d2 asc, cid asc); at nprobe = n_centroids the
     result equals :func:`pq_adc_topk` over the whole corpus exactly
-    (the registry's oracle pin). Re-rank the returned top-k against
-    the raw vectors (:func:`cosine_topk` on the k ids) when exactness
-    at the head matters — the standard IVFADC refinement step."""
+    (the registry's oracle pin).
+
+    ``rerank_k`` turns on the standard IVFADC refinement: the ADC
+    ranking becomes a SHORTLIST of size ``k``, whose raw vectors are
+    read back (only from the already-probed lists, joined on the
+    shortlisted ids — a second column family of the same pruned scan,
+    never a corpus-wide lookup) and re-scored with the exact quantized
+    cosine; the returned frame is the exact top-``rerank_k``
+    (qid, cid, cos, rn) — :func:`ivf_topk_over_index`'s shape, so the
+    two tiers interchange downstream. Everything resolves from the ONE
+    manifest snapshot: shortlist, codebooks, and the re-rank's vector
+    read can never mix index versions. Cost shape at 100 TB: the ADC
+    scan touches m-byte codes for every probed candidate; only the
+    k-per-query survivors (broadcast-sized) pay a float read —
+    compressed-domain scan + exact head, each tier billed at its own
+    width."""
     from traceframe_spark.streaming import manifest_store as MS
 
     centroids, man = _ivf_resolve(spark, path)
@@ -1959,7 +1973,15 @@ def ivf_adc_topk_over_index(
     live = {key.split("=", 1)[1] for key in man["layers"] if key.startswith("list_id=")}
     vals = [str(v) for v in probed if str(v) in live]
     if not live or not vals:
-        return q.select("qid").limit(0).select(
+        empty = q.select("qid").limit(0)
+        if rerank_k is not None:
+            return empty.select(
+                "qid",
+                F.col("qid").alias("cid"),
+                F.lit(None).cast("long").alias("cos"),
+                F.lit(None).cast("long").alias("rn"),
+            )
+        return empty.select(
             "qid",
             F.col("qid").alias("cid"),
             F.lit(None).cast("double").alias("ad2"),
@@ -1983,7 +2005,28 @@ def ivf_adc_topk_over_index(
         ad2 = ad2 + t
     scored = pairs.select("qid", "cid", ad2.alias("ad2"))
     w = Window.partitionBy("qid").orderBy(F.col("ad2").asc(), F.col("cid").asc())
-    return (
+    top = (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
     )
+    if rerank_k is None:
+        return top
+    # refinement: shortlist ids pick up their raw vectors from the
+    # SAME probed snapshot read (second column family of the pruned
+    # scan), queries broadcast with vector+norm, exact quantized
+    # cosine re-ranks — _rerank_topk is the shared tail every
+    # approximate tier funnels through
+    qside = queries.select(
+        F.col(id_col).alias("qid"),
+        qvec.alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_nrm"),
+    )
+    cvecs = MS.read_parts_layers(spark, path, vals=vals, man=man).select(
+        "cid", "c_vec", "c_nrm"
+    )
+    cands = (
+        top.select("qid", "cid")
+        .join(F.broadcast(qside), "qid")
+        .join(cvecs, "cid")
+    )
+    return _rerank_topk(cands, rerank_k)

@@ -3318,6 +3318,91 @@ def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("qid", "cid", qint(F.col("ad2"), 4).alias("ad2_q"), "rn")
 
 
+def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard IVFADC refinement (Jégou et al. §V.C): ADC builds
+    a 20-candidate shortlist per query (compressed-domain scan), then
+    only those 20 pay a raw-vector read and an exact quantized-cosine
+    re-rank to the final top-5 — at 100 TB the float I/O follows the
+    shortlist, never the probed candidate mass. Full probe makes the
+    shortlist the global ADC top-20, so the oracle replays the whole
+    two-tier decision: ADC ranking to 20, exact cosine over exactly
+    those pairs, final (cos desc, cid asc) top-5."""
+    from traceframe_spark.plans.catalog import tmp_store
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    path = tmp_store("ivfpq_rr_") + "/ivfpq"
+    similarity.write_ivf_index(
+        e, path, "vec_id", "embedding",
+        centroids=_ivf_centroids(spark, sf_dir, 8), protocol="manifest",
+        pq_samples=_pq_codebooks(spark, sf_dir),
+    )
+    top = similarity.ivf_adc_topk_over_index(
+        spark, path, q, "vec_id", "embedding", k=20, nprobe=8, rerank_k=5
+    )
+    return top.select("qid", "cid", "cos", "rn")
+
+
+SQL_ANN_IVFPQ_RERANK = f"""
+WITH {_SQL_PQ_ASSIGN},
+cw AS MATERIALIZED (
+    SELECT vec_id,
+           max(CASE WHEN s = 0 THEN c END) AS k0,
+           max(CASE WHEN s = 1 THEN c END) AS k1,
+           max(CASE WHEN s = 2 THEN c END) AS k2,
+           max(CASE WHEN s = 3 THEN c END) AS k3,
+           max(CASE WHEN s = 4 THEN c END) AS k4,
+           max(CASE WHEN s = 5 THEN c END) AS k5,
+           max(CASE WHEN s = 6 THEN c END) AS k6,
+           max(CASE WHEN s = 7 THEN c END) AS k7
+    FROM codes GROUP BY vec_id
+),
+lutq AS MATERIALIZED (
+    SELECT vec_id, s, c, d2 FROM ad WHERE vec_id < 10
+),
+shortlist AS MATERIALIZED (
+    SELECT qid, cid FROM (
+        SELECT q.vec_id AS qid, v.vec_id AS cid,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY l0.d2 + l1.d2 + l2.d2 + l3.d2 + l4.d2 + l5.d2 + l6.d2 + l7.d2 ASC,
+                            v.vec_id ASC
+               ) AS arn
+        FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+        JOIN cw v ON v.vec_id <> q.vec_id
+        JOIN lutq l0 ON l0.vec_id = q.vec_id AND l0.s = 0 AND l0.c = v.k0
+        JOIN lutq l1 ON l1.vec_id = q.vec_id AND l1.s = 1 AND l1.c = v.k1
+        JOIN lutq l2 ON l2.vec_id = q.vec_id AND l2.s = 2 AND l2.c = v.k2
+        JOIN lutq l3 ON l3.vec_id = q.vec_id AND l3.s = 3 AND l3.c = v.k3
+        JOIN lutq l4 ON l4.vec_id = q.vec_id AND l4.s = 4 AND l4.c = v.k4
+        JOIN lutq l5 ON l5.vec_id = q.vec_id AND l5.s = 5 AND l5.c = v.k5
+        JOIN lutq l6 ON l6.vec_id = q.vec_id AND l6.s = 6 AND l6.c = v.k6
+        JOIN lutq l7 ON l7.vec_id = q.vec_id AND l7.s = 7 AND l7.c = v.k7
+    ) WHERE arn <= 20
+)
+SELECT qid, cid,
+       CAST(floor(
+           list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(eq.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(eq.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(ec.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           * 10000 + 0.5) AS BIGINT) AS cos,
+       CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY floor(
+               list_sum(list_transform(generate_series(1, 64),
+                   i -> CAST(eq.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(eq.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(ec.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               * 10000 + 0.5) DESC, cid ASC
+       ) AS BIGINT) AS rn
+FROM shortlist s
+JOIN embeddings eq ON eq.vec_id = s.qid
+JOIN embeddings ec ON ec.vec_id = s.cid
+QUALIFY rn <= 5
+"""
+
+
 def _sql_d2_full(e_expr: str, c_expr: str) -> str:
     """Explicit left-associated 64-term squared-L2 chain — the SQL twin
     of operators/similarity._dist2's fold (0.0 + t1 + t2 + ...): same
@@ -3467,6 +3552,7 @@ PIPELINE_QUERIES = {
     "pq_adc_topk": q_pq_adc_topk,
     "ann_ivfpq_adc": q_ann_ivfpq_adc,
     "ann_ivfpq_residual": q_ann_ivfpq_residual,
+    "ann_ivfpq_rerank": q_ann_ivfpq_rerank,
     "embed_near_dup": q_embed_near_dup,
     "media_features": q_media_features,
     "quality_gate": q_quality_gate,
@@ -3529,6 +3615,7 @@ PIPELINE_ORACLE_SQL = {
     "pq_adc_topk": SQL_PQ_ADC_TOPK,
     "ann_ivfpq_adc": SQL_PQ_ADC_TOPK,
     "ann_ivfpq_residual": SQL_ANN_IVFPQ_RESIDUAL,
+    "ann_ivfpq_rerank": SQL_ANN_IVFPQ_RERANK,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "doc_repetition": SQL_DOC_REPETITION,
     "doc_pii": SQL_DOC_PII,
