@@ -130,6 +130,9 @@ HEADLINE = [
     "c4_filter",
     "pq_codes",
     "pq_adc_topk",
+    "ann_ivfpq_residual",
+    "ann_ivfpq_rerank",
+    "semdedup_keep",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans

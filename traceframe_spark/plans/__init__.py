@@ -12,23 +12,23 @@ from traceframe_spark.plans.tpch import TPCH_ORACLE_SQL, TPCH_QUERIES
 from traceframe_spark.plans.traceops import TRACEOPS_ORACLE_SQL, TRACEOPS_QUERIES
 
 
-# Round-11 head rotation, driven by `python tools/coverage_ledger.py`
-# (run it BEFORE editing this list): the round-10 head was recorded in
-# CORRECTNESS_r10.json and returns to natural registry order; the head
-# now leads with the round-11 newcomers (the manifest-protocol twins of
-# the dedup-index probe and the stored-LM scorer — the
-# protocol-preserves-values pins) so each records a driver-green row
-# the round it lands.
-_R11_ROTATION_HEAD = [
-    "dedup_index_manifest",
-    "lm_manifest_score",
-    "percentiles_sampled",
-    "nb_predict",
-    "nb_store_predict",
-    "nb_manifest_predict",
-    "nb_quality_filter",
-    "dup_span_removal",
-    "ann_ivf_manifest",
+# Round-12 head rotation, driven by `python tools/coverage_ledger.py`
+# (run it BEFORE editing this list): the round-11 head was recorded in
+# CORRECTNESS_r11.json and returns to natural registry order; the head
+# now leads with the round-12 newcomers (Gopher/C4 corpus quality
+# rules, the PQ/ADC compression tier incl. the residual and re-rank
+# variants, and the SemDeDup keep decision) so each records a
+# driver-green row the round it lands.
+_R12_ROTATION_HEAD = [
+    "gopher_quality",
+    "gopher_repetition",
+    "c4_filter",
+    "pq_codes",
+    "pq_adc_topk",
+    "ann_ivfpq_adc",
+    "ann_ivfpq_residual",
+    "ann_ivfpq_rerank",
+    "semdedup_keep",
 ]
 
 
@@ -42,8 +42,9 @@ def catalog_queries():
     round 6 led with the 13 queries the gate had never recorded; round 7
     led with the 7 operators added late in round 6; round 8 led with its own
     newcomers; round 9 led with the portable-twin pair; round 10 led with
-    the ANN-tier bitext pair; round 11 leads with the manifest-protocol
-    store twins (see `_R11_ROTATION_HEAD` / tools/coverage_ledger.py) so
+    the ANN-tier bitext pair; round 11 led with the manifest-protocol
+    store twins; round 12 leads with the quality-rule / PQ / SemDeDup
+    newcomers (see `_R12_ROTATION_HEAD` / tools/coverage_ledger.py) so
     every registered query keeps a driver-green row at least once.  The
     oracle-backed vs rows-only distinction is metadata, not ordering — see
     `catalog_meta()`; rows-only entries remain inside the head-50 so the
@@ -61,7 +62,7 @@ def catalog_queries():
         **TEMPORAL_QUERIES,
         **TPCH_QUERIES,
     }
-    head = {k: merged[k] for k in _R11_ROTATION_HEAD if k in merged}
+    head = {k: merged[k] for k in _R12_ROTATION_HEAD if k in merged}
     return {**head, **{k: v for k, v in merged.items() if k not in head}}
 
 

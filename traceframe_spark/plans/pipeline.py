@@ -3584,7 +3584,7 @@ PIPELINE_QUERIES = {
     # r10 additions — rotated into the head by _R10_ROTATION_HEAD
     "bitext_mine_ann": q_bitext_mine_ann,
     "bitext_ann_agree": q_bitext_ann_agree,
-    # r11 additions — rotated into the head by _R11_ROTATION_HEAD
+    # r11 additions — led the r11 head; r12 rotates its own newcomers forward
     "dedup_index_manifest": q_dedup_index_manifest,
     "lm_manifest_score": q_lm_manifest_score,
 }
