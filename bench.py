@@ -133,6 +133,7 @@ HEADLINE = [
     "ann_ivfpq_residual",
     "ann_ivfpq_rerank",
     "semdedup_keep",
+    "knn_label",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans

@@ -241,6 +241,44 @@ def test_semdedup_pairs_hand_values(spark):
     assert all(k == (0, 10, 11) for k in got)
 
 
+def test_knn_predict_majority_and_tiebreak(spark):
+    """Planted neighborhoods: majority label wins; an exact vote tie
+    elects the SMALLEST label; best_cos is the winning label's best
+    neighbor cosine."""
+    from traceframe_spark.operators.similarity import knn_predict
+
+    rows = [
+        # five vectors near the x-axis: labels 7,7,7,2,2
+        (1, [1.0, 0.00, 0.0], 7),
+        (2, [1.0, 0.01, 0.0], 7),
+        (3, [1.0, 0.02, 0.0], 7),
+        (4, [1.0, 0.03, 0.0], 2),
+        (5, [1.0, 0.04, 0.0], 2),
+        # four vectors near the y-axis: labels 9,9,4,4 (tie at k=4)
+        (6, [0.0, 1.0, 0.00], 9),
+        (7, [0.0, 1.0, 0.01], 9),
+        (8, [0.0, 1.0, 0.02], 4),
+        (9, [0.0, 1.0, 0.03], 4),
+        # the probes themselves (far labels, excluded by qid != cid)
+        (100, [1.0, 0.015, 0.0], 0),
+        (101, [0.0, 1.0, 0.015], 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    q = df.filter(F.col("vec_id") >= 100)
+    got = {
+        r["qid"]: (r["pred_label"], r["votes"])
+        for r in knn_predict(df, q, "vec_id", "embedding", "label", k=4).collect()
+    }
+    # probe 100's top-4 by cosine: among rows 1-5 (and probe 101 far
+    # away) -> 3x label 7 beats 2x label 2 regardless of which four win
+    assert got[100][0] == 7
+    # probe 101's top-4 = rows 6-9 exactly: 2x9 vs 2x4 -> smallest label
+    assert got[101] == (4, 2)
+
+
 def test_semdedup_keep_election_rules(spark):
     """semdedup_keep on a hand-built duplicate chain: A~B~C transitively
     grouped even though A,C never pair directly; keep='far' elects the

@@ -2,9 +2,10 @@
 100x copy (/tmp/sparktrace_scale100), same comparison semantics as
 tools/check_oracle.py and the r08-r11 sweeps.
 
-All six rows run the registry entries VERBATIM — none of the r12
-operators carries a doc/vector bound, so the 100x rows exercise exactly
-the plans the sf0.01 gate verifies, at 500k documents / 200k vectors:
+Every row except ``semdedup_keep_vol`` runs the registry entry
+VERBATIM — the operators carry no doc/vector bound, so the 100x rows
+exercise exactly the plans the sf0.01 gate verifies, at 500k
+documents / 200k vectors:
 
 - ``gopher_repetition_vol``: duplicate-line and duplicated-n-gram char
   coverage over every planted document — the explode-heavy profile
@@ -31,6 +32,15 @@ the plans the sf0.01 gate verifies, at 500k documents / 200k vectors:
   corpus, so the result must EQUAL the exhaustive ADC oracle — the
   store roundtrip and the probe machinery pinned by value at 200k
   vectors.
+- ``ann_ivfpq_residual_vol``: the residual IVFADC chain — codes
+  quantize r = x − c(list), so the oracle replays the QUANTIZER too —
+  registry-verbatim over all 200k vectors.
+- ``semdedup_keep_vol``: the keep election under clone MASS (20 base
+  ids x ~100 near-copies → 100-deep transitive components); bounded
+  because occupancy² pair cost is the operator's own documented
+  contract.
+- ``knn_label_vol``: k-NN weak labeling, registry-verbatim — 10
+  probes elect from exact top-5 over all 200k labeled candidates.
 
 Usage: python tools/oracle_volume_r12.py \
     [--sf /tmp/sparktrace_scale100] [query ...]
@@ -95,6 +105,9 @@ def build_queries():
         # own documented contract, so the volume row stresses clone
         # MASS (100-deep components), not raw corpus width
         "semdedup_keep_vol": q_semdedup_keep_vol,
+        # registry VERBATIM: 10 probes elect from exact top-5 over all
+        # 200k labeled candidates
+        "knn_label_vol": M.q_knn_label,
     }
     # The registry's ADC oracle joins the full `ad` assignment relation
     # (corpus x subspaces x codewords — 25.6M rows here) EIGHT times as
@@ -122,6 +135,7 @@ def build_queries():
         # registry SQL itself, so no lutq surgery is needed: qlut is
         # already query-bounded and evaluated once
         "ann_ivfpq_residual_vol": P.SQL_ANN_IVFPQ_RESIDUAL,
+        "knn_label_vol": M.SQL_KNN_LABEL,
         "semdedup_keep_vol": M.SQL_SEMDEDUP_KEEP.replace(
             "FROM embeddings e CROSS JOIN cent c",
             f"FROM (SELECT * FROM embeddings WHERE vec_id % {MOD} < 20) e "

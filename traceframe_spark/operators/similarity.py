@@ -590,6 +590,61 @@ def nearest_centroid_scan(
     ).mapInPandas(run, schema)
 
 
+def knn_predict(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    quantize: int | None = 4,
+) -> DataFrame:
+    """k-NN weak labeling over a labeled embedding corpus: each query
+    takes the MAJORITY label of its exact top-k cosine neighbors —
+    the classic semi-supervised label-propagation step a curation
+    pipeline uses to extend a small labeled seed over an unlabeled
+    corpus (and, inverted, to audit labels: a row whose neighbors
+    out-vote its own label is a labeling-error candidate, the
+    relational form of confident-learning screens).
+
+    Election is deterministic: vote count desc, then the SMALLEST
+    label id (the tie a SQL oracle can replay). Output
+    (qid, pred_label, votes, best_cos) where best_cos is the winning
+    label's best quantized neighbor cosine — the confidence signal a
+    downstream gate thresholds on.
+
+    Scale shape: the top-k comes from :func:`cosine_topk` (queries
+    broadcast, candidate side streamed once); everything after is a
+    k-row-per-query aggregation — at 100 TB the corpus pass dominates
+    and the IVF/ADC tiers substitute for it unchanged (any
+    (qid, cid, cos) top-k feeds the same election)."""
+    top = cosine_topk(corpus, queries, id_col, vec_col, k=k, quantize=quantize)
+    labels = corpus.select(
+        F.col(id_col).alias("cid"), F.col(label_col).alias("_lbl")
+    )
+    votes = (
+        top.join(labels, "cid")
+        .groupBy("qid", "_lbl")
+        .agg(
+            F.count("*").cast("long").alias("votes"),
+            F.max("cos").alias("best_cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("votes").desc(), F.col("_lbl").asc()
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "qid",
+            F.col("_lbl").cast("long").alias("pred_label"),
+            "votes",
+            "best_cos",
+        )
+    )
+
+
 def collect_centroids(
     centroids: DataFrame, id_col: str, vec_col: str
 ) -> tuple["np.ndarray", "np.ndarray"]:

@@ -29,6 +29,7 @@ _R12_ROTATION_HEAD = [
     "ann_ivfpq_residual",
     "ann_ivfpq_rerank",
     "semdedup_keep",
+    "knn_label",
 ]
 
 

@@ -636,6 +636,67 @@ WHERE a.vec_id NOT IN (SELECT id FROM dropped)
 
 
 
+def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN weak labeling (similarity.knn_predict): each probe takes
+    the majority label of its exact top-5 cosine neighbors, ties by
+    vote count desc then smallest label — the label-propagation /
+    label-audit step, with the winning label's best neighbor cosine as
+    the confidence signal. The oracle replays the top-k, the vote, and
+    the election."""
+    from traceframe_spark.operators.similarity import knn_predict
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return knn_predict(e, q, "vec_id", "embedding", "label", k=5)
+
+
+SQL_KNN_LABEL = """
+WITH norms AS (
+    SELECT vec_id, sqrt(sum(v * v)) AS nrm
+    FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
+    GROUP BY vec_id
+),
+dots AS (
+    SELECT qid, cid, sum(qv * cv) AS dot
+    FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               CAST(unnest(q.embedding) AS DOUBLE) AS qv,
+               CAST(unnest(c.embedding) AS DOUBLE) AS cv
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    )
+    GROUP BY qid, cid
+),
+scored AS (
+    SELECT d.qid, d.cid,
+           CAST(floor(d.dot / (nq.nrm * nc.nrm) * 10000 + 0.5) AS BIGINT) AS cos
+    FROM dots d
+    JOIN norms nq ON nq.vec_id = d.qid
+    JOIN norms nc ON nc.vec_id = d.cid
+),
+topk AS (
+    SELECT qid, cid, cos FROM (
+        SELECT qid, cid, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+),
+votes AS (
+    SELECT t.qid, e.label AS lbl,
+           CAST(count(*) AS BIGINT) AS votes,
+           max(t.cos) AS best_cos
+    FROM topk t JOIN embeddings e ON e.vec_id = t.cid
+    GROUP BY t.qid, e.label
+)
+SELECT qid, CAST(lbl AS BIGINT) AS pred_label, votes, best_cos
+FROM (
+    SELECT qid, lbl, votes, best_cos,
+           row_number() OVER (PARTITION BY qid ORDER BY votes DESC, lbl ASC) AS rn
+    FROM votes
+) WHERE rn = 1
+"""
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: for each probe
     vector, the 3 nearest neighbors whose LABEL DIFFERS — the pairs a
@@ -1034,6 +1095,7 @@ MLPREP_QUERIES = {
     "kmeans_fit": q_kmeans_fit,
     "semantic_dedup": q_semantic_dedup,
     "semdedup_keep": q_semdedup_keep,
+    "knn_label": q_knn_label,
     "label_outliers": q_label_outliers,
     "tfidf_topk": q_tfidf_topk,
     "pmi_bigrams": q_pmi_bigrams,
@@ -1054,6 +1116,7 @@ MLPREP_ORACLE_SQL = {
     "kmeans_fit": SQL_KMEANS_FIT,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "semdedup_keep": SQL_SEMDEDUP_KEEP,
+    "knn_label": SQL_KNN_LABEL,
     "label_outliers": SQL_LABEL_OUTLIERS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "pmi_bigrams": SQL_PMI_BIGRAMS,
