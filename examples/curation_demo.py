@@ -53,6 +53,36 @@ def main() -> None:
     n1 = gated.count()
     print(f"quality/lang/repetition gate: {n0} -> {n1}")
 
+    # 2b. the published rule sets (r12), one expression pass each. The
+    # synthetic vocabulary contains only 'the' from the Gopher stop
+    # list, so the published keep gate correctly rejects EVERYTHING
+    # raw; planting two more stop words flips it — the gate reacts to
+    # exactly the signal the paper says it should.
+    gq = text.gopher_quality_flags(F.col("text"))
+    n_gopher_raw = docs.select(gq["keep"].alias("k")).filter("k").count()
+    planted = text.gopher_quality_flags(
+        F.concat(F.col("text"), F.lit(" and that have"))
+    )
+    n_gopher = docs.select(planted["keep"].alias("k")).filter("k").count()
+    # a doc that repeats its own text has ~full duplicate-line coverage
+    selfdup = docs.select(
+        "doc_id", F.concat_ws("\n", "text", "text").alias("text")
+    )
+    rep = text.gopher_repetition_profile(selfdup, "doc_id", "text").agg(
+        F.avg("dup_line_char_frac").alias("a")
+    ).first()["a"]
+    c4 = text.c4_line_filter(F.concat(F.col("text"), F.lit(".")))
+    n_c4_kept = docs.select(c4["n_kept"].alias("nk")).agg(
+        F.sum("nk")
+    ).first()[0]
+    assert n_gopher_raw == 0 and n_gopher > 0 and rep >= 0.45 and n_c4_kept > 0
+    print(
+        f"published gates: gopher keep {n_gopher_raw}/{n0} raw (stop-word "
+        f"poor by construction) -> {n_gopher}/{n0} with planted stop words; "
+        f"self-duplicated docs show dup-line char coverage {rep:.2f}; "
+        f"c4 keeps {n_c4_kept} terminal-punctuated lines"
+    )
+
     # 3. PII scrub (counts first, then redact in place)
     pii = gated.select(F.sum(text.pii_counts(F.col("text"))["email"]).alias("emails")).first()
     scrubbed = gated.withColumn("text", text.redact_pii(F.col("text")))
@@ -401,6 +431,47 @@ def main() -> None:
         f"150 (100 fresh + 50 exact re-sends) -> {n1 - n0} landed, re-sends "
         f"died against the standing lists, replay watermark batch={wm} "
         f"committed atomically with the fold"
+    )
+
+    # 11. the r12 compressed tier + SemDeDup keep, end to end on the
+    # same vectors: PQ codes + ADC through a persisted manifest IVF-PQ
+    # index with the exact re-rank head (a non-truncating shortlist
+    # must recover cosine_topk exactly — the refinement guarantee),
+    # and the SemDeDup election reducing the corpus to kept rows.
+    from traceframe_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nv = emb.count()
+    cb = sim.pq_sample_codebooks(emb, "vec_id", "embedding")
+    ivfpq = tempfile.mkdtemp(prefix="demo_ivfpq_") + "/idx"
+    sim.write_ivf_index(
+        emb, ivfpq, "vec_id", "embedding", n_centroids=8,
+        protocol="manifest", pq_samples=cb,
+    )
+    probes = emb.filter(F.col("vec_id") < 3)
+    reranked = sorted(
+        (r["qid"], r["cid"], r["rn"]) for r in sim.ivf_adc_topk_over_index(
+            spark, ivfpq, probes, "vec_id", "embedding",
+            k=nv, nprobe=8, rerank_k=3,
+        ).collect()
+    )
+    exact = sorted(
+        (r["qid"], r["cid"], r["rn"]) for r in
+        sim.cosine_topk(emb, probes, "vec_id", "embedding", k=3).collect()
+    )
+    assert reranked == exact, "full-shortlist ADC re-rank must equal exact"
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    n_kept = sim.semdedup_keep(
+        emb, cents, "vec_id", "embedding", min_cos_q=3000
+    ).count()
+    assert 0 < n_kept <= nv
+    print(
+        f"compressed tier: {nv} vectors -> 8-byte PQ codes in a manifest "
+        f"IVF-PQ index; ADC shortlist + exact re-rank reproduces "
+        f"cosine_topk for 3 probes; semdedup keep (cos>=0.30) retains "
+        f"{n_kept}/{nv}"
     )
     spark.stop()
 
