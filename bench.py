@@ -134,6 +134,8 @@ HEADLINE = [
     "ann_ivfpq_rerank",
     "semdedup_keep",
     "knn_label",
+    "bpe_store_encode",
+    "snapshot_diff",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans

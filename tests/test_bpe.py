@@ -172,3 +172,41 @@ def test_token_ids_decode_back_to_text(spark, tmp_path):
         assert [p for p, _ in seq] == list(range(len(seq)))  # dense positions
         decoded = "".join(id2tok[t] for _, t in seq)
         assert decoded.replace(bpe.END_WORD, " ").strip() == texts[doc_id]
+
+
+def test_stored_bpe_model_roundtrip_both_protocols(spark, tmp_path):
+    """write_bpe_model / load_bpe_merges / encode_against_bpe: the
+    stored merges come back in training order on BOTH protocols and
+    encoding against the store equals encoding with the in-memory
+    list; an empty store read is refused loudly."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from traceframe_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest low low newer new") for i in range(20)],
+        "doc_id long, text string",
+    )
+    merges, syms = bpe.learn_bpe(docs, 6)
+    syms.unpersist()
+    assert merges, "training must learn at least one merge"
+    want = [
+        (r["doc_id"], list(r["tokens"]))
+        for r in bpe.encode(docs, merges).orderBy("doc_id").collect()
+    ]
+    for proto in ("append", "manifest"):
+        path = str(tmp_path / f"bpe_{proto}")
+        bpe.write_bpe_model(spark, merges, path, protocol=proto)
+        assert bpe.load_bpe_merges(spark, path) == merges
+        got = [
+            (r["doc_id"], list(r["tokens"]))
+            for r in bpe.encode_against_bpe(docs, path).orderBy("doc_id").collect()
+        ]
+        assert got == want
+    with _pt.raises(ValueError, match="protocol"):
+        bpe.write_bpe_model(spark, merges, str(tmp_path / "x"), protocol="zip")
+    empty = str(tmp_path / "bpe_empty")
+    bpe.write_bpe_model(spark, [], empty, protocol="manifest")
+    with _pt.raises(IOError, match="no merges"):
+        bpe.load_bpe_merges(spark, empty)

@@ -1990,3 +1990,21 @@ def test_lsh_cap_retention_sweep_spans_clusters(spark, seed, cap):
         assert len(got) == 1, f"cluster split under cap={cap}"
         labels.append(got.pop())
     assert len(set(labels)) == len(clusters)  # clusters stay distinct
+
+
+def test_snapshot_diff_statuses(spark):
+    """All four statuses on a hand-built pair of snapshots; the join
+    carries hashes, not text (schema check)."""
+    from traceframe_spark.operators.profile import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C"), (4, "d")], "doc_id long, text string"
+    )
+    got = {
+        r["id"]: r["status"]
+        for r in snapshot_diff(old, new, "doc_id", "text").collect()
+    }
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}

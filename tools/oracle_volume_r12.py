@@ -72,6 +72,22 @@ def build_queries():
     from traceframe_spark.plans import quality as QR
     from traceframe_spark.plans.catalog import load_table
 
+    def q_snapshot_diff_vol(spark, sf_dir):
+        from traceframe_spark.operators.profile import snapshot_diff
+
+        d = load_table(spark, sf_dir, "documents")
+        old = d.filter(F.col("doc_id") % MOD < 400)
+        new = d.filter(
+            (F.col("doc_id") % MOD >= 100) & (F.col("doc_id") % MOD < 500)
+        ).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        out = snapshot_diff(old, new, "doc_id", "text")
+        return out.select(F.col("id").alias("doc_id"), "status")
+
     def q_semdedup_keep_vol(spark, sf_dir):
         """semdedup_keep over 20 base ids x ~100 near-copies (~2,000
         vectors in heavy clone clusters — the shape the election
@@ -108,6 +124,10 @@ def build_queries():
         # registry VERBATIM: 10 probes elect from exact top-5 over all
         # 200k labeled candidates
         "knn_label_vol": M.q_knn_label,
+        # id-bound swapped from <400 to %MOD<400 (copy-0-only otherwise:
+        # the scale copies shift ids by 1e9): an 80k-row diff where all
+        # four statuses occur across every copy
+        "snapshot_diff_vol": q_snapshot_diff_vol,
     }
     # The registry's ADC oracle joins the full `ad` assignment relation
     # (corpus x subspaces x codewords — 25.6M rows here) EIGHT times as
@@ -136,6 +156,12 @@ def build_queries():
         # already query-bounded and evaluated once
         "ann_ivfpq_residual_vol": P.SQL_ANN_IVFPQ_RESIDUAL,
         "knn_label_vol": M.SQL_KNN_LABEL,
+        "snapshot_diff_vol": P.SQL_SNAPSHOT_DIFF.replace(
+            "WHERE doc_id < 400", f"WHERE doc_id % {MOD} < 400"
+        ).replace(
+            "WHERE doc_id >= 100 AND doc_id < 500",
+            f"WHERE doc_id % {MOD} >= 100 AND doc_id % {MOD} < 500",
+        ),
         "semdedup_keep_vol": M.SQL_SEMDEDUP_KEEP.replace(
             "FROM embeddings e CROSS JOIN cent c",
             f"FROM (SELECT * FROM embeddings WHERE vec_id % {MOD} < 20) e "

@@ -188,3 +188,60 @@ def vocab(syms: DataFrame, spark: SparkSession | None = None) -> DataFrame:
         .groupBy("token")
         .agg(F.sum("wcount").alias("tcount"))
     )
+
+
+def write_bpe_model(spark, merges: list[tuple[str, str, int]], path: str,
+                    protocol: str = "append") -> None:
+    """Persist a trained merge list as a stored tokenizer — the SIXTH
+    artifact on the shared store protocols (rollup, HLL, dedup-index
+    layers, bigram LM, IVF lists, now the tokenizer): train ONCE on the
+    frozen reference corpus, then every snapshot encodes against the
+    stored merges without retraining (the operational contract a
+    production tokenizer has — the merge list IS the tokenizer, and it
+    must be frozen or token ids drift between snapshots).
+
+    ``protocol="append"`` writes one plain parquet relation;
+    ``protocol="manifest"`` commits it atomically via
+    :func:`~traceframe_spark.streaming.manifest_store.commit_layer_frames`
+    (object-store-safe, snapshot-isolated, ``n_merges`` in the manifest
+    meta). The model is ``n_merges`` narrow rows — independent of
+    corpus size, like the NB classifier's and the LM's stores."""
+    frame = spark.createDataFrame(
+        [(i, l, r, int(c)) for i, (l, r, c) in enumerate(merges)],
+        "merge_idx int, left string, right string, pair_count long",
+    )
+    if protocol == "manifest":
+        from traceframe_spark.streaming import manifest_store as MS
+
+        MS.commit_layer_frames(
+            spark, path, {"merges": frame}, replace=True,
+            meta={"n_merges": len(merges)},
+        )
+    elif protocol == "append":
+        frame.write.mode("overwrite").parquet(path)
+    else:
+        raise ValueError(f"unknown BPE store protocol {protocol!r}")
+
+
+def load_bpe_merges(spark, path: str) -> list[tuple[str, str, int]]:
+    """The stored merge list, in training order. Bounded driver read
+    (n_merges rows); protocol auto-detected."""
+    from traceframe_spark.streaming import manifest_store as MS
+
+    if MS.is_manifest_store(spark, path):
+        df = MS.read_manifest_layer(spark, path, "merges")
+    else:
+        df = spark.read.parquet(path)
+    rows = df.orderBy("merge_idx").collect()  # bounded: n_merges rows
+    if not rows:
+        raise IOError(f"BPE store at {path!r} holds no merges")
+    return [(r["left"], r["right"], int(r["pair_count"])) for r in rows]
+
+
+def encode_against_bpe(df: DataFrame, path: str, text_col: str = "text",
+                       out_col: str = "tokens") -> DataFrame:
+    """Tokenize against a STORED model (:func:`write_bpe_model`): load
+    the frozen merges once (driver-bounded), then :func:`encode` — the
+    steady-state scoring shape shared with ``score_against_lm`` /
+    ``score_against_nb``: the training corpus is never re-read."""
+    return encode(df, load_bpe_merges(df.sparkSession, path), text_col, out_col)

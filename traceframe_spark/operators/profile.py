@@ -67,3 +67,33 @@ def column_profile(df: DataFrame, rsd: float = 0.05) -> DataFrame:
                 F.struct(F.lit(c).alias("column"), F.lit(m).alias("metric"), q(f"__{c}__{m}").alias("value"))
             )
     return wide.select(F.explode(F.array(*pairs)).alias("p")).select("p.column", "p.metric", "p.value")
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, id_col: str, content_col: str
+) -> DataFrame:
+    """Row-level diff between two corpus snapshots:
+    (id, status ∈ added/removed/changed/unchanged) — the bookkeeping an
+    incremental pipeline runs before deciding what to re-process (only
+    ``added``/``changed`` rows need re-curation; ``removed`` drives
+    retention/vacuum of derived stores).
+
+    Both sides project to (id, md5(content)) BEFORE the full-outer
+    join, so the shuffle carries fixed-width hash rows regardless of
+    document size — at 100 TB the diff costs two narrow scans plus one
+    id-keyed join, never a text-width shuffle. Content equality is
+    hash equality (md5 collisions are ignorable at corpus scale and
+    the same convention every exact-dedup stage here uses)."""
+    o = old.select(
+        F.col(id_col).alias("id"), F.md5(F.col(content_col)).alias("_oh")
+    )
+    n = new.select(
+        F.col(id_col).alias("id"), F.md5(F.col(content_col)).alias("_nh")
+    )
+    status = (
+        F.when(F.col("_oh").isNull(), F.lit("added"))
+        .when(F.col("_nh").isNull(), F.lit("removed"))
+        .when(F.col("_oh") == F.col("_nh"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, "id", "full_outer").select("id", status.alias("status"))

@@ -30,6 +30,8 @@ _R12_ROTATION_HEAD = [
     "ann_ivfpq_rerank",
     "semdedup_keep",
     "knn_label",
+    "bpe_store_encode",
+    "snapshot_diff",
 ]
 
 

@@ -2014,6 +2014,32 @@ def q_bpe_encode_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
         syms.unpersist()
 
 
+def q_bpe_store_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-tokenizer roundtrip (bpe.write_bpe_model /
+    encode_against_bpe, manifest protocol): train the 10 merges,
+    commit them atomically as the sixth artifact on the shared store
+    protocol, then encode every document against the STORE — the
+    steady-state contract (frozen merges, training corpus never
+    re-read, token ids stable across snapshots). Same oracle as
+    bpe_encode_lens: the store roundtrip must preserve the merge list
+    exactly, or counts drift."""
+    from traceframe_spark.operators import bpe
+    from traceframe_spark.plans.catalog import tmp_store
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, syms = bpe.learn_bpe(d, _BPE_N_MERGES)
+    try:
+        path = tmp_store("bpe_model_") + "/bpe"
+        bpe.write_bpe_model(spark, merges, path, protocol="manifest")
+        enc = bpe.encode_against_bpe(d.filter(F.col("text").isNotNull()), path)
+        return (
+            enc.select("doc_id", F.size("tokens").cast("long").alias("n_tokens"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        syms.unpersist()
+
+
 SQL_BPE_ENCODE_LENS = _sql_bpe_chain(_BPE_N_MERGES) + f"""
 , wlen AS MATERIALIZED (
     SELECT word, CAST(len(list_filter(string_split(s, '  '), x -> x <> '')) AS BIGINT) AS n
@@ -3160,6 +3186,44 @@ codes AS (
 )"""
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (profile.snapshot_diff): old = docs < 400, new =
+    docs in [100, 500) with every 10th text perturbed — so all four
+    statuses occur: 100-199,…,399 overlap (every 10th 'changed', the
+    rest 'unchanged'), <100 'removed', >=400 'added'. The oracle
+    replays the hash-compare full-outer join."""
+    from traceframe_spark.operators.profile import snapshot_diff
+
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") < 400)
+    new = d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 500)).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = snapshot_diff(old, new, "doc_id", "text")
+    return out.select(F.col("id").alias("doc_id"), "status")
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+    SELECT doc_id, md5(text) AS oh FROM documents WHERE doc_id < 400
+),
+new AS (
+    SELECT doc_id,
+           md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END) AS nh
+    FROM documents WHERE doc_id >= 100 AND doc_id < 500
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.oh IS NULL THEN 'added'
+            WHEN n.nh IS NULL THEN 'removed'
+            WHEN o.oh = n.nh THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id
+"""
+
+
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ encoding of the whole embeddings table with the PORTABLE
     md5-bottom-16 sampled codebooks (similarity.pq_sample_codebooks /
@@ -3517,6 +3581,8 @@ PIPELINE_QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bpe_vocab": q_bpe_vocab,
     "bpe_encode_lens": q_bpe_encode_lens,
+    "bpe_store_encode": q_bpe_store_encode,
+    "snapshot_diff": q_snapshot_diff,
     "audio_features": q_audio_features,
     "video_features": q_video_features,
     "doc_pagerank": q_doc_pagerank,
@@ -3595,6 +3661,8 @@ PIPELINE_ORACLE_SQL = {
     "bpe_merges": SQL_BPE_MERGES,
     "bpe_vocab": SQL_BPE_VOCAB,
     "bpe_encode_lens": SQL_BPE_ENCODE_LENS,
+    "bpe_store_encode": SQL_BPE_ENCODE_LENS,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dup_windows": SQL_DUP_WINDOWS,
     "dup_span_removal": SQL_DUP_SPAN_REMOVAL,
