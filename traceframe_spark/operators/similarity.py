@@ -1326,12 +1326,12 @@ def write_ivf_index(
     ]
     if pq_samples is not None and pq_residual:
         # the residual must land as a NAMED column before the code
-        # expression references it: _pq_code_expr reads its input
-        # m x n_codes x (dim/m) times, and passing the zip_with tree
-        # directly would copy the centroid-matrix literal into every
-        # read (a plan large enough to OOM the driver); an attribute
-        # reference is one node, and CollapseProject keeps a non-cheap
-        # multiply-referenced alias un-inlined
+        # expression references it: the code expression reads its
+        # input m x n_codes x (dim/m) times, and passing the zip_with
+        # tree directly would copy the centroid-matrix literal into
+        # every read (a plan large enough to OOM the driver); an
+        # attribute reference is one node, and CollapseProject keeps a
+        # non-cheap multiply-referenced alias un-inlined
         assigned = (
             corpus.select(*cols)
             .withColumn(
@@ -1342,12 +1342,19 @@ def write_ivf_index(
                     F.col("list_id"),
                 ),
             )
-            .withColumn("code", _pq_code_expr(F.col("_rvec"), pq_samples, pq_m))
+            .withColumn("code", _pq_code_sql("_rvec", pq_samples, pq_m))
             .drop("_rvec")
         )
+    elif pq_samples is not None:
+        assigned = (
+            corpus.select(*cols)
+            .withColumn(
+                "_pv", _dim_checked(F.col("c_vec"), len(pq_samples[0]))
+            )
+            .withColumn("code", _pq_code_sql("_pv", pq_samples, pq_m))
+            .drop("_pv")
+        )
     else:
-        if pq_samples is not None:
-            cols.append(_pq_code_expr(vec_col, pq_samples, pq_m).alias("code"))
         assigned = corpus.select(*cols)
     if protocol == "manifest":
         from traceframe_spark.streaming import manifest_store as MS
@@ -1440,19 +1447,21 @@ def append_to_ivf_index(
             )
             .withColumn(
                 "code",
-                _pq_code_expr(
-                    F.col("_rvec"), pq, int(man["meta"].get("pq_m", 8))
-                ),
+                _pq_code_sql("_rvec", pq, int(man["meta"].get("pq_m", 8))),
             )
             .drop("_rvec")
         )
-    else:
-        if pq is not None:
-            cols.append(
-                _pq_code_expr(
-                    vec_col, pq, int(man["meta"].get("pq_m", 8))
-                ).alias("code")
+    elif pq is not None:
+        assigned = (
+            new_rows.select(*cols)
+            .withColumn("_pv", _dim_checked(F.col("c_vec"), len(pq[0])))
+            .withColumn(
+                "code",
+                _pq_code_sql("_pv", pq, int(man["meta"].get("pq_m", 8))),
             )
+            .drop("_pv")
+        )
+    else:
         assigned = new_rows.select(*cols)
     if man is not None:
         from traceframe_spark.streaming import manifest_store as MS
@@ -1806,57 +1815,60 @@ def pq_residual_codebooks(
     return out
 
 
-def _pq_subdist(vec: Column, sample: list[float], s: int, d: int) -> Column:
-    """Squared L2 between ``vec``'s subspace-s block and the sample's,
-    as a LEFT-ASSOCIATED sequential fold in dimension order
-    (``ArrayAggregate`` applies its merge function element by element,
-    ``0.0 + t1 + t2 + ...``), so Spark and the SQL oracle's explicit
-    ``+``-chain round identically term by term — a ``sum()`` aggregate
-    would leave the addition order to the engine. The fold form (vs an
-    unrolled term chain) keeps the m x n_codes expression inside the
-    64 KB whole-stage-codegen method limit: codegen emits a loop, not
-    a page of adds per codeword."""
-    w = F.array(*[F.lit(float(sample[s * d + j])) for j in range(d)])
-    sub = F.slice(vec, s * d + 1, d)
-    return F.aggregate(
-        F.zip_with(
-            sub, w, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
-        ),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
+def _pq_subdist_sql(vec_name: str, sample: list[float], s: int, d: int) -> str:
+    """Squared L2 between the named vector column's subspace-s block
+    and the sample's, as one SQL string: an ``aggregate`` over a
+    zipped slice, i.e. a LEFT-ASSOCIATED sequential fold in dimension
+    order (``0.0 + t1 + t2 + ...``) with per-element
+    ``CAST(x AS DOUBLE)`` — exactly the rounding the DuckDB oracles'
+    explicit ``+``-chains produce, term by term. Codeword literals are
+    rendered via exact string round-trip (``CAST('repr' AS DOUBLE)``
+    parses to the identical float64). The fold form keeps the
+    m x n_codes expression inside whole-stage codegen's 64 KB method
+    limit (a loop, not a page of adds per codeword), and the SQL-string
+    form exists because building the same table from Column objects
+    costs thousands of py4j round-trips PER QUERY PLAN (~4 s of driver
+    time on the ADC probe, measured); one ``F.expr`` parse is
+    milliseconds."""
+    ws = ", ".join(f"CAST('{float(sample[s * d + j])!r}' AS DOUBLE)" for j in range(d))
+    return (
+        f"aggregate(zip_with(slice({vec_name}, {s * d + 1}, {d}), "
+        f"array({ws}), (x, c) -> (CAST(x AS DOUBLE) - c) * "
+        f"(CAST(x AS DOUBLE) - c)), CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
     )
 
 
-def _pq_code_expr(
-    vec_col_name: "str | Column", samples: list[list[float]], m: int
-) -> Column:
-    """The PQ code array expression over a vector column (name or an
-    already-built Column — e.g. a residual): per subspace, argmin
-    squared-L2 codeword index (ties to smallest index)."""
+def _pq_lut_expr(vec_name: str, samples: list[list[float]], m: int, d: int) -> Column:
+    """The per-query ADC lookup table (m x n_codes subspace distances)
+    over a NAMED vector column, as one parsed SQL expression."""
+    return F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(_pq_subdist_sql(vec_name, w, s, d) for w in samples) + ")"
+            for s in range(m)
+        )
+        + ")"
+    )
+
+
+def _pq_code_sql(vec_name: str, samples: list[list[float]], m: int) -> Column:
+    """The PQ code array over a NAMED (already dim-checked) vector
+    column: per subspace, argmin squared-L2 codeword index, ties to
+    the smallest index (``array_min`` over (d2, c) structs — struct
+    ordering gives the tie-break). One parsed SQL expression for the
+    same py4j-cost reason as :func:`_pq_lut_expr`."""
     dim = len(samples[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d = dim // m
-    raw = (
-        F.col(vec_col_name) if isinstance(vec_col_name, str) else vec_col_name
-    )
-    vec = _dim_checked(raw, dim)
-    return F.array(
-        *[
-            F.array_min(
-                F.array(
-                    *[
-                        F.struct(
-                            _pq_subdist(vec, w, s, d).alias("d2"),
-                            F.lit(c).alias("c"),
-                        )
-                        for c, w in enumerate(samples)
-                    ]
-                )
-            )["c"]
-            for s in range(m)
-        ]
-    )
+    subs = []
+    for s in range(m):
+        structs = ", ".join(
+            f"named_struct('d2', {_pq_subdist_sql(vec_name, w, s, d)}, 'c', {c})"
+            for c, w in enumerate(samples)
+        )
+        subs.append(f"array_min(array({structs})).c")
+    return F.expr("array(" + ", ".join(subs) + ")")
 
 
 def pq_encode(
@@ -1873,10 +1885,11 @@ def pq_encode(
     shuffle; per-row work is m x n_codes x (dim/m) multiply-adds in
     whole-stage codegen (the literal codebook rides in the plan,
     exactly like ``ivf_assign``)."""
+    dim = len(samples[0])
     return df.select(
         F.col(id_col).alias("id"),
-        _pq_code_expr(vec_col, samples, m).alias("code"),
-    )
+        _dim_checked(F.col(vec_col), dim).alias("_pv"),
+    ).select("id", _pq_code_sql("_pv", samples, m).alias("code"))
 
 
 def pq_adc_topk(
@@ -1901,13 +1914,9 @@ def pq_adc_topk(
     dim = len(samples[0])
     d = dim // m
     qvec = _dim_checked(F.col(vec_col), dim)
-    lut = F.array(
-        *[
-            F.array(*[_pq_subdist(qvec, w, s, d) for w in samples])
-            for s in range(m)
-        ]
-    )
-    q = queries.select(F.col(id_col).alias("qid"), lut.alias("lut"))
+    q = queries.select(
+        F.col(id_col).alias("qid"), qvec.alias("_qv")
+    ).select("qid", _pq_lut_expr("_qv", samples, m, d).alias("lut"))
     pairs = codes.withColumnRenamed("id", "cid").crossJoin(F.broadcast(q))
     ad2_terms = [
         F.element_at(
@@ -2001,28 +2010,18 @@ def ivf_adc_topk_over_index(
         ).withColumn(
             "_rq", ivf_residual(F.col("_qv"), centroids, F.col("list_id"))
         )
-        lut = F.array(
-            *[
-                F.array(
-                    *[_pq_subdist(F.col("_rq"), w, s, d) for w in samples]
-                )
-                for s in range(m)
-            ]
+        q = exploded.select(
+            "qid", _pq_lut_expr("_rq", samples, m, d).alias("lut"), "list_id"
         )
-        q = exploded.select("qid", lut.alias("lut"), "list_id")
     else:
-        lut = F.array(
-            *[
-                F.array(*[_pq_subdist(qvec, w, s, d) for w in samples])
-                for s in range(m)
-            ]
-        )
         q = queries.select(
             F.col(id_col).alias("qid"),
-            lut.alias("lut"),
+            qvec.alias("_qv"),
             F.explode(
                 ivf_probe_lists(F.col(vec_col), centroids, nprobe)
             ).alias("list_id"),
+        ).select(
+            "qid", _pq_lut_expr("_qv", samples, m, d).alias("lut"), "list_id"
         )
     probed = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})
     live = {key.split("=", 1)[1] for key in man["layers"] if key.startswith("list_id=")}
