@@ -130,6 +130,7 @@ HEADLINE = [
     "c4_filter",
     "pq_codes",
     "pq_adc_topk",
+    "ann_ivfpq_adc",
     "ann_ivfpq_residual",
     "ann_ivfpq_rerank",
     "semdedup_keep",

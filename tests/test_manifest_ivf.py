@@ -661,3 +661,52 @@ def test_within_batch_cap_bounds_single_list_burst(spark, caplog):
         got = sorted(r["vec_id"] for r in capped.collect())
     assert got == [0] + list(range(3, 10))  # 1,2 collapsed; overflow passes
     assert any("truncated 1 list" in m for m in caplog.messages)
+
+
+def test_stream_embed_ingest_adc_near_probe(spark, corpus, tmp_path):
+    """near_probe='adc': the near stage scans codes, shortlists by
+    approximate distance, and exact-reranks only the shortlist — a
+    cross-batch exact re-send still dies at cosine 1.0 (its standing
+    copy's code distance is minimal, so it enters the shortlist), a
+    fresh vector lands, restart is idempotent; on a PQ-less index the
+    mode is refused AT STREAM START."""
+    cb = sim.pq_sample_codebooks(corpus, "vec_id", "embedding")
+    mani = str(tmp_path / "mani_adc")
+    sim.write_ivf_index(
+        corpus, mani, "vec_id", "embedding", n_centroids=4,
+        protocol="manifest", pq_samples=cb,
+    )
+    feed_dir = tmp_path / "adc_feed"
+    feed_dir.mkdir()
+    with open(feed_dir / "b0.jsonl", "w") as f:
+        f.write(json.dumps({"vec_id": 400, "embedding": _vec(400)}) + "\n")
+    with open(feed_dir / "b1.jsonl", "w") as f:
+        f.write(json.dumps({"vec_id": 500, "embedding": _vec(400)}) + "\n")
+        f.write(json.dumps({"vec_id": 501, "embedding": _vec(501)}) + "\n")
+    ckpt = str(tmp_path / "adc_ckpt")
+    kw = dict(near_threshold=0.9999, nprobe=4, near_probe="adc")
+    _run_embed_stream(spark, str(feed_dir), mani, ckpt, **kw)
+    landed = {
+        r["cid"] for r in read_indexed_vectors(spark, mani).collect() if r["cid"] >= 400
+    }
+    assert landed == {400, 501}  # 500 = cross-batch re-send, caught by ADC+rerank
+    total = read_indexed_vectors(spark, mani).count()
+    _run_embed_stream(spark, str(feed_dir), mani, ckpt, **kw)
+    assert read_indexed_vectors(spark, mani).count() == total
+    # streamed rows carry codes (the fold encodes against manifest meta)
+    row = [r for r in read_indexed_vectors(spark, mani).collect() if r["cid"] == 501]
+    assert row and list(row[0]["code"])
+    # PQ-less index refuses the mode at stream start
+    plain = str(tmp_path / "mani_plain")
+    sim.write_ivf_index(
+        corpus, plain, "vec_id", "embedding", n_centroids=4, protocol="manifest"
+    )
+    with pytest.raises(ValueError, match="IVF-PQ"):
+        _run_embed_stream(
+            spark, str(feed_dir), plain, str(tmp_path / "p_ckpt"), **kw
+        )
+    with pytest.raises(ValueError, match="near_probe"):
+        _run_embed_stream(
+            spark, str(feed_dir), mani, str(tmp_path / "q_ckpt"),
+            near_threshold=0.9, near_probe="hamming",
+        )

@@ -1948,6 +1948,7 @@ def ivf_adc_topk_over_index(
     nprobe: int = 4,
     exclude_self: bool = True,
     rerank_k: int | None = None,
+    resolved: tuple[list[list[float]], dict | None] | None = None,
 ) -> DataFrame:
     """Top-k by ADC over a persisted IVF-PQ index
     (:func:`write_ivf_index` with ``pq_samples``) — the two-lever
@@ -1978,10 +1979,17 @@ def ivf_adc_topk_over_index(
     scan touches m-byte codes for every probed candidate; only the
     k-per-query survivors (broadcast-sized) pay a float read —
     compressed-domain scan + exact head, each tier billed at its own
-    width."""
+    width.
+
+    ``resolved`` reuses an already-resolved ``(centroids, manifest)``
+    pair (same contract as :func:`ivf_topk_over_index`): streaming
+    callers resolve ONE manifest per micro-batch and thread it through
+    every stage, so probe, fold, and watermark see one snapshot."""
     from traceframe_spark.streaming import manifest_store as MS
 
-    centroids, man = _ivf_resolve(spark, path)
+    centroids, man = (
+        resolved if resolved is not None else _ivf_resolve(spark, path)
+    )
     if man is None or man.get("meta", {}).get("pq_samples") is None:
         raise ValueError(
             f"IVF index at {path!r} carries no PQ codebooks — build it "

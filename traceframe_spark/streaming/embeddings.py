@@ -169,6 +169,8 @@ def stream_embed_ingest(
     vec_col: str = "embedding",
     near_threshold: float | None = None,
     nprobe: int | str = "auto",
+    near_probe: str = "float",
+    adc_shortlist: int = 32,
     within_batch_near: bool = False,
     within_batch_cap: int | None = 4096,
     lease: bool = False,
@@ -213,6 +215,22 @@ def stream_embed_ingest(
        width. For a measured operating point on your own data, run
        the agreement instrument (``bitext_ann_agreement``
        methodology) against a brute-force sample.
+
+       **Compressed-domain probing** (``near_probe="adc"``, requires
+       an IVF-PQ index — ``write_ivf_index(..., pq_samples=...)``):
+       the probe scans 1-byte codes instead of float vectors (the
+       candidate read skips the vector column entirely), shortlists
+       the ``adc_shortlist`` best by approximate distance, and only
+       those pay a float read + exact quantized cosine
+       (``rerank_k=1``) — at 100 TB the steady-state dedup loop's
+       probe I/O drops ~32x on the scan side. The trade: the re-send
+       guarantee weakens from "always caught" to "caught unless more
+       than ``adc_shortlist`` candidates in the probed lists tie at
+       or beat the clone's own code distance" (code collisions —
+       rare, but clone-heavy feeds are exactly where collisions
+       concentrate). Keep the default ``"float"`` when the
+       exactly-once-by-content property matters more than probe I/O;
+       thresholds compare on the same 1e-4 quantized grid either way.
     2b. ``within_batch_near=True`` (requires ``near_threshold``):
        additionally collapse near-duplicates OF EACH OTHER arriving in
        the same micro-batch — candidates from a self-join within the
@@ -265,10 +283,19 @@ def stream_embed_ingest(
         raise ValueError("within_batch_near=True needs near_threshold")
     if compact_every is not None and compact_every < 1:
         raise ValueError("compact_every must be >= 1")
+    if near_probe not in ("float", "adc"):
+        raise ValueError(f"near_probe must be 'float' or 'adc', got {near_probe!r}")
     # fail fast at stream start on a store without centroids; the
     # centroids are FROZEN (append never retrains), so pin them once
     # for the within-batch assignment instead of re-resolving per batch
-    centroids0, _ = sim._ivf_resolve(spark0, index_path)
+    centroids0, man0 = sim._ivf_resolve(spark0, index_path)
+    if near_probe == "adc" and (
+        man0 is None or man0.get("meta", {}).get("pq_samples") is None
+    ):
+        raise ValueError(
+            f"near_probe='adc' needs an IVF-PQ index at {index_path!r} — "
+            "build it with write_ivf_index(..., pq_samples=...)"
+        )
     if nprobe == "auto":
         if near_threshold is None:
             nprobe = 8  # unused (no near stage); keep the type honest
@@ -330,11 +357,25 @@ def stream_embed_ingest(
             # row match its OWN standing copy (cosine 1.0) — the
             # search-style qid != cid exclusion would make exactly the
             # re-send case invisible (see module docstring)
-            best = sim.ivf_topk_over_index(
-                spark, index_path, survivors, id_col, vec_col,
-                k=1, nprobe=nprobe, resolved=(centroids0, man),
-                exclude_self=False,
-            ).filter(F.col("cos") >= int(round(near_threshold * 10000)))
+            if near_probe == "adc":
+                # compressed-domain candidate scan + exact head: the
+                # shortlist pays the only float read, and the final
+                # cos is the same 1e-4 quantized grid as the float
+                # probe, so the threshold boundary is shared
+                best = sim.ivf_adc_topk_over_index(
+                    spark, index_path, survivors, id_col, vec_col,
+                    k=adc_shortlist, nprobe=nprobe, exclude_self=False,
+                    rerank_k=1, resolved=(centroids0, man),
+                )
+            else:
+                best = sim.ivf_topk_over_index(
+                    spark, index_path, survivors, id_col, vec_col,
+                    k=1, nprobe=nprobe, resolved=(centroids0, man),
+                    exclude_self=False,
+                )
+            best = best.filter(
+                F.col("cos") >= int(round(near_threshold * 10000))
+            )
             survivors = survivors.join(
                 best.select(F.col("qid").alias(id_col)), id_col, "left_anti"
             )
