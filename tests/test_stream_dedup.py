@@ -405,3 +405,40 @@ def test_manifest_loop_resolves_store_once_per_batch(spark, tmp_path, monkeypatc
     # The pre-fix loop resolved 4x per batch (= 10 here).
     assert len(calls) <= 4, f"index manifest resolved {len(calls)} times"
     assert {r.doc_id for r in read_ingested(spark, out).collect()} == {700, 701}
+
+
+def test_stream_dedup_bpe_token_annotation(spark, tmp_path, corpus_feed):
+    """bpe_path: survivors land with n_bpe_tokens from the FROZEN
+    stored tokenizer (write_bpe_model), matching the batch encoder for
+    the same rows; replay-idempotent; a missing model fails fast at
+    stream start."""
+    from traceframe_spark.operators import bpe
+
+    idx, feed = corpus_feed
+    train = _docs(spark, [(i, _uniq(i)) for i in range(4)])
+    merges, syms = bpe.learn_bpe(train, 6)
+    syms.unpersist()
+    model = str(tmp_path / "bpe_model")
+    bpe.write_bpe_model(spark, merges, model, protocol="manifest")
+    out, ckpt = str(tmp_path / "out_bpe"), str(tmp_path / "ckpt_bpe")
+    _run_stream(spark, idx, feed, out, ckpt, bpe_path=model)
+    rows = {r.doc_id: r for r in read_ingested(spark, out).collect()}
+    assert set(rows) == {101, 200, 301}
+    landed = {i: rows[i].n_bpe_tokens for i in rows}
+    survivors = _docs(spark, [(i, rows[i].text) for i in rows])
+    want = {
+        r["doc_id"]: len(r["tokens"])
+        for r in bpe.encode_against_bpe(survivors, model).collect()
+    }
+    assert landed == want and all(v > 0 for v in landed.values())
+    # replay: idempotent, annotation preserved
+    _run_stream(spark, idx, feed, out, ckpt, bpe_path=model)
+    again = {r.doc_id: r.n_bpe_tokens for r in read_ingested(spark, out).collect()}
+    assert again == landed
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no stored tokenizer"):
+        _run_stream(
+            spark, idx, feed, str(tmp_path / "out_bpebad"),
+            str(tmp_path / "ckpt_bpebad"), bpe_path=str(tmp_path / "nope_bpe"),
+        )

@@ -108,6 +108,7 @@ def stream_dedup_ingest(
     annotate_novelty: bool = False,
     lm_path: str | None = None,
     nb_path: str | None = None,
+    bpe_path: str | None = None,
     store_protocol: str = "markers",
     lease: bool = False,
     lease_ttl_s: int = 900,
@@ -168,6 +169,16 @@ def stream_dedup_ingest(
     downstream consumers threshold on. Documents with no tokens land
     with null columns (the scorer's no-row contract, surfaced here as
     a LEFT join). The model is read + pinned ONCE at stream start.
+
+    ``bpe_path`` (optional) additionally tokenizes each surviving doc
+    with a FROZEN stored BPE model
+    (:func:`~traceframe_spark.operators.bpe.write_bpe_model` — same
+    frozen contract: the merge list IS the tokenizer, and it must stay
+    fixed or token ids drift between snapshots) and lands it with an
+    ``n_bpe_tokens`` column — the budget signal sequence packing and
+    cost accounting consume. The merge list is driver-bounded
+    (n_merges rows) and read ONCE at stream start; encoding is a pure
+    zero-shuffle projection per batch.
 
     ``store_protocol="manifest"`` (requires a MANIFEST-protocol index)
     replaces the write-then-mark crash discipline with atomic manifest
@@ -290,6 +301,20 @@ def stream_dedup_ingest(
                 f"nb_path={nb_path!r} has no stored NB classifier; run "
                 "write_nb_classifier on the labeled reference set first"
             ) from exc
+    bpe_merges = None
+    if bpe_path is not None:
+        # the tokenizer pin is even simpler than the LM/NB frames: the
+        # merge list is n_merges driver rows, loaded once and embedded
+        # in each batch's encode projection
+        from traceframe_spark.operators.bpe import load_bpe_merges
+
+        try:
+            bpe_merges = load_bpe_merges(docs.sparkSession, bpe_path)
+        except Exception as exc:  # noqa: BLE001 — any read failure means no model
+            raise ValueError(
+                f"bpe_path={bpe_path!r} has no stored tokenizer; run "
+                "write_bpe_model on the trained merges first"
+            ) from exc
 
     def _fold_back(survivors: DataFrame) -> None:
         di.append_dedup_index(survivors, index_path, id_col, text_col)
@@ -396,6 +421,14 @@ def stream_dedup_ingest(
                     F.col("margin").alias("nb_margin"),
                 )
                 survivors = survivors.join(nb, id_col, "left")
+            if bpe_merges is not None:
+                from traceframe_spark.operators.bpe import encode
+
+                survivors = encode(
+                    survivors, bpe_merges, text_col=text_col, out_col="_toks"
+                ).withColumn(
+                    "n_bpe_tokens", F.size("_toks").cast("long")
+                ).drop("_toks")
             survivors = survivors.persist()
             if manifest_proto:
                 if survivors.isEmpty():
