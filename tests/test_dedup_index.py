@@ -445,3 +445,60 @@ def test_append_sequence_pins_callers_frame(spark, tmp_path):
         delta.select((F.col("doc_id") + 50).alias("doc_id"), "text"), idx
     )
     assert stale.agg(F.max("novelty")).first()[0] == 0.0
+
+
+def test_ckeys_bloom_prefilter_identical_answers(spark, tmp_path):
+    """The exact-layer Bloom sidecar (r13): manifest builds commit it,
+    fold-backs maintain it in the same commit, compaction OR-folds it,
+    and probe answers are IDENTICAL to a sidecar-less store on every
+    delta shape — all-fresh (the skip-the-layer fast path), all-hit,
+    and mixed."""
+    from traceframe_spark.streaming import manifest_store as MS
+
+    docs = spark.createDataFrame(
+        [(i, f"base text number {i} " * 10) for i in range(20)],
+        "doc_id long, text string",
+    )
+    mani = str(tmp_path / "ckb_idx")
+    di.write_dedup_index(docs, mani, n_hashes=32, bands=8, protocol="manifest")
+    man = MS._latest_manifest(spark, mani)
+    assert "ckeys_bloom" in man["layers"]
+    legacy = str(tmp_path / "ckb_legacy")
+    di.write_dedup_index(docs, legacy, n_hashes=32, bands=8)  # no sidecar
+
+    fresh = spark.createDataFrame(
+        [(100 + i, f"totally new content {i} " * 12) for i in range(5)],
+        "doc_id long, text string",
+    )
+    hits = docs.limit(3).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    mixed = fresh.unionByName(hits)
+    for delta in (fresh, hits, mixed):
+        a = sorted(
+            r["doc_id"]
+            for r in di.dedup_against_index(delta, mani, near_dup=False).collect()
+        )
+        b = sorted(
+            r["doc_id"]
+            for r in di.dedup_against_index(delta, legacy, near_dup=False).collect()
+        )
+        assert a == b
+    # fold-back maintains the sidecar in the SAME commit; a clone of an
+    # APPENDED doc then dies through the bloom path
+    di.append_dedup_index(fresh, mani)
+    man2 = MS._latest_manifest(spark, mani)
+    assert len(man2["layers"]["ckeys_bloom"]) == 2
+    clone = spark.createDataFrame(
+        [(999, "totally new content 0 " * 12)], "doc_id long, text string"
+    )
+    assert di.dedup_against_index(clone, mani, near_dup=False).count() == 0
+    # compaction OR-folds the sidecar; answers unchanged after
+    MS.compact_manifest_layers(spark, mani)
+    man3 = MS._latest_manifest(spark, mani)
+    assert len(man3["layers"]["ckeys_bloom"]) == 1
+    assert di.dedup_against_index(clone, mani, near_dup=False).count() == 0
+    assert di.dedup_against_index(
+        spark.createDataFrame([(7, "never seen before")], "doc_id long, text string"),
+        mani, near_dup=False,
+    ).count() == 1

@@ -551,7 +551,10 @@ def test_compaction_cadence_bounds_embed_stream_dir_lists(spark, corpus, tmp_pat
     ctrl = build("cad_ctrl")
     _run_embed_stream(spark, str(feed), ctrl, str(tmp_path / "cad_ckpt_ctrl"))
     man_ctrl = MS._latest_manifest(spark, ctrl)
-    assert max(len(d) for d in man_ctrl["layers"].values()) == 8  # unbounded
+    # unbounded growth: 8 append dirs on the fed list; the ids_bloom
+    # sidecar (r13) accumulates one more per commit incl. the build = 9
+    assert len(man_ctrl["layers"]["list_id=0"]) == 8
+    assert max(len(d) for d in man_ctrl["layers"].values()) == 9
 
     cad = build("cad_on")
     _run_embed_stream(
@@ -710,3 +713,198 @@ def test_stream_embed_ingest_adc_near_probe(spark, corpus, tmp_path):
             spark, str(feed_dir), mani, str(tmp_path / "q_ckpt"),
             near_threshold=0.9, near_probe="hamming",
         )
+
+
+def test_stream_embed_ingest_adc_shortlist_validated(spark, corpus, tmp_path):
+    """adc_shortlist < 1 in near_probe='adc' mode would make the ADC
+    shortlist empty and silently disable near-dup suppression (every
+    re-send lands) — refused at stream start (r12 advisory)."""
+    cb = sim.pq_sample_codebooks(corpus, "vec_id", "embedding")
+    mani = str(tmp_path / "mani_adc_sl")
+    sim.write_ivf_index(
+        corpus, mani, "vec_id", "embedding", n_centroids=4,
+        protocol="manifest", pq_samples=cb,
+    )
+    feed = _feed(tmp_path, "adc_sl_feed", [[400]])
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .json(feed)
+    )
+    with pytest.raises(ValueError, match="adc_shortlist must be >= 1"):
+        stream_embed_ingest(
+            stream, mani, str(tmp_path / "adc_sl_ckpt"),
+            near_threshold=0.99, near_probe="adc", adc_shortlist=0,
+            trigger_available_now=True,
+        )
+
+
+def test_stream_embed_id_guard_without_near_stage(spark, corpus, tmp_path):
+    """The r12 documented gap, closed: with near_threshold=None a
+    replayed feed still lands each id exactly once — batch ids are
+    bloom-probed against the ids_bloom sidecar and confirmed against a
+    cid-column read (ivf_id_hits). Restart idempotent; a same-id
+    re-send with CHANGED content is also dropped (the guard is by id)."""
+    mani = str(tmp_path / "mani_idg")
+    sim.write_ivf_index(
+        corpus, mani, "vec_id", "embedding", n_centroids=4, protocol="manifest"
+    )
+    feed_dir = tmp_path / "idg_feed"
+    feed_dir.mkdir()
+    with open(feed_dir / "b0.jsonl", "w") as f:
+        f.write(json.dumps({"vec_id": 400, "embedding": _vec(400)}) + "\n")
+    with open(feed_dir / "b1.jsonl", "w") as f:
+        # 400 re-sent with DIFFERENT content; 401 fresh
+        f.write(json.dumps({"vec_id": 400, "embedding": _vec(999)}) + "\n")
+        f.write(json.dumps({"vec_id": 401, "embedding": _vec(401)}) + "\n")
+    ckpt = str(tmp_path / "idg_ckpt")
+    _run_embed_stream(spark, str(feed_dir), mani, ckpt)  # near stage OFF
+    rows = [r for r in read_indexed_vectors(spark, mani).collect() if r["cid"] >= 400]
+    assert sorted(r["cid"] for r in rows) == [400, 401]  # 400 landed ONCE
+    total = read_indexed_vectors(spark, mani).count()
+    _run_embed_stream(spark, str(feed_dir), mani, ckpt)  # restart: idempotent
+    assert read_indexed_vectors(spark, mani).count() == total
+    # the guard can be turned off: a fresh checkpoint with id_guard=False
+    # replays the same feed and double-inserts (the documented pre-r13
+    # contract for exactly-once-upstream feeds)
+    mani2 = str(tmp_path / "mani_idg_off")
+    sim.write_ivf_index(
+        corpus, mani2, "vec_id", "embedding", n_centroids=4, protocol="manifest"
+    )
+    _run_embed_stream(
+        spark, str(feed_dir), mani2, str(tmp_path / "idg_ckpt_off"),
+        id_guard=False,
+    )
+    rows2 = [r for r in read_indexed_vectors(spark, mani2).collect() if r["cid"] >= 400]
+    assert sorted(r["cid"] for r in rows2) == [400, 400, 401]
+
+
+def test_ivf_id_hits_bloom_and_legacy(spark, corpus, tmp_path):
+    """ivf_id_hits: exact membership answers with the ids_bloom sidecar
+    (build + appends maintain it in the same commits, compaction
+    OR-folds it) AND on a sidecar-less manifest (confirm-always
+    fallback built by committing layers directly)."""
+    from traceframe_spark.streaming import manifest_store as MS
+
+    mani = str(tmp_path / "hits_idx")
+    sim.write_ivf_index(
+        corpus, mani, "vec_id", "embedding", n_centroids=4, protocol="manifest"
+    )
+    sim.append_to_ivf_index(
+        _vecs(spark, range(300, 305)), mani, "vec_id", "embedding"
+    )
+    man = MS._latest_manifest(spark, mani)
+    assert "ids_bloom" in man["layers"] and len(man["layers"]["ids_bloom"]) == 2
+    probe = _vecs(spark, [0, 3, 301, 304]).select("vec_id").unionByName(
+        spark.createDataFrame([(7777,), (8888,)], "vec_id long")
+    )
+    got = sorted(
+        r["vec_id"] for r in sim.ivf_id_hits(spark, mani, probe, "vec_id").collect()
+    )
+    assert got == [0, 3, 301, 304]
+    # compaction folds the sidecar to one dir and <= n_words rows
+    MS.compact_manifest_layers(spark, mani)
+    man2 = MS._latest_manifest(spark, mani)
+    assert len(man2["layers"]["ids_bloom"]) == 1
+    words = MS.read_manifest_layer(spark, mani, "ids_bloom", man=man2)
+    assert words.groupBy("word_idx").count().agg(
+        F.max("count")
+    ).first()[0] == 1
+    got2 = sorted(
+        r["vec_id"] for r in sim.ivf_id_hits(spark, mani, probe, "vec_id").collect()
+    )
+    assert got2 == got
+
+
+def test_auto_nprobe_refreshes_on_compaction(spark, tmp_path, monkeypatch):
+    """nprobe='auto' re-derives on the compaction cadence: a stream
+    whose clone mass arrives AFTER start (skew 1 -> ~12) widens its
+    probe mid-stream — batch 0 probes with the stream-start width (8),
+    the cadence fires, and the next batch probes with the refreshed
+    skew-derived width — instead of staying pinned to day-one geometry
+    until restart (the r12 verdict's #5)."""
+    def axis(k, mag=100.0):
+        v = [0.0] * DIM
+        v[k % DIM] = mag if k < DIM else -mag
+        return v
+
+    cents = [axis(k) for k in range(16)]  # 16 lists over 8 dims (+/- axes)
+    seed = spark.createDataFrame(
+        [(i, axis(i)) for i in range(16)], "vec_id long, embedding array<double>"
+    )
+    idx = str(tmp_path / "np_refresh")
+    sim.write_ivf_index(
+        seed, idx, "vec_id", "embedding", centroids=cents, protocol="manifest"
+    )
+
+    feed = tmp_path / "np_refresh_feed"
+    feed.mkdir()
+    with open(feed / "b0.jsonl", "w") as f:
+        for i in range(50):  # clone burst: all 50 land in list 0
+            v = [100.0, 15.0 + i] + [0.0] * (DIM - 2)
+            f.write(json.dumps({"vec_id": 1000 + i, "embedding": v}) + "\n")
+    with open(feed / "b1.jsonl", "w") as f:
+        v = [0.0] * DIM
+        v[5], v[6] = 100.0, 30.0
+        f.write(json.dumps({"vec_id": 2000, "embedding": v}) + "\n")
+
+    widths = []
+    real = sim.ivf_topk_over_index
+
+    def recording(*a, **kw):
+        widths.append(kw.get("nprobe"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sim, "ivf_topk_over_index", recording)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+    )
+    q = stream_embed_ingest(
+        stream, idx, str(tmp_path / "np_refresh_ckpt"),
+        near_threshold=0.99, compact_every=2, trigger_available_now=True,
+    )
+    q.awaitTermination()
+    # batch 0 probed at the balanced-index width 8; the fold pushed
+    # list 0 to 51 of 66 rows (skew ~12.4), the cadence compacted and
+    # re-derived -> batch 1 probed at 13
+    assert widths == [8, 13], widths
+
+
+def test_semdedup_keep_over_index_equals_dataframe_path(spark, corpus, tmp_path):
+    """semdedup_keep_over_index: resolving the quantizer from the
+    manifest store yields the EXACT keep decision the DataFrame-
+    centroids path makes on the same centroids — the store roundtrip
+    must not flip a single verdict (and centroid_id is the stored
+    quantizer's list id). Works on the sidecar protocol too."""
+    cents = sim.train_ivf_centroids(corpus, "vec_id", "embedding", n_centroids=4)
+    mani = str(tmp_path / "sd_idx")
+    sim.write_ivf_index(
+        corpus, mani, "vec_id", "embedding", centroids=cents, protocol="manifest"
+    )
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "centroid_id long, embedding array<double>",
+    )
+    want = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in sim.semdedup_keep(
+            corpus, cdf, "vec_id", "embedding", min_cos_q=3000
+        ).collect()
+    )
+    got = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in sim.semdedup_keep_over_index(
+            spark, mani, corpus, "vec_id", "embedding", min_cos_q=3000
+        ).collect()
+    )
+    assert got == want and got
+    side = str(tmp_path / "sd_side")
+    sim.write_ivf_index(corpus, side, "vec_id", "embedding", centroids=cents)
+    got_side = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in sim.semdedup_keep_over_index(
+            spark, side, corpus, "vec_id", "embedding", min_cos_q=3000
+        ).collect()
+    )
+    assert got_side == want

@@ -18,7 +18,9 @@ from pyspark.sql import functions as F
 from traceframe_spark.operators import rollup as R
 from traceframe_spark.streaming.manifest_store import (
     _latest_manifest,
+    _read_parts,
     commit_merged_parts,
+    compact_corpus_store,
     manifest_last_batch,
     merge_into_manifest_store,
     read_manifest_store,
@@ -579,3 +581,50 @@ def test_stream_rollup_manifest_lease_contract(spark, tmp_path):
             break
         time.sleep(0.5)
     assert not os.path.exists(f"{store}/_lease.json")
+
+
+def test_compact_corpus_store_bin_packing(spark, tmp_path):
+    """compact_corpus_store: 9 one-dir batches at bin_size=4 pack into
+    bin dirs + the partial tail; rows byte-identical; per-value reads
+    still return exactly that value's rows (the manifest's value->bin
+    map + the physical partition column); second call is a no-op (the
+    packed bins are skipped); a later batch re-opens only its own bin."""
+    p = str(tmp_path / "corpus_bins")
+    for b in range(9):
+        df = spark.createDataFrame(
+            [(b * 10 + i, f"doc{b}-{i}") for i in range(3)],
+            "doc_id long, text string",
+        )
+        commit_merged_parts(
+            df.withColumn("ingest_batch", F.lit(b)), p, "ingest_batch",
+            shuffle=False,
+        )
+    before = sorted(
+        (r["doc_id"], r["text"], r["ingest_batch"])
+        for r in read_manifest_store(spark, p).collect()
+    )
+    assert len(set(_latest_manifest(spark, p)["parts"].values())) == 9
+    assert compact_corpus_store(spark, p, bin_size=4) == 2  # bins 0-3, 4-7
+    man = _latest_manifest(spark, p)
+    dirs = set(man["parts"].values())
+    assert len(dirs) == 3  # bin0, bin1, live tail 8
+    after = sorted(
+        (r["doc_id"], r["text"], r["ingest_batch"])
+        for r in read_manifest_store(spark, p).collect()
+    )
+    assert after == before
+    one = _read_parts(spark, p, man, ["5"])
+    assert sorted(r["doc_id"] for r in one.collect()) == [50, 51, 52]
+    assert compact_corpus_store(spark, p, bin_size=4) == 0  # already packed
+    # a new batch lands in bin 2; only that bin rewrites next time
+    df = spark.createDataFrame([(90, "doc9-0")], "doc_id long, text string")
+    commit_merged_parts(
+        df.withColumn("ingest_batch", F.lit(9)), p, "ingest_batch", shuffle=False
+    )
+    assert compact_corpus_store(spark, p, bin_size=4) == 1  # bin 2 only
+    man3 = _latest_manifest(spark, p)
+    assert len(set(man3["parts"].values())) == 3  # three full-ish bins
+    allrows = sorted(
+        r["doc_id"] for r in read_manifest_store(spark, p).collect()
+    )
+    assert allrows == sorted([b * 10 + i for b in range(9) for i in range(3)] + [90])

@@ -2008,3 +2008,32 @@ def test_snapshot_diff_statuses(spark):
         for r in snapshot_diff(old, new, "doc_id", "text").collect()
     }
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_snapshot_diff_null_content(spark):
+    """NULL content classifies by PRESENCE, never by md5(NULL): a
+    NULL-text row present only in old is 'removed' (not 'added'), one
+    present in both unchanged is 'unchanged', NULL vs non-NULL content
+    is 'changed' in either direction (the r12 advisory finding)."""
+    from traceframe_spark.operators.profile import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, None), (4, "x"), (5, "y")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, None), (3, "now-set"), (4, None), (5, "y"), (6, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: r["status"]
+        for r in snapshot_diff(old, new, "doc_id", "text").collect()
+    }
+    assert got == {
+        1: "removed",      # NULL text, old only — was misreported 'added'
+        2: "unchanged",    # NULL text both sides
+        3: "changed",      # NULL -> value
+        4: "changed",      # value -> NULL
+        5: "unchanged",
+        6: "added",        # NULL text, new only
+    }

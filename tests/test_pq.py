@@ -321,3 +321,155 @@ def test_adc_rerank_refinement_tier(spark, tmp_path):
         spark, empty, q, "vec_id", "embedding", k=5, rerank_k=3
     )
     assert out.columns == ["qid", "cid", "cos", "rn"] and out.count() == 0
+
+
+def test_adc_rerank_k_must_fit_shortlist(spark, tmp_path):
+    """rerank_k > k would silently cap the output at k rows per query
+    (the shortlist is the universe the re-rank scores) — the r12
+    advisory finding; now a loud ValueError before any plan builds."""
+    import pytest
+
+    rows = [(i, [float((i * 3 + j) % 50) for j in range(DIM)]) for i in range(20)]
+    corpus = _vecs(spark, rows)
+    cb = sim.pq_sample_codebooks(corpus, "vec_id", "embedding")
+    path = str(tmp_path / "rrv")
+    sim.write_ivf_index(
+        corpus, path, "vec_id", "embedding", n_centroids=4,
+        protocol="manifest", pq_samples=cb,
+    )
+    q = _vecs(spark, [(500, [2.0] * DIM)])
+    with pytest.raises(ValueError, match="rerank_k=7 > k=5"):
+        sim.ivf_adc_topk_over_index(
+            spark, path, q, "vec_id", "embedding", k=5, rerank_k=7
+        )
+
+
+def test_trained_codebooks_beat_sampled_on_clustered_data(spark):
+    """pq_train_codebooks (per-subspace Lloyd — Jégou et al. §II): on a
+    corpus of tight clusters the trained books' quantization error must
+    be strictly below the sampled books' (the sampled 16 codewords are
+    arbitrary corpus rows; Lloyd means converge to cluster structure).
+    Measured as mean ADC distance of each vector to its own
+    reconstruction via the agreement instrument's recall@1 AND raw
+    quantization MSE driver-side."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.uniform(-50, 50, size=(10, DIM))
+    rows = []
+    for i in range(300):
+        c = centers[i % 10]
+        rows.append((i, [float(x) for x in c + rng.uniform(-1, 1, DIM)]))
+    corpus = _vecs(spark, rows)
+    sampled = sim.pq_sample_codebooks(corpus, "vec_id", "embedding")
+    trained = sim.pq_train_codebooks(corpus, "vec_id", "embedding")
+    x = np.array([v for _, v in rows], dtype=np.float64)
+
+    def mse(cb):
+        cbm = np.array(cb, dtype=np.float64)
+        tot = 0.0
+        d = DIM // 8
+        for s in range(8):
+            sub = x[:, s * d:(s + 1) * d]
+            sc = cbm[:, s * d:(s + 1) * d]
+            d2 = ((sub[:, None, :] - sc[None, :, :]) ** 2).sum(axis=2)
+            tot += d2.min(axis=1).sum()
+        return tot / len(x)
+
+    assert mse(trained) < 0.5 * mse(sampled)
+    # recall@1 of the ADC tier, via the registered instrument: trained
+    # books must not be worse on the same query set
+    q = corpus.filter(F.col("vec_id") < 20)
+    rec_s = sim.ann_adc_agreement(
+        corpus, q, "vec_id", "embedding", sampled
+    ).agg(F.avg("agree")).first()[0]
+    rec_t = sim.ann_adc_agreement(
+        corpus, q, "vec_id", "embedding", trained
+    ).agg(F.avg("agree")).first()[0]
+    assert rec_t >= rec_s
+
+
+def test_trained_codebooks_plug_into_every_pq_consumer(spark, tmp_path):
+    """write_ivf_index(pq_samples=<int>) trains books and the whole
+    chain — encode at build, streamed appends encoding against
+    manifest meta, ADC probe, re-rank — runs unchanged: a grown index
+    (build 30 + append 10) answers identically to a one-shot build of
+    all 40 (the r12 streamed==batch parity pin, now on TRAINED books),
+    and the re-rank with a non-truncating shortlist equals exact
+    cosine_topk."""
+    rows = [(i, [float((i * 13 + j * 7) % 100) for j in range(DIM)]) for i in range(40)]
+    corpus = _vecs(spark, rows)
+    cents = sim.train_ivf_centroids(corpus, "vec_id", "embedding", n_centroids=4)
+    q = _vecs(spark, [(500, [2.0] * DIM), (501, [77.0] * DIM)])
+
+    full_path = str(tmp_path / "tr_full")
+    sim.write_ivf_index(
+        corpus, full_path, "vec_id", "embedding", centroids=cents,
+        protocol="manifest", pq_samples=16,
+    )
+    grown_path = str(tmp_path / "tr_grown")
+    sim.write_ivf_index(
+        _vecs(spark, rows[:30]), grown_path, "vec_id", "embedding",
+        centroids=cents, protocol="manifest", pq_samples=16,
+    )
+    # NOTE: training saw only the first 30 rows on the grown path — for
+    # parity the append must encode against the FROZEN books in the
+    # manifest, so rebuild full's books from the same 30-row corpus
+    cb30 = sim.pq_train_codebooks(
+        _vecs(spark, rows[:30]), "vec_id", "embedding"
+    )
+    full_path = str(tmp_path / "tr_full30")
+    sim.write_ivf_index(
+        corpus, full_path, "vec_id", "embedding", centroids=cents,
+        protocol="manifest", pq_samples=cb30,
+    )
+    grown_path = str(tmp_path / "tr_grown30")
+    sim.write_ivf_index(
+        _vecs(spark, rows[:30]), grown_path, "vec_id", "embedding",
+        centroids=cents, protocol="manifest", pq_samples=cb30,
+    )
+    sim.append_to_ivf_index(
+        _vecs(spark, rows[30:]), grown_path, "vec_id", "embedding"
+    )
+
+    def probe(path):
+        return sorted(
+            (r["qid"], r["cid"], r["rn"]) for r in sim.ivf_adc_topk_over_index(
+                spark, path, q, "vec_id", "embedding", k=5, nprobe=4
+            ).collect()
+        )
+
+    assert probe(grown_path) == probe(full_path)
+    # re-rank over trained books with a full shortlist == exact answer
+    got = sorted(
+        (r["qid"], r["cid"], r["cos"], r["rn"]) for r in
+        sim.ivf_adc_topk_over_index(
+            spark, full_path, q, "vec_id", "embedding",
+            k=40, nprobe=4, rerank_k=3,
+        ).collect()
+    )
+    want = sorted(
+        (r["qid"], r["cid"], r["cos"], r["rn"]) for r in
+        sim.cosine_topk(corpus, q, "vec_id", "embedding", k=3).collect()
+    )
+    assert got == want
+
+
+def test_trained_residual_codebooks_roundtrip(spark, tmp_path):
+    """pq_samples=<int> with pq_residual=True trains RESIDUAL-space
+    books (centroid subtraction before Lloyd); full-probe ADC over the
+    trained residual index ranks sanely (self-reconstruction nearest:
+    querying an indexed vector's exact value returns it at rn=1 via
+    re-rank)."""
+    rows = [(i, [float((i * 11 + j * 3) % 60) for j in range(DIM)]) for i in range(30)]
+    corpus = _vecs(spark, rows)
+    path = str(tmp_path / "tr_res")
+    sim.write_ivf_index(
+        corpus, path, "vec_id", "embedding", n_centroids=4,
+        protocol="manifest", pq_samples=16, pq_residual=True,
+    )
+    q = _vecs(spark, [(900, rows[7][1])])  # exact clone of vec 7
+    got = sim.ivf_adc_topk_over_index(
+        spark, path, q, "vec_id", "embedding", k=8, nprobe=4, rerank_k=1
+    ).collect()
+    assert got and got[0]["cid"] == 7 and got[0]["cos"] == 10000

@@ -174,6 +174,27 @@ def _layers(
     return exact, sig, _band_entries(sig, bands, rows_per_band, portable)
 
 
+_CKEYS_BLOOM_BITS = 1 << 20
+_CKEYS_BLOOM_HASHES = 5
+
+
+def _ckeys_bloom_words(
+    exact: DataFrame,
+    n_bits: int = _CKEYS_BLOOM_BITS,
+    n_hashes: int = _CKEYS_BLOOM_HASHES,
+) -> DataFrame:
+    """Word-packed Bloom rows over an exact-layer frame's ``ckey``
+    column — the dedup index's ``ckeys_bloom`` sidecar (xxhash64
+    family: a membership prefilter needs no SQL oracle). ~n_bits/32
+    long rows per commit regardless of delta size; compaction OR-folds
+    the layer back to one row set."""
+    from traceframe_spark.operators.sketch import bloom_build
+
+    return bloom_build(
+        exact.select("ckey"), "ckey", n_hashes=n_hashes, n_bits=n_bits, fast=True
+    )
+
+
 def write_dedup_index(
     docs: DataFrame,
     path: str,
@@ -223,6 +244,11 @@ def write_dedup_index(
         "shingle_size": int(shingle_size),
         "near": bool(with_near),
         "portable": bool(portable),
+        # exact-layer Bloom sidecar geometry (manifest protocol only):
+        # a point probe whose delta ckeys all miss the filter PROVES
+        # zero exact hits without reading the ckey layer at all
+        "ckeys_bloom_bits": _CKEYS_BLOOM_BITS,
+        "ckeys_bloom_hashes": _CKEYS_BLOOM_HASHES,
     }
 
     def _meta_json() -> None:
@@ -240,7 +266,9 @@ def write_dedup_index(
             from traceframe_spark.streaming import manifest_store as MS
 
             MS.commit_layer_frames(
-                spark, path, {"exact": exact}, replace=True, meta=meta_row
+                spark, path,
+                {"exact": exact, "ckeys_bloom": _ckeys_bloom_words(exact)},
+                replace=True, meta=meta_row,
             )
         else:
             exact.write.mode("overwrite").parquet(f"{path}/exact")
@@ -257,7 +285,12 @@ def write_dedup_index(
             MS.commit_layer_frames(
                 spark,
                 path,
-                {"exact": exact, "sigs": sig, "bands": band},
+                {
+                    "exact": exact,
+                    "sigs": sig,
+                    "bands": band,
+                    "ckeys_bloom": _ckeys_bloom_words(exact),
+                },
                 replace=True,
                 meta=meta_row,
             )
@@ -456,6 +489,16 @@ def _commit_curation_append(
             .distinct()
             .join(_layer_df(spark, path, "grams", man), "gk", "left_anti")
         )
+    if "ckeys_bloom" in man.get("layers", {}):
+        # the sidecar must cover every stored ckey or its negative
+        # answers lie — maintained in the SAME commit whenever the
+        # build created it (pre-sidecar stores just keep not having one)
+        m = man.get("meta", {})
+        frames["ckeys_bloom"] = _ckeys_bloom_words(
+            frames["exact"],
+            n_bits=int(m.get("ckeys_bloom_bits", _CKEYS_BLOOM_BITS)),
+            n_hashes=int(m.get("ckeys_bloom_hashes", _CKEYS_BLOOM_HASHES)),
+        )
     try:
         return MS.commit_layer_frames(
             spark, path, frames, checkpoint=checkpoint, batch_id=batch_id, prev=man
@@ -553,11 +596,48 @@ def dedup_against_index(
     ids = spread(delta, id_col).select(
         F.col(id_col).alias("_pid"), content_key(text_col).alias("ckey")
     )
-    exact_hits = (
-        ids.join(_layer_df(spark, path, "exact", man), "ckey", "left_semi")
-        .select("_pid")
-        .distinct()
-    )
+    if man is not None and "ckeys_bloom" in man.get("layers", {}):
+        # Bloom prefilter (r13): delta ckeys missing any of their k
+        # bits are PROVEN absent from the exact layer — a low-hit
+        # delta (the healthy-feed steady state) skips the ckey-layer
+        # read entirely, and a mixed delta joins only its probable
+        # members. The filter words are n_bits/32 long rows —
+        # broadcast-sized at any index size; false positives only ever
+        # cost re-checking, never answers.
+        from traceframe_spark.operators.sketch import bloom_probe_keep
+        from traceframe_spark.streaming import manifest_store as MS
+
+        m = man.get("meta", {})
+        words = (
+            MS.read_manifest_layer(spark, path, "ckeys_bloom", man=man)
+            .groupBy("word_idx")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+        ids = (
+            bloom_probe_keep(
+                words, ids, "ckey",
+                n_hashes=int(m.get("ckeys_bloom_hashes", _CKEYS_BLOOM_HASHES)),
+                n_bits=int(m.get("ckeys_bloom_bits", _CKEYS_BLOOM_BITS)),
+                fast=True,
+            )
+            .filter(F.col("probable_member"))
+            .select("_pid", "ckey")
+            .localCheckpoint()  # delta-bounded narrow rows, read twice below
+        )
+        if ids.isEmpty():
+            exact_hits = ids.select("_pid").limit(0)
+        else:
+            exact_hits = (
+                ids.join(_layer_df(spark, path, "exact", man), "ckey", "left_semi")
+                .select("_pid")
+                .distinct()
+            )
+    else:
+        exact_hits = (
+            ids.join(_layer_df(spark, path, "exact", man), "ckey", "left_semi")
+            .select("_pid")
+            .distinct()
+        )
     survivors = delta.join(
         exact_hits, delta[id_col] == exact_hits["_pid"], "left_anti"
     )

@@ -83,17 +83,28 @@ def snapshot_diff(
     document size — at 100 TB the diff costs two narrow scans plus one
     id-keyed join, never a text-width shuffle. Content equality is
     hash equality (md5 collisions are ignorable at corpus scale and
-    the same convention every exact-dedup stage here uses)."""
+    the same convention every exact-dedup stage here uses).
+
+    Presence is carried by explicit per-side flags, NOT by hash
+    nullability: ``md5(NULL)`` is NULL, so a row whose content is NULL
+    would otherwise be indistinguishable from a row that is absent —
+    and the fixture corpora really do contain NULL texts. Hash
+    comparison is null-safe (two NULL contents are 'unchanged', a
+    NULL vs non-NULL content is 'changed')."""
     o = old.select(
-        F.col(id_col).alias("id"), F.md5(F.col(content_col)).alias("_oh")
+        F.col(id_col).alias("id"),
+        F.md5(F.col(content_col)).alias("_oh"),
+        F.lit(True).alias("_op"),
     )
     n = new.select(
-        F.col(id_col).alias("id"), F.md5(F.col(content_col)).alias("_nh")
+        F.col(id_col).alias("id"),
+        F.md5(F.col(content_col)).alias("_nh"),
+        F.lit(True).alias("_np"),
     )
     status = (
-        F.when(F.col("_oh").isNull(), F.lit("added"))
-        .when(F.col("_nh").isNull(), F.lit("removed"))
-        .when(F.col("_oh") == F.col("_nh"), F.lit("unchanged"))
+        F.when(F.col("_op").isNull(), F.lit("added"))
+        .when(F.col("_np").isNull(), F.lit("removed"))
+        .when(F.col("_oh").eqNullSafe(F.col("_nh")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return o.join(n, "id", "full_outer").select("id", status.alias("status"))

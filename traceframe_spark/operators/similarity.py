@@ -813,6 +813,46 @@ def semdedup_keep(
     )
 
 
+def semdedup_keep_over_index(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cos_q: int = 3000,
+    quantize: int = 4,
+    block: int = 1024,
+    keep: str = "far",
+    resolved: tuple[list[list[float]], dict | None] | None = None,
+) -> DataFrame:
+    """:func:`semdedup_keep` against a PERSISTED index's quantizer: at
+    100 TB the cluster centroids don't arrive as a DataFrame argument —
+    they live in the manifest IVF(-PQ) store the ingest loop folds
+    into. This resolves them from ONE manifest snapshot (or the JSON
+    sidecar on a sidecar-protocol index) and runs the identical keep
+    decision, so batch SemDeDup sweeps and the streaming loop's
+    near-dedup judge sameness against the SAME frozen quantizer — a
+    doc kept here can never flip cluster when the stream later probes
+    it, the coherence property two independently-trained quantizers
+    can't offer. ``centroid_id`` in the output is the index's list id
+    (the centroid's position in the stored quantizer). ``resolved``
+    reuses an already-resolved ``(centroids, manifest)`` pair — the
+    one-resolve-per-batch streaming discipline. Answer-equivalent to
+    :func:`semdedup_keep` on the same centroids (pinned by test +
+    the ``semdedup_index_keep`` oracle row)."""
+    centroids, _man = (
+        resolved if resolved is not None else _ivf_resolve(spark, path)
+    )
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        f"centroid_id long, {vec_col} array<double>",
+    )
+    return semdedup_keep(
+        corpus, cdf, id_col, vec_col,
+        min_cos_q=min_cos_q, quantize=quantize, block=block, keep=keep,
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
@@ -1250,9 +1290,10 @@ def write_ivf_index(
     mode: str = "error",
     seed: int = 42,
     protocol: str = "sidecar",
-    pq_samples: list[list[float]] | None = None,
+    pq_samples: list[list[float]] | int | None = None,
     pq_m: int = 8,
     pq_residual: bool = False,
+    ids_bloom_bits: int = 1 << 20,
 ) -> list[list[float]]:
     """Build and persist an IVF index: the corpus lands in parquet
     PARTITIONED BY its inverted-list id, centroids ride along as a tiny
@@ -1298,7 +1339,28 @@ def write_ivf_index(
     (:func:`pq_residual_codebooks` with the same centroids); probes
     build their lookup tables per probed list from ``q - c(list)``,
     and appends keep encoding against the frozen centroids+codebooks
-    read from the manifest meta."""
+    read from the manifest meta.
+
+    Passing an INT as ``pq_samples`` is the production default: train
+    that many codewords per subspace with :func:`pq_train_codebooks`
+    (per-subspace Lloyd k-means — measurably better recall at the
+    same code budget than the sampled books; see SCALING.md's
+    sampled-vs-trained table), residual-space automatically when
+    ``pq_residual=True``. Pass an explicit codeword list when the
+    chain must replay in ANSI SQL (the registry's oracle rows use
+    :func:`pq_sample_codebooks`).
+
+    Manifest builds additionally commit an ``ids_bloom`` sidecar layer
+    — a word-packed Bloom filter over the stored ids
+    (``ids_bloom_bits`` wide, 5 xxhash64 probes; ~n_bits/32 long rows
+    regardless of corpus size), maintained by every
+    :func:`append_to_ivf_index` in the SAME atomic commit. It powers
+    ID-LEVEL membership checks that never read codes or vectors: a
+    negative probe proves an id was never accepted, a positive pays
+    one cid-column confirm scan (see
+    ``stream_embed_ingest(id_guard=...)``). Size it to the expected
+    id count (1% false positives at ~n_bits/10 ids; a saturated bloom
+    degrades to confirm-always, never to wrong answers)."""
     if protocol not in ("sidecar", "manifest"):
         raise ValueError(f"unknown IVF store protocol {protocol!r}")
     if pq_samples is not None and protocol != "manifest":
@@ -1317,6 +1379,11 @@ def write_ivf_index(
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, id_col, vec_col, n_centroids=n_centroids, seed=seed
+        )
+    if isinstance(pq_samples, int):
+        pq_samples = pq_train_codebooks(
+            corpus, id_col, vec_col, n_codes=pq_samples, m=pq_m,
+            centroids=centroids if pq_residual else None,
         )
     cols = [
         F.col(id_col).alias("cid"),
@@ -1377,10 +1444,17 @@ def write_ivf_index(
             meta["pq_samples"] = [[float(x) for x in w] for w in pq_samples]
             meta["pq_m"] = int(pq_m)
             meta["pq_residual"] = bool(pq_residual)
+        meta["ids_bloom_bits"] = int(ids_bloom_bits)
+        meta["ids_bloom_hashes"] = 5
         MS.append_parts_layer(
             corpus.sparkSession, path,
             assigned.repartition("list_id"), "list_id",
             replace=True, meta=meta, prev=prev,
+            extra_layers={
+                "ids_bloom": _ids_bloom_words(
+                    corpus.select(F.col(id_col).alias("cid")), ids_bloom_bits
+                )
+            },
         )
         return centroids
     (
@@ -1391,6 +1465,78 @@ def write_ivf_index(
     )
     _sidecar_write(corpus.sparkSession, path, centroids)
     return centroids
+
+
+def _ids_bloom_words(ids: DataFrame, n_bits: int, n_hashes: int = 5) -> DataFrame:
+    """Word-packed Bloom rows for an id frame (column ``cid``) — the
+    IVF store's ``ids_bloom`` sidecar shape. xxhash64 family (the
+    production ``fast`` path; id membership needs no SQL oracle)."""
+    from traceframe_spark.operators.sketch import bloom_build
+
+    return bloom_build(ids, "cid", n_hashes=n_hashes, n_bits=n_bits, fast=True)
+
+
+def ivf_id_hits(
+    spark,
+    path: str,
+    ids: DataFrame,
+    id_col: str,
+    man: dict | None = None,
+) -> DataFrame:
+    """Which of ``ids`` are ALREADY STORED in the persisted IVF index —
+    confirmed id-level membership (one output column, ``id_col``),
+    designed so a fresh delta never reads codes or vectors:
+
+    1. probe the ``ids_bloom`` sidecar (n_bits/32 long rows — broadcast
+       at any corpus scale) — ids missing ANY of their k bits are
+       PROVEN absent and exit here;
+    2. only probable members (true hits + the bloom's ~1% false
+       positives) pay the confirm scan: a cid-column-only read of the
+       lists (parquet column pruning — the vector/code columns never
+       load) semi-joined against the broadcast candidates.
+
+    An index without the sidecar (pre-r13 build) falls back to
+    confirm-always — correct, just unpruned. ``man`` pins an
+    already-resolved manifest snapshot (the streaming discipline)."""
+    from traceframe_spark.operators.sketch import bloom_probe_keep
+    from traceframe_spark.streaming import manifest_store as MS
+
+    if man is None:
+        man = MS._latest_manifest(spark, path)
+    if man is None:
+        raise ValueError(f"{path!r} is not a manifest-protocol IVF index")
+    cand = ids.select(F.col(id_col).alias("cid")).distinct()
+    if "ids_bloom" in man.get("layers", {}):
+        words = (
+            MS.read_manifest_layer(spark, path, "ids_bloom", man=man)
+            .groupBy("word_idx")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+        cand = (
+            bloom_probe_keep(
+                words, cand, "cid",
+                n_hashes=int(man["meta"].get("ids_bloom_hashes", 5)),
+                n_bits=int(man["meta"].get("ids_bloom_bits", 1 << 20)),
+                fast=True,
+            )
+            .filter(F.col("probable_member"))
+            .select("cid")
+        )
+        if cand.isEmpty():
+            return ids.select(F.col(id_col)).limit(0)
+    live = [
+        k.split("=", 1)[1]
+        for k in man.get("layers", {})
+        if k.startswith("list_id=")
+    ]
+    if not live:
+        return ids.select(F.col(id_col)).limit(0)
+    standing = MS.read_parts_layers(spark, path, man=man).select("cid")
+    return (
+        standing.join(F.broadcast(cand), "cid", "left_semi")
+        .select(F.col("cid").alias(id_col))
+        .distinct()
+    )
 
 
 def append_to_ivf_index(
@@ -1466,9 +1612,23 @@ def append_to_ivf_index(
     if man is not None:
         from traceframe_spark.streaming import manifest_store as MS
 
+        extra = None
+        if "ids_bloom" in man.get("layers", {}):
+            # the sidecar must cover EVERY stored id or its negative
+            # answers lie (false negatives) — maintain it in the SAME
+            # commit whenever the build created it; a pre-sidecar
+            # index simply keeps not having one (confirm-always probes)
+            extra = {
+                "ids_bloom": _ids_bloom_words(
+                    new_rows.select(F.col(id_col).alias("cid")),
+                    int(man["meta"].get("ids_bloom_bits", 1 << 20)),
+                    n_hashes=int(man["meta"].get("ids_bloom_hashes", 5)),
+                )
+            }
         MS.append_parts_layer(
             spark, path, assigned.repartition("list_id"), "list_id",
             checkpoint=checkpoint, batch_id=batch_id, prev=man,
+            extra_layers=extra,
         )
         return
     if checkpoint is not None or batch_id is not None:
@@ -1484,16 +1644,17 @@ def append_to_ivf_index(
     )
 
 
-def ivf_list_stats(spark, path: str) -> DataFrame:
+def ivf_list_stats(spark, path: str, man: dict | None = None) -> DataFrame:
     """Per-inverted-list row counts of a persisted IVF index — the
     health metric incremental maintenance watches. One aggregate over
     the partition column; parquet count pushdown answers it from file
     metadata without materializing vectors. Protocol auto-detected (a
-    manifest index counts over one resolved snapshot)."""
+    manifest index counts over one resolved snapshot; pass ``man`` to
+    pin an already-resolved one)."""
     from traceframe_spark.streaming import manifest_store as MS
 
-    if MS.is_manifest_store(spark, path):
-        df = MS.read_parts_layers(spark, path)
+    if man is not None or MS.is_manifest_store(spark, path):
+        df = MS.read_parts_layers(spark, path, man=man)
     else:
         df = spark.read.parquet(path)
     return df.groupBy("list_id").agg(F.count("*").alias("n_vectors"))
@@ -1763,6 +1924,94 @@ def pq_sample_codebooks(
     return [[float(x) for x in r["v"]] for r in rows]
 
 
+def pq_train_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_codes: int = 16,
+    m: int = 8,
+    iters: int = 8,
+    sample_per_code: int = 64,
+    salt: str = "pq",
+    centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """TRAINED per-subspace PQ codebooks — Jégou et al. TPAMI 2011
+    §II's actual formulation: independent k-means sub-quantizers, one
+    per subspace, instead of :func:`pq_sample_codebooks`' sampled
+    corpus vectors. Sampled codewords keep the whole chain
+    SQL-replayable (the registry's verification default), but their
+    quantization error is substantially worse — at a fixed probe
+    budget that's recall lost, so THIS is the production default
+    (``write_ivf_index(pq_samples=<int>)`` routes here).
+
+    Deterministic and driver-bounded: the training set is the
+    ``n_codes * sample_per_code`` corpus rows with the smallest
+    ``md5(salt|id)`` keys (one TakeOrderedAndProject — the same
+    convention as :func:`pq_sample_codebooks`, whose picks are exactly
+    this sample's first ``n_codes`` rows and seed the Lloyd
+    iterations, so trained-vs-sampled recall comparisons share a
+    starting point). Lloyd runs per subspace in float64 numpy; an
+    emptied codeword keeps its current position. With ``centroids``
+    given, each sampled vector is first replaced by its residual to
+    its nearest coarse centroid (sequential float64, the
+    :func:`pq_residual_codebooks` convention) — the IVFADC residual
+    variant.
+
+    Returns the same ``n_codes x dim`` packed shape every PQ consumer
+    takes (row ``c`` concatenates codeword ``c`` of each subspace), so
+    :func:`pq_encode` / :func:`pq_adc_topk` /
+    :func:`ivf_adc_topk_over_index` run unchanged on trained books."""
+    n_sample = n_codes * sample_per_code
+    rows = (
+        corpus.select(
+            F.md5(
+                F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+            ).alias("h"),
+            F.col(vec_col).alias("v"),
+        )
+        .orderBy("h")
+        .limit(n_sample)
+        .collect()
+    )
+    if len(rows) < n_codes:
+        raise ValueError(
+            f"pq_train_codebooks: corpus has {len(rows)} rows < n_codes={n_codes}"
+        )
+    vecs = [[float(x) for x in r["v"]] for r in rows]
+    if centroids is not None:
+        res = []
+        for v in vecs:
+            best_i, best_d = 0, None
+            for i, c in enumerate(centroids):
+                d2 = 0.0
+                for x, y in zip(v, c):
+                    e = float(x) - float(y)
+                    d2 = d2 + e * e
+                if best_d is None or d2 < best_d:
+                    best_i, best_d = i, d2
+            cent = centroids[best_i]
+            res.append([float(x) - float(y) for x, y in zip(v, cent)])
+        vecs = res
+    x = np.array(vecs, dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    packed = np.array(vecs[:n_codes], dtype=np.float64)  # seed: the portable sample
+    for s in range(m):
+        sub = x[:, s * d : (s + 1) * d]
+        cb = packed[:, s * d : (s + 1) * d].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                members = sub[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        packed[:, s * d : (s + 1) * d] = cb
+    return packed.tolist()
+
+
 def ivf_residual(
     vec: Column, centroids: list[list[float]], list_id: Column
 ) -> Column:
@@ -1938,6 +2187,91 @@ def pq_adc_topk(
     )
 
 
+def ann_adc_agreement(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    samples: list[list[float]],
+    m: int = 8,
+    quantize: int = 4,
+) -> DataFrame:
+    """Instrument the compressed (ADC) tier against the exact answer —
+    the :func:`bitext_ann_agreement` methodology for PQ: per query,
+    did ADC's top-1 (min approximate distance over the given
+    codebooks) pick the SAME corpus vector as exact cosine's top-1?
+
+    ONE scored-pair table feeds both argmaxes: a single corpus scan
+    joins each (query, candidate) pair's exact quantized cosine AND
+    its ADC distance (m lookups into the query's precomputed subspace
+    table), then the two rankings are per-query row_number(1) picks
+    off that shared frame — so the agreement number is a value-checked
+    property of one pair universe, never two independently sampled
+    runs drifting apart. Output: (qid, cid_exact, cid_adc, agree) with
+    agree ∈ {0, 1}; aggregate recall@1 = avg(agree).
+
+    Run it with :func:`pq_sample_codebooks` output for the
+    SQL-replayable registry row, and with :func:`pq_train_codebooks`
+    output to price the trained books' recall before fixing an
+    index's quantizer — the queries side broadcasts, so size it like
+    :func:`ivf_recall_at_k`'s sample."""
+    dim = len(samples[0])
+    d = dim // m
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        _dim_checked(F.col(vec_col), dim).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("q_nrm"),
+    ).select("qid", "_qv", "q_nrm", _pq_lut_expr("_qv", samples, m, d).alias("lut"))
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        _dim_checked(F.col(vec_col), dim).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("c_nrm"),
+    ).select("cid", "_cv", "c_nrm", _pq_code_sql("_cv", samples, m).alias("code"))
+    cos = F.floor(
+        dot_f64(F.col("_qv"), F.col("_cv")) / (F.col("q_nrm") * F.col("c_nrm"))
+        * (10**quantize)
+        + F.lit(0.5)
+    ).cast("long")
+    terms = [
+        F.element_at(
+            F.element_at(F.col("lut"), s + 1),
+            F.element_at(F.col("code"), s + 1) + 1,
+        )
+        for s in range(m)
+    ]
+    ad2 = terms[0]
+    for t in terms[1:]:
+        ad2 = ad2 + t
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", cos.alias("cos"), ad2.alias("ad2"))
+    )
+    we = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    wa = Window.partitionBy("qid").orderBy(F.col("ad2").asc(), F.col("cid").asc())
+    ranked = pairs.select(
+        "qid",
+        "cid",
+        F.row_number().over(we).alias("_re"),
+        F.row_number().over(wa).alias("_ra"),
+    )
+    exact = ranked.filter(F.col("_re") == 1).select(
+        "qid", F.col("cid").alias("cid_exact")
+    )
+    adc = ranked.filter(F.col("_ra") == 1).select(
+        "qid", F.col("cid").alias("cid_adc")
+    )
+    return exact.join(adc, "qid", "left").select(
+        "qid",
+        "cid_exact",
+        "cid_adc",
+        F.when(F.col("cid_adc") == F.col("cid_exact"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("agree"),
+    )
+
+
 def ivf_adc_topk_over_index(
     spark,
     path: str,
@@ -1987,6 +2321,14 @@ def ivf_adc_topk_over_index(
     every stage, so probe, fold, and watermark see one snapshot."""
     from traceframe_spark.streaming import manifest_store as MS
 
+    if rerank_k is not None and rerank_k > k:
+        # the ADC shortlist has size k; asking for a deeper re-ranked
+        # head than the shortlist can hold would silently cap at k
+        raise ValueError(
+            f"rerank_k={rerank_k} > k={k}: the re-rank refines the "
+            f"size-k ADC shortlist, so it can return at most k rows "
+            "per query — raise k (the shortlist width) instead"
+        )
     centroids, man = (
         resolved if resolved is not None else _ivf_resolve(spark, path)
     )

@@ -12,25 +12,16 @@ from traceframe_spark.plans.tpch import TPCH_ORACLE_SQL, TPCH_QUERIES
 from traceframe_spark.plans.traceops import TRACEOPS_ORACLE_SQL, TRACEOPS_QUERIES
 
 
-# Round-12 head rotation, driven by `python tools/coverage_ledger.py`
-# (run it BEFORE editing this list): the round-11 head was recorded in
-# CORRECTNESS_r11.json and returns to natural registry order; the head
-# now leads with the round-12 newcomers (Gopher/C4 corpus quality
-# rules, the PQ/ADC compression tier incl. the residual and re-rank
-# variants, and the SemDeDup keep decision) so each records a
-# driver-green row the round it lands.
-_R12_ROTATION_HEAD = [
-    "gopher_quality",
-    "gopher_repetition",
-    "c4_filter",
-    "pq_codes",
-    "pq_adc_topk",
-    "ann_ivfpq_adc",
-    "ann_ivfpq_residual",
-    "ann_ivfpq_rerank",
-    "semdedup_keep",
-    "knn_label",
-    "bpe_store_encode",
+# Round-13 head rotation, driven by `python tools/coverage_ledger.py`
+# (run it BEFORE editing this list): the round-12 head was recorded in
+# CORRECTNESS_r12.json and returns to natural registry order; the head
+# now leads with the round-13 newcomers (the ADC recall instrument and
+# the store-backed SemDeDup keep) plus snapshot_diff, whose NULL-
+# content semantics changed this round (presence flags + null-safe
+# hash compare in both engines) and should re-record under the fix.
+_R13_ROTATION_HEAD = [
+    "ann_adc_agree",
+    "semdedup_index_keep",
     "snapshot_diff",
 ]
 
@@ -46,8 +37,10 @@ def catalog_queries():
     led with the 7 operators added late in round 6; round 8 led with its own
     newcomers; round 9 led with the portable-twin pair; round 10 led with
     the ANN-tier bitext pair; round 11 led with the manifest-protocol
-    store twins; round 12 leads with the quality-rule / PQ / SemDeDup
-    newcomers (see `_R12_ROTATION_HEAD` / tools/coverage_ledger.py) so
+    store twins; round 12 led with the quality-rule / PQ / SemDeDup
+    newcomers; round 13 leads with the ADC recall instrument, the
+    store-backed SemDeDup keep, and the NULL-semantics-fixed
+    snapshot_diff (see `_R13_ROTATION_HEAD` / tools/coverage_ledger.py) so
     every registered query keeps a driver-green row at least once.  The
     oracle-backed vs rows-only distinction is metadata, not ordering — see
     `catalog_meta()`; rows-only entries remain inside the head-50 so the
@@ -65,7 +58,7 @@ def catalog_queries():
         **TEMPORAL_QUERIES,
         **TPCH_QUERIES,
     }
-    head = {k: merged[k] for k in _R12_ROTATION_HEAD if k in merged}
+    head = {k: merged[k] for k in _R13_ROTATION_HEAD if k in merged}
     return {**head, **{k: v for k, v in merged.items() if k not in head}}
 
 

@@ -567,6 +567,36 @@ def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup_index_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup keep decision against a PERSISTED quantizer
+    (similarity.semdedup_keep_over_index): the centroids come from a
+    manifest IVF index's own meta — the 100 TB shape, where batch
+    sweeps and the streaming ingest loop must judge sameness against
+    ONE frozen quantizer. Built here with the replayable first-8
+    corpus vectors as centroids (the q_semdedup_keep convention), so
+    the SAME DuckDB oracle replays the whole decision — which is
+    exactly the point: the store roundtrip must not change a single
+    keep verdict."""
+    from traceframe_spark.operators import similarity
+    from traceframe_spark.plans.catalog import tmp_store
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    path = tmp_store("semdedup_idx_") + "/ivf"
+    similarity.write_ivf_index(
+        e, path, "vec_id", "embedding", centroids=cents, protocol="manifest"
+    )
+    kept = similarity.semdedup_keep_over_index(
+        spark, path, e, "vec_id", "embedding", min_cos_q=3000
+    )
+    return kept.select(
+        "vec_id", F.col("centroid_id").cast("long").alias("centroid_id")
+    )
+
+
 _SQL_COS_PAIR = """CAST(floor(
                list_sum(list_transform(generate_series(1, 64),
                    i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
@@ -1095,6 +1125,7 @@ MLPREP_QUERIES = {
     "kmeans_fit": q_kmeans_fit,
     "semantic_dedup": q_semantic_dedup,
     "semdedup_keep": q_semdedup_keep,
+    "semdedup_index_keep": q_semdedup_index_keep,
     "knn_label": q_knn_label,
     "label_outliers": q_label_outliers,
     "tfidf_topk": q_tfidf_topk,
@@ -1116,6 +1147,7 @@ MLPREP_ORACLE_SQL = {
     "kmeans_fit": SQL_KMEANS_FIT,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "semdedup_keep": SQL_SEMDEDUP_KEEP,
+    "semdedup_index_keep": SQL_SEMDEDUP_KEEP,
     "knn_label": SQL_KNN_LABEL,
     "label_outliers": SQL_LABEL_OUTLIERS,
     "tfidf_topk": SQL_TFIDF_TOPK,

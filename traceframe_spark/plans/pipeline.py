@@ -3191,7 +3191,8 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs in [100, 500) with every 10th text perturbed — so all four
     statuses occur: 100-199,…,399 overlap (every 10th 'changed', the
     rest 'unchanged'), <100 'removed', >=400 'added'. The oracle
-    replays the hash-compare full-outer join."""
+    replays the presence-flagged, null-safe hash-compare full-outer
+    join (NULL-text rows classify by PRESENCE, never by md5(NULL))."""
     from traceframe_spark.operators.profile import snapshot_diff
 
     d = load_table(spark, sf_dir, "documents")
@@ -3208,17 +3209,19 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SNAPSHOT_DIFF = """
 WITH old AS (
-    SELECT doc_id, md5(text) AS oh FROM documents WHERE doc_id < 400
+    SELECT doc_id, md5(text) AS oh, TRUE AS op
+    FROM documents WHERE doc_id < 400
 ),
 new AS (
     SELECT doc_id,
-           md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END) AS nh
+           md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END) AS nh,
+           TRUE AS np
     FROM documents WHERE doc_id >= 100 AND doc_id < 500
 )
 SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-       CASE WHEN o.oh IS NULL THEN 'added'
-            WHEN n.nh IS NULL THEN 'removed'
-            WHEN o.oh = n.nh THEN 'unchanged'
+       CASE WHEN o.op IS NULL THEN 'added'
+            WHEN n.np IS NULL THEN 'removed'
+            WHEN o.oh IS NOT DISTINCT FROM n.nh THEN 'unchanged'
             ELSE 'changed' END AS status
 FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id
 """
@@ -3295,6 +3298,90 @@ SELECT qid, cid,
        CAST(row_number() OVER (PARTITION BY qid ORDER BY ad2 ASC, cid ASC) AS BIGINT) AS rn
 FROM scored
 QUALIFY rn <= 5
+"""
+
+
+def q_ann_adc_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ADC recall instrument itself, value-verified
+    (operators/similarity.ann_adc_agreement — the bitext_ann_agree
+    precedent for the compressed tier): per query, did ADC's top-1
+    over the PORTABLE sampled codebooks pick the same corpus vector
+    as exact cosine's top-1? Both argmaxes come off ONE scored-pair
+    table carrying each pair's exact quantized cosine AND its ADC
+    distance, so the recall number in SCALING.md's sampled-vs-trained
+    table is a value-checked property, not a sampled estimate. The
+    oracle replays codebook sampling, per-subspace assignment, the
+    lookup-table distances (same explicit-order float sums), and both
+    rankings."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 25)
+    return similarity.ann_adc_agreement(
+        e, q, "vec_id", "embedding", _pq_codebooks(spark, sf_dir)
+    )
+
+
+# Both tiers' argmaxes off ONE scored-pair table: `ad` (the per-vector
+# subspace distances to every sampled codeword) doubles as the ADC
+# lookup table for the query side, `codes` pivots to the corpus side's
+# codewords, and the exact cosine joins the same (qid, cid) universe —
+# one pair table, two row_number(1) picks.
+SQL_ANN_ADC_AGREE = f"""
+WITH {_SQL_PQ_ASSIGN},
+cw AS (
+    SELECT vec_id,
+           max(CASE WHEN s = 0 THEN c END) AS k0,
+           max(CASE WHEN s = 1 THEN c END) AS k1,
+           max(CASE WHEN s = 2 THEN c END) AS k2,
+           max(CASE WHEN s = 3 THEN c END) AS k3,
+           max(CASE WHEN s = 4 THEN c END) AS k4,
+           max(CASE WHEN s = 5 THEN c END) AS k5,
+           max(CASE WHEN s = 6 THEN c END) AS k6,
+           max(CASE WHEN s = 7 THEN c END) AS k7
+    FROM codes GROUP BY vec_id
+),
+norms AS (
+    SELECT vec_id, sqrt(sum(v * v)) AS nrm
+    FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
+    GROUP BY vec_id
+),
+dots AS (
+    SELECT qid, cid, sum(qv * cv) AS dot
+    FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               CAST(unnest(q.embedding) AS DOUBLE) AS qv,
+               CAST(unnest(c.embedding) AS DOUBLE) AS cv
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 25 AND c.vec_id <> q.vec_id
+    )
+    GROUP BY qid, cid
+),
+scored AS (
+    SELECT d.qid, d.cid,
+           CAST(floor(d.dot / (nq.nrm * nc.nrm) * 10000 + 0.5) AS BIGINT) AS cos,
+           l0.d2 + l1.d2 + l2.d2 + l3.d2 + l4.d2 + l5.d2 + l6.d2 + l7.d2 AS ad2
+    FROM dots d
+    JOIN norms nq ON nq.vec_id = d.qid
+    JOIN norms nc ON nc.vec_id = d.cid
+    JOIN cw v ON v.vec_id = d.cid
+    JOIN ad l0 ON l0.vec_id = d.qid AND l0.s = 0 AND l0.c = v.k0
+    JOIN ad l1 ON l1.vec_id = d.qid AND l1.s = 1 AND l1.c = v.k1
+    JOIN ad l2 ON l2.vec_id = d.qid AND l2.s = 2 AND l2.c = v.k2
+    JOIN ad l3 ON l3.vec_id = d.qid AND l3.s = 3 AND l3.c = v.k3
+    JOIN ad l4 ON l4.vec_id = d.qid AND l4.s = 4 AND l4.c = v.k4
+    JOIN ad l5 ON l5.vec_id = d.qid AND l5.s = 5 AND l5.c = v.k5
+    JOIN ad l6 ON l6.vec_id = d.qid AND l6.s = 6 AND l6.c = v.k6
+    JOIN ad l7 ON l7.vec_id = d.qid AND l7.s = 7 AND l7.c = v.k7
+),
+ranked AS (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS re,
+           row_number() OVER (PARTITION BY qid ORDER BY ad2 ASC, cid ASC) AS ra
+    FROM scored
+)
+SELECT e.qid, e.cid AS cid_exact, a.cid AS cid_adc,
+       CAST(CASE WHEN a.cid = e.cid THEN 1 ELSE 0 END AS BIGINT) AS agree
+FROM (SELECT qid, cid FROM ranked WHERE re = 1) e
+LEFT JOIN (SELECT qid, cid FROM ranked WHERE ra = 1) a USING (qid)
 """
 
 
@@ -3653,6 +3740,8 @@ PIPELINE_QUERIES = {
     # r11 additions — led the r11 head; r12 rotates its own newcomers forward
     "dedup_index_manifest": q_dedup_index_manifest,
     "lm_manifest_score": q_lm_manifest_score,
+    # r13 additions — rotated into the head by _R13_ROTATION_HEAD
+    "ann_adc_agree": q_ann_adc_agree,
 }
 
 PIPELINE_ORACLE_SQL = {
@@ -3682,6 +3771,7 @@ PIPELINE_ORACLE_SQL = {
     "pq_codes": SQL_PQ_CODES,
     "pq_adc_topk": SQL_PQ_ADC_TOPK,
     "ann_ivfpq_adc": SQL_PQ_ADC_TOPK,
+    "ann_adc_agree": SQL_ANN_ADC_AGREE,
     "ann_ivfpq_residual": SQL_ANN_IVFPQ_RESIDUAL,
     "ann_ivfpq_rerank": SQL_ANN_IVFPQ_RERANK,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,

@@ -114,6 +114,8 @@ def stream_dedup_ingest(
     lease_ttl_s: int = 900,
     compact_every: int | None = None,
     vacuum_keep: int | None = None,
+    compact_corpus_every: int | None = None,
+    corpus_bin_size: int = 100,
     trigger_available_now: bool = False,
 ):
     """Run a streaming document feed through the persistent dedup index:
@@ -212,12 +214,24 @@ def stream_dedup_ingest(
     independent of corpus size. ``vacuum_keep=K`` additionally vacuums
     superseded directories after each compaction with ``keep_manifests
     =K`` reader grace (K >= 2 keeps a grace snapshot for readers that
-    resolved just before the compaction commit). The CORPUS store at
-    ``out_path`` is deliberately NOT on this cadence: its partitions
-    are append-only data (compacting means rewriting corpus bytes, not
-    narrow index rows) and its readers prune by ``ingest_batch``;
-    schedule :func:`~traceframe_spark.streaming.manifest_store.compact_manifest_store`
-    out-of-band like any data compaction if full-corpus scans matter.
+    resolved just before the compaction commit).
+
+    ``compact_corpus_every=M`` (manifest protocol only) puts the CORPUS
+    store at ``out_path`` on its own cadence: each batch lands one
+    ``ingest_batch=<id>`` directory forever, so a 10k-batch corpus
+    otherwise costs full readers a 10k-way union of per-directory
+    scans and a batch-count-sized small-file population. When the live
+    directory count reaches M, the batch ends by bin-packing
+    (:func:`~traceframe_spark.streaming.manifest_store.compact_corpus_store`
+    with ``corpus_bin_size``-wide ``ingest_batch`` ranges): only the
+    under-packed bins are read+rewritten — O(bin) data per trigger,
+    never the corpus — rows stay byte-identical, per-batch pruning
+    survives via the manifest's value→bin map + row-group stats, and
+    ``vacuum_keep`` reclaims the superseded directories with the same
+    reader grace. This cadence is DELIBERATELY separate from
+    ``compact_every``: index compaction moves narrow rows every N
+    batches, corpus compaction moves data bytes — couple them only if
+    your batch bytes are small.
 
     Returns the started StreamingQuery. Read the curated corpus back
     with :func:`read_ingested`.
@@ -243,6 +257,14 @@ def stream_dedup_ingest(
         )
     if compact_every is not None and compact_every < 1:
         raise ValueError("compact_every must be >= 1")
+    if compact_corpus_every is not None:
+        if not manifest_proto:
+            raise ValueError(
+                "compact_corpus_every needs store_protocol='manifest' "
+                "(corpus bin-packing is a manifest-store operation)"
+            )
+        if compact_corpus_every < 1:
+            raise ValueError("compact_corpus_every must be >= 1")
     lease_token = (
         MS.acquire_writer_lease(
             docs.sparkSession, index_path,
@@ -424,10 +446,18 @@ def stream_dedup_ingest(
             if bpe_merges is not None:
                 from traceframe_spark.operators.bpe import encode
 
+                # encode(NULL text) yields a NULL token array, and
+                # F.size(NULL) is -1 under Spark's legacy sizeOfNull —
+                # a nonsense budget signal. NULL-text survivors (their
+                # NULL content hash never matches the index) keep a
+                # NULL token count instead.
                 survivors = encode(
                     survivors, bpe_merges, text_col=text_col, out_col="_toks"
                 ).withColumn(
-                    "n_bpe_tokens", F.size("_toks").cast("long")
+                    "n_bpe_tokens",
+                    F.when(
+                        F.col("_toks").isNull(), F.lit(None)
+                    ).otherwise(F.size("_toks")).cast("long"),
                 ).drop("_toks")
             survivors = survivors.persist()
             if manifest_proto:
@@ -464,6 +494,24 @@ def stream_dedup_ingest(
                 MS.run_scheduled_compaction(
                     spark, index_path, compact_every, vacuum_keep, man0
                 )
+                if compact_corpus_every is not None:
+                    # the CORPUS store's cadence: one parts directory
+                    # lands per batch forever; when the live directory
+                    # count reaches the knob, bin-pack (reads only the
+                    # under-packed bins — O(bin) data, not the corpus)
+                    # and reclaim. Cadence state is the corpus manifest
+                    # itself — restart-safe, same as the index cadence.
+                    cman = MS._latest_manifest(spark, out_path)
+                    if cman is not None and len(
+                        set(cman.get("parts", {}).values())
+                    ) >= compact_corpus_every:
+                        MS.compact_corpus_store(
+                            spark, out_path, bin_size=corpus_bin_size
+                        )
+                        if vacuum_keep is not None:
+                            MS.vacuum_manifest_store(
+                                spark, out_path, keep_manifests=vacuum_keep
+                            )
             else:
                 survivors.write.mode("overwrite").parquet(batch_dir)
                 _mark_batch_applied(spark, out_path, checkpoint, batch_id)

@@ -13,9 +13,14 @@ standing corpus). A re-sent vector from an earlier batch is caught by
 the NEAR stage when ``near_threshold`` is set — the standing-index
 probe does not self-exclude (``exclude_self=False``), so a re-send
 carrying its ORIGINAL id matches its own standing copy at cosine 1.0
-and is dropped like any other near-dup. With ``near_threshold=None``
-there is no cross-batch guard at all: feed ids must then be
-exactly-once upstream (Kafka keys, file names) or re-sends land twice.
+and is dropped like any other near-dup. Independently, ``id_guard``
+(default True) drops batch rows whose ID is already stored: a Bloom
+probe against the index's ``ids_bloom`` sidecar proves most fresh ids
+absent without touching the corpus, and only probable members pay a
+cid-column confirm scan (:func:`~traceframe_spark.operators.similarity.
+ivf_id_hits`) — so with the near stage OFF, a replayed feed still
+lands each id exactly once. The id guard is by ID, not content: a
+re-send under a NEW id needs the near stage to die.
 
 No reference analogue (the reference has no vector operators); this
 completes the incremental-curation story across modalities: text flows
@@ -171,6 +176,7 @@ def stream_embed_ingest(
     nprobe: int | str = "auto",
     near_probe: str = "float",
     adc_shortlist: int = 32,
+    id_guard: bool = True,
     within_batch_near: bool = False,
     within_batch_cap: int | None = 4096,
     lease: bool = False,
@@ -186,6 +192,16 @@ def stream_embed_ingest(
 
     1. exact dedup within the batch (one survivor per distinct vector
        content, min id wins);
+    1b. ``id_guard=True`` (default): drop batch rows whose ID the
+       index already stores — the cross-batch exactly-once-by-id
+       contract with or without the near stage. Per-batch cost shape:
+       one Bloom probe of the ``ids_bloom`` sidecar (n_bits/32 long
+       rows, broadcast; ids missing any bit are PROVEN fresh), then a
+       cid-column-only confirm scan for the probable members ONLY —
+       an all-fresh batch (the steady state of a healthy feed) never
+       reads the corpus at all, and the confirm scan reads one
+       fixed-width column, never vectors or codes. Indexes built
+       before the sidecar existed confirm-always (correct, unpruned).
     2. ``near_threshold`` set: drop batch vectors whose best cosine
        against the STANDING index is ≥ the threshold (the embedding
        twin of ``dedup_against_index`` — a near-copy of anything
@@ -207,9 +223,12 @@ def stream_embed_ingest(
        probe count from the index's OWN list-size skew at stream start
        (``ivf_list_stats``): probe at least 8 lists, widen linearly
        with ``max_list/mean_list`` (the clone-mass signal), clamp at
-       full probe — ``min(n_lists, max(8, ceil(skew)))``. Derived
-       ONCE at stream start (the quantizer is frozen; restart to
-       re-derive as the index grows). An exact re-send is always
+       full probe — ``min(n_lists, max(8, ceil(skew)))``. Derived at
+       stream start and RE-DERIVED whenever the ``compact_every``
+       cadence fires (skew evolves as the stream folds — clone mass
+       arriving late concentrates lists after the day-one
+       measurement; without a cadence the width stays pinned until
+       restart). An exact re-send is always
        caught even at nprobe=1 (the frozen quantizer assigns the
        clone to the original's list); only genuine near-dups need the
        width. For a measured operating point on your own data, run
@@ -285,6 +304,13 @@ def stream_embed_ingest(
         raise ValueError("compact_every must be >= 1")
     if near_probe not in ("float", "adc"):
         raise ValueError(f"near_probe must be 'float' or 'adc', got {near_probe!r}")
+    if near_probe == "adc" and adc_shortlist < 1:
+        # an empty ADC shortlist would silently disable near-dup
+        # suppression (nothing survives to the exact re-rank, so every
+        # re-send lands) — fail at stream start, not per batch
+        raise ValueError(
+            f"adc_shortlist must be >= 1, got {adc_shortlist}"
+        )
     # fail fast at stream start on a store without centroids; the
     # centroids are FROZEN (append never retrains), so pin them once
     # for the within-batch assignment instead of re-resolving per batch
@@ -296,27 +322,37 @@ def stream_embed_ingest(
             f"near_probe='adc' needs an IVF-PQ index at {index_path!r} — "
             "build it with write_ivf_index(..., pq_samples=...)"
         )
-    if nprobe == "auto":
+    def _auto_nprobe(man=None) -> int:
+        # one bounded job: <= n_lists narrow rows
+        import math
+
+        sizes = [
+            r["n_vectors"]
+            for r in sim.ivf_list_stats(spark0, index_path, man=man).collect()
+        ]
+        mean = (sum(sizes) / len(sizes)) if sizes else 0.0
+        skew = (max(sizes) / mean) if mean else 0.0
+        got = min(len(centroids0), max(8, math.ceil(skew)))
+        _LOG.info(
+            "stream_embed_ingest: nprobe='auto' -> %d "
+            "(n_lists=%d, list-size skew=%.1f)",
+            got, len(centroids0), skew,
+        )
+        return got
+
+    auto_nprobe = nprobe == "auto"
+    if auto_nprobe:
         if near_threshold is None:
             nprobe = 8  # unused (no near stage); keep the type honest
+            auto_nprobe = False
         else:
-            import math
-
-            # one bounded job at stream start: <= n_lists narrow rows
-            sizes = [
-                r["n_vectors"]
-                for r in sim.ivf_list_stats(spark0, index_path).collect()
-            ]
-            mean = (sum(sizes) / len(sizes)) if sizes else 0.0
-            skew = (max(sizes) / mean) if mean else 0.0
-            nprobe = min(len(centroids0), max(8, math.ceil(skew)))
-            _LOG.info(
-                "stream_embed_ingest: nprobe='auto' -> %d "
-                "(n_lists=%d, list-size skew=%.1f)",
-                nprobe, len(centroids0), skew,
-            )
+            nprobe = _auto_nprobe()
     elif not isinstance(nprobe, int):
         raise ValueError(f"nprobe must be an int or 'auto', got {nprobe!r}")
+    # mutable so the compaction cadence can refresh the auto probe
+    # width mid-stream (list-size skew EVOLVES as clone mass folds in —
+    # day-one geometry must not pin the width forever)
+    probe_state = {"nprobe": nprobe}
     lease_token = (
         MS.acquire_writer_lease(
             spark0, index_path,
@@ -347,6 +383,9 @@ def stream_embed_ingest(
         if last is not None and batch_id <= int(last):
             return
         survivors = _dedup_exact_vectors(batch_df, id_col, vec_col)
+        if id_guard:
+            hits = sim.ivf_id_hits(spark, index_path, survivors, id_col, man=man)
+            survivors = survivors.join(F.broadcast(hits), id_col, "left_anti")
         if within_batch_near:
             survivors = _dedup_near_within_batch(
                 survivors, id_col, vec_col, centroids0, near_threshold,
@@ -364,13 +403,15 @@ def stream_embed_ingest(
                 # probe, so the threshold boundary is shared
                 best = sim.ivf_adc_topk_over_index(
                     spark, index_path, survivors, id_col, vec_col,
-                    k=adc_shortlist, nprobe=nprobe, exclude_self=False,
+                    k=adc_shortlist, nprobe=probe_state["nprobe"],
+                    exclude_self=False,
                     rerank_k=1, resolved=(centroids0, man),
                 )
             else:
                 best = sim.ivf_topk_over_index(
                     spark, index_path, survivors, id_col, vec_col,
-                    k=1, nprobe=nprobe, resolved=(centroids0, man),
+                    k=1, nprobe=probe_state["nprobe"],
+                    resolved=(centroids0, man),
                     exclude_self=False,
                 )
             best = best.filter(
@@ -395,9 +436,20 @@ def stream_embed_ingest(
             # AFTER the watermarked fold: a crash between them replays
             # into a watermark skip and the over-bound dir counts
             # re-trigger compaction on the next live batch
-            MS.run_scheduled_compaction(
+            compacted = MS.run_scheduled_compaction(
                 spark, index_path, compact_every, vacuum_keep, man
             )
+            if compacted and auto_nprobe:
+                # skew EVOLVES as the stream folds (clone mass arriving
+                # late concentrates lists after the stream-start
+                # measurement) — re-derive the probe width at the
+                # natural refresh point the cadence already provides.
+                # Costs ONE extra manifest resolve + one <=n_lists
+                # aggregate, only on compaction batches; plain batches
+                # keep the one-resolve discipline.
+                probe_state["nprobe"] = _auto_nprobe(
+                    man=MS._latest_manifest(spark, index_path)
+                )
         finally:
             survivors.unpersist()
 

@@ -564,6 +564,7 @@ def append_parts_layer(
     checkpoint: str | None = None,
     batch_id: int | None = None,
     prev: dict | None = None,
+    extra_layers: dict[str, DataFrame] | None = None,
 ) -> int:
     """Commit an APPEND-ACCUMULATING partitioned layer store: ``df``
     lands partitioned by ``part_col`` under ONE immutable commit
@@ -584,7 +585,13 @@ def append_parts_layer(
     directory; and :func:`read_parts_layers` can reconstruct the
     partition column by directory inference. ``meta`` (e.g. pinned
     centroids) and the replay watermark commit atomically with the
-    data pointers. Returns the commit counter."""
+    data pointers. ``extra_layers`` are NAMED side layers (e.g. the
+    IVF store's ``ids_bloom`` membership sidecar) written under the
+    SAME commit directory and published in the SAME manifest — a
+    partitioned append and its sidecars advance together or not at
+    all; names must not start with ``{part_col}=`` (they'd shadow
+    partition layers). ``replace=True`` also retires existing layers
+    of each extra name. Returns the commit counter."""
     if prev is None:
         prev = _latest_manifest(spark, path)
     n = _next_commit_n(spark, path)
@@ -592,6 +599,10 @@ def append_parts_layer(
     if meta:
         man["meta"].update(meta)
     prefix = f"{part_col}="
+    if extra_layers and any(k.startswith(prefix) for k in extra_layers):
+        raise ValueError(
+            f"extra_layers names must not start with {prefix!r}"
+        )
     if replace:
         for k in [k for k in man["layers"] if k.startswith(prefix)]:
             del man["layers"][k]
@@ -602,6 +613,13 @@ def append_parts_layer(
         name = status.getPath().getName()
         if name.startswith(prefix):
             man["layers"].setdefault(name, []).append(f"{cdir}/{name}")
+    for name in sorted(extra_layers or {}):
+        d = f"{cdir}/{name}"
+        extra_layers[name].write.mode("errorifexists").parquet(f"{path}/{d}")
+        if replace:
+            man["layers"][name] = [d]
+        else:
+            man["layers"].setdefault(name, []).append(d)
     man["part_col"] = part_col
     _write_manifest(spark, path, man)
     return n
@@ -711,10 +729,16 @@ def compact_manifest_layers(spark, path: str) -> int:
     layers = man.get("layers", {})
     if not layers:
         raise FileNotFoundError(f"manifest store at {path!r} has no layers")
-    frames = {
-        layer: read_manifest_layer(spark, path, layer, man=man).localCheckpoint()
-        for layer in layers
-    }
+    frames = {}
+    for layer in layers:
+        df = read_manifest_layer(spark, path, layer, man=man)
+        if layer.endswith("_bloom"):
+            # bloom sidecar layers (word-packed bit rows) accumulate
+            # one row-set per append; compaction FOLDS them by bitwise
+            # OR so the layer's row count resets to <= n_words instead
+            # of merely collapsing directories
+            df = df.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+        frames[layer] = df.localCheckpoint()
     return commit_layer_frames(spark, path, frames, replace=True, prev=man)
 
 
@@ -767,13 +791,36 @@ def manifest_last_batch(spark, path: str, checkpoint: str) -> int | None:
 def _read_parts(spark, path: str, man: dict, vals: list[str]) -> DataFrame | None:
     """Union of one partition-pruned scan per live commit directory for
     the requested partition values (partition column reconstructed by
-    Spark's directory inference via basePath). None if no value is live."""
+    Spark's directory inference via basePath). None if no value is live.
+
+    BIN directories (:func:`compact_corpus_store` — name not
+    ``{part_col}=...``) carry the partition column as a PHYSICAL file
+    column and may serve values beyond the requested set; when one is
+    included the result is row-filtered back to the requested values
+    (row-group stats prune inside the bin — the rewrite sorts by the
+    partition column)."""
+    part_col = man.get("part_col")
+    prefix = f"{part_col}="
     by_cdir: dict[str, list[str]] = {}
+    over_delivery = False
+    served: dict[str, set] | None = None
+    want = set(vals)
     for v in vals:
         d = man["parts"].get(v)
-        if d is not None:
-            cdir = d.rsplit("/", 1)[0]
-            by_cdir.setdefault(cdir, []).append(d)
+        if d is None:
+            continue
+        cdir = d.rsplit("/", 1)[0]
+        lst = by_cdir.setdefault(cdir, [])
+        if d in lst:
+            continue
+        lst.append(d)
+        if not d.rsplit("/", 1)[1].startswith(prefix):
+            if served is None:
+                served = {}
+                for v2, d2 in man["parts"].items():
+                    served.setdefault(d2, set()).add(v2)
+            if not served[d] <= want:
+                over_delivery = True
     out = None
     for cdir, dirs in sorted(by_cdir.items()):
         df = (
@@ -781,6 +828,8 @@ def _read_parts(spark, path: str, man: dict, vals: list[str]) -> DataFrame | Non
             .parquet(*[f"{path}/{d}" for d in sorted(dirs)])
         )
         out = df if out is None else out.unionByName(df)
+    if out is not None and over_delivery:
+        out = out.where(F.col(part_col).cast("string").isin(sorted(want)))
     return out
 
 
@@ -1038,6 +1087,69 @@ def compact_manifest_store(spark, path: str) -> int:
     if df is None:
         raise FileNotFoundError(f"manifest store at {path!r} has no live partitions")
     return commit_merged_parts(df.localCheckpoint(), path, man["part_col"])
+
+
+def compact_corpus_store(
+    spark, path: str, bin_size: int = 100, files_per_bin: int = 1
+) -> int:
+    """Bin-packing rewrite for an int-keyed parts store — the curated
+    corpus a streaming loop lands at ``out_path`` accumulates ONE
+    directory (and its small files) per micro-batch FOREVER, so at 10k
+    batches a full-corpus read unions 10k per-directory scans and the
+    file count follows batch count, not data size. This groups live
+    partition values into ``bin_size``-wide ranges and rewrites every
+    bin currently spread over >1 directory into ONE ``bin-XXXXXXXX``
+    directory of ``files_per_bin`` files, sorted by the partition
+    column (which becomes a PHYSICAL column in the bin's files —
+    readers keep per-value pruning via the manifest's value→bin map
+    plus row-group stats; see :func:`_read_parts`). One normal commit
+    under the same snapshot protocol: racing readers keep their
+    resolved manifest, byte-identical rows, superseded directories
+    reclaimed by the next :func:`vacuum_manifest_store`, and the
+    replay-watermark lineage carries forward untouched.
+
+    Steady-state cost: each call reads+rewrites only the bins that
+    gained directories since the last call — O(bin_size batches of
+    data), never the whole corpus (a fully-packed old bin is one
+    directory and is skipped). Pick ``bin_size``/``files_per_bin`` so
+    a bin's bytes make healthy parquet files at your batch size.
+    Returns the number of bins rewritten (0 = already packed, no
+    commit published)."""
+    if bin_size < 1:
+        raise ValueError("bin_size must be >= 1")
+    man = _latest_manifest(spark, path)
+    if man is None:
+        raise FileNotFoundError(f"manifest store at {path!r} has no commits")
+    parts = man.get("parts", {})
+    if not parts:
+        return 0
+    bins: dict[int, list[str]] = {}
+    for v in parts:
+        bins.setdefault(int(v) // bin_size, []).append(v)
+    todo = {
+        b: sorted(vs, key=int)
+        for b, vs in bins.items()
+        if len({parts[v] for v in vs}) > 1
+    }
+    if not todo:
+        return 0
+    part_col = man["part_col"]
+    n = _next_commit_n(spark, path)
+    new_man = _next_manifest(man, n, None, None)
+    cdir = f"{_DATA_DIR}/c-{n:012d}-{uuid.uuid4().hex[:8]}"
+    for b, vs in sorted(todo.items()):
+        df = _read_parts(spark, path, man, vs)
+        d = f"{cdir}/bin-{b:08d}"
+        (
+            df.repartition(files_per_bin)
+            .sortWithinPartitions(part_col)
+            .write.mode("errorifexists")
+            .parquet(f"{path}/{d}")
+        )
+        for v in vs:
+            new_man["parts"][v] = d
+    _write_manifest(spark, path, new_man)
+    return len(todo)
 
 
 def vacuum_manifest_store(spark, path: str, keep_manifests: int = 2) -> int:
