@@ -473,6 +473,66 @@ def main() -> None:
         f"cosine_topk for 3 probes; semdedup keep (cos>=0.30) retains "
         f"{n_kept}/{nv}"
     )
+
+    # 12. the r13 wave: TRAINED per-subspace k-means codebooks (the
+    # production default — measurably tighter quantization than the
+    # sampled twin), ADC recall as an instrument, id-level
+    # exactly-once for a replayed feed with the near stage OFF, and
+    # the SemDeDup keep decision against the PERSISTED quantizer.
+    trained = sim.pq_train_codebooks(emb, "vec_id", "embedding")
+    import numpy as _np
+
+    samp_rows = emb.limit(256).collect()
+    x = _np.array([r["embedding"] for r in samp_rows], dtype=_np.float64)
+
+    def _mse(book):
+        b = _np.array(book, dtype=_np.float64)
+        d = x.shape[1] // 8
+        tot = 0.0
+        for s in range(8):
+            sub, sc = x[:, s * d:(s + 1) * d], b[:, s * d:(s + 1) * d]
+            tot += ((sub[:, None, :] - sc[None, :, :]) ** 2).sum(2).min(1).sum()
+        return tot / len(x)
+
+    m_s, m_t = _mse(cb), _mse(trained)
+    assert m_t <= m_s, "trained books must not quantize worse"
+    agree = sim.ann_adc_agreement(
+        emb, emb.filter(F.col("vec_id") < 20), "vec_id", "embedding", trained
+    ).agg(F.avg("agree")).first()[0]
+    idg = tempfile.mkdtemp(prefix="demo_idg_") + "/idx"
+    sim.write_ivf_index(
+        emb, idg, "vec_id", "embedding", n_centroids=8, protocol="manifest"
+    )
+    n0 = read_indexed_vectors(spark, idg).count()
+    feed2 = tempfile.mkdtemp(prefix="demo_idg_feed_")
+    with open(f"{feed2}/b0.jsonl", "w") as f:
+        for r in samp_rows[:30]:  # exact id re-sends, near stage OFF
+            f.write(_json.dumps({
+                "vec_id": int(r["vec_id"]),
+                "embedding": list(r["embedding"]),
+            }) + "\n")
+        f.write(_json.dumps({
+            "vec_id": 7_700_000,
+            "embedding": [x_ + 1.37 for x_ in samp_rows[0]["embedding"]],
+        }) + "\n")
+    q = stream_embed_ingest(
+        spark.readStream.schema("vec_id long, embedding array<float>").json(feed2),
+        idg, feed2 + "_ckpt", trigger_available_now=True,  # no near stage
+    )
+    q.awaitTermination()
+    n1 = read_indexed_vectors(spark, idg).count()
+    assert n1 == n0 + 1, f"id guard must drop 30 id re-sends: {n0} -> {n1}"
+    kept_idx = sim.semdedup_keep_over_index(
+        spark, ivfpq, emb, "vec_id", "embedding", min_cos_q=3000
+    ).count()
+    assert 0 < kept_idx <= nv
+    print(
+        f"r13: trained codebooks cut quantization MSE {m_s:.2f} -> {m_t:.2f}; "
+        f"ADC recall@1 instrument = {agree:.2f} on 20 probes; id-guard "
+        f"stream (near stage OFF) dropped 30/31 id re-sends via the "
+        f"ids_bloom sidecar; semdedup-over-the-persisted-quantizer keeps "
+        f"{kept_idx}/{nv}"
+    )
     spark.stop()
 
 

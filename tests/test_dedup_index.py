@@ -477,13 +477,20 @@ def test_ckeys_bloom_prefilter_identical_answers(spark, tmp_path):
     for delta in (fresh, hits, mixed):
         a = sorted(
             r["doc_id"]
-            for r in di.dedup_against_index(delta, mani, near_dup=False).collect()
+            for r in di.dedup_against_index(
+                delta, mani, near_dup=False, bloom_prefilter=True
+            ).collect()
         )
         b = sorted(
             r["doc_id"]
             for r in di.dedup_against_index(delta, legacy, near_dup=False).collect()
         )
         assert a == b
+        # and the default (prefilter off) agrees on the sidecar store too
+        assert a == sorted(
+            r["doc_id"]
+            for r in di.dedup_against_index(delta, mani, near_dup=False).collect()
+        )
     # fold-back maintains the sidecar in the SAME commit; a clone of an
     # APPENDED doc then dies through the bloom path
     di.append_dedup_index(fresh, mani)
@@ -492,13 +499,17 @@ def test_ckeys_bloom_prefilter_identical_answers(spark, tmp_path):
     clone = spark.createDataFrame(
         [(999, "totally new content 0 " * 12)], "doc_id long, text string"
     )
-    assert di.dedup_against_index(clone, mani, near_dup=False).count() == 0
+    assert di.dedup_against_index(
+        clone, mani, near_dup=False, bloom_prefilter=True
+    ).count() == 0
     # compaction OR-folds the sidecar; answers unchanged after
     MS.compact_manifest_layers(spark, mani)
     man3 = MS._latest_manifest(spark, mani)
     assert len(man3["layers"]["ckeys_bloom"]) == 1
-    assert di.dedup_against_index(clone, mani, near_dup=False).count() == 0
+    assert di.dedup_against_index(
+        clone, mani, near_dup=False, bloom_prefilter=True
+    ).count() == 0
     assert di.dedup_against_index(
         spark.createDataFrame([(7, "never seen before")], "doc_id long, text string"),
-        mani, near_dup=False,
+        mani, near_dup=False, bloom_prefilter=True,
     ).count() == 1

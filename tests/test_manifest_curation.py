@@ -118,7 +118,8 @@ def test_append_curation_layers_is_one_commit_with_watermark(spark, tmp_path):
     assert n == before + 1  # exact+sigs+bands+grams+watermark: ONE commit
     assert MS.manifest_last_batch(spark, idx, "ck") == 4
     man = MS._latest_manifest(spark, idx)
-    assert set(man["layers"]) == {"exact", "sigs", "bands", "grams"}
+    # ckeys_bloom: the r13 exact-layer sidecar rides the same commit
+    assert set(man["layers"]) == {"exact", "sigs", "bands", "grams", "ckeys_bloom"}
     with pytest.raises(ValueError, match="manifest-protocol"):
         idx2 = str(tmp_path / "idx_append")
         di.write_dedup_index(_snap(spark), idx2, n_hashes=32, bands=8)

@@ -17,10 +17,16 @@ too, it is WHY the sidecar only pays at scale). Two probe deltas:
 - ``mixed`` (20 fresh + 5 clones) — the prefilter narrows the exact
   join to probable members but still pays the layer read.
 
-Each delta probes (a) through the sidecar (the shipped default) and
-(b) with the sidecar masked out of the resolved manifest (the pre-r13
-plan). Answers are asserted identical first, then each arm times
-``--probes`` runs. Prints one JSON line.
+Each delta probes (a) with ``bloom_prefilter=True`` and (b) with the
+default ``False``, at the uncompacted (between-cadence) AND compacted
+(steady-state) store. Answers are asserted identical first, then each
+arm times ``--probes`` runs. Prints one JSON line. The measured
+verdict at this scale is that the prefilter does NOT pay (0.5-0.7x):
+its ~3 fixed bounded jobs cost more than the 210k-row ckey read they
+avoid — which is WHY dedup_against_index defaults it off; the filter
+stays n_bits/32 rows while the layer grows linearly, so the crossover
+sits where the exact scan dominates the probe (tens of millions of
+stored keys).
 
 Usage: python tools/bench_ckeys_bloom_r13.py [--appends 100] [--probes 5]
 """
@@ -28,7 +34,6 @@ Usage: python tools/bench_ckeys_bloom_r13.py [--appends 100] [--probes 5]
 from __future__ import annotations
 
 import argparse
-import copy
 import json
 import os
 import sys
@@ -70,8 +75,6 @@ def main() -> int:
             idx,
         )
     man = MS._latest_manifest(spark, idx)
-    masked = copy.deepcopy(man)
-    del masked["layers"]["ckeys_bloom"]
 
     fresh = _docs(
         spark, [(90000 + i, f"probe-only text {i} " * 12) for i in range(20)]
@@ -80,11 +83,11 @@ def main() -> int:
         _docs(spark, [(95000 + j, f"fold 7 doc {j} " * 12) for j in range(5)])
     )
 
-    def run(delta, m):
+    def run(delta, m, bloom):
         return sorted(
             r["doc_id"]
             for r in di.dedup_against_index(
-                delta, idx, near_dup=False, man=m
+                delta, idx, near_dup=False, man=m, bloom_prefilter=bloom
             ).collect()
         )
 
@@ -92,20 +95,31 @@ def main() -> int:
         "appends": args.appends,
         "stored_ckeys": args.snapshot + args.appends * dpa,
         "live_dirs_exact": len(man["layers"]["exact"]),
-        "deltas": {},
+        "states": {},
     }
-    for name, delta in (("fresh", fresh), ("mixed", mixed)):
-        assert run(delta, man) == run(delta, masked), name  # identical answers
-        row = {}
-        for arm, m in (("bloom", man), ("no_bloom", masked)):
-            ts = []
-            for _ in range(args.probes):
-                t0 = time.time()
-                run(delta, m)
-                ts.append(time.time() - t0)
-            row[arm] = round(sum(ts) / len(ts), 3)
-        row["speedup"] = round(row["no_bloom"] / row["bloom"], 2)
-        out["deltas"][name] = row
+
+    def measure(state, man_state):
+        rows = {}
+        for name, delta in (("fresh", fresh), ("mixed", mixed)):
+            assert run(delta, man_state, True) == run(delta, man_state, False), name
+            row = {}
+            for arm, bloom in (("bloom", True), ("no_bloom", False)):
+                ts = []
+                for _ in range(args.probes):
+                    t0 = time.time()
+                    run(delta, man_state, bloom)
+                    ts.append(time.time() - t0)
+                row[arm] = round(sum(ts) / len(ts), 3)
+            row["speedup"] = round(row["no_bloom"] / row["bloom"], 2)
+            rows[name] = row
+        out["states"][state] = rows
+
+    # uncompacted: N+1 live dirs per layer (between-cadence worst case)
+    measure("uncompacted", man)
+    # compacted: the steady state the r12 compact_every cadence holds a
+    # long-running stream near (one dir per layer, bloom OR-folded)
+    MS.compact_manifest_layers(spark, idx)
+    measure("compacted", MS._latest_manifest(spark, idx))
     print(json.dumps(out))
     return 0
 

@@ -134,14 +134,15 @@ def main() -> int:
         try:
             sdf = qs[name](spark, args.sf).toPandas()
             odf = con.sql(sql[name]).df()
-            s_rows, s_hash, s_cols = _canon(sdf)
-            o_rows, o_hash, o_cols = _canon(odf)
-            ok = s_rows == o_rows and s_hash == o_hash and s_cols == o_cols
+            ok = (
+                sorted(sdf.columns) == sorted(odf.columns)
+                and _canon(sdf) == _canon(odf)
+            )
             status = "PASS" if ok else "FAIL"
             if not ok:
                 failures.append(name)
             print(
-                f"{name:28s} {s_rows} vs {o_rows} rows "
+                f"{name:28s} {len(sdf)} vs {len(odf)} rows "
                 f"({time.time() - t0:.1f}s)  {status}",
                 flush=True,
             )

@@ -559,9 +559,25 @@ def dedup_against_index(
     near_dup: bool = True,
     sigs: DataFrame | None = None,
     man: dict | None = _UNRESOLVED,
+    bloom_prefilter: bool = False,
 ) -> DataFrame:
     """Surviving ``delta`` rows: exact layer first, then (optionally)
     the LSH layer with MinHash-estimated Jaccard ≥ ``threshold``.
+
+    ``bloom_prefilter=True`` (manifest stores with the ``ckeys_bloom``
+    sidecar) screens the delta's ckeys against the Bloom filter before
+    the exact join: an all-fresh delta is PROVEN hit-free without
+    reading the ckey layer at all, and a mixed delta joins only its
+    probable members. The flag defaults OFF because the prefilter's
+    fixed cost (a words read + one probe join + a delta-bounded
+    materialization — ~3 extra bounded jobs) exceeds the ckey-layer
+    read it avoids until the layer is large: measured 0.5-0.7x at
+    210k stored ckeys even compacted (tools/bench_ckeys_bloom_r13.py);
+    the filter stays n_bits/32 rows while the layer grows linearly, so
+    turn it on once the stored-key count makes the exact scan the
+    probe's dominant term (≳10M keys as a rule of thumb, or measure
+    with the A/B tool on your store). Answers are identical either
+    way (no false negatives; false positives only re-check).
 
     Cost shape at 100 TB: the delta is shingled/hashed once; the index
     side contributes only narrow stored rows (ckey/band/sig scans —
@@ -596,7 +612,7 @@ def dedup_against_index(
     ids = spread(delta, id_col).select(
         F.col(id_col).alias("_pid"), content_key(text_col).alias("ckey")
     )
-    if man is not None and "ckeys_bloom" in man.get("layers", {}):
+    if bloom_prefilter and man is not None and "ckeys_bloom" in man.get("layers", {}):
         # Bloom prefilter (r13): delta ckeys missing any of their k
         # bits are PROVEN absent from the exact layer — a low-hit
         # delta (the healthy-feed steady state) skips the ckey-layer
@@ -604,26 +620,26 @@ def dedup_against_index(
         # members. The filter words are n_bits/32 long rows —
         # broadcast-sized at any index size; false positives only ever
         # cost re-checking, never answers.
-        from traceframe_spark.operators.sketch import bloom_probe_keep
+        from traceframe_spark.operators.sketch import bloom_probable_members
         from traceframe_spark.streaming import manifest_store as MS
 
         m = man.get("meta", {})
+        # localCheckpoint: bloom_probe_keep broadcasts the words frame
+        # once PER HASH (k=5) — without pinning, each broadcast re-runs
+        # the layer read + OR-fold (measured 5x the probe's cost).
+        # <= n_bits/32 long rows, trivially materializable.
         words = (
             MS.read_manifest_layer(spark, path, "ckeys_bloom", man=man)
             .groupBy("word_idx")
             .agg(F.bit_or("bits").alias("bits"))
+            .localCheckpoint()
         )
-        ids = (
-            bloom_probe_keep(
-                words, ids, "ckey",
-                n_hashes=int(m.get("ckeys_bloom_hashes", _CKEYS_BLOOM_HASHES)),
-                n_bits=int(m.get("ckeys_bloom_bits", _CKEYS_BLOOM_BITS)),
-                fast=True,
-            )
-            .filter(F.col("probable_member"))
-            .select("_pid", "ckey")
-            .localCheckpoint()  # delta-bounded narrow rows, read twice below
-        )
+        ids = bloom_probable_members(
+            words, ids, "ckey",
+            n_hashes=int(m.get("ckeys_bloom_hashes", _CKEYS_BLOOM_HASHES)),
+            n_bits=int(m.get("ckeys_bloom_bits", _CKEYS_BLOOM_BITS)),
+            fast=True,
+        ).localCheckpoint()  # delta-bounded narrow rows, read twice below
         if ids.isEmpty():
             exact_hits = ids.select("_pid").limit(0)
         else:

@@ -1498,7 +1498,7 @@ def ivf_id_hits(
     An index without the sidecar (pre-r13 build) falls back to
     confirm-always — correct, just unpruned. ``man`` pins an
     already-resolved manifest snapshot (the streaming discipline)."""
-    from traceframe_spark.operators.sketch import bloom_probe_keep
+    from traceframe_spark.operators.sketch import bloom_probable_members
     from traceframe_spark.streaming import manifest_store as MS
 
     if man is None:
@@ -1507,20 +1507,20 @@ def ivf_id_hits(
         raise ValueError(f"{path!r} is not a manifest-protocol IVF index")
     cand = ids.select(F.col(id_col).alias("cid")).distinct()
     if "ids_bloom" in man.get("layers", {}):
+        # localCheckpoint: the probe broadcasts the words frame once
+        # per hash (k=5) — pin the read+OR-fold so it runs once, not
+        # five times. <= n_bits/32 long rows.
         words = (
             MS.read_manifest_layer(spark, path, "ids_bloom", man=man)
             .groupBy("word_idx")
             .agg(F.bit_or("bits").alias("bits"))
+            .localCheckpoint()
         )
-        cand = (
-            bloom_probe_keep(
-                words, cand, "cid",
-                n_hashes=int(man["meta"].get("ids_bloom_hashes", 5)),
-                n_bits=int(man["meta"].get("ids_bloom_bits", 1 << 20)),
-                fast=True,
-            )
-            .filter(F.col("probable_member"))
-            .select("cid")
+        cand = bloom_probable_members(
+            words, cand, "cid",
+            n_hashes=int(man["meta"].get("ids_bloom_hashes", 5)),
+            n_bits=int(man["meta"].get("ids_bloom_bits", 1 << 20)),
+            fast=True,
         )
         if cand.isEmpty():
             return ids.select(F.col(id_col)).limit(0)

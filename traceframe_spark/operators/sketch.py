@@ -197,6 +197,42 @@ def bloom_probe_keep(
 # until then bloom_probe_keep's k broadcast equi-joins are the probe.
 
 
+def bloom_probable_members(
+    bloom: DataFrame,
+    df: DataFrame,
+    key_col: str,
+    n_hashes: int = 5,
+    n_bits: int = 1 << 16,
+    fast: bool = False,
+) -> DataFrame:
+    """``df`` filtered to PROBABLE members, via ONE join instead of
+    :func:`bloom_probe_keep`'s k broadcast equi-joins: each key
+    explodes to its k (word_idx, mask) probes, one broadcast join
+    against the packed words answers all of them, and a per-key
+    ``min(bit set)`` keeps only keys with every bit present. Same
+    guarantee (no false negatives), k× fewer jobs — the shape for HOT
+    paths that probe per micro-batch. Costs one shuffle of the
+    k×|df| exploded probe rows (input-sized, never filter-sized)."""
+    key = F.col(key_col)
+    pos = F.array(*_bit_positions(key, n_hashes, n_bits, fast))
+    probes = df.select(*df.columns, F.explode(pos).alias("_p")).select(
+        *df.columns,
+        (F.col("_p") / 32).cast("long").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 32 AS INT))").alias("_mask"),
+    )
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_mask")) != 0
+    )
+    return (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .withColumn("_hit", hit)
+        .groupBy(*df.columns)
+        .agg(F.min("_hit").alias("_all"))
+        .filter(F.col("_all"))
+        .drop("_all")
+    )
+
+
 def bloom_probe(
     bloom: DataFrame,
     keys: DataFrame,

@@ -22,6 +22,7 @@ from traceframe_spark.plans.traceops import TRACEOPS_ORACLE_SQL, TRACEOPS_QUERIE
 _R13_ROTATION_HEAD = [
     "ann_adc_agree",
     "semdedup_index_keep",
+    "ivf_id_membership",
     "snapshot_diff",
 ]
 

@@ -903,6 +903,36 @@ def q_ann_ivf_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_id_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The id-level membership probe the embed stream's exactly-once
+    guard runs per batch (similarity.ivf_id_hits): build a manifest
+    IVF index over the corpus, probe a mixed id set — half stored,
+    half never seen — and return the confirmed hits. The chain under
+    test is Bloom sidecar (definitely-absent proof, xxhash — rows the
+    oracle can't replay) THEN the cid-column confirm scan; the ANSWER
+    is pure membership, so the oracle pins it exactly: a probed id is
+    a hit iff the corpus holds it. A store that lost rows, a bloom
+    with a false NEGATIVE, or a confirm join gone wrong all break the
+    value match."""
+    from traceframe_spark.plans.catalog import tmp_store
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = tmp_store("ivf_ids_") + "/ivf"
+    similarity.write_ivf_index(
+        e, path, "vec_id", "embedding",
+        centroids=_ivf_centroids(spark, sf_dir, 8), protocol="manifest",
+    )
+    probe = e.filter(F.col("vec_id") < 25).select("vec_id").unionByName(
+        spark.range(900_000, 900_025).select(F.col("id").alias("vec_id"))
+    )
+    return similarity.ivf_id_hits(spark, path, probe, "vec_id")
+
+
+SQL_IVF_ID_MEMBERSHIP = """
+SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 25
+"""
+
+
 SQL_EMBED_NEAR_DUP = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        CAST(floor(list_cosine_similarity(a.embedding, b.embedding) * 10000 + 0.5) AS BIGINT) AS cosine_q
@@ -3742,6 +3772,7 @@ PIPELINE_QUERIES = {
     "lm_manifest_score": q_lm_manifest_score,
     # r13 additions — rotated into the head by _R13_ROTATION_HEAD
     "ann_adc_agree": q_ann_adc_agree,
+    "ivf_id_membership": q_ivf_id_membership,
 }
 
 PIPELINE_ORACLE_SQL = {
@@ -3772,6 +3803,7 @@ PIPELINE_ORACLE_SQL = {
     "pq_adc_topk": SQL_PQ_ADC_TOPK,
     "ann_ivfpq_adc": SQL_PQ_ADC_TOPK,
     "ann_adc_agree": SQL_ANN_ADC_AGREE,
+    "ivf_id_membership": SQL_IVF_ID_MEMBERSHIP,
     "ann_ivfpq_residual": SQL_ANN_IVFPQ_RESIDUAL,
     "ann_ivfpq_rerank": SQL_ANN_IVFPQ_RERANK,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,

@@ -116,6 +116,7 @@ def stream_dedup_ingest(
     vacuum_keep: int | None = None,
     compact_corpus_every: int | None = None,
     corpus_bin_size: int = 100,
+    bloom_prefilter: bool = False,
     trigger_available_now: bool = False,
 ):
     """Run a streaming document feed through the persistent dedup index:
@@ -215,6 +216,13 @@ def stream_dedup_ingest(
     superseded directories after each compaction with ``keep_manifests
     =K`` reader grace (K >= 2 keeps a grace snapshot for readers that
     resolved just before the compaction commit).
+
+    ``bloom_prefilter=True`` (manifest index with the ``ckeys_bloom``
+    sidecar) screens each batch's ckeys against the exact layer's
+    Bloom filter before the exact join — see
+    :func:`~traceframe_spark.operators.dedup_index.dedup_against_index`
+    for the measured crossover (default OFF: it pays only once the
+    stored-key count makes the ckey scan the probe's dominant term).
 
     ``compact_corpus_every=M`` (manifest protocol only) puts the CORPUS
     store at ``out_path`` on its own cadence: each batch lands one
@@ -414,6 +422,7 @@ def stream_dedup_ingest(
                 near_dup=near_dup,
                 sigs=shared_sigs,
                 man=man0,
+                bloom_prefilter=bloom_prefilter,
             )
             if annotate_novelty:
                 # score BEFORE the fold-back below so a doc is never
