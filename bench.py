@@ -137,6 +137,11 @@ HEADLINE = [
     "knn_label",
     "bpe_store_encode",
     "snapshot_diff",
+    # r13 additions
+    "ann_adc_agree",
+    "semdedup_index_keep",
+    "ivf_id_membership",
+    "cluster_cap",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans

@@ -426,3 +426,57 @@ def test_kmeans_fit_empty_cluster_keeps_centroid(spark):
     # carried over bit-identical (as the float32->double cast of the init)
     assert trained[1] == [-1.0, float(np.float32(0.001))]
     assert all(r["centroid_id"] == 0 for r in assigned.collect())
+
+
+def test_cluster_cap_sample_modes(spark):
+    """cluster_cap_sample: per-cluster cap holds, 'far' keeps the
+    lowest-cosine members, 'near' the highest, 'hash' is deterministic
+    across calls; a cluster smaller than the cap contributes everything
+    (downsampling only); bad args refused."""
+    import pytest
+
+    from traceframe_spark.operators.sampling import cluster_cap_sample
+
+    dim = 8
+
+    def v(axis, mag, wobble):
+        out = [0.0] * dim
+        out[axis] = mag
+        out[(axis + 1) % dim] = wobble
+        return out
+
+    # cluster 0: 10 members of varying wobble; cluster 1: 3 members
+    rows = [(i, v(0, 100.0, float(i))) for i in range(10)]
+    rows += [(100 + i, v(1, 100.0, float(i))) for i in range(3)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, v(0, 1.0, 0.0)), (1, v(1, 1.0, 0.0))],
+        "centroid_id long, embedding array<double>",
+    )
+    far = cluster_cap_sample(
+        corpus, cents, "vec_id", "embedding", cap=4, keep="far"
+    )
+    got = {r["centroid_id"]: set() for r in far.collect()}
+    for r in far.collect():
+        got[r["centroid_id"]].add(r["vec_id"])
+    # far = largest wobble = lowest cosine to the axis centroid
+    assert got[0] == {6, 7, 8, 9}
+    assert got[1] == {100, 101, 102}  # undersized cluster: everything
+    near = cluster_cap_sample(
+        corpus, cents, "vec_id", "embedding", cap=4, keep="near"
+    )
+    near0 = {r["vec_id"] for r in near.collect() if r["centroid_id"] == 0}
+    assert near0 == {0, 1, 2, 3}
+    h1 = sorted(r["vec_id"] for r in cluster_cap_sample(
+        corpus, cents, "vec_id", "embedding", cap=4
+    ).collect())
+    h2 = sorted(r["vec_id"] for r in cluster_cap_sample(
+        corpus, cents, "vec_id", "embedding", cap=4
+    ).collect())
+    assert h1 == h2 and len(h1) == 7  # 4 + 3, deterministic
+    # original columns survive the join
+    assert set(far.columns) >= {"vec_id", "embedding", "centroid_id", "cos_q"}
+    with pytest.raises(ValueError, match="keep must be"):
+        cluster_cap_sample(corpus, cents, "vec_id", "embedding", 4, keep="best")
+    with pytest.raises(ValueError, match="cap must be"):
+        cluster_cap_sample(corpus, cents, "vec_id", "embedding", 0)

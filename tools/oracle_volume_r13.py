@@ -70,6 +70,35 @@ def build_queries():
         out = snapshot_diff(old, new, "doc_id", "text")
         return out.select(F.col("id").alias("doc_id"), "status")
 
+    def q_semdedup_index_keep_vol(spark, sf_dir):
+        """semdedup_keep_over_index under clone MASS (20 base ids x
+        ~100 near-copies — the r12 semdedup_keep_vol geometry, since
+        occupancy-squared pair cost is the operator's own contract),
+        with the quantizer resolved from a freshly built manifest IVF
+        store instead of a DataFrame argument."""
+        from traceframe_spark.operators import similarity
+        from traceframe_spark.plans.catalog import tmp_store
+
+        e = load_table(spark, sf_dir, "embeddings").filter(
+            (F.col("vec_id") % MOD) < 20
+        )
+        cents = [
+            [float(x) for x in r["embedding"]]
+            for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        ]
+        path = tmp_store("semdedup_idx_vol_") + "/ivf"
+        similarity.write_ivf_index(
+            e, path, "vec_id", "embedding", centroids=cents, protocol="manifest"
+        )
+        kept = similarity.semdedup_keep_over_index(
+            spark, path, e, "vec_id", "embedding", min_cos_q=3000
+        )
+        return kept.select(
+            "vec_id", F.col("centroid_id").cast("long").alias("centroid_id")
+        )
+
+    from traceframe_spark.plans import mlprep as M
+
     qs = {
         # registry VERBATIM — the r12 record gap, closed
         "bpe_store_encode_vol": P.q_bpe_store_encode,
@@ -78,6 +107,12 @@ def build_queries():
         "ann_adc_agree_vol": P.q_ann_adc_agree,
         # %MOD-widened ids; NULL-content rows now classify by presence
         "snapshot_diff_vol": q_snapshot_diff_vol,
+        # registry VERBATIM — membership guard chain over 200k vectors
+        "ivf_id_membership_vol": P.q_ivf_id_membership,
+        # registry VERBATIM — cluster-balanced cap over 200k vectors
+        "cluster_cap_vol": M.q_cluster_cap,
+        # clone-cluster bound (the r12 semdedup_keep_vol geometry)
+        "semdedup_index_keep_vol": q_semdedup_index_keep_vol,
     }
     # Same planner surgery as the r12 sweep: pre-filter the `ad`
     # assignment relation to the query vectors before the 8 per-
@@ -99,6 +134,13 @@ def build_queries():
         ).replace(
             "WHERE doc_id >= 100 AND doc_id < 500",
             f"WHERE doc_id % {MOD} >= 100 AND doc_id % {MOD} < 500",
+        ),
+        "ivf_id_membership_vol": P.SQL_IVF_ID_MEMBERSHIP,
+        "cluster_cap_vol": M.SQL_CLUSTER_CAP,
+        "semdedup_index_keep_vol": M.SQL_SEMDEDUP_KEEP.replace(
+            "FROM embeddings e CROSS JOIN cent c",
+            f"FROM (SELECT * FROM embeddings WHERE vec_id % {MOD} < 20) e "
+            "CROSS JOIN cent c",
         ),
     }
     return qs, sql

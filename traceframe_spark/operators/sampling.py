@@ -332,3 +332,75 @@ def dsir_importance(
             F.sum(F.col("_c") * F.col("_lam")).alias("logweight"),
         )
     )
+
+
+def cluster_cap_sample(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cap: int,
+    keep: str = "hash",
+    quantize: int = 4,
+) -> DataFrame:
+    """Cluster-balanced resampling over an embedding clustering: assign
+    every vector to its nearest centroid (quantized-cosine argmax, ties
+    to the lowest centroid id — the engine's shared assignment rule)
+    and keep at most ``cap`` members per cluster. The step DataComp-
+    style pipelines run after semantic clustering so head clusters
+    (boilerplate, templates, near-duplicate mass) stop dominating the
+    mixture, and the distance-aware orderings implement the per-cluster
+    pruning of Sorscher et al. 2022 (arXiv:2206.14486 — prune easy
+    PROTOTYPES, keep hard boundary examples, when data is abundant):
+
+    - ``keep="hash"``: uniform within the cluster — the deterministic
+      md5 order every sampler here uses (reproducible, retry-stable);
+    - ``keep="far"``: lowest cosine to the centroid first (keep the
+      hard/boundary examples, prune prototypes — the abundant-data
+      regime's rule);
+    - ``keep="near"``: highest cosine first (keep prototypes — the
+      scarce-data regime's rule).
+
+    Ties always break on id, so the whole selection — assignment, the
+    per-cluster ordering, the cap — replays in ANSI SQL and is value-
+    verified by the ``cluster_cap`` oracle row. Output: the kept corpus
+    rows plus (centroid_id, cos_q).
+
+    Scale shape: ONE no-shuffle assignment scan
+    (:func:`~traceframe_spark.operators.similarity.nearest_centroid_scan`
+    — the centroid matrix rides in the task closure), then one
+    window over (cluster, order) — a shuffle keyed by centroid_id whose
+    skew is exactly the head-cluster mass the cap is about to remove;
+    at 100 TB a pathological head cluster bounds one task's sort, the
+    same contract as every LSH bucket here. Downsampling only (a
+    cluster smaller than ``cap`` contributes everything)."""
+    if keep not in ("hash", "far", "near"):
+        raise ValueError(f"keep must be 'hash', 'far' or 'near', got {keep!r}")
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    from traceframe_spark.operators.similarity import (
+        collect_centroids,
+        nearest_centroid_scan,
+    )
+
+    cids, cmat = collect_centroids(centroids, "centroid_id", vec_col)
+    assigned = nearest_centroid_scan(
+        corpus, cids, cmat, id_col, vec_col, quantize=quantize
+    ).select(
+        F.col("vec_id").alias("_aid"), "centroid_id", "cos_q"
+    )
+    if keep == "hash":
+        order = [F.md5(F.col("_aid").cast("string")), F.col("_aid")]
+    elif keep == "far":
+        order = [F.col("cos_q").asc(), F.col("_aid").asc()]
+    else:
+        order = [F.col("cos_q").desc(), F.col("_aid").asc()]
+    w = Window.partitionBy("centroid_id").orderBy(*order)
+    kept = (
+        assigned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    return corpus.join(
+        kept, corpus[id_col] == kept["_aid"]
+    ).drop("_aid")

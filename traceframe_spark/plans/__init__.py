@@ -23,6 +23,7 @@ _R13_ROTATION_HEAD = [
     "ann_adc_agree",
     "semdedup_index_keep",
     "ivf_id_membership",
+    "cluster_cap",
     "snapshot_diff",
 ]
 

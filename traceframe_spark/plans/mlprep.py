@@ -567,6 +567,58 @@ def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced resampling (sampling.cluster_cap_sample,
+    keep='far' — Sorscher et al. 2206.14486's keep-hard-examples rule):
+    assign every vector to its nearest of the 8 deterministic
+    centroids, keep the 25 LOWEST-cosine members per cluster (ties to
+    lowest id). The oracle replays assignment, the distance ordering,
+    and the cap — the whole selection by value."""
+    from traceframe_spark.operators.sampling import cluster_cap_sample
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    kept = cluster_cap_sample(
+        e, centroids, "vec_id", "embedding", cap=25, keep="far"
+    )
+    return kept.select(
+        "vec_id",
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.col("cos_q").cast("long").alias("cos_q"),
+    )
+
+
+SQL_CLUSTER_CAP = """
+WITH cent AS (
+    SELECT vec_id AS centroid_id, embedding AS cvec,
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cnrm
+    FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+    SELECT e.vec_id, c.centroid_id,
+           CAST(floor(
+               list_sum(list_transform(generate_series(1, 64),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * c.cnrm)
+               * 10000 + 0.5) AS BIGINT) AS cos_q
+    FROM embeddings e CROSS JOIN cent c
+),
+best AS (
+    SELECT vec_id, centroid_id, cos_q,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos_q DESC, centroid_id ASC) AS rn
+    FROM scored
+),
+capped AS (
+    SELECT vec_id, centroid_id, cos_q,
+           row_number() OVER (PARTITION BY centroid_id ORDER BY cos_q ASC, vec_id ASC) AS krn
+    FROM best WHERE rn = 1
+)
+SELECT vec_id, centroid_id, cos_q FROM capped WHERE krn <= 25
+"""
+
+
 def q_semdedup_index_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SemDeDup keep decision against a PERSISTED quantizer
     (similarity.semdedup_keep_over_index): the centroids come from a
@@ -1126,6 +1178,7 @@ MLPREP_QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "semdedup_keep": q_semdedup_keep,
     "semdedup_index_keep": q_semdedup_index_keep,
+    "cluster_cap": q_cluster_cap,
     "knn_label": q_knn_label,
     "label_outliers": q_label_outliers,
     "tfidf_topk": q_tfidf_topk,
@@ -1148,6 +1201,7 @@ MLPREP_ORACLE_SQL = {
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "semdedup_keep": SQL_SEMDEDUP_KEEP,
     "semdedup_index_keep": SQL_SEMDEDUP_KEEP,
+    "cluster_cap": SQL_CLUSTER_CAP,
     "knn_label": SQL_KNN_LABEL,
     "label_outliers": SQL_LABEL_OUTLIERS,
     "tfidf_topk": SQL_TFIDF_TOPK,
