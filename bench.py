@@ -142,6 +142,7 @@ HEADLINE = [
     "semdedup_index_keep",
     "ivf_id_membership",
     "cluster_cap",
+    "perplexity_buckets",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans

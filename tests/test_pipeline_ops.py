@@ -2037,3 +2037,48 @@ def test_snapshot_diff_null_content(spark):
         5: "unchanged",
         6: "added",        # NULL text, new only
     }
+
+
+def test_perplexity_buckets_ccnet_split(spark, tmp_path):
+    """perplexity_buckets (CCNet head/middle/tail): bucket 1 holds the
+    highest-logprob (most reference-like) docs, bands are
+    equal-population per language, global mode works, and short docs
+    emit no row (the scorer's contract)."""
+    import pytest
+
+    from traceframe_spark.operators import text as T
+
+    ref = "the cat sat on the mat and the dog sat on the rug "
+    rows = []
+    for i in range(12):  # en: reference-like, increasingly perturbed
+        noise = " ".join(f"zz{i}q{j}" for j in range(i))
+        rows.append((i, (ref * 3 + " " + noise).strip(), "en"))
+    for i in range(6):  # fr-ish: separate language band
+        rows.append((100 + i, ("le chat dort " * 4 + f"xx{i}").strip(), "fr"))
+    rows.append((999, "single", "en"))  # <2 tokens: no score row
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    lm = str(tmp_path / "ppl_lm")
+    T.write_bigram_lm(docs.filter(F.col("doc_id") < 12), lm)
+
+    out = T.perplexity_buckets(docs, lm, lang_col="lang").collect()
+    assert all(r["doc_id"] != 999 for r in out)
+    en = sorted(
+        ((r["doc_id"], r["bucket"]) for r in out if r["lang"] == "en")
+    )
+    assert len(en) == 12
+    per_bucket = {}
+    for _, b in en:
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+    assert per_bucket == {1: 4, 2: 4, 3: 4}  # equal-population terciles
+    # monotone: the head bucket's scores dominate the tail bucket's
+    by_id = {r["doc_id"]: r for r in out if r["lang"] == "en"}
+    head = min(r["logprob_q"] for r in by_id.values() if r["bucket"] == 1)
+    tail = max(r["logprob_q"] for r in by_id.values() if r["bucket"] == 3)
+    assert head >= tail
+    fr = [r for r in out if r["lang"] == "fr"]
+    assert len(fr) == 6 and {r["bucket"] for r in fr} == {1, 2, 3}
+    # global mode: one cut over everything
+    g = T.perplexity_buckets(docs, lm).collect()
+    assert len(g) == 18 and "lang" not in g[0].asDict()
+    with pytest.raises(ValueError, match="n_buckets"):
+        T.perplexity_buckets(docs, lm, n_buckets=1)

@@ -97,6 +97,17 @@ def build_queries():
             "vec_id", F.col("centroid_id").cast("long").alias("centroid_id")
         )
 
+    def q_perplexity_buckets_vol(spark, sf_dir):
+        from traceframe_spark.operators import text as T
+        from traceframe_spark.plans.catalog import tmp_store
+
+        d = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % MOD < 300
+        )
+        path = tmp_store("ppl_lm_vol_") + "/lm"
+        T.write_bigram_lm(d, path)
+        return T.perplexity_buckets(d, path, lang_col="lang")
+
     from traceframe_spark.plans import mlprep as M
 
     qs = {
@@ -111,6 +122,9 @@ def build_queries():
         "ivf_id_membership_vol": P.q_ivf_id_membership,
         # registry VERBATIM — cluster-balanced cap over 200k vectors
         "cluster_cap_vol": M.q_cluster_cap,
+        # %MOD-widened ids (the registry's doc_id<300 would hit copy 0
+        # only): 30k docs train the LM and land in per-lang terciles
+        "perplexity_buckets_vol": q_perplexity_buckets_vol,
         # clone-cluster bound (the r12 semdedup_keep_vol geometry)
         "semdedup_index_keep_vol": q_semdedup_index_keep_vol,
     }
@@ -137,6 +151,9 @@ def build_queries():
         ),
         "ivf_id_membership_vol": P.SQL_IVF_ID_MEMBERSHIP,
         "cluster_cap_vol": M.SQL_CLUSTER_CAP,
+        "perplexity_buckets_vol": P.SQL_PERPLEXITY_BUCKETS.replace(
+            "WHERE doc_id < 300", f"WHERE doc_id % {MOD} < 300"
+        ),
         "semdedup_index_keep_vol": M.SQL_SEMDEDUP_KEEP.replace(
             "FROM embeddings e CROSS JOIN cent c",
             f"FROM (SELECT * FROM embeddings WHERE vec_id % {MOD} < 20) e "

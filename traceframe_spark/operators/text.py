@@ -1206,3 +1206,66 @@ def c4_line_filter(col: Column, min_words: int = 5) -> Column:
         F.size(kept).cast("long").alias("n_kept"),
         flagged.alias("page_flagged"),
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    lm_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = None,
+    n_buckets: int = 3,
+    quantize: int = 4,
+) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2019,
+    arXiv:1911.00359 §4.3): score every document against the FROZEN
+    stored reference LM (:func:`score_against_lm` — the model is
+    trained once on a trusted corpus and never fed back, so buckets
+    stay comparable across crawl snapshots) and cut each language into
+    ``n_buckets`` equal-population perplexity bands. Bucket 1 = head
+    (highest avg log-prob = lowest perplexity = most reference-like);
+    the paper keeps head+middle for LM pretraining and discards or
+    down-weights the tail.
+
+    Determinism: scores land on the ``10^-quantize`` grid BEFORE the
+    ntile, ties break on id — the whole cut (LM replay included)
+    replays in ANSI SQL and is value-verified by the
+    ``perplexity_buckets`` oracle row. ``lang_col=None`` cuts
+    globally; with a language column the bands are per language, the
+    paper's setup (a language's own score distribution defines its
+    head). Documents with fewer than 2 tokens emit no row (the
+    scorer's contract).
+
+    Scale shape: one delta tokenization + the stored-LM key joins
+    (:func:`score_against_lm`'s own audit), then ONE window keyed by
+    language — the ntile shuffles (id, score_q) pairs only, never
+    text. Per-language skew bounds a task's sort exactly like any
+    grouped rank here; at 100 TB cut per (lang, shard-date) if one
+    language dominates the corpus."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    scored = score_against_lm(
+        docs, lm_path, id_col=id_col, text_col=text_col
+    ).select(
+        "id",
+        F.floor(F.col("avg_logprob") * (10**quantize) + F.lit(0.5))
+        .cast("long")
+        .alias("logprob_q"),
+    )
+    side = docs.select(
+        F.col(id_col).alias("id"),
+        *([F.col(lang_col)] if lang_col else []),
+    )
+    s = scored.join(side, "id")
+    part = [F.col(lang_col)] if lang_col else []
+    w = Window.partitionBy(*part).orderBy(
+        F.col("logprob_q").desc(), F.col("id").asc()
+    )
+    return s.withColumn(
+        "bucket", F.ntile(n_buckets).over(w).cast("long")
+    ).select(
+        F.col("id").alias(id_col),
+        *([F.col(lang_col)] if lang_col else []),
+        "logprob_q",
+        "bucket",
+    )

@@ -24,6 +24,7 @@ _R13_ROTATION_HEAD = [
     "semdedup_index_keep",
     "ivf_id_membership",
     "cluster_cap",
+    "perplexity_buckets",
     "snapshot_diff",
 ]
 

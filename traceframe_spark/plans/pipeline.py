@@ -267,6 +267,53 @@ def q_lm_manifest_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (text.perplexity_buckets —
+    Wenzek et al. 1911.00359 §4.3): stored-LM perplexity terciles per
+    language, bucket 1 = most reference-like. The oracle replays the
+    ENTIRE chain — tokenization, the bigram LM, add-one scoring, the
+    1e-4 quantization, and the per-language ntile with id tie-breaks —
+    so the corpus split is value-verified, not a distribution
+    summary."""
+    from traceframe_spark.operators import text as T
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    path = tmp_store("ppl_lm_") + "/lm"
+    T.write_bigram_lm(d, path)
+    return T.perplexity_buckets(d, path, lang_col="lang")
+
+
+SQL_PERPLEXITY_BUCKETS = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+    FROM documents WHERE doc_id < 300
+),
+pairs AS (
+    SELECT doc_id, t[CAST(u.i AS INT)] AS w1, t[CAST(u.i AS INT) + 1] AS w2
+    FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)
+),
+uni AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
+bi AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+voc AS (SELECT count(DISTINCT w2) AS v FROM pairs),
+scored AS (
+    SELECT p.doc_id, ln((c12 + 1.0) / (c1 + v)) AS lp
+    FROM pairs p
+    JOIN bi USING (w1, w2)
+    JOIN uni USING (w1)
+    CROSS JOIN voc
+),
+lp AS (
+    SELECT doc_id, CAST(floor(avg(lp) * 10000 + 0.5) AS BIGINT) AS logprob_q
+    FROM scored GROUP BY doc_id
+)
+SELECT l.doc_id, d.lang, l.logprob_q,
+       CAST(ntile(3) OVER (
+           PARTITION BY d.lang ORDER BY l.logprob_q DESC, l.doc_id ASC
+       ) AS BIGINT) AS bucket
+FROM lp l JOIN documents d USING (doc_id)
+"""
+
+
 def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The verified layer of MinHash-LSH dedup, oracle-checked: banded
     candidate generation is xxhash64-dependent, but the OUTPUT (exact
@@ -3773,6 +3820,7 @@ PIPELINE_QUERIES = {
     # r13 additions — rotated into the head by _R13_ROTATION_HEAD
     "ann_adc_agree": q_ann_adc_agree,
     "ivf_id_membership": q_ivf_id_membership,
+    "perplexity_buckets": q_perplexity_buckets,
 }
 
 PIPELINE_ORACLE_SQL = {
@@ -3804,6 +3852,7 @@ PIPELINE_ORACLE_SQL = {
     "ann_ivfpq_adc": SQL_PQ_ADC_TOPK,
     "ann_adc_agree": SQL_ANN_ADC_AGREE,
     "ivf_id_membership": SQL_IVF_ID_MEMBERSHIP,
+    "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
     "ann_ivfpq_residual": SQL_ANN_IVFPQ_RESIDUAL,
     "ann_ivfpq_rerank": SQL_ANN_IVFPQ_RERANK,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
