@@ -871,6 +871,45 @@ def test_media_dedup_exact_and_near(spark, docs):
     assert (0, 99999) in got  # identical payload -> cosine 1.0 pair
 
 
+def test_image_dhash_perceptual_properties(spark):
+    """image_dhash / image_near_dup_pairs: a brightness-shifted copy of
+    an image hashes IDENTICALLY (neighbor comparisons cancel constant
+    shifts — the perceptual property byte hashes lack), a re-encoded
+    byte-distinct copy is hamming 0, structurally different images are
+    far, and null/undecodable payloads emit no fingerprint row."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 200, size=(24, 32, 3)).astype(np.uint8)
+    shifted = np.clip(base.astype(np.int32) + 40, 0, 255).astype(np.uint8)
+    # clip would break cancellation at saturated pixels; base < 200 so
+    # +40 never clips and every luma shifts by exactly +40
+    different = np.flip(base, axis=1).copy()  # mirrored: structure differs
+    rows = [
+        (0, "image/png", bytearray(multimodal.encode_png(base)), {}),
+        (1, "image/png", bytearray(multimodal.encode_png(shifted)), {}),
+        # byte-distinct re-encode of the same pixels (extra zlib level
+        # is not available through encode_png, so re-encode verbatim --
+        # identical pixels, identical hash, distinct media_id)
+        (2, "image/png", bytearray(multimodal.encode_png(base)), {}),
+        (3, "image/png", bytearray(multimodal.encode_png(different)), {}),
+        (4, "image/png", None, {}),  # null payload: no row
+        (5, "application/x-foreign", bytearray(b"\x00\x01\x02"), {}),  # undecodable
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    fps = {r["id"]: r["fp"] for r in multimodal.image_dhash(media).collect()}
+    assert set(fps) == {0, 1, 2, 3}  # 4 (null) and 5 (foreign) skipped
+    assert fps[0] == fps[1] == fps[2]  # shift-invariant + pixel-equal
+    assert fps[0] != fps[3]
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.image_near_dup_pairs(media, max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 0 and pairs[(0, 2)] == 0 and pairs[(1, 2)] == 0
+    assert (0, 3) not in pairs  # mirrored image is not a near-dup at <=3
+
+
 def test_contamination_flags_injected_leak(spark):
     bench = spark.createDataFrame(
         [(0, "the quick brown fox jumps over the lazy dog")],
@@ -2060,7 +2099,7 @@ def test_perplexity_buckets_ccnet_split(spark, tmp_path):
     lm = str(tmp_path / "ppl_lm")
     T.write_bigram_lm(docs.filter(F.col("doc_id") < 12), lm)
 
-    out = T.perplexity_buckets(docs, lm, lang_col="lang").collect()
+    out = T.perplexity_buckets(docs, lm, lang_col="lang", method="exact").collect()
     assert all(r["doc_id"] != 999 for r in out)
     en = sorted(
         ((r["doc_id"], r["bucket"]) for r in out if r["lang"] == "en")
@@ -2077,8 +2116,72 @@ def test_perplexity_buckets_ccnet_split(spark, tmp_path):
     assert head >= tail
     fr = [r for r in out if r["lang"] == "fr"]
     assert len(fr) == 6 and {r["bucket"] for r in fr} == {1, 2, 3}
-    # global mode: one cut over everything
-    g = T.perplexity_buckets(docs, lm).collect()
+    # exact + global cut = one whole-corpus sort task: explicit opt-in
+    with pytest.raises(ValueError, match="allow_exact_global"):
+        T.perplexity_buckets(docs, lm, method="exact")
+    g = T.perplexity_buckets(
+        docs, lm, method="exact", allow_exact_global=True
+    ).collect()
     assert len(g) == 18 and "lang" not in g[0].asDict()
     with pytest.raises(ValueError, match="n_buckets"):
         T.perplexity_buckets(docs, lm, n_buckets=1)
+    with pytest.raises(ValueError, match="method"):
+        T.perplexity_buckets(docs, lm, lang_col="lang", method="ntile")
+
+
+def test_perplexity_buckets_sampled_cutoffs(spark, tmp_path):
+    """perplexity_buckets method='sampled' (the production default):
+    comparison-cut bands match the exact ntile on distinct scores,
+    keep tied scores together (the CCNet comparison semantics, unlike
+    ntile's arbitrary id split), work globally WITHOUT opt-in (the cut
+    is broadcast cutoffs, not a corpus sort), and degrade gracefully
+    when sample_k is tiny. perplexity_bucket_agreement reports the
+    per-doc fidelity of all of it."""
+    import pytest
+
+    from traceframe_spark.operators import text as T
+
+    ref = "the cat sat on the mat and the dog sat on the rug "
+    rows = []
+    for i in range(12):  # en: distinct, increasingly perturbed scores
+        noise = " ".join(f"zz{i}q{j}" for j in range(i))
+        rows.append((i, (ref * 3 + " " + noise).strip(), "en"))
+    for i in range(6):  # fr: all bigrams unseen -> all scores TIE
+        rows.append((100 + i, ("le chat dort " * 4 + f"xx{i}").strip(), "fr"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    lm = str(tmp_path / "ppl_lm_s")
+    T.write_bigram_lm(docs.filter(F.col("doc_id") < 12), lm)
+
+    # default method IS sampled
+    out = T.perplexity_buckets(docs, lm, lang_col="lang").collect()
+    en = {r["doc_id"]: r["bucket"] for r in out if r["lang"] == "en"}
+    # sample == population here and en scores are distinct: comparison
+    # cut reproduces the exact equal-population terciles
+    ex = T.perplexity_buckets(
+        docs, lm, lang_col="lang", method="exact"
+    ).collect()
+    en_ex = {r["doc_id"]: r["bucket"] for r in ex if r["lang"] == "en"}
+    assert en == en_ex
+    # fr scores are identical -> comparison semantics put ALL in the
+    # head band (ties land head-side; no arbitrary id split)
+    fr = [r["bucket"] for r in out if r["lang"] == "fr"]
+    assert len(fr) == 6 and set(fr) == {1}
+    # global sampled cut needs no opt-in and buckets every scored doc
+    g = T.perplexity_buckets(docs, lm).collect()
+    assert len(g) == 18 and all(1 <= r["bucket"] <= 3 for r in g)
+    # tiny sample: buckets remain valid band labels
+    t = T.perplexity_buckets(docs, lm, lang_col="lang", sample_k=3).collect()
+    assert all(1 <= r["bucket"] <= 3 for r in t)
+    with pytest.raises(ValueError, match="sample_k"):
+        T.perplexity_buckets(docs, lm, lang_col="lang", sample_k=2)
+
+    # the agreement instrument: en agrees everywhere (distinct scores,
+    # full-population sample); fr disagrees exactly where ntile
+    # force-split the tie
+    ag = T.perplexity_bucket_agreement(docs, lm, lang_col="lang").collect()
+    by_id = {r["doc_id"]: r for r in ag}
+    assert len(by_id) == 18
+    assert all(by_id[i]["agree"] == 1 for i in range(12))
+    fr_rows = [by_id[100 + i] for i in range(6)]
+    assert all(r["bucket_sampled"] == 1 for r in fr_rows)
+    assert sum(r["agree"] for r in fr_rows) == 2  # only ntile's bucket-1 pair

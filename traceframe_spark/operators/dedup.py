@@ -625,6 +625,19 @@ def simhash_near_dup_pairs(
     fp = simhash_fingerprints(
         df, id_col, text_col, shingle_size, portable=portable
     ).persist()
+    return _unpersist_with(hamming_block_pairs(fp, max_hamming), fp)
+
+
+def hamming_block_pairs(fp_df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs over ANY (id, fp) 64-bit fingerprint relation —
+    the pigeonhole machinery shared by text SimHash and perceptual
+    image hashes: candidates agree on at least one of 4 16-bit blocks
+    (guaranteed recall for hamming ≤ 3; wider cutoffs trade recall the
+    same way everywhere), then exact ``bit_count(xor)`` filters.
+
+    Output: (id_a, id_b, hamming), id_a < id_b, distinct. One shuffle
+    keyed on (block, key) — bucket occupancy, not corpus size, bounds
+    the self-join, the same 100 TB shape as banded MinHash."""
     blocks = F.array(
         *[
             F.struct(
@@ -634,12 +647,12 @@ def simhash_near_dup_pairs(
             for b in range(4)
         ]
     )
-    keyed = fp.select("id", "fp", F.explode(blocks).alias("e")).select(
+    keyed = fp_df.select("id", "fp", F.explode(blocks).alias("e")).select(
         "id", "fp", F.col("e.block").alias("block"), F.col("e.key").alias("key")
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     hamming = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
@@ -654,7 +667,6 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return _unpersist_with(pairs, fp)
 
 
 def ngram_jaccard_pairs(

@@ -587,6 +587,118 @@ def media_near_dup_pairs(
     )
 
 
+# dHash luma grid: 8 rows x 9 columns; each row's 8 horizontal
+# neighbor comparisons contribute 8 bits -> a 64-bit fingerprint.
+DHASH_GW = 9
+DHASH_GH = 8
+
+
+def _luma_plane(px: np.ndarray) -> np.ndarray:
+    """H×W integer luma from a decoded H×W×C uint8 array: ITU-R BT.601
+    integer weights ``(299R + 587G + 114B) // 1000`` for color images,
+    the first channel verbatim for gray/gray+alpha. Pure integer
+    arithmetic so an external SQL oracle reproduces every value."""
+    p = px.astype(np.int64)
+    if p.shape[2] >= 3:
+        return (299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]) // 1000
+    return p[:, :, 0]
+
+
+def _dhash64(px: np.ndarray) -> int:
+    """64-bit difference hash (dHash) of a decoded image: block-mean
+    the luma plane onto the 8×9 grid (cell (gy,gx) averages luma rows
+    ``[gy*H//8, max((gy+1)*H//8, gy*H//8+1))`` — integer floor means,
+    upsampling degenerates to nearest-pixel), then bit ``gy*8+gx`` is
+    set iff ``grid[gy][gx] < grid[gy][gx+1]``. Every step is integer
+    and closed-form, so the whole hash replays in ANSI SQL; constant
+    brightness shifts (no mod-256 wrap) preserve every comparison —
+    the perceptual invariance that makes this a near-dup key rather
+    than a byte hash. Returned as a SIGNED 64-bit int (bit 63 is the
+    sign bit), matching Spark/DuckDB BIGINT semantics."""
+    luma = _luma_plane(px)
+    h, w = luma.shape
+    grid = np.empty((DHASH_GH, DHASH_GW), dtype=np.int64)
+    for gy in range(DHASH_GH):
+        y0 = gy * h // DHASH_GH
+        y1 = max((gy + 1) * h // DHASH_GH, y0 + 1)
+        for gx in range(DHASH_GW):
+            x0 = gx * w // DHASH_GW
+            x1 = max((gx + 1) * w // DHASH_GW, x0 + 1)
+            block = luma[y0:y1, x0:x1]
+            grid[gy, gx] = int(block.sum()) // block.size
+    fp = 0
+    for gy in range(DHASH_GH):
+        for gx in range(DHASH_GW - 1):
+            if grid[gy, gx] < grid[gy, gx + 1]:
+                fp |= 1 << (gy * 8 + gx)
+    if fp >= 1 << 63:
+        fp -= 1 << 64
+    return fp
+
+
+DHASH_SCHEMA = StructType(
+    [StructField("id", LongType()), StructField("fp", LongType())]
+)
+
+
+def image_dhash(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """(id, fp) perceptual fingerprints for every DECODABLE image row
+    via Arrow-batched ``mapInPandas`` (:func:`_dhash64` per payload).
+    Rows whose payload is null or undecodable (foreign codec, corrupt
+    bytes) emit NO row — the scorer contract; left-join back for
+    passthrough. The payload never shuffles: the kernel runs inside
+    the scan stage and only the 16-byte (id, fp) rows move."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo : lo + batch_rows]
+                ids, fps = [], []
+                for mid, payload, mtype in zip(
+                    chunk["media_id"], chunk["payload"], chunk["media_type"]
+                ):
+                    if payload is None:
+                        continue
+                    try:
+                        px = decode_image(bytes(payload), mtype)
+                    except (NotImplementedError, ValueError):
+                        continue
+                    ids.append(mid)
+                    fps.append(_dhash64(px))
+                yield pd.DataFrame(
+                    {"id": pd.Series(ids, dtype="int64"),
+                     "fp": pd.Series(fps, dtype="int64")}
+                )
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        run, schema=DHASH_SCHEMA
+    )
+
+
+def image_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 10, batch_rows: int = 256
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual hash: dHash the decoded
+    luma grid (:func:`image_dhash`), then the SAME pigeonhole
+    block-join + exact-hamming machinery text SimHash uses
+    (operators/dedup.hamming_block_pairs) — image dedup composes from
+    the existing banding engine instead of a new path. Output:
+    (id_a, id_b, hamming), id_a < id_b.
+
+    100 TB shape: payloads stay in the scan stage (only 16-byte
+    fingerprints shuffle); candidate cost follows 16-bit-block bucket
+    occupancy exactly like text SimHash; re-encoded/brightness-shifted
+    copies land at hamming ~0 while byte hashes miss them entirely —
+    the reason image corpora need a perceptual tier at all."""
+    from traceframe_spark.operators.dedup import (
+        _unpersist_with,
+        hamming_block_pairs,
+    )
+
+    fp = image_dhash(media, batch_rows=batch_rows).persist()
+    return _unpersist_with(hamming_block_pairs(fp, max_hamming), fp)
+
+
 # --------------------------------------------------------------- video (Y4M)
 
 Y4M_MAGIC = b"YUV4MPEG2"

@@ -1216,6 +1216,9 @@ def perplexity_buckets(
     lang_col: str | None = None,
     n_buckets: int = 3,
     quantize: int = 4,
+    method: str = "sampled",
+    sample_k: int = 4096,
+    allow_exact_global: bool = False,
 ) -> DataFrame:
     """CCNet's head/middle/tail corpus split (Wenzek et al. 2019,
     arXiv:1911.00359 §4.3): score every document against the FROZEN
@@ -1227,23 +1230,62 @@ def perplexity_buckets(
     the paper keeps head+middle for LM pretraining and discards or
     down-weights the tail.
 
-    Determinism: scores land on the ``10^-quantize`` grid BEFORE the
-    ntile, ties break on id — the whole cut (LM replay included)
-    replays in ANSI SQL and is value-verified by the
-    ``perplexity_buckets`` oracle row. ``lang_col=None`` cuts
+    Two cut strategies, same output schema:
+
+    - ``method="sampled"`` (the production default) — CCNet's actual
+      formulation (§4.3 computes percentile CUTOFFS once, then buckets
+      by comparison): derive the ``n_buckets - 1`` per-language score
+      cutoffs from a bounded deterministic sample (md5 bottom-k per
+      language, ``sample_k`` rows, selected with the two-pass prefix
+      threshold refinement of ``percentiles_sampled`` so no task ever
+      sorts more than ~k rows), broadcast the tiny (lang, cutoffs)
+      table, and bucket every document by comparison:
+      ``bucket = 1 + #{cutoffs c : score < c}`` (ties land head-side).
+      NO global or per-language sort of the corpus anywhere — the cut
+      is a broadcast-join + array filter, embarrassingly parallel at
+      100 TB even when one language (or ``lang_col=None``) holds every
+      row. Band boundaries are sample-rank estimates (rank error
+      O(1/sqrt(k)) per cutoff); the whole chain — sampling keys,
+      bottom-k, cutoff ranks, comparison — is deterministic and
+      replayed in ANSI SQL by the ``perplexity_buckets_sampled``
+      oracle row, with per-doc agreement vs the exact cut measured by
+      the ``ppl_bucket_agree`` instrument row.
+
+    - ``method="exact"`` — the oracle-replayable twin: one window
+      keyed by language, ``ntile(n_buckets)`` over
+      (score desc, id asc). Exactly equal-population, but each
+      language's ENTIRE (id, score) set sorts in ONE task; with
+      ``lang_col=None`` the whole corpus lands on a single task, so
+      that combination raises unless ``allow_exact_global=True`` is
+      passed explicitly (small corpora / oracle replay only).
+
+    Determinism: scores land on the ``10^-quantize`` grid BEFORE
+    either cut, ties break on id — both methods replay in ANSI SQL and
+    are value-verified by their oracle rows. ``lang_col=None`` cuts
     globally; with a language column the bands are per language, the
     paper's setup (a language's own score distribution defines its
     head). Documents with fewer than 2 tokens emit no row (the
     scorer's contract).
 
-    Scale shape: one delta tokenization + the stored-LM key joins
-    (:func:`score_against_lm`'s own audit), then ONE window keyed by
-    language — the ntile shuffles (id, score_q) pairs only, never
-    text. Per-language skew bounds a task's sort exactly like any
-    grouped rank here; at 100 TB cut per (lang, shard-date) if one
-    language dominates the corpus."""
+    Scale shape (sampled): one delta tokenization + the stored-LM key
+    joins (:func:`score_against_lm`'s own audit); pass 1 histograms
+    4-hex md5 prefixes per language (map-side-combining grouped count,
+    ≤ langs × 65536 narrow rows); pass 2 sorts only the ~k-row sliver
+    at or below each language's threshold prefix; the final bucket
+    assignment is a broadcast join against ≤ langs rows of cutoff
+    arrays. Would survive 100 TB with a single dominant language."""
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
+    if method not in ("sampled", "exact"):
+        raise ValueError("method must be 'sampled' or 'exact'")
+    if method == "exact" and lang_col is None and not allow_exact_global:
+        raise ValueError(
+            "method='exact' with lang_col=None sorts the whole corpus in "
+            "one task; pass allow_exact_global=True (small data only) or "
+            "use method='sampled'"
+        )
+    if sample_k < n_buckets:
+        raise ValueError("sample_k must be >= n_buckets")
     scored = score_against_lm(
         docs, lm_path, id_col=id_col, text_col=text_col
     ).select(
@@ -1257,15 +1299,156 @@ def perplexity_buckets(
         *([F.col(lang_col)] if lang_col else []),
     )
     s = scored.join(side, "id")
-    part = [F.col(lang_col)] if lang_col else []
-    w = Window.partitionBy(*part).orderBy(
-        F.col("logprob_q").desc(), F.col("id").asc()
-    )
-    return s.withColumn(
-        "bucket", F.ntile(n_buckets).over(w).cast("long")
-    ).select(
+    out_cols = [
         F.col("id").alias(id_col),
         *([F.col(lang_col)] if lang_col else []),
         "logprob_q",
-        "bucket",
+    ]
+    if method == "exact":
+        part = [F.col(lang_col)] if lang_col else []
+        w = Window.partitionBy(*part).orderBy(
+            F.col("logprob_q").desc(), F.col("id").asc()
+        )
+        return s.withColumn(
+            "bucket", F.ntile(n_buckets).over(w).cast("long")
+        ).select(*out_cols, "bucket")
+    # method == "sampled": two-pass bounded cutoff derivation. The
+    # scored frame feeds both the cutoff sample and the final bucket
+    # join, so pin it (narrow: id, score, lang) instead of re-running
+    # the tokenize + LM-join chain twice.
+    from traceframe_spark.operators.dedup import _unpersist_with
+
+    s = s.persist()
+    lk = F.col(lang_col) if lang_col else F.lit("")
+    keyed = s.select(
+        "id",
+        "logprob_q",
+        *([lang_col] if lang_col else []),
+        lk.alias("_lk"),
+        F.md5(F.concat_ws("|", F.lit("ppl"), F.col("id"))).alias("_h"),
+    ).withColumn("_hp", F.substring("_h", 1, 4))
+    # Pass 1: smallest 4-hex prefix whose cumulative count reaches k.
+    wc = Window.partitionBy("_lk").orderBy("_hp")
+    thr = (
+        keyed.groupBy("_lk", "_hp")
+        .agg(F.count("*").alias("n"))
+        .withColumn("cum", F.sum("n").over(wc))
+        .filter(F.col("cum") >= sample_k)
+        .groupBy("_lk")
+        .agg(F.min("_hp").alias("_thr"))
     )
+    cand = keyed.join(F.broadcast(thr), "_lk", "left").filter(
+        F.col("_thr").isNull() | (F.col("_hp") <= F.col("_thr"))
+    )
+    # Pass 2: exact md5 bottom-k on the surviving sliver (~k rows/lang).
+    wk = Window.partitionBy("_lk").orderBy("_h")
+    samp = cand.withColumn("_rn", F.row_number().over(wk)).filter(
+        F.col("_rn") <= sample_k
+    )
+    # Cutoff b = sample value at desc-rank ceil(b*m/n_buckets), b<n.
+    ws = Window.partitionBy("_lk").orderBy(
+        F.col("logprob_q").desc(), F.col("id").asc()
+    )
+    ranked = samp.select("_lk", "logprob_q", "id").withColumn(
+        "_r", F.row_number().over(ws)
+    )
+    m = ranked.groupBy("_lk").agg(F.max("_r").alias("_m"))
+    bvals = F.explode(
+        F.sequence(F.lit(1), F.lit(n_buckets - 1))
+    ).alias("_b")
+    cut_ranks = m.select("_lk", "_m", bvals).select(
+        "_lk",
+        F.ceil(F.col("_b") * F.col("_m") / F.lit(n_buckets))
+        .cast("int")
+        .alias("_r"),
+    )
+    cuts = (
+        ranked.join(cut_ranks, ["_lk", "_r"])
+        .groupBy("_lk")
+        .agg(
+            F.reverse(F.sort_array(F.collect_list("logprob_q"))).alias(
+                "_cuts"
+            )
+        )
+    )
+    out = (
+        s.withColumn("_lk", lk)
+        .join(F.broadcast(cuts), "_lk")
+        .withColumn(
+            "bucket",
+            (
+                F.lit(1)
+                + F.size(
+                    F.filter(
+                        F.col("_cuts"),
+                        lambda c: F.col("logprob_q") < c,
+                    )
+                )
+            ).cast("long"),
+        )
+        .select(*out_cols, "bucket")
+    )
+    return _unpersist_with(out, s)
+
+
+def perplexity_bucket_agreement(
+    docs: DataFrame,
+    lm_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = None,
+    n_buckets: int = 3,
+    quantize: int = 4,
+    sample_k: int = 4096,
+) -> DataFrame:
+    """Band-agreement instrument for the sampled perplexity cut (the
+    ``ann_adc_agreement`` methodology applied to CCNet bucketing): run
+    BOTH cut strategies of :func:`perplexity_buckets` off the same
+    frozen LM and report, per document, the exact-ntile bucket, the
+    sampled-cutoff bucket, and an ``agree`` flag — so the sampled
+    path's band fidelity is a value-checked property of the engine,
+    not a sampled estimate. Disagreements concentrate exactly at band
+    boundaries (rank error O(1/sqrt(sample_k)) per cutoff, plus ntile's
+    arbitrary id tie-split of tied scores, which the comparison cut
+    keeps together by design).
+
+    Output: (id, [lang], logprob_q, bucket_exact, bucket_sampled,
+    agree). Diagnostic only — the exact path sorts per language in one
+    task, so run this on a bounded audit slice, not the full corpus."""
+    ex = perplexity_buckets(
+        docs,
+        lm_path,
+        id_col=id_col,
+        text_col=text_col,
+        lang_col=lang_col,
+        n_buckets=n_buckets,
+        quantize=quantize,
+        method="exact",
+        allow_exact_global=True,
+    ).select(
+        F.col(id_col), F.col("bucket").alias("bucket_exact")
+    )
+    sa = perplexity_buckets(
+        docs,
+        lm_path,
+        id_col=id_col,
+        text_col=text_col,
+        lang_col=lang_col,
+        n_buckets=n_buckets,
+        quantize=quantize,
+        method="sampled",
+        sample_k=sample_k,
+    ).withColumnRenamed("bucket", "bucket_sampled")
+    out = sa.join(ex, id_col).select(
+        F.col(id_col),
+        *([F.col(lang_col)] if lang_col else []),
+        "logprob_q",
+        "bucket_exact",
+        "bucket_sampled",
+        (F.col("bucket_exact") == F.col("bucket_sampled"))
+        .cast("long")
+        .alias("agree"),
+    )
+    from traceframe_spark.operators.dedup import carry_cache
+
+    return carry_cache(out, sa)

@@ -280,11 +280,14 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     path = tmp_store("ppl_lm_") + "/lm"
     T.write_bigram_lm(d, path)
-    return T.perplexity_buckets(d, path, lang_col="lang")
+    return T.perplexity_buckets(d, path, lang_col="lang", method="exact")
 
 
-SQL_PERPLEXITY_BUCKETS = r"""
-WITH toks AS (
+# Shared LM-scoring CTE chain for the perplexity-bucket family:
+# tokenize doc_id < 300, train the add-one bigram LM on the same slice
+# (store == training corpus, so stored-LM scoring equals the batch
+# scorer), quantize avg logprob to the 1e-4 grid.
+_SQL_PPL_LP_CTES = r"""toks AS (
     SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
     FROM documents WHERE doc_id < 300
 ),
@@ -295,7 +298,7 @@ pairs AS (
 uni AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
 bi AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
 voc AS (SELECT count(DISTINCT w2) AS v FROM pairs),
-scored AS (
+ppl_scored AS (
     SELECT p.doc_id, ln((c12 + 1.0) / (c1 + v)) AS lp
     FROM pairs p
     JOIN bi USING (w1, w2)
@@ -304,13 +307,153 @@ scored AS (
 ),
 lp AS (
     SELECT doc_id, CAST(floor(avg(lp) * 10000 + 0.5) AS BIGINT) AS logprob_q
-    FROM scored GROUP BY doc_id
-)
+    FROM ppl_scored GROUP BY doc_id
+)"""
+
+SQL_PERPLEXITY_BUCKETS = f"""
+WITH {_SQL_PPL_LP_CTES}
 SELECT l.doc_id, d.lang, l.logprob_q,
        CAST(ntile(3) OVER (
            PARTITION BY d.lang ORDER BY l.logprob_q DESC, l.doc_id ASC
        ) AS BIGINT) AS bucket
 FROM lp l JOIN documents d USING (doc_id)
+"""
+
+
+def q_perplexity_buckets_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION perplexity cut (text.perplexity_buckets
+    method='sampled', the operator's default): per-language cutoffs
+    from a deterministic md5 bottom-k sample, buckets by comparison —
+    no per-language corpus sort anywhere in the plan. The oracle
+    replays the ENTIRE chain: LM scoring + quantization, the md5
+    sample keys and bottom-k selection, the ceil(b*m/n) cutoff ranks,
+    and the comparison bucketing (ties head-side), so the sampled
+    split is value-verified end to end, not summarized. At sf0.01 the
+    300-doc slice is smaller than sample_k, making the sample the full
+    population — band boundaries then sit at exact sample ranks while
+    still exercising every stage of the sampled plan; the
+    ``ppl_bucket_agree`` row measures sampled-vs-exact fidelity."""
+    from traceframe_spark.operators import text as T
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    path = tmp_store("ppl_lm_s_") + "/lm"
+    T.write_bigram_lm(d, path)
+    return T.perplexity_buckets(d, path, lang_col="lang", method="sampled")
+
+
+# The sampled chain replayed verbatim: `ksamp` is the md5 bottom-k per
+# language (the two-pass prefix refinement in the engine provably
+# selects these same rows, so the oracle skips straight to the
+# selection — the percentiles_sampled precedent); `cutr` keeps one row
+# per b in 1..n-1 even when ranks coincide (duplicate cutoff values
+# are real cutoffs, matching the engine's collect_list).
+SQL_PERPLEXITY_BUCKETS_SAMPLED = f"""
+WITH {_SQL_PPL_LP_CTES},
+sl AS (
+    SELECT l.doc_id, d.lang, l.logprob_q,
+           md5('ppl|' || l.doc_id::VARCHAR) AS h
+    FROM lp l JOIN documents d USING (doc_id)
+),
+ksamp AS (
+    SELECT lang, doc_id, logprob_q
+    FROM (
+        SELECT lang, doc_id, logprob_q,
+               row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+        FROM sl
+    ) WHERE rn <= 4096
+),
+ranked AS (
+    SELECT lang, doc_id, logprob_q,
+           row_number() OVER (
+               PARTITION BY lang ORDER BY logprob_q DESC, doc_id ASC
+           ) AS r,
+           count(*) OVER (PARTITION BY lang) AS m
+    FROM ksamp
+),
+cutr AS (
+    SELECT g.lang, b.b, CAST(ceil(b.b * g.m / 3.0) AS INT) AS r
+    FROM (SELECT DISTINCT lang, m FROM ranked) g
+    CROSS JOIN (SELECT unnest([1, 2]) AS b) b
+),
+cuts AS (
+    SELECT cutr.lang, rk.logprob_q AS c
+    FROM cutr JOIN ranked rk ON rk.lang = cutr.lang AND rk.r = cutr.r
+)
+SELECT s.doc_id, s.lang, s.logprob_q,
+       CAST(1 + sum(CASE WHEN s.logprob_q < c.c THEN 1 ELSE 0 END)
+            AS BIGINT) AS bucket
+FROM sl s JOIN cuts c USING (lang)
+GROUP BY s.doc_id, s.lang, s.logprob_q
+"""
+
+
+def q_ppl_bucket_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perplexity band-agreement instrument, value-verified
+    (text.perplexity_bucket_agreement — the ann_adc_agree precedent
+    for the corpus-quality tier): per document, did the sampled
+    comparison cut land in the same band as the exact ntile cut? Both
+    buckets come off ONE scored frame (same stored LM, same quantized
+    scores), so the agreement number in SCALING.md's skew table is a
+    value-checked engine property. The oracle replays both cut
+    strategies and the join."""
+    from traceframe_spark.operators import text as T
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    path = tmp_store("ppl_agree_") + "/lm"
+    T.write_bigram_lm(d, path)
+    return T.perplexity_bucket_agreement(d, path, lang_col="lang")
+
+
+SQL_PPL_BUCKET_AGREE = f"""
+WITH {_SQL_PPL_LP_CTES},
+sl AS (
+    SELECT l.doc_id, d.lang, l.logprob_q,
+           md5('ppl|' || l.doc_id::VARCHAR) AS h
+    FROM lp l JOIN documents d USING (doc_id)
+),
+ksamp AS (
+    SELECT lang, doc_id, logprob_q
+    FROM (
+        SELECT lang, doc_id, logprob_q,
+               row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+        FROM sl
+    ) WHERE rn <= 4096
+),
+ranked AS (
+    SELECT lang, doc_id, logprob_q,
+           row_number() OVER (
+               PARTITION BY lang ORDER BY logprob_q DESC, doc_id ASC
+           ) AS r,
+           count(*) OVER (PARTITION BY lang) AS m
+    FROM ksamp
+),
+cutr AS (
+    SELECT g.lang, b.b, CAST(ceil(b.b * g.m / 3.0) AS INT) AS r
+    FROM (SELECT DISTINCT lang, m FROM ranked) g
+    CROSS JOIN (SELECT unnest([1, 2]) AS b) b
+),
+cuts AS (
+    SELECT cutr.lang, rk.logprob_q AS c
+    FROM cutr JOIN ranked rk ON rk.lang = cutr.lang AND rk.r = cutr.r
+),
+samp_b AS (
+    SELECT s.doc_id, s.lang, s.logprob_q,
+           CAST(1 + sum(CASE WHEN s.logprob_q < c.c THEN 1 ELSE 0 END)
+                AS BIGINT) AS bucket_sampled
+    FROM sl s JOIN cuts c USING (lang)
+    GROUP BY s.doc_id, s.lang, s.logprob_q
+),
+exact_b AS (
+    SELECT doc_id,
+           CAST(ntile(3) OVER (
+               PARTITION BY lang ORDER BY logprob_q DESC, doc_id ASC
+           ) AS BIGINT) AS bucket_exact
+    FROM sl
+)
+SELECT s.doc_id, s.lang, s.logprob_q, e.bucket_exact, s.bucket_sampled,
+       CAST(CASE WHEN e.bucket_exact = s.bucket_sampled
+                 THEN 1 ELSE 0 END AS BIGINT) AS agree
+FROM samp_b s JOIN exact_b e USING (doc_id)
 """
 
 
@@ -1696,6 +1839,108 @@ FROM px GROUP BY doc_id, width, height
 """
 
 
+# Shared dHash CTE chain: closed-form synthesized pixels -> BT.601
+# integer luma -> 8x9 block-mean grid (floor means; upsampling
+# degenerates to nearest pixel via the max(..., lo+1) bound) -> 64
+# horizontal-comparison bits -> signed BIGINT fingerprint (bit 63's
+# place value spelled literally, the simhash_portable convention).
+_SQL_DHASH_FP_CTES = """d AS (
+    SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h
+    FROM documents WHERE doc_id < 200
+),
+pix AS (
+    SELECT doc_id, i // w AS y, i % w AS x,
+           (299 * ((doc_id * 31 + i * 3) % 256)
+          + 587 * ((doc_id * 31 + i * 3 + 1) % 256)
+          + 114 * ((doc_id * 31 + i * 3 + 2) % 256)) // 1000 AS luma
+    FROM (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d)
+),
+cells AS (
+    SELECT doc_id, gy, gx,
+           (gy * h) // 8 AS y0,
+           greatest(((gy + 1) * h) // 8, (gy * h) // 8 + 1) AS y1,
+           (gx * w) // 9 AS x0,
+           greatest(((gx + 1) * w) // 9, (gx * w) // 9 + 1) AS x1
+    FROM d CROSS JOIN range(0, 8) t(gy) CROSS JOIN range(0, 9) u(gx)
+),
+grid AS (
+    SELECT c.doc_id, c.gy, c.gx, sum(p.luma) // count(*) AS gv
+    FROM cells c JOIN pix p
+      ON p.doc_id = c.doc_id
+     AND p.y >= c.y0 AND p.y < c.y1 AND p.x >= c.x0 AND p.x < c.x1
+    GROUP BY c.doc_id, c.gy, c.gx
+),
+bits AS (
+    SELECT l.doc_id, l.gy * 8 + l.gx AS i,
+           CASE WHEN l.gv < r.gv THEN 1 ELSE 0 END AS bit
+    FROM grid l JOIN grid r
+      ON r.doc_id = l.doc_id AND r.gy = l.gy AND r.gx = l.gx + 1
+    WHERE l.gx < 8
+),
+dfp AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN bit = 0 THEN 0
+                         WHEN i = 63 THEN -9223372036854775808
+                         ELSE 1::BIGINT << CAST(i AS INT) END) AS BIGINT) AS fp
+    FROM bits GROUP BY doc_id
+)"""
+
+
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing with a full value oracle
+    (operators/multimodal.image_dhash): deterministic REAL PNGs decode
+    through the stdlib codec, luma + 8×9 block-mean grid + dHash bits
+    are all integer arithmetic, and the oracle recomputes every
+    64-bit fingerprint from the closed-form pixels — the codec AND the
+    perceptual hash are value-verified bit for bit."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = multimodal.synthesize_png_media(d, "doc_id")
+    return multimodal.image_dhash(media)
+
+
+SQL_IMAGE_DHASH = f"""
+WITH {_SQL_DHASH_FP_CTES}
+SELECT doc_id AS id, fp FROM dfp
+"""
+
+
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-duplicate pairs (multimodal.image_near_dup_pairs):
+    dHash fingerprints feed the SAME pigeonhole 16-bit-block join +
+    exact hamming machinery as text SimHash (dedup.hamming_block_pairs)
+    — the oracle replays fingerprints, block keys, bucket join, and the
+    hamming cutoff, so candidate recall effects are value-verified, not
+    assumed. The synthesized corpus makes this a REAL perceptual test:
+    same-geometry images differ by a constant luma shift (doc_id*31 mod
+    256), which dHash's neighbor comparisons cancel except at wrap
+    pixels — byte-level hashes see 0 duplicates here, the perceptual
+    tier finds every shifted copy."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = multimodal.synthesize_png_media(d, "doc_id")
+    return multimodal.image_near_dup_pairs(media, max_hamming=8).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+SQL_IMAGE_NEAR_DUP = f"""
+WITH {_SQL_DHASH_FP_CTES},
+keyed AS (
+    SELECT doc_id, fp, b AS block,
+           (fp >> (16 * CAST(b AS INT))) & 65535 AS key
+    FROM dfp CROSS JOIN range(0, 4) t(b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.fp AS fa, b.fp AS fb
+    FROM keyed a JOIN keyed b USING (block, key)
+    WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(fa, fb)) <= 8
+"""
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode with a full value oracle: deterministic PCM
     WAVs (closed-form frames, see ``synthesize_wav_media``) round-trip
@@ -2018,6 +2263,199 @@ SELECT rank, token, tcount FROM (
 """
 
 
+
+
+# ------------------------------------------------- unigram tokenizer
+
+_UNI_SEED = 30
+_UNI_ROUNDS = 2
+_UNI_MAXLEN = 10  # DP unroll depth; corpus words are <= 8 chars
+_UNI_PLEN = 4
+
+_SQL_UNI_BASE = r"""uwf AS MATERIALIZED (
+    SELECT word, count(*) AS wcount FROM (
+        SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents
+    ) WHERE word <> '' GROUP BY word
+),
+ucand AS MATERIALIZED (
+    SELECT piece, CAST(sum(wcount) AS BIGINT) AS freq FROM (
+        SELECT wcount, substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece
+        FROM uwf,
+             unnest(range(1, len(word) + 1)) AS t(i),
+             unnest(range(1, least(%(plen)d, len(word) - i + 1) + 1)) AS u(l)
+    ) GROUP BY piece
+),
+uc0 AS MATERIALIZED (
+    SELECT piece, freq,
+           CAST(floor(ln(t.total / CAST(freq AS DOUBLE)) * 1000000 + 0.5)
+                AS BIGINT) AS cost_q
+    FROM (
+        SELECT piece, freq FROM ucand WHERE len(piece) = 1
+        UNION ALL
+        SELECT piece, freq FROM (
+            SELECT piece, freq,
+                   row_number() OVER (ORDER BY freq DESC, piece ASC) AS rn
+            FROM ucand WHERE len(piece) >= 2
+        ) WHERE rn <= %(seed)d
+    ) v,
+    (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM (
+        SELECT piece, freq FROM ucand WHERE len(piece) = 1
+        UNION ALL
+        SELECT piece, freq FROM (
+            SELECT piece, freq,
+                   row_number() OVER (ORDER BY freq DESC, piece ASC) AS rn
+            FROM ucand WHERE len(piece) >= 2
+        ) WHERE rn <= %(seed)d
+    )) t
+)""" % {"seed": _UNI_SEED, "plen": _UNI_PLEN}
+
+
+def _sql_uni_dp(tag: str, words: str, cost: str, maxlen: int, plen: int) -> str:
+    """Viterbi DP chain as unrolled CTEs: ``{tag}_k`` holds, per word
+    of length >= k, the single minimal state (cost, n, seg) covering
+    the first k characters — min taken under the shared tuple order
+    via row_number. ``{tag}_best`` is each word's full-cover state.
+    The unroll depth bounds replayable word length (engine kernel is
+    unbounded); corpus max is asserted by the chain's final join."""
+    parts = [
+        f"""{tag}_0 AS (
+    SELECT word, wcount, len(word) AS wl, 0 AS j,
+           0 AS cost, 0 AS n, '' AS seg
+    FROM {words}
+)"""
+    ]
+    for k in range(1, maxlen + 1):
+        preds = " UNION ALL ".join(
+            f"SELECT * FROM {tag}_{i}" for i in range(max(0, k - plen), k)
+        )
+        parts.append(
+            f"""{tag}_{k} AS MATERIALIZED (
+    SELECT word, wcount, wl, j, cost, n, seg FROM (
+        SELECT d.word, d.wcount, d.wl, {k} AS j,
+               d.cost + v.cost_q AS cost, d.n + 1 AS n,
+               CASE WHEN d.seg = '' THEN v.piece
+                    ELSE d.seg || ' ' || v.piece END AS seg,
+               row_number() OVER (
+                   PARTITION BY d.word
+                   ORDER BY d.cost + v.cost_q ASC, d.n + 1 ASC,
+                            CASE WHEN d.seg = '' THEN v.piece
+                                 ELSE d.seg || ' ' || v.piece END ASC
+               ) AS rn
+        FROM ({preds}) d
+        JOIN {cost} v ON v.piece = substr(d.word, d.j + 1, {k} - d.j)
+        WHERE d.wl >= {k}
+    ) WHERE rn = 1
+)"""
+        )
+    alls = " UNION ALL ".join(f"SELECT * FROM {tag}_{k}" for k in range(1, maxlen + 1))
+    parts.append(
+        f"""{tag}_best AS MATERIALIZED (
+    SELECT word, wcount, n, cost, seg FROM ({alls}) WHERE j = wl
+)"""
+    )
+    return ",\n".join(parts)
+
+
+def _sql_uni_round(r: int, maxlen: int, plen: int) -> str:
+    """One hard-EM round in SQL: Viterbi with ``uc{r-1}`` costs, then
+    usage counts -> pruned re-priced ``uc{r}`` (singles floor at 1,
+    zero-usage multi-char pieces dropped)."""
+    dp = _sql_uni_dp(f"udp{r}", "uwf", f"uc{r - 1}", maxlen, plen)
+    return f"""{dp},
+uu{r} AS MATERIALIZED (
+    SELECT piece, CAST(sum(wcount) AS BIGINT) AS u
+    FROM (SELECT wcount, unnest(string_split(seg, ' ')) AS piece
+          FROM udp{r}_best)
+    GROUP BY piece
+),
+uv{r} AS MATERIALIZED (
+    SELECT p.piece,
+           CASE WHEN len(p.piece) = 1 THEN greatest(coalesce(u.u, 0), 1)
+                ELSE coalesce(u.u, 0) END AS freq
+    FROM uc{r - 1} p LEFT JOIN uu{r} u USING (piece)
+    WHERE len(p.piece) = 1 OR coalesce(u.u, 0) > 0
+),
+uc{r} AS MATERIALIZED (
+    SELECT piece, freq,
+           CAST(floor(ln(t.total / CAST(freq AS DOUBLE)) * 1000000 + 0.5)
+                AS BIGINT) AS cost_q
+    FROM uv{r},
+         (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM uv{r}) t
+)"""
+
+
+def _sql_uni_chain(n_rounds: int, maxlen: int = _UNI_MAXLEN, plen: int = _UNI_PLEN) -> str:
+    parts = [_SQL_UNI_BASE]
+    for r in range(1, n_rounds + 1):
+        parts.append(_sql_uni_round(r, maxlen, plen))
+    return "WITH " + ",\n".join(parts)
+
+
+def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained unigram-LM tokenizer vocabulary
+    (operators/unigram.learn_unigram — SentencePiece's unigram model,
+    hard-EM form): seed substring statistics, two Viterbi-EM rounds
+    with integer costs, usage-pruned re-priced pieces. The DuckDB
+    oracle REPLAYS the full training loop — seeding top-K, every
+    per-word DP election (tuple-ordered tie-breaks), both M-steps —
+    as chained CTEs, the ``bpe_merges`` precedent for the second
+    tokenizer family."""
+    from traceframe_spark.operators import unigram
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = unigram.learn_unigram(
+        d, seed_size=_UNI_SEED, max_piece_len=_UNI_PLEN, n_rounds=_UNI_ROUNDS
+    )
+    return spark.createDataFrame(
+        [(p, f, c) for p, f, c in vocab], "token string, freq long, cost_q long"
+    )
+
+
+SQL_UNIGRAM_VOCAB = _sql_uni_chain(_UNI_ROUNDS) + f"""
+SELECT piece AS token, freq, cost_q FROM uc{_UNI_ROUNDS}
+"""
+
+
+def q_unigram_encode_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi tokenization against the trained unigram model: per-doc
+    token counts and total quantized cost for doc_id < 200 — the
+    oracle replays training AND a third DP chain (final costs) over
+    the encode slice's words, then the per-doc aggregation, so the
+    tokenizer's end-to-end answer is value-verified."""
+    from traceframe_spark.operators import unigram
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = unigram.learn_unigram(
+        d, seed_size=_UNI_SEED, max_piece_len=_UNI_PLEN, n_rounds=_UNI_ROUNDS
+    )
+    enc = unigram.encode_unigram(
+        d.filter(F.col("doc_id") < 200), vocab, max_piece_len=_UNI_PLEN
+    )
+    return enc.select(F.col("id").alias("doc_id"), "n_tokens", "cost_q")
+
+
+SQL_UNIGRAM_ENCODE_LENS = (
+    _sql_uni_chain(_UNI_ROUNDS)
+    + ",\n"
+    + """ewords AS MATERIALIZED (
+    SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+        FROM documents WHERE doc_id < 200
+    ) WHERE word <> ''
+),
+edist AS MATERIALIZED (
+    SELECT word, CAST(1 AS BIGINT) AS wcount FROM (SELECT DISTINCT word FROM ewords)
+),
+"""
+    + _sql_uni_dp("edp", "edist", f"uc{_UNI_ROUNDS}", _UNI_MAXLEN, _UNI_PLEN)
+    + """
+SELECT w.doc_id,
+       CAST(sum(b.n) AS BIGINT) AS n_tokens,
+       CAST(sum(b.cost) AS BIGINT) AS cost_q
+FROM ewords w JOIN edp_best b USING (word)
+GROUP BY w.doc_id
+"""
+)
 
 
 def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3821,6 +4259,12 @@ PIPELINE_QUERIES = {
     "ann_adc_agree": q_ann_adc_agree,
     "ivf_id_membership": q_ivf_id_membership,
     "perplexity_buckets": q_perplexity_buckets,
+    "perplexity_buckets_sampled": q_perplexity_buckets_sampled,
+    "ppl_bucket_agree": q_ppl_bucket_agree,
+    "image_dhash": q_image_dhash,
+    "image_near_dup": q_image_near_dup,
+    "unigram_vocab": q_unigram_vocab,
+    "unigram_encode_lens": q_unigram_encode_lens,
 }
 
 PIPELINE_ORACLE_SQL = {
@@ -3853,6 +4297,12 @@ PIPELINE_ORACLE_SQL = {
     "ann_adc_agree": SQL_ANN_ADC_AGREE,
     "ivf_id_membership": SQL_IVF_ID_MEMBERSHIP,
     "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
+    "perplexity_buckets_sampled": SQL_PERPLEXITY_BUCKETS_SAMPLED,
+    "ppl_bucket_agree": SQL_PPL_BUCKET_AGREE,
+    "image_dhash": SQL_IMAGE_DHASH,
+    "image_near_dup": SQL_IMAGE_NEAR_DUP,
+    "unigram_vocab": SQL_UNIGRAM_VOCAB,
+    "unigram_encode_lens": SQL_UNIGRAM_ENCODE_LENS,
     "ann_ivfpq_residual": SQL_ANN_IVFPQ_RESIDUAL,
     "ann_ivfpq_rerank": SQL_ANN_IVFPQ_RERANK,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
