@@ -150,6 +150,11 @@ HEADLINE = [
     "image_near_dup",
     "unigram_vocab",
     "unigram_encode_lens",
+    "ann_opq_adc",
+    "url_normalize",
+    "domain_gate",
+    "domain_cap",
+    "web_curation_flow",
 ]
 
 BASE_US = 1_700_000_000_000_000  # µs epoch base for synthetic spans

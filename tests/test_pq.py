@@ -473,3 +473,147 @@ def test_trained_residual_codebooks_roundtrip(spark, tmp_path):
         spark, path, q, "vec_id", "embedding", k=8, nprobe=4, rerank_k=1
     ).collect()
     assert got and got[0]["cid"] == 7 and got[0]["cos"] == 10000
+
+
+def test_opq_rotation_orthogonal_and_balanced(spark):
+    """opq_train_rotation: dim x dim, orthogonal (R Rᵀ = I within
+    float tolerance), rows are permuted eigenvectors (unit norm), and
+    the derivation is deterministic (same corpus -> same matrix)."""
+    import numpy as np
+
+    rows = [(i, [float((i * 13 + j * 7) % 100) for j in range(DIM)]) for i in range(40)]
+    corpus = _vecs(spark, rows)
+    r1 = np.array(sim.opq_train_rotation(corpus, "vec_id", "embedding"))
+    r2 = np.array(sim.opq_train_rotation(corpus, "vec_id", "embedding"))
+    assert r1.shape == (DIM, DIM)
+    assert np.allclose(r1 @ r1.T, np.eye(DIM), atol=1e-9)
+    assert np.array_equal(r1, r2)
+    # dim not divisible by m is refused
+    with pytest.raises(ValueError, match="divisible"):
+        sim.opq_train_rotation(corpus, "vec_id", "embedding", m=5)
+
+
+def test_opq_rotation_improves_quantization_on_skewed_data(spark):
+    """The OPQ point: when the data's principal directions cluster
+    inside a few subspaces (here: all signal variance in dims 0-7,
+    subspaces 4-7 pure noise), eigenvalue allocation spreads one
+    strong direction per subspace — same code budget (16 codewords,
+    m=8), quantization MSE in rotated space drops by an order of
+    magnitude, and ADC recall@1 (the registered instrument, rotated
+    LUT/codes vs raw exact cosine) does not get worse."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    sig = np.array([32.0, 16.0, 8.0, 4.0, 2.0, 1.0, 0.5, 0.25])
+    rows = []
+    for i in range(200):
+        v = np.concatenate([rng.normal(size=8) * sig, rng.normal(size=8) * 0.05])
+        rows.append((i, [float(x) for x in v]))
+    corpus = _vecs(spark, rows)
+    q = corpus.filter(F.col("vec_id") < 20)
+    rot = sim.opq_train_rotation(corpus, "vec_id", "embedding")
+    plain = sim.pq_train_codebooks(corpus, "vec_id", "embedding")
+    rotated = sim.pq_train_codebooks(
+        corpus, "vec_id", "embedding", rotation=rot
+    )
+    x = np.array([v for _, v in rows], dtype=np.float64)
+    rmat = np.array(rot, dtype=np.float64)
+
+    def mse(xa, cb, m=8):
+        cbm = np.array(cb, dtype=np.float64)
+        d = xa.shape[1] // m
+        tot = 0.0
+        for s in range(m):
+            sub = xa[:, s * d : (s + 1) * d]
+            sc = cbm[:, s * d : (s + 1) * d]
+            d2 = ((sub[:, None, :] - sc[None, :, :]) ** 2).sum(axis=2)
+            tot += d2.min(axis=1).sum()
+        return tot / len(xa)
+
+    assert mse(x @ rmat.T, rotated) < 0.5 * mse(x, plain)
+    rec_p = sim.ann_adc_agreement(
+        corpus, q, "vec_id", "embedding", plain
+    ).agg(F.avg("agree")).first()[0]
+    rec_r = sim.ann_adc_agreement(
+        corpus, q, "vec_id", "embedding", rotated, rotation=rot
+    ).agg(F.avg("agree")).first()[0]
+    assert rec_r >= rec_p
+
+
+def test_opq_index_stream_batch_parity_and_guards(spark, tmp_path):
+    """OPQ end to end on the persisted tier: the rotation commits in
+    the manifest next to the codebooks; appends encode against the
+    STORED matrix, so a grown index (30 built + 10 appended) answers
+    identically to a one-shot build of all 40 under the same frozen
+    quantizer — the streamed==batch pin on rotated indexes. Guards:
+    opq_rotate=True with explicit codewords is refused; the re-rank
+    tier over a rotated index still equals exact cosine (rotation
+    never leaks into the exact head)."""
+    rows = [(i, [float((i * 13 + j * 7) % 100) for j in range(DIM)]) for i in range(40)]
+    corpus = _vecs(spark, rows)
+    cents = sim.train_ivf_centroids(corpus, "vec_id", "embedding", n_centroids=4)
+    grown = str(tmp_path / "opq_grown")
+    sim.write_ivf_index(
+        _vecs(spark, rows[:30]), grown, "vec_id", "embedding",
+        centroids=cents, protocol="manifest", pq_samples=16, opq_rotate=True,
+    )
+    sim.append_to_ivf_index(
+        _vecs(spark, rows[30:]), grown, "vec_id", "embedding"
+    )
+    # one-shot build of all 40 under the grown index's frozen quantizer
+    _, man = sim._ivf_resolve(spark, grown)
+    full = str(tmp_path / "opq_full")
+    sim.write_ivf_index(
+        corpus, full, "vec_id", "embedding", centroids=cents,
+        protocol="manifest", pq_samples=man["meta"]["pq_samples"],
+        opq_rotate=man["meta"]["opq_rotation"],
+    )
+    q = _vecs(spark, [(500, [2.0] * DIM), (501, [77.0] * DIM)])
+
+    def probe(path):
+        return sorted(
+            (r["qid"], r["cid"], r["ad2"], r["rn"]) for r in
+            sim.ivf_adc_topk_over_index(
+                spark, path, q, "vec_id", "embedding", k=5, nprobe=4
+            ).collect()
+        )
+
+    assert probe(grown) == probe(full)
+    # the re-rank head is exact cosine, rotation-free
+    got = sorted(
+        (r["qid"], r["cid"], r["cos"], r["rn"]) for r in
+        sim.ivf_adc_topk_over_index(
+            spark, full, q, "vec_id", "embedding", k=40, nprobe=4, rerank_k=3
+        ).collect()
+    )
+    want = sorted(
+        (r["qid"], r["cid"], r["cos"], r["rn"]) for r in
+        sim.cosine_topk(corpus, q, "vec_id", "embedding", k=3).collect()
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="opq_rotate"):
+        sim.write_ivf_index(
+            corpus, str(tmp_path / "opq_bad"), "vec_id", "embedding",
+            centroids=cents, protocol="manifest",
+            pq_samples=sim.pq_sample_codebooks(corpus, "vec_id", "embedding"),
+            opq_rotate=True,
+        )
+
+
+def test_opq_residual_composition(spark, tmp_path):
+    """OPQ over RESIDUAL coding (the full IVFADC+OPQ stack): rotation
+    trains on residual space, books on rotated residuals, probe LUTs
+    on rotated (q - c(list)); an exact clone of a stored vector still
+    returns at rn=1 through the re-rank head."""
+    rows = [(i, [float((i * 11 + j * 3) % 60) for j in range(DIM)]) for i in range(30)]
+    corpus = _vecs(spark, rows)
+    path = str(tmp_path / "opq_res")
+    sim.write_ivf_index(
+        corpus, path, "vec_id", "embedding", n_centroids=4,
+        protocol="manifest", pq_samples=16, pq_residual=True, opq_rotate=True,
+    )
+    q = _vecs(spark, [(900, rows[7][1])])
+    got = sim.ivf_adc_topk_over_index(
+        spark, path, q, "vec_id", "embedding", k=8, nprobe=4, rerank_k=1
+    ).collect()
+    assert got and got[0]["cid"] == 7 and got[0]["cos"] == 10000

@@ -1280,6 +1280,43 @@ def ivf_probe_lists(vec: Column, centroids: list[list[float]], nprobe: int) -> C
     return F.slice(F.array_sort(pairs), 1, nprobe)["i"]
 
 
+def _assigned_with_code(
+    src: DataFrame,
+    cols: list[Column],
+    centroids: list[list[float]],
+    pq: list[list[float]] | None,
+    m: int,
+    residual: bool,
+    rotation: list[list[float]] | None,
+) -> DataFrame:
+    """The shared encode projection of the IVF build AND append paths:
+    (cid, c_vec, c_nrm, list_id) plus, on a PQ index, the ``code``
+    column — residual to the frozen coarse centroid when ``residual``,
+    OPQ-rotated when ``rotation``. Each intermediate lands as a NAMED
+    column before the code expression references it: the code reads
+    its input m × n_codes × (dim/m) times, and passing the
+    centroid-matrix / rotation tree directly would copy that literal
+    into every read (a plan large enough to OOM the driver); an
+    attribute reference is one node, and CollapseProject keeps a
+    non-cheap multiply-referenced alias un-inlined."""
+    base = src.select(*cols)
+    if pq is None:
+        return base
+    dim = len(pq[0])
+    if residual:
+        base = base.withColumn(
+            "_enc",
+            ivf_residual(
+                _dim_checked(F.col("c_vec"), dim), centroids, F.col("list_id")
+            ),
+        )
+    else:
+        base = base.withColumn("_enc", _dim_checked(F.col("c_vec"), dim))
+    if rotation is not None:
+        base = base.withColumn("_enc", F.expr(_rot_sql("_enc", rotation)))
+    return base.withColumn("code", _pq_code_sql("_enc", pq, m)).drop("_enc")
+
+
 def write_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -1293,6 +1330,7 @@ def write_ivf_index(
     pq_samples: list[list[float]] | int | None = None,
     pq_m: int = 8,
     pq_residual: bool = False,
+    opq_rotate: bool | list[list[float]] = False,
     ids_bloom_bits: int = 1 << 20,
 ) -> list[list[float]]:
     """Build and persist an IVF index: the corpus lands in parquet
@@ -1350,6 +1388,16 @@ def write_ivf_index(
     chain must replay in ANSI SQL (the registry's oracle rows use
     :func:`pq_sample_codebooks`).
 
+    ``opq_rotate=True`` (trained path only) additionally learns ONE
+    orthogonal OPQ rotation (:func:`opq_train_rotation` — Ge et al.
+    CVPR 2013) on the same bounded sample, trains the books in rotated
+    space, and commits the matrix in the manifest meta next to the
+    codebooks: build-time encodes, streamed appends, and ADC probes
+    all rotate with the SAME stored matrix (never re-derived), so
+    streamed==batch parity holds on rotated indexes exactly as on
+    plain ones. Recall lever at fixed code budget; see SCALING.md's
+    with/without-rotation table.
+
     Manifest builds additionally commit an ``ids_bloom`` sidecar layer
     — a word-packed Bloom filter over the stored ids
     (``ids_bloom_bits`` wide, 5 xxhash64 probes; ~n_bits/32 long rows
@@ -1376,14 +1424,33 @@ def write_ivf_index(
         )
     if pq_residual and pq_samples is None:
         raise ValueError("pq_residual=True needs pq_samples")
+    if opq_rotate is True and not isinstance(pq_samples, int):
+        # an explicit codeword list can't be re-trained in rotated
+        # space here; to pin a frozen quantizer (parity tests, grown
+        # indexes) pass the MATRIX itself as opq_rotate with books
+        # already in its rotated space
+        raise ValueError(
+            "opq_rotate=True needs pq_samples=<int> (books are trained "
+            "in rotated space); to reuse a frozen quantizer pass the "
+            "rotation matrix as opq_rotate with rotated-space codewords"
+        )
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, id_col, vec_col, n_centroids=n_centroids, seed=seed
         )
+    rotation = None
+    if opq_rotate is True:
+        rotation = opq_train_rotation(
+            corpus, id_col, vec_col, m=pq_m,
+            centroids=centroids if pq_residual else None,
+        )
+    elif opq_rotate:
+        rotation = [[float(x) for x in r] for r in opq_rotate]
     if isinstance(pq_samples, int):
         pq_samples = pq_train_codebooks(
             corpus, id_col, vec_col, n_codes=pq_samples, m=pq_m,
             centroids=centroids if pq_residual else None,
+            rotation=rotation,
         )
     cols = [
         F.col(id_col).alias("cid"),
@@ -1391,38 +1458,9 @@ def write_ivf_index(
         l2_norm(F.col(vec_col)).alias("c_nrm"),
         ivf_assign(F.col(vec_col), centroids).alias("list_id"),
     ]
-    if pq_samples is not None and pq_residual:
-        # the residual must land as a NAMED column before the code
-        # expression references it: the code expression reads its
-        # input m x n_codes x (dim/m) times, and passing the zip_with
-        # tree directly would copy the centroid-matrix literal into
-        # every read (a plan large enough to OOM the driver); an
-        # attribute reference is one node, and CollapseProject keeps a
-        # non-cheap multiply-referenced alias un-inlined
-        assigned = (
-            corpus.select(*cols)
-            .withColumn(
-                "_rvec",
-                ivf_residual(
-                    _dim_checked(F.col("c_vec"), len(pq_samples[0])),
-                    centroids,
-                    F.col("list_id"),
-                ),
-            )
-            .withColumn("code", _pq_code_sql("_rvec", pq_samples, pq_m))
-            .drop("_rvec")
-        )
-    elif pq_samples is not None:
-        assigned = (
-            corpus.select(*cols)
-            .withColumn(
-                "_pv", _dim_checked(F.col("c_vec"), len(pq_samples[0]))
-            )
-            .withColumn("code", _pq_code_sql("_pv", pq_samples, pq_m))
-            .drop("_pv")
-        )
-    else:
-        assigned = corpus.select(*cols)
+    assigned = _assigned_with_code(
+        corpus, cols, centroids, pq_samples, pq_m, pq_residual, rotation
+    )
     if protocol == "manifest":
         from traceframe_spark.streaming import manifest_store as MS
 
@@ -1444,6 +1482,10 @@ def write_ivf_index(
             meta["pq_samples"] = [[float(x) for x in w] for w in pq_samples]
             meta["pq_m"] = int(pq_m)
             meta["pq_residual"] = bool(pq_residual)
+            if rotation is not None:
+                # the rotation rides the manifest like the codebooks:
+                # appends and probes read it back, never re-derive it
+                meta["opq_rotation"] = [[float(x) for x in r] for r in rotation]
         meta["ids_bloom_bits"] = int(ids_bloom_bits)
         meta["ids_bloom_hashes"] = 5
         MS.append_parts_layer(
@@ -1575,40 +1617,15 @@ def append_to_ivf_index(
     ]
     # an IVF-PQ index (pq codebooks in the manifest meta) encodes its
     # appends with the SAME frozen codebooks — residual-coded indexes
-    # also subtract the same frozen centroids — so old and new rows
-    # score identically in the compressed domain
-    pq = (man or {}).get("meta", {}).get("pq_samples")
-    if pq is not None and man["meta"].get("pq_residual"):
-        # same named-column discipline as the build path: the residual
-        # lands once, the code expression references the attribute
-        assigned = (
-            new_rows.select(*cols)
-            .withColumn(
-                "_rvec",
-                ivf_residual(
-                    _dim_checked(F.col("c_vec"), len(pq[0])),
-                    centroids,
-                    F.col("list_id"),
-                ),
-            )
-            .withColumn(
-                "code",
-                _pq_code_sql("_rvec", pq, int(man["meta"].get("pq_m", 8))),
-            )
-            .drop("_rvec")
-        )
-    elif pq is not None:
-        assigned = (
-            new_rows.select(*cols)
-            .withColumn("_pv", _dim_checked(F.col("c_vec"), len(pq[0])))
-            .withColumn(
-                "code",
-                _pq_code_sql("_pv", pq, int(man["meta"].get("pq_m", 8))),
-            )
-            .drop("_pv")
-        )
-    else:
-        assigned = new_rows.select(*cols)
+    # also subtract the same frozen centroids, OPQ indexes rotate with
+    # the same stored matrix — so old and new rows score identically
+    # in the compressed domain
+    meta = (man or {}).get("meta", {})
+    assigned = _assigned_with_code(
+        new_rows, cols, centroids,
+        meta.get("pq_samples"), int(meta.get("pq_m", 8)),
+        bool(meta.get("pq_residual")), meta.get("opq_rotation"),
+    )
     if man is not None:
         from traceframe_spark.streaming import manifest_store as MS
 
@@ -1934,6 +1951,7 @@ def pq_train_codebooks(
     sample_per_code: int = 64,
     salt: str = "pq",
     centroids: list[list[float]] | None = None,
+    rotation: list[list[float]] | None = None,
 ) -> list[list[float]]:
     """TRAINED per-subspace PQ codebooks — Jégou et al. TPAMI 2011
     §II's actual formulation: independent k-means sub-quantizers, one
@@ -1955,7 +1973,10 @@ def pq_train_codebooks(
     given, each sampled vector is first replaced by its residual to
     its nearest coarse centroid (sequential float64, the
     :func:`pq_residual_codebooks` convention) — the IVFADC residual
-    variant.
+    variant. With ``rotation`` given (:func:`opq_train_rotation`), each
+    (residual) sample vector is rotated BEFORE the subspace split, so
+    the books live in OPQ space — every consumer must then rotate its
+    inputs with the same stored matrix.
 
     Returns the same ``n_codes x dim`` packed shape every PQ consumer
     takes (row ``c`` concatenates codeword ``c`` of each subspace), so
@@ -1992,6 +2013,9 @@ def pq_train_codebooks(
             cent = centroids[best_i]
             res.append([float(x) - float(y) for x, y in zip(v, cent)])
         vecs = res
+    if rotation is not None:
+        rmat = np.array(rotation, dtype=np.float64)
+        vecs = (np.array(vecs, dtype=np.float64) @ rmat.T).tolist()
     x = np.array(vecs, dtype=np.float64)
     dim = x.shape[1]
     if dim % m:
@@ -2010,6 +2034,111 @@ def pq_train_codebooks(
                     cb[c] = members.mean(axis=0)
         packed[:, s * d : (s + 1) * d] = cb
     return packed.tolist()
+
+
+def opq_train_rotation(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    n_sample: int = 1024,
+    salt: str = "pq",
+    centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """OPQ rotation (Ge et al. CVPR 2013, parametric solution): ONE
+    orthogonal dim×dim matrix ``R`` applied before the subspace split,
+    so the product quantizer codes ``R·x`` instead of ``x`` — the
+    standard recall lever at a fixed code budget when dimensions are
+    correlated or variance is unbalanced across subspaces (rotation
+    preserves L2 distances, so ADC distances in rotated space ARE the
+    original distances; only the quantization grid improves).
+
+    Parametric derivation, deterministic and driver-bounded (the
+    :func:`pq_train_codebooks` cost shape): second-moment matrix of
+    the ``n_sample`` md5-bottom corpus rows (residuals to their
+    nearest coarse centroid when ``centroids`` is given — the IVFADC
+    composition rotates residual space), eigendecomposition
+    (``numpy.linalg.eigh``), then EIGENVALUE ALLOCATION — walk the
+    eigenvalues in descending order, assign each principal direction
+    to the non-full subspace with the smallest accumulated
+    log-variance product (ties to the lowest subspace index), so the
+    per-subspace variance products balance (the paper's §4 criterion
+    for independent sub-quantizers of equal code budget). Row
+    ``s*d + j`` of ``R`` is the j-th direction allocated to subspace
+    ``s``; ``R`` is orthogonal by construction (rows are orthonormal
+    eigenvectors).
+
+    NOT SQL-replayable (the eigendecomposition) — rotated indexes are
+    rows-only at the gate, twinned by the unrotated ADC chain
+    (``ann_ivfpq_adc``); parity tests pin streamed==batch on the
+    STORED matrix, so nothing ever recomputes it."""
+    rows = (
+        corpus.select(
+            F.md5(
+                F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+            ).alias("h"),
+            F.col(vec_col).alias("v"),
+        )
+        .orderBy("h")
+        .limit(n_sample)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("opq_train_rotation: empty corpus")
+    vecs = [[float(x) for x in r["v"]] for r in rows]
+    if centroids is not None:
+        res = []
+        for v in vecs:
+            best_i, best_d = 0, None
+            for i, c in enumerate(centroids):
+                d2 = 0.0
+                for x, y in zip(v, c):
+                    e = float(x) - float(y)
+                    d2 = d2 + e * e
+                if best_d is None or d2 < best_d:
+                    best_i, best_d = i, d2
+            cent = centroids[best_i]
+            res.append([float(x) - float(y) for x, y in zip(v, cent)])
+        vecs = res
+    x = np.array(vecs, dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    cov = (x.T @ x) / len(x)
+    w, u = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(-w)
+    logw = np.log(np.maximum(w, 1e-12))
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    sums = [0.0] * m
+    for idx in order:
+        open_s = [s for s in range(m) if len(buckets[s]) < d]
+        s = min(open_s, key=lambda s: (sums[s], s))
+        buckets[s].append(int(idx))
+        sums[s] += float(logw[idx])
+    rot = np.empty((dim, dim), dtype=np.float64)
+    for s in range(m):
+        for j, idx in enumerate(buckets[s]):
+            rot[s * d + j] = u[:, idx]
+    return rot.tolist()
+
+
+def _rot_sql(vec_name: str, rotation: list[list[float]]) -> str:
+    """The rotated vector ``R·x`` over a NAMED array column as ONE SQL
+    string: per output coordinate, a left-associated aggregate fold
+    over ``zip_with(x, row_i)`` — the same parse-don't-build discipline
+    as :func:`_pq_subdist_sql` (a dim×dim Column tree would cost
+    thousands of py4j round-trips per plan), with exact ``repr``
+    round-tripped matrix literals."""
+    coords = []
+    for row in rotation:
+        ws = ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in row)
+        coords.append(
+            f"aggregate(zip_with({vec_name}, array({ws}), "
+            f"(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), "
+            f"(acc, t) -> acc + t)"
+        )
+    return "array(" + ", ".join(coords) + ")"
 
 
 def ivf_residual(
@@ -2195,6 +2324,7 @@ def ann_adc_agreement(
     samples: list[list[float]],
     m: int = 8,
     quantize: int = 4,
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """Instrument the compressed (ADC) tier against the exact answer —
     the :func:`bitext_ann_agreement` methodology for PQ: per query,
@@ -2214,19 +2344,36 @@ def ann_adc_agreement(
     SQL-replayable registry row, and with :func:`pq_train_codebooks`
     output to price the trained books' recall before fixing an
     index's quantizer — the queries side broadcasts, so size it like
-    :func:`ivf_recall_at_k`'s sample."""
+    :func:`ivf_recall_at_k`'s sample. ``rotation`` evaluates
+    OPQ-rotated books (:func:`opq_train_rotation`): the LUT and code
+    inputs rotate, the exact-cosine side stays on raw vectors (a
+    rotation can't change cosine ranks, so exact stays exact) — the
+    with/without-rotation recall@1 comparison in SCALING.md."""
     dim = len(samples[0])
     d = dim // m
+    qv: Column = _dim_checked(F.col(vec_col), dim)
     q = queries.select(
         F.col(id_col).alias("qid"),
-        _dim_checked(F.col(vec_col), dim).alias("_qv"),
+        qv.alias("_qv"),
         l2_norm(F.col(vec_col)).alias("q_nrm"),
-    ).select("qid", "_qv", "q_nrm", _pq_lut_expr("_qv", samples, m, d).alias("lut"))
+    )
+    if rotation is not None:
+        q = q.withColumn("_rv", F.expr(_rot_sql("_qv", rotation)))
+    q = q.select(
+        "qid", "_qv", "q_nrm",
+        _pq_lut_expr("_rv" if rotation is not None else "_qv", samples, m, d).alias("lut"),
+    )
     c = corpus.select(
         F.col(id_col).alias("cid"),
-        _dim_checked(F.col(vec_col), dim).alias("_cv"),
+        qv.alias("_cv"),
         l2_norm(F.col(vec_col)).alias("c_nrm"),
-    ).select("cid", "_cv", "c_nrm", _pq_code_sql("_cv", samples, m).alias("code"))
+    )
+    if rotation is not None:
+        c = c.withColumn("_rc", F.expr(_rot_sql("_cv", rotation)))
+    c = c.select(
+        "cid", "_cv", "c_nrm",
+        _pq_code_sql("_rc" if rotation is not None else "_cv", samples, m).alias("code"),
+    )
     cos = F.floor(
         dot_f64(F.col("_qv"), F.col("_cv")) / (F.col("q_nrm") * F.col("c_nrm"))
         * (10**quantize)
@@ -2340,6 +2487,7 @@ def ivf_adc_topk_over_index(
     samples = man["meta"]["pq_samples"]
     m = int(man["meta"].get("pq_m", 8))
     residual = bool(man["meta"].get("pq_residual"))
+    rotation = man["meta"].get("opq_rotation")
     dim = len(samples[0])
     d = dim // m
     qvec = _dim_checked(F.col(vec_col), dim)
@@ -2350,7 +2498,9 @@ def ivf_adc_topk_over_index(
         # list, so the per-list tables cost nprobe x m x n_codes tiny
         # doubles per query; the residual lands as a NAMED column so
         # the m x n_codes x (dim/m) table reads reference one
-        # attribute instead of copying the centroid-matrix tree.
+        # attribute instead of copying the centroid-matrix tree. An
+        # OPQ index rotates the residual with the stored matrix before
+        # the table builds — the same space the codes live in.
         exploded = queries.select(
             F.col(id_col).alias("qid"),
             qvec.alias("_qv"),
@@ -2360,17 +2510,22 @@ def ivf_adc_topk_over_index(
         ).withColumn(
             "_rq", ivf_residual(F.col("_qv"), centroids, F.col("list_id"))
         )
+        if rotation is not None:
+            exploded = exploded.withColumn("_rq", F.expr(_rot_sql("_rq", rotation)))
         q = exploded.select(
             "qid", _pq_lut_expr("_rq", samples, m, d).alias("lut"), "list_id"
         )
     else:
-        q = queries.select(
+        exploded = queries.select(
             F.col(id_col).alias("qid"),
             qvec.alias("_qv"),
             F.explode(
                 ivf_probe_lists(F.col(vec_col), centroids, nprobe)
             ).alias("list_id"),
-        ).select(
+        )
+        if rotation is not None:
+            exploded = exploded.withColumn("_qv", F.expr(_rot_sql("_qv", rotation)))
+        q = exploded.select(
             "qid", _pq_lut_expr("_qv", samples, m, d).alias("lut"), "list_id"
         )
     probed = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})

@@ -12,20 +12,28 @@ from traceframe_spark.plans.tpch import TPCH_ORACLE_SQL, TPCH_QUERIES
 from traceframe_spark.plans.traceops import TRACEOPS_ORACLE_SQL, TRACEOPS_QUERIES
 
 
-# Round-13 head rotation, driven by `python tools/coverage_ledger.py`
-# (run it BEFORE editing this list): the round-12 head was recorded in
-# CORRECTNESS_r12.json and returns to natural registry order; the head
-# now leads with the round-13 newcomers (the ADC recall instrument and
-# the store-backed SemDeDup keep) plus snapshot_diff, whose NULL-
-# content semantics changed this round (presence flags + null-safe
-# hash compare in both engines) and should re-record under the fix.
-_R13_ROTATION_HEAD = [
-    "ann_adc_agree",
-    "semdedup_index_keep",
-    "ivf_id_membership",
-    "cluster_cap",
+# Round-14 head rotation, driven by `python tools/coverage_ledger.py`
+# (run it BEFORE editing this list): the round-13 head was recorded in
+# CORRECTNESS_r13.json and returns to natural registry order; the head
+# now leads with the round-14 newcomers — the sampled perplexity cut
+# and its band-agreement instrument, the perceptual image-hash pair,
+# the unigram tokenizer pair, the OPQ-rotated ADC probe (rows-only,
+# twinned by ann_ivfpq_adc), and the URL/domain curation family —
+# plus perplexity_buckets itself, which should re-record under its
+# new exact/sampled method split.
+_R14_ROTATION_HEAD = [
+    "perplexity_buckets_sampled",
+    "ppl_bucket_agree",
     "perplexity_buckets",
-    "snapshot_diff",
+    "image_dhash",
+    "image_near_dup",
+    "unigram_vocab",
+    "unigram_encode_lens",
+    "ann_opq_adc",
+    "url_normalize",
+    "domain_gate",
+    "domain_cap",
+    "web_curation_flow",
 ]
 
 
@@ -41,9 +49,12 @@ def catalog_queries():
     newcomers; round 9 led with the portable-twin pair; round 10 led with
     the ANN-tier bitext pair; round 11 led with the manifest-protocol
     store twins; round 12 led with the quality-rule / PQ / SemDeDup
-    newcomers; round 13 leads with the ADC recall instrument, the
+    newcomers; round 13 led with the ADC recall instrument, the
     store-backed SemDeDup keep, and the NULL-semantics-fixed
-    snapshot_diff (see `_R13_ROTATION_HEAD` / tools/coverage_ledger.py) so
+    snapshot_diff; round 14 leads with its newcomers — the sampled
+    perplexity cut + agreement instrument, perceptual image hashing,
+    the unigram tokenizer, the OPQ probe, and the URL/domain family
+    (see `_R14_ROTATION_HEAD` / tools/coverage_ledger.py) — so
     every registered query keeps a driver-green row at least once.  The
     oracle-backed vs rows-only distinction is metadata, not ordering — see
     `catalog_meta()`; rows-only entries remain inside the head-50 so the
@@ -61,7 +72,7 @@ def catalog_queries():
         **TEMPORAL_QUERIES,
         **TPCH_QUERIES,
     }
-    head = {k: merged[k] for k in _R13_ROTATION_HEAD if k in merged}
+    head = {k: merged[k] for k in _R14_ROTATION_HEAD if k in merged}
     return {**head, **{k: v for k, v in merged.items() if k not in head}}
 
 

@@ -2265,6 +2265,176 @@ SELECT rank, token, tcount FROM (
 
 
 
+# ---------------------------------------------- URL/domain curation
+
+
+def _synth_url() -> F.Column:
+    """Deterministic messy URLs from (doc_id, source) — the
+    ``synthesize_png_media`` convention for the URL family: closed
+    form, so the oracle recomputes every input. Four shapes exercise
+    every normalization rule (case folding, www strip, default vs
+    real ports, trailing slashes, tracking-param drop + sort,
+    fragments, non-http schemes) plus a non-URL row (% 13 == 9)."""
+    did, src = F.col("doc_id"), F.col("source")
+    ds = did.cast("string")
+    c0 = F.concat(
+        F.lit("HTTPS://WWW."), src, F.lit(".Example.COM:443/Docs/"), ds,
+        F.lit("/?utm_source=feed&id="), (did % 7).cast("string"), F.lit("#top"),
+    )
+    c1 = F.concat(
+        F.lit("http://"), src, F.lit(".example.org:8080/a/b/?ref=tw&q="),
+        (did % 5).cast("string"), F.lit("&b=2"),
+    )
+    c2 = F.concat(F.lit("https://CDN."), src, F.lit(".net/static/"), ds, F.lit("///"))
+    c3 = F.concat(F.lit("ftp://files."), src, F.lit(".io:21/pub"))
+    return (
+        F.when(did % 13 == 9, F.lit("relative/path/only"))
+        .when(did % 4 == 0, c0)
+        .when(did % 4 == 1, c1)
+        .when(did % 4 == 2, c2)
+        .otherwise(c3)
+    )
+
+
+_SQL_URL_CTES = r"""uurl AS (
+    SELECT doc_id, source,
+        CASE WHEN doc_id % 13 = 9 THEN 'relative/path/only'
+             WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Docs/'
+                  || doc_id::VARCHAR || '/?utm_source=feed&id=' || (doc_id % 7)::VARCHAR || '#top'
+             WHEN doc_id % 4 = 1 THEN 'http://' || source || '.example.org:8080/a/b/?ref=tw&q='
+                  || (doc_id % 5)::VARCHAR || '&b=2'
+             WHEN doc_id % 4 = 2 THEN 'https://CDN.' || source || '.net/static/'
+                  || doc_id::VARCHAR || '///'
+             ELSE 'ftp://files.' || source || '.io:21/pub' END AS url
+    FROM documents
+),
+uparts AS (
+    SELECT doc_id,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+        regexp_replace(lower(regexp_extract(
+            regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1), '^([^:]*)', 1)),
+            '^www\.', '') AS host2,
+        regexp_extract(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1),
+                       ':(\d+)$', 1) AS port,
+        regexp_replace(regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1),
+                       '/+$', '') AS path2,
+        list_sort(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+            p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid)(=.*)?$')
+        )) AS params
+    FROM uurl
+),
+ufinal AS (
+    SELECT doc_id,
+        CASE WHEN scheme = '' THEN NULL ELSE
+            scheme || '://' || host2 ||
+            CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                      OR (scheme = 'http' AND port = '80')
+                 THEN '' ELSE ':' || port END ||
+            path2 ||
+            CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+                 ELSE '' END
+        END AS url_norm,
+        CASE WHEN scheme = '' THEN NULL ELSE host2 END AS domain
+    FROM uparts
+)"""
+
+_URL_BLOCKLIST = ["src3.example.com", "src7.example.org", "cdn.src2.net"]
+
+
+def _synth_url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from traceframe_spark.operators import web
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", _synth_url().alias("url")
+    )
+    return web.with_url_norm(d)
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/web.url_normalize — the
+    RefinedWeb source-level pass): scheme/host folding, www strip,
+    default-port strip, trailing-slash strip, fragment drop,
+    tracking-param drop + lexicographic param sort, NULL for
+    non-URLs. The oracle replays synthesis AND the whole regex/string
+    chain, so every rule is value-verified per row."""
+    return _synth_url_docs(spark, sf_dir).select("doc_id", "url_norm", "domain")
+
+
+SQL_URL_NORMALIZE = f"""
+WITH {_SQL_URL_CTES}
+SELECT doc_id, url_norm, domain FROM ufinal
+"""
+
+
+def q_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist gating (web.domain_gate): one broadcast
+    anti-join against a bounded curated list; NULL-domain (non-URL)
+    rows drop by the gate's default contract. The oracle is the
+    equivalent NOT IN over the replayed domains."""
+    from traceframe_spark.operators import web
+
+    return web.domain_gate(
+        _synth_url_docs(spark, sf_dir), _URL_BLOCKLIST
+    ).select("doc_id", "domain")
+
+
+SQL_DOMAIN_GATE = f"""
+WITH {_SQL_URL_CTES}
+SELECT doc_id, domain FROM ufinal
+WHERE domain IS NOT NULL
+  AND domain NOT IN ('src3.example.com', 'src7.example.org', 'cdn.src2.net')
+"""
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (web.domain_cap — RefinedWeb's source cap as the
+    cluster_cap capped-window shape with the domain key): at most 5
+    rows per domain in the engine's deterministic md5(id) order. The
+    oracle replays the window selection exactly."""
+    from traceframe_spark.operators import web
+
+    return web.domain_cap(
+        _synth_url_docs(spark, sf_dir), cap=5
+    ).select("doc_id", "domain")
+
+
+SQL_DOMAIN_CAP = f"""
+WITH {_SQL_URL_CTES}
+SELECT doc_id, domain FROM (
+    SELECT doc_id, domain,
+           row_number() OVER (
+               PARTITION BY domain ORDER BY md5(doc_id::VARCHAR), doc_id
+           ) AS rn
+    FROM ufinal WHERE domain IS NOT NULL
+) WHERE rn <= 5
+"""
+
+
+def q_web_curation_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed RefinedWeb-style source pass: normalize → blocklist
+    gate → per-domain cap, value-verified end to end — the pipeline a
+    100 TB crawl runs BEFORE any text is read (URL columns only; the
+    text column never enters the plan)."""
+    from traceframe_spark.operators import web
+
+    gated = web.domain_gate(_synth_url_docs(spark, sf_dir), _URL_BLOCKLIST)
+    return web.domain_cap(gated, cap=5).select("doc_id", "domain", "url_norm")
+
+
+SQL_WEB_CURATION_FLOW = f"""
+WITH {_SQL_URL_CTES}
+SELECT doc_id, domain, url_norm FROM (
+    SELECT doc_id, domain, url_norm,
+           row_number() OVER (
+               PARTITION BY domain ORDER BY md5(doc_id::VARCHAR), doc_id
+           ) AS rn
+    FROM ufinal
+    WHERE domain IS NOT NULL
+      AND domain NOT IN ('src3.example.com', 'src7.example.org', 'cdn.src2.net')
+) WHERE rn <= 5
+"""
+
+
 # ------------------------------------------------- unigram tokenizer
 
 _UNI_SEED = 30
@@ -3925,6 +4095,34 @@ def q_ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("qid", "cid", qint(F.col("ad2"), 4).alias("ad2_q"), "rn")
 
 
+def q_ann_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-5 through an OPQ-ROTATED trained IVF-PQ index
+    (write_ivf_index(pq_samples=16, opq_rotate=True) +
+    ivf_adc_topk_over_index at full probe): the orthogonal rotation
+    (Ge et al. CVPR 2013) and the per-subspace k-means books both ride
+    the manifest; encode, probe LUT, and ranking all run in rotated
+    space. ROWS-ONLY by design — the eigendecomposition behind the
+    rotation is not SQL-replayable — twinned by the value-verified
+    unrotated chain (``ann_ivfpq_adc``, same machinery minus the
+    rotation) and pinned by parity tests: streamed==batch on rotated
+    indexes, rotation orthogonality, and re-rank-tier equality with
+    exact cosine (tests/test_pq.py::test_opq_*)."""
+    from traceframe_spark.plans.catalog import tmp_store
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    path = tmp_store("opq_") + "/opq"
+    similarity.write_ivf_index(
+        e, path, "vec_id", "embedding",
+        centroids=_ivf_centroids(spark, sf_dir, 8), protocol="manifest",
+        pq_samples=16, opq_rotate=True,
+    )
+    top = similarity.ivf_adc_topk_over_index(
+        spark, path, q, "vec_id", "embedding", k=5, nprobe=8
+    )
+    return top.select("qid", "cid", qint(F.col("ad2"), 4).alias("ad2_q"), "rn")
+
+
 _PQ_CODEBOOKS: dict = {}
 
 
@@ -4265,6 +4463,11 @@ PIPELINE_QUERIES = {
     "image_near_dup": q_image_near_dup,
     "unigram_vocab": q_unigram_vocab,
     "unigram_encode_lens": q_unigram_encode_lens,
+    "ann_opq_adc": q_ann_opq_adc,
+    "url_normalize": q_url_normalize,
+    "domain_gate": q_domain_gate,
+    "domain_cap": q_domain_cap,
+    "web_curation_flow": q_web_curation_flow,
 }
 
 PIPELINE_ORACLE_SQL = {
@@ -4303,6 +4506,10 @@ PIPELINE_ORACLE_SQL = {
     "image_near_dup": SQL_IMAGE_NEAR_DUP,
     "unigram_vocab": SQL_UNIGRAM_VOCAB,
     "unigram_encode_lens": SQL_UNIGRAM_ENCODE_LENS,
+    "url_normalize": SQL_URL_NORMALIZE,
+    "domain_gate": SQL_DOMAIN_GATE,
+    "domain_cap": SQL_DOMAIN_CAP,
+    "web_curation_flow": SQL_WEB_CURATION_FLOW,
     "ann_ivfpq_residual": SQL_ANN_IVFPQ_RESIDUAL,
     "ann_ivfpq_rerank": SQL_ANN_IVFPQ_RERANK,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
