@@ -533,6 +533,63 @@ def main() -> None:
         f"ids_bloom sidecar; semdedup-over-the-persisted-quantizer keeps "
         f"{kept_idx}/{nv}"
     )
+
+    # 13. the r14 wave: the URL pass a crawl runs BEFORE any text is
+    # read, perceptual image dedup through the shared banding engine,
+    # the second tokenizer family (unigram-LM), and OPQ rotation on
+    # the compressed ANN tier.
+    from traceframe_spark.operators import multimodal as mm
+    from traceframe_spark.operators import unigram as ug
+    from traceframe_spark.operators import web
+    from traceframe_spark.plans.pipeline import _synth_url, _URL_BLOCKLIST
+
+    urls = web.with_url_norm(
+        docs.select("doc_id", "source", _synth_url().alias("url"))
+    )
+    n_urls = urls.filter(F.col("domain").isNotNull()).count()
+    capped = web.domain_cap(web.domain_gate(urls, _URL_BLOCKLIST), cap=5)
+    n_cap = capped.count()
+    assert 0 < n_cap < n_urls
+
+    media = mm.synthesize_png_media(docs.filter(F.col("doc_id") < 60), "doc_id")
+    n_fp = mm.image_dhash(media).count()
+    n_imgpairs = mm.image_near_dup_pairs(media, max_hamming=8).count()
+    assert n_fp == 60 and n_imgpairs > 0
+
+    vocab = ug.learn_unigram(docs, seed_size=16, n_rounds=2)
+    uni_store = tempfile.mkdtemp(prefix="demo_uni_") + "/uni"
+    ug.write_unigram_model(spark, vocab, uni_store, protocol="manifest")
+    enc = ug.encode_against_unigram(docs.limit(100), uni_store)
+    mean_toks = enc.agg(F.avg("n_tokens")).first()[0]
+    mean_words = docs.limit(100).select(
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+    ).agg(F.avg("n")).first()[0]
+    assert mean_toks >= mean_words  # subword pieces >= whitespace words
+
+    opq_idx = tempfile.mkdtemp(prefix="demo_opq_") + "/opq"
+    sim.write_ivf_index(
+        emb, opq_idx, "vec_id", "embedding", n_centroids=8,
+        protocol="manifest", pq_samples=16, opq_rotate=True,
+    )
+    probes = emb.filter(F.col("vec_id") < 3)
+    opq_top = sim.ivf_adc_topk_over_index(
+        spark, opq_idx, probes, "vec_id", "embedding",
+        k=nv, nprobe=8, rerank_k=3,
+    ).collect()
+    want_top = sim.cosine_topk(emb, probes, "vec_id", "embedding", k=3).collect()
+    assert sorted((r["qid"], r["cid"], r["rn"]) for r in opq_top) == sorted(
+        (r["qid"], r["cid"], r["rn"]) for r in want_top
+    ), "OPQ re-rank head must equal exact cosine"
+    print(
+        f"r14: URL pass (normalize -> blocklist -> cap 5/domain) keeps "
+        f"{n_cap}/{n_urls} attributable rows without reading text; "
+        f"image dHash fingerprints 60/60 PNGs, {n_imgpairs} perceptual "
+        f"near-dup pairs through the shared banding engine; stored "
+        f"unigram tokenizer ({len(vocab)} pieces) averages "
+        f"{mean_toks:.1f} tokens/doc vs {mean_words:.1f} words; "
+        f"OPQ-rotated IVF-PQ re-rank reproduces exact cosine top-3 "
+        f"for 3 probes"
+    )
     spark.stop()
 
 

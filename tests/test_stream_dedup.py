@@ -444,6 +444,68 @@ def test_stream_dedup_bpe_token_annotation(spark, tmp_path, corpus_feed):
         )
 
 
+def test_stream_dedup_unigram_token_annotation(spark, tmp_path, corpus_feed):
+    """unigram_path: survivors land with n_unigram_tokens +
+    unigram_cost_q from the FROZEN stored unigram-LM tokenizer
+    (write_unigram_model), matching the batch encoder for the same
+    rows; NULL-text survivors keep NULL columns; a missing model fails
+    fast at stream start. Both tokenizer annotations compose (bpe_path
+    + unigram_path on one stream)."""
+    import json
+
+    from traceframe_spark.operators import bpe, unigram
+
+    idx, feed = corpus_feed
+    train = _docs(spark, [(i, _uniq(i)) for i in range(4)])
+    vocab = unigram.learn_unigram(train, seed_size=8, n_rounds=1)
+    model = str(tmp_path / "uni_model")
+    unigram.write_unigram_model(spark, vocab, model, protocol="manifest")
+    merges, syms = bpe.learn_bpe(train, 4)
+    syms.unpersist()
+    bmodel = str(tmp_path / "uni_bpe_model")
+    bpe.write_bpe_model(spark, merges, bmodel)
+    out, ckpt = str(tmp_path / "out_uni"), str(tmp_path / "ckpt_uni")
+    _run_stream(
+        spark, idx, feed, out, ckpt, bpe_path=bmodel, unigram_path=model
+    )
+    rows = {r.doc_id: r for r in read_ingested(spark, out).collect()}
+    assert set(rows) == {101, 200, 301}
+    survivors = _docs(spark, [(i, rows[i].text) for i in rows])
+    want = {
+        r["id"]: (r["n_tokens"], r["cost_q"])
+        for r in unigram.encode_against_unigram(survivors, model).collect()
+    }
+    got = {
+        i: (rows[i].n_unigram_tokens, rows[i].unigram_cost_q) for i in rows
+    }
+    assert got == want and all(n > 0 for n, _ in got.values())
+    assert all(rows[i].n_bpe_tokens > 0 for i in rows)  # both annotations
+
+    # NULL-text survivor keeps NULL token columns
+    snap = _docs(spark, [(i, _uniq(i)) for i in range(3)])
+    idx2 = str(tmp_path / "idx_nulluni")
+    di.write_dedup_index(snap, idx2, n_hashes=64, bands=16)
+    feed2 = tmp_path / "feed_nulluni"
+    feed2.mkdir()
+    with open(feed2 / "b0.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": 900, "text": None}) + "\n")
+        f.write(json.dumps({"doc_id": 901, "text": _uniq(90)}) + "\n")
+    out2, ckpt2 = str(tmp_path / "out_nulluni"), str(tmp_path / "ckpt_nulluni")
+    _run_stream(spark, idx2, str(feed2), out2, ckpt2, unigram_path=model)
+    r2 = {r.doc_id: r for r in read_ingested(spark, out2).collect()}
+    assert r2[900].n_unigram_tokens is None and r2[900].unigram_cost_q is None
+    assert r2[901].n_unigram_tokens > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no stored tokenizer"):
+        _run_stream(
+            spark, idx, feed, str(tmp_path / "out_unibad"),
+            str(tmp_path / "ckpt_unibad"),
+            unigram_path=str(tmp_path / "nope_uni"),
+        )
+
+
 def test_stream_dedup_bpe_null_text_token_count(spark, tmp_path):
     """A NULL-text survivor (its NULL content hash never matches the
     index, so it passes dedup) lands with n_bpe_tokens NULL — not the

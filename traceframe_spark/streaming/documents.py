@@ -109,6 +109,7 @@ def stream_dedup_ingest(
     lm_path: str | None = None,
     nb_path: str | None = None,
     bpe_path: str | None = None,
+    unigram_path: str | None = None,
     store_protocol: str = "markers",
     lease: bool = False,
     lease_ttl_s: int = 900,
@@ -182,6 +183,19 @@ def stream_dedup_ingest(
     cost accounting consume. The merge list is driver-bounded
     (n_merges rows) and read ONCE at stream start; encoding is a pure
     zero-shuffle projection per batch.
+
+    ``unigram_path`` (optional) does the same with a FROZEN stored
+    unigram-LM tokenizer
+    (:func:`~traceframe_spark.operators.unigram.write_unigram_model`
+    — the second tokenizer family, for pipelines that must match a
+    SentencePiece-style target model or compare tokenizations):
+    survivors land with ``n_unigram_tokens`` and ``unigram_cost_q``
+    columns (the Viterbi segmentation's total quantized cost — a
+    per-doc compression/quality signal the BPE path doesn't expose).
+    The vocabulary is driver-bounded, read ONCE at stream start, and
+    rides each batch's Arrow-batched encode kernel; NULL-text
+    survivors keep NULL columns (the encoder's no-row contract,
+    surfaced as a LEFT join).
 
     ``store_protocol="manifest"`` (requires a MANIFEST-protocol index)
     replaces the write-then-mark crash discipline with atomic manifest
@@ -345,6 +359,18 @@ def stream_dedup_ingest(
                 f"bpe_path={bpe_path!r} has no stored tokenizer; run "
                 "write_bpe_model on the trained merges first"
             ) from exc
+    uni_vocab = None
+    if unigram_path is not None:
+        # same driver-bounded pin as the merge list: vocab rows, once
+        from traceframe_spark.operators.unigram import load_unigram_vocab
+
+        try:
+            uni_vocab = load_unigram_vocab(docs.sparkSession, unigram_path)
+        except Exception as exc:  # noqa: BLE001 — any read failure means no model
+            raise ValueError(
+                f"unigram_path={unigram_path!r} has no stored tokenizer; "
+                "run write_unigram_model on the trained vocabulary first"
+            ) from exc
 
     def _fold_back(survivors: DataFrame) -> None:
         di.append_dedup_index(survivors, index_path, id_col, text_col)
@@ -468,6 +494,17 @@ def stream_dedup_ingest(
                         F.col("_toks").isNull(), F.lit(None)
                     ).otherwise(F.size("_toks")).cast("long"),
                 ).drop("_toks")
+            if uni_vocab is not None:
+                from traceframe_spark.operators.unigram import encode_unigram
+
+                uni = encode_unigram(
+                    survivors, uni_vocab, id_col=id_col, text_col=text_col
+                ).select(
+                    F.col("id").alias(id_col),
+                    F.col("n_tokens").alias("n_unigram_tokens"),
+                    F.col("cost_q").alias("unigram_cost_q"),
+                )
+                survivors = survivors.join(uni, id_col, "left")
             survivors = survivors.persist()
             if manifest_proto:
                 if survivors.isEmpty():
