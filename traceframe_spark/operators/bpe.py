@@ -206,7 +206,10 @@ def write_bpe_model(spark, merges: list[tuple[str, str, int]], path: str,
     (object-store-safe, snapshot-isolated, ``n_merges`` in the manifest
     meta). The model is ``n_merges`` narrow rows — independent of
     corpus size, like the NB classifier's and the LM's stores."""
-    frame = spark.createDataFrame(
+    from traceframe_spark.session import local_frame
+
+    frame = local_frame(
+        spark,
         [(i, l, r, int(c)) for i, (l, r, c) in enumerate(merges)],
         "merge_idx int, left string, right string, pair_count long",
     )

@@ -230,7 +230,9 @@ def write_nb_classifier(
             return
         w.write.mode("overwrite").parquet(f"{path}/weights")
         cs.write.mode("overwrite").parquet(f"{path}/class_stats")
-        spark.createDataFrame([(int(n_buckets),)], "n_buckets long").coalesce(
+        from traceframe_spark.session import local_frame
+
+        local_frame(spark, [(int(n_buckets),)], "n_buckets long").coalesce(
             1
         ).write.mode("overwrite").json(f"{path}/nb_meta")
     finally:

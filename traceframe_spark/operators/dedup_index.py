@@ -252,7 +252,10 @@ def write_dedup_index(
     }
 
     def _meta_json() -> None:
-        meta = spark.createDataFrame(
+        from traceframe_spark.session import local_frame
+
+        meta = local_frame(
+            spark,
             [(int(n_hashes), int(bands), int(shingle_size), bool(with_near), bool(portable))],
             "n_hashes int, bands int, shingle_size int, near boolean, portable boolean",
         )
@@ -756,7 +759,9 @@ def write_gram_layer(
         )
         return
     grams.write.mode("overwrite").parquet(f"{path}/grams")
-    meta = spark.createDataFrame([(int(n),)], "n int")
+    from traceframe_spark.session import local_frame
+
+    meta = local_frame(spark, [(int(n),)], "n int")
     meta.coalesce(1).write.mode("overwrite").json(f"{path}/gram_meta")
 
 

@@ -480,8 +480,10 @@ def cosine_topk_blas(
         F.col(id_col).cast("long"), F.col(vec_col).cast("array<double>")
     ).collect()  # bounded: the query side, same contract as broadcast
     if not qrows:
+        from traceframe_spark.session import local_frame
+
         empty = "qid bigint, cid bigint, cos bigint, rn bigint"
-        return corpus.sparkSession.createDataFrame([], empty)
+        return local_frame(corpus.sparkSession, [], empty)
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
     # match l2_norm: sqrt of a float64 sum of squares of the float32 values
@@ -843,7 +845,10 @@ def semdedup_keep_over_index(
     centroids, _man = (
         resolved if resolved is not None else _ivf_resolve(spark, path)
     )
-    cdf = spark.createDataFrame(
+    from traceframe_spark.session import local_frame
+
+    cdf = local_frame(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         f"centroid_id long, {vec_col} array<double>",
     )

@@ -603,7 +603,9 @@ def write_bigram_lm(
         bi.write.mode("overwrite").parquet(f"{path}/bigrams")
         uni.write.mode("overwrite").parquet(f"{path}/prefix")
         v = bi.agg(F.count_distinct("w2")).first()[0]
-        spark.createDataFrame([(int(v),)], "v long").coalesce(1).write.mode(
+        from traceframe_spark.session import local_frame
+
+        local_frame(spark, [(int(v),)], "v long").coalesce(1).write.mode(
             "overwrite"
         ).json(f"{path}/lm_meta")
     finally:

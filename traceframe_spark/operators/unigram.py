@@ -295,7 +295,10 @@ def write_unigram_model(
     between snapshots — the frozen-model contract shared with
     ``write_bpe_model``). ``protocol="manifest"`` commits atomically
     with ``n_pieces`` in the manifest meta."""
-    frame = spark.createDataFrame(
+    from traceframe_spark.session import local_frame
+
+    frame = local_frame(
+        spark,
         [(p, int(f), int(c)) for p, f, c in vocab],
         "piece string, freq long, cost_q long",
     )

@@ -113,9 +113,9 @@ def domain_gate(
     pipelines that triage invalid URLs separately."""
     spark = df.sparkSession
     if isinstance(blocked, list):
-        blocked = spark.createDataFrame(
-            [(d,) for d in blocked], "domain string"
-        )
+        from traceframe_spark.session import local_frame
+
+        blocked = local_frame(spark, [(d,) for d in blocked], "domain string")
     bl = blocked.select(F.col(blocked.columns[0]).alias("_bl_domain")).distinct()
     joined = df.join(
         F.broadcast(bl),

@@ -2218,8 +2218,11 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i + 1, left, right, left + right, cnt)
         for i, (left, right, cnt) in enumerate(merges)
     ]
-    return spark.createDataFrame(
-        rows, "rank long, left_sym string, right_sym string, merged string, pcount long"
+    from traceframe_spark.session import local_frame
+
+    return local_frame(
+        spark, rows,
+        "rank long, left_sym string, right_sym string, merged string, pcount long",
     )
 
 
@@ -2576,8 +2579,11 @@ def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = unigram.learn_unigram(
         d, seed_size=_UNI_SEED, max_piece_len=_UNI_PLEN, n_rounds=_UNI_ROUNDS
     )
-    return spark.createDataFrame(
-        [(p, f, c) for p, f, c in vocab], "token string, freq long, cost_q long"
+    from traceframe_spark.session import local_frame
+
+    return local_frame(
+        spark, [(p, f, c) for p, f, c in vocab],
+        "token string, freq long, cost_q long",
     )
 
 
@@ -3098,7 +3104,10 @@ def q_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         vrows = bpe.vocab(syms).collect()
         vrows.sort(key=lambda r: (-r["tcount"], r["token"]))
-        ids = spark.createDataFrame(
+        from traceframe_spark.session import local_frame
+
+        ids = local_frame(
+            spark,
             [(r["token"], i + 1) for i, r in enumerate(vrows)],
             "token: string, token_id: long",
         )

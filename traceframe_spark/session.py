@@ -17,6 +17,33 @@ import os
 from pyspark.sql import SparkSession
 
 
+def local_frame(spark: SparkSession, rows, schema: str, slices: int | None = None):
+    """A small driver-local relation as a DataFrame with a BOUNDED
+    partition count.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the pickled
+    rows into ``defaultParallelism`` partitions (32 on local[32], one
+    per core on a cluster). Every partition — almost all of them EMPTY
+    for the one-row store-meta frames — must then be drained through
+    its own Python-worker round trip by whoever evaluates the frame,
+    and any single-task consumer (a ``coalesce(1)`` meta write, a
+    broadcast build) drains them SERIALLY: measured 5-7 s of pure
+    blocking (0.13 s CPU) to write one meta row on this box, repeated
+    in every store build. Slicing to ~one partition per 10k rows keeps
+    a local relation a local-sized job at any cluster width; semantics
+    are identical (same rows, same schema verification path).
+    """
+    rows = list(rows)
+    n = slices if slices is not None else 1 + len(rows) // 10_000
+    if not rows:
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize([], 1), schema=schema
+        )
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n), schema=schema
+    )
+
+
 def get_spark(
     app_name: str = "traceframe-spark",
     master: str | None = None,
