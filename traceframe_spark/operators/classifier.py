@@ -220,6 +220,9 @@ def write_nb_classifier(
     # and comment — as write_bigram_lm's `bi`)
     w = w.persist()
     try:
+        # one wide featurize+count pass populates the cache; the layer
+        # writes below then read cached blocks and run concurrently
+        w.count()
         if protocol == "manifest":
             from traceframe_spark.streaming import manifest_store as MS
 
@@ -228,13 +231,20 @@ def write_nb_classifier(
                 replace=True, meta={"n_buckets": int(n_buckets)},
             )
             return
-        w.write.mode("overwrite").parquet(f"{path}/weights")
-        cs.write.mode("overwrite").parquet(f"{path}/class_stats")
+        from concurrent.futures import ThreadPoolExecutor
         from traceframe_spark.session import local_frame
 
-        local_frame(spark, [(int(n_buckets),)], "n_buckets long").coalesce(
-            1
-        ).write.mode("overwrite").json(f"{path}/nb_meta")
+        jobs = [
+            lambda: w.write.mode("overwrite").parquet(f"{path}/weights"),
+            lambda: cs.write.mode("overwrite").parquet(f"{path}/class_stats"),
+            lambda: local_frame(spark, [(int(n_buckets),)], "n_buckets long")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(f"{path}/nb_meta"),
+        ]
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for _ in pool.map(lambda f: f(), jobs):
+                pass
     finally:
         w.unpersist()
 

@@ -282,6 +282,11 @@ def write_dedup_index(
     )
     sig = sig.persist()
     try:
+        # materialize the expensive shingle+MinHash pass ONCE, wide,
+        # before the layer writes fan out concurrently (sigs and bands
+        # both read it; without the eager count the concurrent jobs
+        # race to compute it)
+        sig.count()
         if protocol == "manifest":
             from traceframe_spark.streaming import manifest_store as MS
 
@@ -298,10 +303,21 @@ def write_dedup_index(
                 meta=meta_row,
             )
         else:
-            exact.write.mode("overwrite").parquet(f"{path}/exact")
-            sig.write.mode("overwrite").parquet(f"{path}/sigs")
-            band.write.mode("overwrite").parquet(f"{path}/bands")
-            _meta_json()
+            # independent overwrite jobs into three fresh directories —
+            # run them (plus the meta write) from a thread pool, same
+            # §2.6 overlap as the manifest commit; a fresh build has no
+            # readers to order against
+            from concurrent.futures import ThreadPoolExecutor
+
+            jobs = [
+                lambda: exact.write.mode("overwrite").parquet(f"{path}/exact"),
+                lambda: sig.write.mode("overwrite").parquet(f"{path}/sigs"),
+                lambda: band.write.mode("overwrite").parquet(f"{path}/bands"),
+                _meta_json,
+            ]
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                for _ in pool.map(lambda f: f(), jobs):
+                    pass
     finally:
         sig.unpersist()
 
@@ -479,6 +495,7 @@ def _commit_curation_append(
             docs, id_col, text_col, n_hashes, bands, shingle_size, portable=portable
         )
         sig = sig.persist()
+        sig.count()  # one wide pass before the concurrent layer writes
         frames["sigs"] = sig
     else:
         frames["exact"] = spread(docs, id_col).select(
@@ -669,13 +686,31 @@ def dedup_against_index(
             "with the MinHash layers"
         )
 
+    # localCheckpoint, NOT persist: the band join, the sig join, and
+    # the final anti-join below each sit under their own
+    # broadcast-exchange job, and those jobs launch concurrently — with
+    # a lazy persist each one re-ran the whole shingle+MinHash subtree
+    # inside its own single-task broadcast-build stage (measured: three
+    # concurrent ~4 s single-task stages per probe, the probe's entire
+    # cost). Worse, a persist's cache entry died with the returned
+    # frame's keepalive the moment a caller derived a new plan
+    # (`probe(...).select(id)` — every registry row), silently
+    # reverting to the recompute. The checkpoint materializes the
+    # kernel ONCE, wide, at call time, and the pinned blocks ride the
+    # plan itself (LogicalRDD) through any derivation; delta-bounded
+    # narrow rows (id + n_hashes longs), same bound as the append
+    # path's checkpoint.
     if sigs is not None:
         surv_ids = survivors.select(F.col(id_col).alias("id"))
-        sig_d = sigs.select("id", "sig").join(surv_ids, "id", "left_semi").persist()
+        sig_d = (
+            sigs.select("id", "sig")
+            .join(surv_ids, "id", "left_semi")
+            .localCheckpoint()
+        )
     else:
         sig_d = minhash_signatures(
             survivors, id_col, text_col, n_hashes, shingle_size, portable=portable
-        ).select("id", "sig").persist()
+        ).select("id", "sig").localCheckpoint()
     cand = (
         _band_entries(sig_d, bands, rows_per_band, portable).alias("d")
         .join(_layer_df(spark, path, "bands", man).alias("r"), ["band", "bh"])
@@ -697,12 +732,9 @@ def dedup_against_index(
         .select(F.col("id_d").alias("_pid"))
         .distinct()
     )
-    out = survivors.join(
+    return survivors.join(
         near_hits, survivors[id_col] == near_hits["_pid"], "left_anti"
     )
-    from .dedup import _unpersist_with
-
-    return _unpersist_with(out, sig_d)
 
 
 # ---------------------------------------------------------------------------

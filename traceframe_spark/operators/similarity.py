@@ -1444,10 +1444,19 @@ def write_ivf_index(
             corpus, id_col, vec_col, n_centroids=n_centroids, seed=seed
         )
     rotation = None
+    shared_sample = None
+    if opq_rotate is True and isinstance(pq_samples, int):
+        # both trainers draw the md5-bottom sample with the same salt —
+        # collect it once at the larger size and hand prefixes to each
+        # (identical rows; see _md5_bottom_vecs)
+        shared_sample = _md5_bottom_vecs(
+            corpus, id_col, vec_col, max(1024, pq_samples * 64), "pq"
+        )
     if opq_rotate is True:
         rotation = opq_train_rotation(
             corpus, id_col, vec_col, m=pq_m,
             centroids=centroids if pq_residual else None,
+            sample_vecs=shared_sample,
         )
     elif opq_rotate:
         rotation = [[float(x) for x in r] for r in opq_rotate]
@@ -1456,6 +1465,7 @@ def write_ivf_index(
             corpus, id_col, vec_col, n_codes=pq_samples, m=pq_m,
             centroids=centroids if pq_residual else None,
             rotation=rotation,
+            sample_vecs=shared_sample,
         )
     cols = [
         F.col(id_col).alias("cid"),
@@ -1946,6 +1956,31 @@ def pq_sample_codebooks(
     return [[float(x) for x in r["v"]] for r in rows]
 
 
+def _md5_bottom_vecs(
+    corpus: DataFrame, id_col: str, vec_col: str, n: int, salt: str
+) -> list[list[float]]:
+    """The ``n`` corpus vectors with the smallest ``md5(salt|id)``
+    keys, in key order, as float lists — the one bounded
+    TakeOrderedAndProject every PQ/OPQ trainer draws its sample from.
+    Bottom-k for a smaller k is a PREFIX of bottom-k for a larger one
+    (same total order), so one collect can feed several trainers:
+    ``write_ivf_index`` passes the same collected rows to
+    :func:`opq_train_rotation` and :func:`pq_train_codebooks` instead
+    of paying the scan + sort-limit + collect twice."""
+    rows = (
+        corpus.select(
+            F.md5(
+                F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+            ).alias("h"),
+            F.col(vec_col).alias("v"),
+        )
+        .orderBy("h")
+        .limit(n)
+        .collect()
+    )
+    return [[float(x) for x in r["v"]] for r in rows]
+
+
 def pq_train_codebooks(
     corpus: DataFrame,
     id_col: str,
@@ -1957,6 +1992,7 @@ def pq_train_codebooks(
     salt: str = "pq",
     centroids: list[list[float]] | None = None,
     rotation: list[list[float]] | None = None,
+    sample_vecs: list[list[float]] | None = None,
 ) -> list[list[float]]:
     """TRAINED per-subspace PQ codebooks — Jégou et al. TPAMI 2011
     §II's actual formulation: independent k-means sub-quantizers, one
@@ -1988,22 +2024,16 @@ def pq_train_codebooks(
     :func:`pq_encode` / :func:`pq_adc_topk` /
     :func:`ivf_adc_topk_over_index` run unchanged on trained books."""
     n_sample = n_codes * sample_per_code
-    rows = (
-        corpus.select(
-            F.md5(
-                F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
-            ).alias("h"),
-            F.col(vec_col).alias("v"),
-        )
-        .orderBy("h")
-        .limit(n_sample)
-        .collect()
-    )
-    if len(rows) < n_codes:
+    if sample_vecs is not None:
+        # caller-shared md5-bottom sample (prefix property — see
+        # _md5_bottom_vecs); identical rows to collecting here
+        vecs = [list(v) for v in sample_vecs[:n_sample]]
+    else:
+        vecs = _md5_bottom_vecs(corpus, id_col, vec_col, n_sample, salt)
+    if len(vecs) < n_codes:
         raise ValueError(
-            f"pq_train_codebooks: corpus has {len(rows)} rows < n_codes={n_codes}"
+            f"pq_train_codebooks: corpus has {len(vecs)} rows < n_codes={n_codes}"
         )
-    vecs = [[float(x) for x in r["v"]] for r in rows]
     if centroids is not None:
         res = []
         for v in vecs:
@@ -2049,6 +2079,7 @@ def opq_train_rotation(
     n_sample: int = 1024,
     salt: str = "pq",
     centroids: list[list[float]] | None = None,
+    sample_vecs: list[list[float]] | None = None,
 ) -> list[list[float]]:
     """OPQ rotation (Ge et al. CVPR 2013, parametric solution): ONE
     orthogonal dim×dim matrix ``R`` applied before the subspace split,
@@ -2077,20 +2108,12 @@ def opq_train_rotation(
     rows-only at the gate, twinned by the unrotated ADC chain
     (``ann_ivfpq_adc``); parity tests pin streamed==batch on the
     STORED matrix, so nothing ever recomputes it."""
-    rows = (
-        corpus.select(
-            F.md5(
-                F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
-            ).alias("h"),
-            F.col(vec_col).alias("v"),
-        )
-        .orderBy("h")
-        .limit(n_sample)
-        .collect()
-    )
-    if not rows:
+    if sample_vecs is not None:
+        vecs = [list(v) for v in sample_vecs[:n_sample]]
+    else:
+        vecs = _md5_bottom_vecs(corpus, id_col, vec_col, n_sample, salt)
+    if not vecs:
         raise ValueError("opq_train_rotation: empty corpus")
-    vecs = [[float(x) for x in r["v"]] for r in rows]
     if centroids is not None:
         res = []
         for v in vecs:

@@ -590,6 +590,10 @@ def write_bigram_lm(
     )
     bi = bi.persist()
     try:
+        # one wide tokenize+count pass populates the cache; the layer
+        # writes and the |V| aggregate below then all read cached
+        # blocks and can run concurrently (guide §2.6)
+        bi.count()
         uni = bi.groupBy("w1").agg(F.sum("c12").alias("c1"))
         if protocol == "manifest":
             from traceframe_spark.streaming import manifest_store as MS
@@ -600,9 +604,21 @@ def write_bigram_lm(
                 replace=True, meta={"v": int(v)},
             )
             return
-        bi.write.mode("overwrite").parquet(f"{path}/bigrams")
-        uni.write.mode("overwrite").parquet(f"{path}/prefix")
-        v = bi.agg(F.count_distinct("w2")).first()[0]
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _w_bi() -> int:
+            bi.write.mode("overwrite").parquet(f"{path}/bigrams")
+            return 0
+
+        def _w_uni() -> int:
+            uni.write.mode("overwrite").parquet(f"{path}/prefix")
+            return 0
+
+        def _v() -> int:
+            return int(bi.agg(F.count_distinct("w2")).first()[0])
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            _, _, v = pool.map(lambda f: f(), (_w_bi, _w_uni, _v))
         from traceframe_spark.session import local_frame
 
         local_frame(spark, [(int(v),)], "v long").coalesce(1).write.mode(
@@ -1221,6 +1237,7 @@ def perplexity_buckets(
     method: str = "sampled",
     sample_k: int = 4096,
     allow_exact_global: bool = False,
+    _scored_joined: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet's head/middle/tail corpus split (Wenzek et al. 2019,
     arXiv:1911.00359 §4.3): score every document against the FROZEN
@@ -1288,19 +1305,26 @@ def perplexity_buckets(
         )
     if sample_k < n_buckets:
         raise ValueError("sample_k must be >= n_buckets")
-    scored = score_against_lm(
-        docs, lm_path, id_col=id_col, text_col=text_col
-    ).select(
-        "id",
-        F.floor(F.col("avg_logprob") * (10**quantize) + F.lit(0.5))
-        .cast("long")
-        .alias("logprob_q"),
-    )
-    side = docs.select(
-        F.col(id_col).alias("id"),
-        *([F.col(lang_col)] if lang_col else []),
-    )
-    s = scored.join(side, "id")
+    if _scored_joined is not None:
+        # perplexity_bucket_agreement runs BOTH cut strategies over the
+        # same scores; computing (and caching) the tokenize + stored-LM
+        # join chain once and passing the joined frame here halves the
+        # instrument's scoring work without touching either cut's logic.
+        s = _scored_joined
+    else:
+        scored = score_against_lm(
+            docs, lm_path, id_col=id_col, text_col=text_col
+        ).select(
+            "id",
+            F.floor(F.col("avg_logprob") * (10**quantize) + F.lit(0.5))
+            .cast("long")
+            .alias("logprob_q"),
+        )
+        side = docs.select(
+            F.col(id_col).alias("id"),
+            *([F.col(lang_col)] if lang_col else []),
+        )
+        s = scored.join(side, "id")
     out_cols = [
         F.col("id").alias(id_col),
         *([F.col(lang_col)] if lang_col else []),
@@ -1320,7 +1344,15 @@ def perplexity_buckets(
     # the tokenize + LM-join chain twice.
     from traceframe_spark.operators.dedup import _unpersist_with
 
-    s = s.persist()
+    if _scored_joined is None:
+        s = s.persist()
+        # Materialize eagerly: the threshold-prefix and cutoff frames
+        # below are broadcast, and their broadcast-build jobs launch
+        # concurrently BEFORE the cache is populated — each would re-run
+        # the tokenize + stored-LM join chain inside a single-task
+        # broadcast stage (the dedup_against_index finding; same fix).
+        # A caller-passed frame is the caller's to pin.
+        s.count()
     lk = F.col(lang_col) if lang_col else F.lit("")
     keyed = s.select(
         "id",
@@ -1390,7 +1422,7 @@ def perplexity_buckets(
         )
         .select(*out_cols, "bucket")
     )
-    return _unpersist_with(out, s)
+    return out if _scored_joined is not None else _unpersist_with(out, s)
 
 
 def perplexity_bucket_agreement(
@@ -1417,6 +1449,28 @@ def perplexity_bucket_agreement(
     Output: (id, [lang], logprob_q, bucket_exact, bucket_sampled,
     agree). Diagnostic only — the exact path sorts per language in one
     task, so run this on a bounded audit slice, not the full corpus."""
+    # Score ONCE for both cut strategies: the exact ntile and the
+    # sampled comparison cut are deterministic functions of the same
+    # (id, logprob_q[, lang]) frame, so running the tokenize +
+    # stored-LM join chain twice (one per strategy) bought nothing.
+    # The shared frame is pinned and materialized here — it feeds the
+    # exact window, the sampled two-pass cutoff derivation (whose
+    # broadcast builds would otherwise race to recompute it), and the
+    # final join.
+    scored = score_against_lm(
+        docs, lm_path, id_col=id_col, text_col=text_col
+    ).select(
+        "id",
+        F.floor(F.col("avg_logprob") * (10**quantize) + F.lit(0.5))
+        .cast("long")
+        .alias("logprob_q"),
+    )
+    side = docs.select(
+        F.col(id_col).alias("id"),
+        *([F.col(lang_col)] if lang_col else []),
+    )
+    s = scored.join(side, "id").persist()
+    s.count()
     ex = perplexity_buckets(
         docs,
         lm_path,
@@ -1427,6 +1481,7 @@ def perplexity_bucket_agreement(
         quantize=quantize,
         method="exact",
         allow_exact_global=True,
+        _scored_joined=s,
     ).select(
         F.col(id_col), F.col("bucket").alias("bucket_exact")
     )
@@ -1440,6 +1495,7 @@ def perplexity_bucket_agreement(
         quantize=quantize,
         method="sampled",
         sample_k=sample_k,
+        _scored_joined=s,
     ).withColumnRenamed("bucket", "bucket_sampled")
     out = sa.join(ex, id_col).select(
         F.col(id_col),
@@ -1451,6 +1507,6 @@ def perplexity_bucket_agreement(
         .cast("long")
         .alias("agree"),
     )
-    from traceframe_spark.operators.dedup import carry_cache
+    from traceframe_spark.operators.dedup import _unpersist_with, carry_cache
 
-    return carry_cache(out, sa)
+    return _unpersist_with(carry_cache(out, sa), s)

@@ -543,9 +543,33 @@ def commit_layer_frames(
         man["meta"].update(meta)
     if frames:
         cdir = f"{_DATA_DIR}/c-{n:012d}-{uuid.uuid4().hex[:8]}"
-        for layer in sorted(frames):
+        # The per-layer writes are independent Spark jobs into disjoint
+        # immutable directories, and NOTHING is published until the one
+        # manifest write below — so they can run concurrently from a
+        # small thread pool (guide §2.6: later jobs back-fill executors
+        # freed by the current job's tail) instead of paying one full
+        # job latency per layer in sequence. Atomicity is unchanged: a
+        # failure in any layer raises before the manifest is written,
+        # leaving only invisible directories. Callers that derive
+        # several layers from one persisted frame should materialize it
+        # first; the cache's per-block locks make the race correct
+        # either way, merely less parallel.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_layer(layer: str) -> None:
+            frames[layer].write.mode("errorifexists").parquet(
+                f"{path}/{cdir}/{layer}"
+            )
+
+        layers = sorted(frames)
+        if len(layers) == 1:
+            _write_layer(layers[0])
+        else:
+            with ThreadPoolExecutor(max_workers=min(4, len(layers))) as pool:
+                for _ in pool.map(_write_layer, layers):
+                    pass
+        for layer in layers:
             d = f"{cdir}/{layer}"
-            frames[layer].write.mode("errorifexists").parquet(f"{path}/{d}")
             if replace:
                 man["layers"][layer] = [d]
             else:
