@@ -1022,15 +1022,25 @@ def containment_pipeline(
     if collapse_exact:
         keep = exact_canonical_ids(df, id_col, text_col).select("_canon_id")
         base = df.join(keep, df[id_col] == keep["_canon_id"], "left_semi")
+    # localCheckpoint, NOT persist: downstream the shingle frame feeds
+    # several BROADCAST builds (dfreq, prefix, cand) whose jobs launch
+    # concurrently — with a lazy persist each re-ran the whole shingle
+    # subtree inside its own few-task broadcast stage (measured: three
+    # ~2 s broadcast-build stages per call, the row's dominant cost),
+    # and the cache keepalive dies as soon as a caller derives a new
+    # plan from the returned frame (the dedup_against_index finding).
+    # cpu=True pins the shingle kernel wide — AQE coalesces the tiny
+    # compressed text shuffle to 1-2 partitions, the wrong width for a
+    # CPU-bound per-row kernel.
     sh = (
-        spread(base, id_col)
+        spread(base, id_col, cpu=True)
         .select(
             F.col(id_col).alias("id"),
             char_shingles(F.lower(F.trim(F.col(text_col))), shingle_size).alias(
                 "shingles"
             ),
         )
-        .persist()
+        .localCheckpoint()
     )
     inv = sh.select("id", F.explode("shingles").alias("sh"))
     dfreq = inv.groupBy("sh").agg(F.count("*").alias("_df"))
@@ -1083,4 +1093,4 @@ def containment_pipeline(
         )
         .filter(F.col("containment") >= threshold)
     )
-    return _unpersist_with(verified, sh)
+    return verified

@@ -987,11 +987,16 @@ def embedding_near_dup_pairs(
     mask = (1 << per_band) - 1
     checked = _dim_checked(F.col(vec_col), dim)
     sig = hyperplane_signature(checked, planes)
+    # named signature column so the per-band shift/mask entries read ONE
+    # evaluated fold instead of re-running the n_planes x dim signature
+    # per band (see hyperplane_lsh_topk.banded)
     blocks = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(sig, b * per_band).bitwiseAND(F.lit(mask)).alias("key"),
+                F.shiftright(F.col("_sig"), b * per_band)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
             )
             for b in range(bands)
         ]
@@ -1000,7 +1005,9 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         l2_norm(F.col(vec_col)).alias("nrm"),
-        F.explode(blocks).alias("e"),
+        sig.alias("_sig"),
+    ).select(
+        "id", "vec", "nrm", F.explode(blocks).alias("e")
     ).select("id", "vec", "nrm", "e.band", "e.key")
     a, b = keyed.alias("a"), keyed.alias("b")
     # dedup the candidate id pairs BEFORE scoring: a true near-dup pair
@@ -1102,11 +1109,26 @@ def hyperplane_lsh_topk(
             if portable
             else hyperplane_signature(checked, planes)
         )
-        entries = _band_key_entries(sig, bands, per_band, multiprobe and side == "q")
+        # land the signature as a NAMED column first: the band-key
+        # entries reference it once per band (plus once per multiprobe
+        # perturbation), and an inlined signature tree is re-evaluated
+        # at every reference — the n_planes x dim fold, the dominant
+        # per-row cost, paid ``bands`` times per corpus row (measured
+        # 6x on the 24-plane portable query). A multiply-referenced
+        # non-cheap alias stays un-inlined (CollapseProject), so the
+        # fold runs once and the entries are cheap shift/mask reads.
+        entries = _band_key_entries(
+            F.col("_sig"), bands, per_band, multiprobe and side == "q"
+        )
         return df.select(
             F.col(id_col).alias(f"{side}id"),
             F.col(vec_col).alias(f"{side}_vec"),
             l2_norm(F.col(vec_col)).alias(f"{side}_nrm"),
+            sig.alias("_sig"),
+        ).select(
+            f"{side}id",
+            f"{side}_vec",
+            f"{side}_nrm",
             F.explode(F.array(*entries)).alias("e"),
         ).select(f"{side}id", f"{side}_vec", f"{side}_nrm", "e.band", "e.key")
 

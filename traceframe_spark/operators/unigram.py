@@ -341,9 +341,15 @@ def encode_against_unigram(
 ) -> DataFrame:
     """Tokenize against a STORED model (:func:`write_unigram_model`) —
     the steady-state shape shared with ``encode_against_bpe`` /
-    ``score_against_lm``: the training corpus is never re-read."""
+    ``score_against_lm``: the training corpus is never re-read.
+
+    Spread to cluster parallelism first: the Viterbi segmentation is
+    CPU-bound per row and a small corpus otherwise scans as 1-2
+    parquet row groups (the ``encode_against_bpe`` width rule)."""
+    from traceframe_spark.operators.dedup import spread
+
     return encode_unigram(
-        df,
+        spread(df, id_col, cpu=True),
         load_unigram_vocab(df.sparkSession, path),
         id_col=id_col,
         text_col=text_col,

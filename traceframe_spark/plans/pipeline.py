@@ -2693,10 +2693,17 @@ def q_bpe_encode_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
     word multiset to the final per-word symbol counts."""
     from traceframe_spark.operators import bpe
 
+    from traceframe_spark.operators.dedup import spread
+
     d = load_table(spark, sf_dir, "documents")
     merges, syms = bpe.learn_bpe(d, _BPE_N_MERGES)
     try:
-        enc = bpe.encode(d.filter(F.col("text").isNotNull()), merges)
+        # spread before the CPU-bound merge-chain projection: the small
+        # corpus scans as one row group and the encode otherwise runs
+        # single-task (the encode_against_bpe width rule)
+        enc = bpe.encode(
+            spread(d.filter(F.col("text").isNotNull()), "doc_id", cpu=True), merges
+        )
         return (
             enc.select("doc_id", F.size("tokens").cast("long").alias("n_tokens"))
             .localCheckpoint(eager=True)
