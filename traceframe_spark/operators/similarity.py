@@ -2578,7 +2578,23 @@ def ivf_adc_topk_over_index(
         q = exploded.select(
             "qid", _pq_lut_expr("_qv", samples, m, d).alias("lut"), "list_id"
         )
-    probed = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})
+    # the probed-list set depends only on queries x centroids — collect
+    # it from a MINIMAL plan rather than q.select("list_id"): column
+    # pruning drops the LUT/rotation columns at optimization time
+    # anyway, but ANALYSIS still walks their m x n_codes x d (+ dim²
+    # for OPQ) expression trees, a measurable driver cost per probe
+    probed = sorted(
+        {
+            r["list_id"]
+            for r in queries.select(
+                F.explode(
+                    ivf_probe_lists(F.col(vec_col), centroids, nprobe)
+                ).alias("list_id")
+            )
+            .distinct()
+            .collect()
+        }
+    )
     live = {key.split("=", 1)[1] for key in man["layers"] if key.startswith("list_id=")}
     vals = [str(v) for v in probed if str(v) in live]
     if not live or not vals:

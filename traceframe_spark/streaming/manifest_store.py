@@ -631,15 +631,49 @@ def append_parts_layer(
         for k in [k for k in man["layers"] if k.startswith(prefix)]:
             del man["layers"][k]
     cdir = f"{_DATA_DIR}/c-{n:012d}-{uuid.uuid4().hex[:8]}"
-    df.write.mode("errorifexists").partitionBy(part_col).parquet(f"{path}/{cdir}")
+    # the partitioned write and each extra layer are independent Spark
+    # jobs into disjoint immutable commit directories (each extra gets
+    # its own uniformly-named c-* dir so the main partitioned write's
+    # errorifexists contract on ITS dir is untouched) — overlap them
+    # (guide §2.6, the commit_layer_frames discipline): an IVF-PQ build
+    # otherwise pays the ids_bloom aggregation as a full serial job
+    # after the encode+write job's tail. Atomicity unchanged — a
+    # failure raises before the manifest publish, leaving only
+    # invisible directories (the vacuum orphan sweep already reclaims
+    # unpublished c-* dirs numbered at or below the newest commit).
+    extra_names = sorted(extra_layers or {})
+    extra_dirs = {
+        name: f"{_DATA_DIR}/c-{n:012d}-{uuid.uuid4().hex[:8]}/{name}"
+        for name in extra_names
+    }
+
+    def _write_main() -> None:
+        df.write.mode("errorifexists").partitionBy(part_col).parquet(
+            f"{path}/{cdir}"
+        )
+
+    def _write_extra(name: str) -> None:
+        extra_layers[name].write.mode("errorifexists").parquet(
+            f"{path}/{extra_dirs[name]}"
+        )
+
+    if extra_names:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1 + len(extra_names)) as pool:
+            futs = [pool.submit(_write_main)]
+            futs += [pool.submit(_write_extra, nm) for nm in extra_names]
+            for f in futs:
+                f.result()
+    else:
+        _write_main()
     fs, cpath = _fs_path(spark, f"{path}/{cdir}")
     for status in fs.listStatus(cpath):
         name = status.getPath().getName()
         if name.startswith(prefix):
             man["layers"].setdefault(name, []).append(f"{cdir}/{name}")
-    for name in sorted(extra_layers or {}):
-        d = f"{cdir}/{name}"
-        extra_layers[name].write.mode("errorifexists").parquet(f"{path}/{d}")
+    for name in extra_names:
+        d = extra_dirs[name]
         if replace:
             man["layers"][name] = [d]
         else:
