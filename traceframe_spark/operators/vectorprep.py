@@ -319,16 +319,33 @@ def embedding_drift(
     through the scans. Output (label, n_a, n_b, cos_q) with cos_q on
     the suite's 1e-4 cosine grid (same as similarity's re-rank).
     """
-    ca = label_centroids(a, label_col, vec_col, dim, quantize)
-    cb = label_centroids(b, label_col, vec_col, dim, quantize)
-    na = a.groupBy(F.col(label_col).alias("label")).agg(F.count("*").alias("n_a"))
-    nb = b.groupBy(F.col(label_col).alias("label")).agg(F.count("*").alias("n_b"))
-    j = (
-        ca.withColumnRenamed("centroid", "c_a")
-        .join(cb.withColumnRenamed("centroid", "c_b"), "label")
-        .join(na, "label")
-        .join(nb, "label")
-    )
+    # ONE aggregation per snapshot: the member count rides in the same
+    # groupBy as the centroid components (identical values — avg/count
+    # are unchanged by sharing the aggregate), so the plan carries two
+    # aggregation subtrees and one join instead of four subtrees and
+    # three joins — each dropped subtree was a separate broadcast-build
+    # job paying its own whole-stage-codegen compile of the dim-wide
+    # aggregate (measured: two ~1.4 s single-task builds on this row).
+    def _cent_n(df: DataFrame, n_name: str, c_name: str) -> DataFrame:
+        vec = F.col(vec_col)
+        comps = [
+            F.floor(
+                F.avg(F.element_at(vec, i + 1).cast("double")) * (10**quantize)
+                + F.lit(0.5)
+            ).cast("long")
+            for i in range(dim)
+        ]
+        return df.groupBy(F.col(label_col).alias("label")).agg(
+            F.count("*").alias(n_name), F.array(*comps).alias("_cq")
+        ).select(
+            "label",
+            n_name,
+            F.transform(
+                F.col("_cq"), lambda x: x.cast("double") / (10**quantize)
+            ).alias(c_name),
+        )
+
+    j = _cent_n(a, "n_a", "c_a").join(_cent_n(b, "n_b", "c_b"), "label")
     cos = dot_f64(F.col("c_a"), F.col("c_b")) / (
         l2_norm(F.col("c_a")) * l2_norm(F.col("c_b"))
     )

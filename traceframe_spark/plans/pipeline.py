@@ -2958,8 +2958,13 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-rule flags + keep verdict in one zero-shuffle scan, with every
     rule's threshold comparison replayed on the 1e-4 grid by the
     oracle — including the stopword-argmax language guess."""
+    from traceframe_spark.operators.dedup import spread
+
+    # the gate is a CPU-bound per-doc kernel (~30x a shuffle per byte,
+    # measured); spread to cluster width — a small corpus scans as one
+    # row group and the whole projection otherwise runs single-task
     d = load_table(spark, sf_dir, "documents")
-    return text.quality_gate(d, "doc_id", "text")
+    return text.quality_gate(spread(d, "doc_id", cpu=True), "doc_id", "text")
 
 
 SQL_QUALITY_GATE = f"""
@@ -3322,9 +3327,21 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     publishes with every corpus snapshot. Pure composition of existing
     pieces (content_key + quality_gate), one scan + one grouped
     aggregate after the gate's zero-shuffle projection."""
+    from traceframe_spark.operators.dedup import spread
+
+    # carry source/n_chars through the gate instead of re-joining the
+    # corpus onto it: the join broadcast-built the ENTIRE CPU-heavy
+    # gate projection in one task (measured 5.1 s single-task stage —
+    # the row's whole cost); carry makes the plan one scan → gate
+    # projection → grouped aggregate, and the spread runs the
+    # projection at cluster width instead of the small file's single
+    # row group. Identical rows: the inner join kept exactly the
+    # gate's non-NULL-text row set, which is what the gate emits.
     d = load_table(spark, sf_dir, "documents")
-    gate = text.quality_gate(d, "doc_id", "text")
-    joined = d.join(gate.select("doc_id", "keep"), "doc_id")
+    joined = text.quality_gate(
+        spread(d, "doc_id", cpu=True), "doc_id", "text",
+        carry=("source", "n_chars", "text"),
+    )
     return (
         joined.groupBy("source")
         .agg(

@@ -48,8 +48,15 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated-5-gram char coverage (both UNION form, <= 1). The oracle
     replays lines/grams/coverage with window functions + unnest —
     structurally the same relational plan the operator itself runs."""
+    from traceframe_spark.operators.dedup import spread
+
     d = load_table(spark, sf_dir, "documents")
-    planted = d.select("doc_id", _planted_lines(F.col("text")).alias("text"))
+    # spread before the repetition kernel (line/gram coverage is a
+    # CPU-bound per-doc computation; the small corpus scans as one row
+    # group and otherwise runs single-task — the quality_gate width rule)
+    planted = spread(d, "doc_id", cpu=True).select(
+        "doc_id", _planted_lines(F.col("text")).alias("text")
+    )
     r = T.gopher_repetition_profile(planted, "doc_id", "text")
     return r.select(
         "doc_id",
