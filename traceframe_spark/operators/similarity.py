@@ -1315,6 +1315,7 @@ def _assigned_with_code(
     m: int,
     residual: bool,
     rotation: list[list[float]] | None,
+    spread_key: str | None = None,
 ) -> DataFrame:
     """The shared encode projection of the IVF build AND append paths:
     (cid, c_vec, c_nrm, list_id) plus, on a PQ index, the ``code``
@@ -1325,7 +1326,21 @@ def _assigned_with_code(
     centroid-matrix / rotation tree directly would copy that literal
     into every read (a plan large enough to OOM the driver); an
     attribute reference is one node, and CollapseProject keeps a
-    non-cheap multiply-referenced alias un-inlined."""
+    non-cheap multiply-referenced alias un-inlined.
+
+    On a PQ index the projection is CPU-BOUND (per row: the rotation's
+    dim² fold plus m × n_codes × (dim/m) code distances), and a small
+    corpus scans as 1-2 parquet splits — the encode then runs on 1-2
+    cores of the whole cluster, ahead of the list_id exchange
+    (measured: a 3.1 s single-task map stage on the OPQ build).
+    ``spread_key`` hash-spreads the rows to ``defaultParallelism``
+    first — scale-adaptive width, same recipe as the BPE store-encode
+    path; the extra narrow shuffle is vectors only and the downstream
+    list_id exchange is unchanged."""
+    if pq is not None and spread_key is not None:
+        from traceframe_spark.operators.dedup import spread
+
+        src = spread(src, spread_key, cpu=True)
     base = src.select(*cols)
     if pq is None:
         return base
@@ -1496,7 +1511,8 @@ def write_ivf_index(
         ivf_assign(F.col(vec_col), centroids).alias("list_id"),
     ]
     assigned = _assigned_with_code(
-        corpus, cols, centroids, pq_samples, pq_m, pq_residual, rotation
+        corpus, cols, centroids, pq_samples, pq_m, pq_residual, rotation,
+        spread_key=id_col,
     )
     if protocol == "manifest":
         from traceframe_spark.streaming import manifest_store as MS
@@ -1662,6 +1678,7 @@ def append_to_ivf_index(
         new_rows, cols, centroids,
         meta.get("pq_samples"), int(meta.get("pq_m", 8)),
         bool(meta.get("pq_residual")), meta.get("opq_rotation"),
+        spread_key=id_col,
     )
     if man is not None:
         from traceframe_spark.streaming import manifest_store as MS
