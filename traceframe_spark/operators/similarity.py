@@ -673,6 +673,7 @@ def semdedup_pairs(
     min_cos_q: int = 3000,
     quantize: int = 4,
     block: int = 1024,
+    _pre: tuple["np.ndarray", "np.ndarray"] | None = None,
 ) -> DataFrame:
     """Semantic near-duplicate pairs, SemDeDup-shaped (cluster first,
     compare only within a cluster — Abbas et al. 2023, arXiv:2303.09540).
@@ -702,7 +703,10 @@ def semdedup_pairs(
     (``graph.connected_components`` → keep-canonical), same as the
     MinHash/SimHash candidate streams.
     """
-    cids, cmat = collect_centroids(centroids, "centroid_id", vec_col)
+    cids, cmat = (
+        _pre if _pre is not None
+        else collect_centroids(centroids, "centroid_id", vec_col)
+    )
     ascale = float(10**quantize)
     assigned = nearest_centroid_scan(
         corpus, cids, cmat, id_col, vec_col, quantize=quantize, keep_vec=True
@@ -747,6 +751,7 @@ def semdedup_keep(
     quantize: int = 4,
     block: int = 1024,
     keep: str = "far",
+    _pre: tuple["np.ndarray", "np.ndarray"] | None = None,
 ) -> DataFrame:
     """The full SemDeDup keep decision (Abbas et al. 2023,
     arXiv:2303.09540 §2), end to end: cluster → within-cluster
@@ -780,10 +785,18 @@ def semdedup_keep(
         raise ValueError(f"keep must be 'far' or 'near', got {keep!r}")
     from traceframe_spark.operators.graph import connected_components
 
-    cids, cmat = collect_centroids(centroids, "centroid_id", vec_col)
+    # collect the (bounded, k-row) centroid set ONCE and hand the numpy
+    # pair to the pair kernel too — the naive form collected the same
+    # frame twice, and when the frame is a parallelized local relation
+    # each collect is a full Python-worker roundtrip job
+    cids, cmat = (
+        _pre if _pre is not None
+        else collect_centroids(centroids, "centroid_id", vec_col)
+    )
     pairs = semdedup_pairs(
         corpus, centroids, id_col, vec_col,
         min_cos_q=min_cos_q, quantize=quantize, block=block,
+        _pre=(cids, cmat),
     )
     comp = connected_components(pairs, "id_a", "id_b")
     assigned = nearest_centroid_scan(
@@ -845,16 +858,18 @@ def semdedup_keep_over_index(
     centroids, _man = (
         resolved if resolved is not None else _ivf_resolve(spark, path)
     )
-    from traceframe_spark.session import local_frame
-
-    cdf = local_frame(
-        spark,
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        f"centroid_id long, {vec_col} array<double>",
-    )
+    # the resolved centroids are ALREADY a driver-local list — hand the
+    # numpy pair straight to the keep decision instead of wrapping them
+    # in a parallelized relation that collect_centroids would only ship
+    # back (measured: two ~1 s single-task Python-worker roundtrips per
+    # probe, pure overhead). cids are the list positions, ascending —
+    # exactly collect_centroids' sorted order on the old local frame.
+    cids = np.arange(len(centroids), dtype=np.int64)
+    cmat = np.array([[float(x) for x in c] for c in centroids], dtype=np.float64)
     return semdedup_keep(
-        corpus, cdf, id_col, vec_col,
+        corpus, None, id_col, vec_col,
         min_cos_q=min_cos_q, quantize=quantize, block=block, keep=keep,
+        _pre=(cids, cmat),
     )
 
 
