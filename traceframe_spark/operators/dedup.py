@@ -219,32 +219,31 @@ def minhash_signatures(
     base = spread(df, id_col, cpu=True).select(
         F.col(id_col).alias("id"), sh.alias("shingles")
     )
+    # the k-family fold lands as ONE parsed SQL expression: building it
+    # from Column objects costs O(n_hashes) py4j round-trips per plan
+    # (measured 0.7 s portable / 0.45 s xxhash64 PER CONSTRUCTION, and
+    # the index/probe rows construct it 2-3x per query); the parsed
+    # tree is the same arithmetic in the same order, so every stored
+    # signature value is unchanged. Same fix as _pq_lut_expr and
+    # portable_hyperplane_signature.
     if portable:
-        p = F.lit(PORTABLE_P)
         fams = [portable_family(i) for i in range(n_hashes)]
-        hs = F.transform(
-            F.col("shingles"),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % p,
-        )
-        sig = F.aggregate(
-            hs,
-            F.array(*[F.lit(PORTABLE_P).cast("long") for _ in range(n_hashes)]),
-            lambda acc, h: F.zip_with(
-                acc,
-                F.array(*[(F.lit(a) * h + F.lit(b)) % p for a, b in fams]),
-                lambda x, y: F.least(x, y),
-            ),
+        init = ", ".join(f"CAST({PORTABLE_P} AS BIGINT)" for _ in range(n_hashes))
+        upd = ", ".join(f"({a} * h + {b}) % {PORTABLE_P}" for a, b in fams)
+        sig = F.expr(
+            "aggregate("
+            "transform(shingles, s -> "
+            f"CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT) % {PORTABLE_P}), "
+            f"array({init}), "
+            f"(acc, h) -> zip_with(acc, array({upd}), (x, y) -> least(x, y)))"
         )
         return base.select("id", "shingles", sig.alias("sig"))
     max_long = (1 << 63) - 1
-    sig = F.aggregate(
-        F.col("shingles"),
-        F.array(*[F.lit(max_long).cast("long") for _ in range(n_hashes)]),
-        lambda acc, s: F.zip_with(
-            acc,
-            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(n_hashes)]),
-            lambda a, b: F.least(a, b),
-        ),
+    init = ", ".join(f"CAST({max_long} AS BIGINT)" for _ in range(n_hashes))
+    upd = ", ".join(f"xxhash64(s, {i})" for i in range(n_hashes))
+    sig = F.expr(
+        f"aggregate(shingles, array({init}), "
+        f"(acc, s) -> zip_with(acc, array({upd}), (a, b) -> least(a, b)))"
     )
     return base.select("id", "shingles", sig.alias("sig"))
 
@@ -549,6 +548,15 @@ def simhash64(col: Column, shingle_size: int = 4) -> Column:
     return fp
 
 
+# sign-of-vote bit packing shared by both simhash_fingerprints paths:
+# left-associated OR chain from 0L, exactly the Column-built original
+_FP_OR_CHAIN = "CAST(0 AS BIGINT)" + "".join(
+    f" | (CASE WHEN _v{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+    "ELSE CAST(0 AS BIGINT) END)"
+    for i in range(64)
+)
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str, shingle_size: int = 4,
     portable: bool = False,
@@ -582,41 +590,29 @@ def simhash_fingerprints(
             F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long").alias("h1"),
             F.conv(F.substring(F.md5("sh"), 9, 8), 16, 10).cast("long").alias("h2"),
         )
+        # the 64 vote aggregates and the 64-term fingerprint OR-chain
+        # land as parsed SQL (one F.expr each / one for the chain):
+        # the Column-built forms cost ~1.8 s of py4j PER CONSTRUCTION
+        # (measured); same expressions, same votes, same fingerprint
         votes = exploded.groupBy("id").agg(
             *[
-                F.sum(
-                    F.shiftright(
-                        F.col("h1") if i < 32 else F.col("h2"),
-                        i if i < 32 else i - 32,
-                    ).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
+                F.expr(
+                    "sum(CAST(shiftright("
+                    + ("h1" if i < 32 else "h2")
+                    + f", {i if i < 32 else i - 32}) & 1 AS INT) * 2 - 1)"
                 ).alias(f"_v{i}")
                 for i in range(64)
             ]
         )
-        fp = F.lit(0).cast("long")
-        for i in range(64):
-            fp = fp.bitwiseOR(
-                F.when(
-                    F.col(f"_v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-                ).otherwise(F.lit(0).cast("long"))
-            )
-        return votes.select("id", fp.alias("fp"))
+        return votes.select("id", F.expr(_FP_OR_CHAIN).alias("fp"))
     exploded = base.select("id", F.xxhash64(F.col("sh")).alias("h"))
-    h = F.col("h")
     votes = exploded.groupBy("id").agg(
         *[
-            F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int") * 2 - 1).alias(f"_v{i}")
+            F.expr(f"sum(CAST(shiftright(h, {i}) & 1 AS INT) * 2 - 1)").alias(f"_v{i}")
             for i in range(64)
         ]
     )
-    fp = F.lit(0).cast("long")
-    for i in range(64):
-        fp = fp.bitwiseOR(
-            F.when(F.col(f"_v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return votes.select("id", fp.alias("fp"))
+    return votes.select("id", F.expr(_FP_OR_CHAIN).alias("fp"))
 
 
 def simhash_near_dup_pairs(

@@ -922,19 +922,33 @@ def portable_hyperplane_signature(
     )
     # W^T as a literal array<array<long>>: entry j holds every plane's
     # weight for vector position j, so zip_with(q, W_T) pairs each
-    # quantized element with its column of the weight matrix
-    w_t = F.array(
-        *[
-            F.array(*[F.lit(weights[i][j]) for i in range(n_planes)])
+    # quantized element with its column of the weight matrix. The three
+    # literal arrays land as ONE parsed SQL expression each — building
+    # them from Column objects costs O(n_planes·dim) py4j round-trips
+    # PER QUERY PLAN (the _pq_lut_expr lesson: ~2 s of driver time per
+    # signed side, measured on the bitext chain); the parsed tree is
+    # node-identical, so every signature bit is unchanged.
+    w_t = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(str(int(weights[i][j])) for i in range(n_planes)) + ")"
             for j in range(len(weights[0]))
-        ]
+        )
+        + ")"
+    )
+    zeros = F.expr(
+        "array(" + ", ".join("CAST(0 AS BIGINT)" for _ in range(n_planes)) + ")"
     )
     dots = F.aggregate(
         F.zip_with(q, w_t, lambda x, ws: F.transform(ws, lambda w: w * x)),
-        F.array(*[F.lit(0).cast("long") for _ in range(n_planes)]),
+        zeros,
         lambda acc, contrib: F.zip_with(acc, contrib, lambda a, c: a + c),
     )
-    pow2 = F.array(*[F.shiftleft(F.lit(1).cast("long"), i) for i in range(n_planes)])
+    pow2 = F.expr(
+        "array("
+        + ", ".join(f"shiftleft(CAST(1 AS BIGINT), {i})" for i in range(n_planes))
+        + ")"
+    )
     return F.aggregate(
         F.zip_with(
             dots,
@@ -957,18 +971,30 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     order is preserved (position 0,1,2,… per plane), so the float sums
     — and therefore every signature bit — are unchanged."""
     n_planes = len(planes)
-    w_t = F.array(
-        *[
-            F.array(*[F.lit(float(planes[i][j])) for i in range(n_planes)])
+    # literal arrays as ONE parsed SQL expression each (py4j-cost fix,
+    # see portable_hyperplane_signature); CAST('repr' AS DOUBLE) is the
+    # exact string round-trip the _pq_subdist_sql oracles rely on, so
+    # every weight — and every signature bit — is unchanged
+    w_t = F.expr(
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(f"CAST('{float(planes[i][j])!r}' AS DOUBLE)" for i in range(n_planes))
+            + ")"
             for j in range(len(planes[0]))
-        ]
+        )
+        + ")"
     )
     dots = F.aggregate(
         F.zip_with(vec, w_t, lambda x, ws: F.transform(ws, lambda w: w * x.cast("double"))),
-        F.array(*[F.lit(0.0) for _ in range(n_planes)]),
+        F.expr("array(" + ", ".join("CAST(0.0 AS DOUBLE)" for _ in range(n_planes)) + ")"),
         lambda acc, contrib: F.zip_with(acc, contrib, lambda a, c: a + c),
     )
-    pow2 = F.array(*[F.shiftleft(F.lit(1).cast("long"), i) for i in range(n_planes)])
+    pow2 = F.expr(
+        "array("
+        + ", ".join(f"shiftleft(CAST(1 AS BIGINT), {i})" for i in range(n_planes))
+        + ")"
+    )
     return F.aggregate(
         F.zip_with(
             dots,
