@@ -1311,12 +1311,22 @@ def train_ivf_centroids(
     return cents.tolist()
 
 
+def _lit_darray(vals) -> Column:
+    """A literal array<double> as ONE parsed SQL expression — the
+    Column-built form costs one py4j round-trip per element per plan
+    (the _pq_subdist_sql lesson); CAST('repr' AS DOUBLE) string
+    round-trip parses to the identical float64."""
+    return F.expr(
+        "array(" + ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals) + ")"
+    )
+
+
 def _dist2(vec: Column, cent: list[float]) -> Column:
     """Squared L2 distance from an array<float> column to a fixed centroid."""
     return F.aggregate(
         F.zip_with(
             vec,
-            F.array(*[F.lit(float(c)) for c in cent]),
+            _lit_darray(cent),
             lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
         ),
         F.lit(0.0),
@@ -2259,8 +2269,13 @@ def ivf_residual(
     a centroid-sized cell instead of the whole space). The centroid
     matrix rides as a plan literal (same discipline as
     :func:`ivf_assign`); per-element arithmetic is float64."""
-    cmat = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    cmat = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c) + ")"
+            for c in centroids
+        )
+        + ")"
     )
     return F.zip_with(
         vec,

@@ -244,12 +244,13 @@ def kmeans_fit(
         assigned = nearest_centroid_scan(
             df, cids, cmat, id_col, vec_col, quantize=quantize, keep_vec=True
         )
+        # dim parsed-SQL aggregates instead of dim Column trees: the
+        # Column form costs O(dim) py4j round-trips PER ITERATION (the
+        # _pq_lut_expr lesson); identical expressions, identical means
         comps = [
-            (
-                F.floor(
-                    F.avg(F.get(F.col("vec"), i)) * cgrid + F.lit(0.5)
-                ).cast("double")
-                / cgrid
+            F.expr(
+                f"CAST(floor(avg(get(vec, {i})) * {cgrid} + CAST(0.5 AS DOUBLE)) "
+                f"AS DOUBLE) / {cgrid}"
             ).alias(f"c{i}")
             for i in range(dim)
         ]
@@ -276,11 +277,11 @@ def label_centroids(
     shuffle; components quantized at 10^-q so the centroid is integer-
     exact across engines (a raw double mean depends on summation order).
     Output (label, centroid array<double> on the quantized grid)."""
-    vec = F.col(vec_col)
     comps = [
-        F.floor(
-            F.avg(F.element_at(vec, i + 1).cast("double")) * (10**quantize) + F.lit(0.5)
-        ).cast("long")
+        F.expr(
+            f"CAST(floor(avg(CAST(element_at({vec_col}, {i + 1}) AS DOUBLE)) "
+            f"* {10**quantize} + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        )
         for i in range(dim)
     ]
     agg = df.groupBy(F.col(label_col).alias("label")).agg(
@@ -327,12 +328,11 @@ def embedding_drift(
     # job paying its own whole-stage-codegen compile of the dim-wide
     # aggregate (measured: two ~1.4 s single-task builds on this row).
     def _cent_n(df: DataFrame, n_name: str, c_name: str) -> DataFrame:
-        vec = F.col(vec_col)
         comps = [
-            F.floor(
-                F.avg(F.element_at(vec, i + 1).cast("double")) * (10**quantize)
-                + F.lit(0.5)
-            ).cast("long")
+            F.expr(
+                f"CAST(floor(avg(CAST(element_at({vec_col}, {i + 1}) AS DOUBLE)) "
+                f"* {10**quantize} + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+            )
             for i in range(dim)
         ]
         return df.groupBy(F.col(label_col).alias("label")).agg(
