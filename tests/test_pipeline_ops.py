@@ -1071,18 +1071,23 @@ def test_dedup_cache_released_with_plan(spark, near_dup_docs):
     frame per dedup call)."""
     import gc
 
-    def n_cached() -> int:
-        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    def cached_ids() -> set:
+        # track SPECIFIC rdd ids, not the global count: other tests'
+        # dropped caches are released asynchronously (GC-tied unpersist
+        # + Spark's ContextCleaner), so a count delta is racy in a
+        # long shared session (observed as a full-suite-order flake)
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
 
-    base = n_cached()
+    base = cached_ids()
     pairs = dedup.minhash_dedup_pairs(
         near_dup_docs, "doc_id", "text", threshold=0.6, n_hashes=64, bands=16
     )
     pairs.collect()
-    assert n_cached() > base  # signatures were cached during execution
+    mine = cached_ids() - base
+    assert mine  # signatures were cached during execution
     del pairs
     gc.collect()
-    assert n_cached() == base
+    assert not (cached_ids() & mine)  # ...and released with the plan
 
 
 def test_dedup_cache_survives_derivation_with_carry(spark, near_dup_docs):
@@ -1091,10 +1096,12 @@ def test_dedup_cache_survives_derivation_with_carry(spark, near_dup_docs):
     the cache still releases when the derived plan dies."""
     import gc
 
-    def n_cached() -> int:
-        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    def cached_ids() -> set:
+        # specific-id tracking, same rationale as
+        # test_dedup_cache_released_with_plan
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
 
-    base = n_cached()
+    base = cached_ids()
     pairs = dedup.minhash_dedup_pairs(
         near_dup_docs, "doc_id", "text", threshold=0.6, n_hashes=64, bands=16
     )
@@ -1102,10 +1109,11 @@ def test_dedup_cache_survives_derivation_with_carry(spark, near_dup_docs):
     del pairs
     gc.collect()
     derived.collect()
-    assert n_cached() > base  # cache alive through the derived execution
+    mine = cached_ids() - base
+    assert mine  # cache alive through the derived execution
     del derived
     gc.collect()
-    assert n_cached() == base
+    assert not (cached_ids() & mine)  # released when the derived plan dies
 
 
 def test_ivf_index_append_matches_full_build(spark, embeddings, tmp_path):
