@@ -686,31 +686,33 @@ def dedup_against_index(
             "with the MinHash layers"
         )
 
-    # localCheckpoint, NOT persist: the band join, the sig join, and
-    # the final anti-join below each sit under their own
-    # broadcast-exchange job, and those jobs launch concurrently — with
-    # a lazy persist each one re-ran the whole shingle+MinHash subtree
-    # inside its own single-task broadcast-build stage (measured: three
-    # concurrent ~4 s single-task stages per probe, the probe's entire
-    # cost). Worse, a persist's cache entry died with the returned
-    # frame's keepalive the moment a caller derived a new plan
-    # (`probe(...).select(id)` — every registry row), silently
-    # reverting to the recompute. The checkpoint materializes the
-    # kernel ONCE, wide, at call time, and the pinned blocks ride the
-    # plan itself (LogicalRDD) through any derivation; delta-bounded
-    # narrow rows (id + n_hashes longs), same bound as the append
-    # path's checkpoint.
+    # LAZY persist, not an eager localCheckpoint (r15 re-A/B of the r14
+    # conversion, tools/ab_probe_r15.py, standing-store probes
+    # best-of-5 per fresh session): the eager checkpoint is a
+    # serializing barrier — the whole delta MinHash chain materializes
+    # in its own job before ANY of the probe's joins can start
+    # (measured 3.07 s vs 1.96 s for this form; the r13 record was
+    # 1.80 s). A lazy persist has no barrier, and the band join / sig
+    # join / anti-join broadcast builds that launch concurrently SHARE
+    # the computation through BlockInfoManager's per-partition write
+    # locks (one task computes, racers block on the lock, everyone
+    # reads the cached block) — unpinned, the racers each recompute
+    # the subtree and occasionally collide badly (best-of-5 tail up to
+    # 20 s). The cache entry's lifetime rides the RETURNED frame
+    # (`_unpersist_with` below); callers deriving a new plan carry it
+    # with :func:`~.dedup.carry_cache`, exactly the minhash_dedup_pairs
+    # contract.
+    from .dedup import _unpersist_with
+
     if sigs is not None:
         surv_ids = survivors.select(F.col(id_col).alias("id"))
         sig_d = (
-            sigs.select("id", "sig")
-            .join(surv_ids, "id", "left_semi")
-            .localCheckpoint()
+            sigs.select("id", "sig").join(surv_ids, "id", "left_semi").persist()
         )
     else:
         sig_d = minhash_signatures(
             survivors, id_col, text_col, n_hashes, shingle_size, portable=portable
-        ).select("id", "sig").localCheckpoint()
+        ).select("id", "sig").persist()
     cand = (
         _band_entries(sig_d, bands, rows_per_band, portable).alias("d")
         .join(_layer_df(spark, path, "bands", man).alias("r"), ["band", "bh"])
@@ -732,8 +734,11 @@ def dedup_against_index(
         .select(F.col("id_d").alias("_pid"))
         .distinct()
     )
-    return survivors.join(
-        near_hits, survivors[id_col] == near_hits["_pid"], "left_anti"
+    return _unpersist_with(
+        survivors.join(
+            near_hits, survivors[id_col] == near_hits["_pid"], "left_anti"
+        ),
+        sig_d,
     )
 
 

@@ -26,11 +26,29 @@ north_star).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _dlit(v) -> str:
+    """One float64 as a Spark SQL double literal. Finite values use the
+    exact ``repr`` string round-trip (``CAST('<repr>' AS DOUBLE)`` parses
+    to the identical float64 — the form every oracle replays); non-finite
+    values need the named special literals, because ``repr`` yields
+    ``'inf'``/``'nan'`` which a string cast maps to NULL (or an ANSI
+    error) — a silent signature/distance corruption if a degenerate
+    centroid or plane ever carries one."""
+    v = float(v)
+    if math.isfinite(v):
+        return f"CAST('{v!r}' AS DOUBLE)"
+    if math.isnan(v):
+        return "CAST('NaN' AS DOUBLE)"
+    return f"CAST('{'Infinity' if v > 0 else '-Infinity'}' AS DOUBLE)"
 
 
 def dot_f64(a: Column, b: Column) -> Column:
@@ -667,7 +685,7 @@ def collect_centroids(
 
 def semdedup_pairs(
     corpus: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None,
     id_col: str,
     vec_col: str,
     min_cos_q: int = 3000,
@@ -703,6 +721,11 @@ def semdedup_pairs(
     (``graph.connected_components`` → keep-canonical), same as the
     MinHash/SimHash candidate streams.
     """
+    if _pre is None and centroids is None:
+        raise ValueError(
+            "semdedup_pairs needs a centroids DataFrame (or a "
+            "pre-collected (cids, cmat) pair via _pre)"
+        )
     cids, cmat = (
         _pre if _pre is not None
         else collect_centroids(centroids, "centroid_id", vec_col)
@@ -744,7 +767,7 @@ def semdedup_pairs(
 
 def semdedup_keep(
     corpus: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None,
     id_col: str,
     vec_col: str,
     min_cos_q: int = 3000,
@@ -789,6 +812,11 @@ def semdedup_keep(
     # pair to the pair kernel too — the naive form collected the same
     # frame twice, and when the frame is a parallelized local relation
     # each collect is a full Python-worker roundtrip job
+    if _pre is None and centroids is None:
+        raise ValueError(
+            "semdedup_keep needs a centroids DataFrame (or a "
+            "pre-collected (cids, cmat) pair via _pre)"
+        )
     cids, cmat = (
         _pre if _pre is not None
         else collect_centroids(centroids, "centroid_id", vec_col)
@@ -979,7 +1007,7 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
         "array("
         + ", ".join(
             "array("
-            + ", ".join(f"CAST('{float(planes[i][j])!r}' AS DOUBLE)" for i in range(n_planes))
+            + ", ".join(_dlit(planes[i][j]) for i in range(n_planes))
             + ")"
             for j in range(len(planes[0]))
         )
@@ -1317,7 +1345,7 @@ def _lit_darray(vals) -> Column:
     (the _pq_subdist_sql lesson); CAST('repr' AS DOUBLE) string
     round-trip parses to the identical float64."""
     return F.expr(
-        "array(" + ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals) + ")"
+        "array(" + ", ".join(_dlit(v) for v in vals) + ")"
     )
 
 
@@ -2250,7 +2278,7 @@ def _rot_sql(vec_name: str, rotation: list[list[float]]) -> str:
     round-tripped matrix literals."""
     coords = []
     for row in rotation:
-        ws = ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in row)
+        ws = ", ".join(_dlit(v) for v in row)
         coords.append(
             f"aggregate(zip_with({vec_name}, array({ws}), "
             f"(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), "
@@ -2272,7 +2300,7 @@ def ivf_residual(
     cmat = F.expr(
         "array("
         + ", ".join(
-            "array(" + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c) + ")"
+            "array(" + ", ".join(_dlit(x) for x in c) + ")"
             for c in centroids
         )
         + ")"
@@ -2331,7 +2359,7 @@ def _pq_subdist_sql(vec_name: str, sample: list[float], s: int, d: int) -> str:
     costs thousands of py4j round-trips PER QUERY PLAN (~4 s of driver
     time on the ADC probe, measured); one ``F.expr`` parse is
     milliseconds."""
-    ws = ", ".join(f"CAST('{float(sample[s * d + j])!r}' AS DOUBLE)" for j in range(d))
+    ws = ", ".join(_dlit(sample[s * d + j]) for j in range(d))
     return (
         f"aggregate(zip_with(slice({vec_name}, {s * d + 1}, {d}), "
         f"array({ws}), (x, c) -> (CAST(x AS DOUBLE) - c) * "

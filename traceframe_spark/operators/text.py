@@ -1226,6 +1226,70 @@ def c4_line_filter(col: Column, min_words: int = 5) -> Column:
     )
 
 
+def _sampled_cutoffs(
+    s: DataFrame, lang_col: str | None, n_buckets: int, sample_k: int
+) -> DataFrame:
+    """Per-language sampled score cutoffs ``(_lk, _cuts)`` from a scored
+    ``(id, logprob_q[, lang])`` frame: deterministic md5 bottom-k sample
+    (two-pass prefix refinement, no task ever sorts more than ~k rows),
+    then the ``n_buckets - 1`` values at desc-ranks ``ceil(b*m/n)``,
+    descending. Shared by :func:`perplexity_buckets` (method='sampled')
+    and :func:`perplexity_bucket_agreement` — ONE definition, so the
+    agreement instrument measures the production cut, not a twin."""
+    lk = F.col(lang_col) if lang_col else F.lit("")
+    keyed = s.select(
+        "id",
+        "logprob_q",
+        *([lang_col] if lang_col else []),
+        lk.alias("_lk"),
+        F.md5(F.concat_ws("|", F.lit("ppl"), F.col("id"))).alias("_h"),
+    ).withColumn("_hp", F.substring("_h", 1, 4))
+    # Pass 1: smallest 4-hex prefix whose cumulative count reaches k.
+    wc = Window.partitionBy("_lk").orderBy("_hp")
+    thr = (
+        keyed.groupBy("_lk", "_hp")
+        .agg(F.count("*").alias("n"))
+        .withColumn("cum", F.sum("n").over(wc))
+        .filter(F.col("cum") >= sample_k)
+        .groupBy("_lk")
+        .agg(F.min("_hp").alias("_thr"))
+    )
+    cand = keyed.join(F.broadcast(thr), "_lk", "left").filter(
+        F.col("_thr").isNull() | (F.col("_hp") <= F.col("_thr"))
+    )
+    # Pass 2: exact md5 bottom-k on the surviving sliver (~k rows/lang).
+    wk = Window.partitionBy("_lk").orderBy("_h")
+    samp = cand.withColumn("_rn", F.row_number().over(wk)).filter(
+        F.col("_rn") <= sample_k
+    )
+    # Cutoff b = sample value at desc-rank ceil(b*m/n_buckets), b<n.
+    ws = Window.partitionBy("_lk").orderBy(
+        F.col("logprob_q").desc(), F.col("id").asc()
+    )
+    ranked = samp.select("_lk", "logprob_q", "id").withColumn(
+        "_r", F.row_number().over(ws)
+    )
+    m = ranked.groupBy("_lk").agg(F.max("_r").alias("_m"))
+    bvals = F.explode(
+        F.sequence(F.lit(1), F.lit(n_buckets - 1))
+    ).alias("_b")
+    cut_ranks = m.select("_lk", "_m", bvals).select(
+        "_lk",
+        F.ceil(F.col("_b") * F.col("_m") / F.lit(n_buckets))
+        .cast("int")
+        .alias("_r"),
+    )
+    return (
+        ranked.join(cut_ranks, ["_lk", "_r"])
+        .groupBy("_lk")
+        .agg(
+            F.reverse(F.sort_array(F.collect_list("logprob_q"))).alias(
+                "_cuts"
+            )
+        )
+    )
+
+
 def perplexity_buckets(
     docs: DataFrame,
     lm_path: str,
@@ -1354,57 +1418,7 @@ def perplexity_buckets(
         # A caller-passed frame is the caller's to pin.
         s.count()
     lk = F.col(lang_col) if lang_col else F.lit("")
-    keyed = s.select(
-        "id",
-        "logprob_q",
-        *([lang_col] if lang_col else []),
-        lk.alias("_lk"),
-        F.md5(F.concat_ws("|", F.lit("ppl"), F.col("id"))).alias("_h"),
-    ).withColumn("_hp", F.substring("_h", 1, 4))
-    # Pass 1: smallest 4-hex prefix whose cumulative count reaches k.
-    wc = Window.partitionBy("_lk").orderBy("_hp")
-    thr = (
-        keyed.groupBy("_lk", "_hp")
-        .agg(F.count("*").alias("n"))
-        .withColumn("cum", F.sum("n").over(wc))
-        .filter(F.col("cum") >= sample_k)
-        .groupBy("_lk")
-        .agg(F.min("_hp").alias("_thr"))
-    )
-    cand = keyed.join(F.broadcast(thr), "_lk", "left").filter(
-        F.col("_thr").isNull() | (F.col("_hp") <= F.col("_thr"))
-    )
-    # Pass 2: exact md5 bottom-k on the surviving sliver (~k rows/lang).
-    wk = Window.partitionBy("_lk").orderBy("_h")
-    samp = cand.withColumn("_rn", F.row_number().over(wk)).filter(
-        F.col("_rn") <= sample_k
-    )
-    # Cutoff b = sample value at desc-rank ceil(b*m/n_buckets), b<n.
-    ws = Window.partitionBy("_lk").orderBy(
-        F.col("logprob_q").desc(), F.col("id").asc()
-    )
-    ranked = samp.select("_lk", "logprob_q", "id").withColumn(
-        "_r", F.row_number().over(ws)
-    )
-    m = ranked.groupBy("_lk").agg(F.max("_r").alias("_m"))
-    bvals = F.explode(
-        F.sequence(F.lit(1), F.lit(n_buckets - 1))
-    ).alias("_b")
-    cut_ranks = m.select("_lk", "_m", bvals).select(
-        "_lk",
-        F.ceil(F.col("_b") * F.col("_m") / F.lit(n_buckets))
-        .cast("int")
-        .alias("_r"),
-    )
-    cuts = (
-        ranked.join(cut_ranks, ["_lk", "_r"])
-        .groupBy("_lk")
-        .agg(
-            F.reverse(F.sort_array(F.collect_list("logprob_q"))).alias(
-                "_cuts"
-            )
-        )
-    )
+    cuts = _sampled_cutoffs(s, lang_col, n_buckets, sample_k)
     out = (
         s.withColumn("_lk", lk)
         .join(F.broadcast(cuts), "_lk")
@@ -1471,42 +1485,50 @@ def perplexity_bucket_agreement(
     )
     s = scored.join(side, "id").persist()
     s.count()
-    ex = perplexity_buckets(
-        docs,
-        lm_path,
-        id_col=id_col,
-        text_col=text_col,
-        lang_col=lang_col,
-        n_buckets=n_buckets,
-        quantize=quantize,
-        method="exact",
-        allow_exact_global=True,
-        _scored_joined=s,
-    ).select(
-        F.col(id_col), F.col("bucket").alias("bucket_exact")
+    # BOTH buckets off the one pinned frame in a SINGLE plan: the
+    # sampled bucket is a broadcast join against the tiny per-language
+    # cutoff arrays (the production cut, via the shared
+    # :func:`_sampled_cutoffs`), the exact bucket an ntile window over
+    # the same rows — the two-derivations-plus-id-join form paid a
+    # whole extra scan of the cached frame and a shuffle join only to
+    # reunite columns that were never apart (same values: the inner
+    # broadcast join on ``_lk`` keeps every row — each language's
+    # cutoffs exist by construction — and ntile depends only on the
+    # per-language row set and its (score desc, id) order, both
+    # untouched by the join).
+    lk = F.col(lang_col) if lang_col else F.lit("")
+    cuts = _sampled_cutoffs(s, lang_col, n_buckets, sample_k)
+    part = [F.col(lang_col)] if lang_col else []
+    w = Window.partitionBy(*part).orderBy(
+        F.col("logprob_q").desc(), F.col("id").asc()
     )
-    sa = perplexity_buckets(
-        docs,
-        lm_path,
-        id_col=id_col,
-        text_col=text_col,
-        lang_col=lang_col,
-        n_buckets=n_buckets,
-        quantize=quantize,
-        method="sampled",
-        sample_k=sample_k,
-        _scored_joined=s,
-    ).withColumnRenamed("bucket", "bucket_sampled")
-    out = sa.join(ex, id_col).select(
-        F.col(id_col),
-        *([F.col(lang_col)] if lang_col else []),
-        "logprob_q",
-        "bucket_exact",
-        "bucket_sampled",
-        (F.col("bucket_exact") == F.col("bucket_sampled"))
-        .cast("long")
-        .alias("agree"),
+    out = (
+        s.withColumn("_lk", lk)
+        .join(F.broadcast(cuts), "_lk")
+        .withColumn(
+            "bucket_sampled",
+            (
+                F.lit(1)
+                + F.size(
+                    F.filter(
+                        F.col("_cuts"),
+                        lambda c: F.col("logprob_q") < c,
+                    )
+                )
+            ).cast("long"),
+        )
+        .withColumn("bucket_exact", F.ntile(n_buckets).over(w).cast("long"))
+        .select(
+            F.col("id").alias(id_col),
+            *([F.col(lang_col)] if lang_col else []),
+            "logprob_q",
+            "bucket_exact",
+            "bucket_sampled",
+            (F.col("bucket_exact") == F.col("bucket_sampled"))
+            .cast("long")
+            .alias("agree"),
+        )
     )
-    from traceframe_spark.operators.dedup import _unpersist_with, carry_cache
+    from traceframe_spark.operators.dedup import _unpersist_with
 
-    return _unpersist_with(carry_cache(out, sa), s)
+    return _unpersist_with(out, s)

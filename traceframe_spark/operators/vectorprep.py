@@ -37,6 +37,13 @@ from pyspark.sql.window import Window
 
 from traceframe_spark.operators.similarity import dot_f64, l2_norm
 
+
+def _bq(name: str) -> str:
+    """Backtick-quote a column name for interpolation into generated SQL
+    (``F.expr``): a name with hyphens/spaces/keywords would otherwise
+    fail to parse — or silently parse as arithmetic (``a-b``)."""
+    return "`" + name.replace("`", "``") + "`"
+
 INT8_MAX = 127.0
 
 
@@ -279,7 +286,7 @@ def label_centroids(
     Output (label, centroid array<double> on the quantized grid)."""
     comps = [
         F.expr(
-            f"CAST(floor(avg(CAST(element_at({vec_col}, {i + 1}) AS DOUBLE)) "
+            f"CAST(floor(avg(CAST(element_at({_bq(vec_col)}, {i + 1}) AS DOUBLE)) "
             f"* {10**quantize} + CAST(0.5 AS DOUBLE)) AS BIGINT)"
         )
         for i in range(dim)
@@ -330,7 +337,7 @@ def embedding_drift(
     def _cent_n(df: DataFrame, n_name: str, c_name: str) -> DataFrame:
         comps = [
             F.expr(
-                f"CAST(floor(avg(CAST(element_at({vec_col}, {i + 1}) AS DOUBLE)) "
+                f"CAST(floor(avg(CAST(element_at({_bq(vec_col)}, {i + 1}) AS DOUBLE)) "
                 f"* {10**quantize} + CAST(0.5 AS DOUBLE)) AS BIGINT)"
             )
             for i in range(dim)

@@ -36,6 +36,37 @@ _R14_ROTATION_HEAD = [
     "web_curation_flow",
 ]
 
+# Round-15 head rotation (r14 verdict item 3): the r14 correctness
+# sample rotated OUT exactly the IVF-PQ / semdedup family in the round
+# that rewrote its centroid/LUT expression construction — rotate those
+# rows back in so the riskiest r14 diffs get a driver-recorded oracle
+# row, plus the rows this round's own diffs touch (the probe keepalive
+# rework behind dedup_index_delta/_manifest, the fused
+# ppl_bucket_agree plan, and the _dlit/backtick literal builders
+# behind the drift/centroid rows).
+_R15_ROTATION_HEAD = [
+    "ann_ivfpq_adc",
+    "ann_ivfpq_residual",
+    "ann_ivfpq_rerank",
+    "pq_codes",
+    "pq_adc_topk",
+    "ann_adc_agree",
+    "semdedup_index_keep",
+    "semdedup_keep",
+    "ivf_id_membership",
+    "cluster_cap",
+    "embed_near_dup",
+    "media_features",
+    "dedup_index_delta",
+    "dedup_index_manifest",
+    "ppl_bucket_agree",
+    "perplexity_buckets_sampled",
+    "perplexity_buckets",
+    "embed_drift",
+    "label_outliers",
+    "kmeans_fit",
+]
+
 
 def catalog_queries():
     """Snapshot of the full query registry (name → (spark, sf_dir) -> DF).
@@ -51,14 +82,18 @@ def catalog_queries():
     store twins; round 12 led with the quality-rule / PQ / SemDeDup
     newcomers; round 13 led with the ADC recall instrument, the
     store-backed SemDeDup keep, and the NULL-semantics-fixed
-    snapshot_diff; round 14 leads with its newcomers — the sampled
+    snapshot_diff; round 14 led with its newcomers — the sampled
     perplexity cut + agreement instrument, perceptual image hashing,
-    the unigram tokenizer, the OPQ probe, and the URL/domain family
-    (see `_R14_ROTATION_HEAD` / tools/coverage_ledger.py) — so
+    the unigram tokenizer, the OPQ probe, and the URL/domain family;
+    round 15 leads with the IVF-PQ/semdedup family (rotated out of the
+    r14 sample in the very round that rewrote its centroid/LUT
+    construction) plus the rows behind this round's own diffs
+    (see `_R15_ROTATION_HEAD` / tools/coverage_ledger.py) — so
     every registered query keeps a driver-green row at least once.  The
     oracle-backed vs rows-only distinction is metadata, not ordering — see
-    `catalog_meta()`; rows-only entries remain inside the head-50 so the
-    external sample exercises both verification paths.
+    `catalog_meta()`; the r15 head is deliberately all oracle-backed (the
+    point of the rotation is hash-match rows for the rewritten kernels;
+    every rows-only query already holds a recorded driver row).
     """
     merged = {
         **PIPELINE_QUERIES,
@@ -72,7 +107,7 @@ def catalog_queries():
         **TEMPORAL_QUERIES,
         **TPCH_QUERIES,
     }
-    head = {k: merged[k] for k in _R14_ROTATION_HEAD if k in merged}
+    head = {k: merged[k] for k in _R15_ROTATION_HEAD if k in merged}
     return {**head, **{k: v for k, v in merged.items() if k not in head}}
 
 

@@ -3609,7 +3609,12 @@ def q_dedup_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref, delta = _index_split(spark, sf_dir)
     path = tmp_store("dedup_index_") + "/idx"
     di.write_dedup_index(ref, path, portable=True)
-    return di.dedup_against_index(delta, path, threshold=0.9).select("doc_id")
+    out = di.dedup_against_index(delta, path, threshold=0.9)
+    # carry the probe's persisted signature frame through the
+    # projection (operators/dedup._unpersist_with contract): without
+    # it the cache dies with `out` and the three concurrent broadcast
+    # builds race to recompute the delta MinHash chain
+    return dedup.carry_cache(out.select("doc_id"), out)
 
 
 # Replays the stored-index probe end to end: the same affine family
@@ -3711,7 +3716,8 @@ def q_dedup_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref, delta = _index_split(spark, sf_dir)
     path = tmp_store("dedup_index_man_") + "/idx"
     di.write_dedup_index(ref, path, portable=True, protocol="manifest")
-    return di.dedup_against_index(delta, path, threshold=0.9).select("doc_id")
+    out = di.dedup_against_index(delta, path, threshold=0.9)
+    return dedup.carry_cache(out.select("doc_id"), out)
 
 
 def q_index_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -450,6 +450,11 @@ def stream_dedup_ingest(
                 man=man0,
                 bloom_prefilter=bloom_prefilter,
             )
+            # hold the probe's persisted signature frame alive for the
+            # whole batch scope (operators/dedup._unpersist_with ties
+            # the cache's lifetime to the returned frame; the rebinds
+            # below would drop it and unpersist mid-batch)
+            _probe_keepalive = getattr(survivors, "_tf_keepalive", ())  # noqa: F841
             if annotate_novelty:
                 # score BEFORE the fold-back below so a doc is never
                 # "not novel" because of its own grams
