@@ -4,6 +4,8 @@ dedup consumer."""
 
 import random
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from traceframe_spark.operators.graph import connected_components, keep_canonical
@@ -32,6 +34,7 @@ def _union_find_components(edges):
     return {n: min(members) for r, members in roots.items() for n in members}
 
 
+@pytest.mark.volume
 def test_connected_components_random_graphs(spark):
     rng = random.Random(7)
     for trial in range(3):

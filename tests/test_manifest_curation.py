@@ -343,6 +343,7 @@ def test_stream_dedup_ingest_lease_wiring(spark, tmp_path, manifest_feed):
         )
 
 
+@pytest.mark.volume
 def test_compaction_cadence_bounds_dedup_stream_layers(spark, tmp_path, manifest_feed):
     """compact_every=N on the text curation loop: every fold-back
     appends one directory per index layer, so the 4-batch feed leaves

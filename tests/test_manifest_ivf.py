@@ -515,6 +515,7 @@ def test_stream_embed_ingest_lease_refuses_second_stream(spark, corpus, tmp_path
     )
 
 
+@pytest.mark.volume
 def test_compaction_cadence_bounds_embed_stream_dir_lists(spark, corpus, tmp_path):
     """compact_every=N keeps every list's live directory list bounded
     while a long feed runs — pre-knob, probe plans listed one directory

@@ -316,6 +316,7 @@ def test_time_travel_reads_pin_past_versions(spark, tmp_path):
         read_manifest_store(spark, store, version=1)
 
 
+@pytest.mark.volume
 def test_manifest_randomized_crash_replay_equivalence(spark, tmp_path, monkeypatch):
     """Adversarial robustness pin: a seeded random schedule of folds
     where any batch may CRASH before its manifest publish (data

@@ -42,13 +42,24 @@ def test_all_queries_build(spark):
     is what aborts the driver's gate; execution failures surface as
     individual oracle rows instead and are survivable.
     """
-    failures = {}
-    for name, fn in catalog_queries().items():
+    # 8-way thread pool: construction is driver-bound (py4j/analysis)
+    # plus the store-building queries' setup jobs — independent per
+    # query (every store lands in its own tmp dir), so overlapping them
+    # collapses ~2.5 min of serial wall time to ~30 s without changing
+    # what is checked. Spark job submission is thread-safe.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build(item):
+        name, fn = item
         try:
             df = fn(spark, SF_DIR)
             _ = df.schema  # force analysis
+            return None
         except Exception as exc:  # noqa: BLE001 — collect all, report once
-            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+            return (name, f"{type(exc).__name__}: {exc}"[:200])
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        failures = dict(r for r in pool.map(_build, catalog_queries().items()) if r)
     assert not failures, f"{len(failures)} queries failed to build: {failures}"
 
 

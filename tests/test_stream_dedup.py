@@ -536,6 +536,7 @@ def test_stream_dedup_bpe_null_text_token_count(spark, tmp_path):
     assert rows[901] is not None and rows[901] > 0
 
 
+@pytest.mark.volume
 def test_corpus_compaction_cadence_bounds_files(spark, tmp_path):
     """compact_corpus_every: a 9-batch feed that would land 9 corpus
     directories (and 9+ small files) forever stays bin-packed — live

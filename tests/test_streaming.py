@@ -1249,6 +1249,7 @@ def test_merge_replay_after_mid_swap_crash_keeps_standing_rows(spark, tmp_path):
     assert (got["n"], got["v"]) == (12, 8 * 1.0 + 4 * 10.0)
 
 
+@pytest.mark.volume
 def test_rename_store_randomized_crash_replay_equivalence(spark, tmp_path):
     """Adversarial schedule pin for the r10 recovery fixes: a seeded
     random fold sequence where, after any single-hour batch, the store

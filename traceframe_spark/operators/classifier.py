@@ -46,6 +46,7 @@ from pyspark.sql.window import Window
 
 from traceframe_spark.operators.sampling import md5_uniform
 from traceframe_spark.operators.text import tokens
+from traceframe_spark.session import read_meta_dir as _read_meta_dir
 
 DEFAULT_BUCKETS = 1 << 18
 
@@ -232,15 +233,14 @@ def write_nb_classifier(
             )
             return
         from concurrent.futures import ThreadPoolExecutor
-        from traceframe_spark.session import local_frame
+        from traceframe_spark.session import write_meta_dir
 
         jobs = [
             lambda: w.write.mode("overwrite").parquet(f"{path}/weights"),
             lambda: cs.write.mode("overwrite").parquet(f"{path}/class_stats"),
-            lambda: local_frame(spark, [(int(n_buckets),)], "n_buckets long")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .json(f"{path}/nb_meta"),
+            lambda: write_meta_dir(
+                spark, f"{path}/nb_meta", {"n_buckets": int(n_buckets)}
+            ),
         ]
         with ThreadPoolExecutor(max_workers=3) as pool:
             for _ in pool.map(lambda f: f(), jobs):
@@ -327,7 +327,7 @@ def _read_nb_store(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
     return (
         spark.read.parquet(f"{path}/weights"),
         spark.read.parquet(f"{path}/class_stats"),
-        int(spark.read.json(f"{path}/nb_meta").collect()[0]["n_buckets"]),
+        int(_read_meta_dir(spark, f"{path}/nb_meta")["n_buckets"]),
     )
 
 

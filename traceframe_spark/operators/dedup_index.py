@@ -92,6 +92,10 @@ __all__ = [
 ]
 
 
+from traceframe_spark.session import read_meta_dir as _read_meta_dir  # noqa: E402
+from traceframe_spark.session import write_meta_dir as _write_meta_dir  # noqa: E402
+
+
 def _manifest_of(spark: SparkSession, path: str) -> dict | None:
     """The store's latest manifest if ``path`` is a manifest-protocol
     index, else None (append-protocol). The one detection seam every
@@ -110,15 +114,34 @@ def _manifest_of(spark: SparkSession, path: str) -> dict | None:
     return man
 
 
+from traceframe_spark.session import schema_json_of as _schema_json_of  # noqa: E402
+
+
 def _layer_df(
-    spark: SparkSession, path: str, layer: str, man: dict | None
+    spark: SparkSession,
+    path: str,
+    layer: str,
+    man: dict | None,
+    schemas: dict | None = None,
 ) -> DataFrame:
     """One stored layer, protocol-appropriately: a snapshot read of the
-    manifest's directory list, or the plain parquet directory."""
+    manifest's directory list, or the plain parquet directory.
+
+    ``schemas`` (append protocol; the manifest path resolves its own
+    from the manifest meta): the build-time ``layer_schemas`` dict from
+    the store meta. Passing the pinned schema skips parquet schema
+    inference — one Spark job per layer read, paid at PROBE PLAN TIME
+    otherwise (3 jobs per near-dup probe). Stores written before the
+    field existed fall back to inference."""
     if man is not None:
         from traceframe_spark.streaming import manifest_store as MS
 
         return MS.read_manifest_layer(spark, path, layer, man=man)
+    sj = (schemas or {}).get(layer)
+    if isinstance(sj, dict):  # non-dict = degraded meta read; just infer
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(StructType.fromJson(sj)).parquet(f"{path}/{layer}")
     return spark.read.parquet(f"{path}/{layer}")
 
 
@@ -251,15 +274,21 @@ def write_dedup_index(
         "ckeys_bloom_hashes": _CKEYS_BLOOM_HASHES,
     }
 
-    def _meta_json() -> None:
-        from traceframe_spark.session import local_frame
-
-        meta = local_frame(
+    def _meta_json(layer_schemas: dict) -> None:
+        _write_meta_dir(
             spark,
-            [(int(n_hashes), int(bands), int(shingle_size), bool(with_near), bool(portable))],
-            "n_hashes int, bands int, shingle_size int, near boolean, portable boolean",
+            f"{path}/meta",
+            {
+                "n_hashes": int(n_hashes),
+                "bands": int(bands),
+                "shingle_size": int(shingle_size),
+                "near": bool(with_near),
+                "portable": bool(portable),
+                # pinned layer schemas: probes skip parquet schema
+                # inference (one plan-time Spark job per layer read)
+                "layer_schemas": layer_schemas,
+            },
         )
-        meta.coalesce(1).write.mode("overwrite").json(f"{path}/meta")
 
     if not with_near:
         exact = spread(docs, id_col).select(
@@ -268,6 +297,8 @@ def write_dedup_index(
         if protocol == "manifest":
             from traceframe_spark.streaming import manifest_store as MS
 
+            # commit_layer_frames pins each layer's schema in the
+            # manifest meta automatically (layer_schemas)
             MS.commit_layer_frames(
                 spark, path,
                 {"exact": exact, "ckeys_bloom": _ckeys_bloom_words(exact)},
@@ -275,7 +306,7 @@ def write_dedup_index(
             )
         else:
             exact.write.mode("overwrite").parquet(f"{path}/exact")
-            _meta_json()
+            _meta_json({"exact": _schema_json_of(exact)})
         return
     exact, sig, band = _layers(
         docs, id_col, text_col, n_hashes, bands, shingle_size, portable
@@ -313,7 +344,13 @@ def write_dedup_index(
                 lambda: exact.write.mode("overwrite").parquet(f"{path}/exact"),
                 lambda: sig.write.mode("overwrite").parquet(f"{path}/sigs"),
                 lambda: band.write.mode("overwrite").parquet(f"{path}/bands"),
-                _meta_json,
+                lambda: _meta_json(
+                    {
+                        "exact": _schema_json_of(exact),
+                        "sigs": _schema_json_of(sig),
+                        "bands": _schema_json_of(band),
+                    }
+                ),
             ]
             with ThreadPoolExecutor(max_workers=4) as pool:
                 for _ in pool.map(lambda f: f(), jobs):
@@ -351,7 +388,7 @@ def _meta_all(
             bool(m.get("near", True)),
             bool(m.get("portable", False)),
         )
-    row = spark.read.json(f"{path}/meta").collect()[0]
+    row = _read_meta_dir(spark, f"{path}/meta")
 
     def flag(name: str, default: bool) -> bool:
         # stores written before a flag existed read as its default
@@ -368,6 +405,22 @@ def _meta_all(
         flag("near", True),
         flag("portable", False),
     )
+
+
+def _meta_schemas(
+    spark: SparkSession, path: str, man: dict | None
+) -> dict:
+    """The build-time ``layer_schemas`` dict for an APPEND-protocol
+    store ({} when absent — pre-r15 stores fall back to inference; a
+    manifest store's schemas ride the manifest meta and are resolved
+    inside ``read_manifest_layer``)."""
+    if man is not None:
+        return {}
+    try:
+        row = _read_meta_dir(spark, f"{path}/meta")
+        return dict(row.get("layer_schemas") or {})
+    except Exception:  # noqa: BLE001 — schema pin is an optimization only
+        return {}
 
 
 def read_index_meta(spark: SparkSession, path: str) -> tuple[int, int, int]:
@@ -466,7 +519,7 @@ def _gram_n_of(spark: SparkSession, path: str, man: dict | None) -> int:
                 "write_gram_layer on it first"
             )
         return int(n)
-    return int(spark.read.json(f"{path}/gram_meta").collect()[0]["n"])
+    return int(_read_meta_dir(spark, f"{path}/gram_meta")["n"])
 
 
 def _commit_curation_append(
@@ -507,7 +560,7 @@ def _commit_curation_append(
             _gram_keys(docs, id_col, text_col, n)
             .select("gk")
             .distinct()
-            .join(_layer_df(spark, path, "grams", man), "gk", "left_anti")
+            .join(_layer_df(spark, path, "grams", man, _GRAMS_SCHEMAS), "gk", "left_anti")
         )
     if "ckeys_bloom" in man.get("layers", {}):
         # the sidecar must cover every stored ckey or its negative
@@ -628,6 +681,7 @@ def dedup_against_index(
         man = _manifest_of(spark, path)
     n_hashes, bands, shingle_size, has_near, portable = _meta_all(spark, path, man)
     rows_per_band = max(n_hashes // bands, 1)
+    schemas = _meta_schemas(spark, path, man)
 
     ids = spread(delta, id_col).select(
         F.col(id_col).alias("_pid"), content_key(text_col).alias("ckey")
@@ -664,13 +718,13 @@ def dedup_against_index(
             exact_hits = ids.select("_pid").limit(0)
         else:
             exact_hits = (
-                ids.join(_layer_df(spark, path, "exact", man), "ckey", "left_semi")
+                ids.join(_layer_df(spark, path, "exact", man, schemas), "ckey", "left_semi")
                 .select("_pid")
                 .distinct()
             )
     else:
         exact_hits = (
-            ids.join(_layer_df(spark, path, "exact", man), "ckey", "left_semi")
+            ids.join(_layer_df(spark, path, "exact", man, schemas), "ckey", "left_semi")
             .select("_pid")
             .distinct()
         )
@@ -715,7 +769,7 @@ def dedup_against_index(
         ).select("id", "sig").persist()
     cand = (
         _band_entries(sig_d, bands, rows_per_band, portable).alias("d")
-        .join(_layer_df(spark, path, "bands", man).alias("r"), ["band", "bh"])
+        .join(_layer_df(spark, path, "bands", man, schemas).alias("r"), ["band", "bh"])
         .select(F.col("d.id").alias("id_d"), F.col("r.id").alias("id_r"))
         .distinct()
     )
@@ -725,7 +779,7 @@ def dedup_against_index(
     near_hits = (
         cand.join(sig_d.select(F.col("id").alias("id_d"), F.col("sig").alias("sig_d")), "id_d")
         .join(
-            _layer_df(spark, path, "sigs", man).select(
+            _layer_df(spark, path, "sigs", man, schemas).select(
                 F.col("id").alias("id_r"), F.col("sig").alias("sig_r")
             ),
             "id_r",
@@ -763,6 +817,21 @@ def _gram_keys(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame
     ).select("id", F.unhex(F.md5("g")).alias("gk"))
 
 
+# the gram layer's shape is pinned by construction (_gram_keys →
+# select("gk")): one binary md5-key column. A static schema lets every
+# append-protocol gram read skip parquet schema inference (one
+# plan-time Spark job per read); manifest stores carry theirs in the
+# manifest meta (layer_schemas).
+_GRAMS_SCHEMAS = {
+    "grams": {
+        "type": "struct",
+        "fields": [
+            {"name": "gk", "type": "binary", "nullable": True, "metadata": {}}
+        ],
+    }
+}
+
+
 def write_gram_layer(
     docs: DataFrame,
     path: str,
@@ -796,10 +865,7 @@ def write_gram_layer(
         )
         return
     grams.write.mode("overwrite").parquet(f"{path}/grams")
-    from traceframe_spark.session import local_frame
-
-    meta = local_frame(spark, [(int(n),)], "n int")
-    meta.coalesce(1).write.mode("overwrite").json(f"{path}/gram_meta")
+    _write_meta_dir(spark, f"{path}/gram_meta", {"n": int(n)})
 
 
 def read_gram_meta(spark: SparkSession, path: str) -> int:
@@ -842,7 +908,7 @@ def append_gram_layer(
         _gram_keys(docs, id_col, text_col, n)
         .select("gk")
         .distinct()
-        .join(_layer_df(spark, path, "grams", man), "gk", "left_anti")
+        .join(_layer_df(spark, path, "grams", man, _GRAMS_SCHEMAS), "gk", "left_anti")
     )
     if man is not None:
         from traceframe_spark.streaming import manifest_store as MS
@@ -872,7 +938,7 @@ def _gram_probe(
     grams = _gram_keys(ids, id_col, text_col, n)
     totals = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
     hits = (
-        grams.join(_layer_df(spark, path, "grams", man), "gk", "left_semi")
+        grams.join(_layer_df(spark, path, "grams", man, _GRAMS_SCHEMAS), "gk", "left_semi")
         .groupBy("id")
         .agg(F.count("*").alias("n_hit"))
     )

@@ -13,6 +13,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from traceframe_spark.session import read_meta_dir as _read_meta_dir_session
+
 # Small high-frequency stopword lists per language (public knowledge).
 STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "a", "is", "that", "it", "for", "with", "on"],
@@ -619,11 +621,9 @@ def write_bigram_lm(
 
         with ThreadPoolExecutor(max_workers=3) as pool:
             _, _, v = pool.map(lambda f: f(), (_w_bi, _w_uni, _v))
-        from traceframe_spark.session import local_frame
+        from traceframe_spark.session import write_meta_dir
 
-        local_frame(spark, [(int(v),)], "v long").coalesce(1).write.mode(
-            "overwrite"
-        ).json(f"{path}/lm_meta")
+        write_meta_dir(spark, f"{path}/lm_meta", {"v": int(v)})
     finally:
         bi.unpersist()
 
@@ -647,7 +647,7 @@ def _read_lm_store(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
     return (
         spark.read.parquet(f"{path}/bigrams"),
         spark.read.parquet(f"{path}/prefix"),
-        int(spark.read.json(f"{path}/lm_meta").collect()[0]["v"]),
+        int(_read_meta_dir_session(spark, f"{path}/lm_meta")["v"]),
     )
 
 

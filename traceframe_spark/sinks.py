@@ -24,11 +24,39 @@ from pyspark.sql import functions as F
 DEFAULT_BUCKETS = 256
 
 
+_TARGET_BUCKET_BYTES = 128 << 20  # ~one healthy parquet file per bucket
+_MAX_ADAPTIVE_BUCKETS = 4096  # beyond this, split files WITHIN a bucket
+# (the compact_span_store slot trick), not the bucket space — dirs/date
+# stays bounded
+
+
+def _adaptive_buckets(spans: DataFrame) -> int:
+    """trace_bucket count scaled to the INPUT SIZE (~128 MB of source
+    bytes per bucket), clamped to [1, 4096]. A fixed 256 writes 256
+    near-empty files per date at small scale (measured: 768 files for a
+    19 MB store — the span-store scan's entire cost was file overhead)
+    and one 390 GB single-task file per bucket at 100 TB/day; deriving
+    the count from the optimizer's size estimate fixes both ends
+    (guide §6 file sizing). Falls back to DEFAULT_BUCKETS when the plan
+    has no usable estimate. Layout-only: trace_bucket is dropped on
+    read and never pruned or joined on, so stores whose appends picked
+    different counts stay correct."""
+    try:
+        size = int(
+            spans._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — estimate is an optimization only
+        return DEFAULT_BUCKETS
+    if size <= 0 or size >= (1 << 60):  # unknown/default stats
+        return DEFAULT_BUCKETS
+    return max(1, min(_MAX_ADAPTIVE_BUCKETS, -(-size // _TARGET_BUCKET_BYTES)))
+
+
 def write_spans(
     spans: DataFrame,
     path: str,
     mode: str = "error",
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = None,
     compression: str = "zstd",
 ) -> None:
     """Span table → parquet partitioned by (span_date, trace_bucket).
@@ -38,7 +66,13 @@ def write_spans(
     86400e6)``) — NOT ``to_date(timestamp_micros(...))``, which resolves
     in the session timezone and would let differently-configured writers
     split the same instant across two partition directories (and make
-    date pruning depend on who wrote the file)."""
+    date pruning depend on who wrote the file).
+
+    ``n_buckets=None`` (default) sizes the bucket space to the input
+    (see :func:`_adaptive_buckets`); pass an explicit count to pin a
+    stable layout across many appends to one store."""
+    if n_buckets is None:
+        n_buckets = _adaptive_buckets(spans)
     out = spans.withColumn(
         "span_date",
         F.date_from_unix_date(F.expr("startTime div 86400000000").cast("int")),

@@ -540,7 +540,22 @@ def commit_layer_frames(
     n = _next_commit_n(spark, path)
     man = _next_manifest(prev, n, checkpoint, batch_id)
     if meta:
+        # layer_schemas merges per layer (a caller-passed dict must not
+        # wipe the carried-forward schemas of layers it doesn't touch)
+        ls = dict(man["meta"].get("layer_schemas") or {})
+        ls.update(meta.get("layer_schemas") or {})
         man["meta"].update(meta)
+        if ls:
+            man["meta"]["layer_schemas"] = ls
+    if frames:
+        # pin every written layer's schema in the manifest meta: later
+        # snapshot reads skip parquet schema inference (one plan-time
+        # Spark job per layer read) — see read_manifest_layer
+        from traceframe_spark.session import schema_json_of
+
+        ls = dict(man["meta"].get("layer_schemas") or {})
+        ls.update({k: schema_json_of(v) for k, v in frames.items()})
+        man["meta"]["layer_schemas"] = ls
     if frames:
         cdir = f"{_DATA_DIR}/c-{n:012d}-{uuid.uuid4().hex[:8]}"
         # The per-layer writes are independent Spark jobs into disjoint
@@ -768,6 +783,16 @@ def read_manifest_layer(
     if not dirs:
         raise FileNotFoundError(
             f"manifest store at {path!r} has no layer {layer!r}"
+        )
+    # build-time pinned schema (meta["layer_schemas"], when the writer
+    # recorded one) skips parquet schema inference — one Spark job per
+    # layer read otherwise, paid at probe PLAN time
+    sj = man.get("meta", {}).get("layer_schemas", {}).get(layer)
+    if isinstance(sj, dict):
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(StructType.fromJson(sj)).parquet(
+            *[f"{path}/{d}" for d in dirs]
         )
     return spark.read.parquet(*[f"{path}/{d}" for d in dirs])
 
