@@ -39,33 +39,48 @@ def _canonical_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})."""
+    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u}).
+
+    One exchange: the per-u minimum is a whole-partition window min over
+    the same shuffle that the old groupBy+self-join form paid twice
+    (guide §2.4 — an aggregation and a join keyed the same way share one
+    exchange; the window form IS that sharing). No trailing distinct:
+    the row count is exactly |input| (each undirected edge passes the
+    v > u filter once), _small_star's window min is duplicate-
+    insensitive, and its trailing distinct collapses whatever
+    multiplicity flows through — set-identical round output.
+    """
+    from pyspark.sql import Window
+
     nbrs = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    mins = (
-        nbrs.groupBy("u")
-        .agg(F.min("v").alias("_mn"))
-        .select("u", F.least("_mn", "u").alias("m"))
-    )
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
     # v > u ≥ m, so (m, v) is already canonical
     return (
-        nbrs.join(mins, "u")
+        nbrs.withColumn("m", m)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("m").alias("u"), F.col("v").alias("v"))
-        .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """Connect every smaller neighbor of v (and v itself) to min(Γ_<(v) ∪ {v})."""
-    mins = edges.groupBy("v").agg(F.min("u").alias("m"))  # all u < v
-    to_nbrs = (
-        edges.join(mins, "v")
-        .filter(F.col("u") != F.col("m"))
-        .select(F.col("m").alias("u"), F.col("u").alias("v"))
+    """Connect every smaller neighbor of v (and v itself) to min(Γ_<(v) ∪ {v}).
+
+    Same one-exchange window-min shape as :func:`_large_star`; the
+    center edge (m, v) is emitted once per INPUT edge rather than once
+    per v (the old aggregate gave it deduplicated for free) — the
+    trailing distinct collapses that multiplicity at no extra exchange.
+    """
+    from pyspark.sql import Window
+
+    withm = edges.withColumn(
+        "m", F.min("u").over(Window.partitionBy("v"))  # all u < v
     )
-    to_center = mins.select(F.col("m").alias("u"), F.col("v").alias("v"))
+    to_nbrs = withm.filter(F.col("u") != F.col("m")).select(
+        F.col("m").alias("u"), F.col("u").alias("v")
+    )
+    to_center = withm.select(F.col("m").alias("u"), F.col("v").alias("v"))
     return to_nbrs.unionByName(to_center).distinct()
 
 
@@ -83,10 +98,15 @@ def connected_components(
     as a normal lazy DataFrame. Ids may be any orderable type (long,
     string); the label is the component's min under that ordering.
     """
-    edges = _canonical_edges(pairs, src, dst).localCheckpoint()
+    edges = _canonical_edges(pairs, src, dst).localCheckpoint(eager=False)
     prev: tuple | None = None
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        # lazy checkpoint: the convergence fingerprint below is the
+        # round's ONLY action — it computes every partition, so the
+        # checkpoint materializes as a side effect of the same job
+        # (eager=True would run a separate materialization job per
+        # round, doubling the loop's job count for nothing)
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         # convergence fingerprint: edge count + order-independent hash
         # (bit_xor, not sum: ANSI mode overflows long on summed hashes)
         cur = tuple(

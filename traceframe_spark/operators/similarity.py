@@ -721,6 +721,29 @@ def semdedup_pairs(
     (``graph.connected_components`` → keep-canonical), same as the
     MinHash/SimHash candidate streams.
     """
+    return _semdedup_pairs_ac(
+        corpus, centroids, id_col, vec_col,
+        min_cos_q=min_cos_q, quantize=quantize, block=block, _pre=_pre,
+    ).select("centroid_id", "id_a", "id_b", "cos_q")
+
+
+def _semdedup_pairs_ac(
+    corpus: DataFrame,
+    centroids: DataFrame | None,
+    id_col: str,
+    vec_col: str,
+    min_cos_q: int = 3000,
+    quantize: int = 4,
+    block: int = 1024,
+    _pre: tuple["np.ndarray", "np.ndarray"] | None = None,
+) -> DataFrame:
+    """:func:`semdedup_pairs` plus each endpoint's assignment cosine
+    (``ac_a``/``ac_b``, the scan's ``cos_q`` carried through the pair
+    kernel at zero extra arithmetic). :func:`semdedup_keep`'s election
+    reads the per-member cosine from HERE instead of re-running the
+    assignment scan over the whole corpus — every component member
+    appears in at least one pair by construction, so the pair set
+    carries every cosine the election needs."""
     if _pre is None and centroids is None:
         raise ValueError(
             "semdedup_pairs needs a centroids DataFrame (or a "
@@ -733,16 +756,22 @@ def semdedup_pairs(
     ascale = float(10**quantize)
     assigned = nearest_centroid_scan(
         corpus, cids, cmat, id_col, vec_col, quantize=quantize, keep_vec=True
-    ).select("centroid_id", F.col("vec_id").alias("id"), "vec")
+    ).select(
+        "centroid_id", F.col("vec_id").alias("id"), F.col("cos_q").alias("_ac"), "vec"
+    )
 
     def gram(pdf):
         import pandas as pd
 
-        out = {"centroid_id": [], "id_a": [], "id_b": [], "cos_q": []}
+        out = {
+            "centroid_id": [], "id_a": [], "id_b": [], "cos_q": [],
+            "ac_a": [], "ac_b": [],
+        }
         n = len(pdf)
         if n >= 2:
             order = np.argsort(pdf["id"].to_numpy(dtype=np.int64), kind="stable")
             ids = pdf["id"].to_numpy(dtype=np.int64)[order]
+            acs = pdf["_ac"].to_numpy(dtype=np.int64)[order]
             vmat = np.array(list(pdf["vec"].iloc[order]), dtype=np.float64)
             nrm = np.sqrt(np.einsum("ij,ij->i", vmat, vmat))
             ctr = int(pdf["centroid_id"].iloc[0])
@@ -758,10 +787,14 @@ def semdedup_pairs(
                 out["id_a"].extend(ids[rr + lo])
                 out["id_b"].extend(ids[cc])
                 out["cos_q"].extend(stripe[rr, cc])
+                out["ac_a"].extend(acs[rr + lo])
+                out["ac_b"].extend(acs[cc])
         return pd.DataFrame(out, dtype=np.int64)
 
     return assigned.groupBy("centroid_id").applyInPandas(
-        gram, "centroid_id bigint, id_a bigint, id_b bigint, cos_q bigint"
+        gram,
+        "centroid_id bigint, id_a bigint, id_b bigint, cos_q bigint, "
+        "ac_a bigint, ac_b bigint",
     )
 
 
@@ -794,15 +827,16 @@ def semdedup_keep(
     ``semdedup_keep`` oracle, not just recall-tested.
 
     Scale shape: two no-shuffle corpus scans (one assignment scan
-    feeding the pair kernel inside :func:`semdedup_pairs`, one for the
-    election's per-member centroid cosine — the pair kernel does not
-    emit its members' assignment scores, and re-scoring k centroids
-    per row is cheaper at 100 TB than shuffling vectors twice), pair
-    cost bounded by cluster occupancy² exactly as SemDeDup prescribes,
-    then component resolution over the PAIR set only (duplicate mass,
-    not corpus mass) and one broadcast-able anti-join. Singletons —
-    the overwhelming majority at production thresholds — never enter
-    the component machinery at all.
+    feeding the pair kernel inside :func:`_semdedup_pairs_ac`, one for
+    the kept rows' centroid label), pair cost bounded by cluster
+    occupancy² exactly as SemDeDup prescribes, then component
+    resolution over the PAIR set only (duplicate mass, not corpus
+    mass) and one broadcast-able anti-join. The election's per-member
+    centroid cosine rides the pair rows themselves (``ac_a``/``ac_b``
+    — every component member appears in at least one pair), so the
+    election never touches the corpus. Singletons — the overwhelming
+    majority at production thresholds — never enter the component
+    machinery at all.
     """
     if keep not in ("far", "near"):
         raise ValueError(f"keep must be 'far' or 'near', got {keep!r}")
@@ -821,19 +855,35 @@ def semdedup_keep(
         _pre if _pre is not None
         else collect_centroids(centroids, "centroid_id", vec_col)
     )
-    pairs = semdedup_pairs(
+    # the pair set is consumed twice (component contraction + the
+    # election's per-member cosine); localCheckpoint pins it so the
+    # corpus-wide pair kernel runs ONCE — lazy, so the contraction
+    # loop's first fingerprint job materializes it as a side effect.
+    # Bounded: duplicate mass only, never corpus mass (SCALING.md
+    # localCheckpoint inventory).
+    pairs = _semdedup_pairs_ac(
         corpus, centroids, id_col, vec_col,
         min_cos_q=min_cos_q, quantize=quantize, block=block,
         _pre=(cids, cmat),
-    )
+    ).localCheckpoint(eager=False)
     comp = connected_components(pairs, "id_a", "id_b")
     assigned = nearest_centroid_scan(
         corpus, cids, cmat, id_col, vec_col, quantize=quantize
     )
-    member = comp.join(
-        assigned.select(F.col("vec_id").alias("id"), F.col("cos_q").alias("_ac")),
-        "id",
+    # per-member assignment cosine straight off the pair set — the
+    # cosine is a function of the id, so min() just deduplicates; the
+    # old form joined comp against a SECOND full assignment scan of
+    # the corpus (one extra Python-boundary pass + an id-keyed shuffle
+    # of corpus-sized output, for duplicate-mass-sized information)
+    acs = (
+        pairs.select(F.col("id_a").alias("id"), F.col("ac_a").alias("_ac"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("id"), F.col("ac_b").alias("_ac"))
+        )
+        .groupBy("id")
+        .agg(F.min("_ac").alias("_ac"))
     )
+    member = comp.join(acs, "id")
     order = (
         [F.col("_ac").asc(), F.col("id").asc()]
         if keep == "far"
