@@ -1412,10 +1412,47 @@ def _dist2(vec: Column, cent: list[float]) -> Column:
     )
 
 
-def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
+def _dist2_sql(vec_sql: str, cent: list[float]) -> str:
+    """:func:`_dist2` as a SQL fragment — parses to the node-identical
+    aggregate/zip_with tree (same casts, same fold), without the
+    per-element py4j round-trips of the Column form."""
+    arr = "array(" + ", ".join(_dlit(v) for v in cent) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, "
+        "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _ivf_pairs_sql(vec_sql: str, centroids: list[list[float]]) -> str:
+    return (
+        "array("
+        + ", ".join(
+            f"named_struct('d', {_dist2_sql(vec_sql, c)}, 'i', {i})"
+            for i, c in enumerate(centroids)
+        )
+        + ")"
+    )
+
+
+def _vec_sql(vec: "Column | str") -> str | None:
+    """Backtick-quoted SQL fragment for a plain column name, None for a
+    Column object (callers keep the Column-built tree for those)."""
+    if isinstance(vec, str):
+        return "`" + vec.replace("`", "``") + "`"
+    return None
+
+
+def ivf_assign(vec: "Column | str", centroids: list[list[float]]) -> Column:
     """Nearest-centroid list id as a JVM expression: array_min over
     (dist2, idx) structs — struct ordering gives argmin with an idx
-    tie-break, no UDF."""
+    tie-break, no UDF. Pass the vector column NAME (not a Column) to
+    build the whole expression as ONE parsed SQL string — the Column
+    form costs O(n_centroids · dim) py4j round-trips per plan; the
+    parsed tree is node-identical, so every assignment is unchanged."""
+    name = _vec_sql(vec)
+    if name is not None:
+        return F.expr(f"array_min({_ivf_pairs_sql(name, centroids)}).i")
     pairs = F.array(
         *[
             F.struct(_dist2(vec, c).alias("d"), F.lit(i).alias("i"))
@@ -1425,8 +1462,16 @@ def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array_min(pairs)["i"]
 
 
-def ivf_probe_lists(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
-    """The ``nprobe`` nearest list ids, as an array (query-side probes)."""
+def ivf_probe_lists(
+    vec: "Column | str", centroids: list[list[float]], nprobe: int
+) -> Column:
+    """The ``nprobe`` nearest list ids, as an array (query-side probes).
+    Same string-vs-Column contract as :func:`ivf_assign`."""
+    name = _vec_sql(vec)
+    if name is not None:
+        return F.expr(
+            f"slice(array_sort({_ivf_pairs_sql(name, centroids)}), 1, {int(nprobe)}).i"
+        )
     pairs = F.array(
         *[
             F.struct(_dist2(vec, c).alias("d"), F.lit(i).alias("i"))
@@ -1637,7 +1682,7 @@ def write_ivf_index(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("c_vec"),
         l2_norm(F.col(vec_col)).alias("c_nrm"),
-        ivf_assign(F.col(vec_col), centroids).alias("list_id"),
+        ivf_assign(vec_col, centroids).alias("list_id"),
     ]
     assigned = _assigned_with_code(
         corpus, cols, centroids, pq_samples, pq_m, pq_residual, rotation,
@@ -1795,7 +1840,7 @@ def append_to_ivf_index(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("c_vec"),
         l2_norm(F.col(vec_col)).alias("c_nrm"),
-        ivf_assign(F.col(vec_col), centroids).alias("list_id"),
+        ivf_assign(vec_col, centroids).alias("list_id"),
     ]
     # an IVF-PQ index (pq codebooks in the manifest meta) encodes its
     # appends with the SAME frozen codebooks — residual-coded indexes
@@ -1935,7 +1980,7 @@ def ivf_topk_over_index(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("q_vec"),
         l2_norm(F.col(vec_col)).alias("q_nrm"),
-        F.explode(ivf_probe_lists(F.col(vec_col), centroids, nprobe)).alias("list_id"),
+        F.explode(ivf_probe_lists(vec_col, centroids, nprobe)).alias("list_id"),
     )
     probed = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})
     if man is not None:
@@ -2010,13 +2055,13 @@ def ivf_topk(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("c_vec"),
         l2_norm(F.col(vec_col)).alias("c_nrm"),
-        ivf_assign(F.col(vec_col), centroids).alias("list_id"),
+        ivf_assign(vec_col, centroids).alias("list_id"),
     )
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("q_vec"),
         l2_norm(F.col(vec_col)).alias("q_nrm"),
-        F.explode(ivf_probe_lists(F.col(vec_col), centroids, nprobe)).alias("list_id"),
+        F.explode(ivf_probe_lists(vec_col, centroids, nprobe)).alias("list_id"),
     )
     cands = q.join(c, "list_id").filter(F.col("qid") != F.col("cid"))
     return _rerank_topk(cands, k)
@@ -2706,7 +2751,7 @@ def ivf_adc_topk_over_index(
             F.col(id_col).alias("qid"),
             qvec.alias("_qv"),
             F.explode(
-                ivf_probe_lists(F.col(vec_col), centroids, nprobe)
+                ivf_probe_lists(vec_col, centroids, nprobe)
             ).alias("list_id"),
         ).withColumn(
             "_rq", ivf_residual(F.col("_qv"), centroids, F.col("list_id"))
@@ -2721,7 +2766,7 @@ def ivf_adc_topk_over_index(
             F.col(id_col).alias("qid"),
             qvec.alias("_qv"),
             F.explode(
-                ivf_probe_lists(F.col(vec_col), centroids, nprobe)
+                ivf_probe_lists(vec_col, centroids, nprobe)
             ).alias("list_id"),
         )
         if rotation is not None:
@@ -2739,7 +2784,7 @@ def ivf_adc_topk_over_index(
             r["list_id"]
             for r in queries.select(
                 F.explode(
-                    ivf_probe_lists(F.col(vec_col), centroids, nprobe)
+                    ivf_probe_lists(vec_col, centroids, nprobe)
                 ).alias("list_id")
             )
             .distinct()

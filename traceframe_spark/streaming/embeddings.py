@@ -108,7 +108,7 @@ def _dedup_near_within_batch(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         sim.l2_norm(F.col(vec_col)).alias("nrm"),
-        sim.ivf_assign(F.col(vec_col), centroids).alias("list_id"),
+        sim.ivf_assign(vec_col, centroids).alias("list_id"),
     )
     ranked = None
     if cap is not None:
